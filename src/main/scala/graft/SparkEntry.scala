@@ -1,13 +1,346 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+import graft.search.{HashingEmbedder, SearchEngine}
+import graft.operators.TopKAggregator
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Determinism conventions shared by every (query, oracle) pair so the
+  * driver's DuckDB hash compare is exact (SURVEY.md §7 hard part (e)):
+  *  - double aggregates go through decimal: `CAST(SUM(CAST(x AS
+  *    DECIMAL(p,s))) AS DOUBLE)` — decimal addition is associative, so
+  *    the result is independent of partition/row order in both engines;
+  *  - cosine scores are rounded to 6 decimals *before* any ranking, and
+  *    ties broken by id, so ordering can't flip on 1-ulp differences;
+  *  - integer aggregates are cast to BIGINT (DuckDB SUM(int)→HUGEINT);
+  *  - timestamps in outputs are formatted to strings;
+  *  - every query ends in a deterministic total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` normalized to TIMESTAMP. The fixture writes
+    * TIMESTAMP(NANOS) parquet, which Spark 4 reads only as long-nanos
+    * (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench); under
+    * a session without that flag the column arrives as TimestampType
+    * directly — handle both. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = tbl(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      case _ => df
+    }
+  }
+
+  /** decimal-routed deterministic sum of a double expression */
+  private def dsum(c: Column, scale: Int = 10): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's one tool call end-to-end (server.py:71-102): prompt →
+    * deterministic embedding → cosine top-10 over the corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val eng = new SearchEngine(spark, new HashingEmbedder(64))
+    eng.search("/root/testdata/sf0.001", "fast hash join on a big table", k = 10).toDF()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (SURVEY §2.2: scans, aggs, joins, windows) ----
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      val disc = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity", 2).as("sum_qty"),
+          dsum($"l_extendedprice", 2).as("sum_base_price"),
+          dsum(disc).as("sum_disc_price"),
+          dsum(disc * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      import s.implicits._
+      // dims are tiny at any scale factor → broadcast, no shuffle of facts
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(tbl(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(tbl(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      // global top-k → TakeOrderedAndProject (per-partition heaps, no sort)
+      tbl(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+    }),
+
+    "q4_latest_order_per_customer" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          $"o_totalprice")
+        .orderBy($"o_custkey")
+    }),
+
+    "q5_filtered_revenue" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q6 flavor: selective predicates reach the parquet scan
+      tbl(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1999-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_quantity" < 24)
+        .agg(
+          dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q6_customers_without_orders" -> ((s, dir) => {
+      import s.implicits._
+      // anti join (SURVEY §2.2 set ops): customers with no big order
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").filter($"o_totalprice" > 300000),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    "q7_mktsegment_stats" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          dsum($"c_acctbal", 2).as("sum_acctbal"),
+          min($"c_acctbal").as("min_acctbal"),
+          max($"c_acctbal").as("max_acctbal"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    "q8_events_json" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k",
+          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    "q9_hourly_events" -> ((s, dir) => {
+      import s.implicits._
+      // batch twin of the streaming tumbling-window aggregation
+      events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value", 6).as("sum_value"))
+        .select(date_format($"bucket", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"hour", $"event_type")
+    }),
+
+    // ---- vector search core (reference server.py:85-91; SURVEY §2.1 O5-O7) ----
+
+    "q10_knn_exact" -> ((s, dir) => {
+      import s.implicits._
+      val eng = new SearchEngine(s)
+      val qv = tbl(s, dir, "embeddings")
+        .filter($"vec_id" === 0).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      eng.corpus(dir)
+        .withColumn("score", round(neo4jScore($"embedding", typedLit(qv.toSeq)), 6))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(10)
+        .select($"doc_id", $"text", $"score")
+    }),
+
+    "q11_knn_multi" -> ((s, dir) => {
+      import s.implicits._
+      // batch KNN join: 5 query vectors broadcast against the corpus,
+      // per-query top-5 via map-side partial top-k (TopKAggregator)
+      val embs = tbl(s, dir, "embeddings").filter(hasDim($"embedding", 64))
+      val queries = embs.filter($"vec_id" < 5)
+      val scored = embs.crossJoin(broadcast(
+          queries.select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))))
+        .select($"query_id", $"vec_id".as("id"),
+          round(neo4jScore($"embedding", $"query_embedding"), 6).as("score"))
+      import TopKAggregator._
+      val agg = topK(5).contramap[(Long, Long, Double)](r => Scored(r._2, r._3))
+      scored.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .agg(agg.toColumn.name("hits"))
+        .flatMap { case (qid, hits) =>
+          hits.zipWithIndex.map { case (h, i) => (qid, h.id, h.score, (i + 1).toLong) }
+        }
+        .toDF("query_id", "doc_id", "score", "rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    "q12_label_stats" -> ((s, dir) => {
+      import s.implicits._
+      // dim guard (SURVEY §2.1 O3) + array math + grouped stats
+      tbl(s, dir, "embeddings")
+        .filter(hasDim($"embedding", 64))
+        .groupBy($"label".cast("long").as("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(size($"embedding")).cast("long").as("total_dims"),
+          sum(squaredNorm($"embedding").cast("decimal(28,9)")).cast("double").as("sum_sq_norm"))
+        .orderBy($"label")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q4_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q5_filtered_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
+
+    "q6_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_mktsegment_stats" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal,
+        |  MIN(c_acctbal) AS min_acctbal,
+        |  MAX(c_acctbal) AS max_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q8_events_json" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q9_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q10_knn_exact" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id AS doc_id, d.text,
+        |    round((1.0 +
+        |      list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      / 2.0, 6) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE len(e.embedding) = 64)
+        |SELECT doc_id, text, score FROM scored
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q11_knn_multi" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5 AND len(embedding) = 64),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    round((1.0 +
+        |      list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      / 2.0, 6) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE len(e.embedding) = 64),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q12_label_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
+        |  CAST(SUM(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(28,9))) AS DOUBLE) AS sum_sq_norm
+        |FROM embeddings
+        |WHERE len(embedding) = 64
+        |GROUP BY label ORDER BY label""".stripMargin,
+  )
 }

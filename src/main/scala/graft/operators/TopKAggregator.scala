@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Grouped top-k as a typed [[Aggregator]] — the scale path for batch KNN
+  * (SURVEY.md §2.2 aggregations row, §4 partitioning row).
+  *
+  * Why not a window: `row_number().over(partitionBy(query))` must shuffle
+  * *every* scored row. An Aggregator participates in Spark's partial
+  * aggregation (map-side combine), so each partition reduces to ≤ k rows
+  * per group *before* the shuffle — O(k · partitions · groups) shuffled
+  * bytes instead of O(|corpus| · |queries|). At 100 TB that is the
+  * difference between a broadcast-sized shuffle and an untenable one.
+  *
+  * Determinism: the buffer keeps a *total* order (score desc, id asc), so
+  * the retained set is independent of partition count and merge order —
+  * required for hash-exact oracle comparison (SURVEY.md §7 hard part (e)).
+  */
+object TopKAggregator {
+
+  /** One scored candidate within a group. */
+  case class Scored(id: Long, score: Double)
+
+  /** total order: better = higher score, ties broken by smaller id */
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  /** Merge two `better`-sorted lists keeping the k best. */
+  private[operators] def mergeSorted(k: Int, a: List[Scored], b: List[Scored]): List[Scored] = {
+    val out = List.newBuilder[Scored]
+    var n = 0
+    var (x, y) = (a, b)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else {
+        out += y.head; y = y.tail
+      }
+      n += 1
+    }
+    out.result()
+  }
+
+  /** Aggregator keeping the top-k [[Scored]] of a group, sorted best-first. */
+  def topK(k: Int): Aggregator[Scored, List[Scored], List[Scored]] =
+    new Aggregator[Scored, List[Scored], List[Scored]] {
+      override def zero: List[Scored] = Nil
+      override def reduce(buf: List[Scored], s: Scored): List[Scored] =
+        mergeSorted(k, buf, s :: Nil)
+      override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+        mergeSorted(k, a, b)
+      override def finish(buf: List[Scored]): List[Scored] = buf
+      override def bufferEncoder: Encoder[List[Scored]] = ExpressionEncoder()
+      override def outputEncoder: Encoder[List[Scored]] = ExpressionEncoder()
+    }
+
+  /** Batch KNN join with map-side partial top-k.
+    *
+    * queries: (vec_id, embedding) — broadcast (the small side).
+    * corpus:  (doc_id|vec_id, embedding).
+    * Output: (query_id, doc_id, score, rank) — identical rows and
+    * ordering to [[graft.search.SearchEngine.knnJoinWindow]].
+    */
+  def knnJoin(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+    val idCol = if (corpus.columns.contains("doc_id")) "doc_id" else "vec_id"
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col(idCol).cast("long").as("id"),
+        neo4jScore(col("embedding"), col("query_embedding")).as("score"))
+      .as[(Long, Long, Double)]
+
+    scored
+      .groupByKey(_._1)
+      .agg(topK(k).contramap[(Long, Long, Double)](r => Scored(r._2, r._3)).toColumn)
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (h, i) => (qid, h.id, h.score, i + 1) }
+      }
+      .toDF("query_id", "doc_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Adapt the aggregator's input type. */
+  implicit final class AggOps(private val agg: Aggregator[Scored, List[Scored], List[Scored]]) extends AnyVal {
+    def contramap[I](f: I => Scored): Aggregator[I, List[Scored], List[Scored]] =
+      new Aggregator[I, List[Scored], List[Scored]] {
+        override def zero: List[Scored] = agg.zero
+        override def reduce(b: List[Scored], i: I): List[Scored] = agg.reduce(b, f(i))
+        override def merge(a: List[Scored], b: List[Scored]): List[Scored] = agg.merge(a, b)
+        override def finish(b: List[Scored]): List[Scored] = agg.finish(b)
+        override def bufferEncoder: Encoder[List[Scored]] = agg.bufferEncoder
+        override def outputEncoder: Encoder[List[Scored]] = agg.outputEncoder
+      }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** One search hit — the reference's result row shape
+  * `(name, description, score)` (reference server.py:89-90), generalized
+  * to the fixture corpus's `(doc_id, text, score)`. */
+case class SearchHit(doc_id: Long, text: String, score: Double)
+
+/** Semantic top-k vector search over a document corpus — the Spark-native
+  * rendition of the reference's single tool
+  * `vector_search_neo4j(prompt)` (reference server.py:71-102):
+  * prompt → embedding → cosine top-k over the corpus → project
+  * `(id, payload, score)` → sort desc.
+  *
+  * Architecture (SURVEY.md §3 E1): where the reference hops
+  * MCP→OpenAI→Neo4j-HNSW, this engine embeds driver-side (one row) and
+  * declares a DataFrame plan `score → orderBy(desc).limit(k)` that
+  * Catalyst compiles to Parquet vectorized scan → whole-stage-codegen'd
+  * projection → `TakeOrderedAndProject` (per-partition top-k heaps, O(k)
+  * merged on the driver — no full sort, no shuffle of the corpus). That
+  * shape is scale-correct at 100 TB: each of N partitions contributes at
+  * most k candidate rows to the driver merge.
+  */
+final class SearchEngine(
+    spark: SparkSession,
+    embedder: Embedder = new HashingEmbedder(64)) extends Serializable {
+
+  import spark.implicits._
+
+  /** Load the searchable corpus: embeddings joined to document payloads
+    * (FIXTURES.md: `embeddings.vec_id` ↔ `documents.doc_id`). The dim
+    * guard mirrors reference server.py:80-84 (SURVEY.md §2.1 O3). */
+  def corpus(sfDir: String, dim: Int = 64): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(hasDim(col("embedding"), dim))
+    // embeddings is the small side at fixture scale, but at 100 TB both
+    // sides are large and share the id domain: an equi-join on the key,
+    // which AQE plans as broadcast when one side is small enough.
+    embs.join(docs, embs("vec_id") === docs("doc_id"))
+  }
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * Score uses the Neo4j convention `(1+cos)/2` (SURVEY.md §2.1 O5) so
+    * results are comparable with what the reference's stack emits.
+    * Deterministic total order: score desc, then doc_id asc. */
+  def topK(corpus: DataFrame, queryVec: Array[Float], k: Int = 10): Dataset[SearchHit] = {
+    require(queryVec != null, "query vector must not be null")
+    val q = typedLit(queryVec.toSeq)
+    corpus
+      .withColumn("score", neo4jScore(col("embedding"), q))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+      .select($"doc_id", $"text", $"score")
+      .as[SearchHit]
+  }
+
+  /** The reference's end-to-end tool path: natural-language prompt →
+    * embed → top-k (k=10 is the reference's hard-coded fan-out,
+    * server.py:87). */
+  def search(sfDir: String, prompt: String, k: Int = 10): Dataset[SearchHit] =
+    topK(corpus(sfDir, embedder.dim), embedder.embed(prompt), k)
+
+  /** Intended empty-result semantics: the reference *means* to return
+    * "No results found." on an empty hit set but its check is unreachable
+    * (reference server.py:98-102 tests a truthy `"[]"` string —
+    * SURVEY.md §2.1 O10). The engine implements the intent. */
+  def searchJson(sfDir: String, prompt: String, k: Int = 10): String = {
+    val hits = search(sfDir, prompt, k).collect()
+    if (hits.isEmpty) "No results found."
+    else hits.map(h =>
+      s"""{"doc_id":${h.doc_id},"text":${jsonQuote(h.text)},"score":${h.score}}""")
+      .mkString("[", ", ", "]")
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Metadata-filtered search (SURVEY.md §2.2 filter row): predicate is
+    * applied *before* scoring so Catalyst pushes it into the Parquet scan
+    * — at 100 TB a selective filter prunes row groups via statistics
+    * before any vector math runs. */
+  def filteredTopK(corpus: DataFrame, predicate: Column, queryVec: Array[Float], k: Int = 10): Dataset[SearchHit] =
+    topK(corpus.filter(predicate), queryVec, k)
+
+  /** Batch KNN join: a *set* of queries against the corpus
+    * (SURVEY.md §2.2 joins/windows, §7 step 4).
+    *
+    * Plan shape: `broadcast(queries)` × corpus (the query batch is the
+    * small side — broadcast, never shuffle the corpus), score each pair,
+    * then per-query top-k via window rank. At fixture scale the window
+    * shuffle is O(|corpus|·|queries|); for very large corpora prefer
+    * [[graft.operators.TopKAggregator.knnJoin]], whose map-side partial
+    * top-k shuffles only O(k·partitions·queries).
+    */
+  def knnJoinWindow(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("score", neo4jScore(col("embedding"), col("query_embedding")))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select($"query_id", $"doc_id", $"score", $"rank")
+  }
+}

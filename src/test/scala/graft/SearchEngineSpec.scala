@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.TopKAggregator
+import graft.search.{HashingEmbedder, SearchEngine}
+
+class SearchEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val eng = new SearchEngine(spark, new HashingEmbedder(64))
+
+  test("flagship entry returns ranked hits with scores in [0,1]") {
+    val hits = SparkEntry.entry(spark).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores.sameElements(scores.sorted.reverse), "sorted desc")
+  }
+
+  test("self-query ranks the query vector first with score 1") {
+    val corpus = eng.corpus(sf0001)
+    val qv = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" === 7).head().getSeq[Float](1).toArray
+    val hits = eng.topK(corpus, qv, 3).collect()
+    assert(hits.head.doc_id == 7)
+    assert(math.abs(hits.head.score - 1.0) < 1e-9)
+  }
+
+  test("searchJson returns explicit empty message on empty corpus (intended O10 semantics)") {
+    val emptyEng = new SearchEngine(spark)
+    val corpus = eng.corpus(sf0001).filter(lit(false))
+    val r = emptyEng.topK(corpus, new HashingEmbedder(64).embed("x"), 5).collect()
+    assert(r.isEmpty)
+    // the string path
+    assert(eng.searchJson(sf0001, "anything", 0) == "No results found.")
+  }
+
+  test("metadata-filtered search only returns rows matching the predicate") {
+    val corpus = eng.corpus(sf0001)
+    val qv = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" === 0).head().getSeq[Float](1).toArray
+    val hits = eng.filteredTopK(corpus, col("lang") === "es", qv, 5)
+    val langs = hits.toDF().join(
+        spark.read.parquet(s"$sf0001/documents.parquet"), Seq("doc_id"))
+      .select($"lang").as[String].collect()
+    assert(langs.nonEmpty && langs.forall(_ == "es"))
+  }
+
+  test("HashingEmbedder is deterministic and unit-norm") {
+    val e = new HashingEmbedder(64)
+    val a = e.embed("fast hash join table")
+    val b = e.embed("fast hash join table")
+    assert(a.sameElements(b))
+    val n = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-6)
+  }
+
+  test("embedCorpus adds a unit-norm vector per row via mapPartitions") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(20)
+    val out = new HashingEmbedder(32).embedCorpus(docs, "text", "emb")
+    assert(out.schema("emb").dataType.typeName == "array")
+    val norms = out.select(l2Norm(col("emb")).as("n")).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+  }
+
+  test("TopKAggregator.knnJoin matches window-based knn join exactly") {
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 3)
+    val viaAgg = TopKAggregator.knnJoin(spark, queries, embs, 7)
+      .select($"query_id", $"doc_id", round($"score", 9).as("score"), $"rank")
+      .collect().map(_.toSeq).toSeq
+    val viaWin = eng.knnJoinWindow(queries, embs.withColumnRenamed("vec_id", "doc_id"), 7)
+      .select($"query_id", $"doc_id", round($"score", 9).as("score"), $"rank".cast("long"))
+      .orderBy($"query_id", $"rank")
+      .collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWin)
+  }
+
+  test("TopKAggregator result is invariant to partitioning") {
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 2)
+    def run(parts: Int) =
+      TopKAggregator.knnJoin(spark, queries, embs.repartition(parts), 5)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+}
