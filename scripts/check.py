@@ -60,8 +60,11 @@ for name in sorted(oracle):
         fails += 1
         continue
     if g != e:
+        # the driver's hash compare is order-sensitive: an ordering-only
+        # mismatch is a real failure, not a warning
         if sorted(g) == sorted(e):
-            print(f"WARN {name}: same multiset, different order ({len(g)} rows)")
+            print(f"FAIL {name}: same multiset, different order ({len(g)} rows)")
+            fails += 1
         else:
             bad = [i for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
             print(f"FAIL {name}: value mismatch at rows {bad}")

@@ -35,7 +35,9 @@ object SparkEntry {
     val df = tbl(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+        // integer floor division: epoch nanos exceed Double's 2^53 exact
+        // range, so `/` (which promotes to Double) could shift by ~256ns
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
@@ -146,8 +148,8 @@ object SparkEntry {
       import s.implicits._
       events(s, dir)
         .withColumn("k",
-          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").cast("long"))
+          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k"))
         .groupBy($"event_type")
         .agg(
           count(lit(1)).as("n"),

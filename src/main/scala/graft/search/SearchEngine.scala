@@ -28,7 +28,7 @@ case class SearchHit(doc_id: Long, text: String, score: Double)
   */
 final class SearchEngine(
     spark: SparkSession,
-    embedder: Embedder = new HashingEmbedder(64)) extends Serializable {
+    embedder: Embedder = new HashingEmbedder(64)) {
 
   import spark.implicits._
 
