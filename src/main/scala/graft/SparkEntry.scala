@@ -54,8 +54,13 @@ object SparkEntry {
     eng.search("/root/testdata/sf0.001", "fast hash join on a big table", k = 10).toDF()
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * north-star extension modules (graft.queries.*). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++
+      graft.queries.TextQueries.queries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core (SURVEY §2.2: scans, aggs, joins, windows) ----
 
@@ -223,7 +228,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    relationalOracleSql ++
+      graft.queries.TextQueries.oracleSql
+
+  private def relationalOracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hashing that is *portable across engines*: every hash
+  * here is defined by plain modular arithmetic over code points, so the
+  * same value is computable in Spark (higher-order functions, staying
+  * inside whole-stage codegen) and in ANSI-ish SQL (the DuckDB oracle).
+  * This is what lets MinHash / SimHash / LSH dedup be hash-exact
+  * oracle-checked rather than merely row-counted: engine-native hash
+  * functions (Spark murmur3/xxhash64, DuckDB `hash`) differ, a
+  * polynomial-mod hash does not.
+  *
+  * The reference delegates all hashing to Neo4j's HNSW internals
+  * (reference server.py:87); hashes here serve the *extension* surface
+  * (dedup/fingerprint/LSH — SURVEY.md §2.2, BASELINE.json north star).
+  *
+  * Every constant is derived from a fixed seed at class-load, and the
+  * same constants are interpolated into both the Column tree and the
+  * generated oracle SQL, so the two sides cannot drift.
+  */
+object PortableHash {
+
+  /** Modulus: largest common 30-bit-ish prime; products `a*x` with
+    * `a, x < P` stay below 2^62, safely inside BIGINT/LongType. */
+  val P: Long = 1000000007L
+
+  // ---------------------------------------------------------------
+  // char-fold polynomial hash: h = fold(chars)((acc, c) => (acc*31 + code(c)) % P)
+  // ---------------------------------------------------------------
+
+  /** Polynomial hash of a string column over its characters.
+    * Left fold in character order — sequential, partition-independent. */
+  def charHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch).cast("long")) % lit(P))
+
+  /** DuckDB SQL computing exactly [[charHash]] of expression `e`. */
+  def charHashSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"list_filter(string_split($e, ''), c -> c != ''), " +
+      s"c -> unicode(c)::BIGINT)), (a, b) -> (a * 31 + b) % $P)"
+
+  // ---------------------------------------------------------------
+  // universal affine hash family h_i(x) = (a_i * x + b_i) % P
+  // ---------------------------------------------------------------
+
+  private def affineConstants(seed: Long, n: Int): IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Vector.fill(n) {
+      val a = 1L + math.abs(rng.nextLong()) % (P - 1) // a in [1, P-1]
+      val b = math.abs(rng.nextLong()) % P            // b in [0, P-1]
+      (a, b)
+    }
+  }
+
+  /** MinHash family: 16 affine hashes (4 bands × 4 rows — SURVEY.md §2.2
+    * joins row: LSH banding turns near-dup search into an equi-join). */
+  val MinhashFamily: IndexedSeq[(Long, Long)] = affineConstants(101L, 16)
+  val MinhashBands = 4
+  val MinhashRowsPerBand = 4
+
+  /** SimHash family: one affine hash per signature bit (48 bits keeps
+    * `sum(bit_j << j)` far from Long overflow in both engines). */
+  val SimhashBits = 48
+  val SimhashFamily: IndexedSeq[(Long, Long)] = affineConstants(202L, SimhashBits)
+
+  /** h_i applied to a long column. */
+  def affine(i: (Long, Long), x: Column): Column =
+    (lit(i._1) * x + lit(i._2)) % lit(P)
+
+  /** DuckDB SQL for h_i of long-typed expression `x`. */
+  def affineSql(i: (Long, Long), x: String): String =
+    s"((${i._1} * $x + ${i._2}) % $P)"
+
+  // ---------------------------------------------------------------
+  // seeded random hyperplanes for sign-LSH over embeddings
+  // ---------------------------------------------------------------
+
+  /** 8 Gaussian hyperplanes in 64-d (the fixture embedding dim,
+    * FIXTURES.md), rounded to 6 decimals so the literal values written
+    * into oracle SQL are bit-identical to the Scala-side literals. */
+  val LshPlanes: IndexedSeq[IndexedSeq[Double]] = {
+    val rng = new scala.util.Random(303L)
+    Vector.fill(8)(Vector.fill(64)(math.rint(rng.nextGaussian() * 1e6) / 1e6))
+  }
+
+  /** Sign-LSH bucket id of an ARRAY<FLOAT> embedding column: bit p is
+    * set iff dot(v, plane_p) >= 0. 8 planes → 256 buckets. */
+  def lshBucket(v: Column): Column =
+    LshPlanes.zipWithIndex.map { case (plane, p) =>
+      val dot = aggregate(
+        zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, d) => acc + d)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL computing [[lshBucket]] of embedding expression `v`. */
+  def lshBucketSql(v: String): String =
+    LshPlanes.zipWithIndex.map { case (plane, p) =>
+      val lits = plane.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($v, $lits), " +
+        s"p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

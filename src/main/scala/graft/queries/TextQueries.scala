@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table (BASELINE.json north
+  * star: token counting, quality scoring, language ID, fingerprinting).
+  * Per-document work is all *row-local* higher-order-function math — no
+  * shuffle except the final small group-by/order — so the shape scales
+  * linearly: at 100 TB each task fingerprints its own partition and only
+  * aggregate rows move.
+  *
+  * Every query has a DuckDB oracle built from the same `...Sql` twins
+  * (graft.functions.TextFunctions / PortableHash), so the driver's
+  * hash compare is exact.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** n-token shingles joined with '|'; fewer than n tokens → empty. */
+  def shingleCol(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        (1 until n).foldLeft(element_at(toks, i + 1)) { (acc, j) =>
+          concat(acc, lit("|"), element_at(toks, i + j + 1))
+        }))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  def shingleSql(toksE: String, n: Int = 3): String = {
+    val body = (0 until n).map(j => s"$toksE[i + ${j + 1}]").mkString(" || '|' || ")
+    s"(CASE WHEN len($toksE) >= $n THEN list_transform(range(len($toksE) - ${n - 1}), i -> $body) ELSE [] END)"
+  }
+
+  /** Sum of token lengths (character mass of the token stream). */
+  private def tokCharSum(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+  private def tokCharSumSql(toksE: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform($toksE, t -> length(t)::BIGINT)), (a, b) -> a + b)"
+
+  /** Per-document base columns shared by the text queries. */
+  private def enriched(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    docs(s, dir)
+      .withColumn("toks", t)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", stopwordCount(col("toks")))
+      .withColumn("char_sum", tokCharSum(col("toks")))
+  }
+  // DuckDB twin of `enriched` as a CTE body
+  private val enrichedSql: String = {
+    val t = tokensSql("text")
+    s"""SELECT doc_id, lang, source, text, $t AS toks,
+       |  len($t)::BIGINT AS n_tokens,
+       |  len(list_distinct($t))::BIGINT AS n_distinct,
+       |  ${stopwordCountSql(t)} AS n_stop,
+       |  ${tokCharSumSql(t)} AS char_sum
+       |FROM documents""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q13_text_stats" -> ((s, dir) => {
+      enriched(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_distinct")).as("total_distinct"),
+          sum(col("char_sum")).as("total_tok_chars"))
+        .withColumn("avg_tok_len",
+          round(col("total_tok_chars").cast("double") / col("total_tokens"), 6))
+        .orderBy(col("lang"))
+    }),
+
+    "q14_quality" -> ((s, dir) => {
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      enriched(s, dir)
+        .withColumn("n_bpe", size(bpeTokens(col("text"))).cast("long"))
+        .withColumn("stop_ratio", round(stopRatio, 6))
+        .withColumn("quality",
+          qualityScore(col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_bpe"),
+          col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q15_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("predicted", langPredict(tokens(col("text"))))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    "q16_fingerprint" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      docs(s, dir)
+        .withColumn("fp", charHash(col("text")))
+        .withColumn("shingles", shingleCol(toks))
+        .withColumn("n_shingles", size(col("shingles")).cast("long"))
+        .withColumn("min_shingle_fp", array_min(transform(col("shingles"), s => charHash(s))))
+        .select(col("doc_id"), col("fp"), col("n_shingles"), col("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q13_text_stats" ->
+      s"""WITH enriched AS ($enrichedSql)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+         |  CAST(SUM(char_sum) AS BIGINT) AS total_tok_chars,
+         |  round(CAST(SUM(char_sum) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT), 6) AS avg_tok_len
+         |FROM enriched GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q14_quality" -> {
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      s"""WITH enriched AS ($enrichedSql)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  len(${bpeTokensSql("text")})::BIGINT AS n_bpe,
+         |  round($stopRatio, 6) AS stop_ratio,
+         |  ${qualityScoreSql("n_tokens", "n_distinct", stopRatio, avgTokLen)} AS quality
+         |FROM enriched ORDER BY doc_id""".stripMargin
+    },
+
+    "q15_lang_id" ->
+      s"""SELECT lang, ${langPredictSql(tokensSql("text"))} AS predicted, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "q16_fingerprint" -> {
+      val toks = tokensSql("text")
+      val sh = shingleSql(toks)
+      s"""SELECT doc_id, ${charHashSql("text")} AS fp,
+         |  len($sh)::BIGINT AS n_shingles,
+         |  list_min(list_transform($sh, s -> ${charHashSql("s")})) AS min_shingle_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+  )
+}
