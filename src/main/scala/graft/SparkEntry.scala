@@ -58,7 +58,8 @@ object SparkEntry {
     * north-star extension modules (graft.queries.*). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -230,7 +231,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relationalOracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 

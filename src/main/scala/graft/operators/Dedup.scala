@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+
+/** Deduplication operators for training-data curation (BASELINE.json
+  * north star; absent from the reference, which stores whatever Neo4j
+  * holds — reference server.py:85-91 reads, never dedups).
+  *
+  * Three families, in increasing scale-sophistication:
+  *  1. exact     — group by content hash, keep min-id survivor. One
+  *                 shuffle on the hash key; at 100 TB this is the
+  *                 classic map-side-combine groupBy.
+  *  2. MinHash+LSH — shingle → signature → banded bucket equi-join.
+  *                 Candidate generation touches only same-bucket pairs:
+  *                 O(sum of bucket² ) instead of O(n²). The signature
+  *                 computation is row-local (no shuffle); only the
+  *                 band explode (×4) and the bucket join shuffle.
+  *  3. SimHash   — 48-bit signature, near-dup = small Hamming distance;
+  *                 row-local signature + blocked pair join.
+  *
+  * Every hash is [[graft.functions.PortableHash]] modular arithmetic, so
+  * the DuckDB oracle reproduces results exactly (the `...Sql` twins
+  * generate the oracle text from the same constants).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------
+  // MinHash signatures
+  // ---------------------------------------------------------------
+
+  /** MinHash signature (array of [[MinhashFamily]].size longs) over a
+    * column of *hashed* shingles (ARRAY<LONG>). Empty input → all-P
+    * sentinel (P never collides with a real hash, which is < P). */
+  def minhashSignature(shingleHashes: Column): Column =
+    array(MinhashFamily.map { ab =>
+      coalesce(array_min(transform(shingleHashes, x => affine(ab, x))), lit(P))
+    }: _*)
+
+  def minhashSignatureSql(shingleHashesE: String): String =
+    MinhashFamily.map { ab =>
+      s"coalesce(list_min(list_transform($shingleHashesE, x -> ${affineSql(ab, "x")})), $P)"
+    }.mkString("[", ", ", "]")
+
+  /** LSH band keys from a signature: [[MinhashBands]] strings, each the
+    * '_'-joined run of [[MinhashRowsPerBand]] signature slots. Docs
+    * sharing *any* band key become candidate pairs. */
+  def bandKeys(sig: Column): Column =
+    array((0 until MinhashBands).map { b =>
+      val slots = (0 until MinhashRowsPerBand)
+        .map(r => element_at(sig, b * MinhashRowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), concat_ws("_", slots: _*).as("key"))
+    }: _*)
+
+  def bandKeySql(sigE: String, band: Int): String =
+    (0 until MinhashRowsPerBand)
+      .map(r => s"CAST($sigE[${band * MinhashRowsPerBand + r + 1}] AS VARCHAR)")
+      .mkString(" || '_' || ")
+
+  // ---------------------------------------------------------------
+  // Jaccard over distinct-element arrays
+  // ---------------------------------------------------------------
+
+  /** Jaccard similarity of two array columns, by distinct elements. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  def jaccardSql(aE: String, bE: String): String =
+    s"(len(list_intersect($aE, $bE))::DOUBLE / len(list_distinct(list_concat($aE, $bE)))::DOUBLE)"
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  /** 48-bit SimHash over a column of token hashes (ARRAY<LONG>),
+    * frequency-weighted (duplicates vote repeatedly). Bit j is set iff
+    * the majority of tokens hash odd under family member j; ties → 0. */
+  def simhash(tokenHashes: Column): Column =
+    SimhashFamily.zipWithIndex.map { case (ab, j) =>
+      val vote = aggregate(tokenHashes, lit(0L), (acc, x) =>
+        acc + when(affine(ab, x) % 2L === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simhashSql(tokenHashesE: String): String =
+    SimhashFamily.zipWithIndex.map { case (ab, j) =>
+      val vote = s"list_reduce(list_prepend(0::BIGINT, list_transform($tokenHashesE, " +
+        s"x -> (CASE WHEN ${affineSql(ab, "x")} % 2 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END))), (a, b) -> a + b)"
+      s"(CASE WHEN $vote > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("(", " + ", ")")
+
+  /** Hamming distance between two SimHash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+  def hammingSql(aE: String, bE: String): String = s"bit_count(xor($aE, $bE))::BIGINT"
+
+  // ---------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------
+
+  /** Keep one survivor (min id) per exact content value. The groupBy
+    * shuffles only (key-hash, id) pairs — map-side combine reduces each
+    * partition to one candidate per key before the exchange. */
+  def exactSurvivors(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup._
+import graft.queries.TextQueries.{shingleCol, shingleSql}
+
+/** Deduplication queries over `documents` (BASELINE.json north star).
+  * The fixture plants near-duplicate pairs (shingle-Jaccard >= 0.8 vs a
+  * < 0.1 background) and, at sf0.1, exact duplicate texts — so these
+  * queries have non-degenerate answers the DuckDB oracle checks exactly.
+  *
+  * Scale shapes (100 TB posture):
+  *  - q17: one map-side-combined groupBy on the content hash.
+  *  - q18: exact pairwise is blocked by `lang` AND pre-filtered by the
+  *    shingle-count band (|A|/|B| must lie in [t, 1/t] for Jaccard >= t)
+  *    before any set intersection runs.
+  *  - q19: MinHash+LSH — candidates come from a band-key equi-join, the
+  *    only O(n²)-avoiding route; signatures are row-local.
+  *  - q20: SimHash — row-local 48-bit signature, Hamming join blocked
+  *    by lang.
+  *  - q21: brute-force cosine pairs as the correctness baseline for the
+  *    LSH path (global top-k → TakeOrderedAndProject, no full sort).
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** (doc_id, lang, hs): distinct hashed 3-token shingles per doc. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      transform(array_distinct(shingleCol(tokens(col("text")))), x => charHash(x)).as("hs"))
+
+  private val hashedShinglesSql: String = {
+    val sh = shingleSql(tokensSql("text"))
+    s"SELECT doc_id, lang, list_transform(list_distinct($sh), s -> ${charHashSql("s")}) AS hs FROM documents"
+  }
+
+  val JaccardThreshold = 0.5
+
+  /** SimHash near-dup: 48-bit signatures in 6 chunks of 8 bits; the
+    * Hamming cutoff 5 < 6 chunks guarantees (pigeonhole) a shared exact
+    * chunk, making chunk equi-join blocking lossless. */
+  val SimhashChunks = 6
+  val SimhashChunkBits = 8
+  val HammingMax = 5L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q17_dedup_exact" -> ((s, dir) => {
+      // exact dedup survivor stats per source: content key = charHash(text)
+      docs(s, dir)
+        .withColumn("fp", charHash(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dupes"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))
+    }),
+
+    "q18_jaccard_pairs" -> ((s, dir) => {
+      val sh = hashedShingles(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("hs").as("hs_a"),
+        size(col("hs")).as("n_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("hs").as("hs_b"),
+        size(col("hs")).as("n_b"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+          // size band: Jaccard >= t needs t <= |A|/|B| <= 1/t
+          col("n_a").cast("double") >= col("n_b") * JaccardThreshold &&
+          col("n_b").cast("double") >= col("n_a") * JaccardThreshold)
+        .withColumn("jac", round(jaccard(col("hs_a"), col("hs_b")), 6))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q19_minhash_lsh" -> ((s, dir) => {
+      val sh = hashedShingles(s, dir)
+      val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
+      val bands = sigs
+        .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jac", round(jaccard(col("hs_a"), col("hs_b")), 6))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q20_simhash" -> ((s, dir) => {
+      // Global near-dup by SimHash with pigeonhole chunk blocking
+      // (Charikar/Manku-style): ham <= HammingMax over SimhashChunks
+      // chunks forces at least one *exact* chunk match, so candidates
+      // come from an equi-join on (chunk_idx, chunk_value) — never a
+      // nested-loop over all pairs. Identical output to brute force.
+      val sigs = docs(s, dir).select(
+        col("doc_id"),
+        simhash(transform(tokens(col("text")), x => charHash(x))).as("sig"))
+      val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until SimhashChunks).map { c =>
+          struct(lit(c).as("c"), shiftright(col("sig"), c * SimhashChunkBits)
+            .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("v"))
+        }: _*)).as("ck"))
+        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      val cand = chunks.alias("x").join(chunks.alias("y"),
+          col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        .distinct()
+      cand
+        .withColumn("ham", hamming(col("sig_a"), col("sig_b")))
+        .filter(col("ham") <= HammingMax)
+        .select(col("doc_a"), col("doc_b"), col("ham"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q21_embedding_neardup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("score",
+          round(graft.functions.VectorFunctions.neo4jScore(col("emb_a"), col("emb_b")), 6))
+        .select(col("vec_a"), col("vec_b"), col("score"))
+        .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
+        .limit(20)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = {
+    val jacE = jaccardSql("a.hs", "b.hs")
+    Map(
+
+      "q17_dedup_exact" ->
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT ${charHashSql("text")}) AS n_distinct,
+           |  COUNT(*) - COUNT(DISTINCT ${charHashSql("text")}) AS n_dupes,
+           |  MIN(doc_id) AS first_doc
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q18_jaccard_pairs" ->
+        s"""WITH sh AS ($hashedShinglesSql)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  round($jacE, 6) AS jac
+           |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  AND len(a.hs)::DOUBLE >= len(b.hs) * $JaccardThreshold
+           |  AND len(b.hs)::DOUBLE >= len(a.hs) * $JaccardThreshold
+           |WHERE round($jacE, 6) >= $JaccardThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q19_minhash_lsh" -> {
+        val bandSelects = (0 until MinhashBands).map { bnd =>
+          s"SELECT doc_id, $bnd AS band, ${bandKeySql("sig", bnd)} AS key FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""WITH sh AS ($hashedShinglesSql),
+           |sigs AS (SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+           |SELECT c.doc_a, c.doc_b, round(${jaccardSql("a.hs", "b.hs")}, 6) AS jac
+           |FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+           |WHERE round(${jaccardSql("a.hs", "b.hs")}, 6) >= $JaccardThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "q20_simhash" -> {
+        val tokHashes = s"list_transform(${tokensSql("text")}, t -> ${charHashSql("t")})"
+        val chunkSelects = (0 until SimhashChunks).map { c =>
+          s"SELECT doc_id, sig, $c AS c, (sig >> ${c * SimhashChunkBits}) & ${(1L << SimhashChunkBits) - 1} AS v FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""WITH sigs AS (SELECT doc_id, ${simhashSql(tokHashes)} AS sig FROM documents),
+           |chunks AS ($chunkSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |    x.sig AS sig_a, y.sig AS sig_b
+           |  FROM chunks x JOIN chunks y
+           |  ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, ${hammingSql("sig_a", "sig_b")} AS ham
+           |FROM cand WHERE ${hammingSql("sig_a", "sig_b")} <= $HammingMax
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "q21_embedding_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round((1.0 +
+           |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+           |    / 2.0, 6) AS score
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+    )
+  }
+}

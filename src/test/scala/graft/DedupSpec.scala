@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PortableHash._
+import graft.operators.Dedup._
+import graft.queries.DedupQueries
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("jaccard of identical arrays is 1, disjoint is 0") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), Seq(7L, 8L)))
+      .toDF("a", "b", "c")
+    val r = df.select(jaccard($"a", $"b"), jaccard($"a", $"c")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("minhash signature: identical inputs give identical signatures") {
+    val df = Seq(Seq(10L, 20L, 30L), Seq(10L, 20L, 30L)).toDF("hs")
+    val sigs = df.select(minhashSignature($"hs")).collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).length === MinhashFamily.size)
+  }
+
+  test("minhash signature of empty set is the all-P sentinel") {
+    val sig = Seq(Seq.empty[Long]).toDF("hs")
+      .select(minhashSignature($"hs")).head().getSeq[Long](0)
+    assert(sig.forall(_ === P))
+  }
+
+  test("minhash of a subset only raises slot minima") {
+    // adding elements can only lower each slot's min
+    val small = Seq(Seq(10L, 20L)).toDF("hs").select(minhashSignature($"hs")).head().getSeq[Long](0)
+    val big = Seq(Seq(10L, 20L, 30L, 40L)).toDF("hs").select(minhashSignature($"hs")).head().getSeq[Long](0)
+    assert(big.zip(small).forall { case (b, s) => b <= s })
+  }
+
+  test("simhash: identical token multisets match, hamming 0") {
+    val df = Seq(Seq(10L, 20L, 30L), Seq(10L, 20L, 30L)).toDF("th")
+    val sigs = df.select(simhash($"th")).collect().map(_.getLong(0))
+    assert(sigs(0) === sigs(1))
+    val h = Seq((sigs(0), sigs(1))).toDF("a", "b").select(hamming($"a", $"b")).head().getLong(0)
+    assert(h === 0L)
+  }
+
+  test("simhash stays within 48 bits") {
+    val sig = Seq(Seq(11L, 22L, 33L, 44L)).toDF("th").select(simhash($"th")).head().getLong(0)
+    assert(sig >= 0L && sig < (1L << SimhashBits))
+  }
+
+  test("exact survivors keep min id and count copies") {
+    val df = Seq((1L, "x"), (5L, "x"), (3L, "y")).toDF("id", "content")
+    val out = exactSurvivors(df, "id", "content").orderBy($"content").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("x", 1L, 2L), ("y", 3L, 1L)))
+  }
+
+  test("q19 LSH candidates recover all q18-style exact pairs (global)") {
+    // exact global near-dup pairs at sf0.001 via brute force on hashed shingles
+    val sh = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id",
+        transform(array_distinct(
+          graft.queries.TextQueries.shingleCol(graft.functions.TextFunctions.tokens($"text"))),
+          x => charHash(x)).as("hs"))
+    val a = sh.select($"doc_id".as("doc_a"), $"hs".as("hs_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"hs".as("hs_b"))
+    val exact = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("jac", jaccard($"hs_a", $"hs_b"))
+      .filter($"jac" >= DedupQueries.JaccardThreshold)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.queries("q19_minhash_lsh")(spark, sf0001)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with 4 bands x 4 rows, P(catch | jac >= 0.9) ≈ 1 - (1-0.9^4)^4 ≈ 0.9985;
+    // the fixture's planted pairs are all >= 0.9
+    assert(exact.subsetOf(lsh) || (exact -- lsh).isEmpty,
+      s"LSH missed pairs: ${exact -- lsh}")
+    // and every LSH-verified pair really is above threshold (verified step)
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("q20 chunk blocking is lossless for hamming <= HammingMax") {
+    // brute-force simhash pairs at sf0.001 must equal the blocked result
+    val sigs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", simhash(transform(
+        graft.functions.TextFunctions.tokens($"text"), x => charHash(x))).as("sig"))
+    val a = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val b = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    val brute = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("ham", hamming($"sig_a", $"sig_b"))
+      .filter($"ham" <= DedupQueries.HammingMax)
+      .select($"doc_a", $"doc_b", $"ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = DedupQueries.queries("q20_simhash")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute === blocked)
+  }
+}
