@@ -59,7 +59,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.AnnQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -232,7 +233,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relationalOracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.DedupQueries.oracleSql
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.AnnQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 

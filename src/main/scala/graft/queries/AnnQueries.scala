@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the embedding corpus — the
+  * *scale path* replacing the reference's resident HNSW index (reference
+  * server.py:87, `db.index.vector.queryNodes`): no index server exists
+  * in a batch engine, so candidate pruning comes from hash bucketing.
+  *
+  * q22 uses the seeded sign-LSH of [[graft.functions.PortableHash]]
+  * (8 hyperplanes → 256 buckets) with multi-probe radius 1 (probe the
+  * query's bucket and all buckets differing in one plane). The bucket
+  * id is row-local math; at 100 TB the corpus would be *written
+  * partitioned by bucket*, so a query reads ~9/256 of the data instead
+  * of all of it — the batch analogue of an index probe.
+  *
+  * MLlib-backed variants (BucketedRandomProjectionLSH, IVF/KMeans) live
+  * in [[graft.search.AnnIndex]]; their hashes are not portable to the
+  * oracle, so they are recall-tested in scalatest instead (SURVEY.md §5).
+  */
+object AnnQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q22_lsh_bucket_knn" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(hasDim(col("embedding"), 64))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), lshBucket(col("embedding")).as("qb"))
+      e.withColumn("bucket", lshBucket(col("embedding")))
+        .join(broadcast(q), bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
+        .withColumn("score", round(neo4jScore(col("embedding"), col("qe")), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("bucket"), col("score"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q22_lsh_bucket_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |q AS (SELECT embedding AS qe, ${lshBucketSql("embedding")} AS qb
+         |      FROM e WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM e)
+         |SELECT b.vec_id, b.bucket,
+         |  round((1.0 +
+         |    list_sum(list_transform(list_zip(b.embedding, q.qe),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+         |    / 2.0, 6) AS score
+         |FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+         |ORDER BY score DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,114 @@
+package graft.search
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Batch-built ANN indexes over an embedding corpus — the engine's
+  * answer to the reference's offline `CREATE VECTOR INDEX` provisioning
+  * step (reference README.md:71-79; SURVEY.md §3 E3): an explicit Spark
+  * job fits the index artifacts, persists them, and the query path
+  * prunes candidates with them. Two classical structures:
+  *
+  *  - **BRP-LSH** (MLlib `BucketedRandomProjectionLSH`): on L2-normalized
+  *    vectors, L2-NN ordering == cosine-NN ordering, so Euclidean LSH
+  *    serves cosine search (BASELINE.json "MLlib for batch indexing").
+  *  - **IVF** (inverted-file via seeded KMeans): coarse quantizer assigns
+  *    each vector to a cell; a query probes the `nProbe` nearest cells
+  *    and scores only those — at 100 TB the corpus is written
+  *    partitioned by cell id, so a probe reads nProbe/k of the data.
+  *
+  * Both are seeded → deterministic, and recall-tested against the exact
+  * brute-force path (SURVEY.md §5: approx paths are recall-checked, not
+  * hash-checked — their internal hashes aren't portable to the oracle).
+  */
+object AnnIndex {
+
+  /** L2-normalize and convert `embedding` ARRAY<FLOAT> to an ML vector
+    * column `features` (unit norm ⇒ cosine and L2 orders agree). */
+  def prepare(corpus: DataFrame, embCol: String = "embedding"): DataFrame =
+    corpus.withColumn("features", array_to_vector(l2Normalize(col(embCol))))
+
+  // ---------------------------------------------------------------
+  // BRP-LSH
+  // ---------------------------------------------------------------
+
+  final case class BrpIndex(model: BucketedRandomProjectionLSHModel, hashed: DataFrame) {
+
+    /** Top-k by cosine via the LSH candidate route. Returns
+      * (vec_id, score) with the Neo4j (1+cos)/2 convention. */
+    def topK(query: Array[Float], k: Int): DataFrame = {
+      val qn = {
+        val norm = math.sqrt(query.map(x => x.toDouble * x).sum)
+        if (norm == 0) query.map(_.toDouble) else query.map(_ / norm)
+      }
+      val hits = model.approxNearestNeighbors(hashed, Vectors.dense(qn), k)
+      // unit vectors: cos = 1 - d^2/2  ⇒  (1+cos)/2 = 1 - d^2/4
+      hits.select(col("vec_id"),
+        round(lit(1.0) - col("distCol") * col("distCol") / 4.0, 6).as("score"))
+    }
+
+    /** All pairs within cosine >= minCos via LSH similarity join. */
+    def nearDupPairs(minCos: Double): DataFrame = {
+      val maxDist = math.sqrt(2.0 * (1.0 - minCos)) // unit vectors
+      model.approxSimilarityJoin(hashed, hashed, maxDist, "dist")
+        .select(
+          col("datasetA.vec_id").as("vec_a"),
+          col("datasetB.vec_id").as("vec_b"),
+          col("dist"))
+        .filter(col("vec_a") < col("vec_b"))
+    }
+  }
+
+  /** Fit a BRP-LSH index. `bucketLength` ~ 2–4 works for unit vectors;
+    * more tables → higher recall, more candidate I/O. */
+  def buildBrp(corpus: DataFrame, numTables: Int = 5, bucketLength: Double = 2.0,
+               seed: Long = 42L): BrpIndex = {
+    val prepared = prepare(corpus)
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setBucketLength(bucketLength).setSeed(seed)
+    val model = lsh.fit(prepared)
+    BrpIndex(model, model.transform(prepared).cache())
+  }
+
+  // ---------------------------------------------------------------
+  // IVF (inverted file over a KMeans coarse quantizer)
+  // ---------------------------------------------------------------
+
+  final case class IvfIndex(model: KMeansModel, assigned: DataFrame) {
+
+    /** Probe the `nProbe` nearest cells, exact-score inside them. */
+    def topK(query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+      val qn = {
+        val norm = math.sqrt(query.map(x => x.toDouble * x).sum)
+        if (norm == 0) query.map(_.toDouble) else query.map(_ / norm)
+      }
+      val centers = model.clusterCenters
+      val probed = centers.zipWithIndex
+        .map { case (c, i) => (i, Vectors.sqdist(Vectors.dense(qn), c)) }
+        .sortBy(_._2).take(nProbe).map(_._1).toSeq
+      assigned
+        .filter(col("cell").isin(probed: _*))
+        .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), col("cell"), col("score"))
+    }
+  }
+
+  /** Fit an IVF index: seeded KMeans over normalized vectors; the
+    * corpus gains a `cell` column (at scale: the partition key). */
+  def buildIvf(corpus: DataFrame, cells: Int = 16, seed: Long = 7L): IvfIndex = {
+    val prepared = prepare(corpus)
+    val km = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(prepared)
+    IvfIndex(model, model.transform(prepared).cache())
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.search.AnnIndex
+
+class AnnIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  private lazy val queryVec: Array[Float] = corpus
+    .filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+
+  private lazy val exactTop10: Seq[Long] = corpus
+    .withColumn("score", neo4jScore($"embedding", typedLit(queryVec.toSeq)))
+    .orderBy($"score".desc, $"vec_id".asc).limit(10)
+    .select($"vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("BRP-LSH top-10 recall >= 0.6 vs exact") {
+    val idx = AnnIndex.buildBrp(corpus)
+    val got = idx.topK(queryVec, 10).select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exactTop10.count(got.contains).toDouble / exactTop10.size
+    assert(recall >= 0.6, s"recall $recall, got $got vs exact $exactTop10")
+  }
+
+  test("BRP-LSH is deterministic under a fixed seed") {
+    val a = AnnIndex.buildBrp(corpus).topK(queryVec, 10).collect().map(_.getLong(0)).toSeq
+    val b = AnnIndex.buildBrp(corpus).topK(queryVec, 10).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
+  test("IVF top-10 recall >= 0.6 vs exact with 4/16 cells probed") {
+    val idx = AnnIndex.buildIvf(corpus)
+    val got = idx.topK(queryVec, 10).select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exactTop10.count(got.contains).toDouble / exactTop10.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("IVF probing all cells equals exact") {
+    val idx = AnnIndex.buildIvf(corpus, cells = 8)
+    val got = idx.topK(queryVec, 10, nProbe = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === exactTop10)
+  }
+
+  test("BRP similarity join finds self-pairs' neighbors symmetrically") {
+    val idx = AnnIndex.buildBrp(corpus)
+    val pairs = idx.nearDupPairs(minCos = 0.5).select($"vec_a", $"vec_b").collect()
+    // each returned pair ordered, no self-pairs
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}
