@@ -60,7 +60,8 @@ object SparkEntry {
     relationalQueries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.AnnQueries.queries
+      graft.queries.AnnQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -234,7 +235,8 @@ object SparkEntry {
     relationalOracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
-      graft.queries.AnnQueries.oracleSql
+      graft.queries.AnnQueries.oracleSql ++
+      graft.queries.StreamingQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 

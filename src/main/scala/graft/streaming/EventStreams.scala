@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` stream (extension surface —
+  * the reference is strictly request/response, reference server.py:71-102;
+  * SURVEY.md §2.2 streaming row): watermarked windowed aggregation,
+  * within-watermark dedup, and stateful sessionization.
+  *
+  * Every operator here is the *streaming twin* of a batch query in
+  * SparkEntry (q9 hourly counts, q23 sessions), so correctness is
+  * checkable: replay a finite fixture through the stream and the result
+  * must match the batch plan on the same data. That replay-equivalence
+  * is exactly what Structured Streaming's incremental execution model
+  * guarantees, and what the specs assert.
+  *
+  * Scale posture: all state is keyed (window/event_type or user_id) and
+  * watermark-bounded, so state size is O(active keys), never O(stream);
+  * shuffles are the same keyed exchanges the batch twins perform per
+  * micro-batch.
+  */
+case class Ev(event_id: Long, user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** One closed user session: maximal run of events with no gap longer
+  * than the session gap. */
+case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** Open-session state carried between micro-batches (epoch micros). */
+case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+object EventStreams {
+
+  type Ev = graft.streaming.Ev
+  val Ev = graft.streaming.Ev
+  type Session = graft.streaming.Session
+  val Session = graft.streaming.Session
+
+  def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** File-based streaming read of an events directory (parquet). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling 1-hour counts/sums per event_type with a 10-minute
+    * watermark — the streaming twin of q9_hourly_events. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Exactly-once-per-event_id dedup within the watermark horizon —
+    * streaming `dropDuplicates` keeps state only until the watermark
+    * passes, bounding memory on an infinite stream. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** Stateful sessionization: sessions close after `gapMinutes` of
+    * silence per user. Uses flatMapGroupsWithState with event-time
+    * timeout — the canonical custom-state streaming operator
+    * (SURVEY.md §2.2 streaming row). Batch twin: q23_sessions.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
+      val out = Seq.newBuilder[Session]
+      if (state.hasTimedOut) {
+        // silence exceeded the gap: close the open session
+        state.getOption.foreach(s => out += Session(userId, s.startUs, s.lastUs, s.n))
+        state.remove()
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        var cur = state.getOption
+        for (e <- sorted) {
+          val t = micros(e.ts)
+          cur match {
+            case Some(s) if t - s.lastUs > gapUs =>
+              out += Session(userId, s.startUs, s.lastUs, s.n)
+              cur = Some(SessState(t, t, 1))
+            case Some(s) =>
+              cur = Some(SessState(s.startUs, math.max(s.lastUs, t), s.n + 1))
+            case None =>
+              cur = Some(SessState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close when event time passes last-seen + gap
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+        }
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, Session}
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** sf0.001 events as a typed dataset (fixture ts is long nanos under
+    * the test session's nanosAsLong flag). */
+  private lazy val fixtureEvents: Seq[Ev] = spark.read
+    .parquet(s"$sf0001/events.parquet")
+    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+    .as[Ev].collect().toSeq
+
+  test("streaming hourly counts replay-match the batch twin") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hc").outputMode("complete").start()
+    try {
+      mem.addData(fixtureEvents)
+      q.processAllAvailable()
+      val got = spark.table("hc")
+        .select($"hour", $"event_type", $"n", $"sum_value")
+        .orderBy($"hour", $"event_type").collect().toSeq
+      val want = spark.read.parquet(s"$sf0001/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(28,6)")).cast("double").as("sum_value"))
+        .select(date_format($"bucket", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"hour", $"event_type").collect().toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates removes within-watermark duplicate event_ids") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      val evs = fixtureEvents.take(100)
+      mem.addData(evs ++ evs) // every event twice
+      q.processAllAvailable()
+      assert(spark.table("dd").count() === 100)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization replay-matches the batch twin per user") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(mem.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixtureEvents)
+      q.processAllAvailable()
+      // far-future flush event per user pushes the watermark past every
+      // timeout so all open sessions close
+      val maxUs = fixtureEvents.map(e => EventStreams.micros(e.ts)).max
+      val flushTs = new Timestamp((maxUs + 365L * 24 * 3600 * 1000000L) / 1000L)
+      val users = fixtureEvents.map(_.user_id).distinct
+      mem.addData(users.map(u => Ev(-1L, u, flushTs, "flush", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(-2L, -1L, new Timestamp(flushTs.getTime + 3600L * 1000L), "flush2", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("sess").as[Session].collect()
+        .filter(_.n_events > 0).filterNot(_.start_us > maxUs) // drop flush sessions
+        .groupBy(_.user_id)
+        .map { case (u, ss) => (u, ss.length.toLong, ss.map(_.n_events).sum,
+          ss.map(_.n_events).max, ss.map(s => s.end_us - s.start_us).max) }
+        .toSeq.sortBy(_._1)
+
+      val want = graft.queries.StreamingQueries.queries("q23_sessions")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+
+      assert(got === want)
+    } finally q.stop()
+  }
+}
