@@ -61,7 +61,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.AnnQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -236,7 +237,8 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.AnnQueries.oracleSql ++
-      graft.queries.StreamingQueries.oracleSql
+      graft.queries.StreamingQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 

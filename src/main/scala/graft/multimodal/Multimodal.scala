@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for training-data pipelines (BASELINE.json
+  * north star): media travels as opaque `BINARY` columns next to a typed
+  * metadata struct; decode / feature-extraction runs batched inside
+  * `mapPartitions` (the JVM analogue of `mapInPandas` — one decoder
+  * instance per partition, rows processed in fixed-size batches, never
+  * one model per row).
+  *
+  * The actual codec is STUBBED: this container has no image/audio
+  * libraries, so [[StubDecoder]] is a deterministic fake (byte
+  * statistics). The Spark-side contract — schema, partitioning, batch
+  * shape, null passthrough — is real and tested; a JPEG/PNG/audio
+  * decoder drops in by replacing one function.
+  *
+  * Scale posture: blobs never shuffle (all feature extraction is
+  * row-local within a scan); at 100 TB the blob table would be stored
+  * with metadata + features in separate parquet column chunks so
+  * predicate pushdown on metadata prunes row groups before any blob
+  * byte is read.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every blob. */
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("chunk_bytes", IntegerType, nullable = false)))
+
+  val DefaultChunkBytes = 256
+
+  /** Wrap a text corpus as a blob table: `blob` = UTF-8 bytes of the
+    * payload column + populated metadata struct. (Real pipelines read
+    * pre-encoded media; the fixture corpus is text, so its bytes stand
+    * in for media bytes.) */
+  def ingestAsBlobs(df: DataFrame, payloadCol: String = "text"): DataFrame =
+    df.withColumn("blob", encode(col(payloadCol), "UTF-8"))
+      .withColumn("meta", struct(
+        lit("text/plain").as("media_type"),
+        octet_length(col("blob")).cast("long").as("n_bytes"),
+        lit(DefaultChunkBytes).as("chunk_bytes")))
+
+  /** Deterministic fake "decode": byte statistics standing in for real
+    * decoded features. A real implementation would decode the codec
+    * here (??? in production terms) — everything around it is the real
+    * distributed plumbing. */
+  object StubDecoder extends Serializable {
+    /** (byte_sum mod P, n_chunks) for one blob. */
+    def features(blob: Array[Byte], chunkBytes: Int): (Long, Long) = {
+      var sum = 0L
+      var i = 0
+      while (i < blob.length) {
+        sum = (sum + (blob(i) & 0xff)) % graft.functions.PortableHash.P
+        i += 1
+      }
+      val chunks = (blob.length + chunkBytes - 1) / chunkBytes
+      (sum, chunks.toLong)
+    }
+  }
+
+  /** Batched feature extraction over the blob column: adds
+    * `byte_sum` and `n_chunks`. Runs as mapPartitions with an explicit
+    * batch size — the decoder is instantiated once per partition and
+    * fed batches, mirroring the mapInPandas batch contract. */
+  def extractFeatures(blobs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(blobs.schema.fields ++ Seq(
+      StructField("byte_sum", LongType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      // one decoder per partition (a model-backed decoder loads here)
+      val decoder = StubDecoder
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val blob = r.getAs[Array[Byte]](blobIdx)
+          val chunkBytes = r.getStruct(metaIdx).getInt(2)
+          val (sum, chunks) =
+            if (blob == null) (0L, 0L) else decoder.features(blob, chunkBytes)
+          Row.fromSeq(r.toSeq ++ Seq(sum, chunks))
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: emit every k-th chunk of each blob as its own row
+    * (`frame_idx`, `frame` BINARY) — the shape a video/audio sampler
+    * produces. Row-local posexplode; no shuffle. */
+  def sampleFrames(blobs: DataFrame, everyK: Int = 4): DataFrame =
+    blobs
+      .withColumn("n_chunks",
+        ceil(octet_length(col("blob")).cast("double") / col("meta.chunk_bytes")).cast("int"))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_chunks") - 1), i => i % everyK === 0)))
+      .withColumn("frame",
+        expr(s"substring(blob, frame_idx * meta.chunk_bytes + 1, meta.chunk_bytes)"))
+      .drop("n_chunks")
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val blobs = Multimodal.ingestAsBlobs(
+    spark.read.parquet(s"$sf0001/documents.parquet")).cache()
+
+  test("ingest produces binary blobs with consistent metadata") {
+    val r = blobs.select(octet_length($"blob"), $"meta.n_bytes", length($"text")).head()
+    assert(r.getInt(0).toLong === r.getLong(1))
+    assert(r.getLong(1) === r.getInt(2).toLong) // ASCII corpus: bytes == chars
+  }
+
+  test("feature extraction matches a driver-side reference computation") {
+    val row = Multimodal.extractFeatures(blobs)
+      .select($"text", $"byte_sum", $"n_chunks").head()
+    val bytes = row.getString(0).getBytes("UTF-8")
+    val (wantSum, wantChunks) = Multimodal.StubDecoder.features(bytes, 256)
+    assert(row.getLong(1) === wantSum)
+    assert(row.getLong(2) === wantChunks)
+  }
+
+  test("feature extraction passes null blobs through as zero features") {
+    val df = Seq(("x", Option.empty[Array[Byte]])).toDF("id", "blob")
+      .withColumn("meta", struct(lit("text/plain").as("media_type"),
+        lit(0L).as("n_bytes"), lit(256).as("chunk_bytes")))
+    val out = Multimodal.extractFeatures(df).select($"byte_sum", $"n_chunks").head()
+    assert(out.getLong(0) === 0L && out.getLong(1) === 0L)
+  }
+
+  test("batch size does not change results (batch contract)") {
+    val a = Multimodal.extractFeatures(blobs, batchSize = 1)
+      .select($"doc_id", $"byte_sum").orderBy($"doc_id").collect().toSeq
+    val b = Multimodal.extractFeatures(blobs, batchSize = 500)
+      .select($"doc_id", $"byte_sum").orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("frame sampling emits every k-th chunk with correct sizes") {
+    val frames = Multimodal.sampleFrames(blobs, everyK = 2)
+      .select($"doc_id", $"frame_idx", octet_length($"frame").as("len"), $"meta.n_bytes")
+    val r = frames.filter($"frame_idx" === 0).head()
+    assert(r.getInt(2) === math.min(256L, r.getLong(3)).toInt)
+    // all sampled indexes are multiples of k
+    assert(frames.filter($"frame_idx" % 2 =!= 0).count() === 0)
+    // frame count per doc = ceil(chunks / k)
+    val perDoc = frames.groupBy($"doc_id").agg(count(lit(1)).as("n"), first($"n_bytes").as("nb"))
+      .withColumn("chunks", ceil($"nb" / 256.0))
+      .withColumn("want", ceil($"chunks" / 2.0).cast("long"))
+    assert(perDoc.filter($"n" =!= $"want").count() === 0)
+  }
+}
