@@ -179,6 +179,38 @@ object SparkEntry {
         .orderBy($"hour", $"event_type")
     }),
 
+    "q25_rollup_revenue" -> ((s, dir) => {
+      import s.implicits._
+      // hierarchical subtotals region → nation → grand total (rollup);
+      // '*ALL*' sentinel instead of NULL so ordering/hashing is
+      // collation-trivial in both engines
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(tbl(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(tbl(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce($"r_name", lit("*ALL*")).as("r_name"),
+          coalesce($"n_name", lit("*ALL*")).as("n_name"),
+          $"revenue", $"n_items")
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    "q26_customer_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      // set operators: customers ordering in 1997 vs 1998
+      val o = tbl(s, dir, "orders")
+      val y97 = o.filter(year($"o_orderdate") === 1997).select($"o_custkey")
+      val y98 = o.filter(year($"o_orderdate") === 1998).select($"o_custkey")
+      y97.intersect(y98).withColumn("tag", lit("both"))
+        .unionByName(y97.except(y98).withColumn("tag", lit("only97")))
+        .select($"tag", $"o_custkey")
+        .orderBy($"tag", $"o_custkey")
+    }),
+
     // ---- vector search core (reference server.py:85-91; SURVEY §2.1 O5-O7) ----
 
     "q10_knn_exact" -> ((s, dir) => {
@@ -314,6 +346,30 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q25_rollup_revenue" ->
+      """SELECT coalesce(r_name, '*ALL*') AS r_name, coalesce(n_name, '*ALL*') AS n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q26_customer_set_ops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |UNION ALL
+        |SELECT 'only97' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |ORDER BY tag, o_custkey""".stripMargin,
 
     "q10_knn_exact" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sources and sinks (SURVEY.md §2.2 scans/sinks rows). The reference
+  * reads exactly one store — Neo4j nodes through a vector index
+  * (reference server.py:87) — and writes JSON text to the MCP response
+  * (server.py:64). The engine generalizes both sides: schema'd readers
+  * for the ingest formats a curation pipeline meets (Parquet, JSONL,
+  * CSV) and partitioned Parquet writers for derived artifacts (bucket
+  * tables, survivor sets).
+  *
+  * Posture: every reader takes an *explicit* StructType — schema-on-read
+  * with no inference pass (inference scans the data twice and can flip
+  * types between runs; at 100 TB both are unacceptable). Writers default
+  * to snappy Parquet; `partitionByCols` turns a column into a directory
+  * key so downstream filters prune whole directories (partition pruning,
+  * the coarsest pushdown).
+  */
+object Sources {
+
+  /** The canonical document schema (FIXTURES.md `documents`). */
+  val DocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  /** The canonical embedding schema (FIXTURES.md `embeddings`). */
+  val EmbeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("label", IntegerType, nullable = true)))
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON-lines with a required schema (no inference). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Headered CSV with a required schema (no inference). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Parquet sink; `partitionByCols` become directory keys for
+    * partition pruning. */
+  def writeParquet(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
+  }
+
+  /** JSONL sink (one JSON object per line — the wire shape of the
+    * reference's response, server.py:64, as a file). */
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}

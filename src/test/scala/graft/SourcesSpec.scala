@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("jsonl round-trip preserves documents exactly") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Sources.writeJsonl(docs, s"$dir/docs")
+    val back = Sources.readJsonl(spark, s"$dir/docs", Sources.DocumentSchema)
+    // file sources force nullable=true; compare names/types
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      Sources.DocumentSchema.map(f => (f.name, f.dataType)))
+    val a = docs.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val b = back.select(docs.columns.map(col): _*).orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("csv round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    // csv cannot carry arrays; use the scalar document columns
+    docs.write.option("header", "true").csv(s"$dir/docs")
+    val back = Sources.readCsv(spark, s"$dir/docs", Sources.DocumentSchema)
+    assert(back.count() === docs.count())
+    assert(back.schema("doc_id").dataType.typeName === "long")
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Sources.writeParquet(docs, s"$dir/docs", partitionByCols = Seq("lang"))
+    val back = Sources.readParquet(spark, s"$dir/docs").filter($"lang" === "es")
+    // physical plan must carry a partition filter on lang, not a data filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    assert(back.count() === docs.filter($"lang" === "es").count())
+  }
+}
