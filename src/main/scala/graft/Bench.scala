@@ -10,8 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up executor codegen/classloading + touch every fixture file
+    // once, so the first timed query doesn't absorb one-time JVM cost.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "nation", "region",
+        "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

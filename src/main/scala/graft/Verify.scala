@@ -14,6 +14,7 @@ object Verify {
       // fixture events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
       // otherwise refuses; read as long, normalized in the queries
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

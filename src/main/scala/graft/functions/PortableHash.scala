@@ -31,8 +31,13 @@ object PortableHash {
   // ---------------------------------------------------------------
 
   /** Polynomial hash of a string column over its characters.
-    * Left fold in character order — sequential, partition-independent. */
-  def charHash(c: Column): Column =
+    * Left fold in character order — sequential, partition-independent.
+    * Backed by the codegen'd [[graft.expressions.PolyHashExpr]];
+    * [[charHashHof]] is the higher-order-function reference. */
+  def charHash(c: Column): Column = graft.expressions.HashExpressions.polyHash(c)
+
+  /** Reference formulation of [[charHash]] in pure built-ins. */
+  def charHashHof(c: Column): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),

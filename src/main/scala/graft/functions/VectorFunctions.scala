@@ -34,8 +34,17 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(squaredNorm(a))
 
   /** Cosine similarity in [-1, 1]. Null/zero-norm safe: returns null when
-    * either norm is 0 (mirrors "undefined" rather than NaN). */
-  def cosineSimilarity(a: Column, b: Column): Column = {
+    * either norm is 0 (mirrors "undefined" rather than NaN).
+    *
+    * Backed by the codegen'd [[graft.expressions.ArrayFloatCosine]] —
+    * same sequential Double folds as [[cosineSimilarityHof]] (bit-equal,
+    * asserted in ExpressionsSpec) without interpreted lambda dispatch. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine(a, b)
+
+  /** Reference formulation of [[cosineSimilarity]] in pure higher-order
+    * built-ins; kept as the executable spec of the fold order. */
+  def cosineSimilarityHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom =!= 0.0, dotProduct(a, b) / denom)
   }

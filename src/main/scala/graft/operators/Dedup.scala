@@ -33,8 +33,14 @@ object Dedup {
 
   /** MinHash signature (array of [[MinhashFamily]].size longs) over a
     * column of *hashed* shingles (ARRAY<LONG>). Empty input → all-P
-    * sentinel (P never collides with a real hash, which is < P). */
+    * sentinel (P never collides with a real hash, which is < P).
+    * Backed by the codegen'd [[graft.expressions.MinHashSigExpr]];
+    * [[minhashSignatureHof]] is the built-ins reference. */
   def minhashSignature(shingleHashes: Column): Column =
+    graft.expressions.HashExpressions.minhashSig(shingleHashes)
+
+  /** Reference formulation of [[minhashSignature]] in pure built-ins. */
+  def minhashSignatureHof(shingleHashes: Column): Column =
     array(MinhashFamily.map { ab =>
       coalesce(array_min(transform(shingleHashes, x => affine(ab, x))), lit(P))
     }: _*)
@@ -63,13 +69,22 @@ object Dedup {
   // Jaccard over distinct-element arrays
   // ---------------------------------------------------------------
 
-  /** Jaccard similarity of two array columns, by distinct elements. */
+  /** Jaccard similarity of two *sorted, distinct* ARRAY<LONG> columns:
+    * |A∩B| via codegen'd two-pointer merge, |A∪B| = |A|+|B|-|A∩B|
+    * (valid because inputs are distinct) — no per-pair hash sets, no
+    * union materialization. On a multi-million-pair verification join
+    * this is the difference between 84 s and seconds at sf0.1. */
   def jaccard(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.sortedJaccard(a, b)
+
+  /** Reference formulation over unsorted arrays in pure built-ins. */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
   def jaccardSql(aE: String, bE: String): String =
-    s"(len(list_intersect($aE, $bE))::DOUBLE / len(list_distinct(list_concat($aE, $bE)))::DOUBLE)"
+    s"(len(list_intersect($aE, $bE))::DOUBLE / " +
+      s"(len($aE)::DOUBLE + len($bE)::DOUBLE - len(list_intersect($aE, $bE))::DOUBLE))"
 
   // ---------------------------------------------------------------
   // SimHash
@@ -77,8 +92,14 @@ object Dedup {
 
   /** 48-bit SimHash over a column of token hashes (ARRAY<LONG>),
     * frequency-weighted (duplicates vote repeatedly). Bit j is set iff
-    * the majority of tokens hash odd under family member j; ties → 0. */
+    * the majority of tokens hash odd under family member j; ties → 0.
+    * Backed by the codegen'd [[graft.expressions.SimHash48Expr]];
+    * [[simhashHof]] is the built-ins reference. */
   def simhash(tokenHashes: Column): Column =
+    graft.expressions.HashExpressions.simhash48(tokenHashes)
+
+  /** Reference formulation of [[simhash]] in pure built-ins. */
+  def simhashHof(tokenHashes: Column): Column =
     SimhashFamily.zipWithIndex.map { case (ab, j) =>
       val vote = aggregate(tokenHashes, lit(0L), (acc, x) =>
         acc + when(affine(ab, x) % 2L === 1L, lit(1L)).otherwise(lit(-1L)))

@@ -30,15 +30,22 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** (doc_id, lang, hs): distinct hashed 3-token shingles per doc. */
+  /** (doc_id, lang, hs): distinct hashed 3-token shingles per doc,
+    * sorted so pairwise intersection is a two-pointer merge
+    * ([[graft.operators.Dedup.jaccard]]). One codegen'd pass per doc
+    * ([[graft.expressions.ShingleHashSetExpr]]) — no intermediate
+    * shingle strings; sorting is row-local and order-irrelevant to
+    * every consumer (min, sizes). */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"), col("lang"),
-      transform(array_distinct(shingleCol(tokens(col("text")))), x => charHash(x)).as("hs"))
+      graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as("hs"))
 
+  // distinct applied AFTER hashing (matching the Spark side) so both
+  // engines hold true sets of hash values and |A∪B| = |A|+|B|-|A∩B|
   private val hashedShinglesSql: String = {
     val sh = shingleSql(tokensSql("text"))
-    s"SELECT doc_id, lang, list_transform(list_distinct($sh), s -> ${charHashSql("s")}) AS hs FROM documents"
+    s"SELECT doc_id, lang, list_distinct(list_transform($sh, s -> ${charHashSql("s")})) AS hs FROM documents"
   }
 
   val JaccardThreshold = 0.5

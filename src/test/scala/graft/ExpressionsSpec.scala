@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PortableHash
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+
+/** The codegen'd expressions must be *bit-identical* to their
+  * higher-order-function reference formulations — that equality is what
+  * lets the hot paths switch implementation without touching the DuckDB
+  * oracle contracts. */
+class ExpressionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("ArrayFloatCosine == HOF cosine on all fixture pairs vs vec 0") {
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val diff = embs.select(
+      VectorFunctions.cosineSimilarity($"embedding", typedLit(q)).as("fast"),
+      VectorFunctions.cosineSimilarityHof($"embedding", typedLit(q)).as("ref"))
+      .filter($"fast" =!= $"ref") // exact double equality
+    assert(diff.count() === 0)
+  }
+
+  test("cosine null semantics: zero vector gives null, null gives null") {
+    val df = Seq(
+      (Seq(0f, 0f), Some(Seq(1f, 2f))),
+      (Seq(1f, 2f), None)).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineSimilarity($"a", $"b")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("PolyHashExpr == HOF charHash on every fixture text and token") {
+    val diff = docs.select(
+      PortableHash.charHash($"text").as("fast"),
+      PortableHash.charHashHof($"text").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diff.count() === 0)
+    val tokDiff = docs.select(explode(tokens($"text")).as("t"))
+      .select(PortableHash.charHash($"t").as("fast"), PortableHash.charHashHof($"t").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(tokDiff.count() === 0)
+  }
+
+  test("MinHashSigExpr == HOF minhash, including empty-array sentinel") {
+    val hs = docs.select(sort_array(array_distinct(transform(
+      graft.queries.TextQueries.shingleCol(tokens($"text")), x => PortableHash.charHash(x)))).as("hs"))
+    val diff = hs.select(
+      Dedup.minhashSignature($"hs").as("fast"),
+      Dedup.minhashSignatureHof($"hs").as("ref"))
+      .filter(to_json($"fast") =!= to_json($"ref"))
+    assert(diff.count() === 0)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(Dedup.minhashSignature($"hs")).head().getSeq[Long](0)
+    assert(empty.forall(_ === PortableHash.P))
+  }
+
+  test("SimHash48Expr == HOF simhash on fixture docs") {
+    val th = docs.select(transform(tokens($"text"), x => PortableHash.charHash(x)).as("th"))
+    val diff = th.select(
+      Dedup.simhash($"th").as("fast"),
+      Dedup.simhashHof($"th").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diff.count() === 0)
+  }
+
+  test("SortedLongIntersectSize == array_intersect size on distinct sorted arrays") {
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(2L, 4L), Seq(2L, 4L)),
+      (Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+    val diff = pairs.select(
+      graft.expressions.VectorExpressions.sortedIntersectSize($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diff.count() === 0)
+  }
+
+  test("jaccard (two-pointer) == jaccardHof on fixture shingle sets") {
+    val hs = docs.select($"doc_id",
+      sort_array(array_distinct(transform(
+        graft.queries.TextQueries.shingleCol(tokens($"text")), x => PortableHash.charHash(x)))).as("hs"))
+    val a = hs.select($"doc_id".as("ia"), $"hs".as("ha"))
+    val b = hs.select($"doc_id".as("ib"), $"hs".as("hb"))
+    val diff = a.join(b, $"ia" < $"ib").limit(20000)
+      .select(Dedup.jaccard($"ha", $"hb").as("fast"), Dedup.jaccardHof($"ha", $"hb").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diff.count() === 0)
+  }
+
+  test("ShingleHashSetExpr == composed HOF shingle hashing on fixtures") {
+    val fast = docs.select($"doc_id",
+      graft.expressions.HashExpressions.shingleHashSet($"text", 3).as("hs"))
+    val ref = docs.select($"doc_id",
+      sort_array(array_distinct(transform(
+        graft.queries.TextQueries.shingleCol(tokens($"text")),
+        x => PortableHash.charHash(x)))).as("hs"))
+    val diff = fast.alias("f").join(ref.alias("r"), "doc_id")
+      .filter(to_json($"f.hs") =!= to_json($"r.hs"))
+    assert(diff.count() === 0)
+    // degenerate inputs
+    val deg = Seq("", "a", "a b", "a b c", " a  b c ").toDF("text")
+      .select(graft.expressions.HashExpressions.shingleHashSet($"text", 3).as("hs"))
+      .collect().map(_.getSeq[Long](0).length)
+    assert(deg.toSeq === Seq(0, 0, 0, 1, 1))
+  }
+
+  test("SortedLongJaccard: null on two empties, matches composed formula") {
+    val r = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(graft.expressions.VectorExpressions.sortedJaccard($"a", $"b")).head()
+    assert(r.isNullAt(0))
+    val v = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+      .select(graft.expressions.VectorExpressions.sortedJaccard($"a", $"b")).head().getDouble(0)
+    assert(v === 0.5)
+  }
+
+  test("expressions are registered as SQL functions via GraftExtensions") {
+    docs.createOrReplaceTempView("docs_sql_test")
+    val r = spark.sql(
+      "SELECT graft_poly_hash(text) AS h FROM docs_sql_test ORDER BY doc_id LIMIT 1").head()
+    val want = docs.orderBy($"doc_id").select(PortableHash.charHash($"text")).head().getLong(0)
+    assert(r.getLong(0) === want)
+    val cos = spark.sql("SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f))").head()
+    assert(math.abs(cos.getDouble(0) - 1.0) < 1e-12)
+  }
+}
