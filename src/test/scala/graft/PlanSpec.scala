@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards (SURVEY.md §4): these queries must keep
+  * the plans that scale — pushdown reaching the parquet scan, dims
+  * broadcast, global top-k as TakeOrderedAndProject (per-partition
+  * heaps, no full sort), whole-stage codegen on the scoring path. A
+  * regression here can stay correctness-green while becoming a 100 TB
+  * disaster, so it is asserted like correctness.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q3 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q10 knn plans as TakeOrderedAndProject over the scored scan") {
+    val p = plan("q10_knn_exact")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q5 selective predicates reach the parquet scan as pushed filters") {
+    val p = plan("q5_filtered_revenue")
+    assert(p.contains("PushedFilters") && p.contains("l_discount"),
+      s"expected pushed filters in:\n$p")
+  }
+
+  test("q2 joins the small dims via broadcast") {
+    val p = plan("q2_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q1 prunes the lineitem scan to the referenced columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_shipdate"),
+      s"scan should read only referenced columns: $readSchema")
+  }
+
+  test("q22 probes via broadcast of the single query row") {
+    val p = plan("q22_lsh_bucket_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("scoring path stays inside whole-stage codegen") {
+    // AQE finalizes the plan only on execution
+    val df = SparkEntry.queries("q10_knn_exact")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the "*(stageId)" marker in the final plan
+    assert(p.contains("WholeStageCodegen") || p.linesIterator.exists(_.trim.matches("""[+:][- ]+\*\(\d+\).*""")),
+      s"no codegen span in:\n$p")
+  }
+
+  test("q11 aggregator shuffles partial top-k, not the scored corpus") {
+    // the typed aggregate must run map-side (partial_) below the exchange
+    val p = plan("q11_knn_multi")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(value")
+    val partialIdx = p.indexOf("partial_")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial top-k under the exchange:\n$p")
+  }
+}
