@@ -62,7 +62,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.AnnQueries.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.ExtraQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -270,7 +271,8 @@ object SparkEntry {
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.AnnQueries.oracleSql ++
       graft.queries.StreamingQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.ExtraQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 

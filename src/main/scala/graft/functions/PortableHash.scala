@@ -73,6 +73,11 @@ object PortableHash {
   val SimhashBits = 48
   val SimhashFamily: IndexedSeq[(Long, Long)] = affineConstants(202L, SimhashBits)
 
+  /** KMV (k-minimum-values) sketch hash — one affine member dedicated to
+    * distinct-count estimation so estimates are decoupled from the
+    * MinHash family. */
+  val KmvPair: (Long, Long) = affineConstants(404L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

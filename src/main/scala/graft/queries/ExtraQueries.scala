@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.operators.AsofJoin
+
+/** Sketch + time-series operators (extension surface).
+  *
+  * q27: KMV (k-minimum-values) distinct-count sketch. Unlike HLL
+  * (engine-specific register layouts — unverifiable across engines),
+  * KMV over the portable affine hash is *deterministic and portable*:
+  * keep the K smallest hash values per group; if fewer than K distinct
+  * hashes exist the count is exact, else estimate (K-1)·P/h_(K). The
+  * oracle recomputes the identical sketch, so even the approximation is
+  * hash-exact checked. Mergeable (min-union) ⇒ map-side combinable at
+  * scale.
+  *
+  * q28: as-of join ([[graft.operators.AsofJoin]]) — each event matched
+  * to the customer's latest order at event time; one keyed shuffle,
+  * no per-row search.
+  */
+object ExtraQueries {
+
+  val KmvK = 64
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q27_kmv_distinct" -> ((s, dir) => {
+      val (a, b) = KmvPair
+      val hashed = events(s, dir)
+        .select(col("event_type"),
+          ((lit(a) * col("user_id") + lit(b)) % lit(P)).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val sketch = hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KmvK)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_h"), max(col("h")).as("kth"))
+        .withColumn("kmv_est",
+          when(col("n_h") < KmvK, col("n_h").cast("double"))
+            .otherwise(round(lit((KmvK - 1).toDouble) * P / col("kth"), 6)))
+        .select(col("event_type"), col("n_h"), col("kmv_est"))
+      val exact = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          count(lit(1)).as("n_events"))
+      exact.join(sketch, "event_type")
+        .select(col("event_type"), col("n_events"), col("exact_distinct"),
+          col("n_h"), col("kmv_est"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q28_asof_orders" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val matched = AsofJoin.asof(
+        left = ev, right = orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        // orders dates read as TIMESTAMP_NTZ; session is UTC so the cast
+        // is a relabel, keeping epoch micros identical to DuckDB's
+        leftTime = unix_micros(col("ts")),
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+        leftId = "event_id", rightId = "o_orderkey",
+        payloadCols = Seq("o_orderkey", "o_totalprice"))
+      matched
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("sum_matched_price"))
+        .orderBy(col("event_type"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q27_kmv_distinct" -> {
+      val (a, b) = KmvPair
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT event_type, ($a * user_id + $b) % $P AS h FROM events),
+         |kmins AS (
+         |  SELECT event_type, h FROM hashed
+         |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $KmvK),
+         |sketch AS (
+         |  SELECT event_type, COUNT(*) AS n_h, MAX(h) AS kth FROM kmins GROUP BY event_type),
+         |exact AS (
+         |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct, COUNT(*) AS n_events
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, e.n_events, e.exact_distinct, s.n_h,
+         |  CASE WHEN s.n_h < $KmvK THEN s.n_h::DOUBLE
+         |       ELSE round(${(KmvK - 1).toDouble} * $P / s.kth, 6) END AS kmv_est
+         |FROM exact e JOIN sketch s USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+
+    "q28_asof_orders" ->
+      s"""WITH u AS (
+         |  SELECT o_custkey AS key, epoch_us(o_orderdate) AS t, 0 AS side,
+         |    o_orderkey AS id, o_orderkey AS oid, o_totalprice AS price,
+         |    NULL AS event_type
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT user_id, epoch_us(ts), 1, event_id, NULL, NULL, event_type
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, side,
+         |    last_value(oid IGNORE NULLS) OVER
+         |      (PARTITION BY key ORDER BY t, side, id ROWS UNBOUNDED PRECEDING) AS moid,
+         |    last_value(price IGNORE NULLS) OVER
+         |      (PARTITION BY key ORDER BY t, side, id ROWS UNBOUNDED PRECEDING) AS mprice
+         |  FROM u)
+         |SELECT event_type, COUNT(*) AS n_events, COUNT(moid) AS n_matched,
+         |  CAST(SUM(CAST(mprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_matched_price
+         |FROM m WHERE side = 1 GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
