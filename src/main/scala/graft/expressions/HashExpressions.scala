@@ -34,6 +34,10 @@ object HashExpressions {
     * pass (no intermediate shingle strings). */
   def shingleHashSet(text: Column, n: Int): Column =
     column(ShingleHashSetExpr(expression(text), n))
+
+  /** One-pass language ID over the token stream (codegen'd twin of
+    * [[graft.functions.TextFunctions.langPredict]]). */
+  def langPredict(text: Column): Column = column(LangPredictExpr(expression(text)))
 }
 
 /** Loop bodies shared by interpreted eval and generated code. Public
@@ -159,6 +163,51 @@ object HashOps {
     val union = na.toLong + nb.toLong - inter
     if (union == 0L) Double.NaN else inter.toDouble / union.toDouble
   }
+
+  private val langNames: Array[String] =
+    graft.functions.TextFunctions.LangProfiles.map(_._1).toArray
+  private val langSets: Array[java.util.HashSet[String]] =
+    graft.functions.TextFunctions.LangProfiles.map { case (_, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }.toArray
+
+  /** Stopword-profile language ID: count profile hits per language in
+    * one token pass; argmax in profile order with >= ties; all-zero →
+    * "und". Identical to the TextFunctions.langPredict Column tree. */
+  def langPredict(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val counts = new Array[Long](langNames.length)
+    var start = 0
+    var i = 0
+    var total = 0L
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = s.substring(start, i)
+          var l = 0
+          while (l < langSets.length) {
+            if (langSets(l).contains(tok)) { counts(l) += 1; total += 1 }
+            l += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (total == 0) return UTF8String.fromString("und")
+    var best = 0
+    var l = 1
+    while (l < counts.length) {
+      if (counts(l) > counts(best)) best = l
+      l += 1
+    }
+    // profile order breaks ties: first index attaining the max
+    l = 0
+    while (counts(l) < counts(best)) l += 1
+    UTF8String.fromString(langNames(l))
+  }
 }
 
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
@@ -208,6 +257,23 @@ case class ShingleHashSetExpr(child: Expression, n: Int) extends UnaryExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.shingleHashSet($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class LangPredictExpr(child: Expression) extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"argument must be STRING, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.langPredict(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.langPredict($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -93,7 +93,7 @@ object TextQueries {
 
     "q15_lang_id" -> ((s, dir) => {
       docs(s, dir)
-        .withColumn("predicted", langPredict(tokens(col("text"))))
+        .withColumn("predicted", graft.expressions.HashExpressions.langPredict(col("text")))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))

@@ -120,6 +120,19 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(v === 0.5)
   }
 
+  test("LangPredictExpr == HOF langPredict on fixtures and edge inputs") {
+    val diff = docs.select(
+      graft.expressions.HashExpressions.langPredict($"text").as("fast"),
+      graft.functions.TextFunctions.langPredict(tokens($"text")).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diff.count() === 0)
+    val edge = Seq("", "der la", "the el la de", "zzz").toDF("text")
+      .select(graft.expressions.HashExpressions.langPredict($"text").as("fast"),
+        graft.functions.TextFunctions.langPredict(tokens($"text")).as("ref"))
+      .collect()
+    edge.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("expressions are registered as SQL functions via GraftExtensions") {
     docs.createOrReplaceTempView("docs_sql_test")
     val r = spark.sql(
