@@ -77,6 +77,25 @@ object AnnIndex {
     BrpIndex(model, model.transform(prepared).cache())
   }
 
+  /** Persist a BRP index as reusable artifacts — the engine's
+    * `CREATE VECTOR INDEX` equivalent (reference README.md:71-79): the
+    * fitted model + the hashed corpus as a Parquet bucket table. A
+    * 100 TB deployment would additionally partition the bucket table by
+    * hash bucket so probes read only matching directories. */
+  def saveBrp(idx: BrpIndex, dir: String): Unit = {
+    idx.model.write.overwrite().save(s"$dir/model")
+    idx.hashed.drop("features", "hashes") // vector columns don't round-trip parquet
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+  }
+
+  /** Reload persisted index artifacts; the hashed table is recomputed
+    * from the stored corpus by the loaded (deterministic) model. */
+  def loadBrp(spark: SparkSession, dir: String): BrpIndex = {
+    val model = BucketedRandomProjectionLSHModel.load(s"$dir/model")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    BrpIndex(model, model.transform(prepare(corpus)).cache())
+  }
+
   // ---------------------------------------------------------------
   // IVF (inverted file over a KMeans coarse quantizer)
   // ---------------------------------------------------------------

@@ -41,9 +41,12 @@ object EventStreams {
 
   def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
-  /** File-based streaming read of an events directory (parquet). */
+  /** File-based streaming read of a parquet drop-directory: new files
+    * appearing under `dir` become micro-batches. Schema is pinned from
+    * the existing files (streaming sources require an explicit schema —
+    * inference on a moving directory would race). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
   }
 

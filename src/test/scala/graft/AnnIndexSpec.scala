@@ -46,6 +46,16 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got === exactTop10)
   }
 
+  test("BRP index round-trips through save/load with identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val built = AnnIndex.buildBrp(corpus)
+    AnnIndex.saveBrp(built, dir)
+    val loaded = AnnIndex.loadBrp(spark, dir)
+    val a = built.topK(queryVec, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = loaded.topK(queryVec, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
+
   test("BRP similarity join finds self-pairs' neighbors symmetrically") {
     val idx = AnnIndex.buildBrp(corpus)
     val pairs = idx.nearDupPairs(minCos = 0.5).select($"vec_a", $"vec_b").collect()

@@ -43,6 +43,21 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming read processes a parquet drop-directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("fs").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fs").agg(sum($"n")).head().getLong(0) === 1000L)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates removes within-watermark duplicate event_ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
