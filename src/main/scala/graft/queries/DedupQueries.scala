@@ -73,7 +73,10 @@ object DedupQueries {
     }),
 
     "q18_jaccard_pairs" -> ((s, dir) => {
-      val sh = hashedShingles(s, dir)
+      // materialize the per-doc signatures once: without the barrier,
+      // Catalyst inlines the shingle-hash expression into the join's
+      // output projection and recomputes it per *pair* (O(pairs·doc))
+      val sh = hashedShingles(s, dir).persist()
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("hs").as("hs_a"),
         size(col("hs")).as("n_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("hs").as("hs_b"),
@@ -89,7 +92,7 @@ object DedupQueries {
     }),
 
     "q19_minhash_lsh" -> ((s, dir) => {
-      val sh = hashedShingles(s, dir)
+      val sh = hashedShingles(s, dir).persist()
       val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
       val bands = sigs
         .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
@@ -118,6 +121,7 @@ object DedupQueries {
       val sigs = docs(s, dir).select(
         col("doc_id"),
         simhash(transform(tokens(col("text")), x => charHash(x))).as("sig"))
+        .persist()
       val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until SimhashChunks).map { c =>
           struct(lit(c).as("c"), shiftright(col("sig"), c * SimhashChunkBits)

@@ -57,6 +57,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"no codegen span in:\n$p")
   }
 
+  test("q4 rank filter pushes down as a window group limit") {
+    // Spark >= 3.5 plans row_number()<=1 as WindowGroupLimit: each
+    // partition keeps one candidate per key before the full window sort
+    val p = plan("q4_latest_order_per_customer")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("q11 aggregator shuffles partial top-k, not the scored corpus") {
     // the typed aggregate must run map-side (partial_) below the exchange
     val p = plan("q11_knn_multi")
