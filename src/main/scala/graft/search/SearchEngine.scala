@@ -96,6 +96,24 @@ final class SearchEngine(
   def filteredTopK(corpus: DataFrame, predicate: Column, queryVec: Array[Float], k: Int = 10): Dataset[SearchHit] =
     topK(corpus.filter(predicate), queryVec, k)
 
+  /** Streaming KNN: a *stream* of query vectors continuously matched
+    * against the static corpus (micro-batch top-k — the Spark-native
+    * stand-in for the reference's online index serving, SURVEY.md §1
+    * "batch/micro-batch top-k instead"). Implemented as a stream-static
+    * pattern via foreachBatch: each micro-batch of queries runs the
+    * same broadcast KNN join the batch path uses, so streaming results
+    * are definitionally consistent with batch results (asserted in
+    * SearchEngineSpec). `sink` receives (query_id, doc_id, score, rank)
+    * per micro-batch. */
+  def streamingKnn(queryStream: DataFrame, corpus: DataFrame, k: Int)
+                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) sink(knnJoinWindow(batch, corpus, k), id)
+      }
+      .start()
+
   /** Batch KNN join: a *set* of queries against the corpus
     * (SURVEY.md §2.2 joins/windows, §7 step 4).
     *

@@ -78,6 +78,28 @@ class SearchEngineSpec extends SparkSpec {
     assert(viaAgg == viaWin)
   }
 
+  test("streaming KNN micro-batches equal the batch KNN join") {
+    implicit val sq = spark.sqlContext
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = eng.streamingKnn(
+      mem.toDF().select($"_1".as("vec_id"), $"_2".cast("array<float>").as("embedding")),
+      embs.withColumnRenamed("vec_id", "doc_id"), k = 7) { (df, _) =>
+      results ++= df.orderBy($"query_id", $"rank").collect().map(_.toSeq)
+    }
+    try {
+      mem.addData(queries)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = eng.knnJoinWindow(
+      embs.filter($"vec_id" < 3), embs.withColumnRenamed("vec_id", "doc_id"), 7)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(results.toSeq === batch)
+  }
+
   test("TopKAggregator result is invariant to partitioning") {
     val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = embs.filter($"vec_id" < 2)
