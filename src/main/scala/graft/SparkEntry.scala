@@ -212,6 +212,34 @@ object SparkEntry {
         .orderBy($"tag", $"o_custkey")
     }),
 
+    "q29_pivot_priority" -> ((s, dir) => {
+      import s.implicits._
+      // pivot as conditional aggregation (engine-portable; Spark's
+      // .pivot() sugar compiles to exactly this shape)
+      val o = tbl(s, dir, "orders")
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      o.groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          prios.map(p =>
+            dsum(when($"o_orderpriority" === p, $"o_totalprice").otherwise(lit(0.0)), 2)
+              .as("rev_" + p.charAt(0))): _*)
+        .orderBy($"o_orderstatus")
+    }),
+
+    "q30_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      // exact interpolated percentiles (Spark `percentile` == DuckDB
+      // `quantile_cont`: same sorted linear interpolation in Double)
+      tbl(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50_acctbal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90_acctbal"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // ---- vector search core (reference server.py:85-91; SURVEY §2.1 O5-O7) ----
 
     "q10_knn_exact" -> ((s, dir) => {
@@ -372,6 +400,22 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
         |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q29_pivot_priority" -> {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val cols = prios.map(p =>
+        s"CAST(SUM(CAST(CASE WHEN o_orderpriority = '$p' THEN o_totalprice ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE) AS rev_${p.charAt(0)}")
+        .mkString(",\n  ")
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  $cols
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "q30_percentiles" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS p50_acctbal,
+        |  round(quantile_cont(c_acctbal, 0.9), 6) AS p90_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q10_knn_exact" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
