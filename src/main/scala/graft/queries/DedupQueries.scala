@@ -81,12 +81,16 @@ object DedupQueries {
         size(col("hs")).as("n_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("hs").as("hs_b"),
         size(col("hs")).as("n_b"))
+      // the jaccard predicate sits INSIDE the join condition: candidate
+      // pairs are verified before any output row materializes, so the
+      // ~2.4 KB signature arrays are copied only for surviving pairs,
+      // never for the millions of rejected ones
       a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
           // size band: Jaccard >= t needs t <= |A|/|B| <= 1/t
           col("n_a").cast("double") >= col("n_b") * JaccardThreshold &&
-          col("n_b").cast("double") >= col("n_a") * JaccardThreshold)
+          col("n_b").cast("double") >= col("n_a") * JaccardThreshold &&
+          round(jaccard(col("hs_a"), col("hs_b")), 6) >= JaccardThreshold)
         .withColumn("jac", round(jaccard(col("hs_a"), col("hs_b")), 6))
-        .filter(col("jac") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
