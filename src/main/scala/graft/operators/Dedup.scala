@@ -127,4 +127,47 @@ object Dedup {
   def exactSurvivors(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node adopts the smallest label among
+    * itself and its neighbors until fixpoint. Near-dup clusters are
+    * tiny and sparse, so convergence takes O(cluster diameter)
+    * iterations (each one join + groupBy-min — all distributed); a
+    * 100 TB graph with long chains would switch to the large-star/
+    * small-star algorithm, same label-contract semantics.
+    *
+    * @param pairs two LONG columns (a, b), undirected edges.
+    * @return (id, component) for every id appearing in pairs, where
+    *         component = min id reachable from it. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val a = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
+    val edges = a.union(a.select(col("v").as("u"), col("u").as("v"))).distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Dedup survivor selection: given docs and verified near-dup pairs,
+    * keep the min-id member of every component (and all unpaired docs).
+    * Returns the input plus (component, is_survivor). */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(comp, docs(idCol) === comp("id"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .withColumn("is_survivor", col("component") === docs(idCol))
+      .drop("id")
+  }
 }

@@ -57,6 +57,28 @@ object DedupQueries {
   val SimhashChunkBits = 8
   val HammingMax = 5L
 
+  /** q19's pipeline: MinHash band-key candidates verified by exact
+    * Jaccard — shared by q19 (pairs) and q31 (survivor selection). */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(s, dir).persist()
+    val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
+    val bands = sigs
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jac", round(jaccard(col("hs_a"), col("hs_b")), 6))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q17_dedup_exact" -> ((s, dir) => {
@@ -95,25 +117,17 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    "q19_minhash_lsh" -> ((s, dir) => {
-      val sh = hashedShingles(s, dir).persist()
-      val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
-      val bands = sigs
-        .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bands.alias("x")
-        .join(bands.alias("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-      cand.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("jac", round(jaccard(col("hs_a"), col("hs_b")), 6))
-        .filter(col("jac") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+    "q19_minhash_lsh" -> ((s, dir) =>
+      lshVerifiedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    "q31_dedup_survivors" -> ((s, dir) => {
+      // the full near-dup dedup pipeline: LSH pairs → connected
+      // components → min-id survivor per cluster, over all documents
+      val pairs = lshVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      graft.operators.Dedup.survivors(docs(s, dir), "doc_id", pairs)
+        .select(col("doc_id"), col("component"),
+          col("is_survivor").cast("int").as("is_survivor"))
+        .orderBy(col("doc_id"))
     }),
 
     "q20_simhash" -> ((s, dir) => {
@@ -158,6 +172,24 @@ object DedupQueries {
     }),
   )
 
+  /** CTE chain shared by the q19/q31 oracles: shingle sets → minhash
+    * sigs → band keys → candidates → verified `pairs`. */
+  private lazy val lshPairsCtes: String = {
+    val bandSelects = (0 until MinhashBands).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, ${bandKeySql("sig", bnd)} AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""sh AS ($hashedShinglesSql),
+       |sigs AS (SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b, round(${jaccardSql("a.hs", "b.hs")}, 6) AS jac
+       |  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+       |  WHERE round(${jaccardSql("a.hs", "b.hs")}, 6) >= $JaccardThreshold)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = {
     val jacE = jaccardSql("a.hs", "b.hs")
     Map(
@@ -179,21 +211,24 @@ object DedupQueries {
            |WHERE round($jacE, 6) >= $JaccardThreshold
            |ORDER BY doc_a, doc_b""".stripMargin,
 
-      "q19_minhash_lsh" -> {
-        val bandSelects = (0 until MinhashBands).map { bnd =>
-          s"SELECT doc_id, $bnd AS band, ${bandKeySql("sig", bnd)} AS key FROM sigs"
-        }.mkString(" UNION ALL ")
-        s"""WITH sh AS ($hashedShinglesSql),
-           |sigs AS (SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM sh),
-           |bands AS ($bandSelects),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM bands x JOIN bands y
-           |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-           |SELECT c.doc_a, c.doc_b, round(${jaccardSql("a.hs", "b.hs")}, 6) AS jac
-           |FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
-           |WHERE round(${jaccardSql("a.hs", "b.hs")}, 6) >= $JaccardThreshold
-           |ORDER BY doc_a, doc_b""".stripMargin
-      },
+      "q19_minhash_lsh" ->
+        s"""WITH $lshPairsCtes
+           |SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q31_dedup_survivors" ->
+        s"""WITH RECURSIVE $lshPairsCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+           |SELECT d.doc_id,
+           |  COALESCE(c.component, d.doc_id) AS component,
+           |  CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS is_survivor
+           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q20_simhash" -> {
         val tokHashes = s"list_transform(${tokensSql("text")}, t -> ${charHashSql("t")})"

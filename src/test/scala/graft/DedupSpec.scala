@@ -58,6 +58,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Seq(("x", 1L, 2L), ("y", 3L, 1L)))
   }
 
+  test("connected components: chain, clique, and singletons") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val comp = connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("survivors keep min-id per component and all unpaired docs") {
+    val docs = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = survivors(docs, "doc_id", pairs)
+      .select($"doc_id", $"component", $"is_survivor")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (99L, 99L, true)))
+  }
+
   test("q19 LSH candidates recover all q18-style exact pairs (global)") {
     // exact global near-dup pairs at sf0.001 via brute force on hashed shingles
     val sh = spark.read.parquet(s"$sf0001/documents.parquet")
