@@ -258,22 +258,21 @@ object SparkEntry {
     "q11_knn_multi" -> ((s, dir) => {
       import s.implicits._
       // batch KNN join: 5 query vectors broadcast against the corpus,
-      // per-query top-5 via map-side partial top-k (TopKAggregator)
+      // per-query top-5 via map-side partial top-k (binary-buffer
+      // TypedImperativeAggregate; graft.expressions.TopKAgg). Scores
+      // round to 6dp BEFORE ranking so ordering can't flip on 1-ulp
+      // differences vs the oracle.
       val embs = tbl(s, dir, "embeddings").filter(hasDim($"embedding", 64))
       val queries = embs.filter($"vec_id" < 5)
-      val scored = embs.crossJoin(broadcast(
+      embs.crossJoin(broadcast(
           queries.select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))))
         .select($"query_id", $"vec_id".as("id"),
           round(neo4jScore($"embedding", $"query_embedding"), 6).as("score"))
-      import TopKAggregator._
-      val agg = topK(5).contramap[(Long, Long, Double)](r => Scored(r._2, r._3))
-      scored.as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .agg(agg.toColumn.name("hits"))
-        .flatMap { case (qid, hits) =>
-          hits.zipWithIndex.map { case (h, i) => (qid, h.id, h.score, (i + 1).toLong) }
-        }
-        .toDF("query_id", "doc_id", "score", "rank")
+        .groupBy($"query_id")
+        .agg(graft.expressions.TopKAggExpr.topK($"id", $"score", 5).as("hits"))
+        .select($"query_id", posexplode($"hits").as(Seq("pos", "hit")))
+        .select($"query_id", $"hit.id".as("doc_id"), $"hit.score".as("score"),
+          ($"pos" + 1).cast("long").as("rank"))
         .orderBy($"query_id", $"rank")
     }),
 

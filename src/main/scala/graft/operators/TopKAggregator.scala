@@ -88,6 +88,27 @@ object TopKAggregator {
       .orderBy("query_id", "rank")
   }
 
+  /** Batch KNN join on the binary-buffer TypedImperativeAggregate
+    * ([[graft.expressions.TopKAgg]]) — identical rows/ordering to
+    * [[knnJoin]] (same total order), with raw-bytes partial buffers
+    * instead of encoder round-trips. */
+  def knnJoinNative(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+    val idCol = if (corpus.columns.contains("doc_id")) "doc_id" else "vec_id"
+    corpus.crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col(idCol).cast("long").as("id"),
+        neo4jScore(col("embedding"), col("query_embedding")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggExpr.topK(col("id"), col("score"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("doc_id"), col("hit.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Adapt the aggregator's input type. */
   implicit final class AggOps(private val agg: Aggregator[Scored, List[Scored], List[Scored]]) extends AnyVal {
     def contramap[I](f: I => Scored): Aggregator[I, List[Scored], List[Scored]] =

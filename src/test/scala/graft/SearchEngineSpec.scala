@@ -100,6 +100,27 @@ class SearchEngineSpec extends SparkSpec {
     assert(results.toSeq === batch)
   }
 
+  test("native TypedImperativeAggregate top-k equals the typed Aggregator join") {
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 4)
+    val viaAgg = TopKAggregator.knnJoin(spark, queries, embs, 6)
+      .select($"query_id", $"doc_id", $"score", $"rank".cast("long"))
+      .collect().map(_.toSeq).toSeq
+    val viaNative = TopKAggregator.knnJoinNative(queries, embs, 6)
+      .select($"query_id", $"doc_id", $"score", $"rank")
+      .collect().map(_.toSeq).toSeq
+    assert(viaNative === viaAgg)
+  }
+
+  test("native top-k is invariant to partitioning") {
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 2)
+    def run(parts: Int) =
+      TopKAggregator.knnJoinNative(queries, embs.repartition(parts), 5)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) === run(13))
+  }
+
   test("TopKAggregator result is invariant to partitioning") {
     val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = embs.filter($"vec_id" < 2)
