@@ -65,10 +65,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q11 aggregator shuffles partial top-k, not the scored corpus") {
-    // the typed aggregate must run map-side (partial_) below the exchange
+    // the top-k aggregate must run map-side (partial_) below the exchange
     val p = plan("q11_knn_multi")
-    val exchangeIdx = p.indexOf("Exchange hashpartitioning(value")
-    val partialIdx = p.indexOf("partial_")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(query_id")
+    val partialIdx = p.indexOf("partial_topkagg", math.max(exchangeIdx, 0))
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
       s"expected map-side partial top-k under the exchange:\n$p")
   }
