@@ -24,7 +24,43 @@ import graft.functions.VectorFunctions._
   */
 object AnnQueries {
 
+  /** The flagship prompt: embedded driver-side by the deterministic
+    * [[graft.search.HashingEmbedder]]; the resulting vector is inlined
+    * as a literal in BOTH the Spark plan and the oracle SQL, so the
+    * reference's full tool path (prompt → embed → cosine top-k →
+    * payload projection, reference server.py:71-102) is hash-exact
+    * oracle-checked end to end. */
+  val FlagshipPrompt = "fast hash join on a big table"
+  private lazy val flagshipVec: Seq[Float] =
+    new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q32_filtered_knn" -> ((s, dir) => {
+      // metadata-filtered search: the predicate applies BEFORE scoring,
+      // so at scale it prunes parquet row groups before any vector math
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(hasDim(col("embedding"), 64) && col("label") === 2)
+      val q = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.join(broadcast(q))
+        .withColumn("score", round(neo4jScore(col("embedding"), col("qe")), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("score"))
+    }),
+
+    "q33_prompt_search" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(hasDim(col("embedding"), 64))
+      e.join(docs, e("vec_id") === docs("doc_id"))
+        .withColumn("score",
+          round(neo4jScore(col("embedding"), typedLit(flagshipVec)), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("text"), col("score"))
+    }),
 
     "q22_lsh_bucket_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -40,7 +76,34 @@ object AnnQueries {
     }),
   )
 
+  private def cosSql(aE: String, bE: String): String =
+    s"""(1.0 +
+       |      list_sum(list_transform(list_zip($aE, $bE),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform($aE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($bE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) / 2.0""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    "q32_filtered_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, label, embedding FROM embeddings
+         |      WHERE len(embedding) = 64 AND label = 2)
+         |SELECT e.vec_id, e.label,
+         |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |FROM e, q
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q33_prompt_search" -> {
+      // exact double widening of the embedder's float vector; Double
+      // .toString round-trips, so DuckDB parses the identical value
+      val lits = flagshipVec.map(_.toDouble).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64)
+         |SELECT e.vec_id AS doc_id, d.text,
+         |  round(${cosSql("e.embedding", lits)}, 6) AS score
+         |FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
 
     "q22_lsh_bucket_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
