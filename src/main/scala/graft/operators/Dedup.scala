@@ -142,8 +142,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val a = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
     val edges = a.union(a.select(col("v").as("u"), col("u").as("v"))).distinct().cache()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+    // seed with min(self, direct neighbors) — equivalent to running one
+    // propagation round, saving one join+action in the fixpoint loop
+    var labels = edges
+      .groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("component"))
+      .select(col("u").as("id"), col("component"))
+      .cache()
     var changed = 1L
     while (changed > 0) {
       val viaNeighbors = edges
