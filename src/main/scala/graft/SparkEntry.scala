@@ -23,8 +23,14 @@ import graft.operators.TopKAggregator
   */
 object SparkEntry {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Per-session memoized parquet reads: a DataFrame is just an
+    * immutable plan, so reusing it across queries is free and skips
+    * the repeated file-listing/footer reads 30+ queries would pay. */
+  private val tblCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    tblCache.computeIfAbsent((s, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   /** events with `ts` normalized to TIMESTAMP. The fixture writes
     * TIMESTAMP(NANOS) parquet, which Spark 4 reads only as long-nanos

@@ -39,9 +39,9 @@ object AnnQueries {
     "q32_filtered_knn" -> ((s, dir) => {
       // metadata-filtered search: the predicate applies BEFORE scoring,
       // so at scale it prunes parquet row groups before any vector math
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(hasDim(col("embedding"), 64) && col("label") === 2)
-      val q = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       e.join(broadcast(q))
         .withColumn("score", round(neo4jScore(col("embedding"), col("qe")), 6))
@@ -51,8 +51,8 @@ object AnnQueries {
     }),
 
     "q33_prompt_search" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(hasDim(col("embedding"), 64))
       e.join(docs, e("vec_id") === docs("doc_id"))
         .withColumn("score",
@@ -63,7 +63,7 @@ object AnnQueries {
     }),
 
     "q22_lsh_bucket_knn" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(hasDim(col("embedding"), 64))
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), lshBucket(col("embedding")).as("qb"))

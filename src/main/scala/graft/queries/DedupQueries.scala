@@ -28,7 +28,7 @@ import graft.queries.TextQueries.{shingleCol, shingleSql}
 object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.SparkEntry.tbl(s, dir, "documents")
 
   /** (doc_id, lang, hs): distinct hashed 3-token shingles per doc,
     * sorted so pairwise intersection is a two-pointer merge
@@ -160,7 +160,7 @@ object DedupQueries {
     }),
 
     "q21_embedding_neardup" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
       a.join(b, col("vec_a") < col("vec_b"))

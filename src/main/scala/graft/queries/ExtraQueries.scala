@@ -27,7 +27,7 @@ object ExtraQueries {
   val KmvK = 64
 
   private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/events.parquet")
+    val df = graft.SparkEntry.tbl(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -65,7 +65,7 @@ object ExtraQueries {
 
     "q28_asof_orders" -> ((s, dir) => {
       val ev = events(s, dir)
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = graft.SparkEntry.tbl(s, dir, "orders")
       val matched = AsofJoin.asof(
         left = ev, right = orders,
         leftKey = "user_id", rightKey = "o_custkey",

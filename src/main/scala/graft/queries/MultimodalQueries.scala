@@ -17,7 +17,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q24_blob_features" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
       val blobs = Multimodal.ingestAsBlobs(docs)
       Multimodal.extractFeatures(blobs)
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),

@@ -16,7 +16,7 @@ object StreamingQueries {
 
   /** events with ts normalized (nanos-long fixture → micros timestamp). */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/events.parquet")
+    val df = graft.SparkEntry.tbl(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

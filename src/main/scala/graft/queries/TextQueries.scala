@@ -20,7 +20,7 @@ import graft.functions.TextFunctions._
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.SparkEntry.tbl(s, dir, "documents")
 
   /** n-token shingles joined with '|'; fewer than n tokens → empty. */
   def shingleCol(toks: Column, n: Int = 3): Column =
