@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_jaccard(a, b) - Jaccard similarity of sorted distinct long arrays"),
       (children: Seq[Expression]) => SortedLongJaccard(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_lang_predict"),
+      info("graft_lang_predict", "graft_lang_predict(text) - stopword-profile language ID"),
+      (children: Seq[Expression]) => LangPredictExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(id, score, k) - aggregate: top-k (id, score) pairs by score desc"),
+      (children: Seq[Expression]) => TopKAgg(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       info("graft_intersect_size",
         "graft_intersect_size(a, b) - intersection size of sorted distinct long arrays"),

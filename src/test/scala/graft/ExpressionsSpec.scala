@@ -141,5 +141,12 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(0) === want)
     val cos = spark.sql("SELECT graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f))").head()
     assert(math.abs(cos.getDouble(0) - 1.0) < 1e-12)
+    val lang = spark.sql("SELECT graft_lang_predict('the cat and the dog')").head()
+    assert(lang.getString(0) === "en")
+    val topk = spark.sql(
+      """SELECT graft_topk(id, score, 2) FROM VALUES
+        |  (1L, 0.5d), (2L, 0.9d), (3L, 0.7d) AS t(id, score)""".stripMargin).head()
+    val hits = topk.getSeq[org.apache.spark.sql.Row](0)
+    assert(hits.map(_.getLong(0)) === Seq(2L, 3L))
   }
 }
