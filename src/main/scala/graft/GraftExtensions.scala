@@ -50,8 +50,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       info("graft_topk", "graft_topk(id, score, k) - aggregate: top-k (id, score) pairs by score desc"),
-      (children: Seq[Expression]) => TopKAgg(children(0), children(1),
-        children(2).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        // k is consumed at plan time (it sizes the agg buffer), so it
+        // must be a literal: a non-foldable child would otherwise be
+        // eval'd against a null row here, yielding garbage or an NPE.
+        if (children.size != 3)
+          org.apache.spark.sql.GraftBridge.analysisError(
+            s"graft_topk expects 3 arguments (id, score, k), got ${children.size}")
+        val kExpr = children(2)
+        val kVal = if (kExpr.foldable) kExpr.eval() else null
+        kVal match {
+          case n: Number if n.intValue() > 0 =>
+            TopKAgg(children(0), children(1), n.intValue())
+          case _ =>
+            org.apache.spark.sql.GraftBridge.analysisError(
+              "graft_topk: k must be a positive integer literal, got " +
+                (if (kExpr.foldable) String.valueOf(kVal) else kExpr.sql))
+        }
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       info("graft_intersect_size",

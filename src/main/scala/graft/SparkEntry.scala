@@ -23,14 +23,38 @@ import graft.operators.TopKAggregator
   */
 object SparkEntry {
 
-  /** Per-session memoized parquet reads: a DataFrame is just an
-    * immutable plan, so reusing it across queries is free and skips
-    * the repeated file-listing/footer reads 30+ queries would pay. */
-  private val tblCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    tblCache.computeIfAbsent((s, s"$dir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+  /** Per-session memoized parquet reads, stored as session temp views:
+    * the resolved relation (file listing + footer schema) is reused
+    * across the 30+ queries of a Verify/Bench run, and the registry
+    * lives *inside* the SparkSession — no static map pinning sessions
+    * or plans beyond their lifetime. Assumption (documented): files
+    * under a path are immutable within a session; a rewrite between
+    * queries would serve the stale listing until the session ends. */
+  private[graft] def pathSlug(path: String): String =
+    path.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val view = "graft_src_" + pathSlug(path)
+    if (!s.catalog.tableExists(view))
+      s.read.parquet(path).createOrReplaceTempView(view)
+    s.table(view)
+  }
+
+  /** Session-scoped cached intermediate: registers `build` as a temp
+    * view and caches it through the session's CacheManager, so (a) the
+    * blocks are owned by the session and released with it — no static
+    * tracking, no cross-call accumulation — and (b) every query in the
+    * session shares ONE materialization (q18/q19/q31 all consume the
+    * same shingle table). `spark.catalog.uncacheTable(name)` releases
+    * it early if needed. */
+  private[graft] def cachedView(s: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+    if (!s.catalog.tableExists(name)) {
+      build.createOrReplaceTempView(name)
+      s.catalog.cacheTable(name)
+    }
+    s.table(name)
+  }
 
   /** events with `ts` normalized to TIMESTAMP. The fixture writes
     * TIMESTAMP(NANOS) parquet, which Spark 4 reads only as long-nanos

@@ -29,16 +29,23 @@ object TopKAggExpr {
       .toAggregateExpression(isDistinct = false))
 }
 
-/** Bounded best-k buffer over (score desc, id asc). */
+/** Bounded best-k buffer over (score desc, id asc). The score order is
+  * total (java.lang.Double.compare): NaN ranks greatest — matching
+  * Spark's `orderBy(desc)` which sorts NaN first — and -0.0 is
+  * normalized to 0.0 on insert, so a NaN or signed zero can never
+  * break the sortedness invariant and silently drop candidates. */
 final class TopKBuf(val k: Int) {
   var n: Int = 0
   val ids: Array[Long] = new Array[Long](k)
   val scores: Array[Double] = new Array[Double](k)
 
-  private def better(s: Double, i: Long, s2: Double, i2: Long): Boolean =
-    s > s2 || (s == s2 && i < i2)
+  private def better(s: Double, i: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s, s2)
+    c > 0 || (c == 0 && i < i2)
+  }
 
-  def insert(id: Long, score: Double): Unit = {
+  def insert(id: Long, rawScore: Double): Unit = {
+    val score = if (rawScore == 0.0d) 0.0d else rawScore // -0.0 -> 0.0
     if (n == k && !better(score, id, scores(n - 1), ids(n - 1))) return
     // find insertion point (arrays kept sorted best-first)
     var pos = n

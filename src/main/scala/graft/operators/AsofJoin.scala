@@ -32,6 +32,15 @@ object AsofJoin {
            leftId: String, rightId: String,
            payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // a payload name shadowing a left column would be silently nulled
+    // by the shaping below (wrong data, not an error) — reject up front
+    val clash = payloadCols.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"payloadCols ${clash.mkString(", ")} already exist on the left side; " +
+        "alias the right-side payload columns before the as-of join")
+    val missing = payloadCols.filterNot(right.columns.contains)
+    require(missing.isEmpty,
+      s"payloadCols ${missing.mkString(", ")} not found on the right side")
     val lTagged = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", leftTime)

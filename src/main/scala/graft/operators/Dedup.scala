@@ -160,8 +160,15 @@ object Dedup {
         .cache()
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
+      // the count above materialized `next`; the superseded generation's
+      // blocks are dead weight from here on — release them so a long
+      // fixpoint doesn't accumulate one cached table per iteration
+      labels.unpersist(blocking = false)
       labels = next
     }
+    // final labels were materialized by the last count; edges are no
+    // longer needed except for lineage recompute after eviction
+    edges.unpersist(blocking = false)
     labels
   }
 

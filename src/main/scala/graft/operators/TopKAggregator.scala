@@ -26,9 +26,15 @@ object TopKAggregator {
   /** One scored candidate within a group. */
   case class Scored(id: Long, score: Double)
 
-  /** total order: better = higher score, ties broken by smaller id */
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order: better = higher score, ties broken by smaller id.
+    * java.lang.Double.compare keeps the order total over NaN (ranks
+    * greatest, matching Spark's `orderBy(desc)` NaN-first) — a naive
+    * `>` would return false for every NaN comparison and corrupt the
+    * sorted-merge invariant. */
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Merge two `better`-sorted lists keeping the k best. */
   private[operators] def mergeSorted(k: Int, a: List[Scored], b: List[Scored]): List[Scored] = {

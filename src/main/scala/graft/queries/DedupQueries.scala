@@ -37,9 +37,11 @@ object DedupQueries {
     * shingle strings; sorting is row-local and order-irrelevant to
     * every consumer (min, sizes). */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"), col("lang"),
-      graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as("hs"))
+    graft.SparkEntry.cachedView(s, "graft_cache_shingles_" + graft.SparkEntry.pathSlug(dir)) {
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as("hs"))
+    }
 
   // distinct applied AFTER hashing (matching the Spark side) so both
   // engines hold true sets of hash values and |A∪B| = |A|+|B|-|A∩B|
@@ -59,8 +61,13 @@ object DedupQueries {
 
   /** q19's pipeline: MinHash band-key candidates verified by exact
     * Jaccard — shared by q19 (pairs) and q31 (survivor selection). */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(s, dir).persist()
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s, "graft_cache_lshpairs_" + graft.SparkEntry.pathSlug(dir)) {
+      buildLshVerifiedPairs(s, dir)
+    }
+
+  private def buildLshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(s, dir)
     val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
     val bands = sigs
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
@@ -95,10 +102,10 @@ object DedupQueries {
     }),
 
     "q18_jaccard_pairs" -> ((s, dir) => {
-      // materialize the per-doc signatures once: without the barrier,
-      // Catalyst inlines the shingle-hash expression into the join's
-      // output projection and recomputes it per *pair* (O(pairs·doc))
-      val sh = hashedShingles(s, dir).persist()
+      // materialized per-doc signatures (session-cached view): without
+      // the barrier, Catalyst inlines the shingle-hash expression into
+      // the join's output projection and recomputes it per *pair*
+      val sh = hashedShingles(s, dir)
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("hs").as("hs_a"),
         size(col("hs")).as("n_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("hs").as("hs_b"),
@@ -136,10 +143,12 @@ object DedupQueries {
       // chunks forces at least one *exact* chunk match, so candidates
       // come from an equi-join on (chunk_idx, chunk_value) — never a
       // nested-loop over all pairs. Identical output to brute force.
-      val sigs = docs(s, dir).select(
-        col("doc_id"),
-        simhash(transform(tokens(col("text")), x => charHash(x))).as("sig"))
-        .persist()
+      val sigs = graft.SparkEntry.cachedView(s,
+        "graft_cache_simhash_" + graft.SparkEntry.pathSlug(dir)) {
+        docs(s, dir).select(
+          col("doc_id"),
+          simhash(transform(tokens(col("text")), x => charHash(x))).as("sig"))
+      }
       val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until SimhashChunks).map { c =>
           struct(lit(c).as("c"), shiftright(col("sig"), c * SimhashChunkBits)

@@ -16,4 +16,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Raise a plain-message AnalysisException (its String constructor is
+    * `private[sql]` in Spark 4) — for argument validation in SQL
+    * function builders, where an analysis-time error is the contract. */
+  def analysisError(message: String): Nothing =
+    throw new AnalysisException(
+      message = message, line = None, startPosition = None, cause = None,
+      errorClass = Some("INVALID_PARAMETER_VALUE"),
+      messageParameters = Map.empty,
+      context = Array.empty[org.apache.spark.QueryContext])
 }

@@ -35,6 +35,19 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(0) === 9L)
   }
 
+  test("asof rejects payload names that collide with left columns") {
+    val left = Seq((1L, 100L, 10L, 9.9)).toDF("k", "t", "eid", "price")
+    val right = Seq((1L, 10L, 900L, 1.5)).toDF("k", "t", "oid", "price")
+    val e = intercept[IllegalArgumentException](
+      AsofJoin.asof(left, right, "k", "k", col("t"), col("t"), "eid", "oid",
+        Seq("oid", "price")))
+    assert(e.getMessage.contains("price"))
+    val e2 = intercept[IllegalArgumentException](
+      AsofJoin.asof(left.drop("price"), right, "k", "k", col("t"), col("t"), "eid", "oid",
+        Seq("nope")))
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("asof on fixtures equals a brute-force per-event maximum") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

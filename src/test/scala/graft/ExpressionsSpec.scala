@@ -149,4 +149,47 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     val hits = topk.getSeq[org.apache.spark.sql.Row](0)
     assert(hits.map(_.getLong(0)) === Seq(2L, 3L))
   }
+
+  test("TopKAgg: NaN scores cannot poison the buffer (total order, NaN first)") {
+    // NaN rows rank greatest (Spark's orderBy(desc) puts NaN first) and
+    // every non-NaN candidate after them is still retained — the old
+    // `>` comparison let one NaN at the tail reject all later rows
+    val df = Seq(
+      (1L, Double.NaN), (2L, 0.3), (3L, 0.9), (4L, Double.NaN),
+      (5L, 0.7), (6L, 0.5)).toDF("id", "score")
+    val hits = df.agg(graft.expressions.TopKAggExpr.topK($"id", $"score", 4).as("h"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hits.map(_.getLong(0)) === Seq(1L, 4L, 3L, 5L))
+    // all-NaN tail: valid rows inserted after k NaNs must displace nothing,
+    // but valid rows better than the worst retained must still enter
+    val df2 = Seq((9L, Double.NaN), (2L, 0.1), (3L, 0.8)).toDF("id", "score")
+    val hits2 = df2.agg(graft.expressions.TopKAggExpr.topK($"id", $"score", 2).as("h"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hits2.map(_.getLong(0)) === Seq(9L, 3L))
+  }
+
+  test("typed TopKAggregator matches native TopKAgg under NaN input") {
+    import graft.operators.TopKAggregator
+    val rows = Seq((1L, Double.NaN), (2L, 0.3), (3L, 0.9), (4L, 0.7))
+    val typed = rows.foldLeft(List.empty[TopKAggregator.Scored]) { (buf, r) =>
+      TopKAggregator.topK(3).reduce(buf, TopKAggregator.Scored(r._1, r._2))
+    }.map(_.id)
+    val native = rows.toDF("id", "score")
+      .agg(graft.expressions.TopKAggExpr.topK($"id", $"score", 3).as("h"))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+    assert(typed === native.toList)
+    assert(typed === List(1L, 3L, 4L))
+  }
+
+  test("graft_topk rejects non-literal, null, and non-positive k at analysis time") {
+    docs.createOrReplaceTempView("docs_sql_test")
+    def bad(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException]
+        || e.getMessage.contains("graft_topk"), s"unexpected: $e")
+    }
+    bad("SELECT graft_topk(doc_id, 1.0d, doc_id) FROM docs_sql_test")     // non-literal
+    bad("SELECT graft_topk(doc_id, 1.0d, NULL) FROM docs_sql_test")       // null literal
+    bad("SELECT graft_topk(doc_id, 1.0d, 0) FROM docs_sql_test")          // non-positive
+  }
 }
