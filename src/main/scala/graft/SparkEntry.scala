@@ -93,7 +93,8 @@ object SparkEntry {
       graft.queries.AnnQueries.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.ExtraQueries.queries
+      graft.queries.ExtraQueries.queries ++
+      graft.queries.KeywordQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -257,6 +258,22 @@ object SparkEntry {
         .orderBy($"o_orderstatus")
     }),
 
+    "q37_cube_orders" -> ((s, dir) => {
+      import s.implicits._
+      // full cube over (status, year): all four grouping sets in one
+      // pass — Spark expands to a single Expand + one shuffle, same as
+      // rollup but with the cross-marginals a reporting layer wants
+      tbl(s, dir, "orders")
+        .withColumn("o_year", year($"o_orderdate").cast("long"))
+        .cube($"o_orderstatus", $"o_year")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice", 2).as("revenue"))
+        .select(
+          coalesce($"o_orderstatus", lit("*ALL*")).as("o_orderstatus"),
+          coalesce($"o_year", lit(-1L)).as("o_year"),
+          $"n_orders", $"revenue")
+        .orderBy($"o_orderstatus", $"o_year")
+    }),
+
     "q30_percentiles" -> ((s, dir) => {
       import s.implicits._
       // exact interpolated percentiles (Spark `percentile` == DuckDB
@@ -329,7 +346,8 @@ object SparkEntry {
       graft.queries.AnnQueries.oracleSql ++
       graft.queries.StreamingQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.ExtraQueries.oracleSql
+      graft.queries.ExtraQueries.oracleSql ++
+      graft.queries.KeywordQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 
@@ -439,6 +457,16 @@ object SparkEntry {
          |  $cols
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
+
+    "q37_cube_orders" ->
+      """WITH o AS (SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year, o_totalprice
+        |  FROM orders)
+        |SELECT coalesce(o_orderstatus, '*ALL*') AS o_orderstatus,
+        |  coalesce(o_year, -1) AS o_year,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        |FROM o GROUP BY CUBE (o_orderstatus, o_year)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q30_percentiles" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -78,6 +78,10 @@ object PortableHash {
     * MinHash family. */
   val KmvPair: (Long, Long) = affineConstants(404L, 1).head
 
+  /** Train/val/test split hash — its own family member, so changing any
+    * sketch can never silently reshuffle a dataset's split assignment. */
+  val SplitPair: (Long, Long) = affineConstants(505L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

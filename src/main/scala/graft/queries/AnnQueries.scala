@@ -31,7 +31,7 @@ object AnnQueries {
     * payload projection, reference server.py:71-102) is hash-exact
     * oracle-checked end to end. */
   val FlagshipPrompt = "fast hash join on a big table"
-  private lazy val flagshipVec: Seq[Float] =
+  private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -76,7 +76,7 @@ object AnnQueries {
     }),
   )
 
-  private def cosSql(aE: String, bE: String): String =
+  private[queries] def cosSql(aE: String, bE: String): String =
     s"""(1.0 +
        |      list_sum(list_transform(list_zip($aE, $bE),
        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))

@@ -21,10 +21,26 @@ import graft.operators.AsofJoin
   * q28: as-of join ([[graft.operators.AsofJoin]]) — each event matched
   * to the customer's latest order at event time; one keyed shuffle,
   * no per-row search.
+  *
+  * q36: range join ([[graft.operators.RangeJoin]]) — every non-purchase
+  * event matched to the same user's purchase windows (30 min after
+  * each purchase) containing it; bucketed equi-join, never a per-key
+  * quadratic filter. (Events self-join: the fixture's `orders` live in
+  * 1995-2001 and `events` in 2024, so event×order windows would be
+  * degenerate-empty.)
+  *
+  * q38: deterministic train/val/test split — affine hash of the id,
+  * bucket mod 100 → 80/10/10. Hash-based (not `rand()`-based) so the
+  * assignment is reproducible across runs, engines, and repartitions —
+  * the property a training pipeline needs for stable holdout sets.
   */
 object ExtraQueries {
 
   val KmvK = 64
+
+  /** q36's interval width (30 minutes in epoch micros) — also the
+    * bucket width, so each interval explodes to ≤ 2 buckets. */
+  val PurchaseWindowMicros: Long = 30L * 60 * 1000000L
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = graft.SparkEntry.tbl(s, dir, "events")
@@ -83,6 +99,43 @@ object ExtraQueries {
           sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("sum_matched_price"))
         .orderBy(col("event_type"))
     }),
+
+    "q36_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val pts = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"), col("user_id").as("win_user"),
+          unix_micros(col("ts")).as("win_start"))
+        .withColumn("win_end", col("win_start") + lit(PurchaseWindowMicros))
+      graft.operators.RangeJoin.pointInInterval(
+          pts, col("user_id"), col("t"),
+          wins, col("win_user"), col("win_start"), col("win_end"),
+          bucketWidth = PurchaseWindowMicros)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_events"),
+          countDistinct(col("win_id")).as("n_windows"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q38_hash_split" -> ((s, dir) => {
+      val (a, b) = SplitPair
+      graft.SparkEntry.tbl(s, dir, "documents")
+        .withColumn("bucket", ((lit(a) * col("doc_id") + lit(b)) % lit(P)) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"), col("lang"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -125,5 +178,27 @@ object ExtraQueries {
          |SELECT event_type, COUNT(*) AS n_events, COUNT(moid) AS n_matched,
          |  CAST(SUM(CAST(mprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_matched_price
          |FROM m WHERE side = 1 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q36_range_join" ->
+      s"""SELECT p.event_type,
+         |  COUNT(*) AS n_pairs,
+         |  COUNT(DISTINCT p.event_id) AS n_events,
+         |  COUNT(DISTINCT i.event_id) AS n_windows
+         |FROM events p JOIN events i
+         |  ON p.user_id = i.user_id
+         |  AND i.event_type = 'purchase' AND p.event_type <> 'purchase'
+         |  AND epoch_us(i.ts) <= epoch_us(p.ts)
+         |  AND epoch_us(p.ts) < epoch_us(i.ts) + $PurchaseWindowMicros
+         |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin,
+
+    "q38_hash_split" -> {
+      val (a, b) = SplitPair
+      s"""WITH b AS (SELECT doc_id, lang, (($a * doc_id + $b) % $P) % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
   )
 }

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{tokens, tokensSql}
+import graft.functions.VectorFunctions._
+
+/** Keyword (BM25) and hybrid keyword+vector retrieval over `documents`
+  * — the text arm a production search engine pairs with the
+  * reference's vector arm (reference server.py:85-91 is vector-only;
+  * this is north-star extension surface).
+  *
+  * q34: BM25 (Robertson/Spärck Jones, the Okapi formulation) top-10.
+  * Scale shape: tf is row-local HOF math over each doc's own tokens
+  * (no shuffle); df is one tiny aggregate over (term, doc) pairs
+  * pre-filtered to the query's terms; corpus stats (N, avgdl) are a
+  * 1-row broadcast. The only non-broadcast shuffle is the final
+  * per-doc score aggregation, map-side combined — at 100 TB this is
+  * a scan + one partial agg, not an inverted-index build.
+  *
+  * q35: hybrid fusion by Reciprocal Rank Fusion (Cormack et al.):
+  * rrf(d) = Σ_arms 1/(60 + rank_arm(d)) over the vector top-20 and the
+  * BM25 top-20 — the standard fusion for vector+keyword retrieval.
+  * Both arms end in global top-k (TakeOrderedAndProject), the fusion
+  * is a full-outer join of two ≤20-row frames.
+  *
+  * Determinism: scores round to 6 dp BEFORE ranking, ranks are exact
+  * integers, BM25's per-term contributions sum through decimal(28,12)
+  * — both engines evaluate the identical operation tree.
+  */
+object KeywordQueries {
+
+  val K1 = 1.2
+  val B = 0.75
+  // derived constants computed ONCE in Scala and interpolated into both
+  // plans: `1.2 + 1` re-derived independently in each engine could land
+  // on a different double ulp; a shared Double.toString round-trips
+  private val K1p1 = K1 + 1.0
+  private val OneMinusB = 1.0 - B
+
+  val RrfK = 60.0
+  val RrfPoolK = 20
+
+  /** q34's query terms (mid-df vocabulary present at every SF). */
+  val Bm25Terms: Seq[String] = Seq("vector", "merge", "scan", "query")
+
+  /** q35's keyword arm uses the flagship prompt's own tokens, so one
+    * prompt drives both retrieval arms end to end. */
+  val PromptTerms: Seq[String] = AnnQueries.FlagshipPrompt.split(" ").toSeq.distinct
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.tbl(s, dir, "documents")
+
+  /** BM25 scores of `terms` over documents → (doc_id, n_terms, score),
+    * docs with no matching term absent. */
+  private[queries] def bm25(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = d
+      .withColumn("term", explode(typedLit(terms)))
+      .withColumn("tf", size(filter(col("toks"), t => t === col("term"))).cast("double"))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(K1p1) /
+          (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("contrib").cast("decimal(28,12)")).cast("double"), 6).as("score"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bm25]]: defines `bm25(doc_id,
+    * n_terms, score)` (plus its intermediates) for the given terms. */
+  private[queries] def bm25Ctes(terms: Seq[String]): String = {
+    val termList = terms.mkString("['", "', '", "']")
+    val toks = tokensSql("text")
+    s"""dd AS (SELECT doc_id, $toks AS toks, len($toks)::DOUBLE AS dl FROM documents),
+       |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs,
+       |  CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*)::DOUBLE AS avgdl FROM dd),
+       |terms AS (SELECT unnest($termList) AS term),
+       |tf AS (SELECT * FROM (
+       |    SELECT doc_id, dl, term,
+       |      len(list_filter(toks, t -> t = term))::DOUBLE AS tf
+       |    FROM dd, terms) WHERE tf > 0),
+       |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |bm25 AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms,
+       |    round(CAST(SUM(CAST(
+       |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * $K1p1
+       |        / (tf + $K1 * ($OneMinusB + $B * dl / avgdl))
+       |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q34_bm25_keyword" -> ((s, dir) =>
+      bm25(s, dir, Bm25Terms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score"))),
+
+    "q35_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      // vector arm: flagship-prompt KNN, global top-20 then rank
+      val vtop = e.join(d, e("vec_id") === d("doc_id"))
+        .withColumn("vscore",
+          round(neo4jScore(col("embedding"), typedLit(AnnQueries.flagshipVec)), 6))
+        .select(col("doc_id"), col("vscore"))
+        .orderBy(col("vscore").desc, col("doc_id").asc)
+        .limit(RrfPoolK)
+      val vrank = vtop.withColumn("rv",
+        row_number().over(Window.orderBy(col("vscore").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("vdoc"), col("rv"))
+      // keyword arm: BM25 on the same prompt's tokens, top-20 then rank
+      val ktop = bm25(s, dir, PromptTerms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(RrfPoolK)
+      val krank = ktop.withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("kdoc"), col("rk"))
+      vrank.join(krank, col("vdoc") === col("kdoc"), "full_outer")
+        .select(
+          coalesce(col("vdoc"), col("kdoc")).as("doc_id"),
+          coalesce(col("rv"), lit(-1)).cast("long").as("rank_vec"),
+          coalesce(col("rk"), lit(-1)).cast("long").as("rank_kw"),
+          round(
+            when(col("rv").isNotNull, lit(1.0) / (lit(RrfK) + col("rv"))).otherwise(lit(0.0)) +
+              when(col("rk").isNotNull, lit(1.0) / (lit(RrfK) + col("rk"))).otherwise(lit(0.0)),
+            6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q34_bm25_keyword" ->
+      s"""WITH ${bm25Ctes(Bm25Terms)}
+         |SELECT doc_id, n_terms, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q35_hybrid_rrf" -> {
+      val lits = AnnQueries.flagshipVec.map(_.toDouble).mkString("[", ", ", "]")
+      s"""WITH ${bm25Ctes(PromptTerms)},
+         |e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |vec AS (SELECT e.vec_id AS doc_id,
+         |    round(${AnnQueries.cosSql("e.embedding", lits)}, 6) AS vscore
+         |  FROM e JOIN documents d ON e.vec_id = d.doc_id),
+         |vtop AS (SELECT doc_id, vscore FROM vec ORDER BY vscore DESC, doc_id ASC LIMIT $RrfPoolK),
+         |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id ASC) AS rv FROM vtop),
+         |ktop AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT $RrfPoolK),
+         |krank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM ktop)
+         |SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+         |  CAST(coalesce(rv, -1) AS BIGINT) AS rank_vec,
+         |  CAST(coalesce(rk, -1) AS BIGINT) AS rank_kw,
+         |  round((CASE WHEN rv IS NOT NULL THEN 1.0 / ($RrfK + rv) ELSE 0.0 END)
+         |      + (CASE WHEN rk IS NOT NULL THEN 1.0 / ($RrfK + rk) ELSE 0.0 END), 6) AS rrf
+         |FROM vrank v FULL OUTER JOIN krank k ON v.doc_id = k.doc_id
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+  )
+}

@@ -19,6 +19,12 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
+  /** q39 chunking geometry: 32-token windows every 24 tokens (8-token
+    * overlap) — the context-window packing step of an LLM data
+    * pipeline. Chunk starts are 0, 24, 48, … while start < n_tokens. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
 
@@ -109,6 +115,35 @@ object TextQueries {
         .select(col("doc_id"), col("fp"), col("n_shingles"), col("min_shingle_fp"))
         .orderBy(col("doc_id"))
     }),
+
+    "q39_chunking" -> ((s, dir) => {
+      // overlapping token-window chunking, verified by a portable
+      // per-chunk hash checksum. All row-local (sequence/transform/
+      // slice inside whole-stage codegen): at 100 TB each task chunks
+      // its own partition, nothing shuffles but the tiny output rows.
+      val st = ChunkStride
+      val cs = ChunkSize
+      docs(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))
+        .withColumn("chunk_hashes",
+          when(col("n_chunks") > 0,
+            transform(sequence(lit(0L), col("n_chunks") - 1), i =>
+              charHash(concat_ws(" ", slice(col("toks"), (i * st + 1).cast("int"), lit(cs))))))
+            .otherwise(typedLit(Seq.empty[Long])))
+        // hashes are < P < 2^30, so a plain BIGINT sum is an exact,
+        // order-independent checksum of every chunk's content
+        .withColumn("chunk_checksum",
+          aggregate(col("chunk_hashes"), lit(0L), (acc, x) => acc + x))
+        .withColumn("last_chunk_len",
+          when(col("n_chunks") > 0,
+            least(lit(cs.toLong), col("n_toks") - (col("n_chunks") - 1) * st))
+            .otherwise(lit(0L)))
+        .select(col("doc_id"), col("n_toks"), col("n_chunks"),
+          col("last_chunk_len"), col("chunk_checksum"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -144,6 +179,26 @@ object TextQueries {
          |  len($sh)::BIGINT AS n_shingles,
          |  list_min(list_transform($sh, s -> ${charHashSql("s")})) AS min_shingle_fp
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q39_chunking" -> {
+      val st = ChunkStride
+      val cs = ChunkSize
+      val chunkText = s"array_to_string(list_slice(toks, i * $st + 1, i * $st + $cs), ' ')"
+      s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_toks,
+         |    ((len(toks)::BIGINT + ${st - 1}) // $st) AS n_chunks FROM d),
+         |h AS (SELECT doc_id, n_toks, n_chunks,
+         |    CASE WHEN n_chunks > 0 THEN
+         |      list_transform(range(n_chunks), i -> ${charHashSql(chunkText)})
+         |    ELSE [] END AS chunk_hashes,
+         |    CASE WHEN n_chunks > 0 THEN least($cs, n_toks - (n_chunks - 1) * $st)
+         |         ELSE 0 END::BIGINT AS last_chunk_len
+         |  FROM c)
+         |SELECT doc_id, n_toks, n_chunks, last_chunk_len,
+         |  CAST(list_reduce(list_prepend(0::BIGINT, chunk_hashes), (a, b) -> a + b) AS BIGINT)
+         |    AS chunk_checksum
+         |FROM h ORDER BY doc_id""".stripMargin
     },
   )
 }
