@@ -128,19 +128,58 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Connected components over an undirected pair list by iterative
-    * min-label propagation: every node adopts the smallest label among
-    * itself and its neighbors until fixpoint. Near-dup clusters are
-    * tiny and sparse, so convergence takes O(cluster diameter)
-    * iterations (each one join + groupBy-min — all distributed); a
-    * 100 TB graph with long chains would switch to the large-star/
-    * small-star algorithm, same label-contract semantics.
+  /** Edge-count cutover for [[connectedComponents]]: at or below this
+    * many verified duplicate edges the component solve runs as a
+    * driver-local union-find — O(E α(E)) with zero shuffle stages —
+    * because a fixpoint loop of distributed joins costs several
+    * scheduler round-trips per iteration regardless of data size.
+    * Above it (a 100 TB corpus can produce billions of dup edges) the
+    * distributed min-label propagation takes over. 10M edges ≈ 160 MB
+    * of longs on the driver — comfortably under any real driver heap. */
+  val LocalComponentsMaxEdges = 10000000L
+
+  /** Connected components over an undirected pair list.
+    *
+    * Distributed path: iterative min-label propagation — every node
+    * adopts the smallest label among itself and its neighbors until
+    * fixpoint; convergence is O(cluster diameter) iterations (each one
+    * join + groupBy-min — all distributed); a graph with long chains
+    * would switch to large-star/small-star, same label-contract
+    * semantics. Small graphs (≤ [[LocalComponentsMaxEdges]]) solve on
+    * the driver instead — identical output, none of the per-iteration
+    * stage overhead.
     *
     * @param pairs two LONG columns (a, b), undirected edges.
+    * @param localMaxEdges cutover for the driver-local solve
+    *                      (overridable for testing the distributed path).
     * @return (id, component) for every id appearing in pairs, where
     *         component = min id reachable from it. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+                          localMaxEdges: Long = LocalComponentsMaxEdges): DataFrame = {
+    val spark = pairs.sparkSession
     val a = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
+    val nEdges = a.count()
+    if (nEdges <= localMaxEdges) {
+      // union-find on the driver: one collect of (u, v) longs
+      import spark.implicits._
+      val edges = a.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((u, v) <- edges) {
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      // min-root invariant: union always keeps the smaller root, so
+      // find(x) is exactly "min id reachable from x"
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
+    }
     val edges = a.union(a.select(col("v").as("u"), col("u").as("v"))).distinct().cache()
     // seed with min(self, direct neighbors) — equivalent to running one
     // propagation round, saving one join+action in the fixpoint loop

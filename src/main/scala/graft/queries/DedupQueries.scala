@@ -38,7 +38,11 @@ object DedupQueries {
     * every consumer (min, sizes). */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.cachedView(s, "graft_cache_shingles_" + graft.SparkEntry.pathSlug(dir)) {
-      docs(s, dir).select(
+      // repartition BEFORE the per-doc hashing: the corpus parquet can
+      // arrive as one input split (it's small on disk), which would run
+      // the expensive row-local shingle pass single-threaded; shuffling
+      // raw text rows is cheap, hashing them is not
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism).select(
         col("doc_id"), col("lang"),
         graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as("hs"))
     }
@@ -106,15 +110,26 @@ object DedupQueries {
       // the barrier, Catalyst inlines the shingle-hash expression into
       // the join's output projection and recomputes it per *pair*
       val sh = hashedShingles(s, dir)
+      // the group key (lang) has ~5 distinct values, so a plain
+      // lang-equi self-join serializes onto 5 tasks no matter how many
+      // cores exist. Chunk the pair space instead: the b side gets a
+      // deterministic chunk from its id, the a side is exploded once
+      // per chunk, and the equi-key becomes (lang, chunk) — 5×chunks
+      // balanced tasks, identical output (chunks only reroute pairs).
+      val chunks = 8
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("hs").as("hs_a"),
-        size(col("hs")).as("n_a"))
+          size(col("hs")).as("n_a"))
+        .withColumn("peer_chunk",
+          explode(array((0 until chunks).map(i => lit(i.toLong)): _*)))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("hs").as("hs_b"),
-        size(col("hs")).as("n_b"))
+          size(col("hs")).as("n_b"))
+        .withColumn("chunk", pmod(col("doc_b"), lit(chunks.toLong)))
       // the jaccard predicate sits INSIDE the join condition: candidate
       // pairs are verified before any output row materializes, so the
       // ~2.4 KB signature arrays are copied only for surviving pairs,
       // never for the millions of rejected ones
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+      a.join(b, col("lang") === col("lang_b") && col("peer_chunk") === col("chunk") &&
+          col("doc_a") < col("doc_b") &&
           // size band: Jaccard >= t needs t <= |A|/|B| <= 1/t
           col("n_a").cast("double") >= col("n_b") * JaccardThreshold &&
           col("n_b").cast("double") >= col("n_a") * JaccardThreshold &&
@@ -145,7 +160,7 @@ object DedupQueries {
       // nested-loop over all pairs. Identical output to brute force.
       val sigs = graft.SparkEntry.cachedView(s,
         "graft_cache_simhash_" + graft.SparkEntry.pathSlug(dir)) {
-        docs(s, dir).select(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism).select(
           col("doc_id"),
           simhash(transform(tokens(col("text")), x => charHash(x))).as("sig"))
       }
@@ -170,7 +185,11 @@ object DedupQueries {
 
     "q21_embedding_neardup" -> ((s, dir) => {
       val e = graft.SparkEntry.tbl(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      // the nested-loop pair join parallelizes by the streamed side's
+      // partitioning; one input split would mean one task computing all
+      // n²/2 cosines — spread the streamed side across the cluster
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
       a.join(b, col("vec_a") < col("vec_b"))
         .withColumn("score",

@@ -67,6 +67,28 @@ object EventStreams {
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** Stream-stream interval join — the streaming twin of q36's batch
+    * range join: every non-purchase event matched to the same user's
+    * purchase windows ([purchase ts, +`windowMinutes`)). Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire join state: each purchase is held only
+    * `windowMinutes` past the watermark, each point not at all —
+    * state is O(in-flight windows), never O(stream). */
+  def purchaseAttribution(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val pts = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+    val wins = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"), col("user_id").as("win_user"),
+        col("ts").as("win_ts"))
+      .withWatermark("win_ts", "10 minutes")
+    pts.join(wins,
+      col("user_id") === col("win_user") &&
+        col("ts") >= col("win_ts") &&
+        col("ts") < col("win_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("win_id"))
+  }
+
   /** Stateful sessionization: sessions close after `gapMinutes` of
     * silence per user. Uses flatMapGroupsWithState with event-time
     * timeout — the canonical custom-state streaming operator

@@ -62,9 +62,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
     // separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val comp = connectedComponents(pairs).collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver-local union-find path (default for small edge sets)
+    val local = connectedComponents(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(local === want)
+    // distributed min-label fixpoint path (forced): identical output
+    val dist = connectedComponents(pairs, localMaxEdges = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist === want)
+  }
+
+  test("local and distributed components agree on fixture LSH pairs") {
+    val pairs = graft.queries.DedupQueries.queries("q19_minhash_lsh")(spark, sf0001)
+      .select($"doc_a", $"doc_b")
+    val local = connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = connectedComponents(pairs, localMaxEdges = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local.nonEmpty && local === dist)
   }
 
   test("survivors keep min-id per component and all unpaired docs") {

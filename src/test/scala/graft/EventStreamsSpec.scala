@@ -71,6 +71,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join replay-matches the batch range join") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.purchaseAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      mem.addData(fixtureEvents)
+      q.processAllAvailable()
+      // push watermark far enough that every in-window pair is emitted
+      val maxUs = fixtureEvents.map(e => EventStreams.micros(e.ts)).max
+      val flushTs = new Timestamp((maxUs + 365L * 24 * 3600 * 1000000L) / 1000L)
+      mem.addData(Seq(Ev(-1L, -1L, flushTs, "flush", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .filter($"event_id" >= 0)
+        .select($"event_id", $"win_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val ev = spark.read.parquet(s"$sf0001/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val win = 30L * 60 * 1000000L
+      val want = ev.filter($"event_type" =!= "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("t"))
+        .join(ev.filter($"event_type" === "purchase")
+            .select($"event_id".as("win_id"), $"user_id".as("wu"),
+              unix_micros($"ts").as("wt")),
+          $"user_id" === $"wu" && $"t" >= $"wt" && $"t" < $"wt" + lit(win))
+        .select($"event_id", $"win_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(want.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
   test("streaming sessionization replay-matches the batch twin per user") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
