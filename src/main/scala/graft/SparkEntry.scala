@@ -258,6 +258,27 @@ object SparkEntry {
         .orderBy($"o_orderstatus")
     }),
 
+    "q40_moving_avg" -> ((s, dir) => {
+      import s.implicits._
+      // window FRAMES (beyond row_number/lag): per-user 5-row moving
+      // average + running count over event time. The frame sum routes
+      // through decimal: sliding-window implementations (running
+      // subtract vs segment tree) differ in double rounding between
+      // engines, decimal addition does not.
+      val ord = Seq($"ts_us", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy(ord: _*).rowsBetween(-4, 0)
+      val wc = Window.partitionBy($"user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).filter($"user_id" < 20)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+        .withColumn("mov_avg",
+          round(sum($"value".cast("decimal(28,6)")).over(w).cast("double") /
+            count(lit(1)).over(w), 6))
+        .withColumn("cum_n", count(lit(1)).over(wc))
+        .select($"user_id", $"event_id", $"ts_us", $"mov_avg", $"cum_n")
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
     "q37_cube_orders" -> ((s, dir) => {
       import s.implicits._
       // full cube over (status, year): all four grouping sets in one
@@ -457,6 +478,19 @@ object SparkEntry {
          |  $cols
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
+
+    "q40_moving_avg" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w), 6) AS mov_avg,
+        |  COUNT(*) OVER wc AS cum_n
+        |FROM events WHERE user_id < 20
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  wc AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q37_cube_orders" ->
       """WITH o AS (SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year, o_totalprice

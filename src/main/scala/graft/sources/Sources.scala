@@ -57,4 +57,20 @@ object Sources {
     * reference's response, server.py:64, as a file). */
   def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Bucketed + sorted table sink — the co-located-join layout for the
+    * 100 TB tier. Two tables bucketed (and sorted) on their join key
+    * with the same bucket count join with NO shuffle and NO sort: each
+    * task zips bucket i of both sides. This is how a corpus and its
+    * derived artifacts (signatures, embeddings, survivor sets) should
+    * be laid out so every downstream join is exchange-free.
+    * Bucketing requires the table catalog (`saveAsTable`), not a bare
+    * path — the bucket spec lives in table metadata. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -33,6 +33,33 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(back.schema("doc_id").dataType.typeName === "long")
   }
 
+  test("bucketed tables join with no exchange and no sort") {
+    // corpus + derived per-doc artifact bucketed on the join key: the
+    // join must be a zip of same-numbered buckets — any
+    // ShuffleExchange here would re-shuffle 100 TB on every join
+    Sources.writeBucketed(docs, "graft_bucket_docs", "doc_id", 4)
+    Sources.writeBucketed(
+      docs.select($"doc_id", length($"text").as("n")), "graft_bucket_sigs", "doc_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast: at test scale both sides fit in a
+      // broadcast, which is what the planner would (correctly) pick —
+      // the bucketed layout is for the tier where neither side does
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_docs")
+        .join(spark.table("graft_bucket_sigs"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() === docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_docs")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_sigs")
+    }
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graft-part").toString
     Sources.writeParquet(docs, s"$dir/docs", partitionByCols = Seq("lang"))
