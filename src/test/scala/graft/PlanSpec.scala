@@ -64,6 +64,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("q36 range join plans as an equi join on (key, bucket), never a cartesian") {
+    val p = plan("q36_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join must stay equi-shaped:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected a hash-keyed join in:\n$p")
+  }
+
+  test("q34 broadcasts the tiny df/stats sides, keeps the corpus un-shuffled until tf agg") {
+    val p = plan("q34_bm25_keyword")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"expected broadcast of df/corpus-stats in:\n$p")
+  }
+
   test("q11 aggregator shuffles partial top-k, not the scored corpus") {
     // the top-k aggregate must run map-side (partial_) below the exchange
     val p = plan("q11_knn_multi")
