@@ -32,13 +32,12 @@ import graft.functions.VectorFunctions._
   */
 object KeywordQueries {
 
-  val K1 = 1.2
-  val B = 0.75
-  // derived constants computed ONCE in Scala and interpolated into both
-  // plans: `1.2 + 1` re-derived independently in each engine could land
-  // on a different double ulp; a shared Double.toString round-trips
-  private val K1p1 = K1 + 1.0
-  private val OneMinusB = 1.0 - B
+  // scoring math lives in the operator layer (graft.operators.Bm25);
+  // these aliases feed the SQL-twin generator below
+  private val K1 = graft.operators.Bm25.K1
+  private val B = graft.operators.Bm25.B
+  private val K1p1 = graft.operators.Bm25.K1p1
+  private val OneMinusB = graft.operators.Bm25.OneMinusB
 
   val RrfK = 60.0
   val RrfPoolK = 20
@@ -65,31 +64,7 @@ object KeywordQueries {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("dl", size(col("toks")).cast("double"))
     }
-    val stats = d.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(size(col("toks")).cast("long")).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl"))
-    // tf via explode + filter + count, NOT a per-term list_filter HOF:
-    // the token stream is scanned ONCE (codegen'd generate), only
-    // query-term occurrences survive into the (doc, term) aggregation
-    // — at 100 TB the shuffle carries matching tokens only, and the
-    // map side combines them to one row per (doc, term)
-    val tf = d
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * lit(K1p1) /
-          (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_terms"),
-        round(sum(col("contrib").cast("decimal(28,12)")).cast("double"), 6).as("score"))
+    graft.operators.Bm25.scores(d, terms)
   }
 
   /** DuckDB CTE chain mirroring [[bm25]]: defines `bm25(doc_id,
@@ -135,25 +110,19 @@ object KeywordQueries {
         .select(col("doc_id"), col("vscore"))
         .orderBy(col("vscore").desc, col("doc_id").asc)
         .limit(RrfPoolK)
-      val vrank = vtop.withColumn("rv",
+      val vrank = vtop.withColumn("rank",
         row_number().over(Window.orderBy(col("vscore").desc, col("doc_id").asc)))
-        .select(col("doc_id").as("vdoc"), col("rv"))
+        .select(col("doc_id"), col("rank"))
       // keyword arm: BM25 on the same prompt's tokens, top-20 then rank
-      val ktop = bm25(s, dir, PromptTerms)
+      val krank = bm25(s, dir, PromptTerms)
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(RrfPoolK)
-      val krank = ktop.withColumn("rk",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-        .select(col("doc_id").as("kdoc"), col("rk"))
-      vrank.join(krank, col("vdoc") === col("kdoc"), "full_outer")
-        .select(
-          coalesce(col("vdoc"), col("kdoc")).as("doc_id"),
-          coalesce(col("rv"), lit(-1)).cast("long").as("rank_vec"),
-          coalesce(col("rk"), lit(-1)).cast("long").as("rank_kw"),
-          round(
-            when(col("rv").isNotNull, lit(1.0) / (lit(RrfK) + col("rv"))).otherwise(lit(0.0)) +
-              when(col("rk").isNotNull, lit(1.0) / (lit(RrfK) + col("rk"))).otherwise(lit(0.0)),
-            6).as("rrf"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      graft.operators.Bm25.rrfFuse(vrank, krank, "doc_id", RrfK)
+        .withColumnRenamed("rank_a", "rank_vec")
+        .withColumnRenamed("rank_b", "rank_kw")
         .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
     }),

@@ -89,6 +89,44 @@ final class SearchEngine(
       case c => c.toString
     } + "\""
 
+  /** Hybrid retrieval: the prompt drives BOTH a vector arm (embed →
+    * cosine top-`poolK`) and a keyword arm (the prompt's tokens →
+    * BM25 top-`poolK` over the same corpus), fused by reciprocal rank
+    * fusion ([[graft.operators.Bm25.rrfFuse]]). The standard fix for
+    * pure-vector misses on exact-term queries — extension surface (the
+    * reference searches vectors only, server.py:85-91).
+    * @return (doc_id, rank_vec, rank_kw, rrf) — top-k by fused score,
+    *         absent-arm ranks as -1. */
+  def hybridSearch(sfDir: String, prompt: String, k: Int = 10, poolK: Int = 20): DataFrame = {
+    val c = corpus(sfDir, embedder.dim)
+    // scores round to 6 dp BEFORE ranking (the engine-wide determinism
+    // convention): rank must not flip on 1-ulp score differences
+    val vrank = c
+      .withColumn("score",
+        round(neo4jScore(col("embedding"), typedLit(embedder.embed(prompt).toSeq)), 6))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(poolK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select($"doc_id", $"rank")
+    val terms = prompt.split(" ").toSeq.filter(_.nonEmpty).distinct
+    val tokenized = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("toks"))
+      .withColumn("dl", size($"toks").cast("double"))
+    val krank = graft.operators.Bm25.scores(tokenized, terms)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(poolK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select($"doc_id", $"rank")
+    graft.operators.Bm25.rrfFuse(vrank, krank)
+      .withColumnRenamed("rank_a", "rank_vec")
+      .withColumnRenamed("rank_b", "rank_kw")
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Metadata-filtered search (SURVEY.md §2.2 filter row): predicate is
     * applied *before* scoring so Catalyst pushes it into the Parquet scan
     * — at 100 TB a selective filter prunes row groups via statistics

@@ -100,6 +100,21 @@ class SearchEngineSpec extends SparkSpec {
     assert(results.toSeq === batch)
   }
 
+  test("hybridSearch fuses vector and keyword arms and matches q35's shape") {
+    val eng = new graft.search.SearchEngine(spark)
+    val out = eng.hybridSearch(sf0001, graft.queries.AnnQueries.FlagshipPrompt, k = 10)
+    val rows = out.collect()
+    assert(rows.length === 10)
+    // both arms contribute: some doc must carry a real keyword rank
+    assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(1) > 0))
+    // fused scores are 1/(60+r) sums: max possible is 2/61
+    assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 2.0 / 61.0 + 1e-9))
+    // the engine API and the oracle-checked q35 pipeline agree end-to-end
+    val q35 = graft.queries.KeywordQueries.queries("q35_hybrid_rrf")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq === q35)
+  }
+
   test("native TypedImperativeAggregate top-k equals the typed Aggregator join") {
     val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = embs.filter($"vec_id" < 4)
