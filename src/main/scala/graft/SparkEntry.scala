@@ -94,7 +94,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ExtraQueries.queries ++
-      graft.queries.KeywordQueries.queries
+      graft.queries.KeywordQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -368,7 +369,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ExtraQueries.oracleSql ++
-      graft.queries.KeywordQueries.oracleSql
+      graft.queries.KeywordQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 

@@ -82,6 +82,11 @@ object PortableHash {
     * sketch can never silently reshuffle a dataset's split assignment. */
   val SplitPair: (Long, Long) = affineConstants(505L, 1).head
 
+  /** Stratified-sampling hash — independent of [[SplitPair]], so a doc's
+    * sample membership and its train/val/test assignment are
+    * uncorrelated (sampling inside the train split stays unbiased). */
+  val SamplePair: (Long, Long) = affineConstants(606L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

@@ -65,7 +65,7 @@ object DedupQueries {
 
   /** q19's pipeline: MinHash band-key candidates verified by exact
     * Jaccard — shared by q19 (pairs) and q31 (survivor selection). */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.cachedView(s, "graft_cache_lshpairs_" + graft.SparkEntry.pathSlug(dir)) {
       buildLshVerifiedPairs(s, dir)
     }
@@ -202,7 +202,7 @@ object DedupQueries {
 
   /** CTE chain shared by the q19/q31 oracles: shingle sets → minhash
     * sigs → band keys → candidates → verified `pairs`. */
-  private lazy val lshPairsCtes: String = {
+  private[queries] lazy val lshPairsCtes: String = {
     val bandSelects = (0 until MinhashBands).map { bnd =>
       s"SELECT doc_id, $bnd AS band, ${bandKeySql("sig", bnd)} AS key FROM sigs"
     }.mkString(" UNION ALL ")

@@ -52,20 +52,28 @@ object KeywordQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
 
-  /** BM25 scores of `terms` over documents → (doc_id, n_terms, score),
-    * docs with no matching term absent. */
-  private[queries] def bm25(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
-    // session-cached tokenized corpus, shared by every BM25 invocation
-    // (q34 + q35's keyword arm): tokenization runs once, parallelized
-    // across the cluster (the corpus parquet can arrive as one split)
-    val d = graft.SparkEntry.cachedView(s,
+  /** Session-cached tokenized corpus (doc_id, lang, toks, dl) — ONE
+    * tokenization pass shared by every consumer in the session (BM25
+    * q34 + q35's keyword arm, TF-IDF q41, packing q42), parallelized
+    * across the cluster (the corpus parquet can arrive as one split). */
+  private[queries] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
       "graft_cache_doctoks_" + graft.SparkEntry.pathSlug(dir)) {
       docs(s, dir).repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
         .withColumn("dl", size(col("toks")).cast("double"))
     }
-    graft.operators.Bm25.scores(d, terms)
+
+  /** DuckDB CTE body mirroring [[tokenizedDocs]]. */
+  private[queries] val tokenizedDocsSql: String = {
+    val t = tokensSql("text")
+    s"SELECT doc_id, lang, $t AS toks, len($t)::DOUBLE AS dl FROM documents"
   }
+
+  /** BM25 scores of `terms` over documents → (doc_id, n_terms, score),
+    * docs with no matching term absent. */
+  private[queries] def bm25(s: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    graft.operators.Bm25.scores(tokenizedDocs(s, dir), terms)
 
   /** DuckDB CTE chain mirroring [[bm25]]: defines `bm25(doc_id,
     * n_terms, score)` (plus its intermediates) for the given terms. */
@@ -110,15 +118,21 @@ object KeywordQueries {
         .select(col("doc_id"), col("vscore"))
         .orderBy(col("vscore").desc, col("doc_id").asc)
         .limit(RrfPoolK)
+      // ranking frames are ≤ RrfPoolK rows (post-limit); the partition
+      // key is constant-valued but non-foldable (doc_id % 1 ≡ 0) — a
+      // literal would be folded away and WindowExec would take its
+      // warn-and-single-partition path
       val vrank = vtop.withColumn("rank",
-        row_number().over(Window.orderBy(col("vscore").desc, col("doc_id").asc)))
+        row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("vscore").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("rank"))
       // keyword arm: BM25 on the same prompt's tokens, top-20 then rank
       val krank = bm25(s, dir, PromptTerms)
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(RrfPoolK)
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+          row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("rank"))
       graft.operators.Bm25.rrfFuse(vrank, krank, "doc_id", RrfK)
         .withColumnRenamed("rank_a", "rank_vec")

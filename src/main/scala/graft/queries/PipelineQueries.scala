@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.functions.TextFunctions._
+import graft.queries.TextQueries.{ChunkSize, ChunkStride, shingleSql, shingleCol}
+
+/** Training-data-pipeline queries (north-star extension surface — the
+  * reference, server.py:85-91, reads a prepared corpus; these are the
+  * operators that PREPARE one).
+  *
+  * q41: per-document TF-IDF top terms — the classic relevance weighting
+  *      (Spärck Jones idf), the feature a keyword indexer materializes.
+  * q42: sequence packing — q39's overlapping chunks packed into
+  *      fixed-token-budget bins, the step that turns documents into
+  *      dense training batches.
+  * q43: end-to-end curation — quality filter × near-dup survivor ×
+  *      train/val/test split, composed from the already-verified
+  *      operators into the one query a data curator actually ships.
+  * q44: stratified sampling — per-language deterministic hash sampling
+  *      at per-stratum rates (rebalancing a multilingual corpus).
+  * q45: n-gram frequency — top bigrams by count (corpus statistics /
+  *      contamination screens run this shape).
+  * q46: salted skew join ([[graft.operators.SkewJoin]]) — the skew
+  *      tool oracle-checked against the plain join it must equal.
+  *
+  * Scale shapes: q41/q45 are explode → map-side-combined groupBy
+  * (wordcount); q42 is one window over (pack_group, doc, chunk) — the
+  * group key bounds every partition's state; q43 reuses the cached
+  * shingle/LSH artifacts and adds only broadcast-sized joins; q44 is a
+  * single scan; q46 trades one replicated dim for straggler-free tasks.
+  */
+object PipelineQueries {
+
+  /** q41: rank cutoff for per-doc top terms. */
+  val TfidfTopK = 3
+
+  /** q42: token budget per packed bin, and the modulus that spreads
+    * packing across independent groups (each group packs its own chunk
+    * stream — at 100 TB, packing parallelism = number of groups, and a
+    * group is processed by one window partition, never the whole
+    * corpus in one task). */
+  val PackBudget = 256L
+  val PackGroups = 8L
+
+  /** q43: curation quality cutoff (median-ish on the fixture corpus, so
+    * the filter is non-degenerate — roughly half the docs pass). */
+  val QualityThreshold = 0.61
+
+  /** q44: per-language sampling rates in percent (default for unlisted
+    * languages deliberately absent — the fixture's five langs are all
+    * listed; an unlisted lang samples at 0, i.e. drops). */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("de" -> 20, "en" -> 80, "es" -> 40, "fr" -> 60, "zh" -> 30)
+
+  /** q45: how many top bigrams to keep. */
+  val BigramTopN = 20
+
+  /** q46: salt fan-out. */
+  val SaltParts = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.tbl(s, dir, "documents")
+
+  /** decimal-routed deterministic sum of a double expression */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 10) =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q41_tfidf_topterms" -> ((s, dir) => {
+      // tf: one explode over the shared tokenized corpus, map-side
+      // combined to a row per (doc, term). df and the corpus size are
+      // broadcast back (vocabulary ≪ corpus at any scale; if a
+      // vocabulary ever outgrew broadcast, the join key is `term` and
+      // the shuffle shape stays the same). idf = ln(N/df); the per-doc
+      // ranking window partitions by doc_id — bounded state per group.
+      val d = KeywordQueries.tokenizedDocs(s, dir)
+      val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        // round BEFORE ranking (engine-wide convention): rank can't
+        // flip on a 1-ulp ln() difference between engines
+        .withColumn("tfidf",
+          round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TfidfTopK)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    "q42_packing" -> ((s, dir) => {
+      // chunk geometry is q39's (ChunkSize window / ChunkStride step);
+      // bin assignment is the running token count before each chunk,
+      // integer-divided by the budget — a greedy packer whose only
+      // cross-row state is one window sum per pack group
+      val st = ChunkStride
+      val cs = ChunkSize
+      val d = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("dl").cast("long").as("n_toks"))
+        .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))
+        .filter(col("n_chunks") > 0)
+        .withColumn("i", explode(sequence(lit(0L), col("n_chunks") - 1)))
+        .withColumn("chunk_toks",
+          least(lit(cs.toLong), col("n_toks") - col("i") * st))
+        .withColumn("pack_group", pmod(col("doc_id"), lit(PackGroups)))
+      val w = Window.partitionBy(col("pack_group"))
+        .orderBy(col("doc_id"), col("i"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum_before", coalesce(sum(col("chunk_toks")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $PackBudget"))
+        .groupBy(col("pack_group"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("chunk_toks")).cast("long").as("total_tokens"))
+        .orderBy(col("pack_group"), col("bin"))
+    }),
+
+    "q43_curation_pipeline" -> ((s, dir) => {
+      // the whole curation funnel in one plan: per-doc quality (row-
+      // local math) → near-dup survivor (cached LSH pairs + components)
+      // → deterministic split — then the per-(split, lang) manifest a
+      // training run consumes
+      val enriched = TextQueries.enriched(s, dir)
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      val qual = enriched
+        .withColumn("quality",
+          qualityScore(col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
+        .filter(col("quality") >= QualityThreshold)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      val pairs = DedupQueries.lshVerifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val surv = graft.operators.Dedup
+        .survivors(docs(s, dir).select(col("doc_id")), "doc_id", pairs)
+        .filter(col("is_survivor"))
+        .select(col("doc_id"))
+      val (a, b) = SplitPair
+      qual.join(surv, "doc_id")
+        .withColumn("bucket", ((lit(a) * col("doc_id") + lit(b)) % lit(P)) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(sum(col("quality").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_quality"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    "q44_stratified_sample" -> ((s, dir) => {
+      val (a, b) = SamplePair
+      val rate = SampleRates.foldRight(lit(0)) { case ((lang, r), other) =>
+        when(col("lang") === lang, lit(r)).otherwise(other)
+      }
+      docs(s, dir)
+        .withColumn("bucket", ((lit(a) * col("doc_id") + lit(b)) % lit(P)) % 100)
+        .withColumn("rate_pct", rate)
+        .withColumn("sampled", col("bucket") < col("rate_pct"))
+        .groupBy(col("lang"), col("rate_pct").cast("long").as("rate_pct"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).cast("long").as("n_sampled"),
+          min(when(col("sampled"), col("doc_id"))).as("min_sampled"),
+          max(when(col("sampled"), col("doc_id"))).as("max_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    "q45_bigram_top" -> ((s, dir) => {
+      // wordcount shape: row-local shingling, explode, map-side-combined
+      // count, global top-n via TakeOrderedAndProject
+      docs(s, dir)
+        .select(explode(shingleCol(tokens(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(BigramTopN)
+    }),
+
+    "q46_salted_join" -> ((s, dir) => {
+      // the salted join MUST equal the plain join — the oracle runs the
+      // plain one, so the rerouting is verified end-to-end
+      graft.operators.SkewJoin.saltedEquiJoin(
+          graft.SparkEntry.tbl(s, dir, "lineitem"),
+          graft.SparkEntry.tbl(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", SaltParts)
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("o_year"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("o_year"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q41_tfidf_topterms" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM dd),
+         |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfc GROUP BY term),
+         |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM dd),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    round(tf::DOUBLE * ln(n_docs / df), 6) AS tfidf
+         |  FROM tfc JOIN dfreq USING (term) CROSS JOIN stats),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tfidf FROM ranked
+         |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+
+    "q42_packing" -> {
+      val st = ChunkStride
+      val cs = ChunkSize
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |c AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_toks,
+         |    ((CAST(dl AS BIGINT) + ${st - 1}) // $st) AS n_chunks FROM dd
+         |  WHERE ((CAST(dl AS BIGINT) + ${st - 1}) // $st) > 0),
+         |ch AS (SELECT doc_id, n_toks, unnest(range(n_chunks)) AS i FROM c),
+         |t AS (SELECT doc_id, i, least($cs, n_toks - i * $st) AS chunk_toks,
+         |    doc_id % $PackGroups AS pack_group FROM ch),
+         |packed AS (SELECT pack_group, doc_id, chunk_toks,
+         |    COALESCE(SUM(chunk_toks) OVER (PARTITION BY pack_group
+         |      ORDER BY doc_id, i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT pack_group, cum_before // $PackBudget AS bin,
+         |  COUNT(*) AS n_chunks,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(chunk_toks) AS BIGINT) AS total_tokens
+         |FROM packed GROUP BY 1, 2 ORDER BY pack_group, bin""".stripMargin
+    },
+
+    "q43_curation_pipeline" -> {
+      val (a, b) = SplitPair
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      s"""WITH RECURSIVE ${DedupQueries.lshPairsCtes},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+         |enriched AS (${TextQueries.enrichedSql}),
+         |qual AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    ${qualityScoreSql("n_tokens", "n_distinct", stopRatio, avgTokLen)} AS quality
+         |  FROM enriched),
+         |surv AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |  WHERE COALESCE(c.component, d.doc_id) = d.doc_id),
+         |sel AS (
+         |  SELECT q.doc_id, q.lang, q.n_tokens, q.quality,
+         |    (($a * q.doc_id + $b) % $P) % 100 AS bucket
+         |  FROM qual q JOIN surv s ON q.doc_id = s.doc_id
+         |  WHERE q.quality >= $QualityThreshold)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_quality
+         |FROM sel GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "q44_stratified_sample" -> {
+      val (a, b) = SamplePair
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    (($a * doc_id + $b) % $P) % 100 AS bucket,
+         |    $rateCase AS rate_pct
+         |  FROM documents)
+         |SELECT lang, CAST(rate_pct AS BIGINT) AS rate_pct,
+         |  COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  MIN(CASE WHEN bucket < rate_pct THEN doc_id END) AS min_sampled,
+         |  MAX(CASE WHEN bucket < rate_pct THEN doc_id END) AS max_sampled
+         |FROM d GROUP BY lang, rate_pct ORDER BY lang""".stripMargin
+    },
+
+    "q45_bigram_top" ->
+      s"""WITH sh AS (
+         |  SELECT unnest(${shingleSql(tokensSql("text"), 2)}) AS bigram
+         |  FROM documents)
+         |SELECT bigram, COUNT(*) AS n FROM sh GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC LIMIT $BigramTopN""".stripMargin,
+
+    "q46_salted_join" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+  )
+}

@@ -49,7 +49,7 @@ object TextQueries {
     s"list_reduce(list_prepend(0::BIGINT, list_transform($toksE, t -> length(t)::BIGINT)), (a, b) -> a + b)"
 
   /** Per-document base columns shared by the text queries. */
-  private def enriched(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def enriched(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     docs(s, dir)
       .withColumn("toks", t)
@@ -59,7 +59,7 @@ object TextQueries {
       .withColumn("char_sum", tokCharSum(col("toks")))
   }
   // DuckDB twin of `enriched` as a CTE body
-  private val enrichedSql: String = {
+  private[queries] val enrichedSql: String = {
     val t = tokensSql("text")
     s"""SELECT doc_id, lang, source, text, $t AS toks,
        |  len($t)::BIGINT AS n_tokens,

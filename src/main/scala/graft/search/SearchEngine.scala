@@ -107,7 +107,13 @@ final class SearchEngine(
       .orderBy(desc("score"), asc("doc_id"))
       .limit(poolK)
       .withColumn("rank",
-        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        // the frame is ≤ poolK rows (post-limit). The partition key is a
+        // constant-valued but NON-FOLDABLE expression (doc_id % 1 ≡ 0):
+        // a literal would be folded out of the partition spec by
+        // Catalyst, sending WindowExec down its warn-and-single-
+        // partition path; this ranks the same single tiny group quietly
+        row_number().over(Window.partitionBy(pmod($"doc_id", lit(1)))
+          .orderBy(desc("score"), asc("doc_id"))))
       .select($"doc_id", $"rank")
     val terms = prompt.split(" ").toSeq.filter(_.nonEmpty).distinct
     val tokenized = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -118,7 +124,8 @@ final class SearchEngine(
       .orderBy(desc("score"), asc("doc_id"))
       .limit(poolK)
       .withColumn("rank",
-        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        row_number().over(Window.partitionBy(pmod($"doc_id", lit(1)))
+          .orderBy(desc("score"), asc("doc_id"))))
       .select($"doc_id", $"rank")
     graft.operators.Bm25.rrfFuse(vrank, krank)
       .withColumnRenamed("rank_a", "rank_vec")
