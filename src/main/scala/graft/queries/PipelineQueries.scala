@@ -182,9 +182,12 @@ object PipelineQueries {
 
     "q45_bigram_top" -> ((s, dir) => {
       // wordcount shape: row-local shingling, explode, map-side-combined
-      // count, global top-n via TakeOrderedAndProject
-      docs(s, dir)
-        .select(explode(shingleCol(tokens(col("text")), 2)).as("bigram"))
+      // count, global top-n via TakeOrderedAndProject. Shingles come off
+      // the shared repartitioned token cache: the corpus parquet can
+      // arrive as ONE split, and the interpreted higher-order shingling
+      // pass must not run single-threaded
+      KeywordQueries.tokenizedDocs(s, dir)
+        .select(explode(shingleCol(col("toks"), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{PipelineQueries, TextQueries}
+
+class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String, dir: String = sf001) =
+    PipelineQueries.queries(name)(spark, dir)
+
+  test("q42 packing: bins respect the token budget up to one chunk of overshoot") {
+    val bins = run("q42_packing").cache()
+    val over = bins.filter(
+      $"total_tokens" >= lit(PipelineQueries.PackBudget + TextQueries.ChunkSize))
+    assert(over.count() === 0)
+    // every bin is non-empty, every group's bins are contiguous from 0
+    assert(bins.filter($"n_chunks" < 1).count() === 0)
+    val gaps = bins.groupBy($"pack_group")
+      .agg(min($"bin").as("lo"), max($"bin").as("hi"), count(lit(1)).as("n"))
+      .filter($"lo" =!= 0 || $"hi" =!= $"n" - 1)
+    assert(gaps.count() === 0)
+    bins.unpersist()
+  }
+
+  test("q42 packing conserves q39's chunk count and token mass") {
+    val bins = run("q42_packing")
+      .agg(sum($"n_chunks"), sum($"total_tokens")).as[(Long, Long)].head()
+    val st = TextQueries.ChunkStride
+    val cs = TextQueries.ChunkSize
+    val chunks = graft.queries.TextQueries.queries("q39_chunking")(spark, sf001)
+      .withColumn("i", explode(sequence(lit(0L), $"n_chunks" - 1)))
+      .withColumn("chunk_toks", least(lit(cs.toLong), $"n_toks" - $"i" * st))
+      .agg(count(lit(1)), sum($"chunk_toks")).as[(Long, Long)].head()
+    assert(bins === chunks)
+  }
+
+  test("q41 tfidf: per-doc ranks are 1..k with non-increasing scores") {
+    val t = run("q41_tfidf_topterms").cache()
+    assert(t.filter($"rank" < 1 || $"rank" > PipelineQueries.TfidfTopK).count() === 0)
+    val bad = t.as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).values.filter { rows =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2).toSeq != (1L to rows.length).toSeq ||
+          sorted.sliding(2).exists { case Array(a, b) => b._4 > a._4; case _ => false }
+      }
+    assert(bad.isEmpty)
+    t.unpersist()
+  }
+
+  test("q44 stratified sample matches a direct filter-then-count formulation") {
+    import graft.functions.PortableHash.{P, SamplePair}
+    val (a, b) = SamplePair
+    val agg = run("q44_stratified_sample")
+      .select($"lang", $"n_sampled").as[(String, Long)].collect().toMap
+    val rates = PipelineQueries.SampleRates.toMap
+    val direct = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("bucket", ((lit(a) * $"doc_id" + lit(b)) % lit(P)) % 100)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")))
+      .filter { case (l, bk) => bk < rates.getOrElse(l, 0) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(agg === direct)
+    // at least one stratum actually sampled, none exceeds its total
+    assert(agg.values.sum > 0)
+  }
+
+  test("q43 curation keeps only above-threshold docs and survivors") {
+    val rows = run("q43_curation_pipeline")
+      .select($"n_docs", $"avg_quality").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, q) =>
+      n > 0 && q >= PipelineQueries.QualityThreshold })
+  }
+}

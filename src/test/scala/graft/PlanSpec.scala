@@ -86,4 +86,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
       s"expected map-side partial top-k under the exchange:\n$p")
   }
+
+  test("q41 broadcasts document frequencies and corpus size, never shuffles tf on term") {
+    val p = plan("q41_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast df join in:\n$p")
+  }
+
+  test("q45 top bigrams plan as TakeOrderedAndProject with a partial count below the exchange") {
+    val p = plan("q45_bigram_top")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-n heaps in:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(bigram")
+    val partialIdx = p.indexOf("partial_count", math.max(exchangeIdx, 0))
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial count under the exchange:\n$p")
+  }
+
+  test("q42 packing runs ONE window partitioned by pack_group") {
+    val p = plan("q42_packing")
+    assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
+      s"packing should need a single window pass (plus none hidden):\n$p")
+    assert(p.contains("pack_group"), s"window must partition by pack_group:\n$p")
+  }
 }
