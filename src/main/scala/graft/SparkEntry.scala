@@ -117,16 +117,27 @@ object SparkEntry {
 
     "q2_revenue_by_nation" -> ((s, dir) => {
       import s.implicits._
-      // dims are tiny at any scale factor → broadcast, no shuffle of facts
-      tbl(s, dir, "lineitem")
+      // partial aggregation BELOW the join: lineitem collapses to one
+      // exact-decimal row per order before touching orders — the join
+      // then moves |orders| rows instead of |lineitem|, and the groupBy
+      // output partitioning on l_orderkey is reused by the equi-join
+      // (no second fact shuffle). Decimal addition is associative, so
+      // sum-of-per-order-sums equals the single-pass sum bit-for-bit.
+      // Dims are tiny at any scale factor → broadcast.
+      val perOrder = tbl(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,10)")).as("rev"),
+          count(lit(1)).as("n"))
+      perOrder
         .join(tbl(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .join(tbl(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(tbl(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
         .agg(
-          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum($"rev").cast("double").as("revenue"),
+          sum($"n").as("n_items"))
         .orderBy($"r_name", $"n_name")
     }),
 
@@ -216,16 +227,24 @@ object SparkEntry {
       import s.implicits._
       // hierarchical subtotals region → nation → grand total (rollup);
       // '*ALL*' sentinel instead of NULL so ordering/hashing is
-      // collation-trivial in both engines
-      tbl(s, dir, "lineitem")
+      // collation-trivial in both engines. Same partial-agg-below-join
+      // shape as q2: the rollup's Expand (which duplicates every input
+      // row once per grouping set) runs over per-order rows, not raw
+      // lineitem.
+      val perOrder = tbl(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,10)")).as("rev"),
+          count(lit(1)).as("n"))
+      perOrder
         .join(tbl(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .join(tbl(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(tbl(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name")
         .agg(
-          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum($"rev").cast("double").as("revenue"),
+          sum($"n").as("n_items"))
         .select(coalesce($"r_name", lit("*ALL*")).as("r_name"),
           coalesce($"n_name", lit("*ALL*")).as("n_name"),
           $"revenue", $"n_items")

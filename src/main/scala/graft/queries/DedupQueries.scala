@@ -70,6 +70,17 @@ object DedupQueries {
       buildLshVerifiedPairs(s, dir)
     }
 
+  /** (doc_id, component, is_survivor) for every document — the LSH
+    * pipeline's terminal artifact, session-cached because BOTH q31 (the
+    * full labeling) and q43's curation funnel (survivors only) consume
+    * it; the connected-components solve runs once per session. */
+  private[queries] def survivorLabels(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s, "graft_cache_survivors_" + graft.SparkEntry.pathSlug(dir)) {
+      graft.operators.Dedup.survivors(
+        docs(s, dir).select(col("doc_id")), "doc_id",
+        lshVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    }
+
   private def buildLshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(s, dir)
     val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
@@ -142,15 +153,13 @@ object DedupQueries {
     "q19_minhash_lsh" -> ((s, dir) =>
       lshVerifiedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
-    "q31_dedup_survivors" -> ((s, dir) => {
+    "q31_dedup_survivors" -> ((s, dir) =>
       // the full near-dup dedup pipeline: LSH pairs → connected
       // components → min-id survivor per cluster, over all documents
-      val pairs = lshVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      graft.operators.Dedup.survivors(docs(s, dir), "doc_id", pairs)
+      survivorLabels(s, dir)
         .select(col("doc_id"), col("component"),
           col("is_survivor").cast("int").as("is_survivor"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     "q20_simhash" -> ((s, dir) => {
       // Global near-dup by SimHash with pigeonhole chunk blocking
@@ -170,16 +179,17 @@ object DedupQueries {
             .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("v"))
         }: _*)).as("ck"))
         .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
-      val cand = chunks.alias("x").join(chunks.alias("y"),
+      // the Hamming cutoff sits INSIDE the join condition (one XOR +
+      // popcount, codegen'd): rejected candidate pairs never
+      // materialize, and the duplicate-elimination distinct() shuffles
+      // only the surviving near-dup pairs — not the full candidate set
+      chunks.alias("x").join(chunks.alias("y"),
           col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-            col("x.doc_id") < col("y.doc_id"))
+            col("x.doc_id") < col("y.doc_id") &&
+            hamming(col("x.sig"), col("y.sig")) <= HammingMax)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+          hamming(col("x.sig"), col("y.sig")).as("ham"))
         .distinct()
-      cand
-        .withColumn("ham", hamming(col("sig_a"), col("sig_b")))
-        .filter(col("ham") <= HammingMax)
-        .select(col("doc_a"), col("doc_b"), col("ham"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -140,10 +140,7 @@ object PipelineQueries {
           qualityScore(col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
         .filter(col("quality") >= QualityThreshold)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
-      val pairs = DedupQueries.lshVerifiedPairs(s, dir)
-        .select(col("doc_a"), col("doc_b"))
-      val surv = graft.operators.Dedup
-        .survivors(docs(s, dir).select(col("doc_id")), "doc_id", pairs)
+      val surv = DedupQueries.survivorLabels(s, dir)
         .filter(col("is_survivor"))
         .select(col("doc_id"))
       val (a, b) = SplitPair
