@@ -74,6 +74,27 @@ object AnnQueries {
         .limit(10)
         .select(col("vec_id"), col("bucket"), col("score"))
     }),
+
+    "q47_brp_knn" -> ((s, dir) => {
+      // the MLlib batch-index path as a declared query: seeded
+      // BucketedRandomProjectionLSH over L2-normalized vectors (unit
+      // norm ⇒ L2-NN ordering == cosine-NN ordering), probe via
+      // approxNearestNeighbors. The model's random projections are not
+      // portable to the oracle, so this query has NO oracleSql entry —
+      // the driver records the (documented) weaker rows-only check;
+      // recall vs the exact path is asserted in AnnIndexSpec. BRP's
+      // "fit" only draws seeded hyperplanes (no iterative jobs), so
+      // the build is cheap at any scale; at 100 TB the hashed table is
+      // persisted partitioned by bucket (AnnIndex.saveBrp) and probes
+      // read matching buckets only.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.search.AnnIndex
+        .buildBrp(e.select(col("vec_id"), col("embedding")), cache = false)
+        .topK(qv, k = 10)
+    }),
   )
 
   private[queries] def cosSql(aE: String, bE: String): String =

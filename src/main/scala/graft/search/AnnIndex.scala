@@ -66,15 +66,19 @@ object AnnIndex {
   }
 
   /** Fit a BRP-LSH index. `bucketLength` ~ 2–4 works for unit vectors;
-    * more tables → higher recall, more candidate I/O. */
+    * more tables → higher recall, more candidate I/O.
+    * @param cache cache the hashed table for repeated probes; pass
+    *              false for one-shot queries so no unmanaged cached
+    *              blocks outlive the call. */
   def buildBrp(corpus: DataFrame, numTables: Int = 5, bucketLength: Double = 2.0,
-               seed: Long = 42L): BrpIndex = {
+               seed: Long = 42L, cache: Boolean = true): BrpIndex = {
     val prepared = prepare(corpus)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setBucketLength(bucketLength).setSeed(seed)
     val model = lsh.fit(prepared)
-    BrpIndex(model, model.transform(prepared).cache())
+    val hashed = model.transform(prepared)
+    BrpIndex(model, if (cache) hashed.cache() else hashed)
   }
 
   /** Persist a BRP index as reusable artifacts — the engine's
@@ -122,12 +126,25 @@ object AnnIndex {
   }
 
   /** Fit an IVF index: seeded KMeans over normalized vectors; the
-    * corpus gains a `cell` column (at scale: the partition key). */
-  def buildIvf(corpus: DataFrame, cells: Int = 16, seed: Long = 7L): IvfIndex = {
+    * corpus gains a `cell` column (at scale: the partition key).
+    * @param cache cache the assigned table for repeated probes; pass
+    *              false for one-shot queries so no unmanaged cached
+    *              blocks outlive the call.
+    * @param maxIter KMeans iterations; a coarse quantizer does not need
+    *                convergence — cells only gate which vectors are
+    *                exact-scored, so fewer iterations trade a little
+    *                recall for a much cheaper (offline) build.
+    * @param initMode "k-means||" (default, better spread) or "random"
+    *                 (one fewer pass over the data). */
+  def buildIvf(corpus: DataFrame, cells: Int = 16, seed: Long = 7L,
+               cache: Boolean = true, maxIter: Int = 10,
+               initMode: String = "k-means||"): IvfIndex = {
     val prepared = prepare(corpus)
-    val km = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
+    val km = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(prepared)
-    IvfIndex(model, model.transform(prepared).cache())
+    val assigned = model.transform(prepared)
+    IvfIndex(model, if (cache) assigned.cache() else assigned)
   }
 }
