@@ -315,6 +315,25 @@ object SparkEntry {
         .orderBy($"o_orderstatus", $"o_year")
     }),
 
+    "q48_grouping_sets" -> ((s, dir) => {
+      // the SQL front door: the engine's other entry point next to the
+      // Column API — spark.sql over a session view, exercising GROUPING
+      // SETS, the one grouping shape .rollup/.cube can't express
+      // (arbitrary set lists; here the two one-dimension margins plus
+      // the grand total, WITHOUT the (status, priority) cross cells a
+      // cube would add). Same Expand + single shuffle physical shape as
+      // rollup/cube.
+      tbl(s, dir, "orders").createOrReplaceTempView("graft_q48_orders")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, '*ALL*') AS o_orderstatus,
+               coalesce(o_orderpriority, '*ALL*') AS o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM graft_q48_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority""")
+    }),
+
     "q30_percentiles" -> ((s, dir) => {
       import s.implicits._
       // exact interpolated percentiles (Spark `percentile` == DuckDB
@@ -522,6 +541,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
         |FROM o GROUP BY CUBE (o_orderstatus, o_year)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q48_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '*ALL*') AS o_orderstatus,
+        |  coalesce(o_orderpriority, '*ALL*') AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q30_percentiles" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -91,14 +91,21 @@ object Multimodal {
 
   /** Frame sampling: emit every k-th chunk of each blob as its own row
     * (`frame_idx`, `frame` BINARY) — the shape a video/audio sampler
-    * produces. Row-local posexplode; no shuffle. */
-  def sampleFrames(blobs: DataFrame, everyK: Int = 4): DataFrame =
+    * produces. Row-local posexplode; no shuffle. Empty and null blobs
+    * emit no frames (the `when` guard matters: an unguarded
+    * `sequence(0, n_chunks - 1)` THROWS on n_chunks = 0 because
+    * sequence refuses start > stop with a positive step). */
+  def sampleFrames(blobs: DataFrame, everyK: Int = 4): DataFrame = {
+    require(everyK > 0, "everyK must be positive")
     blobs
       .withColumn("n_chunks",
         ceil(octet_length(col("blob")).cast("double") / col("meta.chunk_bytes")).cast("int"))
       .withColumn("frame_idx",
-        explode(filter(sequence(lit(0), col("n_chunks") - 1), i => i % everyK === 0)))
+        explode(when(col("n_chunks") > 0,
+          filter(sequence(lit(0), col("n_chunks") - 1), i => i % everyK === 0))
+          .otherwise(typedLit(Seq.empty[Int]))))
       .withColumn("frame",
         expr(s"substring(blob, frame_idx * meta.chunk_bytes + 1, meta.chunk_bytes)"))
       .drop("n_chunks")
+  }
 }

@@ -55,4 +55,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .withColumn("want", ceil($"chunks" / 2.0).cast("long"))
     assert(perDoc.filter($"n" =!= $"want").count() === 0)
   }
+
+  test("frame sampling emits nothing for empty and null blobs, without erroring") {
+    val edge = Multimodal.ingestAsBlobs(
+        Seq((1L, "payload"), (2L, "")).toDF("doc_id", "text"))
+      .unionByName(
+        Seq((3L, "x")).toDF("doc_id", "text")
+          .withColumn("blob", lit(null).cast("binary"))
+          .withColumn("meta", struct(
+            lit("text/plain").as("media_type"),
+            lit(0L).as("n_bytes"),
+            lit(256).as("chunk_bytes"))))
+    val out = Multimodal.sampleFrames(edge, everyK = 1)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(out === Seq(1L)) // only the non-empty blob produces frames
+  }
 }
