@@ -71,33 +71,13 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q41_tfidf_topterms" -> ((s, dir) => {
-      // tf: one explode over the shared tokenized corpus, map-side
-      // combined to a row per (doc, term). df and the corpus size are
-      // broadcast back (vocabulary ≪ corpus at any scale; if a
-      // vocabulary ever outgrew broadcast, the join key is `term` and
-      // the shuffle shape stays the same). idf = ln(N/df); the per-doc
-      // ranking window partitions by doc_id — bounded state per group.
-      val d = KeywordQueries.tokenizedDocs(s, dir)
-      val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term").asc)
-      tf.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(nDocs))
-        // round BEFORE ranking (engine-wide convention): rank can't
-        // flip on a 1-ulp ln() difference between engines
-        .withColumn("tfidf",
-          round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TfidfTopK)
-        .select(col("doc_id"), col("rank").cast("long").as("rank"),
-          col("term"), col("tfidf"))
-        .orderBy(col("doc_id"), col("rank"))
-    }),
+    "q41_tfidf_topterms" -> ((s, dir) =>
+      // scale/shuffle shape documented on the operator; tfidf rounds to
+      // 6 dp BEFORE ranking (engine-wide convention), so rank can't
+      // flip on a 1-ulp ln() difference between engines
+      graft.operators.TfIdf
+        .topTerms(KeywordQueries.tokenizedDocs(s, dir), TfidfTopK)
+        .orderBy(col("doc_id"), col("rank"))),
 
     "q42_packing" -> ((s, dir) => {
       // chunk geometry is q39's (ChunkSize window / ChunkStride step);
@@ -106,24 +86,18 @@ object PipelineQueries {
       // cross-row state is one window sum per pack group
       val st = ChunkStride
       val cs = ChunkSize
-      val d = KeywordQueries.tokenizedDocs(s, dir)
+      val chunks = KeywordQueries.tokenizedDocs(s, dir)
         .select(col("doc_id"), col("dl").cast("long").as("n_toks"))
         .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))
         .filter(col("n_chunks") > 0)
         .withColumn("i", explode(sequence(lit(0L), col("n_chunks") - 1)))
         .withColumn("chunk_toks",
           least(lit(cs.toLong), col("n_toks") - col("i") * st))
-        .withColumn("pack_group", pmod(col("doc_id"), lit(PackGroups)))
-      val w = Window.partitionBy(col("pack_group"))
-        .orderBy(col("doc_id"), col("i"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      d.withColumn("cum_before", coalesce(sum(col("chunk_toks")).over(w), lit(0L)))
-        .withColumn("bin", expr(s"cum_before div $PackBudget"))
-        .groupBy(col("pack_group"), col("bin"))
-        .agg(
-          count(lit(1)).as("n_chunks"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          sum(col("chunk_toks")).cast("long").as("total_tokens"))
+      val assigned = graft.operators.Packing.assignBins(chunks,
+        packGroup = pmod(col("doc_id"), lit(PackGroups)),
+        orderBy = Seq(col("doc_id"), col("i")),
+        tokenCol = col("chunk_toks"), budget = PackBudget)
+      graft.operators.Packing.binStats(assigned, "doc_id", col("chunk_toks"))
         .orderBy(col("pack_group"), col("bin"))
     }),
 
