@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Writes PLANS.md: annotated `explain("formatted")` output for the
+  * headline queries, regenerated per round so the checked-in plans
+  * always match the code. The annotations state the property each plan
+  * must keep (also asserted in PlanSpec); the dump is the human-
+  * readable evidence.
+  *
+  * Usage: `sbt "runMain graft.PlanDump /root/testdata/sf0.01 PLANS.md"`
+  */
+object PlanDump {
+
+  private val Headliners: Seq[(String, String)] = Seq(
+    "q10_knn_exact" ->
+      ("The reference's core search (server.py:85-91) as one plan: scan → " +
+        "codegen'd cosine → `TakeOrderedAndProject` (per-partition top-k " +
+        "heaps, O(k) to the driver — the corpus is never sorted or shuffled)."),
+    "q2_revenue_by_nation" ->
+      ("Partial aggregation BELOW the join: lineitem collapses to per-order " +
+        "rows before joining orders (the exchange reuses the pre-agg's hash " +
+        "partitioning), dims arrive via `BroadcastHashJoin`."),
+    "q5_filtered_revenue" ->
+      ("Predicate pushdown: the selective filters appear as `PushedFilters` " +
+        "on the Parquet scan and `ReadSchema` carries only referenced columns."),
+    "q11_knn_multi" ->
+      ("Grouped top-k with map-side combine: `partial_topkagg` runs UNDER the " +
+        "`Exchange hashpartitioning(query_id)` — each partition ships at most " +
+        "k candidates per query, never the scored corpus."),
+    "q19_minhash_lsh" ->
+      ("LSH dedup as an equi-join: band keys make candidate generation a " +
+        "shuffled hash join on (band, key) — no O(n²) pair enumeration " +
+        "anywhere in the plan."),
+    "q42_packing" ->
+      ("Sequence packing: ONE `Window` partitioned by pack_group (running " +
+        "token sum), then a partial-aggregated groupBy — bounded state per " +
+        "partition, parallelism = number of groups."),
+    "q34_bm25_keyword" ->
+      ("BM25: term stats and corpus stats join back as broadcasts; the only " +
+        "non-broadcast exchange is the per-doc score aggregation, map-side " +
+        "combined."))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb ++= "# PLANS — headline physical plans (regenerated per round)\n\n"
+    sb ++= s"`graft.PlanDump` on `$sfDir`; the stated property of every plan " +
+      "is also asserted by `PlanSpec`, so a regression fails the build, not " +
+      "just this document.\n"
+    for ((name, note) <- Headliners) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // keep the operator tree + the scan details, drop the long tail of
+      // per-node field lists after the first blank-line-separated block
+      val trimmed = plan.linesIterator.takeWhile(_.nonEmpty).mkString("\n")
+      sb ++= s"\n## $name\n\n$note\n\n```\n$trimmed\n```\n"
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

@@ -75,6 +75,36 @@ object AnnQueries {
         .select(col("vec_id"), col("bucket"), col("score"))
     }),
 
+    "q49_int8_quant" -> ((s, dir) => {
+      // scalar quantization — the storage-compression arm of a vector
+      // database (4× smaller than float32 at rest; the reference stores
+      // raw 1536-d floats in Neo4j, README.md:74). Symmetric int8:
+      // q_i = round(x_i * 127 / max|x|), all row-local HOF math. The
+      // oracle compares INTEGER statistics (sums, saturation counts) —
+      // integer-exact across engines, no float-summation-order risk.
+      val x = col("embedding")
+      val amax = array_max(transform(x, v => abs(v.cast("double"))))
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .withColumn("amax", amax)
+        .withColumn("quant",
+          when(col("amax") > 0.0,
+            transform(x, v =>
+              round(v.cast("double") * lit(127.0) / col("amax"), 0).cast("long")))
+            .otherwise(transform(x, _ => lit(0L))))
+      e.select(col("label").cast("long").as("label"),
+          aggregate(col("quant"), lit(0L), (a, q) => a + q).as("sum_q"),
+          size(filter(col("quant"), q => abs(q) === 127L)).cast("long").as("n_sat"),
+          size(filter(col("quant"), q => q === 0L)).cast("long").as("n_zero"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("sum_q")).as("sum_q"),
+          sum(col("n_sat")).as("n_saturated"),
+          sum(col("n_zero")).as("n_zeroed"))
+        .orderBy(col("label"))
+    }),
+
     "q47_brp_knn" -> ((s, dir) => {
       // the MLlib batch-index path as a declared query: seeded
       // BucketedRandomProjectionLSH over L2-normalized vectors (unit
@@ -105,6 +135,30 @@ object AnnQueries {
        |       * sqrt(list_sum(list_transform($bE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) / 2.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    "q49_int8_quant" -> {
+      val amax = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+      s"""WITH e AS (
+         |  SELECT label, $amax AS amax, embedding
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |q AS (
+         |  SELECT label,
+         |    CASE WHEN amax > 0.0 THEN
+         |      list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / amax, 0) AS BIGINT))
+         |    ELSE list_transform(embedding, v -> 0::BIGINT) END AS quant
+         |  FROM e),
+         |st AS (
+         |  SELECT label,
+         |    list_reduce(list_prepend(0::BIGINT, quant), (a, b) -> a + b) AS sum_q,
+         |    len(list_filter(quant, x -> abs(x) = 127))::BIGINT AS n_sat,
+         |    len(list_filter(quant, x -> x = 0))::BIGINT AS n_zero
+         |  FROM q)
+         |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(sum_q) AS BIGINT) AS sum_q,
+         |  CAST(SUM(n_sat) AS BIGINT) AS n_saturated,
+         |  CAST(SUM(n_zero) AS BIGINT) AS n_zeroed
+         |FROM st GROUP BY label ORDER BY label""".stripMargin
+    },
 
     "q32_filtered_knn" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
