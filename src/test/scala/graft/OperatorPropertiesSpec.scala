@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Packing, TfIdf}
+
+/** Property-based invariants for the pipeline operators, generator-
+  * driven (fixed seeds → reproducible) against the real Column API. */
+class OperatorPropertiesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("packing: greedy bound, conservation, contiguous bins on random chunk streams") {
+    val budget = 50L
+    val maxChunk = 30L
+    val chunkGen = Gen.chooseNum(1L, maxChunk)
+    val chunks = samples(chunkGen, 400, 7L).zipWithIndex
+      .map { case (toks, i) => (i.toLong, i.toLong % 5, toks) }
+      .toDF("chunk_id", "doc_id", "chunk_toks")
+    val assigned = Packing.assignBins(chunks,
+      packGroup = pmod($"doc_id", lit(3L)),
+      orderBy = Seq($"doc_id", $"chunk_id"),
+      tokenCol = $"chunk_toks", budget = budget)
+    val bins = Packing.binStats(assigned, "doc_id", $"chunk_toks").cache()
+    // greedy bound: a bin never exceeds budget + (max chunk - 1)
+    assert(bins.filter($"total_tokens" >= budget + maxChunk).count() === 0)
+    // conservation: nothing dropped or duplicated
+    val (nIn, tokIn) = chunks.agg(count(lit(1)), sum($"chunk_toks")).as[(Long, Long)].head()
+    val (nOut, tokOut) = bins.agg(sum($"n_chunks"), sum($"total_tokens")).as[(Long, Long)].head()
+    assert((nIn, tokIn) === (nOut, tokOut))
+    // bins contiguous from 0 within each group
+    val gaps = bins.groupBy($"pack_group")
+      .agg(min($"bin").as("lo"), max($"bin").as("hi"), count(lit(1)).as("n"))
+      .filter($"lo" =!= 0 || $"hi" =!= $"n" - 1)
+    assert(gaps.count() === 0)
+    bins.unpersist()
+  }
+
+  test("packing is partition-count invariant") {
+    val chunks = samples(Gen.chooseNum(1L, 20L), 200, 11L).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks) }
+      .toDF("chunk_id", "chunk_toks")
+    def run(parts: Int) = Packing.binStats(
+      Packing.assignBins(chunks.repartition(parts),
+        packGroup = pmod($"chunk_id", lit(4L)),
+        orderBy = Seq($"chunk_id"),
+        tokenCol = $"chunk_toks", budget = 64L),
+      "chunk_id", $"chunk_toks")
+      .orderBy($"pack_group", $"bin").collect().toSeq
+    assert(run(1) === run(13))
+  }
+
+  test("tfidf matches a driver-side naive computation on a random corpus") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.listOfN(12, wordGen)
+    val docs = samples(docGen, 30, 23L).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks) }
+    val df = docs.toDF("doc_id", "toks")
+    val got = TfIdf.weights(df).orderBy($"doc_id", $"term")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // naive reference
+    val n = docs.size.toDouble
+    val dfreq = docs.flatMap(_._2.distinct.map(_ -> 1)).groupBy(_._1).view.mapValues(_.size.toDouble)
+    val want = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, occ) =>
+        (id, t, occ.size.toLong,
+          BigDecimal(occ.size * math.log(n / dfreq(t))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+  }
+
+  test("tfidf topTerms ranks are a prefix of the full weight ordering") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "b", "c")),
+      (2L, Seq("b", "b", "b", "d")),
+      (3L, Seq("c", "d", "d", "a"))).toDF("doc_id", "toks")
+    val top2 = TfIdf.topTerms(docs, 2).orderBy($"doc_id", $"rank")
+      .select($"doc_id", $"term").as[(Long, String)].collect().toSeq
+    val full = TfIdf.weights(docs)
+      .orderBy($"doc_id", $"tfidf".desc, $"term".asc)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) => rows.take(2) }.sorted
+    assert(top2.sorted === full)
+  }
+}
