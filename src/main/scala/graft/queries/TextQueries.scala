@@ -48,16 +48,22 @@ object TextQueries {
   private def tokCharSumSql(toksE: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform($toksE, t -> length(t)::BIGINT)), (a, b) -> a + b)"
 
-  /** Per-document base columns shared by the text queries. */
-  private[queries] def enriched(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    docs(s, dir)
-      .withColumn("toks", t)
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("n_stop", stopwordCount(col("toks")))
-      .withColumn("char_sum", tokCharSum(col("toks")))
-  }
+  /** Per-document base columns shared by the text queries — session-
+    * cached (q13, q14 and q43's curation funnel all consume it; the
+    * interpreted higher-order token math runs once), repartitioned
+    * first so the one-split corpus parquet doesn't serialize the pass
+    * onto a single task. */
+  private[queries] def enriched(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_enriched_" + graft.SparkEntry.pathSlug(dir)) {
+      val t = tokens(col("text"))
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", t)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_stop", stopwordCount(col("toks")))
+        .withColumn("char_sum", tokCharSum(col("toks")))
+    }
   // DuckDB twin of `enriched` as a CTE body
   private[queries] val enrichedSql: String = {
     val t = tokensSql("text")
