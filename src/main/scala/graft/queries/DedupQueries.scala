@@ -36,7 +36,7 @@ object DedupQueries {
     * ([[graft.expressions.ShingleHashSetExpr]]) — no intermediate
     * shingle strings; sorting is row-local and order-irrelevant to
     * every consumer (min, sizes). */
-  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.cachedView(s, "graft_cache_shingles_" + graft.SparkEntry.pathSlug(dir)) {
       // repartition BEFORE the per-doc hashing: the corpus parquet can
       // arrive as one input split (it's small on disk), which would run
@@ -49,7 +49,7 @@ object DedupQueries {
 
   // distinct applied AFTER hashing (matching the Spark side) so both
   // engines hold true sets of hash values and |A∪B| = |A|+|B|-|A∩B|
-  private val hashedShinglesSql: String = {
+  private[queries] val hashedShinglesSql: String = {
     val sh = shingleSql(tokensSql("text"))
     s"SELECT doc_id, lang, list_distinct(list_transform($sh, s -> ${charHashSql("s")})) AS hs FROM documents"
   }

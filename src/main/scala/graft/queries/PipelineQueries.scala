@@ -59,6 +59,15 @@ object PipelineQueries {
   /** q45: how many top bigrams to keep. */
   val BigramTopN = 20
 
+  /** q50 repetition-filter cutoffs (Rae et al.'s Gopher rules use the
+    * same two signal families): flag a doc when its most frequent token
+    * exceeds [[TopTokMax]] of all tokens, or when more than
+    * [[DupShingleMax]] of its 3-token shingles are repeats. Values sit
+    * at ~p90/p98 of the fixture distribution so the filter is
+    * non-degenerate in both directions. */
+  val TopTokMax = 0.14
+  val DupShingleMax = 0.01
+
   /** q46: salt fan-out. */
   val SaltParts = 8
 
@@ -163,6 +172,45 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(BigramTopN)
+    }),
+
+    "q50_repetition" -> ((s, dir) => {
+      // repetition quality filter (the Gopher-style screen): per-doc
+      // top-token fraction (one explode → two map-side-combined aggs)
+      // and duplicate-shingle fraction (free from the cached distinct
+      // shingle-hash sets: dup_frac = 1 - |distinct|/|total|). Both
+      // fractions round to 6 dp before thresholding so flag decisions
+      // can't flip on representation noise.
+      val enr = TextQueries.enriched(s, dir)
+      val topTok = enr
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_tok"))
+      val dsh = DedupQueries.hashedShingles(s, dir)
+        .select(col("doc_id"), size(col("hs")).cast("double").as("n_distinct_sh"))
+      enr.select(col("doc_id"), col("lang"), col("n_tokens"))
+        .join(topTok, "doc_id")
+        .join(dsh, "doc_id")
+        .withColumn("n3", greatest(col("n_tokens") - 2, lit(0L)).cast("double"))
+        .withColumn("top_frac",
+          round(col("top_tok").cast("double") / col("n_tokens"), 6))
+        .withColumn("dup_frac",
+          when(col("n3") > 0.0,
+            round(lit(1.0) - col("n_distinct_sh") / col("n3"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("flagged",
+          (col("top_frac") > TopTokMax || col("dup_frac") > DupShingleMax).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("flagged")).cast("long").as("n_flagged"),
+          round(sum(col("top_frac").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_top_frac"),
+          round(sum(col("dup_frac").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_dup_frac"))
+        .orderBy(col("lang"))
     }),
 
     "q46_salted_join" -> ((s, dir) => {
@@ -281,6 +329,33 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT bigram, COUNT(*) AS n FROM sh GROUP BY bigram
          |ORDER BY n DESC, bigram ASC LIMIT $BigramTopN""".stripMargin,
+
+    "q50_repetition" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT doc_id, unnest(toks) AS tok FROM dd),
+         |tt AS (SELECT doc_id, MAX(c) AS top_tok FROM (
+         |    SELECT doc_id, tok, COUNT(*) AS c FROM tf GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |sh AS (${DedupQueries.hashedShinglesSql}),
+         |base AS (
+         |  SELECT d.doc_id, d.lang, len(d.toks)::BIGINT AS n_tokens, t.top_tok,
+         |    len(s.hs)::DOUBLE AS n_distinct_sh,
+         |    greatest(len(d.toks) - 2, 0)::DOUBLE AS n3
+         |  FROM dd d JOIN tt t ON d.doc_id = t.doc_id JOIN sh s ON d.doc_id = s.doc_id),
+         |frac AS (
+         |  SELECT doc_id, lang,
+         |    round(top_tok::DOUBLE / n_tokens, 6) AS top_frac,
+         |    CASE WHEN n3 > 0.0 THEN round(1.0 - n_distinct_sh / n3, 6)
+         |         ELSE 0.0 END AS dup_frac
+         |  FROM base)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN top_frac > $TopTokMax OR dup_frac > $DupShingleMax
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  round(CAST(SUM(CAST(top_frac AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_top_frac,
+         |  round(CAST(SUM(CAST(dup_frac AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_dup_frac
+         |FROM frac GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q46_salted_join" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
