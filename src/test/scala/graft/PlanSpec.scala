@@ -102,6 +102,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected map-side partial count under the exchange:\n$p")
   }
 
+  test("q50 repetition signals aggregate map-side before their exchanges") {
+    val p = plan("q50_repetition")
+    // the per-(doc, tok) count must partial-aggregate below its shuffle
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(doc_id")
+    val partialIdx = p.indexOf("partial_count", math.max(exchangeIdx, 0))
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial count under the doc_id exchange:\n$p")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
