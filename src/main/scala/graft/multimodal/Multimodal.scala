@@ -89,6 +89,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** "Resize" a blob column to at most `targetBytes`, updating the
+    * metadata struct to the new size. With no media libraries in this
+    * container the transform is a deterministic truncation standing in
+    * for a real downscale — the contract a real resizer must keep is
+    * what this implements and the spec asserts: row-local (no shuffle),
+    * metadata consistent with the new payload, null blobs passed
+    * through untouched, already-small blobs unchanged. */
+  def resizeBlobs(blobs: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    blobs
+      .withColumn("blob",
+        when(col("blob").isNull, col("blob"))
+          .otherwise(expr(s"substring(blob, 1, $targetBytes)")))
+      .withColumn("meta", struct(
+        col("meta.media_type").as("media_type"),
+        when(col("blob").isNull, col("meta.n_bytes"))
+          .otherwise(octet_length(col("blob")).cast("long")).as("n_bytes"),
+        col("meta.chunk_bytes").as("chunk_bytes")))
+  }
+
   /** Frame sampling: emit every k-th chunk of each blob as its own row
     * (`frame_idx`, `frame` BINARY) — the shape a video/audio sampler
     * produces. Row-local posexplode; no shuffle. Empty and null blobs

@@ -56,6 +56,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(perDoc.filter($"n" =!= $"want").count() === 0)
   }
 
+  test("resize truncates to the target, keeps metadata consistent, passes nulls") {
+    val resized = Multimodal.resizeBlobs(blobs, targetBytes = 100)
+    val bad = resized.filter(
+      octet_length($"blob") =!= $"meta.n_bytes" || $"meta.n_bytes" > 100)
+    assert(bad.count() === 0)
+    // small blobs unchanged byte-for-byte
+    val small = blobs.filter(octet_length($"blob") <= 100).select($"doc_id", $"blob")
+    val smallAfter = Multimodal.resizeBlobs(blobs, 100)
+      .filter(octet_length($"blob") <= 100 && $"meta.n_bytes" === octet_length($"blob"))
+      .select($"doc_id", $"blob")
+    assert(small.except(smallAfter).count() === 0)
+    // null blob passes through with metadata untouched
+    val n = Seq((1L, "x")).toDF("doc_id", "text")
+      .withColumn("blob", lit(null).cast("binary"))
+      .withColumn("meta", struct(lit("text/plain").as("media_type"),
+        lit(42L).as("n_bytes"), lit(256).as("chunk_bytes")))
+    val r = Multimodal.resizeBlobs(n, 10).select($"blob", $"meta.n_bytes").head()
+    assert(r.isNullAt(0) && r.getLong(1) === 42L)
+  }
+
   test("frame sampling emits nothing for empty and null blobs, without erroring") {
     val edge = Multimodal.ingestAsBlobs(
         Seq((1L, "payload"), (2L, "")).toDF("doc_id", "text"))
