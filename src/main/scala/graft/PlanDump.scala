@@ -42,7 +42,15 @@ object PlanDump {
     "q34_bm25_keyword" ->
       ("BM25: term stats and corpus stats join back as broadcasts; the only " +
         "non-broadcast exchange is the per-doc score aggregation, map-side " +
-        "combined."))
+        "combined."),
+    "q43_curation_pipeline" ->
+      ("The full curation funnel in one plan: cached per-doc quality columns " +
+        "× cached LSH survivor labels × hash split — the joins beyond the " +
+        "cache reads are broadcast- or id-keyed, nothing rescans raw text."),
+    "q50_repetition" ->
+      ("Repetition screen: the per-(doc, token) count partial-aggregates " +
+        "below its exchange; the shingle arm reads the cached distinct " +
+        "hash sets, so no shingle is recomputed."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
