@@ -71,6 +71,9 @@ object PipelineQueries {
   /** q46: salt fan-out. */
   val SaltParts = 8
 
+  /** q51: how many docs the weighted sample keeps. */
+  val PrioritySampleK = 20
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
 
@@ -211,6 +214,26 @@ object PipelineQueries {
           round(sum(col("dup_frac").cast("decimal(28,6)")).cast("double") /
             count(lit(1)), 6).as("avg_dup_frac"))
         .orderBy(col("lang"))
+    }),
+
+    "q51_priority_sample" -> ((s, dir) => {
+      // weighted sampling without randomness: priority sampling
+      // (Duffield/Lund/Thorup) with the portable affine hash standing in
+      // for the uniform draw — priority = w / u with u = (h+1)/P, so
+      // longer documents are proportionally likelier to make the
+      // sample, yet the sample is reproducible across runs, engines and
+      // repartitions (the property corpus-mixing needs). The priority
+      // is ONE IEEE division of exact integers — deterministic in both
+      // engines with no rounding convention required. Plan shape:
+      // scan → row-local priority → global top-k (TakeOrderedAndProject).
+      val (a, b) = SamplePair
+      docs(s, dir)
+        .withColumn("h", (lit(a) * col("doc_id") + lit(b)) % lit(P))
+        .withColumn("priority",
+          col("n_chars").cast("double") / (col("h") + lit(1L)).cast("double"))
+        .orderBy(col("priority").desc, col("doc_id").asc)
+        .limit(PrioritySampleK)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"))
     }),
 
     "q46_salted_join" -> ((s, dir) => {
@@ -356,6 +379,14 @@ object PipelineQueries {
          |  round(CAST(SUM(CAST(dup_frac AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
          |    AS avg_dup_frac
          |FROM frac GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q51_priority_sample" -> {
+      val (a, b) = SamplePair
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(n_chars AS DOUBLE) / CAST((($a * doc_id + $b) % $P) + 1 AS DOUBLE) AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id ASC LIMIT $PrioritySampleK""".stripMargin
+    },
 
     "q46_salted_join" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
