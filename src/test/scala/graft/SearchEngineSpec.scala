@@ -144,4 +144,18 @@ class SearchEngineSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     assert(run(1) == run(13))
   }
+
+  test("rrfFuse handles one-armed hits: missing rank is -1, contribution 0") {
+    import graft.operators.Bm25
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val out = Bm25.rrfFuse(a, b, rrfK = 60.0)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq((1L, 1L, -1L), (2L, 2L, 1L), (3L, -1L, 2L)))
+    val fused = out.map(_._4)
+    assert(math.abs(fused(0) - 1.0 / 61) < 1e-6)            // vector arm only
+    assert(math.abs(fused(1) - (1.0 / 62 + 1.0 / 61)) < 1e-6) // both arms
+    assert(math.abs(fused(2) - 1.0 / 62) < 1e-6)            // keyword arm only
+  }
 }
