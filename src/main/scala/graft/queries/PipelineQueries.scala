@@ -26,12 +26,17 @@ import graft.queries.TextQueries.{ChunkSize, ChunkStride, shingleSql, shingleCol
   *      contamination screens run this shape).
   * q46: salted skew join ([[graft.operators.SkewJoin]]) — the skew
   *      tool oracle-checked against the plain join it must equal.
+  * q50: repetition filter (Gopher-style screen) — top-token and
+  *      duplicate-shingle fractions vs thresholds.
+  * q51: weighted sampling — Duffield/Lund/Thorup priority sampling
+  *      with the portable hash as the uniform draw.
   *
-  * Scale shapes: q41/q45 are explode → map-side-combined groupBy
+  * Scale shapes: q41/q45/q50 are explode → map-side-combined groupBy
   * (wordcount); q42 is one window over (pack_group, doc, chunk) — the
   * group key bounds every partition's state; q43 reuses the cached
-  * shingle/LSH artifacts and adds only broadcast-sized joins; q44 is a
-  * single scan; q46 trades one replicated dim for straggler-free tasks.
+  * shingle/LSH artifacts and adds only broadcast-sized joins; q44/q51
+  * are single scans (q51 ends in TakeOrderedAndProject); q46 trades
+  * one replicated dim for straggler-free tasks.
   */
 object PipelineQueries {
 
