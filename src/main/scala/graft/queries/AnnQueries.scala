@@ -120,7 +120,11 @@ object AnnQueries {
       val e = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(hasDim(col("embedding"), 64))
       val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q47_brp_knn: no 64-d embedding with vec_id=0 in $dir/embeddings.parquet" +
+            " — cannot form the probe vector"))
+        .getSeq[Float](0).toArray
       graft.search.AnnIndex
         .buildBrp(e.select(col("vec_id"), col("embedding")), cache = false)
         .topK(qv, k = 10)

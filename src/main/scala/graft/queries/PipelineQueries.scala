@@ -224,12 +224,14 @@ object PipelineQueries {
     "q51_priority_sample" -> ((s, dir) => {
       // weighted sampling without randomness: priority sampling
       // (Duffield/Lund/Thorup) with the portable affine hash standing in
-      // for the uniform draw — priority = w / u with u = (h+1)/P, so
-      // longer documents are proportionally likelier to make the
-      // sample, yet the sample is reproducible across runs, engines and
-      // repartitions (the property corpus-mixing needs). The priority
-      // is ONE IEEE division of exact integers — deterministic in both
-      // engines with no rounding convention required. Plan shape:
+      // for the uniform draw u = (h+1)/P. The emitted priority is
+      // w/(h+1) = (w/u)/P — the textbook w/u scaled down by the
+      // constant P, which preserves the ordering (and hence the sample)
+      // while keeping the column ONE IEEE division of exact integers —
+      // deterministic in both engines with no rounding convention
+      // required. Longer documents are proportionally likelier to make
+      // the sample, yet the sample is reproducible across runs, engines
+      // and repartitions (the property corpus-mixing needs). Plan shape:
       // scan → row-local priority → global top-k (TakeOrderedAndProject).
       val (a, b) = SamplePair
       docs(s, dir)

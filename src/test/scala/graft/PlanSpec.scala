@@ -111,6 +111,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected map-side partial count under the doc_id exchange:\n$p")
   }
 
+  test("q35 rank windows keep the non-foldable pmod partition key after optimization") {
+    // the post-limit rank windows partition by pmod(doc_id, 1) — constant
+    // valued but non-foldable, so WindowExec gets a real partition spec
+    // instead of its warn-and-single-partition path. If a future Catalyst
+    // rule learns to fold x pmod 1, the partition spec would silently
+    // vanish; assert it survives into the optimized plan.
+    val df = SparkEntry.queries("q35_hybrid_rrf")(spark, sf001)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("pmod(doc_id"),
+      s"rank window lost its pmod partition key (folded?):\n$optimized")
+    // physically the pmod is extracted into a `_w0` project alias, so
+    // assert the property itself: every WindowExec has a NON-EMPTY
+    // partition spec (second bracket group of the Window line)
+    val windowLines = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach { l =>
+      assert(l.matches(""".*Window \[.*\], \[[^\]]+\], \[.*"""),
+        s"WindowExec fell back to an empty (single-partition) spec: $l")
+    }
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
