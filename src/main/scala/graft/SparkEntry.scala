@@ -95,7 +95,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.ExtraQueries.queries ++
       graft.queries.KeywordQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -408,7 +409,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracleSql ++
       graft.queries.ExtraQueries.oracleSql ++
       graft.queries.KeywordQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
 

@@ -87,6 +87,11 @@ object PortableHash {
     * uncorrelated (sampling inside the train split stays unbiased). */
   val SamplePair: (Long, Long) = affineConstants(606L, 1).head
 
+  /** Domain-mixing hash — its own member for the same reason as
+    * [[SamplePair]]: which docs a target-distribution mix selects must
+    * be uncorrelated with split assignment and with every sketch. */
+  val MixPair: (Long, Long) = affineConstants(707L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.functions.VectorFunctions._
+
+/** Round-5 curation operators — the remaining steps of a large-scale
+  * training-data pipeline (north-star extensions; the reference,
+  * server.py:85-91, queries a prepared corpus and has none of these).
+  *
+  * q52: test-set decontamination — for every test-split document, the
+  *      fraction of its 3-token shingles that also occur anywhere in
+  *      the train split (the screen run before publishing an eval set).
+  * q53: domain mixing — largest corpus achieving an exact target
+  *      language distribution, with deterministic hash-ranked document
+  *      selection per stratum (the "data recipe" step of a pretrain run).
+  * q54: inter-percentile length trim — drop each language's shortest
+  *      5% and longest 5% by token count, rank-based so it is portable
+  *      (no engine-specific quantile interpolation conventions).
+  * q55: unigram log-likelihood scoring — average per-token
+  *      log-probability under the corpus's own unigram LM; the cheap
+  *      statistical anomaly screen (lowest-likelihood docs surface).
+  * q56: kNN label vote — majority label of the k nearest train-split
+  *      vectors for every test-split vector (auto-labeling /
+  *      label-noise audit over the embedding space).
+  *
+  * Scale shapes: q52 is explode → hash equi-join → two map-side-combined
+  * aggregations (the train shingle set is corpus-sized, so it is NEVER
+  * broadcast — the join shuffles on the shingle hash, exactly like a
+  * 100 TB contamination screen must); q53/q54 are one window pass per
+  * stratum plus broadcast-sized per-stratum take counts; q55 is
+  * wordcount + a broadcast vocabulary join ending in a global top-k
+  * (TakeOrderedAndProject); q56 broadcasts the small test side against
+  * the streamed train side and ranks per test vector (WindowGroupLimit
+  * keeps k candidates per partition before the full sort).
+  */
+object CurationQueries {
+
+  /** q52: a test doc is contaminated when at least this fraction of its
+    * distinct 3-token shingles appears in the train split. Background
+    * chance overlap on the fixture's word-soup corpus has median ~0.5
+    * and p95 ~0.76; planted near-dups straddling the split sit at ~1.0
+    * — 0.8 separates the two populations (non-degenerate both ways). */
+  val ContaminationMax = 0.8
+
+  /** q53: target mix in percent per language (sums to 100); unlisted
+    * languages are excluded from the mix. */
+  val MixTargets: Seq[(String, Int)] =
+    Seq("de" -> 15, "en" -> 40, "es" -> 15, "fr" -> 15, "zh" -> 15)
+  val MixTotal: Int = MixTargets.map(_._2).sum
+
+  /** q54: drop below the p-th and above the (100-p)-th rank percentile. */
+  val TrimPct = 5
+
+  /** q55: how many lowest-likelihood docs to surface. */
+  val UnigramBottomK = 20
+
+  /** q56: neighbors per vote. */
+  val KnnVoteK = 5
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.tbl(s, dir, "documents")
+
+  /** decimal-routed deterministic sum of a double expression */
+  private def dsum(c: Column, scale: Int = 10): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  private def splitBucket(id: Column): Column = {
+    val (a, b) = SplitPair
+    ((lit(a) * id + lit(b)) % lit(P)) % 100
+  }
+  private def splitBucketSql(id: String): String = {
+    val (a, b) = SplitPair
+    s"((($a * $id + $b) % $P) % 100)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q52_decontamination" -> ((s, dir) => {
+      // the split hash MUST be q38/q43's SplitPair — decontamination is
+      // only meaningful against the split the curation funnel ships.
+      // Shingle sets come off the shared cached view (one hashing pass
+      // per session); the membership probe is an EQUI-join on the
+      // shingle hash — at 100 TB the train set is corpus-sized and the
+      // join shuffles both sides on h, while at test scale Catalyst's
+      // size estimate correctly downgrades it to a broadcast; the plan
+      // guard asserts the hash-keyed shape, not the exchange choice.
+      val ws = DedupQueries.hashedShingles(s, dir)
+        .withColumn("bucket", splitBucket(col("doc_id")))
+      val train = ws.filter(col("bucket") < 80)
+        .select(explode(col("hs")).as("h"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      val test = ws.filter(col("bucket") >= 90)
+        .select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+      test.join(train, Seq("h"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("overlap",
+          round(col("n_hit").cast("double") / col("n_sh"), 6))
+        .withColumn("contaminated",
+          (col("overlap") >= ContaminationMax).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_test_docs"),
+          sum(col("contaminated")).cast("long").as("n_contaminated"),
+          round(sum(col("overlap").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_overlap"))
+        .orderBy(col("lang"))
+    }),
+
+    "q53_domain_mix" -> ((s, dir) => {
+      // integer-exact throughout: T = min_l floor(count_l*W/w_l) is the
+      // largest total size whose exact target allocation floor(T*w_l/W)
+      // stays within every stratum; selection is rank-by-(hash, id)
+      // inside each stratum — deterministic, uncorrelated with split
+      // and sample membership (own affine member)
+      val (a, b) = MixPair
+      val wcase = MixTargets.foldRight(lit(0L)) { case ((l, w), other) =>
+        when(col("lang") === l, lit(w.toLong)).otherwise(other)
+      }
+      val d = docs(s, dir)
+        .withColumn("w", wcase).filter(col("w") > 0)
+        .withColumn("h", (lit(a) * col("doc_id") + lit(b)) % lit(P))
+      val counts = d.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("n_total"))
+      val tmin = counts.agg(min(expr(s"n_total * $MixTotal div w")).as("t"))
+      val takes = counts.crossJoin(broadcast(tmin))
+        .withColumn("n_take", expr(s"t * w div $MixTotal"))
+        .select(col("lang"), col("w"), col("n_total"), col("n_take"))
+      val ranked = d.withColumn("rk",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rk"))
+      ranked.join(broadcast(takes), Seq("lang"))
+        .withColumn("sel", col("rk") <= col("n_take"))
+        .groupBy(col("lang"), col("w").as("target_pct"),
+          col("n_total"), col("n_take"))
+        .agg(
+          sum(when(col("sel"), col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("n_chars_sel"),
+          min(when(col("sel"), col("doc_id"))).as("min_sel"),
+          max(when(col("sel"), col("doc_id"))).as("max_sel"))
+        .orderBy(col("lang"))
+    }),
+
+    "q54_length_trim" -> ((s, dir) => {
+      // rank-based trim: keep r iff TrimPct < r*100/n <= 100-TrimPct
+      // (strict integer comparisons, no interpolation convention to
+      // match between engines). One window pass per language stratum.
+      val tok = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("lang"), col("dl").cast("long").as("n_tokens"))
+      val ranked = tok
+        .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_tokens"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      ranked
+        .withColumn("kept",
+          col("r") * 100 > col("n") * TrimPct &&
+            col("r") * 100 <= col("n") * (100 - TrimPct))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("kept").cast("long")).cast("long").as("n_kept"),
+          min(when(col("kept"), col("n_tokens"))).as("min_kept_tokens"),
+          max(when(col("kept"), col("n_tokens"))).as("max_kept_tokens"),
+          round(sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L))
+            .cast("decimal(28,6)")).cast("double") /
+            sum(col("kept").cast("long")), 6).as("avg_kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "q55_unigram_loglik" -> ((s, dir) => {
+      // unigram LM scored on the corpus itself: ll(doc) = avg over token
+      // instances of ln(c_tok / N). Vocabulary joins broadcast (a unigram
+      // vocab stays small even at 100 TB); the per-doc sum routes
+      // through decimal so partition order can't move the result; round
+      // to 6 dp BEFORE the global bottom-k.
+      val tok = KeywordQueries.tokenizedDocs(s, dir)
+      val tf = tok.select(col("doc_id"), col("lang"), col("dl"),
+        explode(col("toks")).as("tok"))
+      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = gc.agg(sum(col("c")).as("n_tok_total"))
+      tf.join(broadcast(gc), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("ll",
+          log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
+        .groupBy(col("doc_id"), col("lang"), col("dl"))
+        .agg(sum(col("ll").cast("decimal(28,12)")).cast("double").as("sum_ll"))
+        .withColumn("avg_ll", round(col("sum_ll") / col("dl"), 6))
+        .orderBy(col("avg_ll").asc, col("doc_id").asc)
+        .limit(UnigramBottomK)
+        .select(col("doc_id"), col("lang"),
+          col("dl").cast("long").as("n_tokens"), col("avg_ll"))
+    }),
+
+    "q56_knn_vote" -> ((s, dir) => {
+      // the auto-labeling shape: broadcast the small test side, stream
+      // the train side, rank per test vector (row_number <= k plans as
+      // WindowGroupLimit: every partition keeps k candidates before the
+      // window sort), then majority vote with deterministic tie-breaks
+      // (votes desc, label asc).
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .withColumn("bucket", splitBucket(col("vec_id")))
+      val test = e.filter(col("bucket") >= 90)
+        .select(col("vec_id"), col("label").cast("long").as("true_label"),
+          col("embedding").as("qe"))
+      val train = e.filter(col("bucket") < 80)
+        .select(col("vec_id").as("tid"), col("label").cast("long").as("tl"),
+          col("embedding").as("te"))
+      val scored = train.join(broadcast(test))
+        .withColumn("score", round(neo4jScore(col("te"), col("qe")), 6))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("score").desc, col("tid").asc)))
+        .filter(col("rk") <= KnnVoteK)
+      scored.groupBy(col("vec_id"), col("true_label"), col("tl"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vrk",
+          row_number().over(Window.partitionBy(col("vec_id"))
+            .orderBy(col("n_votes").desc, col("tl").asc)))
+        .filter(col("vrk") === 1)
+        .select(col("vec_id"), col("true_label"),
+          col("tl").as("pred_label"), col("n_votes"),
+          (col("true_label") === col("tl")).cast("long").as("correct"))
+        .orderBy(col("vec_id"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q52_decontamination" ->
+      s"""WITH sh AS (${DedupQueries.hashedShinglesSql}),
+         |ws AS (SELECT doc_id, lang, hs, ${splitBucketSql("doc_id")} AS bucket FROM sh),
+         |tr AS (SELECT DISTINCT unnest(hs) AS h FROM ws WHERE bucket < 80),
+         |te AS (SELECT doc_id, lang, unnest(hs) AS h FROM ws WHERE bucket >= 90),
+         |ov AS (
+         |  SELECT te.doc_id, te.lang, COUNT(*) AS n_sh,
+         |    CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM te LEFT JOIN tr ON te.h = tr.h
+         |  GROUP BY te.doc_id, te.lang),
+         |fr AS (
+         |  SELECT doc_id, lang,
+         |    round(n_hit::DOUBLE / n_sh, 6) AS overlap
+         |  FROM ov)
+         |SELECT lang, COUNT(*) AS n_test_docs,
+         |  CAST(SUM(CASE WHEN overlap >= $ContaminationMax THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(CAST(SUM(CAST(overlap AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_overlap
+         |FROM fr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q53_domain_mix" -> {
+      val (a, b) = MixPair
+      val wcase = MixTargets
+        .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, $wcase AS w,
+         |    (($a * doc_id + $b) % $P) AS h
+         |  FROM documents WHERE ($wcase) > 0),
+         |counts AS (SELECT lang, w, COUNT(*) AS n_total FROM d GROUP BY lang, w),
+         |tmin AS (SELECT MIN(n_total * $MixTotal // w) AS t FROM counts),
+         |takes AS (SELECT lang, w, n_total, t * w // $MixTotal AS n_take
+         |          FROM counts CROSS JOIN tmin),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+         |  FROM d)
+         |SELECT r.lang, CAST(k.w AS BIGINT) AS target_pct,
+         |  k.n_total, k.n_take,
+         |  CAST(SUM(CASE WHEN r.rk <= k.n_take THEN r.n_chars ELSE 0 END) AS BIGINT)
+         |    AS n_chars_sel,
+         |  MIN(CASE WHEN r.rk <= k.n_take THEN r.doc_id END) AS min_sel,
+         |  MAX(CASE WHEN r.rk <= k.n_take THEN r.doc_id END) AS max_sel
+         |FROM ranked r JOIN takes k ON r.lang = k.lang
+         |GROUP BY r.lang, k.w, k.n_total, k.n_take
+         |ORDER BY r.lang""".stripMargin
+    },
+
+    "q54_length_trim" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |t AS (SELECT doc_id, lang, CAST(dl AS BIGINT) AS n_tokens FROM dd),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM t),
+         |k AS (
+         |  SELECT lang, n_tokens,
+         |    (r * 100 > n * $TrimPct AND r * 100 <= n * ${100 - TrimPct}) AS kept
+         |  FROM ranked)
+         |SELECT lang, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  MIN(CASE WHEN kept THEN n_tokens END) AS min_kept_tokens,
+         |  MAX(CASE WHEN kept THEN n_tokens END) AS max_kept_tokens,
+         |  round(CAST(SUM(CAST(CASE WHEN kept THEN n_tokens ELSE 0 END
+         |    AS DECIMAL(28,6))) AS DOUBLE)
+         |    / SUM(CASE WHEN kept THEN 1 ELSE 0 END), 6) AS avg_kept_tokens
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q55_unigram_loglik" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT doc_id, lang, dl, unnest(toks) AS tok FROM dd),
+         |gc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok_total FROM gc),
+         |ll AS (
+         |  SELECT tf.doc_id, tf.lang, tf.dl,
+         |    CAST(SUM(CAST(ln(c::DOUBLE) - ln(n_tok_total::DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS sum_ll
+         |  FROM tf JOIN gc USING (tok) CROSS JOIN n
+         |  GROUP BY tf.doc_id, tf.lang, tf.dl)
+         |SELECT doc_id, lang, CAST(dl AS BIGINT) AS n_tokens,
+         |  round(sum_ll / dl, 6) AS avg_ll
+         |FROM ll
+         |ORDER BY avg_ll ASC, doc_id ASC LIMIT $UnigramBottomK""".stripMargin,
+
+    "q56_knn_vote" -> {
+      val cos = AnnQueries.cosSql("t.embedding", "q.embedding")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+         |    ${splitBucketSql("vec_id")} AS bucket
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |q AS (SELECT vec_id, label AS true_label, embedding FROM e WHERE bucket >= 90),
+         |t AS (SELECT vec_id AS tid, label AS tl, embedding FROM e WHERE bucket < 80),
+         |scored AS (
+         |  SELECT q.vec_id, q.true_label, t.tid, t.tl,
+         |    round($cos, 6) AS score
+         |  FROM t CROSS JOIN q),
+         |ranked AS (
+         |  SELECT vec_id, true_label, tl,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, tid ASC) AS rk
+         |  FROM scored),
+         |votes AS (
+         |  SELECT vec_id, true_label, tl, COUNT(*) AS n_votes
+         |  FROM ranked WHERE rk <= $KnnVoteK
+         |  GROUP BY vec_id, true_label, tl),
+         |win AS (
+         |  SELECT vec_id, true_label, tl AS pred_label, n_votes,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY n_votes DESC, tl ASC) AS vrk
+         |  FROM votes)
+         |SELECT vec_id, true_label, pred_label, n_votes,
+         |  CAST(true_label = pred_label AS BIGINT) AS correct
+         |FROM win WHERE vrk = 1 ORDER BY vec_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PortableHash.{P, MixPair, SplitPair}
+import graft.queries.CurationQueries
+
+class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String, dir: String = sf001) =
+    CurationQueries.queries(name)(spark, dir)
+
+  test("q52 decontamination matches a driver-side recomputation") {
+    // independent path: recompute per-doc overlap from raw shingle hash
+    // sets (same codegen'd expression, but set logic done in Scala)
+    val (a, b) = SplitPair
+    val sets = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"lang",
+        graft.expressions.HashExpressions.shingleHashSet($"text", 3).as("hs"))
+      .as[(Long, String, Seq[Long])].collect()
+    def bucket(id: Long) = ((a * id + b) % P) % 100
+    val train = sets.filter(r => bucket(r._1) < 80).flatMap(_._3).toSet
+    val perLang = sets.filter(r => bucket(r._1) >= 90)
+      .map { case (_, lang, hs) =>
+        val overlap = BigDecimal(hs.count(train.contains).toDouble / hs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (lang, overlap)
+      }
+      .groupBy(_._1).view.mapValues { rows =>
+        val n = rows.length.toLong
+        val nc = rows.count(_._2 >= CurationQueries.ContaminationMax).toLong
+        (n, nc)
+      }.toMap
+    val got = run("q52_decontamination", sf0001)
+      .select($"lang", $"n_test_docs", $"n_contaminated")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === perLang)
+    // the fixture makes the screen non-degenerate: some contamination
+    // exists, but not everything is contaminated
+    assert(perLang.values.map(_._2).sum > 0)
+    assert(perLang.values.map(_._2).sum < perLang.values.map(_._1).sum)
+  }
+
+  test("q53 domain mix allocates floor-exact target proportions within every stratum") {
+    val rows = run("q53_domain_mix")
+      .select($"lang", $"target_pct", $"n_total", $"n_take")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq === CurationQueries.MixTargets.map(_._1))
+    val wTot = CurationQueries.MixTotal
+    val t = rows.map { case (_, w, c, _) => c * wTot / w }.min
+    rows.foreach { case (lang, w, c, take) =>
+      assert(take === t * w / wTot, s"allocation for $lang")
+      assert(take <= c, s"stratum $lang oversubscribed")
+    }
+    // the mix pushes against a constraint: the binding stratum (the min
+    // achiever of floor(c*W/w)) is taken to within one "T step" (W/w
+    // docs) of its full capacity
+    assert(rows.exists { case (_, w, c, take) =>
+      c * wTot / w == t && c - take <= wTot / w })
+  }
+
+  test("q53 selection is hash-ranked: selected ids are the n_take smallest by (h, id)") {
+    val (a, b) = MixPair
+    val takes = run("q53_domain_mix")
+      .select($"lang", $"n_take", $"n_chars_sel")
+      .as[(String, Long, Long)].collect().toMap2
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    CurationQueries.MixTargets.foreach { case (lang, _) =>
+      val (nTake, gotChars) = takes(lang)
+      val sel = docs.filter(_._2 == lang)
+        .sortBy(d => ((a * d._1 + b) % P, d._1))
+        .take(nTake.toInt)
+      assert(sel.map(_._3).sum === gotChars, s"selected char mass for $lang")
+    }
+  }
+
+  test("q54 trim keeps exactly floor(95n/100) - floor(5n/100) docs per stratum") {
+    val rows = run("q54_length_trim")
+      .select($"lang", $"n_total", $"n_kept", $"min_kept_tokens", $"max_kept_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, kept, lo, hi) =>
+      assert(kept === n * 95 / 100 - n * 5 / 100, s"kept count for $lang")
+      assert(lo <= hi, s"bounds for $lang")
+    }
+    // the trim actually trims: the kept band excludes the global extremes
+    val toks = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"lang", size(split($"text", " ")).cast("long").as("nt"))
+      .groupBy($"lang").agg(min($"nt").as("mn"), max($"nt").as("mx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.exists { case (lang, _, _, lo, hi) =>
+      lo > toks(lang)._1 || hi < toks(lang)._2 })
+  }
+
+  test("q55 unigram log-likelihoods are negative and ascending") {
+    val rows = run("q55_unigram_loglik")
+      .select($"avg_ll").as[Double].collect()
+    assert(rows.length === CurationQueries.UnigramBottomK)
+    assert(rows.forall(_ < 0.0))
+    assert(rows.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
+  }
+
+  test("q56 knn vote: winners beat every losing label's vote count") {
+    // recompute the vote table via an aggregation-only plan (no window)
+    // and check the query's window-ranked winner agrees
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (a, b) = SplitPair
+    val withB = e.withColumn("bucket", ((lit(a) * $"vec_id" + lit(b)) % lit(P)) % 100)
+    val test = withB.filter($"bucket" >= 90)
+      .select($"vec_id", $"embedding".as("qe"))
+    val train = withB.filter($"bucket" < 80)
+      .select($"vec_id".as("tid"), $"label".cast("long").as("tl"), $"embedding".as("te"))
+    val ranked = train.join(broadcast(test))
+      .withColumn("score",
+        round(graft.functions.VectorFunctions.neo4jScore($"te", $"qe"), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"score".desc, $"tid".asc)))
+      .filter($"rk" <= CurationQueries.KnnVoteK)
+    val votes = ranked.groupBy($"vec_id", $"tl").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toMap).toMap
+    val got = run("q56_knn_vote", sf0001)
+      .select($"vec_id", $"pred_label", $"n_votes", $"correct")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (vid, pred, n, _) =>
+      val tbl = votes(vid)
+      assert(tbl(pred) === n, s"winner count for $vid")
+      // every other label has fewer votes, or equal votes and larger label
+      tbl.foreach { case (l, c) =>
+        assert(c < n || (c == n && l >= pred), s"vote table for $vid: $tbl")
+      }
+    }
+    // vote counts bounded by k
+    assert(got.forall(r => r._3 >= 1 && r._3 <= CurationQueries.KnnVoteK))
+  }
+
+  private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}

@@ -133,6 +133,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q52 decontamination probes membership via a hash-keyed equi-join") {
+    val p = plan("q52_decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"membership probe must stay equi-shaped:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected a hash-keyed join in:\n$p")
+  }
+
+  test("q55 bottom-k plans as TakeOrderedAndProject over the scored docs") {
+    val p = plan("q55_unigram_loglik")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heaps in:\n$p")
+  }
+
+  test("q56 knn rank filter pushes down as a window group limit") {
+    // row_number() <= k must plan as WindowGroupLimit so each partition
+    // keeps k candidates per test vector before the window sort
+    val p = plan("q56_knn_vote")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
