@@ -92,6 +92,11 @@ object PortableHash {
     * be uncorrelated with split assignment and with every sketch. */
   val MixPair: (Long, Long) = affineConstants(707L, 1).head
 
+  /** Count-min sketch row hashes — one affine member per sketch row,
+    * decoupled from every other family (its own seed). */
+  val CmsDepth = 4
+  val CmsFamily: IndexedSeq[(Long, Long)] = affineConstants(808L, CmsDepth)
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

@@ -31,6 +31,9 @@ object AnnQueries {
     * payload projection, reference server.py:71-102) is hash-exact
     * oracle-checked end to end. */
   val FlagshipPrompt = "fast hash join on a big table"
+
+  /** q58: how many centroid outliers to surface. */
+  val CentroidOutlierK = 20
   private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
 
@@ -103,6 +106,32 @@ object AnnQueries {
           sum(col("n_sat")).as("n_saturated"),
           sum(col("n_zero")).as("n_zeroed"))
         .orderBy(col("label"))
+    }),
+
+    "q58_centroid_outliers" -> ((s, dir) => {
+      // embedding-space outlier audit: distance of every vector to its
+      // label's centroid, top-k furthest surface (label-noise / junk
+      // screen over a training corpus). Centroids are a label×dim
+      // table — tiny at any corpus size — so the join back is a
+      // BROADCAST; per-dimension sums route through decimal (order-
+      // free) and the centroid rounds to 6 dp before any distance, so
+      // both engines square identical doubles.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val pe = e.select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("col").cast("double").as("v"))
+      val cent = pe.groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("c"))
+      pe.join(broadcast(cent), Seq("label", "pos"))
+        .withColumn("d2", (col("v") - col("c")) * (col("v") - col("c")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sqrt(sum(col("d2").cast("decimal(28,12)")).cast("double")), 6)
+          .as("dist"))
+        .orderBy(col("dist").desc, col("vec_id").asc)
+        .limit(CentroidOutlierK)
     }),
 
     "q47_brp_knn" -> ((s, dir) => {
@@ -183,6 +212,24 @@ object AnnQueries {
          |FROM e JOIN documents d ON e.vec_id = d.doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+
+    "q58_centroid_outliers" ->
+      s"""WITH pe AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, pos,
+         |    CAST(embedding[pos + 1] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos)
+         |  WHERE len(embedding) = 64),
+         |cent AS (
+         |  SELECT label, pos,
+         |    round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+         |  FROM pe GROUP BY label, pos),
+         |d AS (
+         |  SELECT pe.vec_id, pe.label, (pe.v - cent.c) * (pe.v - cent.c) AS d2
+         |  FROM pe JOIN cent ON pe.label = cent.label AND pe.pos = cent.pos)
+         |SELECT vec_id, label,
+         |  round(sqrt(CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE)), 6) AS dist
+         |FROM d GROUP BY vec_id, label
+         |ORDER BY dist DESC, vec_id ASC LIMIT $CentroidOutlierK""".stripMargin,
 
     "q22_lsh_bucket_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),

@@ -1,11 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
 import graft.operators.AsofJoin
+import graft.queries.TextQueries.shingleCol
 
 /** Sketch + time-series operators (extension surface).
   *
@@ -33,10 +34,21 @@ import graft.operators.AsofJoin
   * bucket mod 100 → 80/10/10. Hash-based (not `rand()`-based) so the
   * assignment is reproducible across runs, engines, and repartitions —
   * the property a training pipeline needs for stable holdout sets.
+  *
+  * q57: count-min sketch heavy-hitter counts over corpus bigrams —
+  * like q27, built on the portable affine family so the approximate
+  * estimates themselves are hash-exact oracle-checked; counters are
+  * sums (map-side combinable, mergeable across partitions and days).
   */
 object ExtraQueries {
 
   val KmvK = 64
+
+  /** q57: count-min sketch width (cells per row; depth comes from
+    * [[graft.functions.PortableHash.CmsDepth]]) and how many exact top
+    * bigrams to probe the sketch with. */
+  val CmsWidth = 1024L
+  val CmsProbeK = 20
 
   /** q36's interval width (30 minutes in epoch micros) — also the
     * bucket width, so each interval explodes to ≤ 2 buckets. */
@@ -136,6 +148,41 @@ object ExtraQueries {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"), col("lang"))
     }),
+
+    "q57_countmin" -> ((s, dir) => {
+      // count-min sketch over corpus bigrams, checked against exact
+      // counts for the top-[[CmsProbeK]]. Like q27's KMV: the sketch is
+      // built from the portable affine family, so even the APPROXIMATE
+      // answer is hash-exact oracle-checked. Counters are plain sums →
+      // map-side combinable and mergeable across partitions/days, the
+      // property that makes CMS the 100 TB heavy-hitter tool. The
+      // depth×width table is [[CmsDepth]]×[[CmsWidth]] cells regardless
+      // of corpus size; est = min over rows ≥ true count always.
+      val bg = KeywordQueries.tokenizedDocs(s, dir)
+        .select(explode(shingleCol(col("toks"), 2)).as("bigram"))
+      val cellsOf: Column => Column = x =>
+        array((0 until CmsDepth).map { i =>
+          struct(lit(i.toLong).as("i"),
+            (affine(CmsFamily(i), x) % lit(CmsWidth)).as("ccol"))
+        }: _*)
+      val cells = bg
+        .withColumn("e", explode(cellsOf(charHash(col("bigram")))))
+        .groupBy(col("e.i").as("i"), col("e.ccol").as("ccol"))
+        .agg(count(lit(1)).as("n"))
+      val exact = bg.groupBy(col("bigram"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("bigram").asc)
+        .limit(CmsProbeK)
+      val probe = exact
+        .withColumn("e", explode(cellsOf(charHash(col("bigram")))))
+        .select(col("bigram"), col("true_n"),
+          col("e.i").as("i"), col("e.ccol").as("ccol"))
+      cells.join(broadcast(probe), Seq("i", "ccol"))
+        .groupBy(col("bigram"), col("true_n"))
+        .agg(min(col("n")).as("est_n"))
+        .withColumn("overcount", col("est_n") - col("true_n"))
+        .orderBy(col("true_n").desc, col("bigram").asc)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -199,6 +246,34 @@ object ExtraQueries {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "q57_countmin" -> {
+      val toks = graft.functions.TextFunctions.tokensSql("text")
+      val cellUnion = (cols: String) => (0 until CmsDepth).map { i =>
+        s"SELECT $cols, $i AS i, ${affineSql(CmsFamily(i), "x")} % $CmsWidth AS ccol FROM hb"
+      }.mkString(" UNION ALL ")
+      s"""WITH bg AS (
+         |  SELECT unnest(${TextQueries.shingleSql(toks, 2)}) AS bigram
+         |  FROM documents),
+         |hb AS (SELECT bigram, ${charHashSql("bigram")} AS x FROM bg),
+         |cells AS (
+         |  SELECT i, ccol, COUNT(*) AS n FROM (${cellUnion("bigram")})
+         |  GROUP BY i, ccol),
+         |exact AS (
+         |  SELECT bigram, COUNT(*) AS true_n FROM bg GROUP BY bigram
+         |  ORDER BY true_n DESC, bigram ASC LIMIT $CmsProbeK),
+         |ph AS (SELECT bigram, true_n, ${charHashSql("bigram")} AS x FROM exact),
+         |probe AS (${
+            (0 until CmsDepth).map { i =>
+              s"SELECT bigram, true_n, $i AS i, ${affineSql(CmsFamily(i), "x")} % $CmsWidth AS ccol FROM ph"
+            }.mkString(" UNION ALL ")}),
+         |est AS (
+         |  SELECT p.bigram, p.true_n, MIN(c.n) AS est_n
+         |  FROM probe p JOIN cells c ON p.i = c.i AND p.ccol = c.ccol
+         |  GROUP BY p.bigram, p.true_n)
+         |SELECT bigram, true_n, est_n, est_n - true_n AS overcount
+         |FROM est ORDER BY true_n DESC, bigram ASC""".stripMargin
     },
   )
 }

@@ -153,6 +153,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("q58 joins the label-by-dim centroid table via broadcast, tops out in heaps") {
+    val p = plan("q58_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast the tiny label-by-dim side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heaps in:\n$p")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,

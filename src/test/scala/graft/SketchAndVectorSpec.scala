@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{AnnQueries, ExtraQueries}
+
+class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("q57 count-min estimates never underestimate and probe the exact top-k") {
+    val rows = ExtraQueries.queries("q57_countmin")(spark, sf001)
+      .select($"bigram", $"true_n", $"est_n", $"overcount")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === ExtraQueries.CmsProbeK)
+    // the CMS guarantee: min over rows of hashed counters >= true count
+    rows.foreach { case (bg, t, e, o) =>
+      assert(e >= t, s"CMS underestimated $bg")
+      assert(o === e - t)
+    }
+    // ordered by true count desc
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    // the sketch table is bounded: depth x width cells regardless of corpus
+    import graft.functions.PortableHash.CmsDepth
+    assert(CmsDepth * ExtraQueries.CmsWidth < 1000000)
+  }
+
+  test("q58 centroid outliers match a driver-side decimal recompute") {
+    def dec12(v: Double) = BigDecimal.decimal(v)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(v: Double) = BigDecimal.decimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"label".cast("long"), $"embedding")
+      .as[(Long, Long, Seq[Float])].collect()
+      .filter(_._3.length == 64)
+    val cent: Map[(Long, Int), Double] = vecs
+      .flatMap { case (_, l, e) => e.zipWithIndex.map { case (v, p) => ((l, p), v.toDouble) } }
+      .groupBy(_._1).view.mapValues { vs =>
+        r6(vs.map(x => dec12(x._2)).sum.toDouble / vs.length)
+      }.toMap
+    val expected = vecs.map { case (id, l, e) =>
+      val d2 = e.zipWithIndex.map { case (v, p) =>
+        val d = v.toDouble - cent((l, p)); dec12(d * d)
+      }.sum
+      (id, l, r6(math.sqrt(d2.toDouble)))
+    }.sortBy { case (id, _, d) => (-d, id) }.take(AnnQueries.CentroidOutlierK)
+    val got = AnnQueries.queries("q58_centroid_outliers")(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected.toSeq)
+  }
+}
