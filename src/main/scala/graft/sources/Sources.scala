@@ -45,6 +45,12 @@ object Sources {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** ORC reader — the other columnar format large Hive-era estates hold
+    * their corpora in; Spark's native vectorized ORC reader supports the
+    * same predicate/column pushdown as Parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Parquet sink; `partitionByCols` become directory keys for
     * partition pruning. */
   def writeParquet(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
@@ -57,6 +63,13 @@ object Sources {
     * reference's response, server.py:64, as a file). */
   def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC sink; same partition-pruning contract as [[writeParquet]]. */
+  def writeOrc(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).orc(path)
+  }
 
   /** Bucketed + sorted table sink — the co-located-join layout for the
     * 100 TB tier. Two tables bucketed (and sorted) on their join key

@@ -33,6 +33,20 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(back.schema("doc_id").dataType.typeName === "long")
   }
 
+  test("orc round-trip preserves embeddings exactly and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Sources.writeOrc(embs, s"$dir/embs")
+    val back = Sources.readOrc(spark, s"$dir/embs")
+    val a = embs.orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    val b = back.select(embs.columns.map(col): _*).orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // ORC scans must carry pushed filters like parquet ones do
+    val plan = back.filter($"label" === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"expected pushed filter on the ORC scan:\n$plan")
+  }
+
   test("bucketed tables join with no exchange and no sort") {
     // corpus + derived per-doc artifact bucketed on the join key: the
     // join must be a zip of same-numbered buckets — any
