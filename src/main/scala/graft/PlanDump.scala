@@ -50,7 +50,17 @@ object PlanDump {
     "q50_repetition" ->
       ("Repetition screen: the per-(doc, token) count partial-aggregates " +
         "below its exchange; the shingle arm reads the cached distinct " +
-        "hash sets, so no shingle is recomputed."))
+        "hash sets, so no shingle is recomputed."),
+    "q52_decontamination" ->
+      ("Decontamination: train-set membership is probed by a hash-keyed " +
+        "equi-join on the shingle hash (shuffled at corpus scale; Catalyst " +
+        "downgrades to broadcast when the train set is actually small) — " +
+        "never a nested loop."),
+    "q58_centroid_outliers" ->
+      ("Centroid outlier audit: the label-by-dimension centroid table is " +
+        "tiny at any corpus size and joins back as a broadcast; the " +
+        "per-vector distance aggregation partial-combines map-side and the " +
+        "top-k ends in per-partition heaps."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
