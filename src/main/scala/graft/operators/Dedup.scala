@@ -118,6 +118,48 @@ object Dedup {
   def hammingSql(aE: String, bE: String): String = s"bit_count(xor($aE, $bE))::BIGINT"
 
   // ---------------------------------------------------------------
+  // Incremental LSH dedup (daily-ingest shape)
+  // ---------------------------------------------------------------
+
+  /** Verified near-dup pairs touching a NEW batch only — the
+    * incremental-ingest shape: band keys of the new docs equi-join the
+    * full corpus's band keys, so candidate volume is O(|new| × bucket
+    * collision rate), never O(corpus²) and never a recompute of the
+    * existing pair set. At 100 TB this is the daily dedup job: the
+    * corpus side's signatures/band keys are a persisted artifact
+    * (written once by the full build), the new batch's are computed
+    * fresh, and the join reads only colliding buckets.
+    *
+    * @param sh (idCol, hsCol ARRAY<LONG> distinct sorted shingle
+    *           hashes, isNewCol BOOLEAN) for the full corpus.
+    * @return (idCol, partner, partner_is_new, jac) — one row per
+    *         verified (new doc, partner) pair, both directions when
+    *         both are new. */
+  def incrementalPairs(sh: DataFrame, idCol: String, hsCol: String,
+                       isNewCol: String, threshold: Double): DataFrame = {
+    val sigs = sh.select(col(idCol), col(isNewCol),
+      minhashSignature(col(hsCol)).as("sig"))
+    val bands = sigs
+      .select(col(idCol), col(isNewCol), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col(idCol), col(isNewCol),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val nb = bands.filter(col(isNewCol))
+      .select(col(idCol).as("__nid"), col("band"), col("key"))
+    val cand = nb.join(bands, Seq("band", "key"))
+      .filter(col("__nid") =!= col(idCol))
+      .select(col("__nid"), col(idCol).as("__pid"),
+        col(isNewCol).as("partner_is_new"))
+      .distinct()
+    val a = sh.select(col(idCol).as("__nid"), col(hsCol).as("__hsa"))
+    val b = sh.select(col(idCol).as("__pid"), col(hsCol).as("__hsb"))
+    cand.join(a, "__nid").join(b, "__pid")
+      .withColumn("jac", round(jaccard(col("__hsa"), col("__hsb")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("__nid").as(idCol), col("__pid").as("partner"),
+        col("partner_is_new"), col("jac"))
+  }
+
+  // ---------------------------------------------------------------
   // Exact dedup
   // ---------------------------------------------------------------
 

@@ -24,6 +24,9 @@ import graft.queries.TextQueries.{shingleCol, shingleSql}
   *    by lang.
   *  - q21: brute-force cosine pairs as the correctness baseline for the
   *    LSH path (global top-k → TakeOrderedAndProject, no full sort).
+  *  - q59: incremental (daily-ingest) dedup — new-batch band keys join
+  *    the corpus band keys, O(new) candidates, never an O(corpus²)
+  *    recompute; spec-verified identical to filtering the full pair set.
   */
 object DedupQueries {
 
@@ -193,6 +196,30 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q59_incremental_dedup" -> ((s, dir) => {
+      // incremental (daily-ingest) dedup: docs with doc_id % 10 == 7
+      // play the "new batch"; their band keys join the FULL corpus's
+      // band keys ([[graft.operators.Dedup.incrementalPairs]]) — O(new)
+      // candidates, the existing pair set is never recomputed. A new
+      // doc is accepted when it has no old near-dup partner and no
+      // prior (smaller-id) partner within its own batch.
+      val sh = hashedShingles(s, dir)
+        .withColumn("is_new", pmod(col("doc_id"), lit(10L)) === 7)
+      val pairs = graft.operators.Dedup.incrementalPairs(
+        sh, "doc_id", "hs", "is_new", JaccardThreshold)
+      val agg = pairs.groupBy(col("doc_id")).agg(
+        sum(when(!col("partner_is_new"), 1L).otherwise(0L))
+          .cast("long").as("n_dup_old"),
+        sum(when(col("partner_is_new") && col("partner") < col("doc_id"), 1L)
+          .otherwise(0L)).cast("long").as("n_dup_new_prior"))
+      sh.filter(col("is_new")).select(col("doc_id"), col("lang"))
+        .join(agg, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup_old", "n_dup_new_prior"))
+        .withColumn("accepted",
+          (col("n_dup_old") === 0 && col("n_dup_new_prior") === 0).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q21_embedding_neardup" -> ((s, dir) => {
       val e = graft.SparkEntry.tbl(s, dir, "embeddings")
       // the nested-loop pair join parallelizes by the streamed side's
@@ -283,6 +310,27 @@ object DedupQueries {
            |FROM cand WHERE ${hammingSql("sig_a", "sig_b")} <= $HammingMax
            |ORDER BY doc_a, doc_b""".stripMargin
       },
+
+      "q59_incremental_dedup" ->
+        s"""WITH $lshPairsCtes,
+           |tp AS (SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+           |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |np AS (SELECT doc_id, partner FROM tp WHERE doc_id % 10 = 7),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN partner % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_dup_old,
+           |    CAST(SUM(CASE WHEN partner % 10 = 7 AND partner < doc_id
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_new_prior
+           |  FROM np GROUP BY doc_id)
+           |SELECT d.doc_id, d.lang,
+           |  COALESCE(a.n_dup_old, 0) AS n_dup_old,
+           |  COALESCE(a.n_dup_new_prior, 0) AS n_dup_new_prior,
+           |  CAST(COALESCE(a.n_dup_old, 0) = 0 AND COALESCE(a.n_dup_new_prior, 0) = 0
+           |    AS BIGINT) AS accepted
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |WHERE d.doc_id % 10 = 7
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q21_embedding_neardup" ->
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)

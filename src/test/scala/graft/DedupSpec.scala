@@ -115,6 +115,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("incremental pairs equal the full LSH pair set restricted to the new batch") {
+    // the daily-ingest path (new-batch bands x corpus bands) must find
+    // exactly the pairs the full build finds that touch a new doc
+    val sh = spark.read.parquet(s"$sf0001/documents.parquet")
+      .repartition(4)
+      .select($"doc_id",
+        graft.expressions.HashExpressions.shingleHashSet($"text", 3).as("hs"))
+      .withColumn("is_new", pmod($"doc_id", lit(10L)) === 7)
+    val inc = graft.operators.Dedup.incrementalPairs(
+        sh, "doc_id", "hs", "is_new", DedupQueries.JaccardThreshold)
+      .select($"doc_id", $"partner").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = DedupQueries.queries("q19_minhash_lsh")(spark, sf0001)
+      .select($"doc_a", $"doc_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter(_._1 % 10 == 7).toSet
+    assert(inc === full)
+  }
+
   test("q20 chunk blocking is lossless for hamming <= HammingMax") {
     // brute-force simhash pairs at sf0.001 must equal the blocked result
     val sigs = spark.read.parquet(s"$sf0001/documents.parquet")
