@@ -133,4 +133,45 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Stream-static incremental dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalPairs]]'s daily-ingest shape:
+    * a STREAM of new documents is checked against a STATIC corpus. Per
+    * micro-batch, the new docs' MinHash band keys equi-join the corpus
+    * band table (a stream-static inner join — stateless in Spark), and
+    * the Jaccard verification sits INSIDE the join condition so
+    * rejected candidates never materialize. The only stateful operator
+    * is the pair-level dropDuplicates (a doc pair colliding in several
+    * bands must emit once); on an unbounded stream its state should be
+    * bounded by adding a watermark on an arrival-time column.
+    *
+    * The corpus band table is computed from `corpus` here; a production
+    * caller persists it once (it is the full build's artifact) and the
+    * per-batch cost is then O(new batch).
+    *
+    * @param newDocs streaming (doc_id, text)
+    * @param corpus  static (doc_id, text)
+    * @return streaming (doc_id, partner, jac) — verified near-dup pairs
+    *         of each streamed doc against the static corpus. */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+                       threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    def bandsOf(df: DataFrame, idAs: String, hsAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs),
+        graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as(hsAs))
+      .withColumn("sig", Dedup.minhashSignature(col(hsAs)))
+      .select(col(idAs), col(hsAs), explode(Dedup.bandKeys(col("sig"))).as("bk"))
+      .select(col(idAs), col(hsAs),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val nb = bandsOf(newDocs, "doc_id", "hs")
+    val cb = bandsOf(corpus, "partner", "chs")
+      .withColumnRenamed("band", "cband").withColumnRenamed("key", "ckey")
+    nb.join(cb,
+        col("band") === col("cband") && col("key") === col("ckey") &&
+          col("doc_id") =!= col("partner") &&
+          round(Dedup.jaccard(col("hs"), col("chs")), 6) >= threshold)
+      .select(col("doc_id"), col("partner"),
+        round(Dedup.jaccard(col("hs"), col("chs")), 6).as("jac"))
+      .dropDuplicates("doc_id", "partner")
+  }
 }

@@ -43,6 +43,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static incremental dedup replay-matches the batch incremental pairs") {
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.filter(pmod($"doc_id", lit(10L)) =!= 7)
+      .select($"doc_id", $"text")
+    val newDocs = docs.filter(pmod($"doc_id", lit(10L)) === 7)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedup(
+        mem.toDF().toDF("doc_id", "text"), corpus,
+        graft.queries.DedupQueries.JaccardThreshold)
+      .writeStream.format("memory").queryName("incdedup").outputMode("append").start()
+    try {
+      mem.addData(newDocs)
+      q.processAllAvailable()
+      val got = spark.table("incdedup")
+        .select($"doc_id", $"partner", $"jac")
+        .as[(Long, Long, Double)].collect().toSet
+      val sh = docs.repartition(4)
+        .select($"doc_id",
+          graft.expressions.HashExpressions.shingleHashSet($"text", 3).as("hs"))
+        .withColumn("is_new", pmod($"doc_id", lit(10L)) === 7)
+      val want = graft.operators.Dedup.incrementalPairs(
+          sh, "doc_id", "hs", "is_new", graft.queries.DedupQueries.JaccardThreshold)
+        .filter(!$"partner_is_new")
+        .select($"doc_id", $"partner", $"jac")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === want)
+      assert(want.nonEmpty, "fixture should plant at least one cross-batch near-dup")
+    } finally q.stop()
+  }
+
   test("file-source streaming read processes a parquet drop-directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     spark.read.parquet(s"$sf0001/events.parquet")
