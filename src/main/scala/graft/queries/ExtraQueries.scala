@@ -39,6 +39,10 @@ import graft.queries.TextQueries.shingleCol
   * like q27, built on the portable affine family so the approximate
   * estimates themselves are hash-exact oracle-checked; counters are
   * sums (map-side combinable, mergeable across partitions and days).
+  *
+  * q60: time-decayed (freshness-weighted) event counts — 2^(-bucket)
+  * weights are exact dyadic doubles (integer-bucketed ages, no libm
+  * fractional-power ulp risk), summed through decimal.
   */
 object ExtraQueries {
 
@@ -49,6 +53,12 @@ object ExtraQueries {
     * bigrams to probe the sketch with. */
   val CmsWidth = 1024L
   val CmsProbeK = 20
+
+  /** q60: decay bucket width (14 days in epoch micros). Ages are
+    * integer-divided into buckets and the decay is 2^(-bucket) — an
+    * EXACT dyadic double in every IEEE engine (no libm fractional-power
+    * ulp risk), so the freshness-weighted sums are oracle-portable. */
+  val DecayBucketMicros: Long = 14L * 24 * 3600 * 1000000L
 
   /** q36's interval width (30 minutes in epoch micros) — also the
     * bucket width, so each interval explodes to ≤ 2 buckets. */
@@ -149,6 +159,27 @@ object ExtraQueries {
         .orderBy(col("split"), col("lang"))
     }),
 
+    "q60_decayed_counts" -> ((s, dir) => {
+      // freshness-weighted event statistics (the feature-store shape:
+      // recent activity counts more): weight = 2^(-age_bucket) with
+      // 14-day buckets anchored at the stream's max timestamp. The
+      // weight is a row-local exact power of two, the sum routes
+      // through decimal — order-free and engine-portable. At scale the
+      // reference timestamp is a constant (broadcast single-row agg)
+      // and the rest is one map-side-combined groupBy.
+      val ev = events(s, dir).select(col("event_type"), unix_micros(col("ts")).as("t"))
+      val ref = ev.agg(max(col("t")).as("ref_t"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("bucket", expr(s"(ref_t - t) div $DecayBucketMicros"))
+        .withColumn("decay", pow(lit(2.0), -col("bucket").cast("double")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("decay").cast("decimal(28,12)")).cast("double"), 6)
+            .as("decayed_count"))
+        .orderBy(col("event_type"))
+    }),
+
     "q57_countmin" -> ((s, dir) => {
       // count-min sketch over corpus bigrams, checked against exact
       // counts for the top-[[CmsProbeK]]. Like q27's KMV: the sketch is
@@ -247,6 +278,14 @@ object ExtraQueries {
          |  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
+
+    "q60_decayed_counts" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+         |ref AS (SELECT MAX(t) AS ref_t FROM ev)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  round(CAST(SUM(CAST(pow(2.0, -(((ref_t - t) // $DecayBucketMicros)::DOUBLE))
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_count
+         |FROM ev CROSS JOIN ref GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q57_countmin" -> {
       val toks = graft.functions.TextFunctions.tokensSql("text")

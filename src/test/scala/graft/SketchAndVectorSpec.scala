@@ -25,6 +25,19 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
     assert(CmsDepth * ExtraQueries.CmsWidth < 1000000)
   }
 
+  test("q60 decayed counts are positive and bounded by the raw counts") {
+    val rows = ExtraQueries.queries("q60_decayed_counts")(spark, sf001)
+      .select($"event_type", $"n_events", $"decayed_count")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, d) =>
+      assert(d > 0.0 && d <= n.toDouble, s"decayed count out of range for $et")
+    }
+    // decay actually bites: the fixture spans months, so the weighted
+    // count is strictly below the raw count for every type
+    assert(rows.forall { case (_, n, d) => d < n.toDouble })
+  }
+
   test("q58 centroid outliers match a driver-side decimal recompute") {
     def dec12(v: Double) = BigDecimal.decimal(v)
       .setScale(12, BigDecimal.RoundingMode.HALF_UP)
