@@ -60,7 +60,12 @@ object PlanDump {
       ("Centroid outlier audit: the label-by-dimension centroid table is " +
         "tiny at any corpus size and joins back as a broadcast; the " +
         "per-vector distance aggregation partial-combines map-side and the " +
-        "top-k ends in per-partition heaps."))
+        "top-k ends in per-partition heaps."),
+    "q59_incremental_dedup" ->
+      ("Incremental (daily-ingest) dedup: only the NEW batch's band keys " +
+        "join the corpus band keys — candidate volume is O(new), the " +
+        "existing pair set is never recomputed, and the Jaccard " +
+        "verification runs on candidates only."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
