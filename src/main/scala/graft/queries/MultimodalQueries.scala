@@ -11,8 +11,24 @@ import graft.multimodal.Multimodal
   * feature extraction) and the oracle recomputes the same byte
   * statistics in SQL (the corpus is ASCII, so UTF-8 bytes == code
   * points and the byte fold is expressible portably).
+  *
+  * q61 drives the frame sampler end-to-end: every k-th fixed-size chunk
+  * of each blob becomes a frame row (the video/audio sampling shape),
+  * and the per-doc manifest (frame count, sampled byte mass, content
+  * checksum of frame 0) is checked against an arithmetic oracle — the
+  * frame GEOMETRY is pure integer math on sizes, and the frame CONTENT
+  * check folds the same bytes the binary path sliced.
   */
 object MultimodalQueries {
+
+  /** q61: keep every k-th chunk as a frame. */
+  val FrameEvery = 4
+
+  private def byteFoldSum(strCol: org.apache.spark.sql.Column) =
+    aggregate(
+      filter(split(strCol, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc + ascii(ch).cast("long")) % lit(P))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -22,6 +38,26 @@ object MultimodalQueries {
       Multimodal.extractFeatures(blobs)
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           col("n_chunks"), col("byte_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q61_frame_manifest" -> ((s, dir) => {
+      // all row-local: posexplode-style frame emission, then one
+      // map-side-combined groupBy on doc_id — blobs never shuffle,
+      // only the (doc_id, stats) rows do
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+      val frames = Multimodal.sampleFrames(
+        Multimodal.ingestAsBlobs(docs), FrameEvery)
+      frames
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("fb"),
+          when(col("frame_idx") === 0,
+            byteFoldSum(decode(col("frame"), "UTF-8"))).otherwise(lit(0L)).as("f0"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(col("fb")).cast("long").as("frame_bytes"),
+          sum(col("f0")).cast("long").as("first_frame_sum"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -36,5 +72,25 @@ object MultimodalQueries {
          |    list_filter(string_split(text, ''), c -> c != ''),
          |    c -> unicode(c)::BIGINT)), (a, b) -> (a + b) % $P) AS byte_sum
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q61_frame_manifest" -> {
+      val cb = Multimodal.DefaultChunkBytes
+      val f0fold = s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        s"list_filter(string_split(substring(text, 1, $cb), ''), c -> c != ''), " +
+        s"c -> unicode(c)::BIGINT)), (a, b) -> (a + b) % $P)"
+      s"""WITH d AS (
+         |  SELECT doc_id, text, octet_length(encode(text))::BIGINT AS nb
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, text, nb,
+         |    unnest(list_filter(range(CAST(ceil(nb / $cb.0) AS BIGINT)),
+         |      i -> i % $FrameEvery = 0)) AS idx
+         |  FROM d WHERE nb > 0)
+         |SELECT doc_id, COUNT(*) AS n_frames,
+         |  CAST(SUM(least($cb, nb - idx * $cb)) AS BIGINT) AS frame_bytes,
+         |  CAST(SUM(CASE WHEN idx = 0 THEN $f0fold ELSE 0 END) AS BIGINT)
+         |    AS first_frame_sum
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 }
