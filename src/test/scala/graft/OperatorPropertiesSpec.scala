@@ -75,6 +75,60 @@ class OperatorPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("domain-mix allocation: floor-exact, feasible, and monotone on random counts") {
+    // the q53 arithmetic as pure integer properties over random strata
+    val countGen = Gen.chooseNum(1L, 100000L)
+    val wGen = Gen.chooseNum(1, 60)
+    for (trial <- 0 until 50) {
+      val k = 2 + trial % 5
+      val counts = samples(countGen, k, 100L + trial)
+      val ws = samples(wGen, k, 200L + trial)
+      val wTot = ws.sum
+      val t = counts.zip(ws).map { case (c, w) => c * wTot / w }.min
+      val takes = ws.map(w => t * w / wTot)
+      // feasible: no stratum oversubscribed
+      takes.zip(counts).foreach { case (take, c) => assert(take <= c) }
+      // exact proportions up to floor: |take_i/w_i - take_j/w_j| bounded
+      // by the floor slack 1/w
+      for (((ti, wi), (tj, wj)) <- takes.zip(ws).combinations(2).map(s => (s(0), s(1)))) {
+        val ri = ti.toDouble / wi
+        val rj = tj.toDouble / wj
+        assert(math.abs(ri - rj) <= 1.0 / wi + 1.0 / wj + 1e-9,
+          s"allocation skew: $ti/$wi vs $tj/$wj (t=$t)")
+      }
+    }
+  }
+
+  test("count-min never underestimates on random token streams") {
+    import graft.functions.PortableHash.{CmsDepth, CmsFamily, P, affine, charHash}
+    val width = 8L // tiny width forces all-row collisions, the interesting case
+    val tokGen = Gen.oneOf((1 to 40).map(i => s"tok$i"))
+    val toks = samples(tokGen, 3000, 31L)
+    val df = toks.toDF("t")
+    val cells = df.select((0 until CmsDepth).map { i =>
+      (affine(CmsFamily(i), charHash($"t")) % width).as(s"c$i")
+    }: _*)
+    val counters: Seq[Map[Long, Long]] = (0 until CmsDepth).map { i =>
+      cells.groupBy(col(s"c$i")).count()
+        .as[(Long, Long)].collect().toMap
+    }
+    val trueCounts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probeCols = $"t" +: (0 until CmsDepth).map { i =>
+      (affine(CmsFamily(i), charHash($"t")) % width).as(s"c$i")
+    }
+    val probe = trueCounts.keys.toSeq.toDF("t")
+      .select(probeCols: _*).as[(String, Long, Long, Long, Long)].collect()
+    var sawOverestimate = false
+    probe.foreach { case (t, c0, c1, c2, c3) =>
+      val est = Seq(counters(0)(c0), counters(1)(c1), counters(2)(c2), counters(3)(c3)).min
+      assert(est >= trueCounts(t), s"CMS underestimated $t")
+      if (est > trueCounts(t)) sawOverestimate = true
+    }
+    // width 64 with 40 tokens must collide somewhere — the bound is
+    // exercised, not vacuous
+    assert(sawOverestimate)
+  }
+
   test("tfidf topTerms ranks are a prefix of the full weight ordering") {
     val docs = Seq(
       (1L, Seq("a", "a", "b", "c")),
