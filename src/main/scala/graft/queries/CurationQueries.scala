@@ -113,6 +113,29 @@ object CurationQueries {
         .orderBy(col("lang"))
     }),
 
+    "q62_oov_rate" -> ((s, dir) => {
+      // out-of-vocabulary rate of the test split against the train
+      // split's vocabulary — the token-level twin of q52 (a tokenizer /
+      // eval-set sanity metric). Same scalable shape: explode →
+      // distinct vocab (shuffle on token) → hash equi-join membership
+      // probe → map-side-combined per-lang aggregation.
+      val tok = KeywordQueries.tokenizedDocs(s, dir)
+        .withColumn("bucket", splitBucket(col("doc_id")))
+      val vocab = tok.filter(col("bucket") < 80)
+        .select(explode(col("toks")).as("tok")).distinct()
+        .withColumn("seen", lit(1L))
+      val test = tok.filter(col("bucket") >= 90)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      test.join(vocab, Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_test_tokens"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"),
+          round(sum(when(col("seen").isNull, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
+
     "q53_domain_mix" -> ((s, dir) => {
       // integer-exact throughout: T = min_l floor(count_l*W/w_l) is the
       // largest total size whose exact target allocation floor(T*w_l/W)
@@ -254,6 +277,19 @@ object CurationQueries {
          |  round(CAST(SUM(CAST(overlap AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
          |    AS avg_overlap
          |FROM fr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q62_oov_rate" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |t AS (SELECT doc_id, lang, toks, ${splitBucketSql("doc_id")} AS bucket FROM dd),
+         |vocab AS (SELECT DISTINCT unnest(toks) AS tok FROM t WHERE bucket < 80),
+         |test AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t WHERE bucket >= 90),
+         |j AS (
+         |  SELECT test.lang, CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM test LEFT JOIN vocab ON test.tok = vocab.tok)
+         |SELECT lang, COUNT(*) AS n_test_tokens,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q53_domain_mix" -> {
       val (a, b) = MixPair
