@@ -43,6 +43,12 @@ import graft.queries.TextQueries.shingleCol
   * q60: time-decayed (freshness-weighted) event counts — 2^(-bucket)
   * weights are exact dyadic doubles (integer-bucketed ages, no libm
   * fractional-power ulp risk), summed through decimal.
+  *
+  * q63: KMV mergeability demonstrated in-plan — per-ingestion-day
+  * sketches min-unioned must equal the sketch built directly on the
+  * full stream (the `agree` column asserts it row-wise); this is the
+  * property that lets a 100 TB pipeline persist daily sketch artifacts
+  * and answer global distinct-count questions without rescanning.
   */
 object ExtraQueries {
 
@@ -98,6 +104,44 @@ object ExtraQueries {
       exact.join(sketch, "event_type")
         .select(col("event_type"), col("n_events"), col("exact_distinct"),
           col("n_h"), col("kmv_est"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q63_kmv_merge" -> ((s, dir) => {
+      // MERGEABILITY of the KMV sketch, demonstrated in-plan: build one
+      // sketch per (event_type, day) — the per-ingestion-day artifact a
+      // 100 TB pipeline persists — then min-union the daily sketches
+      // and compare against the sketch built directly on the full
+      // stream. `merged_*` must equal `direct_*` row for row (the
+      // `agree` column is 1 everywhere), because keeping the K smallest
+      // of a union equals keeping the K smallest of the per-day K
+      // smallest: dropping a value that is not among its own day's K
+      // smallest can never change the global K smallest.
+      val (a, b) = KmvPair
+      val hashed = events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          ((lit(a) * col("user_id") + lit(b)) % lit(P)).as("h"))
+        .distinct()
+      def sketchOf(df: DataFrame, parts: Column*): DataFrame = {
+        val w = Window.partitionBy(parts: _*).orderBy(col("h"))
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+      }
+      val daily = sketchOf(hashed, col("event_type"), col("day"))
+        .select(col("event_type"), col("h")).distinct()
+      def finish(df: DataFrame, prefix: String): DataFrame =
+        sketchOf(df, col("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as(s"${prefix}_n_h"), max(col("h")).as("kth"))
+          .withColumn(s"${prefix}_est",
+            when(col(s"${prefix}_n_h") < KmvK, col(s"${prefix}_n_h").cast("double"))
+              .otherwise(round(lit((KmvK - 1).toDouble) * P / col("kth"), 6)))
+          .select(col("event_type"), col(s"${prefix}_n_h"), col(s"${prefix}_est"))
+      finish(daily, "merged")
+        .join(finish(hashed.select(col("event_type"), col("h")).distinct(), "direct"),
+          "event_type")
+        .withColumn("agree",
+          (col("merged_n_h") === col("direct_n_h") &&
+            col("merged_est") === col("direct_est")).cast("long"))
         .orderBy(col("event_type"))
     }),
 
@@ -235,6 +279,38 @@ object ExtraQueries {
          |       ELSE round(${(KmvK - 1).toDouble} * $P / s.kth, 6) END AS kmv_est
          |FROM exact e JOIN sketch s USING (event_type)
          |ORDER BY event_type""".stripMargin
+    },
+
+    "q63_kmv_merge" -> {
+      val (a, b) = KmvPair
+      def est(p: String) =
+        s"CASE WHEN ${p}_n_h < $KmvK THEN ${p}_n_h::DOUBLE " +
+          s"ELSE round(${(KmvK - 1).toDouble} * $P / kth, 6) END AS ${p}_est"
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+         |    ($a * user_id + $b) % $P AS h
+         |  FROM events),
+         |daily AS (SELECT DISTINCT event_type, h FROM (
+         |  SELECT event_type, day, h FROM hashed
+         |  QUALIFY row_number() OVER (PARTITION BY event_type, day ORDER BY h) <= $KmvK)),
+         |mtop AS (SELECT event_type, h FROM daily
+         |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $KmvK),
+         |msk AS (
+         |  SELECT event_type, COUNT(*) AS merged_n_h, MAX(h) AS kth
+         |  FROM mtop GROUP BY event_type),
+         |dhash AS (SELECT DISTINCT event_type, h FROM hashed),
+         |dtop AS (SELECT event_type, h FROM dhash
+         |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $KmvK),
+         |dsk AS (
+         |  SELECT event_type, COUNT(*) AS direct_n_h, MAX(h) AS kth
+         |  FROM dtop GROUP BY event_type),
+         |m AS (SELECT event_type, merged_n_h, ${est("merged")} FROM msk),
+         |d AS (SELECT event_type, direct_n_h, ${est("direct")} FROM dsk)
+         |SELECT m.event_type, m.merged_n_h, m.merged_est,
+         |  d.direct_n_h, d.direct_est,
+         |  CAST(m.merged_n_h = d.direct_n_h AND m.merged_est = d.direct_est AS BIGINT)
+         |    AS agree
+         |FROM m JOIN d USING (event_type) ORDER BY event_type""".stripMargin
     },
 
     "q28_asof_orders" ->
