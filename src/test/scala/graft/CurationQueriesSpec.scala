@@ -97,6 +97,35 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
       lo > toks(lang)._1 || hi < toks(lang)._2 })
   }
 
+  test("q62 oov rate matches a driver-side recomputation") {
+    val (a, b) = SplitPair
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def bucket(id: Long) = ((a * id + b) % P) % 100
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    val vocab = docs.filter(d => bucket(d._1) < 80).flatMap(d => toks(d._3)).toSet
+    val want = docs.filter(d => bucket(d._1) >= 90)
+      .flatMap(d => toks(d._3).map(t => (d._2, t)))
+      .groupBy(_._1).view.mapValues { ts =>
+        (ts.length.toLong, ts.count(t => !vocab.contains(t._2)).toLong)
+      }.toMap
+    val got = CurationQueries.queries("q62_oov_rate")(spark, sf0001)
+      .select($"lang", $"n_test_tokens", $"n_oov")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want)
+  }
+
+  test("q63 daily-merged KMV sketches agree with the direct sketch") {
+    // the agree column IS the assertion; check it holds without the
+    // oracle in the loop, at both fixture SFs
+    Seq(sf0001, sf001).foreach { dir =>
+      val rows = graft.queries.ExtraQueries.queries("q63_kmv_merge")(spark, dir)
+        .select($"agree").as[Long].collect()
+      assert(rows.nonEmpty && rows.forall(_ == 1L), s"merge disagreement at $dir")
+    }
+  }
+
   test("q55 unigram log-likelihoods are negative and ascending") {
     val rows = run("q55_unigram_loglik")
       .select($"avg_ll").as[Double].collect()
