@@ -141,7 +141,11 @@ object CurationQueries {
       // largest total size whose exact target allocation floor(T*w_l/W)
       // stays within every stratum; selection is rank-by-(hash, id)
       // inside each stratum — deterministic, uncorrelated with split
-      // and sample membership (own affine member)
+      // and sample membership (own affine member). 100 TB note: the
+      // per-stratum rank is a sort of that stratum; when exact take
+      // counts stop being worth a sort, the scale path selects by hash
+      // THRESHOLD instead (keep h < t_l with t_l from a quantile sketch
+      // of h) — same determinism, sort-free, approximate counts.
       val (a, b) = MixPair
       val wcase = MixTargets.foldRight(lit(0L)) { case ((l, w), other) =>
         when(col("lang") === l, lit(w.toLong)).otherwise(other)
@@ -174,7 +178,10 @@ object CurationQueries {
     "q54_length_trim" -> ((s, dir) => {
       // rank-based trim: keep r iff TrimPct < r*100/n <= 100-TrimPct
       // (strict integer comparisons, no interpolation convention to
-      // match between engines). One window pass per language stratum.
+      // match between engines). One window pass per language stratum;
+      // at 100 TB the same trim runs sort-free by filtering against
+      // per-stratum percentile BOUNDS from a quantile sketch — the
+      // rank formulation is the exact-auditable variant.
       val tok = KeywordQueries.tokenizedDocs(s, dir)
         .select(col("doc_id"), col("lang"), col("dl").cast("long").as("n_tokens"))
       val ranked = tok
