@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decade-up scale probe: synthesizes a corpus ~10× the largest fixture
+  * (each sf0.1 document replicated into `Copies` perturbed near-dup
+  * clones with distinct ids — deliberately dedup-HEAVY, the worst case
+  * for the pair-generating queries) and times a corpus-query subset
+  * against it. This answers "does the sf0.01→sf0.1 scaling trend hold
+  * one more decade up, under adversarial dup density?" with a
+  * measurement instead of an extrapolation; results are recorded in
+  * SCALING.md.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/sfbig"`
+  * (writes the synthetic corpus on first run, reuses it after).
+  */
+object ScaleProbe {
+  val Copies = 10
+
+  val ProbeQueries: Seq[String] = Seq(
+    "q10_knn_exact", "q19_minhash_lsh", "q20_simhash", "q17_dedup_exact",
+    "q45_bigram_top", "q41_tfidf_topterms", "q52_decontamination",
+    "q55_unigram_loglik", "q57_countmin", "q59_incremental_dedup",
+    "q62_oov_rate")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/sfbig"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsPath = s"$outDir/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val copies = spark.range(Copies).select(col("id").as("copy"))
+      spark.read.parquet(s"$srcDir/documents.parquet")
+        .crossJoin(copies)
+        // clone ids live in disjoint ranges; each clone's text gets a
+        // copy-specific suffix token, so clones are NEAR-dups (high but
+        // non-1.0 jaccard), exercising the verification path for real
+        .select(
+          (col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+          concat(col("text"), lit(" copytag"), col("copy")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(9L)).as("n_chars"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(docsPath)
+      spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .crossJoin(copies)
+        .select(
+          (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
+          // perturb one dimension per copy so clones are near- but not
+          // exact-duplicate vectors
+          zip_with(col("embedding"),
+            transform(col("embedding"), (_, i) =>
+              when(i === 0, col("copy").cast("float") * lit(0.001f))
+                .otherwise(lit(0.0f))),
+            (v, d) => v + d).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    }
+    val nDocs = spark.read.parquet(docsPath).count()
+    // pass 1 = COLD (includes shared cache builds — the honest "index
+    // build" cost); pass 2 = warm steady state, Bench's methodology
+    def pass(): Seq[(String, (Double, Long))] = ProbeQueries.map { q =>
+      val t0 = System.nanoTime()
+      val n = try SparkEntry.queries(q)(spark, outDir).count()
+              catch { case e: Throwable => println(s"FAIL $q: ${e.getMessage}"); -1L }
+      q -> ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val cold = pass().toMap
+    val warm = pass()
+    val qs = warm.map { case (q, (t, n)) =>
+      s"""\"$q\":{\"cold_sec\":${cold(q)._1},\"warm_sec\":$t,\"rows\":$n}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"probe":"decade-up","n_docs":$nDocs,"copies":$Copies,"queries":$qs}""")
+    spark.stop()
+  }
+}
