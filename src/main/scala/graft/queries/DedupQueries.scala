@@ -184,15 +184,28 @@ object DedupQueries {
         .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
       // the Hamming cutoff sits INSIDE the join condition (one XOR +
       // popcount, codegen'd): rejected candidate pairs never
-      // materialize, and the duplicate-elimination distinct() shuffles
-      // only the surviving near-dup pairs — not the full candidate set
+      // materialize. A pair sharing several chunks would match in each
+      // of them, so the join also requires the matched chunk to be the
+      // pair's CANONICAL (lowest-index) agreeing chunk — every
+      // surviving pair is emitted exactly once and NO distinct()
+      // shuffle of the pair set exists at all. On a clone-dense corpus
+      // (ScaleProbe: 5.5M pairs at 50k docs) that dedup shuffle was
+      // the dominant cost; with the canonical-chunk predicate the
+      // plan is join → sort, nothing else.
+      def chunkVal(sig: org.apache.spark.sql.Column, j: Int) =
+        shiftright(sig, j * SimhashChunkBits)
+          .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
+      val canonical = (0 until SimhashChunks).map { j =>
+        lit(j) >= col("x.c") ||
+          chunkVal(col("x.sig"), j) =!= chunkVal(col("y.sig"), j)
+      }.reduce(_ && _)
       chunks.alias("x").join(chunks.alias("y"),
           col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
             col("x.doc_id") < col("y.doc_id") &&
-            hamming(col("x.sig"), col("y.sig")) <= HammingMax)
+            hamming(col("x.sig"), col("y.sig")) <= HammingMax &&
+            canonical)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           hamming(col("x.sig"), col("y.sig")).as("ham"))
-        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

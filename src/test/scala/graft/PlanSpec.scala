@@ -153,6 +153,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("q20 emits each pair once: no aggregate (distinct) anywhere in the plan") {
+    // the canonical-chunk join predicate replaces pair-set distinct();
+    // a HashAggregate reappearing here means the dedup shuffle is back
+    val p = plan("q20_simhash")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"q20 must not need a distinct/aggregate after the join:\n$p")
+  }
+
   test("q58 joins the label-by-dim centroid table via broadcast, tops out in heaps") {
     val p = plan("q58_centroid_outliers")
     assert(p.contains("BroadcastHashJoin"),
