@@ -56,7 +56,7 @@ object KeywordQueries {
     * tokenization pass shared by every consumer in the session (BM25
     * q34 + q35's keyword arm, TF-IDF q41, packing q42), parallelized
     * across the cluster (the corpus parquet can arrive as one split). */
-  private[queries] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.cachedView(s,
       "graft_cache_doctoks_" + graft.SparkEntry.pathSlug(dir)) {
       docs(s, dir).repartition(s.sparkContext.defaultParallelism)

@@ -116,10 +116,14 @@ final class SearchEngine(
           .orderBy(desc("score"), asc("doc_id"))))
       .select($"doc_id", $"rank")
     val terms = prompt.split(" ").toSeq.filter(_.nonEmpty).distinct
-    val tokenized = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("toks"))
-      .withColumn("dl", size($"toks").cast("double"))
+    // the SHARED session-cached tokenization (one pass per session,
+    // reused by BM25/TF-IDF/packing): building an equivalent plan
+    // inline here would NOT hit the cache — CacheManager substitution
+    // matches canonicalized subtrees, and a different projection over
+    // the same scan is a different subtree, silently re-tokenizing the
+    // corpus on every hybrid query
+    val tokenized = graft.queries.KeywordQueries.tokenizedDocs(spark, sfDir)
+      .select($"doc_id", $"toks", $"dl")
     val krank = graft.operators.Bm25.scores(tokenized, terms)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(poolK)
