@@ -88,14 +88,28 @@ object DedupQueries {
     val sh = hashedShingles(s, dir)
     val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
     val bands = sigs
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("sig"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // a pair agreeing in several bands matches the equi-join once per
+    // band; requiring the matched band to be the pair's CANONICAL
+    // (lowest-index) agreeing band emits each candidate exactly once,
+    // so no distinct() shuffle of the candidate set exists (same trick
+    // as q20's chunks). Band-key equality ⟺ slot-wise signature
+    // equality, so earlier bands are compared as raw longs — no string
+    // rebuilding
+    def bandDiffers(b: Int) = (0 until MinhashRowsPerBand).map { r =>
+      element_at(col("x.sig"), b * MinhashRowsPerBand + r + 1) =!=
+        element_at(col("y.sig"), b * MinhashRowsPerBand + r + 1)
+    }.reduce(_ || _)
+    val canonical = (0 until MinhashBands).map { b =>
+      lit(b) >= col("x.band") || bandDiffers(b)
+    }.reduce(_ && _)
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && canonical)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
