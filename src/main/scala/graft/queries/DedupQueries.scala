@@ -84,35 +84,44 @@ object DedupQueries {
         lshVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
     }
 
+  /** MinHash band-join candidate pairs (doc_a < doc_b), BEFORE the
+    * Jaccard verification threshold — session-cached because both the
+    * verified-pairs pipeline (q19/q31/q43/q59) and the containment
+    * audit (q67) consume the same candidate set. */
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s, "graft_cache_lshcand_" + graft.SparkEntry.pathSlug(dir)) {
+      val sh = hashedShingles(s, dir)
+      val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
+      val bands = sigs
+        .select(col("doc_id"), col("sig"), explode(bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      // a pair agreeing in several bands matches the equi-join once per
+      // band; requiring the matched band to be the pair's CANONICAL
+      // (lowest-index) agreeing band emits each candidate exactly once,
+      // so no distinct() shuffle of the candidate set exists (same trick
+      // as q20's chunks). Band-key equality ⟺ slot-wise signature
+      // equality, so earlier bands are compared as raw longs — no string
+      // rebuilding
+      def bandDiffers(b: Int) = (0 until MinhashRowsPerBand).map { r =>
+        element_at(col("x.sig"), b * MinhashRowsPerBand + r + 1) =!=
+          element_at(col("y.sig"), b * MinhashRowsPerBand + r + 1)
+      }.reduce(_ || _)
+      val canonical = (0 until MinhashBands).map { b =>
+        lit(b) >= col("x.band") || bandDiffers(b)
+      }.reduce(_ && _)
+      bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id") && canonical)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    }
+
   private def buildLshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(s, dir)
-    val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
-    val bands = sigs
-      .select(col("doc_id"), col("sig"), explode(bandKeys(col("sig"))).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    // a pair agreeing in several bands matches the equi-join once per
-    // band; requiring the matched band to be the pair's CANONICAL
-    // (lowest-index) agreeing band emits each candidate exactly once,
-    // so no distinct() shuffle of the candidate set exists (same trick
-    // as q20's chunks). Band-key equality ⟺ slot-wise signature
-    // equality, so earlier bands are compared as raw longs — no string
-    // rebuilding
-    def bandDiffers(b: Int) = (0 until MinhashRowsPerBand).map { r =>
-      element_at(col("x.sig"), b * MinhashRowsPerBand + r + 1) =!=
-        element_at(col("y.sig"), b * MinhashRowsPerBand + r + 1)
-    }.reduce(_ || _)
-    val canonical = (0 until MinhashBands).map { b =>
-      lit(b) >= col("x.band") || bandDiffers(b)
-    }.reduce(_ && _)
-    val cand = bands.alias("x")
-      .join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id") && canonical)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    lshCandidates(s, dir).join(a, "doc_a").join(b, "doc_b")
       .withColumn("jac", round(jaccard(col("hs_a"), col("hs_b")), 6))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
@@ -266,7 +275,10 @@ object DedupQueries {
 
   /** CTE chain shared by the q19/q31 oracles: shingle sets → minhash
     * sigs → band keys → candidates → verified `pairs`. */
-  private[queries] lazy val lshPairsCtes: String = {
+  /** CTE chain defining `sh` (hashed shingle sets) and `cand` (the
+    * band-join candidate pairs) — the pre-verification stage shared by
+    * the q19 pipeline and q67's containment audit. */
+  private[queries] lazy val lshCandCtes: String = {
     val bandSelects = (0 until MinhashBands).map { bnd =>
       s"SELECT doc_id, $bnd AS band, ${bandKeySql("sig", bnd)} AS key FROM sigs"
     }.mkString(" UNION ALL ")
@@ -275,12 +287,15 @@ object DedupQueries {
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private[queries] lazy val lshPairsCtes: String =
+    s"""$lshCandCtes,
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b, round(${jaccardSql("a.hs", "b.hs")}, 6) AS jac
        |  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
        |  WHERE round(${jaccardSql("a.hs", "b.hs")}, 6) >= $JaccardThreshold)""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = {
     val jacE = jaccardSql("a.hs", "b.hs")
