@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for local[32] carrying the session caches (tokenized
+  // corpus, shingle sets, LSH pairs): 8g forced MEMORY_ONLY evictions
+  // and mid-bench recomputes (round-5 q57/q46 outliers); the box has
+  // 128 GiB, so give the single-JVM "cluster" a realistic share
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

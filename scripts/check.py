@@ -37,6 +37,9 @@ for name in sorted(oracle):
         fails += 1
         continue
     try:
+        got_desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+        exp_desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
         got = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
         got_cols = [d[0] for d in con.description]
@@ -44,6 +47,17 @@ for name in sorted(oracle):
         exp_cols = [d[0] for d in con.description]
     except Exception as e:
         print(f"FAIL {name}: {e}")
+        fails += 1
+        continue
+    # exact type equality: the driver's hash is type-sensitive in ways
+    # str() comparison is not (e.g. DuckDB HUGEINT -> pandas float64
+    # renders 0.0 where spark's BIGINT renders 0) — q42 round-4/5 red.
+    gt = {c[0]: c[1] for c in got_desc}
+    et = {c[0]: c[1] for c in exp_desc}
+    tdiff = [(k, gt.get(k), et.get(k)) for k in set(gt) | set(et)
+             if gt.get(k) != et.get(k)]
+    if tdiff:
+        print(f"FAIL {name}: type mismatch {tdiff}")
         fails += 1
         continue
     # driver sorts columns by name before hashing

@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   val Warmup = 1
-  val Reps = 2
+  val Reps = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,24 +49,28 @@ object Bench {
     // outside the timed window, so attribution doesn't depend on which
     // query happens to touch a cache first (Map iteration order)
     (1 to Warmup).foreach { _ =>
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.benchQueries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
       }
     }
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val passes = (1 to Reps).map(_ => timedPass())
-    val results = SparkEntry.queries.keys.map { name =>
-      name -> passes.map(_(name)).min
-    }.toMap
+    val names = SparkEntry.benchQueries.keys.toSeq
+    val results = names.map { name => name -> passes.map(_(name)).min }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep times, so a one-off GC/compaction stall shows up as
+    // variance across reps instead of silently inflating the min
+    val reps = names.map { name =>
+      s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$reps,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","cpus":$cpus,"excluded_verify_only":["q18_jaccard_pairs","q21_embedding_neardup"]}""")
     spark.stop()
   }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.search.{HashingEmbedder, SearchEngine}
+
+/** The engine's front door — the Spark-native rendition of the
+  * reference's runnable entry point (reference server.py:108-127 wires
+  * driver + config and serves one tool; reference __init__.py:10-25
+  * resolves each setting as `flag or env or default`): a prompt goes
+  * in, the tool-call JSON comes out on stdout.
+  *
+  * {{{ sbt "runMain graft.Search /root/testdata/sf0.001 'fast hash join' --k 5" }}}
+  *
+  * No stdio protocol loop: the reference's MCP framing is transport
+  * plumbing its library delegates to `mcp.run(transport="stdio")`; the
+  * engine's equivalent surface is this main + the [[SearchEngine]]
+  * library API (SURVEY.md §2.1 O11).
+  */
+object Search {
+
+  /** Resolved settings, each via the reference's precedence chain
+    * `flag > env > default` (reference __init__.py:19-24). */
+  final case class Config(sfDir: String, prompt: String, k: Int, cpus: String)
+
+  /** Pure flag parsing so the precedence chain is spec-testable.
+    * Positionals: `<sfDir> <prompt words...>`; flags: `--k N`
+    * (`--k=N` also accepted). sfDir/k/cpus fall back to env then
+    * default; the prompt is the one input with no env fallback — the
+    * reference's tool argument, not server config. */
+  def parseConfig(args: Seq[String], env: Map[String, String]): Config = {
+    val (flags, positionals) = {
+      var fs = Map.empty[String, String]
+      var ps = List.empty[String]
+      var rest = args.toList
+      while (rest.nonEmpty) rest = rest match {
+        case f :: v :: t if f.startsWith("--") && !f.contains("=") =>
+          fs += (f.drop(2) -> v); t
+        case f :: t if f.startsWith("--") && f.contains("=") =>
+          val Array(name, v) = f.drop(2).split("=", 2)
+          fs += (name -> v); t
+        case p :: t => ps = p :: ps; t
+        case Nil => Nil
+      }
+      (fs, ps.reverse)
+    }
+    // the first positional is sfDir ONLY when --sf-dir doesn't already
+    // name it; with the flag present every positional is a prompt word
+    val sfDir = flags.get("sf-dir")
+      .orElse(positionals.headOption)
+      .orElse(env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.001")
+    val promptWords =
+      if (flags.contains("sf-dir")) positionals else positionals.drop(1)
+    val prompt = flags.get("prompt").getOrElse(promptWords.mkString(" "))
+    val k = flags.get("k").orElse(env.get("SPARK_GRAFT_K"))
+      .map(_.toInt).getOrElse(10)
+    val cpus = flags.get("cpus").orElse(env.get("SPARK_GRAFT_CPUS"))
+      .getOrElse("4")
+    require(prompt.nonEmpty,
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N]")
+    Config(sfDir, prompt, k, cpus)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseConfig(args.toSeq, sys.env)
+    val spark = SparkSession.builder()
+      .master(s"local[${cfg.cpus}]")
+      .config("spark.sql.shuffle.partitions", cfg.cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new SearchEngine(spark, new HashingEmbedder(64))
+    println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k))
+    spark.stop()
+  }
+}

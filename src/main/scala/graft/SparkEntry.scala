@@ -47,11 +47,20 @@ object SparkEntry {
     * tracking, no cross-call accumulation — and (b) every query in the
     * session shares ONE materialization (q18/q19/q31 all consume the
     * same shingle table). `spark.catalog.uncacheTable(name)` releases
-    * it early if needed. */
+    * it early if needed.
+    *
+    * MEMORY_AND_DISK, not the default MEMORY_ONLY: under a constrained
+    * driver heap (the gate runs local[32] at 8g) MEMORY_ONLY evicts
+    * whole cached views under pressure and silently RECOMPUTES them
+    * inside whichever query touches them next — a re-tokenization of
+    * the corpus landing on an arbitrary timed query. Spilling to local
+    * disk keeps the recompute cost bounded by a sequential read. On a
+    * real cluster the same reasoning holds per executor. */
   private[graft] def cachedView(s: SparkSession, name: String)(build: => DataFrame): DataFrame = {
     if (!s.catalog.tableExists(name)) {
       build.createOrReplaceTempView(name)
-      s.catalog.cacheTable(name)
+      s.catalog.cacheTable(name,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     s.table(name)
   }
@@ -97,6 +106,18 @@ object SparkEntry {
       graft.queries.KeywordQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries
+
+  /** Oracle-checked by Verify but EXCLUDED from the bench set: these
+    * are the declared quadratic verification baselines (all-pairs /
+    * per-lang-quadratic exact scans whose only job is to prove the LSH
+    * production twins q19/q20/q22 lossless at test SF). Their cost
+    * grows with corpus², so benching them would measure a shape the
+    * engine never runs at scale. */
+  val verifyOnly: Set[String] = Set("q18_jaccard_pairs", "q21_embedding_neardup")
+
+  /** The queries whose plans survive a 100× scale-up — what Bench times. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries -- verifyOnly
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
@@ -159,6 +159,58 @@ object Dedup {
         col("partner_is_new"), col("jac"))
   }
 
+  /** Persist the corpus side of the daily-dedup job as reusable
+    * artifacts: the band-key table (written PARTITIONED BY band, so an
+    * incremental probe reads only colliding band directories) and the
+    * shingle sets needed for Jaccard verification. Written once by the
+    * full corpus build; every subsequent ingest batch joins against it
+    * via [[incrementalPairsVsIndex]] instead of recomputing corpus
+    * signatures. */
+  def saveCorpusIndex(sh: DataFrame, idCol: String, hsCol: String, dir: String): Unit = {
+    val sigs = sh.select(col(idCol), minhashSignature(col(hsCol)).as("sig"))
+    sigs.select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+    sh.select(col(idCol), col(hsCol))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** [[incrementalPairs]] against a PERSISTED corpus index
+    * ([[saveCorpusIndex]]): the corpus side's band keys and shingles
+    * are read back from parquet — nothing about the existing corpus is
+    * recomputed, which is the property that makes daily ingest O(new)
+    * at 100 TB. Output contract matches [[incrementalPairs]] run over
+    * (corpus ∪ new batch) with the batch flagged as new.
+    *
+    * @param newSh (idCol, hsCol) for the new batch only. */
+  def incrementalPairsVsIndex(spark: SparkSession, indexDir: String,
+                              newSh: DataFrame, idCol: String, hsCol: String,
+                              threshold: Double): DataFrame = {
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+    val newSigs = newSh.select(col(idCol), minhashSignature(col(hsCol)).as("sig"))
+    val newBands = newSigs
+      .select(col(idCol).as("__nid"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("__nid"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val allBands = corpusBands
+      .select(col(idCol), lit(false).as("__pnew"), col("band"), col("key"))
+      .union(newBands.select(col("__nid").as(idCol), lit(true).as("__pnew"),
+        col("band"), col("key")))
+    val cand = newBands.join(allBands, Seq("band", "key"))
+      .filter(col("__nid") =!= col(idCol))
+      .select(col("__nid"), col(idCol).as("__pid"),
+        col("__pnew").as("partner_is_new"))
+      .distinct()
+    val a = newSh.select(col(idCol).as("__nid"), col(hsCol).as("__hsa"))
+    val b = corpusSh.select(col(idCol).as("__pid"), col(hsCol).as("__hsb"))
+      .union(newSh.select(col(idCol).as("__pid"), col(hsCol).as("__hsb")))
+    cand.join(a, "__nid").join(b, "__pid")
+      .withColumn("jac", round(jaccard(col("__hsa"), col("__hsb")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("__nid").as(idCol), col("__pid").as("partner"),
+        col("partner_is_new"), col("jac"))
+  }
+
   // ---------------------------------------------------------------
   // Exact dedup
   // ---------------------------------------------------------------
@@ -182,14 +234,12 @@ object Dedup {
 
   /** Connected components over an undirected pair list.
     *
-    * Distributed path: iterative min-label propagation — every node
-    * adopts the smallest label among itself and its neighbors until
-    * fixpoint; convergence is O(cluster diameter) iterations (each one
-    * join + groupBy-min — all distributed); a graph with long chains
-    * would switch to large-star/small-star, same label-contract
-    * semantics. Small graphs (≤ [[LocalComponentsMaxEdges]]) solve on
-    * the driver instead — identical output, none of the per-iteration
-    * stage overhead.
+    * Distributed path: alternating large-star/small-star contraction
+    * ([[starContract]]) — O(log n) rounds regardless of graph shape,
+    * so a chain-shaped dup graph converges as fast as a clique. Small
+    * graphs (≤ [[LocalComponentsMaxEdges]]) solve on the driver
+    * instead — identical output, none of the per-iteration stage
+    * overhead.
     *
     * @param pairs two LONG columns (a, b), undirected edges.
     * @param localMaxEdges cutover for the driver-local solve
@@ -222,35 +272,81 @@ object Dedup {
       // find(x) is exactly "min id reachable from x"
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
     }
-    val edges = a.union(a.select(col("v").as("u"), col("u").as("v"))).distinct().cache()
-    // seed with min(self, direct neighbors) — equivalent to running one
-    // propagation round, saving one join+action in the fixpoint loop
-    var labels = edges
-      .groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("component"))
-      .select(col("u").as("id"), col("component"))
-      .cache()
+    starContract(a)._1
+  }
+
+  /** One large-star round: every node u hangs its strictly-LARGER
+    * neighbors off m(u) = min(Γ(u) ∪ {u}). Halves the depth of tall
+    * trees in one round. Input/output edges are canonically oriented
+    * (u > v); the output keeps that orientation because v > u ≥ m(u). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = nbrs.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
+    nbrs.filter(col("v") > col("u"))
+      .join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u re-hangs its SMALLER neighbors
+    * (and itself) off its minimum neighbor. Output stays canonically
+    * oriented: every emitted (x, m) has x > m. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val relinked = e.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+    val selfEdge = m.select(col("u"), col("m").as("v"))
+    relinked.union(selfEdge).distinct()
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SOCC'14): each
+    * round is two join+groupBy stages, and the edge forest provably
+    * contracts to depth-1 stars rooted at each component's minimum in
+    * O(log n) rounds — graph DIAMETER does not appear in the bound,
+    * which is what makes chain-shaped dup graphs (the worst case for
+    * plain min-label propagation) converge fast.
+    *
+    * @param pairs undirected edges as two LONG columns.
+    * @return ((id, component) for every id in pairs, rounds taken). */
+  private[graft] def starContract(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical orientation: every edge points from the larger id to
+    // the smaller, so star roots can only be component minima.
+    // localCheckpoint (not cache) each generation: both star steps
+    // reference their input SEVERAL times (symmetric union + join), so
+    // the logical plan grows geometrically per round — caching
+    // materializes blocks but leaves the analyzer walking the full
+    // lineage, which goes exponential around ~10 rounds. Truncating
+    // lineage each round keeps analysis O(1) per round; on a real
+    // cluster with flaky executors, `checkpoint` to reliable storage
+    // is the same call shape.
+    var edges = pairs
+      .select(greatest(col(pairs.columns(0)), col(pairs.columns(1))).as("u"),
+        least(col(pairs.columns(0)), col(pairs.columns(1))).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
     var changed = 1L
     while (changed > 0) {
-      val viaNeighbors = edges
-        .join(labels, edges("v") === labels("id"))
-        .select(edges("u").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      // the count above materialized `next`; the superseded generation's
-      // blocks are dead weight from here on — release them so a long
-      // fixpoint doesn't accumulate one cached table per iteration
-      labels.unpersist(blocking = false)
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // converged when the edge set is stable under both stars
+      changed = next.except(edges).union(edges.except(next)).count()
+      edges.unpersist(blocking = false)
+      edges = next
+      rounds += 1
     }
-    // final labels were materialized by the last count; edges are no
-    // longer needed except for lineage recompute after eviction
-    edges.unpersist(blocking = false)
-    labels
+    // fixpoint = depth-1 stars: (leaf, root) edges with root = the
+    // component min. Roots appear only on the v side; label them with
+    // themselves via the symmetric view.
+    val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val labels = nbrs.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("component"))
+      .select(col("u").as("id"), col("component"))
+    (labels, rounds)
   }
 
   /** Dedup survivor selection: given docs and verified near-dup pairs,

@@ -39,7 +39,7 @@ object DedupQueries {
     * ([[graft.expressions.ShingleHashSetExpr]]) — no intermediate
     * shingle strings; sorting is row-local and order-irrelevant to
     * every consumer (min, sizes). */
-  private[queries] def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.cachedView(s, "graft_cache_shingles_" + graft.SparkEntry.pathSlug(dir)) {
       // repartition BEFORE the per-doc hashing: the corpus parquet can
       // arrive as one input split (it's small on disk), which would run
@@ -85,11 +85,11 @@ object DedupQueries {
     }
 
   /** MinHash band-join candidate pairs (doc_a < doc_b), BEFORE the
-    * Jaccard verification threshold — session-cached because both the
-    * verified-pairs pipeline (q19/q31/q43/q59) and the containment
-    * audit (q67) consume the same candidate set. */
-  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    graft.SparkEntry.cachedView(s, "graft_cache_lshcand_" + graft.SparkEntry.pathSlug(dir)) {
+    * Jaccard verification threshold. Deliberately NOT session-cached:
+    * its only consumer is [[buildLshVerifiedPairs]] (whose output IS
+    * cached), so materializing the raw candidate set would be pure
+    * memory overhead until a second consumer exists. */
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
       val sh = hashedShingles(s, dir)
       val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
       val bands = sigs
@@ -273,11 +273,9 @@ object DedupQueries {
     }),
   )
 
-  /** CTE chain shared by the q19/q31 oracles: shingle sets → minhash
-    * sigs → band keys → candidates → verified `pairs`. */
   /** CTE chain defining `sh` (hashed shingle sets) and `cand` (the
-    * band-join candidate pairs) — the pre-verification stage shared by
-    * the q19 pipeline and q67's containment audit. */
+    * band-join candidate pairs) — the pre-verification stage of the
+    * LSH oracle pipeline. */
   private[queries] lazy val lshCandCtes: String = {
     val bandSelects = (0 until MinhashBands).map { bnd =>
       s"SELECT doc_id, $bnd AS band, ${bandKeySql("sig", bnd)} AS key FROM sigs"
@@ -290,12 +288,18 @@ object DedupQueries {
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** [[lshCandCtes]] plus the Jaccard-verified `pairs` CTE — the full
+    * shingles → sigs → bands → candidates → verified-pairs chain shared
+    * by the q19/q31/q43/q59 oracles. stripMargin is applied only to the
+    * new suffix: lshCandCtes is already stripped, and re-stripping an
+    * interpolated string would corrupt any future fragment whose line
+    * happens to start with '|'. */
   private[queries] lazy val lshPairsCtes: String =
-    s"""$lshCandCtes,
-       |pairs AS (
-       |  SELECT c.doc_a, c.doc_b, round(${jaccardSql("a.hs", "b.hs")}, 6) AS jac
-       |  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
-       |  WHERE round(${jaccardSql("a.hs", "b.hs")}, 6) >= $JaccardThreshold)""".stripMargin
+    lshCandCtes + ",\n" +
+      s"""pairs AS (
+         |  SELECT c.doc_a, c.doc_b, round(${jaccardSql("a.hs", "b.hs")}, 6) AS jac
+         |  FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+         |  WHERE round(${jaccardSql("a.hs", "b.hs")}, 6) >= $JaccardThreshold)""".stripMargin
 
   val oracleSql: Map[String, String] = {
     val jacE = jaccardSql("a.hs", "b.hs")

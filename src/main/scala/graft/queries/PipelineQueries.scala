@@ -294,7 +294,7 @@ object PipelineQueries {
          |      ORDER BY doc_id, i
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM t)
-         |SELECT pack_group, cum_before // $PackBudget AS bin,
+         |SELECT pack_group, CAST(cum_before // $PackBudget AS BIGINT) AS bin,
          |  COUNT(*) AS n_chunks,
          |  COUNT(DISTINCT doc_id) AS n_docs,
          |  CAST(SUM(chunk_toks) AS BIGINT) AS total_tokens
