@@ -17,8 +17,14 @@ object Bench {
   val Reps = 3
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // flag > env > default (reference __init__.py:10-25's chain);
+    // flagless invocation keeps the driver's env-only contract
+    val (flags, positionals) = Search.splitArgs(args.toSeq)
+    val sfDir = flags.get("sf-dir").orElse(positionals.headOption)
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
+    val cpus = flags.get("cpus")
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -23,27 +23,32 @@ object Search {
     * `flag > env > default` (reference __init__.py:19-24). */
   final case class Config(sfDir: String, prompt: String, k: Int, cpus: String)
 
+  /** Split `--name value` / `--name=value` flags from positionals —
+    * shared by every runnable main (Search/Verify/Bench) so they all
+    * speak the same `flag > env > default` dialect. */
+  private[graft] def splitArgs(args: Seq[String]): (Map[String, String], List[String]) = {
+    var fs = Map.empty[String, String]
+    var ps = List.empty[String]
+    var rest = args.toList
+    while (rest.nonEmpty) rest = rest match {
+      case f :: v :: t if f.startsWith("--") && !f.contains("=") =>
+        fs += (f.drop(2) -> v); t
+      case f :: t if f.startsWith("--") && f.contains("=") =>
+        val Array(name, v) = f.drop(2).split("=", 2)
+        fs += (name -> v); t
+      case p :: t => ps = p :: ps; t
+      case Nil => Nil
+    }
+    (fs, ps.reverse)
+  }
+
   /** Pure flag parsing so the precedence chain is spec-testable.
     * Positionals: `<sfDir> <prompt words...>`; flags: `--k N`
     * (`--k=N` also accepted). sfDir/k/cpus fall back to env then
     * default; the prompt is the one input with no env fallback — the
     * reference's tool argument, not server config. */
   def parseConfig(args: Seq[String], env: Map[String, String]): Config = {
-    val (flags, positionals) = {
-      var fs = Map.empty[String, String]
-      var ps = List.empty[String]
-      var rest = args.toList
-      while (rest.nonEmpty) rest = rest match {
-        case f :: v :: t if f.startsWith("--") && !f.contains("=") =>
-          fs += (f.drop(2) -> v); t
-        case f :: t if f.startsWith("--") && f.contains("=") =>
-          val Array(name, v) = f.drop(2).split("=", 2)
-          fs += (name -> v); t
-        case p :: t => ps = p :: ps; t
-        case Nil => Nil
-      }
-      (fs, ps.reverse)
-    }
+    val (flags, positionals) = splitArgs(args)
     // the first positional is sfDir ONLY when --sf-dir doesn't already
     // name it; with the flag present every positional is a prompt word
     val sfDir = flags.get("sf-dir")

@@ -5,8 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // flag > env > default, same dialect as graft.Search; positionals
+    // stay `<sfDir> <outDir>` so the driver's invocation is unchanged
+    val (flags, positionals) = Search.splitArgs(args.toSeq)
+    val sfDir = flags.getOrElse("sf-dir", positionals.head)
+    val outDir = flags.getOrElse("out-dir", positionals(if (flags.contains("sf-dir")) 0 else 1))
+    val cpus = flags.get("cpus")
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

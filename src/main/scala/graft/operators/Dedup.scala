@@ -86,6 +86,20 @@ object Dedup {
     s"(len(list_intersect($aE, $bE))::DOUBLE / " +
       s"(len($aE)::DOUBLE + len($bE)::DOUBLE - len(list_intersect($aE, $bE))::DOUBLE))"
 
+  /** Containment of the smaller set in the larger: |A∩B| / min(|A|,|B|).
+    * The asymmetric companion to Jaccard — a short doc quoted whole
+    * inside a long one has containment ≈ 1 while its Jaccard can sit
+    * far below any near-dup threshold, so containment is the number a
+    * curation audit reads to catch doc-inside-doc duplication. Inputs
+    * are the same sorted, distinct ARRAY<LONG> shingle-hash sets as
+    * [[jaccard]]; same codegen'd two-pointer intersection. */
+  def containment(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.sortedIntersectSize(a, b).cast("double") /
+      least(size(a), size(b)).cast("double")
+
+  def containmentSql(aE: String, bE: String): String =
+    s"(len(list_intersect($aE, $bE))::DOUBLE / least(len($aE), len($bE))::DOUBLE)"
+
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------

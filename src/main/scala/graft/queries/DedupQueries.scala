@@ -85,11 +85,12 @@ object DedupQueries {
     }
 
   /** MinHash band-join candidate pairs (doc_a < doc_b), BEFORE the
-    * Jaccard verification threshold. Deliberately NOT session-cached:
-    * its only consumer is [[buildLshVerifiedPairs]] (whose output IS
-    * cached), so materializing the raw candidate set would be pure
-    * memory overhead until a second consumer exists. */
-  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    * Jaccard verification threshold — session-cached because two
+    * consumers read the same candidate set: the verified-pairs
+    * pipeline ([[buildLshVerifiedPairs]] → q19/q31/q43/q59) and the
+    * q64 containment audit. */
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s, "graft_cache_lshcand_" + graft.SparkEntry.pathSlug(dir)) {
       val sh = hashedShingles(s, dir)
       val sigs = sh.withColumn("sig", minhashSignature(col("hs")))
       val bands = sigs
@@ -178,6 +179,27 @@ object DedupQueries {
 
     "q19_minhash_lsh" -> ((s, dir) =>
       lshVerifiedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    "q64_containment_audit" -> ((s, dir) => {
+      // the dedup audit table: for every LSH candidate pair (pre-
+      // threshold), the symmetric (jaccard) and asymmetric
+      // (containment, size ratio) overlap numbers — containment ≈ 1
+      // with low jaccard is the doc-quoted-inside-doc case a plain
+      // near-dup threshold misses. Same cached candidate set and
+      // shingle table as q19: the audit adds one join, no new pass
+      // over the corpus.
+      val sh = hashedShingles(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      lshCandidates(s, dir).join(a, "doc_a").join(b, "doc_b")
+        .filter(size(col("hs_a")) > 0 && size(col("hs_b")) > 0)
+        .select(col("doc_a"), col("doc_b"),
+          round(graft.operators.Dedup.jaccard(col("hs_a"), col("hs_b")), 6).as("jac"),
+          round(graft.operators.Dedup.containment(col("hs_a"), col("hs_b")), 6).as("cont"),
+          round(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
+            greatest(size(col("hs_a")), size(col("hs_b"))).cast("double"), 6).as("size_ratio"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     "q31_dedup_survivors" -> ((s, dir) =>
       // the full near-dup dedup pipeline: LSH pairs → connected
@@ -325,6 +347,17 @@ object DedupQueries {
       "q19_minhash_lsh" ->
         s"""WITH $lshPairsCtes
            |SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q64_containment_audit" ->
+        s"""WITH $lshCandCtes
+           |SELECT c.doc_a, c.doc_b,
+           |  round(${jaccardSql("a.hs", "b.hs")}, 6) AS jac,
+           |  round(${containmentSql("a.hs", "b.hs")}, 6) AS cont,
+           |  round(least(len(a.hs), len(b.hs))::DOUBLE /
+           |    greatest(len(a.hs), len(b.hs))::DOUBLE, 6) AS size_ratio
+           |FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+           |WHERE len(a.hs) > 0 AND len(b.hs) > 0
+           |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
       "q31_dedup_survivors" ->
         s"""WITH RECURSIVE $lshPairsCtes,

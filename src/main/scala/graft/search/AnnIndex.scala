@@ -147,4 +147,38 @@ object AnnIndex {
     val assigned = model.transform(prepared)
     IvfIndex(model, if (cache) assigned.cache() else assigned)
   }
+
+  /** Persist an IVF index as the 100 TB layout this file's scaladoc
+    * promises: the KMeans quantizer plus the corpus written PARTITIONED
+    * BY cell, so a probe's `cell IN (...)` predicate becomes partition
+    * pruning — nProbe/cells of the directories are ever listed, let
+    * alone read. */
+  def saveIvf(idx: IvfIndex, dir: String): Unit = {
+    idx.model.write.overwrite().save(s"$dir/model")
+    idx.assigned.drop("features") // ML vectors don't round-trip parquet
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** Probe a PERSISTED IVF index straight off its parquet layout: pick
+    * the nProbe cells nearest the query from the reloaded quantizer,
+    * then exact-score only the matching cell partitions. The returned
+    * frame's scan carries `cell` as a PartitionFilter (spec-asserted),
+    * which is the property that bounds a 100 TB probe's I/O. */
+  def probeIvf(spark: SparkSession, dir: String, query: Array[Float],
+               k: Int, nProbe: Int = 4): DataFrame = {
+    val model = KMeansModel.load(s"$dir/model")
+    val qn = {
+      val norm = math.sqrt(query.map(x => x.toDouble * x).sum)
+      if (norm == 0) query.map(_.toDouble) else query.map(_ / norm)
+    }
+    val probed = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(Vectors.dense(qn), c)) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), col("score"))
+  }
 }

@@ -56,6 +56,23 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("persisted IVF probe partition-prunes on cell and matches the in-memory probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val idx = AnnIndex.buildIvf(corpus, cells = 8)
+    AnnIndex.saveIvf(idx, dir)
+    val probe = AnnIndex.probeIvf(spark, dir, queryVec, k = 10, nProbe = 3)
+    // the probe's cell predicate must reach the scan as a PARTITION
+    // filter (directory pruning) — the property that bounds probe I/O
+    // on a cell-partitioned 100 TB corpus
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a partition filter on cell in:\n$plan")
+    val fromDisk = probe.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val inMemory = idx.topK(queryVec, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(fromDisk === inMemory && fromDisk.nonEmpty)
+  }
+
   test("BRP similarity join finds self-pairs' neighbors symmetrically") {
     val idx = AnnIndex.buildBrp(corpus)
     val pairs = idx.nearDupPairs(minCos = 0.5).select($"vec_a", $"vec_b").collect()
