@@ -260,6 +260,43 @@ object CurationQueries {
           (col("true_label") === col("tl")).cast("long").as("correct"))
         .orderBy(col("vec_id"))
     }),
+
+    "q65_bloom_decontam" -> ((s, dir) => {
+      // q52's contamination screen re-shaped for the asymmetric 100 TB
+      // case: the benchmark (test) shingle set is small, the train side
+      // is the corpus. A Bloom sketch of the test hashes is built
+      // distributed (stat.bloomFilter = treeAggregate of partial
+      // sketches; only the OR-merged bits reach the driver), broadcast,
+      // and probed on the train side BEFORE its distinct+join exchange —
+      // the corpus rows that cannot match die where they were read and
+      // the shuffle carries candidates only. Bloom false positives are
+      // killed by the exact hash equi-join that follows; false negatives
+      // cannot occur, so the output is provably identical to the
+      // sketch-free plan (asserted by CurationQueriesSpec). Reports the
+      // contaminated documents themselves (q52 reports per-lang rates).
+      val ws = DedupQueries.hashedShingles(s, dir)
+        .withColumn("bucket", splitBucket(col("doc_id")))
+      val test = ws.filter(col("bucket") >= 90)
+        .select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+      val testHashes = test.select(col("h")).distinct()
+      val bf = testHashes.stat.bloomFilter(
+        "h", math.max(testHashes.count(), 1000L), 0.01)
+      val bloom = s.sparkContext.broadcast(bf)
+      val train = ws.filter(col("bucket") < 80)
+        .select(explode(col("hs")).as("h"))
+        .filter(graft.expressions.BloomExpressions.mightContain(col("h"), bloom))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      test.join(train, Seq("h"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("overlap",
+          round(col("n_hit").cast("double") / col("n_sh"), 6))
+        .filter(col("overlap") >= ContaminationMax)
+        .select(col("doc_id"), col("lang"), col("n_sh"), col("n_hit"), col("overlap"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -284,6 +321,24 @@ object CurationQueries {
          |  round(CAST(SUM(CAST(overlap AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
          |    AS avg_overlap
          |FROM fr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the Bloom sketch is a pure physical-plan reduction: false
+    // positives are removed by the exact join, false negatives cannot
+    // occur — so the oracle is the sketch-free exact computation
+    "q65_bloom_decontam" ->
+      s"""WITH sh AS (${DedupQueries.hashedShinglesSql}),
+         |ws AS (SELECT doc_id, lang, hs, ${splitBucketSql("doc_id")} AS bucket FROM sh),
+         |tr AS (SELECT DISTINCT unnest(hs) AS h FROM ws WHERE bucket < 80),
+         |te AS (SELECT doc_id, lang, unnest(hs) AS h FROM ws WHERE bucket >= 90),
+         |ov AS (
+         |  SELECT te.doc_id, te.lang, COUNT(*) AS n_sh,
+         |    CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM te LEFT JOIN tr ON te.h = tr.h
+         |  GROUP BY te.doc_id, te.lang)
+         |SELECT doc_id, lang, n_sh, n_hit,
+         |  round(n_hit::DOUBLE / n_sh, 6) AS overlap
+         |FROM ov WHERE round(n_hit::DOUBLE / n_sh, 6) >= $ContaminationMax
+         |ORDER BY doc_id""".stripMargin,
 
     "q62_oov_rate" ->
       s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
@@ -293,6 +294,41 @@ object DedupQueries {
         .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
         .limit(20)
     }),
+
+    "q66_span_dedup" -> ((s, dir) => {
+      // chunk-grain exact dedup (span dedup): documents are cut into
+      // q39's 32-token / stride-24 windows, each chunk identified by
+      // its content hash, and a chunk is a duplicate iff the same hash
+      // occurred earlier in corpus order (doc_id, chunk index) — the
+      // sub-document twin of q17 that catches boilerplate and quoted
+      // passages whole-doc dedup misses. Shape: chunking and hashing
+      // are row-local codegen'd passes; the ONLY corpus-wide movement
+      // is one shuffle on the chunk hash (the window), then a
+      // map-side-combined per-doc rollup. First-occurrence-wins is a
+      // total order, so the output is deterministic at any parallelism.
+      val st = TextQueries.ChunkStride
+      val cs = TextQueries.ChunkSize
+      val chunks = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))
+        .filter(col("n_chunks") > 0)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0L), col("n_chunks") - 1), i =>
+            charHash(concat_ws(" ",
+              slice(col("toks"), (i * st + 1).cast("int"), lit(cs)))))))
+        .toDF("doc_id", "idx", "h")
+      chunks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("rn") > 1).cast("long")).cast("long").as("n_dup_chunks"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** CTE chain defining `sh` (hashed shingle sets) and `cand` (the
@@ -326,6 +362,26 @@ object DedupQueries {
   val oracleSql: Map[String, String] = {
     val jacE = jaccardSql("a.hs", "b.hs")
     Map(
+
+      "q66_span_dedup" -> {
+        val st = TextQueries.ChunkStride
+        val cs = TextQueries.ChunkSize
+        val chunkText = s"array_to_string(list_slice(toks, i * $st + 1, i * $st + $cs), ' ')"
+        // parallel unnest zips the index and hash lists elementwise
+        s"""WITH d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+           |c AS (SELECT doc_id, toks,
+           |    ((len(toks)::BIGINT + ${st - 1}) // $st) AS n_chunks FROM d),
+           |e AS (SELECT doc_id, unnest(range(n_chunks)) AS i,
+           |    unnest(list_transform(range(n_chunks), i -> ${charHashSql(chunkText)})) AS h
+           |  FROM c WHERE n_chunks > 0),
+           |r AS (SELECT doc_id, h,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM e)
+           |SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+           |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           |    AS dup_ratio
+           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       "q17_dedup_exact" ->
         s"""SELECT source, COUNT(*) AS n_docs,

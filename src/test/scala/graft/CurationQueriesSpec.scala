@@ -44,6 +44,30 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(perLang.values.map(_._2).sum < perLang.values.map(_._1).sum)
   }
 
+  test("q65 bloom-prefiltered decontamination equals the sketch-free exact plan") {
+    // the Bloom probe is a pure physical reduction: false positives die
+    // in the exact hash join, false negatives cannot occur — so the
+    // doc-level output must be bit-identical to a plan with no sketch
+    val (a, b) = SplitPair
+    def bucket(id: org.apache.spark.sql.Column) = ((lit(a) * id + lit(b)) % lit(P)) % 100
+    val ws = graft.queries.DedupQueries.hashedShingles(spark, sf001)
+      .withColumn("bucket", bucket($"doc_id"))
+    val test = ws.filter($"bucket" >= 90)
+      .select($"doc_id", $"lang", explode($"hs").as("h"))
+    val train = ws.filter($"bucket" < 80)
+      .select(explode($"hs").as("h")).distinct().withColumn("hit", lit(1L))
+    val exact = test.join(train, Seq("h"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("overlap", round($"n_hit".cast("double") / $"n_sh", 6))
+      .filter($"overlap" >= CurationQueries.ContaminationMax)
+      .select($"doc_id", $"lang", $"n_sh", $"n_hit", $"overlap")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val got = run("q65_bloom_decontam", sf001).collect().map(_.toSeq).toSeq
+    assert(got === exact)
+    assert(got.nonEmpty, "fixture must plant at least one contaminated doc")
+  }
+
   test("q53 domain mix allocates floor-exact target proportions within every stratum") {
     val rows = run("q53_domain_mix")
       .select($"lang", $"target_pct", $"n_total", $"n_take")

@@ -188,4 +188,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(brute === blocked)
   }
+
+  test("q66 span dedup: kept chunks == distinct chunk hashes, dups non-degenerate") {
+    // set-level invariant, independent of the window/first-wins logic:
+    // across the corpus, (total chunks - duplicate chunks) must equal
+    // the number of DISTINCT chunk hashes — every hash keeps exactly
+    // one representative
+    val res = DedupQueries.queries("q66_span_dedup")(spark, sf001).cache()
+    val tot = res.agg(sum($"n_chunks"), sum($"n_dup_chunks")).head()
+    val (nChunks, nDups) = (tot.getLong(0), tot.getLong(1))
+    val st = graft.queries.TextQueries.ChunkStride
+    val cs = graft.queries.TextQueries.ChunkSize
+    val distinctHashes = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
+      .withColumn("n_toks", size($"toks").cast("long"))
+      .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))
+      .filter($"n_chunks" > 0)
+      .select(explode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0L), $"n_chunks" - 1), i =>
+          charHash(concat_ws(" ", slice($"toks", (i * st + 1).cast("int"), lit(cs))))))
+        .as("h"))
+      .distinct().count()
+    assert(nChunks - nDups === distinctHashes)
+    assert(nDups > 0, "fixture near-dups must share at least one exact 32-token span")
+    res.unpersist()
+  }
 }

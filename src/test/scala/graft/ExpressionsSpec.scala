@@ -181,6 +181,31 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(typed === List(1L, 3L, 4L))
   }
 
+  test("BloomMightContainExpr: no false negatives, codegen == driver-side probe") {
+    val members = (0L until 1000L).map(i => i * 2654435761L % 1000000007L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(members.size.toLong, 0.01)
+    members.foreach(bf.putLong)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val probe = (members ++ (0L until 2000L).map(i => -1L - i)).toDF("h")
+      .withColumn("got", graft.expressions.BloomExpressions.mightContain($"h", bcast))
+    // every inserted key must probe true (Bloom guarantees no false
+    // negatives), and the codegen'd path must agree with the driver-side
+    // sketch object on every input, hits and misses alike
+    val rows = probe.collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    rows.foreach { case (h, got) =>
+      assert(got === bf.mightContainLong(h), s"codegen disagrees at $h")
+    }
+    val asSet = members.toSet
+    rows.filter(r => asSet.contains(r._1)).foreach { case (h, got) =>
+      assert(got, s"false negative at $h")
+    }
+    // null flows through as null (nullIntolerant)
+    val withNull = Seq[java.lang.Long](1L, null).toDF("h")
+      .select(graft.expressions.BloomExpressions.mightContain($"h", bcast).as("g"))
+      .collect()
+    assert(withNull(1).isNullAt(0))
+  }
+
   test("graft_topk rejects non-literal, null, and non-positive k at analysis time") {
     docs.createOrReplaceTempView("docs_sql_test")
     def bad(sql: String): Unit = {

@@ -141,6 +141,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       || p.contains("BroadcastHashJoin"), s"expected a hash-keyed join in:\n$p")
   }
 
+  test("q65 probes the bloom sketch in a filter below the membership join") {
+    val p = plan("q65_bloom_decontam")
+    val lower = p.toLowerCase
+    assert(lower.contains("bloommightcontain"),
+      s"expected the broadcast bloom probe in the plan:\n$p")
+    // the probe prefilters the corpus side, so in the tree rendering it
+    // must appear strictly below (after) the join node that consumes it
+    val joinAt = math.max(lower.indexOf("sortmergejoin"),
+      math.max(lower.indexOf("shuffledhashjoin"), lower.indexOf("broadcasthashjoin")))
+    assert(joinAt >= 0, s"expected a hash-keyed membership join in:\n$p")
+    assert(lower.indexOf("bloommightcontain") > joinAt,
+      s"bloom probe must sit under the join, not above it:\n$p")
+  }
+
   test("q55 bottom-k plans as TakeOrderedAndProject over the scored docs") {
     val p = plan("q55_unigram_loglik")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k heaps in:\n$p")
