@@ -12,16 +12,20 @@ import graft.search.{HashingEmbedder, SearchEngine}
   *
   * {{{ sbt "runMain graft.Search /root/testdata/sf0.001 'fast hash join' --k 5" }}}
   *
-  * No stdio protocol loop: the reference's MCP framing is transport
-  * plumbing its library delegates to `mcp.run(transport="stdio")`; the
-  * engine's equivalent surface is this main + the [[SearchEngine]]
-  * library API (SURVEY.md §2.1 O11).
+  * With `--serve`, it instead runs the reference's service shape
+  * (server.py:127 `mcp.run(transport="stdio")`, minus the MCP message
+  * framing the reference delegates to its library): a long-lived stdio
+  * loop over the one tool — one prompt per input line, one JSON result
+  * line per prompt, until EOF. The session, engine, and corpus caches
+  * live across requests, so only the first prompt pays Spark startup
+  * (SURVEY.md §2.1 O11).
   */
 object Search {
 
   /** Resolved settings, each via the reference's precedence chain
     * `flag > env > default` (reference __init__.py:19-24). */
-  final case class Config(sfDir: String, prompt: String, k: Int, cpus: String)
+  final case class Config(
+      sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean)
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all
@@ -62,9 +66,29 @@ object Search {
       .map(_.toInt).getOrElse(10)
     val cpus = flags.get("cpus").orElse(env.get("SPARK_GRAFT_CPUS"))
       .getOrElse("4")
-    require(prompt.nonEmpty,
-      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N]")
-    Config(sfDir, prompt, k, cpus)
+    val serve = flags.get("serve").exists(_ != "false")
+    require(prompt.nonEmpty || serve,
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve true]")
+    Config(sfDir, prompt, k, cpus, serve)
+  }
+
+  /** The stdio request loop: one prompt per line in, one JSON result
+    * line out, blank lines skipped, EOF ends the service. Factored over
+    * abstract reader/writer so the loop itself is spec-testable without
+    * a subprocess. */
+  def serve(engine: SearchEngine, sfDir: String, k: Int,
+      in: java.io.BufferedReader, out: java.io.PrintStream): Int = {
+    var served = 0
+    var line = in.readLine()
+    while (line != null) {
+      val prompt = line.trim
+      if (prompt.nonEmpty) {
+        out.println(engine.searchJson(sfDir, prompt, k))
+        served += 1
+      }
+      line = in.readLine()
+    }
+    served
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,7 +103,11 @@ object Search {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val engine = new SearchEngine(spark, new HashingEmbedder(64))
-    println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k))
+    if (cfg.serve)
+      serve(engine, cfg.sfDir, cfg.k,
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+        System.out)
+    else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k))
     spark.stop()
   }
 }

@@ -31,6 +31,25 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("usage"))
   }
 
+  test("--serve loops prompts from stdin to one JSON line each until EOF") {
+    val eng = new graft.search.SearchEngine(spark)
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      "fast hash join\n\n   \nsorted merge of batches\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf001, k = 2,
+      in, new java.io.PrintStream(buf, true, "UTF-8"))
+    assert(served === 2) // blank lines are skipped, EOF ends the loop
+    val lines = buf.toString("UTF-8").trim.split("\n").toSeq
+    assert(lines.size === 2)
+    lines.foreach { l =>
+      assert(l.startsWith("[") && l.endsWith("]"), s"not a JSON array line: $l")
+      assert(l.contains("\"doc_id\"") && l.contains("\"score\""))
+    }
+    // serve mode is the one config where an empty prompt is legal
+    val c = Search.parseConfig(Seq("--serve", "true", "--sf-dir", "/x"), Map.empty)
+    assert(c.serve && c.prompt.isEmpty)
+  }
+
   test("the main's search body returns the reference's tool-call JSON shape") {
     // same engine call main() makes, against the live test session —
     // the reference's one tool end-to-end (server.py:71-102)
