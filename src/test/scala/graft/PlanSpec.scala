@@ -182,6 +182,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k heaps in:\n$p")
   }
 
+  test("q64 containment audit stays equi-shaped and reuses the cached candidate set") {
+    // the audit must add one equi-join over the ALREADY-cached LSH
+    // candidates + shingle table — no cartesian pair blowup and no
+    // fresh tokenization pass over the corpus
+    val p = plan("q64_containment_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"audit joins must stay equi-keyed:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
+      s"audit should read the session-cached candidate/shingle views:\n$p")
+  }
+
+  test("q66 span dedup windows on the chunk hash, rolls up map-side, no pair join") {
+    val p = plan("q66_span_dedup")
+    // first-occurrence detection is a window over the chunk hash —
+    // the ONLY corpus-wide movement besides the final per-doc rollup
+    assert(p.contains("windowspecdefinition(h#") || p.contains("partitionBy=[h"),
+      s"window must partition by the chunk hash:\n$p")
+    // the per-doc rollup must partial-aggregate before its exchange
+    assert(p.contains("partial_count") || p.contains("partial count")
+      || p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"per-doc rollup should combine map-side:\n$p")
+    assert(!p.contains("Join"), s"span dedup needs no join at all:\n$p")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
