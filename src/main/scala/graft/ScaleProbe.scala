@@ -22,7 +22,8 @@ object ScaleProbe {
     "q10_knn_exact", "q19_minhash_lsh", "q20_simhash", "q17_dedup_exact",
     "q45_bigram_top", "q41_tfidf_topterms", "q52_decontamination",
     "q55_unigram_loglik", "q57_countmin", "q59_incremental_dedup",
-    "q62_oov_rate")
+    "q62_oov_rate", "q64_containment_audit", "q65_bloom_decontam",
+    "q66_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
