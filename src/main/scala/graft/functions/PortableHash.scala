@@ -92,6 +92,12 @@ object PortableHash {
     * be uncorrelated with split assignment and with every sketch. */
   val MixPair: (Long, Long) = affineConstants(707L, 1).head
 
+  /** Export-shard hash — its own member so shard assignment is
+    * uncorrelated with split/sample/mix membership: a training run
+    * streaming shards in order must not see docs grouped by any other
+    * pipeline decision. */
+  val ShardPair: (Long, Long) = affineConstants(909L, 1).head
+
   /** Count-min sketch row hashes — one affine member per sketch row,
     * decoupled from every other family (its own seed). */
   val CmsDepth = 4

@@ -210,6 +210,25 @@ object DedupQueries {
           col("is_survivor").cast("int").as("is_survivor"))
         .orderBy(col("doc_id"))),
 
+    "q67_cluster_stats" -> ((s, dir) =>
+      // the dedup run report: duplicate-cluster size distribution —
+      // how many clusters of each size exist, how many documents they
+      // hold, and how many the survivor policy removes. Reads the same
+      // session-cached component labels as q31, then two
+      // map-side-combined aggregations over component-cardinality-
+      // sized data (≪ corpus); the published audit artifact of every
+      // large-scale dedup job (cf. the cluster-size histograms in the
+      // Lee et al. 2022 dedup paper) at any corpus size.
+      survivorLabels(s, dir)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("cluster_size")).as("n_docs"),
+          (count(lit(1)) * (col("cluster_size") - 1)).as("n_removed"))
+        .orderBy(col("cluster_size"))),
+
     "q20_simhash" -> ((s, dir) => {
       // Global near-dup by SimHash with pigeonhole chunk blocking
       // (Charikar/Manku-style): ham <= HammingMax over SimhashChunks
@@ -429,6 +448,24 @@ object DedupQueries {
            |  CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS is_survivor
            |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "q67_cluster_stats" ->
+        s"""WITH RECURSIVE $lshPairsCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+           |labels AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+           |clusters AS (SELECT component, COUNT(*) AS cluster_size
+           |             FROM labels GROUP BY component)
+           |SELECT cluster_size, COUNT(*) AS n_clusters,
+           |  CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removed
+           |FROM clusters GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
       "q20_simhash" -> {
         val tokHashes = s"list_transform(${tokensSql("text")}, t -> ${charHashSql("t")})"

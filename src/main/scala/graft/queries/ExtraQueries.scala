@@ -70,6 +70,11 @@ object ExtraQueries {
     * bucket width, so each interval explodes to ≤ 2 buckets. */
   val PurchaseWindowMicros: Long = 30L * 60 * 1000000L
 
+  /** Export shard count (q68). Tiny here; at 100 TB it is
+    * corpus_bytes / target_shard_bytes and the same hash feeds the
+    * sharded write's repartition. */
+  val NShards = 16
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = graft.SparkEntry.tbl(s, dir, "events")
     df.schema("ts").dataType match {
@@ -201,6 +206,31 @@ object ExtraQueries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"), col("lang"))
+    }),
+
+    "q68_shard_manifest" -> ((s, dir) => {
+      // the export manifest written next to webdataset-style training
+      // shards: deterministic shard assignment (portable affine hash on
+      // doc_id, its own family member so shard order is uncorrelated
+      // with split/sample membership) plus the per-shard doc/token/byte
+      // budgets a loader needs for scheduling. ONE scan of the corpus,
+      // row-local tokenize, map-side-combined 16-group aggregate — at
+      // 100 TB the identical hash drives the actual sharded write
+      // (repartition on shard), so manifest and data can never drift.
+      val (a, b) = ShardPair
+      graft.SparkEntry.tbl(s, dir, "documents")
+        .withColumn("shard", ((lit(a) * col("doc_id") + lit(b)) % lit(P)) % NShards)
+        .withColumn("n_toks",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_bytes"),
+          max(col("n_toks")).as("max_doc_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
     }),
 
     "q60_decayed_counts" -> ((s, dir) => {
@@ -353,6 +383,21 @@ object ExtraQueries {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "q68_shard_manifest" -> {
+      val (a, b) = ShardPair
+      val toks = graft.functions.TextFunctions.tokensSql("text")
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    (($a * doc_id + $b) % $P) % $NShards AS shard,
+         |    len($toks)::BIGINT AS n_toks
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+         |  MAX(n_toks) AS max_doc_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "q60_decayed_counts" ->
