@@ -11,6 +11,38 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
   private def run(name: String, dir: String = sf001) =
     PipelineQueries.queries(name)(spark, dir)
 
+  test("q67 cluster stats conserve the corpus: docs sum to corpus size, removed = docs - clusters") {
+    val stats = SparkEntry.queries("q67_cluster_stats")(spark, sf001).collect()
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("n_clusters") * r.getAs[Long]("cluster_size"))
+      assert(r.getAs[Long]("n_removed") ===
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+    // survivors per q31 == one per cluster
+    val survivors = SparkEntry.queries("q31_dedup_survivors")(spark, sf001)
+      .filter(col("is_survivor") === 1).count()
+    assert(stats.map(_.getAs[Long]("n_clusters")).sum === survivors)
+  }
+
+  test("q68 shard manifest conserves docs/tokens/bytes and is partition-count invariant") {
+    val m = SparkEntry.queries("q68_shard_manifest")(spark, sf001).collect()
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    assert(m.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val totToks = docs.select(
+      sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      .head.getLong(0)
+    assert(m.map(_.getAs[Long]("n_tokens")).sum === totToks)
+    assert(m.map(_.getAs[Long]("n_bytes")).sum ===
+      docs.select(sum(col("n_chars"))).head.getLong(0))
+    // the manifest is a pure function of doc_id — repartitioning the
+    // input cannot move a doc between shards
+    val again = SparkEntry.queries("q68_shard_manifest")(spark, sf001)
+    assert(again.collect().toSeq === m.toSeq)
+  }
+
   test("q42 packing: bins respect the token budget up to one chunk of overshoot") {
     val bins = run("q42_packing").cache()
     val over = bins.filter(
