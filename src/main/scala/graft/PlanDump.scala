@@ -65,7 +65,22 @@ object PlanDump {
       ("Incremental (daily-ingest) dedup: only the NEW batch's band keys " +
         "join the corpus band keys — candidate volume is O(new), the " +
         "existing pair set is never recomputed, and the Jaccard " +
-        "verification runs on candidates only."))
+        "verification runs on candidates only."),
+    "q65_bloom_decontam" ->
+      ("Bloom semi-join reduction: the broadcast sketch probe " +
+        "(`graft_bloom_might_contain`) sits in a Filter BELOW the corpus " +
+        "side's distinct+join exchanges — rows that cannot match die at the " +
+        "scan and the shuffle carries candidates only; the exact hash join " +
+        "above it kills the sketch's false positives."),
+    "q66_span_dedup" ->
+      ("Chunk-grain span dedup: chunking and hashing are row-local codegen'd " +
+        "passes; the only corpus-wide movement is one exchange on the chunk " +
+        "hash feeding the first-occurrence window, then a map-side-combined " +
+        "per-doc rollup — no join anywhere."),
+    "q68_shard_manifest" ->
+      ("Export shard manifest: ONE corpus scan, row-local shard hash + " +
+        "tokenize, then a 16-group aggregate that partial-combines map-side " +
+        "— the exchange carries 16 rows per partition, never documents."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -43,6 +43,26 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(again.collect().toSeq === m.toSeq)
   }
 
+  test("q68 manifest matches an actual sharded write (same hash drives both)") {
+    // the write the manifest describes: repartition on the shard key,
+    // one directory per shard; per-directory doc counts must equal the
+    // manifest rows exactly or the manifest has drifted from the data
+    import graft.functions.PortableHash.{P, ShardPair}
+    val (a, b) = ShardPair
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("shard",
+        ((lit(a) * col("doc_id") + lit(b)) % lit(P)) % graft.queries.ExtraQueries.NShards)
+    docs.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val written = spark.read.parquet(dir)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number]("shard").longValue -> r.getAs[Long]("n")).toMap
+    val manifest = SparkEntry.queries("q68_shard_manifest")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+    assert(written === manifest)
+  }
+
   test("q42 packing: bins respect the token budget up to one chunk of overshoot") {
     val bins = run("q42_packing").cache()
     val over = bins.filter(

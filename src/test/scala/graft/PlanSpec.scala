@@ -206,6 +206,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), s"span dedup needs no join at all:\n$p")
   }
 
+  test("q68 shard manifest is one scan + map-side-combined aggregate, no join") {
+    val p = plan("q68_shard_manifest")
+    assert(!p.contains("Join"), s"manifest needs no join:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"manifest should scan the corpus exactly once:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"per-shard totals should combine map-side:\n$p")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
