@@ -153,6 +153,36 @@ object EventStreams {
     * @param corpus  static (doc_id, text)
     * @return streaming (doc_id, partner, jac) — verified near-dup pairs
     *         of each streamed doc against the static corpus. */
+  /** Streaming contamination screen — the ingest-time face of q65's
+    * bloom semi-join reduction: each arriving document's shingle hashes
+    * are probed row-locally (codegen'd `BloomMightContainExpr` inside an
+    * array HOF) against the STATIC benchmark sketch, the
+    * decontamination job's persisted artifact. No shuffle, no state —
+    * the flag is computed in the micro-batch that delivers the doc, so
+    * contaminated data is quarantined before it ever reaches the corpus
+    * store. The sketch over-approximates (false positives possible,
+    * false negatives impossible), so `flagged` is conservative: a
+    * flagged doc goes to the exact verifier (q65's join path), an
+    * unflagged doc is provably clean.
+    *
+    * @param newDocs streaming (doc_id, text)
+    * @param bloom   broadcast sketch of the benchmark shingle hashes
+    * @return streaming (doc_id, n_sh, n_hit, overlap, flagged) */
+  def bloomScreen(newDocs: DataFrame,
+                  bloom: org.apache.spark.broadcast.Broadcast[
+                    org.apache.spark.util.sketch.BloomFilter],
+                  threshold: Double): DataFrame =
+    newDocs
+      .select(col("doc_id"),
+        graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
+      .filter(col("n_sh") > 0)
+      .withColumn("n_hit", size(filter(col("hs"),
+        h => graft.expressions.BloomExpressions.mightContain(h, bloom))).cast("long"))
+      .withColumn("overlap", round(col("n_hit").cast("double") / col("n_sh"), 6))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"), col("overlap"),
+        (col("overlap") >= threshold).cast("int").as("flagged"))
+
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
                        threshold: Double): DataFrame = {
     import graft.operators.Dedup

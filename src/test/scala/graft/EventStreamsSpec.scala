@@ -75,6 +75,52 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom screen replay-matches the batch probe, flags conservatively") {
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    // benchmark = docs 0..49; the stream = the rest arriving as ingest
+    val bench = docs.filter($"doc_id" < 50)
+      .select(explode(graft.expressions.HashExpressions
+        .shingleHashSet($"text", 3)).as("h"))
+      .distinct()
+    val bf = bench.stat.bloomFilter("h", math.max(bench.count(), 1000L), 0.01)
+    val bloom = spark.sparkContext.broadcast(bf)
+    val arriving = docs.filter($"doc_id" >= 50)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.bloomScreen(
+        mem.toDF().toDF("doc_id", "text"), bloom, threshold = 0.5)
+      .writeStream.format("memory").queryName("bscreen").outputMode("append").start()
+    try {
+      mem.addData(arriving)
+      q.processAllAvailable()
+      val got = spark.table("bscreen")
+        .select($"doc_id", $"n_hit", $"flagged")
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch twin: same probe expressed as a static plan
+      val want = EventStreams.bloomScreen(
+          docs.filter($"doc_id" >= 50), bloom, threshold = 0.5)
+        .select($"doc_id", $"n_hit", $"flagged")
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === want)
+      // conservative: every doc with a truly-overlapping shingle is flagged
+      // at threshold 0 (bloom cannot miss), here spot-checked via n_hit >=
+      // the EXACT hit count computed by a join
+      val exact = docs.filter($"doc_id" >= 50)
+        .select($"doc_id", explode(graft.expressions.HashExpressions
+          .shingleHashSet($"text", 3)).as("h"))
+        .join(bench, "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("true_hits"))
+        .as[(Long, Long)].collect().toMap
+      exact.foreach { case (id, trueHits) =>
+        assert(got(id)._1 >= trueHits,
+          s"doc $id: bloom hits ${got(id)._1} < true hits $trueHits")
+      }
+      assert(exact.nonEmpty, "fixture should plant shingle overlap")
+    } finally q.stop()
+  }
+
   test("file-source streaming read processes a parquet drop-directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     spark.read.parquet(s"$sf0001/events.parquet")
