@@ -45,6 +45,21 @@ object CurationQueries {
   private val sessionBloom = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
 
+  /** The broadcast Bloom sketch of the test-split (benchmark) shingle
+    * hashes — the decontamination job's offline artifact, built once
+    * per session+corpus and shared by every screen that probes it
+    * (q65's corpus screen, q69's export funnel). */
+  private[queries] def benchmarkBloom(s: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
+    sessionBloom.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => {
+        val testHashes = DedupQueries.hashedShingles(s, dir)
+          .filter(splitBucket(col("doc_id")) >= 90)
+          .select(explode(col("hs")).as("h")).distinct()
+        s.sparkContext.broadcast(testHashes.stat.bloomFilter(
+          "h", math.max(testHashes.count(), 1000L), 0.01))
+      })
+
   /** q52: a test doc is contaminated when at least this fraction of its
     * distinct 3-token shingles appears in the train split. Background
     * chance overlap on the fixture's word-soup corpus has median ~0.5
@@ -288,12 +303,7 @@ object CurationQueries {
       // benchmark set screens every corpus batch — so it is built once
       // per session+corpus (same split as AnnIndex.sessionBrp: probes
       // pay probe cost, never the build)
-      val bloom = sessionBloom.computeIfAbsent(
-        (System.identityHashCode(s), dir), _ => {
-          val testHashes = test.select(col("h")).distinct()
-          s.sparkContext.broadcast(testHashes.stat.bloomFilter(
-            "h", math.max(testHashes.count(), 1000L), 0.01))
-        })
+      val bloom = benchmarkBloom(s, dir)
       val train = ws.filter(col("bucket") < 80)
         .select(explode(col("hs")).as("h"))
         .filter(graft.expressions.BloomExpressions.mightContain(col("h"), bloom))

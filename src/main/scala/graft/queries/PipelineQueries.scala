@@ -150,6 +150,53 @@ object PipelineQueries {
         .orderBy(col("split"), col("lang"))
     }),
 
+    "q69_export_manifest" -> ((s, dir) => {
+      // the ship-it plan: everything that actually reaches the trainer,
+      // as ONE Catalyst plan composing the full pipeline — quality gate
+      // × near-dup survivor × train split (q43's funnel) × benchmark
+      // decontamination (drop the train docs that leak the test split).
+      // The contamination screen runs in its 100 TB shape: the
+      // train-side shingle explode is prefiltered by the broadcast
+      // benchmark sketch (q65's memoized artifact) BEFORE its exchange,
+      // so the membership join shuffles bloom survivors only; sketch
+      // FPs die in the exact hash join, FNs are impossible, so output
+      // is identical to the sketch-free formulation (the oracle).
+      val enriched = TextQueries.enriched(s, dir)
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      val (a, b) = SplitPair
+      val bucket = ((lit(a) * col("doc_id") + lit(b)) % lit(P)) % 100
+      val train = enriched
+        .withColumn("quality",
+          qualityScore(col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
+        .filter(col("quality") >= QualityThreshold && bucket < 80)
+        .join(DedupQueries.survivorLabels(s, dir)
+          .filter(col("is_survivor")).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      val ws = DedupQueries.hashedShingles(s, dir)
+      val testHs = ws.filter(bucket >= 90).select(explode(col("hs")).as("h")).distinct()
+      val bloom = CurationQueries.benchmarkBloom(s, dir)
+      val nHit = ws.filter(bucket < 80)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .filter(graft.expressions.BloomExpressions.mightContain(col("h"), bloom))
+        .join(testHs, "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val contaminated = nHit
+        .join(ws.filter(bucket < 80)
+          .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh")), "doc_id")
+        .filter(round(col("n_hit").cast("double") / col("n_sh"), 6) >=
+          CurationQueries.ContaminationMax)
+        .select(col("doc_id"))
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(sum(col("quality").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_quality"))
+        .orderBy(col("lang"))
+    }),
+
     "q44_stratified_sample" -> ((s, dir) => {
       val (a, b) = SamplePair
       val rate = SampleRates.foldRight(lit(0)) { case ((lang, r), other) =>
@@ -333,6 +380,53 @@ object PipelineQueries {
          |  round(CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
          |    AS avg_quality
          |FROM sel GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "q69_export_manifest" -> {
+      val (a, b) = SplitPair
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      // the sketch-free exact formulation — the bloom prefilter in the
+      // Spark plan is a pure physical reduction (FPs die in the exact
+      // join, FNs impossible), so both engines compute this
+      s"""WITH RECURSIVE ${DedupQueries.lshPairsCtes},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+         |enriched AS (${TextQueries.enrichedSql}),
+         |surv AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |  WHERE COALESCE(c.component, d.doc_id) = d.doc_id),
+         |train AS (
+         |  SELECT e.doc_id, e.lang, e.n_tokens,
+         |    ${qualityScoreSql("n_tokens", "n_distinct", stopRatio, avgTokLen)} AS quality
+         |  FROM enriched e JOIN surv s ON e.doc_id = s.doc_id
+         |  WHERE ${qualityScoreSql("n_tokens", "n_distinct", stopRatio, avgTokLen)}
+         |      >= $QualityThreshold
+         |    AND (($a * e.doc_id + $b) % $P) % 100 < 80),
+         |te AS (SELECT DISTINCT unnest(hs) AS h FROM sh
+         |       WHERE (($a * doc_id + $b) % $P) % 100 >= 90),
+         |tr AS (SELECT doc_id, unnest(hs) AS h FROM sh
+         |       WHERE (($a * doc_id + $b) % $P) % 100 < 80),
+         |ov AS (
+         |  SELECT tr.doc_id, COUNT(*) AS n_sh,
+         |    CAST(SUM(CASE WHEN te.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM tr LEFT JOIN te ON tr.h = te.h
+         |  GROUP BY tr.doc_id),
+         |contam AS (
+         |  SELECT doc_id FROM ov
+         |  WHERE round(n_hit::DOUBLE / n_sh, 6) >= ${CurationQueries.ContaminationMax})
+         |SELECT t.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(SUM(CAST(t.quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_quality
+         |FROM train t
+         |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = t.doc_id)
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin
     },
 
     "q44_stratified_sample" -> {
