@@ -43,6 +43,21 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(again.collect().toSeq === m.toSeq)
   }
 
+  test("q69 export manifest = q43's train row minus the decontaminated mass") {
+    // composing decontamination into the funnel can only SHRINK the
+    // train split, and per-language doc counts must be bounded by
+    // q43's train rows exactly
+    val q43 = SparkEntry.queries("q43_curation_pipeline")(spark, sf001)
+      .filter(col("split") === "train")
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs")).toMap
+    val q69 = SparkEntry.queries("q69_export_manifest")(spark, sf001)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs")).toMap
+    assert(q69.keySet.subsetOf(q43.keySet))
+    q69.foreach { case (lang, n) => assert(n <= q43(lang),
+      s"$lang: export $n exceeds funnel train ${q43(lang)}") }
+    assert(q69.values.sum > 0, "export should retain most of the train split")
+  }
+
   test("q68 manifest matches an actual sharded write (same hash drives both)") {
     // the write the manifest describes: repartition on the shard key,
     // one directory per shard; per-directory doc counts must equal the

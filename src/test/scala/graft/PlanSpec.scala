@@ -206,6 +206,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), s"span dedup needs no join at all:\n$p")
   }
 
+  test("q69 export funnel keeps the bloom probe below the membership join, no cartesian") {
+    val p = plan("q69_export_manifest")
+    val lower = p.toLowerCase
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"funnel joins must stay equi-keyed:\n$p")
+    assert(lower.contains("bloommightcontain"),
+      s"expected the broadcast sketch probe in the plan:\n$p")
+    val joinAt = math.max(lower.indexOf("sortmergejoin"),
+      math.max(lower.indexOf("shuffledhashjoin"), lower.indexOf("broadcasthashjoin")))
+    assert(joinAt >= 0 && lower.indexOf("bloommightcontain") > joinAt,
+      s"bloom probe must prefilter below the joins, not above:\n$p")
+  }
+
   test("q68 shard manifest is one scan + map-side-combined aggregate, no join") {
     val p = plan("q68_shard_manifest")
     assert(!p.contains("Join"), s"manifest needs no join:\n$p")
