@@ -80,7 +80,12 @@ object PlanDump {
     "q68_shard_manifest" ->
       ("Export shard manifest: ONE corpus scan, row-local shard hash + " +
         "tokenize, then a 16-group aggregate that partial-combines map-side " +
-        "— the exchange carries 16 rows per partition, never documents."))
+        "— the exchange carries 16 rows per partition, never documents."),
+    "q69_export_manifest" ->
+      ("The ship-it plan: quality × dedup survivor × train split × benchmark " +
+        "decontamination composed into one Catalyst plan — every join " +
+        "equi-keyed, the contamination probe bloom-prefiltered below its " +
+        "exchange, survivors and shingles read from the session caches."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
