@@ -64,6 +64,9 @@ object PipelineQueries {
   /** q45: how many top bigrams to keep. */
   val BigramTopN = 20
 
+  /** Vocabulary entries reported by q70's coverage table. */
+  val VocabTopN = 50
+
   /** q50 repetition-filter cutoffs (Rae et al.'s Gopher rules use the
     * same two signal families): flag a doc when its most frequent token
     * exceeds [[TopTokMax]] of all tokens, or when more than
@@ -227,6 +230,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(BigramTopN)
+    }),
+
+    "q70_vocab_coverage" -> ((s, dir) => {
+      // the vocabulary-build report (the BPE-prep step): token counts →
+      // rank by frequency → running coverage of total token mass — the
+      // table that answers "how many vocab entries cover 95% of the
+      // corpus". Shape: wordcount (map-side-combined groupBy) collapses
+      // the corpus to VOCAB-sized data; the rank/cumsum window then
+      // runs over vocab rows, not corpus rows — at 100 TB that is
+      // millions of rows for billions of documents, so the global
+      // window (constant-keyed, one partition OF THE VOCAB) is the
+      // honest, documented cost; ties broken (count desc, token asc)
+      // for total determinism. Output: the top-[[VocabTopN]] entries
+      // with exact cumulative coverage, decimal-routed.
+      val counts = KeywordQueries.tokenizedDocs(s, dir)
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(lit(0))
+        .orderBy(col("n").desc, col("token").asc)
+      counts
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_n", sum(col("n"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .filter(col("rank") <= VocabTopN)
+        .join(broadcast(counts.agg(sum(col("n")).cast("long").as("total_n"))))
+        .select(col("rank").cast("long").as("rank"), col("token"), col("n"),
+          round(col("cum_n").cast("double") / col("total_n"), 6).as("cum_coverage"))
+        .orderBy(col("rank"))
     }),
 
     "q50_repetition" -> ((s, dir) => {
@@ -446,6 +478,19 @@ object PipelineQueries {
          |  MAX(CASE WHEN bucket < rate_pct THEN doc_id END) AS max_sampled
          |FROM d GROUP BY lang, rate_pct ORDER BY lang""".stripMargin
     },
+
+    "q70_vocab_coverage" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT unnest(toks) AS token FROM dd),
+         |c AS (SELECT token, COUNT(*) AS n FROM tf GROUP BY token),
+         |r AS (SELECT token, n,
+         |    ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank,
+         |    CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS total_n
+         |  FROM c)
+         |SELECT rank, token, n, round(cum_n::DOUBLE / total_n, 6) AS cum_coverage
+         |FROM r WHERE rank <= $VocabTopN ORDER BY rank""".stripMargin,
 
     "q45_bigram_top" ->
       s"""WITH sh AS (
