@@ -43,6 +43,19 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(again.collect().toSeq === m.toSeq)
   }
 
+  test("q70 vocab coverage is monotone, ends at 1.0 when vocab fits, conserves counts") {
+    val rows = SparkEntry.queries("q70_vocab_coverage")(spark, sf001)
+      .collect()
+    val cov = rows.map(_.getAs[Double]("cum_coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage must be monotone")
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    if (rows.length < graft.queries.PipelineQueries.VocabTopN)
+      assert(math.abs(cov.last - 1.0) < 1e-9,
+        "full vocab must cover the whole token mass")
+  }
+
   test("q69 export manifest = q43's train row minus the decontaminated mass") {
     // composing decontamination into the funnel can only SHRINK the
     // train split, and per-language doc counts must be bounded by
