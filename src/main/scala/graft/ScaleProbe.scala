@@ -23,7 +23,7 @@ object ScaleProbe {
     "q45_bigram_top", "q41_tfidf_topterms", "q52_decontamination",
     "q55_unigram_loglik", "q57_countmin", "q59_incremental_dedup",
     "q62_oov_rate", "q64_containment_audit", "q65_bloom_decontam",
-    "q66_span_dedup")
+    "q66_span_dedup", "q69_export_manifest", "q70_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
