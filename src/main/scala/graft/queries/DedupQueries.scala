@@ -210,6 +210,29 @@ object DedupQueries {
           col("is_survivor").cast("int").as("is_survivor"))
         .orderBy(col("doc_id"))),
 
+    "q71_quality_survivors" -> ((s, dir) => {
+      // the survivor POLICY is pluggable: q31 keeps the min-id doc per
+      // near-dup cluster (deterministic, cheap); production pipelines
+      // keep the BEST doc — here argmax quality, ties broken by min id.
+      // Reuses the cached component labels and the cached enriched
+      // columns; the only new work is one id-keyed join plus a window
+      // partitioned by component (state bounded by cluster size).
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      val qual = TextQueries.enriched(s, dir)
+        .select(col("doc_id"),
+          qualityScore(col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen)
+            .as("quality"))
+      survivorLabels(s, dir).select(col("doc_id"), col("component"))
+        .join(qual, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("quality").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("component"), col("quality"),
+          (col("rk") === 1).cast("int").as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q67_cluster_stats" -> ((s, dir) =>
       // the dedup run report: duplicate-cluster size distribution —
       // how many clusters of each size exist, how many documents they
@@ -448,6 +471,33 @@ object DedupQueries {
            |  CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS is_survivor
            |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "q71_quality_survivors" -> {
+        val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+        val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+        s"""WITH RECURSIVE $lshPairsCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+           |enriched AS (${TextQueries.enrichedSql}),
+           |qual AS (
+           |  SELECT doc_id,
+           |    ${graft.functions.TextFunctions.qualityScoreSql(
+                  "n_tokens", "n_distinct", stopRatio, avgTokLen)} AS quality
+           |  FROM enriched),
+           |labels AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+           |r AS (SELECT l.doc_id, l.component, q.quality,
+           |    ROW_NUMBER() OVER (PARTITION BY l.component
+           |      ORDER BY q.quality DESC, l.doc_id ASC) AS rk
+           |  FROM labels l JOIN qual q ON l.doc_id = q.doc_id)
+           |SELECT doc_id, component, quality, CAST(rk = 1 AS INT) AS is_survivor
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
 
       "q67_cluster_stats" ->
         s"""WITH RECURSIVE $lshPairsCtes,
