@@ -43,6 +43,24 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(again.collect().toSeq === m.toSeq)
   }
 
+  test("q71 keeps exactly one survivor per cluster, and it is the best-quality member") {
+    val rows = SparkEntry.queries("q71_quality_survivors")(spark, sf001).collect()
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (comp, members) =>
+      val surv = members.filter(_.getAs[Int]("is_survivor") == 1)
+      assert(surv.length == 1, s"component $comp must have exactly one survivor")
+      val best = members.map(_.getAs[Double]("quality")).max
+      assert(surv.head.getAs[Double]("quality") == best,
+        s"component $comp survivor must have the max quality")
+    }
+    // same clustering as q31 — only the policy differs
+    val q31 = SparkEntry.queries("q31_dedup_survivors")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    rows.foreach { r =>
+      assert(q31(r.getAs[Long]("doc_id")) == r.getAs[Long]("component")) }
+    assert(byComp.exists(_._2.length > 1), "fixture should plant multi-doc clusters")
+  }
+
   test("q70 vocab coverage is monotone, ends at 1.0 when vocab fits, conserves counts") {
     val rows = SparkEntry.queries("q70_vocab_coverage")(spark, sf001)
       .collect()
