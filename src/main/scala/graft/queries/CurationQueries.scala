@@ -40,10 +40,11 @@ import graft.functions.VectorFunctions._
 object CurationQueries {
 
   /** Session-scoped memo of the q65 benchmark-shingle Bloom sketch,
-    * keyed by session identity + corpus dir (see its build site for
-    * the offline-artifact rationale). */
+    * keyed by the context's applicationId + corpus dir (a broadcast is
+    * only valid within the SparkContext that created it; object
+    * identity hashes can be reused after GC). */
   private val sessionBloom = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+    (String, String), org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
 
   /** The broadcast Bloom sketch of the test-split (benchmark) shingle
     * hashes — the decontamination job's offline artifact, built once
@@ -52,7 +53,7 @@ object CurationQueries {
   private[queries] def benchmarkBloom(s: SparkSession, dir: String)
       : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
     sessionBloom.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
+      (s.sparkContext.applicationId, dir), _ => {
         val testHashes = DedupQueries.hashedShingles(s, dir)
           .filter(splitBucket(col("doc_id")) >= 90)
           .select(explode(col("hs")).as("h")).distinct()

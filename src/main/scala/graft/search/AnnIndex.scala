@@ -87,14 +87,17 @@ object AnnIndex {
     * (reference README.md:71-79); re-fitting per probe would charge
     * the build to every caller. Keyed by session identity so test
     * sessions and the Verify/Bench session never share cached plans;
-    * the memoized hashed table is cached for repeated probes. */
+    * the memoized hashed table is cached for repeated probes. Keyed by
+    * the context's applicationId (not object identity, which the JVM
+    * may reuse after GC): a fitted model and its cached table are only
+    * valid within the SparkContext that built them. */
   private val sessionIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), BrpIndex]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), BrpIndex]
 
   def sessionBrp(s: SparkSession, key: String, corpus: => DataFrame,
                  numTables: Int): BrpIndex =
     sessionIndexes.computeIfAbsent(
-      (System.identityHashCode(s), key, numTables),
+      (s.sparkContext.applicationId, key, numTables),
       _ => buildBrp(corpus, numTables = numTables))
 
   /** Persist a BRP index as reusable artifacts — the engine's
