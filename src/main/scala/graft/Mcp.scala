@@ -1,0 +1,131 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Model Context Protocol framing for the serve loop — the piece the
+  * reference delegates to FastMCP (reference server.py:67 creates the
+  * server, server.py:104 registers the one tool, server.py:127 runs the
+  * stdio JSON-RPC transport). The protocol is public (JSON-RPC 2.0 with
+  * MCP's `initialize` / `tools/list` / `tools/call` methods over
+  * line-delimited stdio); this implements exactly the slice the
+  * reference's single-tool server exercises, hand-rolled over the
+  * json4s that ships with Spark — no new dependencies.
+  *
+  * One request line in → one response line out; notifications (no `id`)
+  * get no response, per JSON-RPC 2.0. The tool surface mirrors the
+  * reference's `vector_search_neo4j(prompt)` (server.py:71-75): one
+  * tool, one required string argument, result as a single text content
+  * block carrying the engine's JSON hits.
+  */
+object Mcp {
+
+  /** Protocol revision implemented; an `initialize` asking for a
+    * different revision is answered with this one (the MCP-specified
+    * server behavior: respond with the latest version the server
+    * supports and let the client decide). */
+  val ProtocolVersion = "2025-03-26"
+
+  val ServerName = "graft-vector-search"
+  val ServerVersion = "0.1.0"
+
+  /** The one tool, named for what it does (the reference names its tool
+    * for its backend, `vector_search_neo4j`; the engine's backend is
+    * Spark, so the transport-visible name drops the suffix). */
+  val ToolName = "vector_search"
+  val ToolDescription =
+    "Semantic top-k vector search over the document corpus: " +
+      "natural-language prompt in, JSON array of (doc_id, text, score) out."
+
+  /** Handle one inbound stdio line. Returns the response line to write,
+    * or None for notifications (which must not be answered).
+    *
+    * @param search the engine closure: prompt => result JSON (the same
+    *               body the raw serve loop calls). */
+  def handle(line: String, search: String => String): Option[String] = {
+    val parsed =
+      try Right(JsonMethods.parse(line))
+      catch { case e: Exception => Left(e.getMessage) }
+    parsed match {
+      case Left(_) =>
+        // unparseable: JSON-RPC 2.0 mandates a -32700 response with null id
+        Some(error(JNull, -32700, "Parse error"))
+      case Right(msg) =>
+        val id = msg \ "id"
+        val method = msg \ "method" match {
+          case JString(m) => m
+          case _ => ""
+        }
+        val isNotification = id == JNothing || id == JNull
+        val response = method match {
+          case "initialize" => Some(result(id, initializeResult()))
+          case "ping" => Some(result(id, JObject()))
+          case "tools/list" => Some(result(id, toolsListResult()))
+          case "tools/call" => Some(toolsCall(id, msg \ "params", search))
+          case _ if isNotification => None // e.g. notifications/initialized
+          case "" => Some(error(id, -32600, "Invalid Request: no method"))
+          case m => Some(error(id, -32601, s"Method not found: $m"))
+        }
+        if (isNotification) None else response
+    }
+  }
+
+  private def initializeResult(): JObject = JObject(
+    "protocolVersion" -> JString(ProtocolVersion),
+    "capabilities" -> JObject("tools" -> JObject()),
+    "serverInfo" -> JObject(
+      "name" -> JString(ServerName),
+      "version" -> JString(ServerVersion)))
+
+  private def toolsListResult(): JObject = JObject(
+    "tools" -> JArray(List(JObject(
+      "name" -> JString(ToolName),
+      "description" -> JString(ToolDescription),
+      "inputSchema" -> JObject(
+        "type" -> JString("object"),
+        "properties" -> JObject(
+          "prompt" -> JObject(
+            "type" -> JString("string"),
+            "description" -> JString("Natural-language search prompt"))),
+        "required" -> JArray(List(JString("prompt"))))))))
+
+  private def toolsCall(id: JValue, params: JValue,
+      search: String => String): String = {
+    val name = params \ "name" match {
+      case JString(n) => n
+      case _ => ""
+    }
+    val prompt = params \ "arguments" \ "prompt" match {
+      case JString(p) => p
+      case _ => ""
+    }
+    if (name != ToolName)
+      error(id, -32602, s"Unknown tool: $name")
+    else if (prompt.trim.isEmpty)
+      error(id, -32602, "Missing required argument: prompt")
+    else {
+      // tool-execution failures are NOT protocol errors: MCP reports
+      // them inside the result with isError=true so the model can see
+      // and react to them — only unknown tools / bad arguments get
+      // JSON-RPC error envelopes
+      val (text, isError) =
+        try (search(prompt.trim), false)
+        catch { case e: Exception => (s"search failed: ${e.getMessage}", true) }
+      result(id, JObject(
+        "content" -> JArray(List(JObject(
+          "type" -> JString("text"),
+          "text" -> JString(text)))),
+        "isError" -> JBool(isError)))
+    }
+  }
+
+  private def result(id: JValue, res: JObject): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "jsonrpc" -> JString("2.0"), "id" -> id, "result" -> res)))
+
+  private def error(id: JValue, code: Int, message: String): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "jsonrpc" -> JString("2.0"), "id" -> id,
+      "error" -> JObject(
+        "code" -> JInt(code), "message" -> JString(message)))))
+}

@@ -13,12 +13,15 @@ import graft.search.{HashingEmbedder, SearchEngine}
   * {{{ sbt "runMain graft.Search /root/testdata/sf0.001 'fast hash join' --k 5" }}}
   *
   * With `--serve`, it instead runs the reference's service shape
-  * (server.py:127 `mcp.run(transport="stdio")`, minus the MCP message
-  * framing the reference delegates to its library): a long-lived stdio
-  * loop over the one tool — one prompt per input line, one JSON result
-  * line per prompt, until EOF. The session, engine, and corpus caches
-  * live across requests, so only the first prompt pays Spark startup
-  * (SURVEY.md §2.1 O11).
+  * (server.py:127 `mcp.run(transport="stdio")`): a long-lived stdio
+  * loop over the one tool. Lines that are JSON objects speak actual
+  * MCP — JSON-RPC 2.0 `initialize` / `tools/list` / `tools/call`
+  * framing ([[Mcp]]), the same protocol FastMCP runs for the reference
+  * (server.py:67,104,127) — so an MCP client's message stream works
+  * against this loop. Bare non-JSON lines keep the raw dialect (one
+  * prompt per line, one JSON result line back). The session, engine,
+  * and corpus caches live across requests, so only the first prompt
+  * pays Spark startup (SURVEY.md §2.1 O11).
   */
 object Search {
 
@@ -26,6 +29,11 @@ object Search {
     * `flag > env > default` (reference __init__.py:19-24). */
   final case class Config(
       sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean)
+
+  /** Flags that take no value: a bare `--serve` means serve=true and
+    * the next token stays a positional (prompt word). `--serve=false`
+    * still works for an explicit off. */
+  private val BooleanFlags = Set("serve")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all
@@ -35,6 +43,9 @@ object Search {
     var ps = List.empty[String]
     var rest = args.toList
     while (rest.nonEmpty) rest = rest match {
+      case f :: t if f.startsWith("--") && !f.contains("=") &&
+          BooleanFlags(f.drop(2)) =>
+        fs += (f.drop(2) -> "true"); t
       case f :: v :: t if f.startsWith("--") && !f.contains("=") =>
         fs += (f.drop(2) -> v); t
       case f :: t if f.startsWith("--") && f.contains("=") =>
@@ -68,23 +79,30 @@ object Search {
       .getOrElse("4")
     val serve = flags.get("serve").exists(_ != "false")
     require(prompt.nonEmpty || serve,
-      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve true]")
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve]")
     Config(sfDir, prompt, k, cpus, serve)
   }
 
-  /** The stdio request loop: one prompt per line in, one JSON result
-    * line out, blank lines skipped, EOF ends the service. Factored over
-    * abstract reader/writer so the loop itself is spec-testable without
-    * a subprocess. */
+  /** The stdio request loop: blank lines skipped, EOF ends the
+    * service. A line that parses as a JSON object is handled as an MCP
+    * JSON-RPC message ([[Mcp.handle]]); any other line is a raw prompt
+    * answered with one JSON result line. Factored over abstract
+    * reader/writer so the loop itself is spec-testable without a
+    * subprocess. Returns the number of lines answered (JSON-RPC
+    * notifications are consumed but, per the protocol, not answered —
+    * they don't count). */
   def serve(engine: SearchEngine, sfDir: String, k: Int,
       in: java.io.BufferedReader, out: java.io.PrintStream): Int = {
     var served = 0
     var line = in.readLine()
     while (line != null) {
-      val prompt = line.trim
-      if (prompt.nonEmpty) {
-        out.println(engine.searchJson(sfDir, prompt, k))
-        served += 1
+      val req = line.trim
+      if (req.nonEmpty) {
+        val response =
+          if (req.startsWith("{"))
+            Mcp.handle(req, prompt => engine.searchJson(sfDir, prompt, k))
+          else Some(engine.searchJson(sfDir, req, k))
+        response.foreach { r => out.println(r); served += 1 }
       }
       line = in.readLine()
     }

@@ -45,9 +45,71 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
       assert(l.startsWith("[") && l.endsWith("]"), s"not a JSON array line: $l")
       assert(l.contains("\"doc_id\"") && l.contains("\"score\""))
     }
-    // serve mode is the one config where an empty prompt is legal
-    val c = Search.parseConfig(Seq("--serve", "true", "--sf-dir", "/x"), Map.empty)
+    // serve mode is the one config where an empty prompt is legal;
+    // --serve is a bare boolean flag — it must not eat the next token
+    val c = Search.parseConfig(Seq("--serve", "--sf-dir", "/x"), Map.empty)
     assert(c.serve && c.prompt.isEmpty)
+    val c2 = Search.parseConfig(Seq("--serve", "find", "things", "--sf-dir", "/x"), Map.empty)
+    assert(c2.serve && c2.prompt === "find things")
+    val c3 = Search.parseConfig(Seq("--serve=false", "--sf-dir", "/x", "p"), Map.empty)
+    assert(!c3.serve && c3.prompt === "p")
+  }
+
+  test("--serve speaks MCP: initialize -> initialized -> tools/list -> tools/call") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val eng = new graft.search.SearchEngine(spark)
+    val in = new java.io.BufferedReader(new java.io.StringReader(Seq(
+      """{"jsonrpc":"2.0","id":0,"method":"initialize","params":{"protocolVersion":"2025-03-26","capabilities":{},"clientInfo":{"name":"spec","version":"0"}}}""",
+      """{"jsonrpc":"2.0","method":"notifications/initialized"}""",
+      """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""",
+      s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"fast hash join"}}}""",
+    ).mkString("\n") + "\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf001, k = 2,
+      in, new java.io.PrintStream(buf, true, "UTF-8"))
+    // the notification is consumed but, per JSON-RPC, not answered
+    assert(served === 3)
+    val lines = buf.toString("UTF-8").trim.split("\n").toSeq
+    assert(lines.size === 3)
+    val Seq(init, list, call) = lines.map(parse(_))
+    assert(init \ "jsonrpc" === JString("2.0") && init \ "id" === JInt(0))
+    assert(init \ "result" \ "protocolVersion" === JString(Mcp.ProtocolVersion))
+    assert(init \ "result" \ "serverInfo" \ "name" === JString(Mcp.ServerName))
+    val JArray(tools) = (list \ "result" \ "tools"): @unchecked
+    assert(tools.size === 1)
+    assert(tools.head \ "name" === JString(Mcp.ToolName))
+    assert(tools.head \ "inputSchema" \ "required" === JArray(List(JString("prompt"))))
+    // the tool result wraps the engine's q33-shaped JSON in one MCP
+    // text content block (the reference's tool returns the same JSON
+    // string, server.py:102)
+    assert(call \ "id" === JInt(2))
+    assert(call \ "result" \ "isError" === JBool(false))
+    val JString(text) = (call \ "result" \ "content")(0) \ "text": @unchecked
+    assert(text.startsWith("[") && text.contains("\"doc_id\"") && text.contains("\"score\""))
+  }
+
+  test("MCP error envelopes: parse error, unknown method, unknown tool, bad args") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    def err(line: String): (JValue, JValue) = {
+      val r = parse(Mcp.handle(line, _ => "unused").get)
+      (r \ "error" \ "code", r \ "id")
+    }
+    assert(err("{not json")._1 === JInt(-32700))
+    assert(err("""{"jsonrpc":"2.0","id":9,"method":"nope"}""") ===
+      ((JInt(-32601), JInt(9))))
+    assert(err("""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"wrong","arguments":{"prompt":"x"}}}""")._1 === JInt(-32602))
+    assert(err("""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"vector_search","arguments":{}}}""")._1 === JInt(-32602))
+    // unknown NOTIFICATION (no id) must be silently consumed, not answered
+    assert(Mcp.handle("""{"jsonrpc":"2.0","method":"notifications/cancelled"}""", _ => "x").isEmpty)
+    // a tool-execution failure is an in-band result, not a protocol error
+    val r = parse(Mcp.handle(
+      s"""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"boom"}}}""",
+      _ => throw new RuntimeException("engine down")).get)
+    assert(r \ "result" \ "isError" === JBool(true))
+    val JString(msg) = (r \ "result" \ "content")(0) \ "text": @unchecked
+    assert(msg.contains("engine down"))
   }
 
   test("the main's search body returns the reference's tool-call JSON shape") {
