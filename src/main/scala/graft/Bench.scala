@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry point. Methodology (stated, so the numbers are
   * reproducible): after a JVM/codegen warm-up, every query runs once
@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   * an offline index build) and pays first-use janino codegen — then
   * `Reps` timed passes run and each query reports its per-pass MINIMUM
   * (the standard steady-state estimator: on a shared box the min is
-  * the least contaminated by unrelated load). The emitted JSON carries
-  * `warmup`/`reps`/`stat` so any recorded artifact states its own
-  * methodology.
+  * the least contaminated by unrelated load). Each pass drives the
+  * query with the noop sink — full evaluation of every output row, no
+  * I/O — so the timed work equals the delivered work (count() would
+  * let Catalyst prune projection-only columns). The emitted JSON
+  * carries `warmup`/`reps`/`stat`/`action` so any recorded artifact
+  * states its own methodology.
   */
 object Bench {
   val Warmup = 1
@@ -51,18 +54,27 @@ object Bench {
         |  max(graft_simhash(graft_shingle_hashes(CAST(id AS STRING))))
         |FROM range(100)""".stripMargin).collect()
     catch { case _: Throwable => }
+    // the benched action is the noop SINK, not count(): count() lets
+    // Catalyst prune every column that only feeds the final projection
+    // (a text payload carried through a top-k would never be
+    // materialized), so it under-measures delivered work. The noop sink
+    // evaluates every output row in full — the same work Verify's
+    // parquet write pays, minus the I/O — so timed work == delivered
+    // work.
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // untimed warm pass(es): build the shared session caches exactly once
     // outside the timed window, so attribution doesn't depend on which
     // query happens to touch a cache first (Map iteration order)
     (1 to Warmup).foreach { _ =>
       SparkEntry.benchQueries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        try run(fn(spark, sfDir)) catch { case _: Throwable => }
       }
     }
     def timedPass(): Map[String, Double] =
       SparkEntry.benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try run(fn(spark, sfDir)) catch { case _: Throwable => }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val passes = (1 to Reps).map(_ => timedPass())
@@ -76,7 +88,12 @@ object Bench {
       s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$reps,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","cpus":$cpus,"excluded_verify_only":["q18_jaccard_pairs","q21_embedding_neardup"]}""")
+    // the excluded list is DERIVED from the contract (SparkEntry
+    // .verifyOnly), so the artifact can't silently misreport what the
+    // bench set was when the contract changes
+    val excluded = SparkEntry.verifyOnly.toSeq.sorted
+      .map(q => "\"" + q + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$reps,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","action":"noop-sink","cpus":$cpus,"excluded_verify_only":$excluded}""")
     spark.stop()
   }
 }
