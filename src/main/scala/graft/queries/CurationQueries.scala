@@ -40,11 +40,12 @@ import graft.functions.VectorFunctions._
 object CurationQueries {
 
   /** Session-scoped memo of the q65 benchmark-shingle Bloom sketch,
-    * keyed by the context's applicationId + corpus dir (a broadcast is
-    * only valid within the SparkContext that created it; object
-    * identity hashes can be reused after GC). */
-  private val sessionBloom = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+    * keyed by the context's applicationId + corpus dir and evicted on
+    * context end ([[graft.SessionMemo]]): a broadcast is only valid
+    * within the SparkContext that created it, and must not outlive
+    * it. */
+  private[graft] val sessionBloom = new graft.SessionMemo[
+    String, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
 
   /** The broadcast Bloom sketch of the test-split (benchmark) shingle
     * hashes — the decontamination job's offline artifact, built once
@@ -52,14 +53,13 @@ object CurationQueries {
     * (q65's corpus screen, q69's export funnel). */
   private[queries] def benchmarkBloom(s: SparkSession, dir: String)
       : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
-    sessionBloom.computeIfAbsent(
-      (s.sparkContext.applicationId, dir), _ => {
-        val testHashes = DedupQueries.hashedShingles(s, dir)
-          .filter(splitBucket(col("doc_id")) >= 90)
-          .select(explode(col("hs")).as("h")).distinct()
-        s.sparkContext.broadcast(testHashes.stat.bloomFilter(
-          "h", math.max(testHashes.count(), 1000L), 0.01))
-      })
+    sessionBloom.getOrCompute(s, dir) {
+      val testHashes = DedupQueries.hashedShingles(s, dir)
+        .filter(splitBucket(col("doc_id")) >= 90)
+        .select(explode(col("hs")).as("h")).distinct()
+      s.sparkContext.broadcast(testHashes.stat.bloomFilter(
+        "h", math.max(testHashes.count(), 1000L), 0.01))
+    }
 
   /** q52: a test doc is contaminated when at least this fraction of its
     * distinct 3-token shingles appears in the train split. Background

@@ -88,17 +88,16 @@ object AnnIndex {
     * the build to every caller. Keyed by session identity so test
     * sessions and the Verify/Bench session never share cached plans;
     * the memoized hashed table is cached for repeated probes. Keyed by
-    * the context's applicationId (not object identity, which the JVM
-    * may reuse after GC): a fitted model and its cached table are only
-    * valid within the SparkContext that built them. */
-  private val sessionIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), BrpIndex]
+    * the context's applicationId and evicted when the context ends
+    * ([[graft.SessionMemo]]): a fitted model and its cached table are
+    * only valid within the SparkContext that built them, and must not
+    * outlive it either. */
+  private[graft] val sessionIndexes = new graft.SessionMemo[(String, Int), BrpIndex]
 
   def sessionBrp(s: SparkSession, key: String, corpus: => DataFrame,
                  numTables: Int): BrpIndex =
-    sessionIndexes.computeIfAbsent(
-      (s.sparkContext.applicationId, key, numTables),
-      _ => buildBrp(corpus, numTables = numTables))
+    sessionIndexes.getOrCompute(s, (key, numTables))(
+      buildBrp(corpus, numTables = numTables))
 
   /** Persist a BRP index as reusable artifacts — the engine's
     * `CREATE VECTOR INDEX` equivalent (reference README.md:71-79): the
