@@ -34,6 +34,20 @@ object AnnQueries {
 
   /** q58: how many centroid outliers to surface. */
   val CentroidOutlierK = 20
+
+  /** q72: cosine floor for the LSH near-dup candidate join. The fixture
+    * corpus plants no high-cosine embedding clones (max pair cosine is
+    * ~0.51 at sf0.01, ~0.60 at sf0.1) and q21's top-20 pairs all sit at
+    * cosine >= 0.43 at every SF, so 0.4 keeps every pair the oracle
+    * ranks while still bounding the similarity join's distance
+    * threshold (maxDist = sqrt(2(1-minCos)) on unit vectors). When new
+    * fixtures plant tighter clones, raise this floor toward the clone
+    * band — the join gets cheaper, never less correct (the oracle
+    * compare fails closed on any recall miss). */
+  val NearDupMinCos = 0.4
+
+  /** q72: pairs surfaced (matches q21, whose result is the oracle). */
+  val NearDupTopK = 20
   private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
 
@@ -177,6 +191,29 @@ object AnnQueries {
         .limit(10)
         .select(col("vec_id"), col("score"))
     }),
+
+    "q72_brp_neardup" -> ((s, dir) => {
+      // the PRODUCTION embedding-dedup shape (q21 is its declared
+      // verify-only exact baseline): candidate pairs come from the
+      // session BRP index's LSH similarity self-join — a hash-bucket
+      // equi-join, never an all-pairs scan — then get exact-rescored
+      // with the same neo4jScore expression as q21 and top-k'd. The
+      // oracle IS q21's exact all-pairs result, so a hash-green row
+      // certifies the index recalled every top-20 pair end-to-end
+      // (same fail-closed gate construction as q47 vs q10). Reuses
+      // q47's session-memoized index: the similarity join pays join
+      // cost, never a refit. At 100 TB the hashed corpus is a persisted
+      // artifact partitioned by bucket (AnnIndex.saveBrp) and this join
+      // reads colliding buckets only.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      graft.search.AnnIndex
+        .sessionBrp(s, dir, e.select(col("vec_id"), col("embedding")),
+          numTables = 12)
+        .nearDupPairsCanonical(NearDupMinCos)
+        .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
+        .limit(NearDupTopK)
+    }),
   )
 
   private[queries] def cosSql(aE: String, bE: String): String =
@@ -259,6 +296,16 @@ object AnnQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE len(e.embedding) = 64
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // exact all-pairs top-20 (q21's oracle text): q72's LSH-candidate +
+    // exact-rescore output must equal it, so hash-green certifies the
+    // similarity join recalled every top-20 pair
+    "q72_brp_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT $NearDupTopK""".stripMargin,
 
     "q22_lsh_bucket_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),

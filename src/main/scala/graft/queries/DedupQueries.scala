@@ -129,6 +129,27 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Write-once-per-session corpus band-key index for q73: the OLD
+    * corpus side (everything outside the q59/q73 "new batch") saved as
+    * the daily-dedup artifacts ([[graft.operators.Dedup.saveCorpusIndex]]
+    * — band table PARTITIONED BY band + shingle sets). Returns the
+    * index directory; memoized so repeated probes in one session pay
+    * probe cost only — the artifact-side twin of the in-session
+    * [[hashedShingles]] cache. */
+  private val sessionBandIndex = new graft.SessionMemo[String, String]
+
+  private def bandIndexDir(s: SparkSession, dir: String): String =
+    sessionBandIndex.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_band_index_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val oldSh = hashedShingles(s, dir)
+        .filter(pmod(col("doc_id"), lit(10L)) =!= 7)
+        .select(col("doc_id"), col("hs"))
+      graft.operators.Dedup.saveCorpusIndex(oldSh, "doc_id", "hs", out)
+      out
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q17_dedup_exact" -> ((s, dir) => {
@@ -314,6 +335,36 @@ object DedupQueries {
         sum(when(col("partner_is_new") && col("partner") < col("doc_id"), 1L)
           .otherwise(0L)).cast("long").as("n_dup_new_prior"))
       sh.filter(col("is_new")).select(col("doc_id"), col("lang"))
+        .join(agg, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup_old", "n_dup_new_prior"))
+        .withColumn("accepted",
+          (col("n_dup_old") === 0 && col("n_dup_new_prior") === 0).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q73_band_index_probe" -> ((s, dir) => {
+      // q59's daily-ingest dedup, via the PERSISTED corpus artifact:
+      // the old corpus's band keys + shingle sets are WRITTEN once per
+      // session (Dedup.saveCorpusIndex — band table PARTITIONED BY
+      // band) and the new batch (doc_id % 10 == 7) probes them back
+      // off parquet (Dedup.incrementalPairsVsIndex) — nothing about
+      // the existing corpus is recomputed, which is the property that
+      // makes daily ingest O(new) at 100 TB. Output contract and
+      // oracle are exactly q59's: the artifact round-trip must be
+      // invisible in the result.
+      val sh = hashedShingles(s, dir)
+      val indexDir = bandIndexDir(s, dir)
+      val newSh = sh.filter(pmod(col("doc_id"), lit(10L)) === 7)
+        .select(col("doc_id"), col("hs"))
+      val pairs = graft.operators.Dedup.incrementalPairsVsIndex(
+        s, indexDir, newSh, "doc_id", "hs", JaccardThreshold)
+      val agg = pairs.groupBy(col("doc_id")).agg(
+        sum(when(!col("partner_is_new"), 1L).otherwise(0L))
+          .cast("long").as("n_dup_old"),
+        sum(when(col("partner_is_new") && col("partner") < col("doc_id"), 1L)
+          .otherwise(0L)).cast("long").as("n_dup_new_prior"))
+      sh.filter(pmod(col("doc_id"), lit(10L)) === 7)
+        .select(col("doc_id"), col("lang"))
         .join(agg, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_dup_old", "n_dup_new_prior"))
         .withColumn("accepted",
@@ -533,7 +584,27 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       },
 
-      "q59_incremental_dedup" ->
+      // q73 probes the PERSISTED artifact but must land on exactly the
+      // incremental-dedup answer — same oracle text as q59
+      "q73_band_index_probe" -> incrementalDedupOracle,
+
+      "q59_incremental_dedup" -> incrementalDedupOracle,
+
+      "q21_embedding_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round((1.0 +
+           |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+           |    / 2.0, 6) AS score
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+    )
+  }
+
+  private lazy val incrementalDedupOracle: String =
         s"""WITH $lshPairsCtes,
            |tp AS (SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
            |       UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -552,19 +623,5 @@ object DedupQueries {
            |    AS BIGINT) AS accepted
            |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
            |WHERE d.doc_id % 10 = 7
-           |ORDER BY d.doc_id""".stripMargin,
-
-      "q21_embedding_neardup" ->
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
-           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |  round((1.0 +
-           |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-           |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
-           |    / 2.0, 6) AS score
-           |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
-    )
-  }
+           |ORDER BY d.doc_id""".stripMargin
 }

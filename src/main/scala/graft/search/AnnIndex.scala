@@ -63,6 +63,40 @@ object AnnIndex {
           col("dist"))
         .filter(col("vec_a") < col("vec_b"))
     }
+
+    /** The same verified pair set as [[nearDupPairs]] — candidates are
+      * exactly the pairs sharing at least one hash-table bucket — but
+      * emitted through a canonical-table bucket EQUI-join instead of
+      * MLlib's OR-amplified join: a pair colliding in several tables
+      * matches once per table, so the join also requires the matched
+      * table to be the pair's lowest-index agreeing one — each
+      * surviving pair exists exactly once and no distinct() shuffle of
+      * the pair set is needed (the q19/q20 trick). Verification
+      * (cosine >= minCos, evaluated on the raw embeddings with the
+      * engine's scoring expression) sits INSIDE the join condition
+      * after the cheap canonical check, so rejected candidates never
+      * materialize and nothing passes through a non-codegen UDF.
+      * Output: (vec_a, vec_b, score) with vec_a < vec_b, score the
+      * (1+cos)/2 convention rounded to 6 dp. */
+    def nearDupPairsCanonical(minCos: Double): DataFrame = {
+      import org.apache.spark.ml.functions.vector_to_array
+      val numTables = model.getNumHashTables
+      val sigd = hashed.select(col("vec_id"), col("embedding"),
+        transform(col("hashes"), v => element_at(vector_to_array(v), 1)).as("sig"))
+      val bands = sigd.select(col("vec_id"), col("embedding"), col("sig"),
+        posexplode(col("sig"))).toDF("vec_id", "embedding", "sig", "t", "b")
+      val canonical = (0 until numTables).map { j =>
+        lit(j) >= col("x.t") ||
+          element_at(col("x.sig"), j + 1) =!= element_at(col("y.sig"), j + 1)
+      }.reduce(_ && _)
+      val score = neo4jScore(col("x.embedding"), col("y.embedding"))
+      bands.alias("x").join(bands.alias("y"),
+          col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+            col("x.vec_id") < col("y.vec_id") && canonical &&
+            score >= lit((1.0 + minCos) / 2.0))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          round(score, 6).as("score"))
+    }
   }
 
   /** Fit a BRP-LSH index. `bucketLength` ~ 2–4 works for unit vectors;

@@ -79,4 +79,21 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     // each returned pair ordered, no self-pairs
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("canonical-table near-dup join emits exactly the MLlib similarity-join pair set") {
+    // same fitted model, two routes: MLlib's OR-amplified join+distinct
+    // vs the canonical-table equi-join (q72's shape). Candidates are by
+    // construction the same set (pairs sharing >= 1 bucket), so the
+    // verified outputs must be identical — each pair exactly once.
+    val idx = AnnIndex.buildBrp(corpus, numTables = 7)
+    for (minCos <- Seq(0.3, 0.45)) {
+      val mllib = idx.nearDupPairs(minCos)
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect().sorted.toSeq
+      val canonical = idx.nearDupPairsCanonical(minCos)
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSeq
+      assert(canonical.size === canonical.distinct.size,
+        "canonical join must emit each pair exactly once")
+      assert(canonical.sorted === mllib, s"pair sets differ at minCos=$minCos")
+    }
+  }
 }

@@ -228,6 +228,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"per-shard totals should combine map-side:\n$p")
   }
 
+  test("q72 near-dup join stays bucket-equi-keyed with no pair distinct, tops out in heaps") {
+    val p = plan("q72_brp_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidates must come from the bucket equi-join:\n$p")
+    // the canonical-table predicate replaces the pair-set distinct();
+    // an aggregate reappearing between join and top-k means the dedup
+    // shuffle is back (MLlib's approxSimilarityJoin shape)
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"q72 must not need a distinct/aggregate after the join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heaps in:\n$p")
+  }
+
+  test("q73 probes the persisted band index with partition pruning on band") {
+    val p = plan("q73_band_index_probe")
+    // the corpus side must be READ from the saved artifact, not recomputed
+    val artifactScans = p.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("graft_band_index")).toSeq
+    assert(artifactScans.size >= 2, // bands + shingles
+      s"expected the persisted bands+shingles scans in:\n$p")
+    // ... and the band-partitioned scan must carry a partition filter
+    // (dynamic pruning from the new batch's band keys): the layout that
+    // bounds a daily probe's I/O to colliding band directories
+    val bandScan = artifactScans.find(_.contains("band#")).getOrElse("")
+    assert(bandScan.contains("PartitionFilters: [") &&
+      bandScan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on band in:\n$bandScan")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
