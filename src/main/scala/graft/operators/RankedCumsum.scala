@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed global rank + running sum over a totally-ordered frame —
+  * the scale-safe replacement for a single-partition window
+  * (`Window.partitionBy(<constant>)`), whose one task must sort and
+  * scan the whole input. A BPE-prep vocabulary at web scale is 10⁷–10⁸
+  * distinct tokens; one executor thread sorting that is the kind of
+  * plan that works at test SF and stalls at 100 TB.
+  *
+  * Classic two-pass shape:
+  *  1. range-partition by the order (n desc, token asc) and sort within
+  *     partitions — a normal parallel sort, every partition holds a
+  *     contiguous rank range;
+  *  2. per-partition (row count, sum) — #partitions tiny rows — are
+  *     collected and prefix-summed on the driver into per-partition
+  *     (rank, sum) offsets;
+  *  3. a second pass over the SAME shuffle output (Spark reuses the
+  *     map stage; only the reduce-side sort re-runs) emits each row's
+  *     global rank and running sum as offset + local scan. Partitions
+  *     whose rank offset is already past `topN` emit nothing — the
+  *     at-scale pruning that makes the report O(topN) after the sort.
+  *
+  * Output is deterministic at any parallelism: the order key is total
+  * (token is unique per row), so every row's rank and prefix sum are
+  * independent of partition boundaries.
+  */
+object RankedCumsum {
+
+  /** The vocabulary-coverage frame: input (token STRING, n LONG — one
+    * row per distinct token), output the `topN` most frequent tokens as
+    * (rank, token, n, cum_n, total_n), ranked by (n desc, token asc)
+    * with cum_n the running sum of n and total_n the grand total. */
+  def tokenCoverage(counts: DataFrame, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = counts
+      .select(col("token").cast("string"), col("n").cast("long"))
+      .repartitionByRange(parts, col("n").desc, col("token").asc)
+      .sortWithinPartitions(col("n").desc, col("token").asc)
+    val rdd = sorted.rdd
+    // pass 1: per-partition row/sum totals (#partitions rows collected)
+    val stats = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rows = 0L
+      var s = 0L
+      it.foreach { r => rows += 1; s += r.getLong(1) }
+      Iterator((i, rows, s))
+    }.collect().sortBy(_._1)
+    val total = stats.map(_._3).sum
+    val offsets = stats
+      .scanLeft((0L, 0L)) { case ((r, s), (_, pr, ps)) => (r + pr, s + ps) }
+      .dropRight(1)
+    // pass 2: offset + local running scan; rank-exhausted partitions
+    // emit nothing (and their tasks do no per-row work)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val (rankOff, sumOff) = offsets(i)
+      if (rankOff >= topN) Iterator.empty
+      else new Iterator[(Long, String, Long, Long)] {
+        private var rank = rankOff
+        private var cum = sumOff
+        def hasNext: Boolean = rank < topN && it.hasNext
+        def next(): (Long, String, Long, Long) = {
+          val r = it.next()
+          rank += 1
+          cum += r.getLong(1)
+          (rank, r.getString(0), r.getLong(1), cum)
+        }
+      }
+    }
+    out.toDF("rank", "token", "n", "cum_n").withColumn("total_n", lit(total))
+  }
+}

@@ -237,26 +237,19 @@ object PipelineQueries {
       // rank by frequency → running coverage of total token mass — the
       // table that answers "how many vocab entries cover 95% of the
       // corpus". Shape: wordcount (map-side-combined groupBy) collapses
-      // the corpus to VOCAB-sized data; the rank/cumsum window then
-      // runs over vocab rows, not corpus rows — at 100 TB that is
-      // millions of rows for billions of documents, so the global
-      // window (constant-keyed, one partition OF THE VOCAB) is the
-      // honest, documented cost; ties broken (count desc, token asc)
-      // for total determinism. Output: the top-[[VocabTopN]] entries
-      // with exact cumulative coverage, decimal-routed.
+      // the corpus to VOCAB-sized data; the global rank/cumsum then
+      // runs as the DISTRIBUTED two-pass cumulative sum
+      // ([[graft.operators.RankedCumsum]]): range-partitioned parallel
+      // sort, per-partition subtotals prefix-summed on the driver as
+      // offsets, no single-partition window anywhere (plan-guarded) —
+      // a web-scale BPE vocab is 10⁷–10⁸ distinct tokens, which no one
+      // task should sort. Ties broken (count desc, token asc) for
+      // total determinism.
       val counts = KeywordQueries.tokenizedDocs(s, dir)
         .select(explode(col("toks")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(lit(0))
-        .orderBy(col("n").desc, col("token").asc)
-      counts
-        .withColumn("rank", row_number().over(w))
-        .withColumn("cum_n", sum(col("n"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
-        .filter(col("rank") <= VocabTopN)
-        .join(broadcast(counts.agg(sum(col("n")).cast("long").as("total_n"))))
-        .select(col("rank").cast("long").as("rank"), col("token"), col("n"),
+      graft.operators.RankedCumsum.tokenCoverage(counts, VocabTopN)
+        .select(col("rank"), col("token"), col("n"),
           round(col("cum_n").cast("double") / col("total_n"), 6).as("cum_coverage"))
         .orderBy(col("rank"))
     }),

@@ -74,6 +74,35 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
         "full vocab must cover the whole token mass")
   }
 
+  test("distributed rank/cumsum equals the single-partition window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial frame: heavy count ties (the order falls back to the
+    // token tiebreak), a run longer than one range partition, topN both
+    // inside and beyond the frame
+    val counts = spark.range(200).toDF("i")
+      .select(concat(lit("tok"), format_string("%03d", col("i"))).as("token"),
+        (lit(7L) - pmod(col("i"), lit(3L))).as("n"))
+    for (topN <- Seq(5, 50, 1000)) {
+      val got = graft.operators.RankedCumsum.tokenCoverage(counts, topN)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val w = Window.orderBy(col("n").desc, col("token").asc)
+      val want = counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_n",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= topN)
+        .join(counts.agg(sum(col("n")).as("total_n")))
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+          r.getAs[Long]("n"), r.getAs[Long]("cum_n"), r.getAs[Long]("total_n")))
+      assert(got.toSeq === want.toSeq, s"mismatch at topN=$topN")
+    }
+    // empty frame: no rows, no failure
+    assert(graft.operators.RankedCumsum
+      .tokenCoverage(counts.filter(lit(false)), 5).collect().isEmpty)
+  }
+
   test("q69 export manifest = q43's train row minus the decontaminated mass") {
     // composing decontamination into the funnel can only SHRINK the
     // train split, and per-language doc counts must be bounded by

@@ -256,6 +256,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected dynamic partition pruning on band in:\n$bandScan")
   }
 
+  test("q70 vocab coverage has no single-partition window anywhere") {
+    // the global rank/cumsum runs as the distributed two-pass shape
+    // (RankedCumsum): a WindowExec reappearing here means the
+    // one-task-sorts-the-vocab plan is back
+    val p = plan("q70_vocab_coverage")
+    assert(!p.contains("Window"), s"q70 must not plan a window:\n$p")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
