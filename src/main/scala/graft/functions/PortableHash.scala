@@ -103,6 +103,12 @@ object PortableHash {
   val CmsDepth = 4
   val CmsFamily: IndexedSeq[(Long, Long)] = affineConstants(808L, CmsDepth)
 
+  /** Synthetic-pixel hash — its own member: the multimodal fixtures'
+    * pixel values derive from it ((a·k + b) mod P mod 256 for flat
+    * pixel-channel index k), so a decoded image's channel sums are
+    * reproducible by pure integer SQL in the oracle. */
+  val PixelPair: (Long, Long) = affineConstants(1111L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

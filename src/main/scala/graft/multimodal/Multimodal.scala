@@ -45,10 +45,130 @@ object Multimodal {
         octet_length(col("blob")).cast("long").as("n_bytes"),
         lit(DefaultChunkBytes).as("chunk_bytes")))
 
+  // ---------------------------------------------------------------
+  // Real image path (javax.imageio — in the JDK, zero-egress-safe)
+  // ---------------------------------------------------------------
+
+  /** Synthetic-image geometry: 8×8 RGB. */
+  val SynthSide = 8
+  val SynthChannels = 3
+  val SynthPixelValues: Int = SynthSide * SynthSide * SynthChannels
+
+  /** Channel value of flat pixel-channel index `k` (k = (y·side + x)·3
+    * + channel) for image `id`: the dedicated affine hash mod 256 —
+    * reproducible by integer SQL, so the oracle can verify sums over
+    * ACTUALLY-DECODED pixels without a codec of its own. */
+  def synthChannel(id: Long, k: Int): Int = {
+    val (a, b) = graft.functions.PortableHash.PixelPair
+    (((a * (id * SynthPixelValues + k) + b) % graft.functions.PortableHash.P) % 256L).toInt
+  }
+
+  /** Deterministic PNG for `id`: every pixel channel from
+    * [[synthChannel]], encoded by ImageIO. PNG is lossless, so decoding
+    * gives back exactly these values — the property q74's oracle
+    * check rests on. */
+  def synthPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      SynthSide, SynthSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < SynthSide) {
+      var x = 0
+      while (x < SynthSide) {
+        val k = (y * SynthSide + x) * SynthChannels
+        val rgb = (synthChannel(id, k) << 16) |
+          (synthChannel(id, k + 1) << 8) | synthChannel(id, k + 2)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic PNG blob per row (media_type "image/png") —
+    * the ingest step standing in for reading pre-encoded media files;
+    * encoding runs row-local inside mapPartitions, blobs never
+    * shuffle. */
+  def ingestSynthImages(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("blob", BinaryType, nullable = true),
+      StructField("meta", MediaMetaType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = synthPng(r.getLong(idIdx))
+        Row.fromSeq(r.toSeq ++ Seq(blob,
+          Row("image/png", blob.length.toLong, DefaultChunkBytes)))
+      }
+    }(enc)
+  }
+
+  /** The real decoder: ImageIO (PNG/BMP/GIF — whatever the JDK
+    * registers) → geometry + per-channel pixel sums. Integer-exact
+    * features, so the oracle can reproduce them arithmetically. */
+  object ImageIoDecoder extends Serializable {
+    /** (width, height, sum_r, sum_g, sum_b) of one encoded image. */
+    def features(blob: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      require(img != null, "undecodable image blob")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+    }
+  }
+
+  /** Batched image feature extraction: adds `width`/`height`/`sum_r`/
+    * `sum_g`/`sum_b` from ACTUALLY-DECODED pixels for image blobs —
+    * same mapPartitions batch contract as [[extractFeatures]] (one
+    * decoder per partition, fixed-size batches). Non-image or null
+    * blobs pass through with null features: the codec dispatch is on
+    * the metadata media_type, and [[StubDecoder]] remains the honest
+    * fallback path for media types without a JDK codec (JPEG video,
+    * audio). */
+  def imageFeatures(blobs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val featureFields = Seq("width", "height", "sum_r", "sum_g", "sum_b")
+    val outSchema = StructType(blobs.schema.fields ++
+      featureFields.map(StructField(_, LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      val decoder = ImageIoDecoder // one decoder per partition
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val blob = r.getAs[Array[Byte]](blobIdx)
+          val mediaType = r.getStruct(metaIdx).getString(0)
+          val features: Seq[Any] =
+            if (blob == null || !mediaType.startsWith("image/"))
+              Seq(null, null, null, null, null)
+            else {
+              val (w, h, sr, sg, sb) = decoder.features(blob)
+              Seq(w, h, sr, sg, sb)
+            }
+          Row.fromSeq(r.toSeq ++ features)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic fake "decode": byte statistics standing in for real
-    * decoded features. A real implementation would decode the codec
-    * here (??? in production terms) — everything around it is the real
-    * distributed plumbing. */
+    * decoded features — the fallback contract for media types the JDK
+    * has no codec for (the real path for images is [[ImageIoDecoder]]
+    * via [[imageFeatures]]). */
   object StubDecoder extends Serializable {
     /** (byte_sum mod P, n_chunks) for one blob. */
     def features(blob: Array[Byte], chunkBytes: Int): (Long, Long) = {

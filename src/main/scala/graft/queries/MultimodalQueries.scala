@@ -18,6 +18,13 @@ import graft.multimodal.Multimodal
   * checksum of frame 0) is checked against an arithmetic oracle — the
   * frame GEOMETRY is pure integer math on sizes, and the frame CONTENT
   * check folds the same bytes the binary path sliced.
+  *
+  * q74 is the REAL decode path: deterministic PNGs generated at ingest
+  * (ImageIO encode), decoded back pixel-by-pixel (ImageIO decode,
+  * batched mapPartitions) into geometry + channel sums; pixel values
+  * derive from the portable pixel hash, so the oracle reproduces the
+  * decoded sums with integer arithmetic and hash-green certifies a
+  * genuine codec round-trip.
   */
 object MultimodalQueries {
 
@@ -38,6 +45,27 @@ object MultimodalQueries {
       Multimodal.extractFeatures(blobs)
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           col("n_chunks"), col("byte_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q74_image_decode" -> ((s, dir) => {
+      // the REAL multimodal decode path, end to end: deterministic PNG
+      // blobs are generated per document (ImageIO encode — the ingest
+      // stand-in for pre-encoded media), then DECODED back pixel by
+      // pixel (ImageIO decode, batched mapPartitions, one decoder per
+      // partition) into geometry + per-channel pixel sums. PNG is
+      // lossless and the pixel values derive from the dedicated
+      // portable pixel hash, so the oracle reproduces the decoded
+      // sums by pure integer arithmetic — hash-green means the
+      // features came from actually-decoded pixels, not byte stats.
+      // All row-local: blobs never shuffle; only (doc_id, 5 longs)
+      // rows move into the final sort.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"))
+      Multimodal.imageFeatures(Multimodal.ingestSynthImages(docs))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy(col("doc_id"))
     }),
 
@@ -72,6 +100,23 @@ object MultimodalQueries {
          |    list_filter(string_split(text, ''), c -> c != ''),
          |    c -> unicode(c)::BIGINT)), (a, b) -> (a + b) % $P) AS byte_sum
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q74_image_decode" -> {
+      val (a, b) = graft.functions.PortableHash.PixelPair
+      val p = graft.functions.PortableHash.P
+      val n = Multimodal.SynthPixelValues
+      val side = Multimodal.SynthSide
+      // channel value of flat index k for doc d: ((a*(d*n+k)+b)%P)%256 —
+      // the exact integers the PNG round-trip must hand back
+      def chanSum(c: Int) =
+        s"CAST(SUM(CASE WHEN k % 3 = $c THEN ((($a * (doc_id * $n + k) + $b) % $p) % 256) ELSE 0 END) AS BIGINT)"
+      s"""SELECT doc_id, $side::BIGINT AS width, $side::BIGINT AS height,
+         |  ${chanSum(0)} AS sum_r,
+         |  ${chanSum(1)} AS sum_g,
+         |  ${chanSum(2)} AS sum_b
+         |FROM documents CROSS JOIN (SELECT unnest(range($n)) AS k)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q61_frame_manifest" -> {
       val cb = Multimodal.DefaultChunkBytes

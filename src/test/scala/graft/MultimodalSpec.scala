@@ -76,6 +76,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(0) && r.getLong(1) === 42L)
   }
 
+  test("synthetic PNG round-trips through a real ImageIO decode to the exact pixels") {
+    // encode with ImageIO, decode with ImageIO, compare against the
+    // arithmetic the oracle uses: known image -> known features
+    val id = 5L
+    val png = Multimodal.synthPng(id)
+    // PNG magic bytes: this is a real encoded image, not byte stats
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+      png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === Multimodal.SynthSide && img.getHeight === Multimodal.SynthSide)
+    for (y <- 0 until Multimodal.SynthSide; x <- 0 until Multimodal.SynthSide) {
+      val k = (y * Multimodal.SynthSide + x) * Multimodal.SynthChannels
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === Multimodal.synthChannel(id, k))
+      assert(((rgb >> 8) & 0xff) === Multimodal.synthChannel(id, k + 1))
+      assert((rgb & 0xff) === Multimodal.synthChannel(id, k + 2))
+    }
+    // the distributed path lands on the same sums as the direct formula
+    val feats = Multimodal.imageFeatures(
+        Multimodal.ingestSynthImages(Seq(id).toDF("doc_id")))
+      .select($"width", $"height", $"sum_r", $"sum_g", $"sum_b").head()
+    def wantSum(c: Int): Long =
+      (0 until Multimodal.SynthPixelValues).filter(_ % 3 == c)
+        .map(k => Multimodal.synthChannel(id, k).toLong).sum
+    assert(feats.getLong(0) === Multimodal.SynthSide.toLong)
+    assert(feats.getLong(1) === Multimodal.SynthSide.toLong)
+    assert(feats.getLong(2) === wantSum(0))
+    assert(feats.getLong(3) === wantSum(1))
+    assert(feats.getLong(4) === wantSum(2))
+  }
+
+  test("image feature extraction passes non-image and null blobs through as nulls") {
+    // the stub remains the declared fallback for codec-less media; the
+    // image decoder must not try to decode it
+    val mixed = Multimodal.ingestAsBlobs(Seq((1L, "text row")).toDF("doc_id", "text"))
+      .select($"doc_id", $"blob", $"meta")
+      .unionByName(Multimodal.ingestSynthImages(Seq(2L).toDF("doc_id"))
+        .select($"doc_id", $"blob", $"meta"))
+    val out = Multimodal.imageFeatures(mixed).orderBy($"doc_id")
+      .select($"doc_id", $"width", $"sum_r").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // text/plain: untouched
+    assert(!out(1).isNullAt(1) && out(1).getLong(1) === Multimodal.SynthSide.toLong)
+  }
+
   test("frame sampling emits nothing for empty and null blobs, without erroring") {
     val edge = Multimodal.ingestAsBlobs(
         Seq((1L, "payload"), (2L, "")).toDF("doc_id", "text"))
