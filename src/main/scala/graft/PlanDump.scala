@@ -85,7 +85,24 @@ object PlanDump {
       ("The ship-it plan: quality × dedup survivor × train split × benchmark " +
         "decontamination composed into one Catalyst plan — every join " +
         "equi-keyed, the contamination probe bloom-prefiltered below its " +
-        "exchange, survivors and shingles read from the session caches."))
+        "exchange, survivors and shingles read from the session caches."),
+    "q70_vocab_coverage" ->
+      ("Vocab coverage via the distributed two-pass cumulative sum: wordcount " +
+        "collapses the corpus to vocab-sized data, then RankedCumsum " +
+        "range-partitions the sort and prefix-sums per-partition subtotals " +
+        "on the driver — NO single-partition window anywhere (the plan ends " +
+        "in an ExistingRDD scan of the second pass)."),
+    "q72_brp_neardup" ->
+      ("Embedding near-dup production twin: candidates from the session BRP " +
+        "index's buckets via a canonical-table equi-join (each colliding " +
+        "pair matched once — no pair-set distinct), cosine verification " +
+        "inside the join condition, global top-k in per-partition heaps."),
+    "q73_band_index_probe" ->
+      ("Daily-ingest dedup off the PERSISTED artifact: the corpus band keys " +
+        "are read back from a parquet layout PARTITIONED BY band (the scan " +
+        "carries a dynamicpruning PartitionFilter from the new batch's " +
+        "keys), shingle sets from the companion artifact — nothing about " +
+        "the existing corpus is recomputed."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

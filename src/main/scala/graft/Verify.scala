@@ -8,6 +8,9 @@ object Verify {
     // flag > env > default, same dialect as graft.Search; positionals
     // stay `<sfDir> <outDir>` so the driver's invocation is unchanged
     val (flags, positionals) = Search.splitArgs(args.toSeq)
+    val needed = Seq("sf-dir", "out-dir").count(f => !flags.contains(f))
+    require(positionals.length >= needed,
+      "usage: graft.Verify <sfDir> <outDir> [--sf-dir D] [--out-dir D] [--cpus N]")
     val sfDir = flags.getOrElse("sf-dir", positionals.head)
     val outDir = flags.getOrElse("out-dir", positionals(if (flags.contains("sf-dir")) 0 else 1))
     val cpus = flags.get("cpus")

@@ -173,7 +173,11 @@ object AnnQueries {
       // 12 tables + a 2× over-probe (20 candidates for a top-10): both
       // are recall slack so the oracle compare certifies 10/10 recall
       // rather than riding the edge of it (5 tables + exact-k missed
-      // one neighbor at sf0.01)
+      // one neighbor at sf0.01). This gate intentionally FAILS CLOSED:
+      // a new fixture/SF (or an exact score tie at the k boundary) can
+      // flip it red while the index behaves as designed — the expected
+      // re-tune is to raise numTables and/or the over-probe until the
+      // exact top-10 is recovered, never to weaken the oracle
       // the index is fitted once per session+corpus (sessionBrp memo):
       // the probe pays probe cost, never the build — same split as the
       // persisted-artifact path (saveBrp/probe at 100 TB)
