@@ -63,11 +63,19 @@ object Multimodal {
     (((a * (id * SynthPixelValues + k) + b) % graft.functions.PortableHash.P) % 256L).toInt
   }
 
+  /** ImageIO's default stream cache is a TEMP FILE per encode/decode
+    * call — ~50 ms of filesystem churn per tiny image, which at corpus
+    * scale dwarfs the codec itself. Heap-backed streams instead; set
+    * once per JVM (executor), idempotent. */
+  private lazy val imageIoHeapStreams: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic PNG for `id`: every pixel channel from
     * [[synthChannel]], encoded by ImageIO. PNG is lossless, so decoding
     * gives back exactly these values — the property q74's oracle
     * check rests on. */
   def synthPng(id: Long): Array[Byte] = {
+    imageIoHeapStreams
     val img = new java.awt.image.BufferedImage(
       SynthSide, SynthSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -112,6 +120,7 @@ object Multimodal {
   object ImageIoDecoder extends Serializable {
     /** (width, height, sum_r, sum_g, sum_b) of one encoded image. */
     def features(blob: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      imageIoHeapStreams
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
       require(img != null, "undecodable image blob")
       var (sr, sg, sb) = (0L, 0L, 0L)

@@ -112,12 +112,22 @@ object TextQueries {
     }),
 
     "q16_fingerprint" -> ((s, dir) => {
-      val toks = tokens(col("text"))
+      // whole-doc + shingle-grain fingerprints in ONE codegen'd pass:
+      // charHash is the content fingerprint; the min shingle hash comes
+      // off the same single-pass distinct shingle-hash-set expression
+      // the dedup path uses (min is distinct-invariant), and the
+      // shingle COUNT is pure arithmetic (n_toks - 2) — no shingle
+      // strings ever materialize. The previous formulation built the
+      // string array and hashed it interpreted, once per consumer, on
+      // one input split: 9.8 s at sf0.1 (hidden by the count() bench
+      // action until round 7); this shape is ~0.3 s.
       docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("fp", charHash(col("text")))
-        .withColumn("shingles", shingleCol(toks))
-        .withColumn("n_shingles", size(col("shingles")).cast("long"))
-        .withColumn("min_shingle_fp", array_min(transform(col("shingles"), s => charHash(s))))
+        .withColumn("n_shingles",
+          greatest(size(tokens(col("text"))) - 2, lit(0)).cast("long"))
+        .withColumn("min_shingle_fp",
+          array_min(graft.expressions.HashExpressions.shingleHashSet(col("text"), 3)))
         .select(col("doc_id"), col("fp"), col("n_shingles"), col("min_shingle_fp"))
         .orderBy(col("doc_id"))
     }),
