@@ -3,22 +3,27 @@ package graft
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decade-up scale probe: synthesizes a corpus ~10× the largest fixture
-  * (each sf0.1 document replicated into `Copies` perturbed near-dup
+/** Decade-up scale probe: synthesizes a corpus `--copies`× the largest
+  * fixture (each sf0.1 document replicated into perturbed near-dup
   * clones with distinct ids — deliberately dedup-HEAVY, the worst case
   * for the pair-generating queries) and times a corpus-query subset
   * against it. This answers "does the sf0.01→sf0.1 scaling trend hold
-  * one more decade up, under adversarial dup density?" with a
-  * measurement instead of an extrapolation; results are recorded in
-  * SCALING.md.
+  * more decades up, under adversarial dup density?" with a measurement
+  * instead of an extrapolation; results are recorded in SCALING.md.
   *
-  * Usage: `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/sfbig"`
-  * (writes the synthetic corpus on first run, reuses it after).
+  * Probes are driven with the noop sink (full evaluation of every
+  * output row — Bench's round-7 action), so probe work equals
+  * delivered work.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/sfbig
+  *   [--copies N] [--queries q65_bloom_decontam,q69_export_manifest]"`
+  * (writes the synthetic corpus on first run, reuses it after; the out
+  * dir encodes the copy count, so different scales don't collide).
   */
 object ScaleProbe {
-  val Copies = 10
+  val DefaultCopies = 10
 
-  val ProbeQueries: Seq[String] = Seq(
+  val DefaultQueries: Seq[String] = Seq(
     "q10_knn_exact", "q19_minhash_lsh", "q20_simhash", "q17_dedup_exact",
     "q45_bigram_top", "q41_tfidf_topterms", "q52_decontamination",
     "q55_unigram_loglik", "q57_countmin", "q59_incremental_dedup",
@@ -26,8 +31,12 @@ object ScaleProbe {
     "q66_span_dedup", "q69_export_manifest", "q70_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
-    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val outDir = if (args.length > 1) args(1) else "/tmp/sfbig"
+    val (flags, positionals) = Search.splitArgs(args.toSeq)
+    val srcDir = positionals.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = flags.get("copies").map(_.toInt).getOrElse(DefaultCopies)
+    val outDir = positionals.lift(1).getOrElse("/tmp/sfbig") + s"_x$copies"
+    val probeQueries = flags.get("queries")
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,9 +50,9 @@ object ScaleProbe {
 
     val docsPath = s"$outDir/documents.parquet"
     if (!new java.io.File(docsPath).exists()) {
-      val copies = spark.range(Copies).select(col("id").as("copy"))
+      val copyDf = spark.range(copies).select(col("id").as("copy"))
       spark.read.parquet(s"$srcDir/documents.parquet")
-        .crossJoin(copies)
+        .crossJoin(copyDf)
         // clone ids live in disjoint ranges; each clone's text gets a
         // copy-specific suffix token, so clones are NEAR-dups (high but
         // non-1.0 jaccard), exercising the verification path for real
@@ -55,7 +64,7 @@ object ScaleProbe {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(docsPath)
       spark.read.parquet(s"$srcDir/embeddings.parquet")
-        .crossJoin(copies)
+        .crossJoin(copyDf)
         .select(
           (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
           // perturb one dimension per copy so clones are near- but not
@@ -71,19 +80,27 @@ object ScaleProbe {
     }
     val nDocs = spark.read.parquet(docsPath).count()
     // pass 1 = COLD (includes shared cache builds — the honest "index
-    // build" cost); pass 2 = warm steady state, Bench's methodology
-    def pass(): Seq[(String, (Double, Long))] = ProbeQueries.map { q =>
-      val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(q)(spark, outDir).count()
-              catch { case e: Throwable => println(s"FAIL $q: ${e.getMessage}"); -1L }
-      q -> ((System.nanoTime() - t0) / 1e9, n)
+    // build" cost); pass 2 = warm steady state, Bench's methodology.
+    // The TIMED action is the noop sink (probe work == delivered work,
+    // no projection pruning); the row count for diagnostics runs
+    // after, untimed.
+    def pass(): Seq[(String, (Double, Long))] = probeQueries.map { q =>
+      try {
+        val df = SparkEntry.queries(q)(spark, outDir)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        q -> ((t, df.count()))
+      } catch { case e: Throwable =>
+        println(s"FAIL $q: ${e.getMessage}"); q -> ((-1.0, -1L))
+      }
     }
     val cold = pass().toMap
     val warm = pass()
     val qs = warm.map { case (q, (t, n)) =>
       s"""\"$q\":{\"cold_sec\":${cold(q)._1},\"warm_sec\":$t,\"rows\":$n}"""
     }.mkString("{", ",", "}")
-    println(s"""{"probe":"decade-up","n_docs":$nDocs,"copies":$Copies,"queries":$qs}""")
+    println(s"""{"probe":"decade-up","n_docs":$nDocs,"copies":$copies,"action":"noop-sink","queries":$qs}""")
     spark.stop()
   }
 }
