@@ -62,6 +62,13 @@ object Mcp {
           case "ping" => Some(result(id, JObject()))
           case "tools/list" => Some(result(id, toolsListResult()))
           case "tools/call" => Some(toolsCall(id, msg \ "params", search))
+          // a tools-only server still answers these (as FastMCP does
+          // for the reference): empty lists, not method-not-found —
+          // real clients enumerate all three surfaces on connect
+          case "prompts/list" =>
+            Some(result(id, JObject("prompts" -> JArray(Nil))))
+          case "resources/list" =>
+            Some(result(id, JObject("resources" -> JArray(Nil))))
           case _ if isNotification => None // e.g. notifications/initialized
           case "" => Some(error(id, -32600, "Invalid Request: no method"))
           case m => Some(error(id, -32601, s"Method not found: $m"))

@@ -103,6 +103,12 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(err("""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"vector_search","arguments":{}}}""")._1 === JInt(-32602))
     // unknown NOTIFICATION (no id) must be silently consumed, not answered
     assert(Mcp.handle("""{"jsonrpc":"2.0","method":"notifications/cancelled"}""", _ => "x").isEmpty)
+    // a tools-only server answers the other list surfaces with empty
+    // lists (clients enumerate all three on connect), never -32601
+    val pl = parse(Mcp.handle("""{"jsonrpc":"2.0","id":7,"method":"prompts/list"}""", _ => "x").get)
+    assert(pl \ "result" \ "prompts" === JArray(Nil))
+    val rl = parse(Mcp.handle("""{"jsonrpc":"2.0","id":8,"method":"resources/list"}""", _ => "x").get)
+    assert(rl \ "result" \ "resources" === JArray(Nil))
     // a tool-execution failure is an in-band result, not a protocol error
     val r = parse(Mcp.handle(
       s"""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"boom"}}}""",
