@@ -74,7 +74,11 @@ object Bench {
     def timedPass(): Map[String, Double] =
       SparkEntry.benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => }
+        // a failed query must be LOUD: silently swallowed, it would
+        // record as a near-zero time and read as a speedup
+        try run(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val passes = (1 to Reps).map(_ => timedPass())
