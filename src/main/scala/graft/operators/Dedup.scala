@@ -135,14 +135,34 @@ object Dedup {
   // Incremental LSH dedup (daily-ingest shape)
   // ---------------------------------------------------------------
 
+  /** A pair agreeing in several bands matches the band equi-join once
+    * per band; requiring the matched band to be the pair's CANONICAL
+    * (lowest-index) agreeing band emits each candidate exactly once,
+    * so no `distinct()` shuffle of the candidate set exists (the same
+    * trick as the monolithic q19 path and q20's chunks). Band-key
+    * equality ⟺ slot-wise signature equality, so earlier bands are
+    * compared as raw signature longs. Expects both sides' full
+    * signatures as `sigA`/`sigB` columns and the matched band as
+    * `band`. */
+  private def canonicalBand(sigA: Column, sigB: Column, band: Column): Column =
+    (0 until MinhashBands).map { b =>
+      lit(b) >= band || (0 until MinhashRowsPerBand).map { r =>
+        element_at(sigA, b * MinhashRowsPerBand + r + 1) =!=
+          element_at(sigB, b * MinhashRowsPerBand + r + 1)
+      }.reduce(_ || _)
+    }.reduce(_ && _)
+
   /** Verified near-dup pairs touching a NEW batch only — the
     * incremental-ingest shape: band keys of the new docs equi-join the
     * full corpus's band keys, so candidate volume is O(|new| × bucket
     * collision rate), never O(corpus²) and never a recompute of the
-    * existing pair set. At 100 TB this is the daily dedup job: the
-    * corpus side's signatures/band keys are a persisted artifact
-    * (written once by the full build), the new batch's are computed
-    * fresh, and the join reads only colliding buckets.
+    * existing pair set. The canonical-band predicate sits inside the
+    * join, so each candidate pair is emitted exactly once — no
+    * pair-dedup shuffle anywhere in the daily job. At 100 TB this is
+    * the daily dedup shape: the corpus side's signatures/band keys are
+    * a persisted artifact (written once by the full build), the new
+    * batch's are computed fresh, and the join reads only colliding
+    * buckets.
     *
     * @param sh (idCol, hsCol ARRAY<LONG> distinct sorted shingle
     *           hashes, isNewCol BOOLEAN) for the full corpus.
@@ -154,16 +174,21 @@ object Dedup {
     val sigs = sh.select(col(idCol), col(isNewCol),
       minhashSignature(col(hsCol)).as("sig"))
     val bands = sigs
-      .select(col(idCol), col(isNewCol), explode(bandKeys(col("sig"))).as("bk"))
-      .select(col(idCol), col(isNewCol),
+      .select(col(idCol), col(isNewCol), col("sig"),
+        explode(bandKeys(col("sig"))).as("bk"))
+      .select(col(idCol), col(isNewCol), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val nb = bands.filter(col(isNewCol))
-      .select(col(idCol).as("__nid"), col("band"), col("key"))
-    val cand = nb.join(bands, Seq("band", "key"))
-      .filter(col("__nid") =!= col(idCol))
-      .select(col("__nid"), col(idCol).as("__pid"),
-        col(isNewCol).as("partner_is_new"))
-      .distinct()
+      .select(col(idCol).as("__nid"), col("sig").as("__nsig"),
+        col("band"), col("key"))
+    val pb = bands.select(col(idCol).as("__pid"),
+      col(isNewCol).as("partner_is_new"), col("sig").as("__psig"),
+      col("band").as("__pband"), col("key").as("__pkey"))
+    val cand = nb.join(pb,
+        col("band") === col("__pband") && col("key") === col("__pkey") &&
+          col("__nid") =!= col("__pid") &&
+          canonicalBand(col("__nsig"), col("__psig"), col("band")))
+      .select(col("__nid"), col("__pid"), col("partner_is_new"))
     val a = sh.select(col(idCol).as("__nid"), col(hsCol).as("__hsa"))
     val b = sh.select(col(idCol).as("__pid"), col(hsCol).as("__hsb"))
     cand.join(a, "__nid").join(b, "__pid")
@@ -175,15 +200,17 @@ object Dedup {
 
   /** Persist the corpus side of the daily-dedup job as reusable
     * artifacts: the band-key table (written PARTITIONED BY band, so an
-    * incremental probe reads only colliding band directories) and the
-    * shingle sets needed for Jaccard verification. Written once by the
-    * full corpus build; every subsequent ingest batch joins against it
-    * via [[incrementalPairsVsIndex]] instead of recomputing corpus
-    * signatures. */
+    * incremental probe reads only colliding band directories; each row
+    * also carries the doc's full signature — ×bands redundancy that
+    * buys the probe its no-pair-dedup-shuffle canonical-band join) and
+    * the shingle sets needed for Jaccard verification. Written once by
+    * the full corpus build; every subsequent ingest batch joins
+    * against it via [[incrementalPairsVsIndex]] instead of recomputing
+    * corpus signatures. */
   def saveCorpusIndex(sh: DataFrame, idCol: String, hsCol: String, dir: String): Unit = {
     val sigs = sh.select(col(idCol), minhashSignature(col(hsCol)).as("sig"))
-    sigs.select(col(idCol), explode(bandKeys(col("sig"))).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    sigs.select(col(idCol), col("sig"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
     sh.select(col(idCol), col(hsCol))
       .write.mode("overwrite").parquet(s"$dir/shingles")
@@ -204,17 +231,25 @@ object Dedup {
     val corpusSh = spark.read.parquet(s"$indexDir/shingles")
     val newSigs = newSh.select(col(idCol), minhashSignature(col(hsCol)).as("sig"))
     val newBands = newSigs
-      .select(col(idCol).as("__nid"), explode(bandKeys(col("sig"))).as("bk"))
-      .select(col("__nid"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col(idCol).as("__nid"), col("sig"),
+        explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("__nid"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     val allBands = corpusBands
-      .select(col(idCol), lit(false).as("__pnew"), col("band"), col("key"))
+      .select(col(idCol), lit(false).as("__pnew"), col("sig"), col("band"), col("key"))
       .union(newBands.select(col("__nid").as(idCol), lit(true).as("__pnew"),
-        col("band"), col("key")))
-    val cand = newBands.join(allBands, Seq("band", "key"))
-      .filter(col("__nid") =!= col(idCol))
-      .select(col("__nid"), col(idCol).as("__pid"),
-        col("__pnew").as("partner_is_new"))
-      .distinct()
+        col("sig"), col("band"), col("key")))
+    val pb = allBands.select(col(idCol).as("__pid"), col("__pnew"),
+      col("sig").as("__psig"), col("band").as("__pband"), col("key").as("__pkey"))
+    // canonical-band join (see incrementalPairs): each candidate pair
+    // exactly once, no distinct() shuffle in the probe
+    val cand = newBands
+      .select(col("__nid"), col("sig").as("__nsig"), col("band"), col("key"))
+      .join(pb,
+        col("band") === col("__pband") && col("key") === col("__pkey") &&
+          col("__nid") =!= col("__pid") &&
+          canonicalBand(col("__nsig"), col("__psig"), col("band")))
+      .select(col("__nid"), col("__pid"), col("__pnew").as("partner_is_new"))
     val a = newSh.select(col(idCol).as("__nid"), col(hsCol).as("__hsa"))
     val b = corpusSh.select(col(idCol).as("__pid"), col(hsCol).as("__hsb"))
       .union(newSh.select(col(idCol).as("__pid"), col(hsCol).as("__hsb")))

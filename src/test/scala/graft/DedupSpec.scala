@@ -97,12 +97,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val isNew = pmod($"doc_id", lit(2L)) === 1
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_idx").toString
     saveCorpusIndex(sh.filter(!isNew), "doc_id", "hs", dir)
-    val viaIndex = incrementalPairsVsIndex(spark, dir,
+    val viaIndexRows = incrementalPairsVsIndex(spark, dir,
         sh.filter(isNew), "doc_id", "hs", graft.queries.DedupQueries.JaccardThreshold)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3))).toSet
-    val monolithic = incrementalPairs(sh.withColumn("is_new", isNew),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3))).toSeq
+    val monolithicRows = incrementalPairs(sh.withColumn("is_new", isNew),
         "doc_id", "hs", "is_new", graft.queries.DedupQueries.JaccardThreshold)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3))).toSeq
+    // the canonical-band join must emit each pair exactly once — a
+    // duplicate here means the distinct()-free claim is broken
+    assert(viaIndexRows.size === viaIndexRows.distinct.size)
+    assert(monolithicRows.size === monolithicRows.distinct.size)
+    val viaIndex = viaIndexRows.toSet
+    val monolithic = monolithicRows.toSet
     assert(viaIndex === monolithic && monolithic.nonEmpty)
     // the artifact really is band-partitioned on disk (probe pruning)
     assert(new java.io.File(s"$dir/bands").listFiles().exists(_.getName.startsWith("band=")))
