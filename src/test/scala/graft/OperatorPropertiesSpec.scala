@@ -129,6 +129,78 @@ class OperatorPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(sawOverestimate)
   }
 
+  test("ranked cumsum: rank/cumsum law, partition invariance, topN prefix on random frames") {
+    val nGen = Gen.chooseNum(1L, 9L) // heavy ties: the tiebreak carries the order
+    for (trial <- 0 until 3) {
+      val rows = samples(nGen, 150, 300L + trial).zipWithIndex
+        .map { case (n, i) => (f"t$i%04d", n) }
+      val counts = rows.toDF("token", "n")
+      val out = graft.operators.RankedCumsum.tokenCoverage(counts, 40)
+        .orderBy($"rank")
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      // the law: rank is 1..k dense, cum_n is the prefix sum of n in
+      // (n desc, token asc) order, total_n is the grand total
+      val sortedRef = rows.sortBy { case (t, n) => (-n, t) }
+      assert(out.map(_._1) === (1L to out.size.toLong))
+      assert(out.map(r => (r._2, r._3)) === sortedRef.take(40).map(r => (r._1, r._2)))
+      assert(out.map(_._4) === sortedRef.take(40).map(_._2).scanLeft(0L)(_ + _).tail)
+      assert(out.forall(_._5 === rows.map(_._2).sum))
+      // partition-count invariance
+      val repart = graft.operators.RankedCumsum
+        .tokenCoverage(counts.repartition(17), 40)
+        .orderBy($"rank")
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      assert(repart === out)
+    }
+  }
+
+  test("canonical-band incremental join: emitted-once and set-equal to a distinct-based reference") {
+    import graft.operators.Dedup
+    // random small shingle universes force band collisions and
+    // multi-band agreements (the emitted-once interesting case)
+    val hsGen = Gen.listOfN(6, Gen.chooseNum(1L, 12L)).map(_.distinct.sorted)
+    for (trial <- 0 until 3) {
+      val docs = samples(hsGen, 40, 400L + trial).zipWithIndex
+        .map { case (hs, i) => (i.toLong, hs, i % 3 == 0) }
+      val sh = docs.toDF("doc_id", "hs", "is_new")
+      val got = Dedup.incrementalPairs(sh, "doc_id", "hs", "is_new", 0.3)
+        .select($"doc_id", $"partner", $"partner_is_new")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(got.size === got.distinct.size, "pair emitted more than once")
+      // reference: explicit bands, distinct-deduped candidates, same verify
+      val sigs = sh.select($"doc_id", $"is_new",
+        Dedup.minhashSignature($"hs").as("sig"))
+      val bands = sigs.select($"doc_id", $"is_new",
+          explode(Dedup.bandKeys($"sig")).as("bk"))
+        .select($"doc_id", $"is_new", $"bk.key".as("key"), $"bk.band".as("band"))
+      val nb = bands.filter($"is_new")
+        .select($"doc_id".as("na"), $"band", $"key")
+      val cand = nb.join(bands, Seq("band", "key"))
+        .filter($"na" =!= $"doc_id")
+        .select($"na", $"doc_id".as("pa"), $"is_new".as("pnew")).distinct()
+      val hsMap = docs.map(d => d._1 -> d._2.toSet).toMap
+      val want = cand.as[(Long, Long, Boolean)].collect().toSeq.filter { case (a, b, _) =>
+        val (x, y) = (hsMap(a), hsMap(b))
+        val inter = (x & y).size.toDouble
+        val jac = if (x.isEmpty && y.isEmpty) 0.0 else inter / (x.size + y.size - inter)
+        BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.3
+      }
+      assert(got.toSet === want.toSet)
+      assert(got.nonEmpty, "fixture should produce pairs — collisions are the point")
+    }
+  }
+
+  test("synthetic pixel channels stay in [0, 256) and differ across images") {
+    import graft.multimodal.Multimodal
+    val vals = for (id <- 0L until 20L; k <- 0 until Multimodal.SynthPixelValues)
+      yield Multimodal.synthChannel(id, k)
+    assert(vals.forall(v => v >= 0 && v < 256))
+    // distinct images must not share the whole pixel plane
+    val planes = (0L until 20L).map(id =>
+      (0 until Multimodal.SynthPixelValues).map(Multimodal.synthChannel(id, _)))
+    assert(planes.distinct.size === planes.size)
+  }
+
   test("tfidf topTerms ranks are a prefix of the full weight ordering") {
     val docs = Seq(
       (1L, Seq("a", "a", "b", "c")),
