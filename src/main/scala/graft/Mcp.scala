@@ -38,7 +38,8 @@ object Mcp {
       "natural-language prompt in, JSON array of (doc_id, text, score) out."
 
   /** Handle one inbound stdio line. Returns the response line to write,
-    * or None for notifications (which must not be answered).
+    * or None when the protocol mandates silence (a notification, or a
+    * batch of only notifications).
     *
     * @param search the engine closure: prompt => result JSON (the same
     *               body the raw serve loop calls). */
@@ -49,33 +50,49 @@ object Mcp {
     parsed match {
       case Left(_) =>
         // unparseable: JSON-RPC 2.0 mandates a -32700 response with null id
-        Some(error(JNull, -32700, "Parse error"))
-      case Right(msg) =>
-        val id = msg \ "id"
-        val method = msg \ "method" match {
-          case JString(m) => m
-          case _ => ""
-        }
-        val isNotification = id == JNothing || id == JNull
-        val response = method match {
-          case "initialize" => Some(result(id, initializeResult()))
-          case "ping" => Some(result(id, JObject()))
-          case "tools/list" => Some(result(id, toolsListResult()))
-          case "tools/call" => Some(toolsCall(id, msg \ "params", search))
-          // a tools-only server still answers these (as FastMCP does
-          // for the reference): empty lists, not method-not-found —
-          // real clients enumerate all three surfaces on connect
-          case "prompts/list" =>
-            Some(result(id, JObject("prompts" -> JArray(Nil))))
-          case "resources/list" =>
-            Some(result(id, JObject("resources" -> JArray(Nil))))
-          case _ if isNotification => None // e.g. notifications/initialized
-          case "" => Some(error(id, -32600, "Invalid Request: no method"))
-          case m => Some(error(id, -32601, s"Method not found: $m"))
-        }
-        if (isNotification) None else response
+        Some(render(error(JNull, -32700, "Parse error")))
+      // JSON-RPC 2.0 batch (in the 2025-03-26 MCP revision this server
+      // declares): answer with a batch of the individual responses,
+      // notifications contributing none; an all-notification batch gets
+      // no response at all, and an empty batch is an Invalid Request
+      case Right(JArray(Nil)) =>
+        Some(render(error(JNull, -32600, "Invalid Request: empty batch")))
+      case Right(JArray(msgs)) =>
+        val responses = msgs.flatMap(m => handleValue(m, search))
+        if (responses.isEmpty) None else Some(render(JArray(responses)))
+      case Right(msg) => handleValue(msg, search).map(render)
     }
   }
+
+  /** Dispatch one request/notification object; None = no response. */
+  private def handleValue(msg: JValue, search: String => String): Option[JValue] = {
+    val id = msg \ "id"
+    val method = msg \ "method" match {
+      case JString(m) => m
+      case _ => ""
+    }
+    val isNotification = id == JNothing || id == JNull
+    val response = method match {
+      case "initialize" => Some(result(id, initializeResult()))
+      case "ping" => Some(result(id, JObject()))
+      case "tools/list" => Some(result(id, toolsListResult()))
+      case "tools/call" => Some(toolsCall(id, msg \ "params", search))
+      // a tools-only server still answers these (as FastMCP does
+      // for the reference): empty lists, not method-not-found —
+      // real clients enumerate all three surfaces on connect
+      case "prompts/list" =>
+        Some(result(id, JObject("prompts" -> JArray(Nil))))
+      case "resources/list" =>
+        Some(result(id, JObject("resources" -> JArray(Nil))))
+      case _ if isNotification => None // e.g. notifications/initialized
+      case "" => Some(error(id, -32600, "Invalid Request: no method"))
+      case m => Some(error(id, -32601, s"Method not found: $m"))
+    }
+    if (isNotification) None else response
+  }
+
+  private def render(v: JValue): String =
+    JsonMethods.compact(JsonMethods.render(v))
 
   private def initializeResult(): JObject = JObject(
     "protocolVersion" -> JString(ProtocolVersion),
@@ -97,7 +114,7 @@ object Mcp {
         "required" -> JArray(List(JString("prompt"))))))))
 
   private def toolsCall(id: JValue, params: JValue,
-      search: String => String): String = {
+      search: String => String): JValue = {
     val name = params \ "name" match {
       case JString(n) => n
       case _ => ""
@@ -126,13 +143,11 @@ object Mcp {
     }
   }
 
-  private def result(id: JValue, res: JObject): String =
-    JsonMethods.compact(JsonMethods.render(JObject(
-      "jsonrpc" -> JString("2.0"), "id" -> id, "result" -> res)))
+  private def result(id: JValue, res: JObject): JValue = JObject(
+    "jsonrpc" -> JString("2.0"), "id" -> id, "result" -> res)
 
-  private def error(id: JValue, code: Int, message: String): String =
-    JsonMethods.compact(JsonMethods.render(JObject(
-      "jsonrpc" -> JString("2.0"), "id" -> id,
-      "error" -> JObject(
-        "code" -> JInt(code), "message" -> JString(message)))))
+  private def error(id: JValue, code: Int, message: String): JValue = JObject(
+    "jsonrpc" -> JString("2.0"), "id" -> id,
+    "error" -> JObject(
+      "code" -> JInt(code), "message" -> JString(message)))
 }

@@ -99,7 +99,7 @@ object Search {
       val req = line.trim
       if (req.nonEmpty) {
         val response =
-          if (req.startsWith("{"))
+          if (req.startsWith("{") || req.startsWith("[")) // object or batch
             Mcp.handle(req, prompt => engine.searchJson(sfDir, prompt, k))
           else Some(engine.searchJson(sfDir, req, k))
         response.foreach { r => out.println(r); served += 1 }

@@ -80,6 +80,18 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("q72's LSH route equals q21's exact all-pairs top-20 at sf0.001 too") {
+    // the driver's oracle certifies this at sf0.01; this pins the
+    // recall gate at the spec SF as well (the top-20 margin is
+    // thinnest here: min table-collisions 3 of 12 — see the NearDupMinCos
+    // scaladoc before touching index parameters)
+    val got = SparkEntry.queries("q72_brp_neardup")(spark, sf0001)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSeq
+    val want = SparkEntry.queries("q21_embedding_neardup")(spark, sf0001)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSeq
+    assert(got === want && got.size === 20)
+  }
+
   test("canonical-table near-dup join emits exactly the MLlib similarity-join pair set") {
     // same fitted model, two routes: MLlib's OR-amplified join+distinct
     // vs the canonical-table equi-join (q72's shape). Candidates are by

@@ -118,6 +118,23 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(msg.contains("engine down"))
   }
 
+  test("JSON-RPC batches: per-request responses, notifications silent, empty batch invalid") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val batch = """[
+      {"jsonrpc":"2.0","id":1,"method":"ping"},
+      {"jsonrpc":"2.0","method":"notifications/initialized"},
+      {"jsonrpc":"2.0","id":2,"method":"tools/list"}]""".replaceAll("\n\\s*", "")
+    val JArray(rs) = parse(Mcp.handle(batch, _ => "x").get): @unchecked
+    // two responses (the notification contributes none), order kept
+    assert(rs.map(_ \ "id") === List(JInt(1), JInt(2)))
+    // all-notification batch: no response line at all
+    assert(Mcp.handle("""[{"jsonrpc":"2.0","method":"notifications/initialized"}]""", _ => "x").isEmpty)
+    // empty batch: Invalid Request
+    val e = parse(Mcp.handle("[]", _ => "x").get)
+    assert(e \ "error" \ "code" === JInt(-32600))
+  }
+
   test("the main's search body returns the reference's tool-call JSON shape") {
     // same engine call main() makes, against the live test session —
     // the reference's one tool end-to-end (server.py:71-102)
