@@ -71,13 +71,16 @@ object Bench {
         try run(fn(spark, sfDir)) catch { case _: Throwable => }
       }
     }
+    // a failed query must be LOUD in the ARTIFACT, not just on stderr:
+    // a swallowed failure records a near-zero time that reads as a
+    // speedup. Failed names land in the JSON's "failed" list.
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     def timedPass(): Map[String, Double] =
       SparkEntry.benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        // a failed query must be LOUD: silently swallowed, it would
-        // record as a near-zero time and read as a speedup
         try run(fn(spark, sfDir))
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
@@ -97,7 +100,8 @@ object Bench {
     // bench set was when the contract changes
     val excluded = SparkEntry.verifyOnly.toSeq.sorted
       .map(q => "\"" + q + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$reps,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","action":"noop-sink","cpus":$cpus,"excluded_verify_only":$excluded}""")
+    val failedJson = failed.toSeq.map(q => "\"" + q + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$reps,"failed":$failedJson,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","action":"noop-sink","cpus":$cpus,"excluded_verify_only":$excluded}""")
     spark.stop()
   }
 }

@@ -43,35 +43,47 @@ object Mcp {
     *
     * @param search the engine closure: prompt => result JSON (the same
     *               body the raw serve loop calls). */
-  def handle(line: String, search: String => String): Option[String] = {
-    val parsed =
-      try Right(JsonMethods.parse(line))
-      catch { case e: Exception => Left(e.getMessage) }
-    parsed match {
-      case Left(_) =>
-        // unparseable: JSON-RPC 2.0 mandates a -32700 response with null id
-        Some(render(error(JNull, -32700, "Parse error")))
-      // JSON-RPC 2.0 batch (in the 2025-03-26 MCP revision this server
-      // declares): answer with a batch of the individual responses,
-      // notifications contributing none; an all-notification batch gets
-      // no response at all, and an empty batch is an Invalid Request
-      case Right(JArray(Nil)) =>
+  def handle(line: String, search: String => String): Option[String] =
+    tryHandle(line, search).getOrElse(
+      // unparseable: JSON-RPC 2.0 mandates a -32700 response with null id
+      Some(render(error(JNull, -32700, "Parse error"))))
+
+  /** Like [[handle]] but distinguishes "not JSON at all": Some(response
+    * line or protocol-mandated silence) when the line parses as JSON,
+    * None when it does not — the serve loop's raw-prompt dialect takes
+    * over then (a human typing `[RFC] shuffle tuning` wants search
+    * results, not a Parse error; a real MCP client never emits broken
+    * JSON). Batches (JSON-RPC 2.0, in the 2025-03-26 MCP revision this
+    * server declares) answer with a batch of the individual responses,
+    * notifications contributing none; an all-notification batch gets no
+    * response at all, and an empty batch is an Invalid Request. */
+  def tryHandle(line: String, search: String => String): Option[Option[String]] = {
+    val parsed = try Some(JsonMethods.parse(line)) catch { case _: Exception => None }
+    parsed.map {
+      case JArray(Nil) =>
         Some(render(error(JNull, -32600, "Invalid Request: empty batch")))
-      case Right(JArray(msgs)) =>
+      case JArray(msgs) =>
         val responses = msgs.flatMap(m => handleValue(m, search))
         if (responses.isEmpty) None else Some(render(JArray(responses)))
-      case Right(msg) => handleValue(msg, search).map(render)
+      case msg => handleValue(msg, search).map(render)
     }
   }
 
-  /** Dispatch one request/notification object; None = no response. */
+  /** Dispatch one request/notification object; None = no response.
+    * Per JSON-RPC 2.0: a message WITHOUT an `id` member is a
+    * notification (never answered); `"id": null` is a present — if
+    * discouraged — id, so such a message is a request and gets a
+    * response. A non-object batch element is an Invalid Request
+    * answered with a null id. */
   private def handleValue(msg: JValue, search: String => String): Option[JValue] = {
+    if (!msg.isInstanceOf[JObject])
+      return Some(error(JNull, -32600, "Invalid Request: not an object"))
     val id = msg \ "id"
     val method = msg \ "method" match {
       case JString(m) => m
       case _ => ""
     }
-    val isNotification = id == JNothing || id == JNull
+    val isNotification = id == JNothing
     val response = method match {
       case "initialize" => Some(result(id, initializeResult()))
       case "ping" => Some(result(id, JObject()))

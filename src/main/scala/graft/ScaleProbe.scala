@@ -81,13 +81,15 @@ object ScaleProbe {
     val nDocs = spark.read.parquet(docsPath).count()
     // pass 1 = COLD (includes shared cache builds — the honest "index
     // build" cost); pass 2 = warm steady state, Bench's methodology.
-    // The TIMED action is the noop sink (probe work == delivered work,
-    // no projection pruning); the row count for diagnostics runs
-    // after, untimed.
+    // The TIMED span covers query CONSTRUCTION + the noop sink: several
+    // queries run driver-eager work while building the frame (q70's
+    // two-pass offsets, q65's bloom fit, q47/q72's index probe), so
+    // timing only the sink would exclude exactly the cost a cold pass
+    // exists to measure. The diagnostic row count runs after, untimed.
     def pass(): Seq[(String, (Double, Long))] = probeQueries.map { q =>
       try {
-        val df = SparkEntry.queries(q)(spark, outDir)
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, outDir)
         df.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         q -> ((t, df.count()))

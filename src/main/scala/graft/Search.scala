@@ -98,10 +98,12 @@ object Search {
     while (line != null) {
       val req = line.trim
       if (req.nonEmpty) {
+        // JSON lines (object or batch) are protocol traffic; anything
+        // else — including {/[-prefixed text that does NOT parse as
+        // JSON — is a raw prompt
         val response =
-          if (req.startsWith("{") || req.startsWith("[")) // object or batch
-            Mcp.handle(req, prompt => engine.searchJson(sfDir, prompt, k))
-          else Some(engine.searchJson(sfDir, req, k))
+          Mcp.tryHandle(req, prompt => engine.searchJson(sfDir, prompt, k))
+            .getOrElse(Some(engine.searchJson(sfDir, req, k)))
         response.foreach { r => out.println(r); served += 1 }
       }
       line = in.readLine()

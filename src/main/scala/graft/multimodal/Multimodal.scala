@@ -57,10 +57,18 @@ object Multimodal {
   /** Channel value of flat pixel-channel index `k` (k = (y·side + x)·3
     * + channel) for image `id`: the dedicated affine hash mod 256 —
     * reproducible by integer SQL, so the oracle can verify sums over
-    * ACTUALLY-DECODED pixels without a codec of its own. */
+    * ACTUALLY-DECODED pixels without a codec of its own. The hash
+    * input is reduced mod P BEFORE the affine multiply (PortableHash's
+    * a·x < 2^62 invariant needs x < P): with ids up to ~5e16 the raw
+    * `a·(id·192+k)` would overflow Long silently in Scala while DuckDB
+    * errors — the twin-computation contract would break exactly at
+    * scale. Value-identical to the unreduced form for id·192+k < P
+    * (every fixture). */
   def synthChannel(id: Long, k: Int): Int = {
     val (a, b) = graft.functions.PortableHash.PixelPair
-    (((a * (id * SynthPixelValues + k) + b) % graft.functions.PortableHash.P) % 256L).toInt
+    val p = graft.functions.PortableHash.P
+    val x = ((id % p) * SynthPixelValues + k) % p
+    (((a * x + b) % p) % 256L).toInt
   }
 
   /** ImageIO's default stream cache is a TEMP FILE per encode/decode
@@ -140,15 +148,15 @@ object Multimodal {
     }
   }
 
-  /** Batched image feature extraction: adds `width`/`height`/`sum_r`/
-    * `sum_g`/`sum_b` from ACTUALLY-DECODED pixels for image blobs —
-    * same mapPartitions batch contract as [[extractFeatures]] (one
-    * decoder per partition, fixed-size batches). Non-image or null
-    * blobs pass through with null features: the codec dispatch is on
-    * the metadata media_type, and [[StubDecoder]] remains the honest
-    * fallback path for media types without a JDK codec (JPEG video,
-    * audio). */
-  def imageFeatures(blobs: DataFrame, batchSize: Int = 64): DataFrame = {
+  /** Image feature extraction: adds `width`/`height`/`sum_r`/`sum_g`/
+    * `sum_b` from ACTUALLY-DECODED pixels for image blobs — one decoder
+    * per partition inside mapPartitions, per-image decode (ImageIO has
+    * no batch API, so unlike [[extractFeatures]] there is no batch
+    * grouping to fake). Non-image, unknown-type, or null blobs pass
+    * through with null features: the codec dispatch is on the metadata
+    * media_type, and [[StubDecoder]] remains the honest fallback path
+    * for media types without a JDK codec (JPEG video, audio). */
+  def imageFeatures(blobs: DataFrame): DataFrame = {
     val featureFields = Seq("width", "height", "sum_r", "sum_g", "sum_b")
     val outSchema = StructType(blobs.schema.fields ++
       featureFields.map(StructField(_, LongType, nullable = true)))
@@ -157,19 +165,17 @@ object Multimodal {
     val metaIdx = blobs.schema.fieldIndex("meta")
     blobs.mapPartitions { rows =>
       val decoder = ImageIoDecoder // one decoder per partition
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val blob = r.getAs[Array[Byte]](blobIdx)
-          val mediaType = r.getStruct(metaIdx).getString(0)
-          val features: Seq[Any] =
-            if (blob == null || !mediaType.startsWith("image/"))
-              Seq(null, null, null, null, null)
-            else {
-              val (w, h, sr, sg, sb) = decoder.features(blob)
-              Seq(w, h, sr, sg, sb)
-            }
-          Row.fromSeq(r.toSeq ++ features)
-        }
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        val features: Seq[Any] =
+          if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
+            Seq(null, null, null, null, null)
+          else {
+            val (w, h, sr, sg, sb) = decoder.features(blob)
+            Seq(w, h, sr, sg, sb)
+          }
+        Row.fromSeq(r.toSeq ++ features)
       }
     }(enc)
   }

@@ -106,10 +106,13 @@ object MultimodalQueries {
       val p = graft.functions.PortableHash.P
       val n = Multimodal.SynthPixelValues
       val side = Multimodal.SynthSide
-      // channel value of flat index k for doc d: ((a*(d*n+k)+b)%P)%256 —
-      // the exact integers the PNG round-trip must hand back
+      // channel value of flat index k for doc d:
+      // ((a * (((d % P)*n + k) % P) + b) % P) % 256 — the exact
+      // integers the PNG round-trip must hand back; the input reduces
+      // mod P before the multiply (same as Multimodal.synthChannel) so
+      // the arithmetic never leaves BIGINT range at any doc_id
       def chanSum(c: Int) =
-        s"CAST(SUM(CASE WHEN k % 3 = $c THEN ((($a * (doc_id * $n + k) + $b) % $p) % 256) ELSE 0 END) AS BIGINT)"
+        s"CAST(SUM(CASE WHEN k % 3 = $c THEN ((($a * (((doc_id % $p) * $n + k) % $p) + $b) % $p) % 256) ELSE 0 END) AS BIGINT)"
       s"""SELECT doc_id, $side::BIGINT AS width, $side::BIGINT AS height,
          |  ${chanSum(0)} AS sum_r,
          |  ${chanSum(1)} AS sum_g,

@@ -133,6 +133,29 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     // empty batch: Invalid Request
     val e = parse(Mcp.handle("[]", _ => "x").get)
     assert(e \ "error" \ "code" === JInt(-32600))
+    // non-object batch elements each draw a -32600 with null id
+    val JArray(bad) = parse(Mcp.handle("""[1,{"jsonrpc":"2.0","id":3,"method":"ping"}]""", _ => "x").get): @unchecked
+    assert(bad.head \ "error" \ "code" === JInt(-32600) && bad.head \ "id" === JNull)
+    assert(bad(1) \ "id" === JInt(3))
+    // "id": null is a PRESENT id — a request, answered; only a missing
+    // id makes a notification
+    val nullId = parse(Mcp.handle("""{"jsonrpc":"2.0","id":null,"method":"ping"}""", _ => "x").get)
+    assert(nullId \ "id" === JNull && (nullId \ "result") != JNothing)
+  }
+
+  test("serve treats JSON-looking lines that do not parse as raw prompts") {
+    val eng = new graft.search.SearchEngine(spark)
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      "[RFC] shuffle tuning\n{fast hash join}\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf001, k = 2,
+      in, new java.io.PrintStream(buf, true, "UTF-8"))
+    assert(served === 2)
+    val lines = buf.toString("UTF-8").trim.split("\n").toSeq
+    // both answered with search hits, neither with a JSON-RPC error
+    lines.foreach { l =>
+      assert(l.contains("\"doc_id\"") && !l.contains("jsonrpc"), l)
+    }
   }
 
   test("the main's search body returns the reference's tool-call JSON shape") {
