@@ -73,26 +73,38 @@ object Bench {
     }
     // a failed query must be LOUD in the ARTIFACT, not just on stderr:
     // a swallowed failure records a near-zero time that reads as a
-    // speedup. Failed names land in the JSON's "failed" list.
+    // speedup. Failed names land in the JSON's "failed" list, and a
+    // failed pass records NO time (None): its near-zero elapsed must
+    // not feed the per-query min or the headline total — a query with
+    // zero successful passes is absent from "queries"/"total" entirely
+    // (its reps render as null), so failures can only make the artifact
+    // look worse, never faster.
     val failed = scala.collection.mutable.SortedSet.empty[String]
-    def timedPass(): Map[String, Double] =
+    def timedPass(): Map[String, Option[Double]] =
       SparkEntry.benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { run(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     val passes = (1 to Reps).map(_ => timedPass())
     val names = SparkEntry.benchQueries.keys.toSeq
-    val results = names.map { name => name -> passes.map(_(name)).min }.toMap
+    val results = names.flatMap { name =>
+      val ok = passes.flatMap(_(name))
+      if (ok.isEmpty) None else Some(name -> ok.min)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // per-rep times, so a one-off GC/compaction stall shows up as
-    // variance across reps instead of silently inflating the min
+    // per-rep times (null = that pass failed), so a one-off GC stall
+    // shows up as variance across reps instead of silently inflating
+    // the min
     val reps = names.map { name =>
-      s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
+      s"\"" + name + "\":" + passes.map(_(name).fold("null")(_.toString))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // the excluded list is DERIVED from the contract (SparkEntry

@@ -44,22 +44,39 @@ object Mcp {
     * @param search the engine closure: prompt => result JSON (the same
     *               body the raw serve loop calls). */
   def handle(line: String, search: String => String): Option[String] =
-    tryHandle(line, search).getOrElse(
+    parseJson(line) match {
       // unparseable: JSON-RPC 2.0 mandates a -32700 response with null id
-      Some(render(error(JNull, -32700, "Parse error"))))
+      case None => Some(render(error(JNull, -32700, "Parse error")))
+      case Some(v) => dispatch(v, search)
+    }
 
-  /** Like [[handle]] but distinguishes "not JSON at all": Some(response
-    * line or protocol-mandated silence) when the line parses as JSON,
-    * None when it does not — the serve loop's raw-prompt dialect takes
-    * over then (a human typing `[RFC] shuffle tuning` wants search
-    * results, not a Parse error; a real MCP client never emits broken
-    * JSON). Batches (JSON-RPC 2.0, in the 2025-03-26 MCP revision this
-    * server declares) answer with a batch of the individual responses,
+  /** Like [[handle]] but distinguishes "not protocol traffic":
+    * Some(response line or protocol-mandated silence) when the line
+    * parses as a JSON OBJECT or ARRAY — the only shapes a JSON-RPC
+    * message can take — None otherwise, and the serve loop's raw-prompt
+    * dialect takes over. That covers both broken JSON (a human typing
+    * `[RFC] shuffle tuning` wants search results, not a Parse error;
+    * a real MCP client never emits broken JSON) and bare JSON scalars
+    * (`42`, `true`, a quoted string): a prompt that happens to parse as
+    * a scalar is still a prompt, not an Invalid Request. Batches
+    * (JSON-RPC 2.0, in the 2025-03-26 MCP revision this server
+    * declares) answer with a batch of the individual responses,
     * notifications contributing none; an all-notification batch gets no
     * response at all, and an empty batch is an Invalid Request. */
-  def tryHandle(line: String, search: String => String): Option[Option[String]] = {
-    val parsed = try Some(JsonMethods.parse(line)) catch { case _: Exception => None }
-    parsed.map {
+  def tryHandle(line: String, search: String => String): Option[Option[String]] =
+    parseJson(line) match {
+      case Some(v @ (_: JObject | _: JArray)) => Some(dispatch(v, search))
+      case _ => None
+    }
+
+  private def parseJson(line: String): Option[JValue] =
+    try Some(JsonMethods.parse(line)) catch { case _: Exception => None }
+
+  /** Route one parsed JSON-RPC payload; None = protocol-mandated
+    * silence. (A bare scalar only reaches here via the strict [[handle]]
+    * path, where it is an Invalid Request answered by handleValue.) */
+  private def dispatch(v: JValue, search: String => String): Option[String] =
+    v match {
       case JArray(Nil) =>
         Some(render(error(JNull, -32600, "Invalid Request: empty batch")))
       case JArray(msgs) =>
@@ -67,7 +84,6 @@ object Mcp {
         if (responses.isEmpty) None else Some(render(JArray(responses)))
       case msg => handleValue(msg, search).map(render)
     }
-  }
 
   /** Dispatch one request/notification object; None = no response.
     * Per JSON-RPC 2.0: a message WITHOUT an `id` member is a

@@ -31,8 +31,11 @@ object Search {
       sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean)
 
   /** Flags that take no value: a bare `--serve` means serve=true and
-    * the next token stays a positional (prompt word). `--serve=false`
-    * still works for an explicit off. */
+    * the next token stays a positional (prompt word) — EXCEPT a literal
+    * `true`/`false`, which is consumed as the flag's value so the
+    * legacy explicit spelling `--serve false` still turns serve OFF
+    * instead of binding serve=true and leaking "false" into the prompt.
+    * `--serve=false` also works. */
   private val BooleanFlags = Set("serve")
 
   /** Split `--name value` / `--name=value` flags from positionals —
@@ -45,7 +48,11 @@ object Search {
     while (rest.nonEmpty) rest = rest match {
       case f :: t if f.startsWith("--") && !f.contains("=") &&
           BooleanFlags(f.drop(2)) =>
-        fs += (f.drop(2) -> "true"); t
+        t match {
+          case v :: rest if v == "true" || v == "false" =>
+            fs += (f.drop(2) -> v); rest
+          case _ => fs += (f.drop(2) -> "true"); t
+        }
       case f :: v :: t if f.startsWith("--") && !f.contains("=") =>
         fs += (f.drop(2) -> v); t
       case f :: t if f.startsWith("--") && f.contains("=") =>

@@ -229,6 +229,19 @@ object Dedup {
                               threshold: Double): DataFrame = {
     val corpusBands = spark.read.parquet(s"$indexDir/bands")
     val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+    // fail fast with an actionable message when the artifact predates
+    // the current on-disk format (e.g. a bands table without the `sig`
+    // column this release added) — not an opaque missing-column
+    // AnalysisException from deep inside the probe plan
+    def requireCols(df: DataFrame, part: String, cols: Seq[String]): Unit = {
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"corpus index at $indexDir/$part is missing column(s) " +
+          s"${missing.mkString(", ")} — written by an older release? " +
+          "Rebuild it with Dedup.saveCorpusIndex.")
+    }
+    requireCols(corpusBands, "bands", Seq(idCol, "sig", "band", "key"))
+    requireCols(corpusSh, "shingles", Seq(idCol, hsCol))
     val newSigs = newSh.select(col(idCol), minhashSignature(col(hsCol)).as("sig"))
     val newBands = newSigs
       .select(col(idCol).as("__nid"), col("sig"),

@@ -42,7 +42,12 @@ object RankedCumsum {
       .select(col("token").cast("string"), col("n").cast("long"))
       .repartitionByRange(parts, col("n").desc, col("token").asc)
       .sortWithinPartitions(col("n").desc, col("token").asc)
-    val rdd = sorted.rdd
+    // localCheckpoint: pass 1 (stats) materializes and PERSISTS the
+    // sorted partitions, so pass 2 reads them back instead of re-running
+    // the reduce-side sort — one sort total, not two (the map stage was
+    // always shared; the sort was not). Same lineage-truncation tool
+    // starContract uses; blocks are freed when the RDD is GC'd.
+    val rdd = sorted.rdd.localCheckpoint()
     // pass 1: per-partition row/sum totals (#partitions rows collected)
     val stats = rdd.mapPartitionsWithIndex { (i, it) =>
       var rows = 0L

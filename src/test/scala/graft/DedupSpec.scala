@@ -114,6 +114,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(s"$dir/bands").listFiles().exists(_.getName.startsWith("band=")))
   }
 
+  test("probing a stale-format corpus index fails with an actionable rebuild message") {
+    import graft.operators.Dedup._
+    val sh = graft.queries.DedupQueries.hashedShingles(spark, sf0001)
+      .select($"doc_id", $"hs").limit(10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_idx").toString
+    saveCorpusIndex(sh, "doc_id", "hs", dir)
+    // simulate an index written by the pre-`sig` release: drop the
+    // column the canonical-band probe needs and swap the rewritten
+    // bands table into place (write-to-sibling + rename — Spark refuses
+    // to overwrite a path it is reading from)
+    spark.read.parquet(s"$dir/bands").drop("sig")
+      .write.parquet(s"$dir/bands_stale")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/bands"))
+    assert(new java.io.File(s"$dir/bands_stale")
+      .renameTo(new java.io.File(s"$dir/bands")))
+    val e = intercept[IllegalArgumentException] {
+      incrementalPairsVsIndex(spark, dir, sh, "doc_id", "hs", 0.5)
+    }
+    assert(e.getMessage.contains("sig") &&
+      e.getMessage.contains("saveCorpusIndex"), e.getMessage)
+  }
+
   test("star contraction solves a 10k-node chain in O(log n) rounds") {
     // a chain is the worst case for min-label propagation (O(diameter)
     // = O(n) rounds); large-star/small-star must close it in ~log n.

@@ -158,6 +158,51 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("serve treats bare JSON scalars as raw prompts, not protocol traffic") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    // '42', 'true', '"quoted"' all PARSE as JSON but are not JSON-RPC
+    // shapes (object/array) — a prompt that happens to be a number must
+    // get search results, not an Invalid Request envelope
+    Seq("42", "true", "\"hash join\"").foreach { line =>
+      assert(Mcp.tryHandle(line, _ => "x").isEmpty, line)
+    }
+    // the strict protocol path still rejects them (a real MCP client
+    // never sends a scalar): Invalid Request, not silence
+    val r = parse(Mcp.handle("42", _ => "x").get)
+    assert((r \ "error" \ "code") === JInt(-32600))
+    // and objects/batches remain protocol traffic on both paths
+    assert(Mcp.tryHandle("""{"jsonrpc":"2.0","id":1,"method":"ping"}""", _ => "x")
+      .exists(_.isDefined))
+  }
+
+  test("notifications/cancelled is consumed silently; initialize echoes the protocol version") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    // any method WITHOUT an id is a notification — never answered
+    assert(Mcp.handle(
+      """{"jsonrpc":"2.0","method":"notifications/cancelled","params":{"requestId":1}}""",
+      _ => "x").isEmpty)
+    // an initialize asking for an older revision is answered with the
+    // one this server implements (the MCP-specified behavior)
+    val init = parse(Mcp.handle(
+      """{"jsonrpc":"2.0","id":7,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""",
+      _ => "x").get)
+    assert((init \ "result" \ "protocolVersion") === JString(Mcp.ProtocolVersion))
+  }
+
+  test("--serve false consumes the literal token as the flag value") {
+    // the legacy explicit-off spelling: 'false' must bind to the flag,
+    // not leak into the prompt as a positional word
+    val c = Search.parseConfig(Seq("--serve", "false", "--sf-dir", "/x", "find", "it"), Map.empty)
+    assert(!c.serve && c.prompt === "find it")
+    val c2 = Search.parseConfig(Seq("--serve", "true", "--sf-dir", "/x"), Map.empty)
+    assert(c2.serve && c2.prompt.isEmpty)
+    // a non-boolean next token still stays a positional (prompt word)
+    val c3 = Search.parseConfig(Seq("--serve", "falsehoods", "--sf-dir", "/x"), Map.empty)
+    assert(c3.serve && c3.prompt === "falsehoods")
+  }
+
   test("the main's search body returns the reference's tool-call JSON shape") {
     // same engine call main() makes, against the live test session —
     // the reference's one tool end-to-end (server.py:71-102)
