@@ -48,8 +48,49 @@ object AnnQueries {
 
   /** q72: pairs surfaced (matches q21, whose result is the oracle). */
   val NearDupTopK = 20
+
+  /** q75: IVF geometry. The fixture corpus plants NO embedding clusters
+    * (the same no-clones property behind q72's minCos note), so the
+    * exact top-10 neighbors of the probe sit at cosine ~0.4-0.5 —
+    * essentially angular noise — and scatter across cells: measured
+    * minimum nProbe for 10/10 recall at cells=16 is 6 (sf0.001),
+    * 11 (sf0.01), 8 (sf0.1). 13 carries slack over the worst case while
+    * still pruning cell directories, and the oracle compare FAILS
+    * CLOSED on any recall miss (q47's gate construction): if a new
+    * fixture flips this red, re-measure and raise nProbe — never weaken
+    * the oracle. On a real corpus with semantic clusters the ratio is
+    * nProbe/cells ≈ 4/256; the property q75 certifies is the PLAN (the
+    * probe's `cell IN (...)` reaching the scan as a PartitionFilter),
+    * which is scale-independent. */
+  val IvfCells = 16
+  val IvfNProbe = 13
+
   private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
+
+  /** Write-once-per-session persisted IVF artifact for q75 — the vector
+    * side of the reference's CREATE-INDEX-once / probe-many lifecycle
+    * (reference README.md:71-79 provisions the index, server.py:87
+    * probes it on every call): the corpus is written PARTITIONED BY
+    * cell ([[graft.search.AnnIndex.saveIvf]]) exactly once, and every
+    * probe in the session reads only its nProbe cell directories back.
+    * The artifact-side twin of the q73 band index. */
+  private val sessionIvfIndex = new graft.SessionMemo[String, String]
+
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    sessionIvfIndex.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      // cache=false: the assigned table is consumed exactly once by the
+      // write; no unmanaged cached blocks should outlive the build
+      val idx = graft.search.AnnIndex.buildIvf(e, cells = IvfCells, cache = false)
+      graft.search.AnnIndex.saveIvf(idx, out)
+      out
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -196,6 +237,32 @@ object AnnQueries {
         .select(col("vec_id"), col("score"))
     }),
 
+    "q75_ivf_index_probe" -> ((s, dir) => {
+      // the PERSISTED-index probe as a declared query: the IVF artifact
+      // (corpus PARTITIONED BY cell + the seeded KMeans quantizer) is
+      // written once per session; this query reloads the quantizer,
+      // picks the IvfNProbe cells nearest the probe vector, and
+      // exact-scores ONLY those cell directories off parquet —
+      // `cell IN (...)` reaches the scan as a PartitionFilter
+      // (PlanSpec-pinned), so probe I/O is bounded by nProbe/cells of
+      // the corpus at any scale. Candidates are exact-rescored with the
+      // same neo4jScore expression as q10, and the declared oracle IS
+      // the exact top-10 — hash-green certifies end-to-end recall of
+      // the disk-backed index route (q47's fail-closed construction;
+      // see IvfCells/IvfNProbe for the fixture-specific tuning).
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q75_ivf_index_probe: no 64-d embedding with vec_id=0 in " +
+            s"$dir/embeddings.parquet — cannot form the probe vector"))
+        .getSeq[Float](0).toArray
+      graft.search.AnnIndex
+        .probeIvf(s, ivfIndexDir(s, dir), qv, k = 10, nProbe = IvfNProbe)
+        .select(col("vec_id"), col("score"))
+    }),
+
     "q72_brp_neardup" -> ((s, dir) => {
       // the PRODUCTION embedding-dedup shape (q21 is its declared
       // verify-only exact baseline): candidate pairs come from the
@@ -294,6 +361,16 @@ object AnnQueries {
     // exact top-10 by cosine: q47's LSH-selected + exact-rescored output
     // must equal this, so a hash-green row certifies 10/10 index recall
     "q47_brp_knn" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |FROM embeddings e CROSS JOIN q
+         |WHERE len(e.embedding) = 64
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // exact top-10 (q47's oracle text): the persisted-IVF probe must
+    // recover it end to end off the cell-partitioned artifact
+    "q75_ivf_index_probe" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,
          |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score

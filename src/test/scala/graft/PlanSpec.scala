@@ -256,6 +256,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected dynamic partition pruning on band in:\n$bandScan")
   }
 
+  test("q75 probes the persisted IVF artifact with partition pruning on cell") {
+    val p = plan("q75_ivf_index_probe")
+    // the corpus must be READ from the saved cell-partitioned artifact
+    val scan = p.linesIterator
+      .find(l => l.contains("Scan parquet") && l.contains("graft_ivf_index"))
+      .getOrElse("")
+    assert(scan.nonEmpty, s"expected the persisted IVF corpus scan in:\n$p")
+    // ... and the probe's `cell IN (...)` must reach it as a PARTITION
+    // filter (directory pruning) — the property that bounds probe I/O
+    // to nProbe/cells of a cell-partitioned 100 TB corpus
+    assert(scan.contains("PartitionFilters: [") && scan.contains("cell#"),
+      s"expected a cell partition filter on the artifact scan in:\n$scan")
+  }
+
   test("q70 vocab coverage has no single-partition window anywhere") {
     // the global rank/cumsum runs as the distributed two-pass shape
     // (RankedCumsum): a WindowExec reappearing here means the
