@@ -109,6 +109,12 @@ object PortableHash {
     * reproducible by pure integer SQL in the oracle. */
   val PixelPair: (Long, Long) = affineConstants(1111L, 1).head
 
+  /** Synthetic-audio hash — its own member (decoupled from [[PixelPair]]
+    * so the image and audio fixtures can never alias): PCM sample k of
+    * clip id is ((a·x + b) mod P) mod 2^16 − 2^15, a signed 16-bit
+    * value reproducible by pure integer SQL in the oracle. */
+  val AudioPair: (Long, Long) = affineConstants(1212L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

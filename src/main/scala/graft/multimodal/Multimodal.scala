@@ -180,10 +180,137 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // Real audio path (javax.sound.sampled — in the JDK, zero-egress-safe)
+  // ---------------------------------------------------------------
+
+  /** Synthetic-clip geometry: 64 samples of 16-bit signed mono PCM at
+    * 8 kHz — small enough to synthesize per row, wide enough that the
+    * sample-sum features are non-trivial. */
+  val SynthSampleRate = 8000f
+  val SynthSamples = 64
+
+  /** Signed 16-bit PCM sample `k` of clip `id`: the dedicated audio
+    * affine hash mod 2^16, recentered to [-32768, 32767] —
+    * reproducible by integer SQL, so the oracle can verify sums over
+    * ACTUALLY-DECODED samples without a codec of its own. Same
+    * reduce-mod-P-before-multiply guard as [[synthChannel]] (the a·x <
+    * 2^62 invariant). */
+  def synthSample(id: Long, k: Int): Int = {
+    val (a, b) = graft.functions.PortableHash.AudioPair
+    val p = graft.functions.PortableHash.P
+    val x = ((id % p) * SynthSamples + k) % p
+    ((((a * x + b) % p) % 65536L) - 32768L).toInt
+  }
+
+  private def synthFormat = new javax.sound.sampled.AudioFormat(
+    SynthSampleRate, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+
+  /** Deterministic WAV for `id`: every PCM sample from [[synthSample]],
+    * framed by the JDK's WAV writer. PCM WAV is lossless, so decoding
+    * hands back exactly these integers — the property q76's oracle
+    * check rests on (the audio twin of [[synthPng]]). */
+  def synthWav(id: Long): Array[Byte] = {
+    val pcm = new Array[Byte](SynthSamples * 2)
+    var k = 0
+    while (k < SynthSamples) {
+      val v = synthSample(id, k)
+      pcm(2 * k) = (v & 0xff).toByte          // little-endian
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), synthFormat, SynthSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic WAV blob per row (media_type "audio/wav") —
+    * the audio twin of [[ingestSynthImages]]; encoding is row-local,
+    * blobs never shuffle. */
+  def ingestSynthAudio(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("blob", BinaryType, nullable = true),
+      StructField("meta", MediaMetaType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = synthWav(r.getLong(idIdx))
+        Row.fromSeq(r.toSeq ++ Seq(blob,
+          Row("audio/wav", blob.length.toLong, DefaultChunkBytes)))
+      }
+    }(enc)
+  }
+
+  /** The real audio decoder: `javax.sound.sampled` (WAV/PCM — in the
+    * JDK) → frame geometry + integer sample statistics, so the oracle
+    * can reproduce them arithmetically. */
+  object WavDecoder extends Serializable {
+    /** (n_samples, sum_s, sum_sq) of one encoded mono 16-bit clip:
+      * signed sample sum and energy (the RMS numerator), both exact
+      * integers. */
+    def features(blob: Array[Byte]): (Long, Long, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        var (n, s, sq) = (0L, 0L, 0L)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val v =
+            if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+            else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+          n += 1
+          s += v
+          sq += v.toLong * v
+          i += 2
+        }
+        (n, s, sq)
+      } finally ais.close()
+    }
+  }
+
+  /** Audio feature extraction: adds `n_samples`/`sum_s`/`sum_sq` from
+    * ACTUALLY-DECODED PCM frames for audio blobs — one decoder per
+    * partition inside mapPartitions (the audio twin of
+    * [[imageFeatures]]). Non-audio, unknown-type, or null blobs pass
+    * through with null features; [[StubDecoder]] remains the fallback
+    * for media types without a JDK codec (JPEG, video). */
+  def audioFeatures(blobs: DataFrame): DataFrame = {
+    val featureFields = Seq("n_samples", "sum_s", "sum_sq")
+    val outSchema = StructType(blobs.schema.fields ++
+      featureFields.map(StructField(_, LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      val decoder = WavDecoder // one decoder per partition
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        val features: Seq[Any] =
+          if (blob == null || mediaType == null || !mediaType.startsWith("audio/"))
+            Seq(null, null, null)
+          else {
+            val (n, s, sq) = decoder.features(blob)
+            Seq(n, s, sq)
+          }
+        Row.fromSeq(r.toSeq ++ features)
+      }
+    }(enc)
+  }
+
   /** Deterministic fake "decode": byte statistics standing in for real
     * decoded features — the fallback contract for media types the JDK
-    * has no codec for (the real path for images is [[ImageIoDecoder]]
-    * via [[imageFeatures]]). */
+    * has no codec for (the real paths are [[ImageIoDecoder]] for images
+    * and [[WavDecoder]] for WAV audio). */
   object StubDecoder extends Serializable {
     /** (byte_sum mod P, n_chunks) for one blob. */
     def features(blob: Array[Byte], chunkBytes: Int): (Long, Long) = {

@@ -25,6 +25,13 @@ import graft.multimodal.Multimodal
   * derive from the portable pixel hash, so the oracle reproduces the
   * decoded sums with integer arithmetic and hash-green certifies a
   * genuine codec round-trip.
+  *
+  * q76 is the same construction for SOUND: deterministic 16-bit PCM
+  * WAV clips (javax.sound.sampled encode), decoded back frame-by-frame
+  * into sample count / signed sum / energy; sample values derive from
+  * the portable audio hash, so hash-green certifies a real audio codec
+  * round-trip. Only video/JPEG remain on [[graft.multimodal.Multimodal.StubDecoder]]
+  * (no JDK codec exists for them).
   */
 object MultimodalQueries {
 
@@ -66,6 +73,27 @@ object MultimodalQueries {
       Multimodal.imageFeatures(Multimodal.ingestSynthImages(docs))
         .select(col("doc_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q76_audio_decode" -> ((s, dir) => {
+      // the REAL audio decode path, end to end (the sound twin of q74):
+      // deterministic 16-bit PCM WAV blobs are generated per document
+      // (javax.sound.sampled encode — the ingest stand-in for
+      // pre-encoded media), then DECODED back frame by frame (the same
+      // JDK codec, batched mapPartitions, one decoder per partition)
+      // into sample count, signed sample sum, and energy (the RMS
+      // numerator). PCM WAV is lossless and the sample values derive
+      // from the dedicated portable audio hash, so the oracle
+      // reproduces the decoded statistics by pure integer arithmetic —
+      // hash-green means the features came from actually-decoded
+      // frames. All row-local: blobs never shuffle; only (doc_id,
+      // 3 longs) rows move into the final sort.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"))
+      Multimodal.audioFeatures(Multimodal.ingestSynthAudio(docs))
+        .select(col("doc_id"), col("n_samples"), col("sum_s"), col("sum_sq"))
         .orderBy(col("doc_id"))
     }),
 
@@ -117,6 +145,23 @@ object MultimodalQueries {
          |  ${chanSum(0)} AS sum_r,
          |  ${chanSum(1)} AS sum_g,
          |  ${chanSum(2)} AS sum_b
+         |FROM documents CROSS JOIN (SELECT unnest(range($n)) AS k)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q76_audio_decode" -> {
+      val (a, b) = graft.functions.PortableHash.AudioPair
+      val p = graft.functions.PortableHash.P
+      val n = Multimodal.SynthSamples
+      // sample value of frame k for doc d:
+      // ((a * (((d % P)*n + k) % P) + b) % P) % 65536 - 32768 — the
+      // exact signed 16-bit integers the WAV round-trip must hand back;
+      // same overflow guard as q74 (input reduced mod P before the
+      // affine multiply)
+      val v = s"(((($a * (((doc_id % $p) * $n + k) % $p) + $b) % $p) % 65536) - 32768)"
+      s"""SELECT doc_id, $n::BIGINT AS n_samples,
+         |  CAST(SUM($v) AS BIGINT) AS sum_s,
+         |  CAST(SUM($v * $v) AS BIGINT) AS sum_sq
          |FROM documents CROSS JOIN (SELECT unnest(range($n)) AS k)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },

@@ -107,6 +107,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(feats.getLong(4) === wantSum(2))
   }
 
+  test("synthetic WAV round-trips through a real javax.sound decode to the exact samples") {
+    // encode with the JDK's WAV writer, decode with the JDK's reader,
+    // compare against the arithmetic the oracle uses: known waveform ->
+    // known features (the audio twin of the PNG round-trip test)
+    val id = 5L
+    val wav = Multimodal.synthWav(id)
+    // RIFF/WAVE magic: this is a real encoded container, not byte stats
+    assert(wav(0) === 'R'.toByte && wav(1) === 'I'.toByte &&
+      wav(2) === 'F'.toByte && wav(3) === 'F'.toByte)
+    assert(wav(8) === 'W'.toByte && wav(9) === 'A'.toByte &&
+      wav(10) === 'V'.toByte && wav(11) === 'E'.toByte)
+    // direct decoder: every frame equals the synth formula
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bytes = ais.readAllBytes()
+    assert(bytes.length === Multimodal.SynthSamples * 2)
+    for (k <- 0 until Multimodal.SynthSamples) {
+      val v = (bytes(2 * k + 1) << 8) | (bytes(2 * k) & 0xff)
+      assert(v === Multimodal.synthSample(id, k), s"sample $k")
+    }
+    // the distributed path lands on the same statistics as the formula
+    val feats = Multimodal.audioFeatures(
+        Multimodal.ingestSynthAudio(Seq(id).toDF("doc_id")))
+      .select($"n_samples", $"sum_s", $"sum_sq").head()
+    val samples = (0 until Multimodal.SynthSamples)
+      .map(k => Multimodal.synthSample(id, k).toLong)
+    assert(feats.getLong(0) === Multimodal.SynthSamples.toLong)
+    assert(feats.getLong(1) === samples.sum)
+    assert(feats.getLong(2) === samples.map(v => v * v).sum)
+    // the waveform is non-trivial: both signs present
+    assert(samples.exists(_ < 0) && samples.exists(_ > 0))
+  }
+
+  test("audio feature extraction passes non-audio and null blobs through as nulls") {
+    val mixed = Multimodal.ingestAsBlobs(Seq((1L, "text row")).toDF("doc_id", "text"))
+      .select($"doc_id", $"blob", $"meta")
+      .unionByName(Multimodal.ingestSynthAudio(Seq(2L).toDF("doc_id"))
+        .select($"doc_id", $"blob", $"meta"))
+    val out = Multimodal.audioFeatures(mixed).orderBy($"doc_id")
+      .select($"doc_id", $"n_samples", $"sum_sq").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // text/plain: untouched
+    assert(!out(1).isNullAt(1) &&
+      out(1).getLong(1) === Multimodal.SynthSamples.toLong)
+  }
+
   test("image feature extraction passes non-image and null blobs through as nulls") {
     // the stub remains the declared fallback for codec-less media; the
     // image decoder must not try to decode it
