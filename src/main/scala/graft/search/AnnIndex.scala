@@ -40,6 +40,25 @@ object AnnIndex {
 
   final case class BrpIndex(model: BucketedRandomProjectionLSHModel, hashed: DataFrame) {
 
+    /** The exploded band view of [[hashed]] — one row per (vector,
+      * hash table): (vec_id, embedding, sig ARRAY<DOUBLE>, t, b). Built
+      * lazily ONCE per index and cached alongside it (when the index
+      * itself is cached — one-shot `cache=false` builds stay
+      * unmanaged-block-free), so repeated similarity joins in a session
+      * pay join cost only, never the explode + vector-to-array rebuild:
+      * the index is fitted once and probed many times (the reference's
+      * CREATE-INDEX lifecycle), and the band table is part of the
+      * index, not of any one probe. */
+    lazy val banded: DataFrame = {
+      val sigd = hashed.select(col("vec_id"), col("embedding"),
+        transform(col("hashes"), v => element_at(vector_to_array(v), 1)).as("sig"))
+      val b = sigd.select(col("vec_id"), col("embedding"), col("sig"),
+        posexplode(col("sig"))).toDF("vec_id", "embedding", "sig", "t", "b")
+      if (hashed.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        b.cache()
+      else b
+    }
+
     /** Top-k by cosine via the LSH candidate route. Returns
       * (vec_id, score) with the Neo4j (1+cos)/2 convention. */
     def topK(query: Array[Float], k: Int): DataFrame = {
@@ -79,12 +98,8 @@ object AnnIndex {
       * Output: (vec_a, vec_b, score) with vec_a < vec_b, score the
       * (1+cos)/2 convention rounded to 6 dp. */
     def nearDupPairsCanonical(minCos: Double): DataFrame = {
-      import org.apache.spark.ml.functions.vector_to_array
       val numTables = model.getNumHashTables
-      val sigd = hashed.select(col("vec_id"), col("embedding"),
-        transform(col("hashes"), v => element_at(vector_to_array(v), 1)).as("sig"))
-      val bands = sigd.select(col("vec_id"), col("embedding"), col("sig"),
-        posexplode(col("sig"))).toDF("vec_id", "embedding", "sig", "t", "b")
+      val bands = banded // memoized: repeated joins skip the explode rebuild
       val canonical = (0 until numTables).map { j =>
         lit(j) >= col("x.t") ||
           element_at(col("x.sig"), j + 1) =!= element_at(col("y.sig"), j + 1)
