@@ -144,7 +144,7 @@ object Dedup {
     * compared as raw signature longs. Expects both sides' full
     * signatures as `sigA`/`sigB` columns and the matched band as
     * `band`. */
-  private def canonicalBand(sigA: Column, sigB: Column, band: Column): Column =
+  private[graft] def canonicalBand(sigA: Column, sigB: Column, band: Column): Column =
     (0 until MinhashBands).map { b =>
       lit(b) >= band || (0 until MinhashRowsPerBand).map { r =>
         element_at(sigA, b * MinhashRowsPerBand + r + 1) =!=

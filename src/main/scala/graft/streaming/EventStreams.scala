@@ -183,6 +183,54 @@ object EventStreams {
       .select(col("doc_id"), col("n_sh"), col("n_hit"), col("overlap"),
         (col("overlap") >= threshold).cast("int").as("flagged"))
 
+  /** Stream-vs-ARTIFACT incremental dedup — [[incrementalDedup]] wired
+    * to the persisted corpus band index
+    * ([[graft.operators.Dedup.saveCorpusIndex]], the q73 artifact): the
+    * corpus side's band keys and shingle sets are READ BACK from
+    * parquet, so one artifact written by the full batch build serves
+    * both the daily batch probe (q73) and this ingest-time stream —
+    * nothing about the existing corpus is recomputed per micro-batch.
+    *
+    * Two properties make this the 100 TB ingest shape:
+    *  - the canonical-band predicate sits inside the stream-static join
+    *    (both sides carry full signatures), so each verified pair emits
+    *    exactly once and the query is fully STATELESS — no
+    *    dropDuplicates state to bound, unlike [[incrementalDedup]];
+    *  - Jaccard verification joins the artifact's shingle table and
+    *    filters before any result materializes; the bands table is
+    *    PARTITIONED BY band on disk, so a micro-batch's probe lists
+    *    only colliding band directories.
+    *
+    * @param newDocs  streaming (doc_id, text)
+    * @param indexDir artifact directory written by saveCorpusIndex
+    * @return streaming (doc_id, partner, jac) — verified near-dup pairs
+    *         of each streamed doc against the indexed corpus. */
+  def incrementalDedupVsIndex(spark: SparkSession, indexDir: String,
+                              newDocs: DataFrame, threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("partner"), col("sig").as("psig"),
+        col("band").as("pband"), col("key").as("pkey"))
+    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+      .select(col("doc_id").as("partner"), col("hs").as("phs"))
+    val nb = newDocs
+      .select(col("doc_id"),
+        graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as("hs"))
+      .withColumn("sig", Dedup.minhashSignature(col("hs")))
+      .select(col("doc_id"), col("hs"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("hs"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    nb.join(corpusBands,
+        col("band") === col("pband") && col("key") === col("pkey") &&
+          col("doc_id") =!= col("partner") &&
+          Dedup.canonicalBand(col("sig"), col("psig"), col("band")))
+      .join(corpusSh, "partner")
+      .withColumn("jac", round(Dedup.jaccard(col("hs"), col("phs")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id"), col("partner"), col("jac"))
+  }
+
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
                        threshold: Double): DataFrame = {
     import graft.operators.Dedup

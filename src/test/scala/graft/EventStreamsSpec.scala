@@ -75,6 +75,49 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup against the persisted band index matches the batch probe") {
+    implicit val sq = spark.sqlContext
+    // ONE artifact (saveCorpusIndex — the q73 layout) consumed by both
+    // the batch probe and the stream: stream-vs-artifact must equal
+    // batch-vs-artifact, and the streaming query must stay stateless
+    // (the canonical-band join emits each pair exactly once)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sh = docs.repartition(4)
+      .select($"doc_id",
+        graft.expressions.HashExpressions.shingleHashSet($"text", 3).as("hs"))
+    val isNew = pmod($"doc_id", lit(10L)) === 7
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    graft.operators.Dedup.saveCorpusIndex(sh.filter(!isNew), "doc_id", "hs", dir)
+    val newDocs = docs.filter(isNew)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = EventStreams.incrementalDedupVsIndex(spark, dir,
+      mem.toDF().toDF("doc_id", "text"),
+      graft.queries.DedupQueries.JaccardThreshold)
+    val q = stream
+      .writeStream.format("memory").queryName("incidx").outputMode("append").start()
+    try {
+      // feed in two micro-batches: per-batch probes must compose
+      mem.addData(newDocs.take(newDocs.size / 2))
+      q.processAllAvailable()
+      mem.addData(newDocs.drop(newDocs.size / 2))
+      q.processAllAvailable()
+      val gotRows = spark.table("incidx")
+        .select($"doc_id", $"partner", $"jac")
+        .as[(Long, Long, Double)].collect().toSeq
+      // stateless exactly-once: no pair may arrive twice across batches
+      assert(gotRows.size === gotRows.distinct.size)
+      val want = graft.operators.Dedup.incrementalPairsVsIndex(spark, dir,
+          sh.filter(isNew).select($"doc_id", $"hs"), "doc_id", "hs",
+          graft.queries.DedupQueries.JaccardThreshold)
+        .filter(!$"partner_is_new") // the stream probes the corpus only
+        .select($"doc_id", $"partner", $"jac")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gotRows.toSet === want)
+      assert(want.nonEmpty, "fixture should plant at least one cross-batch near-dup")
+    } finally q.stop()
+  }
+
   test("streaming bloom screen replay-matches the batch probe, flags conservatively") {
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
