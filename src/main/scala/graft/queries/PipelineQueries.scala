@@ -67,6 +67,11 @@ object PipelineQueries {
   /** Vocabulary entries reported by q70's coverage table. */
   val VocabTopN = 50
 
+  /** q77: BPE merge rounds learned (kept small so the oracle's
+    * unrolled round-CTE chain stays readable; the operator itself is
+    * O(rounds) with a constant per-round plan). */
+  val BpeRounds = 8
+
   /** q50 repetition-filter cutoffs (Rae et al.'s Gopher rules use the
     * same two signal families): flag a doc when its most frequent token
     * exceeds [[TopTokMax]] of all tokens, or when more than
@@ -252,6 +257,26 @@ object PipelineQueries {
         .select(col("rank"), col("token"), col("n"),
           round(col("cum_n").cast("double") / col("total_n"), 6).as("cum_coverage"))
         .orderBy(col("rank"))
+    }),
+
+    "q77_bpe_merges" -> ((s, dir) => {
+      // the actual BPE merge-learning loop (q70 reports the vocab this
+      // prepares): corpus → distinct-word frequencies ONCE (wordcount,
+      // map-side-combined), then BpeRounds rounds of pair-count →
+      // broadcast best merge → row-local re-pair. Each round is exactly
+      // one vocab-sized shuffle + a narrow map — no shuffle growth
+      // across rounds (lineage truncated by the operator) — and the
+      // driver holds only the merge table. Deterministic tie-break
+      // (count desc, pair asc) makes the whole table hash-exact
+      // oracle-checkable: the DuckDB twin unrolls the same rounds as a
+      // CTE chain over the identical double-space replace encoding
+      // (see BpeTrain's scaladoc for why that encoding IS classic
+      // greedy BPE).
+      val words = KeywordQueries.tokenizedDocs(s, dir)
+        .select(explode(col("toks")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTrain.learnMergesDF(words, "word", "freq", BpeRounds)
+        .orderBy(col("round"))
     }),
 
     "q50_repetition" -> ((s, dir) => {
@@ -470,6 +495,41 @@ object PipelineQueries {
          |  MIN(CASE WHEN bucket < rate_pct THEN doc_id END) AS min_sampled,
          |  MAX(CASE WHEN bucket < rate_pct THEN doc_id END) AS max_sampled
          |FROM d GROUP BY lang, rate_pct ORDER BY lang""".stripMargin
+    },
+
+    "q77_bpe_merges" -> {
+      // the same N rounds, unrolled as a CTE chain; every expression is
+      // the literal twin of the Spark side: double-space symbol
+      // encoding, adjacent-pair extraction, (count desc, pair asc)
+      // argmax, single plain-replace merge application
+      val rounds = (1 to BpeRounds).map { r =>
+        val prev = s"w${r - 1}"
+        s"""p$r AS (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+           |    SELECT unnest(list_transform(range(len(ss) - 1),
+           |      i -> ss[i+1] || ' ' || ss[i+2])) AS pair, freq
+           |    FROM (SELECT list_filter(string_split(sym, '  '), x -> x != '') AS ss,
+           |          freq FROM $prev))
+           |  GROUP BY pair),
+           |b$r AS (SELECT CAST($r AS BIGINT) AS round, pair,
+           |    replace(pair, ' ', '') AS merged, n
+           |  FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+           |w$r AS (
+           |  SELECT replace(sym, ' ' || replace(b.pair, ' ', '  ') || ' ',
+           |      ' ' || replace(b.pair, ' ', '') || ' ') AS sym, freq
+           |  FROM $prev, b$r b)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |words AS (
+         |  SELECT word, COUNT(*)::BIGINT AS freq FROM (
+         |    SELECT unnest(toks) AS word FROM dd) GROUP BY word),
+         |w0 AS (
+         |  SELECT '  ' || array_to_string(
+         |      list_filter(string_split(word, ''), c -> c != ''), '  ') || '  ' AS sym,
+         |    freq FROM words),
+         |$rounds
+         |SELECT round, pair, merged, n FROM ($union) ORDER BY round""".stripMargin
     },
 
     "q70_vocab_coverage" ->
