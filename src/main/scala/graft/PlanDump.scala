@@ -102,7 +102,13 @@ object PlanDump {
         "are read back from a parquet layout PARTITIONED BY band (the scan " +
         "carries a dynamicpruning PartitionFilter from the new batch's " +
         "keys), shingle sets from the companion artifact — nothing about " +
-        "the existing corpus is recomputed."))
+        "the existing corpus is recomputed."),
+    "q75_ivf_index_probe" ->
+      ("Vector search off the PERSISTED IVF artifact: the corpus is read " +
+        "back from a parquet layout PARTITIONED BY cell and the probe's " +
+        "`cell IN (...)` appears as a static PartitionFilter on the scan — " +
+        "only nProbe of the cell directories are listed, let alone read; " +
+        "exact rescore + top-k heaps above."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
