@@ -89,6 +89,19 @@ object BpeTrain {
       replace(c, lit(pat), lit(rep))
     }
 
+  /** Encode a raw word column under a merge table: character-split into
+    * the double-space encoding, then replay the merges. */
+  def encode(word: Column, merges: Seq[Merge]): Column =
+    applyMerges(
+      concat(lit("  "),
+        array_join(filter(split(word, ""), c => c =!= ""), "  "),
+        lit("  ")),
+      merges)
+
+  /** Number of symbols in an encoded-symbol string. */
+  def symbolCount(sym: Column): Column =
+    size(filter(split(sym, "  "), x => x =!= ""))
+
   /** Learn `rounds` merges over a (word, freq) table. Deterministic:
     * same counts in, same merge table out, at any parallelism. */
   def learnMerges(words: DataFrame, wordCol: String, freqCol: String,

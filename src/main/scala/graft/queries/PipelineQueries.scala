@@ -72,6 +72,21 @@ object PipelineQueries {
     * O(rounds) with a constant per-round plan). */
   val BpeRounds = 8
 
+  /** Write-once-per-session learned merge table for q78 — the
+    * TRAIN-once / ENCODE-many tokenizer lifecycle (the same split as
+    * the q73/q75 index artifacts): q77 measures the training loop
+    * itself, q78 pays apply cost against the session's fitted merges. */
+  private val sessionMerges =
+    new graft.SessionMemo[String, Seq[graft.operators.BpeTrain.Merge]]
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[graft.operators.BpeTrain.Merge] =
+    sessionMerges.getOrCompute(s, dir) {
+      val words = KeywordQueries.tokenizedDocs(s, dir)
+        .select(explode(col("toks")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTrain.learnMerges(words, "word", "freq", BpeRounds)
+    }
+
   /** q50 repetition-filter cutoffs (Rae et al.'s Gopher rules use the
     * same two signal families): flag a doc when its most frequent token
     * exceeds [[TopTokMax]] of all tokens, or when more than
@@ -89,6 +104,44 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
+
+  /** Shared DuckDB twin of the BPE training loop (q77 + q78's oracles):
+    * `BpeRounds` rounds unrolled as a CTE chain. Every expression is
+    * the literal twin of the Spark side — double-space symbol encoding,
+    * adjacent-pair extraction, (count desc, pair asc) argmax, single
+    * plain-replace merge application — and each w_r carries the raw
+    * `word` alongside its evolving `sym`, so the final round's table is
+    * simultaneously the merge history (b_r) and the encoded vocab
+    * (w_N). Starts with `dd` (tokenized docs), so consumers can also
+    * reuse that. */
+  private lazy val bpeOracleCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(len(ss) - 1),
+         |      i -> ss[i+1] || ' ' || ss[i+2])) AS pair, freq
+         |    FROM (SELECT list_filter(string_split(sym, '  '), x -> x != '') AS ss,
+         |          freq FROM $prev))
+         |  GROUP BY pair),
+         |b$r AS (SELECT CAST($r AS BIGINT) AS round, pair,
+         |    replace(pair, ' ', '') AS merged, n
+         |  FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT word, replace(sym, ' ' || replace(b.pair, ' ', '  ') || ' ',
+         |      ' ' || replace(b.pair, ' ', '') || ' ') AS sym, freq
+         |  FROM $prev, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""dd AS (${KeywordQueries.tokenizedDocsSql}),
+       |words AS (
+       |  SELECT word, COUNT(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(toks) AS word FROM dd) GROUP BY word),
+       |w0 AS (
+       |  SELECT word, '  ' || array_to_string(
+       |      list_filter(string_split(word, ''), c -> c != ''), '  ') || '  ' AS sym,
+       |    freq FROM words),
+       |$rounds""".stripMargin
+  }
 
   /** decimal-routed deterministic sum of a double expression */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 10) =
@@ -277,6 +330,38 @@ object PipelineQueries {
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       graft.operators.BpeTrain.learnMergesDF(words, "word", "freq", BpeRounds)
         .orderBy(col("round"))
+    }),
+
+    "q78_bpe_encode" -> ((s, dir) => {
+      // the ENCODE step of the trained tokenizer (q77 learns the
+      // merges, this applies them): every DISTINCT word is encoded
+      // exactly once — replaying the session's fitted merge table is
+      // row-local string work over VOCAB-sized data, never the token
+      // stream — and the per-(lang, word) token counts (map-side-
+      // combined) join back on the word key to weight the statistics.
+      // Output: per-language fertility report (tokens, chars, BPE
+      // pieces, pieces per token) — the number a tokenizer team
+      // actually tracks. At 100 TB the merge table is a persisted
+      // artifact and this plan's only corpus-wide pass is the
+      // wordcount; everything after is vocab-sized.
+      val merges = bpeMerges(s, dir)
+      val lw = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("lang"), explode(col("toks")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+      val enc = lw.select(col("word")).distinct()
+        .withColumn("n_sym",
+          graft.operators.BpeTrain.symbolCount(
+            graft.operators.BpeTrain.encode(col("word"), merges)).cast("long"))
+        .withColumn("n_char", length(col("word")).cast("long"))
+      lw.join(enc, "word")
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("n")).cast("long").as("n_tokens"),
+          sum(col("n") * col("n_char")).cast("long").as("n_chars"),
+          sum(col("n") * col("n_sym")).cast("long").as("n_pieces"))
+        .withColumn("pieces_per_token",
+          round(col("n_pieces").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("lang"))
     }),
 
     "q50_repetition" -> ((s, dir) => {
@@ -497,40 +582,32 @@ object PipelineQueries {
          |FROM d GROUP BY lang, rate_pct ORDER BY lang""".stripMargin
     },
 
-    "q77_bpe_merges" -> {
-      // the same N rounds, unrolled as a CTE chain; every expression is
-      // the literal twin of the Spark side: double-space symbol
-      // encoding, adjacent-pair extraction, (count desc, pair asc)
-      // argmax, single plain-replace merge application
-      val rounds = (1 to BpeRounds).map { r =>
-        val prev = s"w${r - 1}"
-        s"""p$r AS (
-           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
-           |    SELECT unnest(list_transform(range(len(ss) - 1),
-           |      i -> ss[i+1] || ' ' || ss[i+2])) AS pair, freq
-           |    FROM (SELECT list_filter(string_split(sym, '  '), x -> x != '') AS ss,
-           |          freq FROM $prev))
-           |  GROUP BY pair),
-           |b$r AS (SELECT CAST($r AS BIGINT) AS round, pair,
-           |    replace(pair, ' ', '') AS merged, n
-           |  FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
-           |w$r AS (
-           |  SELECT replace(sym, ' ' || replace(b.pair, ' ', '  ') || ' ',
-           |      ' ' || replace(b.pair, ' ', '') || ' ') AS sym, freq
-           |  FROM $prev, b$r b)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
-      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
-         |words AS (
-         |  SELECT word, COUNT(*)::BIGINT AS freq FROM (
-         |    SELECT unnest(toks) AS word FROM dd) GROUP BY word),
-         |w0 AS (
-         |  SELECT '  ' || array_to_string(
-         |      list_filter(string_split(word, ''), c -> c != ''), '  ') || '  ' AS sym,
-         |    freq FROM words),
-         |$rounds
-         |SELECT round, pair, merged, n FROM ($union) ORDER BY round""".stripMargin
-    },
+    "q77_bpe_merges" ->
+      s"""WITH $bpeOracleCtes
+         |SELECT round, pair, merged, n
+         |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin,
+
+    "q78_bpe_encode" ->
+      // the final round's word table w{BpeRounds} IS the encoded vocab:
+      // its sym column has every learned merge applied, so symbol
+      // counts per distinct word come straight off it, weighted back by
+      // the per-(lang, word) token counts
+      s"""WITH $bpeOracleCtes,
+         |enc AS (
+         |  SELECT word,
+         |    len(list_filter(string_split(sym, '  '), x -> x != ''))::BIGINT AS n_sym
+         |  FROM w$BpeRounds),
+         |g AS (
+         |  SELECT lang, word, COUNT(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(toks) AS word FROM dd) GROUP BY lang, word)
+         |SELECT lang,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n * len(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n * n_sym) AS BIGINT) AS n_pieces,
+         |  round(CAST(SUM(n * n_sym) AS DOUBLE) / SUM(n), 6) AS pieces_per_token
+         |FROM g JOIN enc USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q70_vocab_coverage" ->
       s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),

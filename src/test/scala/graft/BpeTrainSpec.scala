@@ -86,6 +86,27 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._2).distinct.size === got.size)
   }
 
+  test("encode segments raw words exactly like the reference's merge replay") {
+    val words = Seq("aaaaa" -> 7L, "banana" -> 3L, "aabaa" -> 2L, "nab" -> 1L)
+    val df = words.toDF("word", "freq")
+    val merges = BpeTrain.learnMerges(df, "word", "freq", rounds = 4)
+    val got = df
+      .select($"word",
+        BpeTrain.encode($"word", merges).as("sym"),
+        BpeTrain.symbolCount(BpeTrain.encode($"word", merges)).as("k"))
+      .as[(String, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference: replay the same merges over symbol vectors
+    for ((w, _) <- words) {
+      val refSyms = merges.foldLeft(w.split("").toVector) { (v, m) =>
+        val Array(x, y) = m.pair.split(" ", 2)
+        refApply(v, x, y)
+      }
+      val (sym, k) = got(w)
+      assert(k === refSyms.size, s"symbol count of '$w'")
+      assert(sym === refSyms.mkString("  ", "  ", "  "), s"encoding of '$w'")
+    }
+  }
+
   test("a learned merge never survives its own round's re-pair") {
     // after round r applies (x, y), no word may still contain the
     // adjacent pair (x, y) — the single replace pass must be exhaustive
