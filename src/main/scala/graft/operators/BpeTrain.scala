@@ -146,4 +146,30 @@ object BpeTrain {
     learnMerges(words, wordCol, freqCol, rounds)
       .toDF("round", "pair", "merged", "n")
   }
+
+  /** Persist a merge table — the tokenizer's TRAIN-once artifact (the
+    * same lifecycle split as the ANN/dedup index artifacts: one
+    * training job writes it, every encode job replays it). Tiny by
+    * construction (vocab-budget rows), so readers broadcast it. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], dir: String): Unit = {
+    import spark.implicits._
+    merges.toDF("round", "pair", "merged", "n")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a persisted merge table in learned order, validating the
+    * schema with an actionable message (the dedup-index convention). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Merge] = {
+    val df = spark.read.parquet(dir)
+    val missing = Seq("round", "pair", "merged", "n").filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"merge table at $dir is missing column(s) ${missing.mkString(", ")} — " +
+        "written by an older release? Rebuild it with BpeTrain.saveMerges.")
+    df.select(col("round").cast("long"), col("pair"), col("merged"),
+        col("n").cast("long"))
+      .collect()
+      .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.round).toSeq
+  }
 }

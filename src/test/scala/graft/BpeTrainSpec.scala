@@ -107,6 +107,20 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("merge table round-trips through save/load in learned order") {
+    val words = Seq("aaaaa" -> 7L, "banana" -> 3L).toDF("word", "freq")
+    val merges = BpeTrain.learnMerges(words, "word", "freq", rounds = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    BpeTrain.saveMerges(spark, merges, dir)
+    assert(BpeTrain.loadMerges(spark, dir) === merges)
+    // a stale-format artifact fails with the rebuild message
+    spark.read.parquet(dir).drop("merged").write.parquet(s"$dir/stale")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.loadMerges(spark, s"$dir/stale")
+    }
+    assert(e.getMessage.contains("merged") && e.getMessage.contains("saveMerges"))
+  }
+
   test("a learned merge never survives its own round's re-pair") {
     // after round r applies (x, y), no word may still contain the
     // adjacent pair (x, y) — the single replace pass must be exhaustive
