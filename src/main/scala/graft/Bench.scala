@@ -76,9 +76,9 @@ object Bench {
     // speedup. Failed names land in the JSON's "failed" list, and a
     // failed pass records NO time (None): its near-zero elapsed must
     // not feed the per-query min or the headline total — a query with
-    // zero successful passes is absent from "queries"/"total" entirely
-    // (its reps render as null), so failures can only make the artifact
-    // look worse, never faster.
+    // zero successful passes is absent from "queries" (its reps render
+    // as null) and poisons "value" to null, so failures can only make
+    // the artifact look worse, never faster.
     val failed = scala.collection.mutable.SortedSet.empty[String]
     def timedPass(): Map[String, Option[Double]] =
       SparkEntry.benchQueries.map { case (name, fn) =>
@@ -106,14 +106,20 @@ object Bench {
       s"\"" + name + "\":" + passes.map(_(name).fold("null")(_.toString))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // a query with zero successful passes would silently SHRINK the
+    // headline sum (its runtime just disappears), which reads as a
+    // round-over-round speedup — so an all-reps failure poisons the
+    // total to null rather than deflating it
+    val totalJson =
+      if (names.forall(results.contains)) results.values.sum.toString
+      else "null"
     // the excluded list is DERIVED from the contract (SparkEntry
     // .verifyOnly), so the artifact can't silently misreport what the
     // bench set was when the contract changes
     val excluded = SparkEntry.verifyOnly.toSeq.sorted
       .map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val failedJson = failed.toSeq.map(q => "\"" + q + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$reps,"failed":$failedJson,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","action":"noop-sink","cpus":$cpus,"excluded_verify_only":$excluded}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"reps_sec":$reps,"failed":$failedJson,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","action":"noop-sink","cpus":$cpus,"excluded_verify_only":$excluded}""")
     spark.stop()
   }
 }

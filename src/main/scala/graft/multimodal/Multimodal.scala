@@ -310,11 +310,13 @@ object Multimodal {
   }
 
   /** Audio feature extraction: adds `n_samples`/`sum_s`/`sum_sq` from
-    * ACTUALLY-DECODED PCM frames for audio blobs — one decoder per
+    * ACTUALLY-DECODED PCM frames for WAV blobs — one decoder per
     * partition inside mapPartitions (the audio twin of
-    * [[imageFeatures]]). Non-audio, unknown-type, or null blobs pass
-    * through with null features; [[StubDecoder]] remains the fallback
-    * for media types without a JDK codec (JPEG, video). */
+    * [[imageFeatures]]). Dispatch is on `audio/wav` specifically, not
+    * every audio type: [[WavDecoder]] only speaks RIFF/WAVE, so compressed
+    * audio (mpeg, ogg) must pass through with null features rather
+    * than crash the task; [[StubDecoder]] remains the fallback for
+    * media types without a JDK codec (JPEG, MP3, video). */
   def audioFeatures(blobs: DataFrame): DataFrame = {
     val featureFields = Seq("n_samples", "sum_s", "sum_sq")
     val outSchema = StructType(blobs.schema.fields ++
@@ -328,7 +330,8 @@ object Multimodal {
         val blob = r.getAs[Array[Byte]](blobIdx)
         val mediaType = r.getStruct(metaIdx).getString(0)
         val features: Seq[Any] =
-          if (blob == null || mediaType == null || !mediaType.startsWith("audio/"))
+          if (blob == null || mediaType == null ||
+              (mediaType != "audio/wav" && mediaType != "audio/x-wav"))
             Seq(null, null, null)
           else {
             val (n, s, sq) = decoder.features(blob)

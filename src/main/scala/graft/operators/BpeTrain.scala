@@ -55,12 +55,17 @@ object BpeTrain {
     * pair's weighted count when it won its round. */
   final case class Merge(round: Long, pair: String, merged: String, n: Long)
 
+  /** Character-split a raw word into the double-space encoding — the
+    * load-bearing invariant of the operator (train and encode MUST
+    * agree on it, so both go through this one helper). */
+  private def pad(word: Column): Column =
+    concat(lit("  "),
+      array_join(filter(split(word, ""), c => c =!= ""), "  "),
+      lit("  "))
+
   /** (word, freq) → (sym, freq) in the double-space encoding. */
   def padded(words: DataFrame, wordCol: String, freqCol: String): DataFrame =
-    words.select(
-      concat(lit("  "),
-        array_join(filter(split(col(wordCol), ""), c => c =!= ""), "  "),
-        lit("  ")).as("sym"),
+    words.select(pad(col(wordCol)).as("sym"),
       col(freqCol).cast("long").as("freq"))
 
   /** Adjacent symbol pairs of one encoded word, as "x y" strings. */
@@ -92,11 +97,7 @@ object BpeTrain {
   /** Encode a raw word column under a merge table: character-split into
     * the double-space encoding, then replay the merges. */
   def encode(word: Column, merges: Seq[Merge]): Column =
-    applyMerges(
-      concat(lit("  "),
-        array_join(filter(split(word, ""), c => c =!= ""), "  "),
-        lit("  ")),
-      merges)
+    applyMerges(pad(word), merges)
 
   /** Number of symbols in an encoded-symbol string. */
   def symbolCount(sym: Column): Column =

@@ -216,6 +216,21 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/shingles")
   }
 
+  /** Fail fast with an actionable message when a persisted corpus
+    * index predates the current on-disk format (e.g. a bands table
+    * without the `sig` column) — not an opaque missing-column
+    * AnalysisException from deep inside a probe plan. Shared by every
+    * reader of the artifact (batch probe AND the streaming twin in
+    * [[graft.streaming.EventStreams.incrementalDedupVsIndex]]). */
+  private[graft] def requireIndexCols(df: DataFrame, indexDir: String,
+                                      part: String, cols: Seq[String]): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"corpus index at $indexDir/$part is missing column(s) " +
+        s"${missing.mkString(", ")} — written by an older release? " +
+        "Rebuild it with Dedup.saveCorpusIndex.")
+  }
+
   /** [[incrementalPairs]] against a PERSISTED corpus index
     * ([[saveCorpusIndex]]): the corpus side's band keys and shingles
     * are read back from parquet — nothing about the existing corpus is
@@ -229,19 +244,8 @@ object Dedup {
                               threshold: Double): DataFrame = {
     val corpusBands = spark.read.parquet(s"$indexDir/bands")
     val corpusSh = spark.read.parquet(s"$indexDir/shingles")
-    // fail fast with an actionable message when the artifact predates
-    // the current on-disk format (e.g. a bands table without the `sig`
-    // column this release added) — not an opaque missing-column
-    // AnalysisException from deep inside the probe plan
-    def requireCols(df: DataFrame, part: String, cols: Seq[String]): Unit = {
-      val missing = cols.filterNot(df.columns.contains)
-      require(missing.isEmpty,
-        s"corpus index at $indexDir/$part is missing column(s) " +
-          s"${missing.mkString(", ")} — written by an older release? " +
-          "Rebuild it with Dedup.saveCorpusIndex.")
-    }
-    requireCols(corpusBands, "bands", Seq(idCol, "sig", "band", "key"))
-    requireCols(corpusSh, "shingles", Seq(idCol, hsCol))
+    requireIndexCols(corpusBands, indexDir, "bands", Seq(idCol, "sig", "band", "key"))
+    requireIndexCols(corpusSh, indexDir, "shingles", Seq(idCol, hsCol))
     val newSigs = newSh.select(col(idCol), minhashSignature(col(hsCol)).as("sig"))
     val newBands = newSigs
       .select(col(idCol).as("__nid"), col("sig"),

@@ -197,9 +197,14 @@ object EventStreams {
     *    exactly once and the query is fully STATELESS — no
     *    dropDuplicates state to bound, unlike [[incrementalDedup]];
     *  - Jaccard verification joins the artifact's shingle table and
-    *    filters before any result materializes; the bands table is
-    *    PARTITIONED BY band on disk, so a micro-batch's probe lists
-    *    only colliding band directories.
+    *    filters before any result materializes. The bands table is
+    *    PARTITIONED BY band on disk; note that unlike the batch probe
+    *    (q73, whose plan carries a dynamicpruning PartitionFilter),
+    *    stream-static joins get NO dynamic partition pruning, so each
+    *    micro-batch scans the full bands table — per-batch read I/O is
+    *    O(corpus bands), and only the join compute is O(collisions).
+    *    At ingest scale the mitigation is batching (fewer, larger
+    *    micro-batches amortize the corpus scan), not pruning.
     *
     * @param newDocs  streaming (doc_id, text)
     * @param indexDir artifact directory written by saveCorpusIndex
@@ -208,10 +213,15 @@ object EventStreams {
   def incrementalDedupVsIndex(spark: SparkSession, indexDir: String,
                               newDocs: DataFrame, threshold: Double): DataFrame = {
     import graft.operators.Dedup
-    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+    val rawBands = spark.read.parquet(s"$indexDir/bands")
+    val rawSh = spark.read.parquet(s"$indexDir/shingles")
+    Dedup.requireIndexCols(rawBands, indexDir, "bands",
+      Seq("doc_id", "sig", "band", "key"))
+    Dedup.requireIndexCols(rawSh, indexDir, "shingles", Seq("doc_id", "hs"))
+    val corpusBands = rawBands
       .select(col("doc_id").as("partner"), col("sig").as("psig"),
         col("band").as("pband"), col("key").as("pkey"))
-    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+    val corpusSh = rawSh
       .select(col("doc_id").as("partner"), col("hs").as("phs"))
     val nb = newDocs
       .select(col("doc_id"),

@@ -118,6 +118,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming probe of a stale band index fails fast with the rebuild message") {
+    implicit val sq = spark.sqlContext
+    // same actionable-error contract as the batch probe (DedupSpec):
+    // an artifact written by the pre-`sig` release must not surface as
+    // an opaque missing-column error from inside the stream plan
+    val sh = graft.queries.DedupQueries.hashedShingles(spark, sf0001)
+      .select($"doc_id", $"hs").limit(10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_stale").toString
+    graft.operators.Dedup.saveCorpusIndex(sh, "doc_id", "hs", dir)
+    spark.read.parquet(s"$dir/bands").drop("sig")
+      .write.parquet(s"$dir/bands_stale")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/bands"))
+    assert(new java.io.File(s"$dir/bands_stale")
+      .renameTo(new java.io.File(s"$dir/bands")))
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.incrementalDedupVsIndex(spark, dir,
+        mem.toDF().toDF("doc_id", "text"), 0.5)
+    }
+    assert(e.getMessage.contains("sig") &&
+      e.getMessage.contains("saveCorpusIndex"), e.getMessage)
+  }
+
   test("streaming bloom screen replay-matches the batch probe, flags conservatively") {
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

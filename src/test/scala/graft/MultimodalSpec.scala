@@ -141,15 +141,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("audio feature extraction passes non-audio and null blobs through as nulls") {
+    // the audio/mpeg row is the load-bearing case: the WAV-only decoder
+    // must not be handed a compressed-audio type it cannot parse (a
+    // startsWith("audio/") dispatch would crash the task here)
     val mixed = Multimodal.ingestAsBlobs(Seq((1L, "text row")).toDF("doc_id", "text"))
       .select($"doc_id", $"blob", $"meta")
       .unionByName(Multimodal.ingestSynthAudio(Seq(2L).toDF("doc_id"))
         .select($"doc_id", $"blob", $"meta"))
+      .unionByName(Multimodal.ingestAsBlobs(Seq((3L, "not mpeg")).toDF("doc_id", "text"))
+        .select($"doc_id", $"blob",
+          struct(lit("audio/mpeg").as("media_type"), $"meta.n_bytes",
+            $"meta.chunk_bytes").as("meta")))
     val out = Multimodal.audioFeatures(mixed).orderBy($"doc_id")
       .select($"doc_id", $"n_samples", $"sum_sq").collect()
     assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // text/plain: untouched
     assert(!out(1).isNullAt(1) &&
       out(1).getLong(1) === Multimodal.SynthSamples.toLong)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // audio/mpeg: no JDK codec
   }
 
   test("image feature extraction passes non-image and null blobs through as nulls") {
