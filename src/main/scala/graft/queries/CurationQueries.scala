@@ -320,7 +320,84 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("n_sh"), col("n_hit"), col("overlap"))
         .orderBy(col("doc_id"))
     }),
+
+    "q79_boilerplate_scrub" -> ((s, dir) => {
+      // C4/RefinedWeb-style boilerplate removal at q66's chunk grain:
+      // a chunk occurring in >= BoilerplateMinDf distinct documents is
+      // removed from EVERY document (q66's span dedup keeps the first
+      // occurrence — a scrub keeps none). Shape: chunk+hash row-local;
+      // ONE corpus shuffle computes chunk document frequency with
+      // map-side combine; the boilerplate set is small by construction
+      // (distinct chunks x DF tail), so the flag-back join broadcasts
+      // and only the per-doc rollup shuffles again.
+      graft.operators.Scrub.boilerplateReport(
+          chunkTable(s, dir), BoilerplateMinDf)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q80_pii_scrub" -> ((s, dir) => {
+      // PII redaction audit. The fixture corpus is synthetic words, so
+      // the PII is INJECTED deterministically from doc_id (identically
+      // in the oracle SQL) — docs pick up an email, a phone, an IPv4
+      // literal, or any combination, by residue class; the operator
+      // under test is the portable-regex scrub itself. Entirely
+      // row-local codegen'd string work: zero shuffle at any scale.
+      import graft.operators.Scrub
+      val (ne, np, ni) = Scrub.piiCounts(col("text"))
+      docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), injectPii(col("doc_id"), col("text")).as("text"))
+        .select(col("doc_id"),
+          ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"),
+          length(Scrub.redact(col("text"))).cast("long").as("clean_len"),
+          charHash(Scrub.redact(col("text"))).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** q79 boilerplate threshold: a chunk in >= 2 distinct docs is
+    * boilerplate. Low because the fixture's clone density is low; a
+    * production corpus would set this to O(10). */
+  val BoilerplateMinDf = 2L
+
+  /** The (doc_id, idx, h) chunk table at q66's geometry (32-token
+    * windows every 24 tokens, charHash fingerprints). */
+  private def chunkTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val st = TextQueries.ChunkStride
+    val cs = TextQueries.ChunkSize
+    docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0L), col("n_chunks") - 1), i =>
+          charHash(concat_ws(" ",
+            slice(col("toks"), (i * st + 1).cast("int"), lit(cs)))))))
+      .toDF("doc_id", "idx", "h")
+  }
+
+  /** q80's deterministic PII injection — text plus an email / phone /
+    * IPv4 literal by doc_id residue class (doc 0 gets all three). The
+    * oracle twin is [[injectPiiSql]]; both must track exactly. */
+  private def injectPii(docId: Column, text: Column): Column = concat(
+    text,
+    when(pmod(docId, lit(3L)) === 0,
+      concat(lit(" contact u"), docId, lit("@ex-mail.org"))).otherwise(lit("")),
+    when(pmod(docId, lit(4L)) === 0,
+      concat(lit(" call +1-555-"),
+        lpad(pmod(docId, lit(10000L)).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(pmod(docId, lit(5L)) === 0,
+      concat(lit(" from 10.0."), pmod(docId, lit(256L)),
+        lit("."), pmod(docId * 7, lit(256L)))).otherwise(lit("")))
+
+  private def injectPiiSql(id: String, e: String): String =
+    s"($e || " +
+      s"(CASE WHEN $id % 3 = 0 THEN ' contact u' || $id || '@ex-mail.org' ELSE '' END) || " +
+      s"(CASE WHEN $id % 4 = 0 THEN ' call +1-555-' || lpad(($id % 10000)::VARCHAR, 4, '0') ELSE '' END) || " +
+      s"(CASE WHEN $id % 5 = 0 THEN ' from 10.0.' || ($id % 256) || '.' || (($id * 7) % 256) ELSE '' END))"
 
   val oracleSql: Map[String, String] = Map(
 
@@ -470,6 +547,40 @@ object CurationQueries {
          |SELECT vec_id, true_label, pred_label, n_votes,
          |  CAST(true_label = pred_label AS BIGINT) AS correct
          |FROM win WHERE vrk = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    "q79_boilerplate_scrub" -> {
+      val stn = TextQueries.ChunkStride
+      val csn = TextQueries.ChunkSize
+      val chunkText = s"array_to_string(list_slice(toks, i * $stn + 1, i * $stn + $csn), ' ')"
+      s"""WITH d AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensSql("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    ((len(toks)::BIGINT + ${stn - 1}) // $stn) AS n_chunks FROM d),
+         |chunks AS (SELECT doc_id,
+         |    unnest(list_transform(range(n_chunks), i -> ${charHashSql(chunkText)})) AS h
+         |  FROM c WHERE n_chunks > 0),
+         |bp AS (SELECT h FROM chunks GROUP BY h
+         |       HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinDf)
+         |SELECT chunks.doc_id, COUNT(*)::BIGINT AS n_chunks,
+         |  CAST(SUM(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bp,
+         |  CAST(SUM(CASE WHEN bp.h IS NULL THEN chunks.h ELSE 0 END) AS BIGINT)
+         |    AS kept_checksum,
+         |  round((COUNT(*) - SUM(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END))::DOUBLE
+         |    / COUNT(*), 6) AS kept_ratio
+         |FROM chunks LEFT JOIN bp ON chunks.h = bp.h
+         |GROUP BY chunks.doc_id ORDER BY chunks.doc_id""".stripMargin
+    },
+
+    "q80_pii_scrub" -> {
+      import graft.operators.Scrub
+      s"""WITH p AS (SELECT doc_id, ${injectPiiSql("doc_id", "text")} AS text FROM documents)
+         |SELECT doc_id,
+         |  ${Scrub.piiCountSql("text", Scrub.EmailPattern)} AS n_email,
+         |  ${Scrub.piiCountSql("text", Scrub.PhonePattern)} AS n_phone,
+         |  ${Scrub.piiCountSql("text", Scrub.Ipv4Pattern)} AS n_ip,
+         |  length(${Scrub.redactSql("text")})::BIGINT AS clean_len,
+         |  ${charHashSql(Scrub.redactSql("text"))} AS clean_fp
+         |FROM p ORDER BY doc_id""".stripMargin
     },
   )
 }

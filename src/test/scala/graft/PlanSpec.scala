@@ -284,4 +284,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"packing should need a single window pass (plus none hidden):\n$p")
     assert(p.contains("pack_group"), s"window must partition by pack_group:\n$p")
   }
+
+  test("q79 boilerplate scrub broadcasts the flag-back join, never re-shuffles chunks on h") {
+    // the boilerplate set (DF-filtered aggregate output) is the small
+    // side by construction; a SortMergeJoin here means the corpus-sized
+    // chunk table pays a second hash-shuffle just to learn its flags
+    val p = plan("q79_boilerplate_scrub")
+    assert(p.contains("BroadcastHashJoin"),
+      s"flag-back join must broadcast the boilerplate set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"chunk table must not re-shuffle for the flag join:\n$p")
+  }
 }
