@@ -115,6 +115,13 @@ object PortableHash {
     * value reproducible by pure integer SQL in the oracle. */
   val AudioPair: (Long, Long) = affineConstants(1212L, 1).head
 
+  /** Synthetic-video hash — its own member (decoupled from
+    * [[PixelPair]]/[[AudioPair]] so no two media fixtures can alias):
+    * gray value of flat (frame, pixel) index k of clip id is
+    * ((a·x + b) mod P) mod 256, reproducible by pure integer SQL in
+    * the oracle. */
+  val FramePair: (Long, Long) = affineConstants(1313L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * instance per partition, rows processed in fixed-size batches, never
   * one model per row).
   *
-  * The actual codec is STUBBED: this container has no image/audio
-  * libraries, so [[StubDecoder]] is a deterministic fake (byte
-  * statistics). The Spark-side contract — schema, partitioning, batch
-  * shape, null passthrough — is real and tested; a JPEG/PNG/audio
-  * decoder drops in by replacing one function.
+  * Three media families decode FOR REAL with JDK codecs (zero-egress):
+  * images via ImageIO ([[ImageIoDecoder]], q74), WAV audio via
+  * javax.sound.sampled ([[WavDecoder]], q76), and multi-frame video
+  * via animated GIF ([[GifDecoder]], q81). [[StubDecoder]] remains the
+  * deterministic fake for formats with no JDK codec (JPEG-in-container
+  * variants, MP3, MP4): the Spark-side contract — schema, partitioning,
+  * batch shape, null passthrough — is identical, so a native codec
+  * drops in by replacing one function.
   *
   * Scale posture: blobs never shuffle (all feature extraction is
   * row-local within a scan); at 100 TB the blob table would be stored
@@ -316,7 +319,7 @@ object Multimodal {
     * every audio type: [[WavDecoder]] only speaks RIFF/WAVE, so compressed
     * audio (mpeg, ogg) must pass through with null features rather
     * than crash the task; [[StubDecoder]] remains the fallback for
-    * media types without a JDK codec (JPEG, MP3, video). */
+    * media types without a JDK codec (JPEG, MP3, MP4). */
   def audioFeatures(blobs: DataFrame): DataFrame = {
     val featureFields = Seq("n_samples", "sum_s", "sum_sq")
     val outSchema = StructType(blobs.schema.fields ++
@@ -342,10 +345,180 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // Real video path (multi-frame animated GIF via javax.imageio —
+  // in the JDK, zero-egress-safe). GIF is palette-indexed: with a
+  // 256-entry grayscale palette (index i ↦ rgb(i,i,i)) every 8-bit
+  // frame round-trips LOSSLESSLY, which is what makes a real decode
+  // oracle-checkable by integer arithmetic (the video twin of the
+  // q74 PNG / q76 WAV construction).
+  // ---------------------------------------------------------------
+
+  /** Synthetic-clip geometry: 8×8 grayscale frames; clip `id` has
+    * 2 + (id mod 3) frames, so the corpus is RAGGED — frame counts,
+    * not just pixel values, exercise the decoder loop. */
+  val VideoSide = 8
+  val VideoMaxFrames = 4
+  val VideoPixels: Int = VideoSide * VideoSide
+
+  def videoFrameCount(id: Long): Int = (2 + Math.floorMod(id, 3L)).toInt
+
+  /** Gray value of pixel `j` of frame `f` in clip `id`: the dedicated
+    * video affine hash of the flat (frame, pixel) index, mod 256. Same
+    * reduce-mod-P-before-multiply guard as [[synthChannel]]. */
+  def synthGray(id: Long, f: Int, j: Int): Int = {
+    val (a, b) = graft.functions.PortableHash.FramePair
+    val p = graft.functions.PortableHash.P
+    val x = ((id % p) * (VideoMaxFrames * VideoPixels) + f * VideoPixels + j) % p
+    (((a * x + b) % p) % 256L).toInt
+  }
+
+  /** Identity grayscale palette — GIF stores this color table verbatim
+    * and the decoder hands back exactly rgb(i,i,i) for stored index i,
+    * the losslessness q81's oracle rests on. */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** The GIF reader/writer SPIs, resolved ONCE per JVM (executor):
+    * `ImageIO.getImageReadersByFormatName` walks the service registry
+    * on every call — the same per-call facade tax as the audio SPI
+    * lookup ([[wavReader]]); provider instances are created per
+    * partition instead. */
+  private lazy val gifWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    imageIoHeapStreams
+    javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      .getOriginatingProvider
+  }
+  private lazy val gifReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    imageIoHeapStreams
+    javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      .getOriginatingProvider
+  }
+
+  /** Deterministic multi-frame GIF for `id`: [[videoFrameCount]] frames
+    * of [[synthGray]] pixels, written as one animated-GIF sequence by
+    * ImageIO. */
+  def synthGif(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = gifWriterSpi.createWriterInstance()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val nf = videoFrameCount(id)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(VideoSide, VideoSide,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var j = 0
+        while (j < VideoPixels) {
+          raster.setSample(j % VideoSide, j / VideoSide, 0, synthGray(id, f, j))
+          j += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic animated-GIF blob per row (media_type
+    * "image/gif") — the video twin of [[ingestSynthImages]]; encoding
+    * is row-local, blobs never shuffle. */
+  def ingestSynthVideo(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("blob", BinaryType, nullable = true),
+      StructField("meta", MediaMetaType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = synthGif(r.getLong(idIdx))
+        Row.fromSeq(r.toSeq ++ Seq(blob,
+          Row("image/gif", blob.length.toLong, DefaultChunkBytes)))
+      }
+    }(enc)
+  }
+
+  /** The real multi-frame decoder: one ImageIO GIF reader per call site
+    * (instances are cheap once the SPI is resolved; not thread-safe, so
+    * per-partition use only). */
+  object GifDecoder extends Serializable {
+    /** (n_frames, sampled (frame_idx, gray_sum) pairs) of one animated
+      * GIF, sampling every `everyK`-th frame — REAL temporal frame
+      * sampling over actually-decoded pixels (the video analogue of
+      * [[sampleFrames]]' byte-chunk stand-in). */
+    def sampledFrames(blob: Array[Byte], everyK: Int): (Long, Seq[(Long, Long)]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val reader = gifReaderSpi.createReaderInstance()
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        val out = Seq.newBuilder[(Long, Long)]
+        var f = 0
+        while (f < n) {
+          if (f % everyK == 0) {
+            val img = reader.read(f)
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += (img.getRGB(x, y) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            out += ((f.toLong, s))
+          }
+          f += 1
+        }
+        (n.toLong, out.result())
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** Temporal frame sampling over video blobs: one output row per
+    * SAMPLED frame — (frame_idx, n_frames, gray_sum) appended to the
+    * input row — from ACTUALLY-DECODED frames. Non-GIF, unknown-type,
+    * or null blobs emit no rows (a video op over a mixed corpus scans
+    * past foreign media). One decoder per partition; blobs never
+    * shuffle — only the small per-frame feature rows move. */
+  def videoFrameFeatures(blobs: DataFrame, everyK: Int): DataFrame = {
+    require(everyK > 0, "everyK must be positive")
+    val outSchema = StructType(blobs.schema.fields ++ Seq(
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      val decoder = GifDecoder // one decoder per partition
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        if (blob == null || mediaType != "image/gif") Iterator.empty
+        else {
+          val (n, frames) = decoder.sampledFrames(blob, everyK)
+          frames.iterator.map { case (f, s) =>
+            Row.fromSeq(r.toSeq ++ Seq(f, n, s))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic fake "decode": byte statistics standing in for real
     * decoded features — the fallback contract for media types the JDK
-    * has no codec for (the real paths are [[ImageIoDecoder]] for images
-    * and [[WavDecoder]] for WAV audio). */
+    * has no codec for (the real paths are [[ImageIoDecoder]] for
+    * images, [[WavDecoder]] for WAV audio, and [[GifDecoder]] for
+    * multi-frame GIF video). */
   object StubDecoder extends Serializable {
     /** (byte_sum mod P, n_chunks) for one blob. */
     def features(blob: Array[Byte], chunkBytes: Int): (Long, Long) = {

@@ -30,13 +30,25 @@ import graft.multimodal.Multimodal
   * WAV clips (javax.sound.sampled encode), decoded back frame-by-frame
   * into sample count / signed sum / energy; sample values derive from
   * the portable audio hash, so hash-green certifies a real audio codec
-  * round-trip. Only video/JPEG remain on [[graft.multimodal.Multimodal.StubDecoder]]
-  * (no JDK codec exists for them).
+  * round-trip.
+  *
+  * q81 closes the family with VIDEO: deterministic multi-frame animated
+  * GIFs (palette-indexed grayscale — lossless by construction), decoded
+  * frame-by-frame with temporal sampling (every 2nd frame) into per-doc
+  * frame counts and sampled gray mass; hash-green certifies real
+  * multi-frame decode + frame sampling. Only formats with no JDK codec
+  * (JPEG variants, MP3, MP4) remain on
+  * [[graft.multimodal.Multimodal.StubDecoder]].
   */
 object MultimodalQueries {
 
   /** q61: keep every k-th chunk as a frame. */
   val FrameEvery = 4
+
+  /** q81: decode every k-th frame of each clip. 2 against the 2–4-frame
+    * synthetic clips means some clips sample 1 frame and some 2 — the
+    * sampler's modular arithmetic is exercised, not just pass-through. */
+  val VideoSampleEvery = 2
 
   private def byteFoldSum(strCol: org.apache.spark.sql.Column) =
     aggregate(
@@ -116,6 +128,31 @@ object MultimodalQueries {
           sum(col("f0")).cast("long").as("first_frame_sum"))
         .orderBy(col("doc_id"))
     }),
+
+    "q81_video_decode" -> ((s, dir) => {
+      // the REAL video decode path, end to end (the temporal twin of
+      // q74/q76): deterministic multi-frame animated GIFs generated per
+      // document (palette-indexed grayscale, ImageIO encode), then
+      // DECODED frame by frame with temporal sampling (every 2nd frame)
+      // into per-clip frame counts and sampled gray mass. GIF's stored
+      // palette makes the 8-bit round-trip lossless and the gray values
+      // derive from the portable video hash, so the oracle reproduces
+      // the decoded sums by pure integer arithmetic — hash-green means
+      // real multi-frame decode AND correct frame selection. All
+      // row-local: blobs never shuffle; only (doc_id, frame stats)
+      // rows reach the rollup.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"))
+      Multimodal.videoFrameFeatures(
+          Multimodal.ingestSynthVideo(docs), VideoSampleEvery)
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("n_frames")).as("n_frames"),
+          count(lit(1)).as("n_sampled"),
+          sum(col("gray_sum")).cast("long").as("gray_mass"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,6 +221,27 @@ object MultimodalQueries {
          |  CAST(SUM(CASE WHEN idx = 0 THEN $f0fold ELSE 0 END) AS BIGINT)
          |    AS first_frame_sum
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q81_video_decode" -> {
+      val (a, b) = graft.functions.PortableHash.FramePair
+      val p = graft.functions.PortableHash.P
+      val n = Multimodal.VideoMaxFrames * Multimodal.VideoPixels
+      val px = Multimodal.VideoPixels
+      // gray value of pixel j in frame fr of clip d:
+      // ((a * (((d % P)*n + fr*px + j) % P) + b) % P) % 256 — the exact
+      // integers the palette-indexed GIF round-trip must hand back;
+      // same reduce-mod-P-before-multiply overflow guard as q74/q76
+      s"""WITH d AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT AS nf FROM documents),
+         |f AS (SELECT doc_id, nf,
+         |    unnest(list_filter(range(nf), x -> x % $VideoSampleEvery = 0)) AS fr
+         |  FROM d),
+         |px AS (SELECT doc_id, nf, fr, unnest(range($px)) AS j FROM f)
+         |SELECT doc_id, MAX(nf)::BIGINT AS n_frames,
+         |  COUNT(DISTINCT fr)::BIGINT AS n_sampled,
+         |  CAST(SUM((($a * (((doc_id % $p) * $n + fr * $px + j) % $p) + $b) % $p) % 256)
+         |    AS BIGINT) AS gray_mass
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
   )
 }

@@ -187,4 +187,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id").as[Long].collect().toSeq
     assert(out === Seq(1L)) // only the non-empty blob produces frames
   }
+
+  test("synthetic GIF round-trips through a real multi-frame decode to exact grays") {
+    // encode with ImageIO's GIF writer, decode with its reader; the
+    // identity gray palette makes the 8-bit round-trip lossless, so
+    // every decoded pixel must equal the synth formula (the video twin
+    // of the PNG and WAV round-trip tests)
+    val id = 7L // 7 % 3 = 1 -> 3 frames
+    val gif = Multimodal.synthGif(id)
+    assert(gif(0) === 'G'.toByte && gif(1) === 'I'.toByte && gif(2) === 'F'.toByte)
+    val (n, all) = Multimodal.GifDecoder.sampledFrames(gif, everyK = 1)
+    assert(n === 3L)
+    assert(all.map(_._1) === Seq(0L, 1L, 2L))
+    all.foreach { case (f, s) =>
+      val want = (0 until Multimodal.VideoPixels)
+        .map(j => Multimodal.synthGray(id, f.toInt, j).toLong).sum
+      assert(s === want, s"frame $f gray sum")
+    }
+    // temporal sampling: every 2nd frame of a 3-frame clip is {0, 2}
+    val (_, sampled) = Multimodal.GifDecoder.sampledFrames(gif, everyK = 2)
+    assert(sampled.map(_._1) === Seq(0L, 2L))
+    // the distributed path lands on the same statistics
+    val rows = Multimodal.videoFrameFeatures(
+        Multimodal.ingestSynthVideo(Seq(id).toDF("doc_id")), everyK = 2)
+      .select($"frame_idx", $"n_frames", $"gray_sum")
+      .orderBy($"frame_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === Seq(0L, 2L))
+    assert(rows.forall(_._2 === 3L))
+    assert(rows.map(r => r._1 -> r._3).toMap === sampled.toMap)
+  }
+
+  test("video frame features scan past non-gif blobs instead of decoding them") {
+    val mixed = Multimodal.ingestAsBlobs(Seq((1L, "text row")).toDF("doc_id", "text"))
+      .select($"doc_id", $"blob", $"meta")
+      .unionByName(Multimodal.ingestSynthVideo(Seq(2L).toDF("doc_id"))
+        .select($"doc_id", $"blob", $"meta"))
+    val out = Multimodal.videoFrameFeatures(mixed, everyK = 1)
+      .select($"doc_id").distinct().as[Long].collect().toSeq
+    assert(out === Seq(2L)) // the text blob emits no frame rows
+  }
 }
