@@ -108,7 +108,13 @@ object PlanDump {
         "back from a parquet layout PARTITIONED BY cell and the probe's " +
         "`cell IN (...)` appears as a static PartitionFilter on the scan — " +
         "only nProbe of the cell directories are listed, let alone read; " +
-        "exact rescore + top-k heaps above."))
+        "exact rescore + top-k heaps above."),
+    "q79_boilerplate_scrub" ->
+      ("Boilerplate scrub: chunk+hash row-local, ONE corpus shuffle for the " +
+        "chunk document-frequency aggregate (map-side combined), then the " +
+        "DF-filtered boilerplate set — small by construction — returns via " +
+        "`BroadcastHashJoin`: the corpus-sized chunk table is never " +
+        "re-shuffled just to learn its flags."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
