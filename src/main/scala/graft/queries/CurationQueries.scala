@@ -27,6 +27,13 @@ import graft.functions.VectorFunctions._
   *      vectors for every test-split vector (auto-labeling /
   *      label-noise audit over the embedding space).
   *
+  * Later-round additions: q62 OOV rate, q65 bloom-reduced decontam,
+  * q79 boilerplate scrub + q80 PII redaction (operators/Scrub), and
+  * q82 DSIR importance weights — hashed bag-of-bigrams log-ratio
+  * selection of the most target-like pool documents (Xie et al.,
+  * NeurIPS 2023), the data-selection step between quality filtering
+  * and domain mixing.
+  *
   * Scale shapes: q52 is explode → hash equi-join → two map-side-combined
   * aggregations (the train shingle set is corpus-sized, so it is NEVER
   * broadcast — the join shuffles on the shingle hash, exactly like a
@@ -79,6 +86,13 @@ object CurationQueries {
 
   /** q55: how many lowest-likelihood docs to surface. */
   val UnigramBottomK = 20
+
+  /** q82: hashed-feature space size and how many top-importance docs
+    * the selection reports. 4096 buckets keeps the ratio table
+    * broadcast-sized at ANY corpus scale (the table is bounded by the
+    * feature space, not the data). */
+  val DsirBuckets = 4096
+  val DsirTopK = 25
 
   /** q56: neighbors per vote. */
   val KnnVoteK = 5
@@ -321,6 +335,27 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q82_dsir_weights" -> ((s, dir) => {
+      // DSIR-style data selection (Xie et al., NeurIPS 2023 — public
+      // literature): importance weight of a raw-pool document under a
+      // hashed bag-of-bigrams model is the sum over its bigram
+      // instances of ln p_target(b) − ln p_pool(b) (add-1 smoothed),
+      // i.e. how much more target-like than pool-like its n-grams are;
+      // the top-weight docs are what importance resampling keeps. The
+      // target split is the benchmark bucket (>= 90), the pool the
+      // train bucket (< 80) — the same SplitPair geometry as q52/q62.
+      // Scale shape: bigram hashing is row-local; BOTH count tables
+      // collapse to <= DsirBuckets rows under map-side combine, so the
+      // log-ratio table broadcasts at any corpus size; the pool pays
+      // one explode + one per-doc rollup (decimal-routed so partition
+      // order cannot move the double sum) into global top-k heaps.
+      val bg = hashedBigrams(s, dir)
+      dsirWeightReport(bg.filter(col("bucket") >= 90),
+          bg.filter(col("bucket") < 80))
+        .orderBy(col("weight").desc, col("doc_id").asc)
+        .limit(DsirTopK)
+    }),
+
     "q79_boilerplate_scrub" -> ((s, dir) => {
       // C4/RefinedWeb-style boilerplate removal at q66's chunk grain:
       // a chunk occurring in >= BoilerplateMinDf distinct documents is
@@ -359,6 +394,46 @@ object CurationQueries {
     * boilerplate. Low because the fixture's clone density is low; a
     * production corpus would set this to O(10). */
   val BoilerplateMinDf = 2L
+
+  /** q82 feature extraction: (doc_id, lang, bucket, b) — one row per
+    * token-bigram instance, b = charHash of the bigram mod
+    * [[DsirBuckets]]. Row-local off the shared tokenized cache. */
+  private def hashedBigrams(s: SparkSession, dir: String): DataFrame =
+    KeywordQueries.tokenizedDocs(s, dir)
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        explode(TextQueries.shingleCol(col("toks"), 2)).as("s"))
+      .withColumn("b", charHash(col("s")) % lit(DsirBuckets.toLong))
+      .drop("s")
+
+  /** Per-document DSIR log importance weights of `pool` docs against
+    * the `target` feature distribution. Both inputs carry one row per
+    * hashed-bigram instance (column `b`); both count aggregates are
+    * bounded by the feature-space size, so the ratio table broadcasts
+    * regardless of corpus size. Returns (doc_id, lang, n_grams,
+    * weight), weight = Σ ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)) over
+    * the doc's bigram instances, decimal-routed and rounded to 6 dp. */
+  private[graft] def dsirWeightReport(target: DataFrame,
+                                      pool: DataFrame): DataFrame = {
+    val bLit = lit(DsirBuckets.toLong)
+    val ct = target.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cr = pool.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val nr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    val ratio = cr.join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double")) -
+          log((col("nt") + bLit).cast("double")) -
+          log((col("cr") + 1).cast("double")) +
+          log((col("nr") + bLit).cast("double"))).as("lr"))
+    pool.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("lr").cast("decimal(28,12)")).cast("double").as("sw"))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        round(col("sw"), 6).as("weight"))
+  }
 
   /** The (doc_id, idx, h) chunk table at q66's geometry (32-token
     * windows every 24 tokens, charHash fingerprints). */
@@ -547,6 +622,31 @@ object CurationQueries {
          |SELECT vec_id, true_label, pred_label, n_votes,
          |  CAST(true_label = pred_label AS BIGINT) AS correct
          |FROM win WHERE vrk = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    "q82_dsir_weights" -> {
+      val bN = DsirBuckets
+      val sh2 = TextQueries.shingleSql("toks", 2)
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |ws AS (SELECT doc_id, lang, toks, ${splitBucketSql("doc_id")} AS bucket FROM dd),
+         |bg AS (SELECT doc_id, lang, bucket, ${charHashSql("s")} % $bN AS b
+         |  FROM (SELECT doc_id, lang, bucket, unnest($sh2) AS s FROM ws)),
+         |ct AS (SELECT b, COUNT(*) AS ct FROM bg WHERE bucket >= 90 GROUP BY b),
+         |cr AS (SELECT b, COUNT(*) AS cr FROM bg WHERE bucket < 80 GROUP BY b),
+         |nt AS (SELECT COALESCE(SUM(ct), 0)::BIGINT AS nt FROM ct),
+         |nr AS (SELECT COALESCE(SUM(cr), 0)::BIGINT AS nr FROM cr),
+         |ratio AS (
+         |  SELECT cr.b,
+         |    ln((COALESCE(ct.ct, 0) + 1)::DOUBLE) - ln((nt + $bN)::DOUBLE)
+         |    - ln((cr.cr + 1)::DOUBLE) + ln((nr + $bN)::DOUBLE) AS lr
+         |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nt CROSS JOIN nr),
+         |w AS (
+         |  SELECT bg.doc_id, bg.lang, COUNT(*)::BIGINT AS n_grams,
+         |    round(CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |  FROM bg JOIN ratio ON bg.b = ratio.b WHERE bg.bucket < 80
+         |  GROUP BY bg.doc_id, bg.lang)
+         |SELECT doc_id, lang, n_grams, weight FROM w
+         |ORDER BY weight DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
     },
 
     "q79_boilerplate_scrub" -> {

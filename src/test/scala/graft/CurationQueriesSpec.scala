@@ -197,4 +197,42 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
+
+  test("q82 DSIR weights rank target-like docs above off-target docs, to the formula") {
+    // hand corpus in hashed-bigram form: pool doc 1 shares both its
+    // features with the target, doc 2 shares none — the importance
+    // weight must separate them, and doc 1's value must equal the
+    // add-1-smoothed log-ratio sum computed by hand
+    val target = Seq((100L, "en", 1L), (100L, "en", 1L), (100L, "en", 2L))
+      .toDF("doc_id", "lang", "b")
+    val pool = Seq((1L, "en", 1L), (1L, "en", 2L), (2L, "en", 7L), (2L, "en", 8L))
+      .toDF("doc_id", "lang", "b")
+    val got = CurationQueries.dsirWeightReport(target, pool)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_grams", $"weight")
+      .as[(Long, Long, Double)].collect().toSeq
+    val B = CurationQueries.DsirBuckets.toDouble
+    val (nt, nr) = (3.0, 4.0)
+    def lr(ct: Double, cr: Double) =
+      math.log(ct + 1) - math.log(nt + B) - math.log(cr + 1) + math.log(nr + B)
+    val w1 = lr(2, 1) + lr(1, 1) // features 1 and 2: in-target
+    val w2 = lr(0, 1) + lr(0, 1) // features 7 and 8: off-target
+    assert(got.map(_._1) === Seq(1L, 2L))
+    assert(got.forall(_._2 === 2L))
+    assert(math.abs(got(0)._3 - w1) < 1e-6, s"${got(0)._3} vs $w1")
+    assert(math.abs(got(1)._3 - w2) < 1e-6, s"${got(1)._3} vs $w2")
+    assert(got(0)._3 > got(1)._3, "target-like doc must outrank off-target doc")
+  }
+
+  test("q82 declared query reports pool docs only, weights non-increasing") {
+    val (a, b) = SplitPair
+    val p = graft.functions.PortableHash.P
+    val got = run("q82_dsir_weights")
+      .select($"doc_id", $"weight").as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.size <= CurationQueries.DsirTopK)
+    // every reported doc is in the pool split (bucket < 80)
+    assert(got.forall { case (id, _) => ((a * id + b) % p) % 100 < 80 })
+    // the report is the top of a descending ranking
+    assert(got.map(_._2) === got.map(_._2).sorted.reverse)
+  }
 }
