@@ -67,6 +67,11 @@ object DedupQueries {
   val SimhashChunkBits = 8
   val HammingMax = 5L
 
+  /** q83: fixed PageRank depth (fixed-depth plan, no convergence loop)
+    * and how many hub documents the report surfaces. */
+  val PageRankRounds = 3
+  val PageRankTopK = 20
+
   /** q19's pipeline: MinHash band-key candidates verified by exact
     * Jaccard — shared by q19 (pairs) and q31 (survivor selection). */
   private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
@@ -252,6 +257,25 @@ object DedupQueries {
         .select(col("doc_id"), col("component"), col("quality"),
           (col("rk") === 1).cast("int").as("is_survivor"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q83_dup_pagerank" -> ((s, dir) => {
+      // hub documents of the near-dup graph: damped PageRank (3
+      // unrolled rounds) over the SAME session-cached verified LSH
+      // pairs q19/q31/q67 consume, symmetrized — inside a duplicate
+      // cluster the highest-rank doc is the one most connected to
+      // other dups (the "canonical copy" signal, complementary to the
+      // min-id / quality-argmax survivor policies). Each round is one
+      // map-side-combined shuffle keyed on the destination node over
+      // edge-sized data (≪ corpus); ranks/degrees are node-sized.
+      val pairs = lshVerifiedPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.operators.PageRank.ranks(edges, PageRankRounds)
+        .select(col("id").as("doc_id"), col("degree"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("doc_id").asc)
+        .limit(PageRankTopK)
     }),
 
     "q67_cluster_stats" -> ((s, dir) =>
@@ -548,6 +572,37 @@ object DedupQueries {
            |  FROM labels l JOIN qual q ON l.doc_id = q.doc_id)
            |SELECT doc_id, component, quality, CAST(rk = 1 AS INT) AS is_survivor
            |FROM r ORDER BY doc_id""".stripMargin
+      },
+
+      "q83_dup_pagerank" -> {
+        val dmp = graft.operators.PageRank.Damping
+        val tel = graft.operators.PageRank.Teleport
+        // one CTE pair per unrolled round, mirroring the Scala loop
+        // op-for-op: the neighbor sum routes through DECIMAL(28,12)
+        // and the teleport/damping affine runs on the summed double,
+        // with the constants interpolated from the SAME fields so both
+        // engines parse identical double literals
+        val roundCtes = (1 to PageRankRounds).map { i =>
+          s"r${i}m AS (SELECT e.dst AS id, " +
+            s"CAST(SUM(CAST(r${i - 1}.rank / deg.degree AS DECIMAL(28,12))) AS DOUBLE) AS m " +
+            s"FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.id " +
+            s"JOIN deg ON e.src = deg.id GROUP BY e.dst),\n" +
+            s"r$i AS (SELECT id, $tel / n_nodes + $dmp * m AS rank " +
+            s"FROM r${i}m CROSS JOIN nn)"
+        }.mkString(",\n")
+        val rf = s"r$PageRankRounds"
+        s"""WITH $lshPairsCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src),
+           |nn AS (SELECT COUNT(*)::DOUBLE AS n_nodes FROM deg),
+           |r0 AS (SELECT id, 1.0 / n_nodes AS rank FROM deg CROSS JOIN nn),
+           |$roundCtes
+           |SELECT d.id AS doc_id, d.degree::BIGINT AS degree,
+           |  round($rf.rank, 6) AS rank
+           |FROM $rf JOIN deg d ON $rf.id = d.id
+           |ORDER BY round($rf.rank, 6) DESC, doc_id ASC
+           |LIMIT $PageRankTopK""".stripMargin
       },
 
       "q67_cluster_stats" ->
