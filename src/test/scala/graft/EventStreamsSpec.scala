@@ -118,6 +118,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("pii scrub is ingest-safe: streaming redaction equals the batch scrub") {
+    implicit val sq = spark.sqlContext
+    // the scrub family is row-local, so it must compose with a stream
+    // unchanged — the ingest-time hygiene pass of the daily pipeline
+    import graft.operators.Scrub
+    val docs = Seq(
+      (1L, "write u1@ex-mail.org or call +1-555-0001"),
+      (2L, "host 10.0.2.14 plain row"),
+      (3L, "no pii at all"))
+    val mem = MemoryStream[(Long, String)]
+    val (ne, np, ni) = Scrub.piiCounts(col("text"))
+    def scrubbed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Scrub.redact(col("text")).as("clean"),
+        ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"))
+    val q = scrubbed(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("piistream").outputMode("append").start()
+    try {
+      mem.addData(docs.take(2)); q.processAllAvailable()
+      mem.addData(docs.drop(2)); q.processAllAvailable()
+      val got = spark.table("piistream")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val want = scrubbed(docs.toDF("doc_id", "text"))
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got === want)
+      assert(want.exists(_._3 > 0) && want.exists(_._5 > 0)) // non-degenerate
+    } finally q.stop()
+  }
+
   test("streaming probe of a stale band index fails fast with the rebuild message") {
     implicit val sq = spark.sqlContext
     // same actionable-error contract as the batch probe (DedupSpec):
