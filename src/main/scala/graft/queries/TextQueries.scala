@@ -25,6 +25,56 @@ object TextQueries {
   val ChunkSize = 32
   val ChunkStride = 24
 
+  /** q84 rendering geometry: the fixture corpus is single-line word
+    * soup, so the Gopher line-level rules need documents WITH structure.
+    * Like q80's PII injection, structure is injected deterministically
+    * from doc_id (identically in the oracle SQL): tokens are wrapped
+    * into [[RenderLineLen]]-token lines; residue classes of (doc_id, i)
+    * add bullets / '#' symbol spam / trailing ellipses, including whole
+    * "listy" (doc_id % 8 == 6), "symbol-spam" (% 9 == 4) and
+    * "ellipsis-heavy" (% 10 == 7) document classes so every line rule
+    * has real failures. The operator under test is [[graft.operators.Gopher]]
+    * itself — the rendering is fixture enrichment, not the operator. */
+  val RenderLineLen = 8
+
+  /** q84 required-word list: the fixture-adapted stand-in for Gopher's
+    * English stopword-presence rule (the list is corpus-specific by
+    * design — [[graft.operators.Gopher.requiredHits]]). */
+  val GopherRequired: Seq[String] = Seq("the", "a", "data", "key")
+
+  /** Deterministic multi-line rendering of a token array (twin:
+    * [[renderedSql]]). */
+  private def renderedCol(docId: Column, toks: Column): Column = {
+    val L = RenderLineLen
+    // exact integer ceil-div; Column./ is double division (Spark sequence
+    // with start > stop would silently count DOWN for an empty doc, so
+    // the empty case is guarded out explicitly, matching range(0) = [])
+    val nLines = floor((size(toks).cast("long") + (L - 1)) / lit(L.toLong)).cast("long")
+    when(size(toks) === 0, lit("")).otherwise(array_join(
+      transform(sequence(lit(0L), nLines - 1), i =>
+        concat(
+          when(pmod(docId, lit(8L)) === 6 || pmod(docId * 31 + i, lit(5L)) === 0,
+            lit("- ")).otherwise(lit("")),
+          concat_ws(" ", slice(toks, (i * L + 1).cast("int"), lit(L))),
+          when(pmod(docId, lit(9L)) === 4, lit(" # # #"))
+            .when(pmod(docId * 13 + i, lit(11L)) === 5, lit(" #tag"))
+            .otherwise(lit("")),
+          when((pmod(docId, lit(10L)) === 7 && pmod(i, lit(2L)) === 0) ||
+              pmod(docId * 17 + i, lit(7L)) === 3,
+            lit(" ...")).otherwise(lit("")))),
+      "\n"))
+  }
+  private def renderedSql(id: String, toksE: String): String = {
+    val L = RenderLineLen
+    s"""array_to_string(list_transform(range((len($toksE)::BIGINT + ${L - 1}) // $L), i ->
+       |      (CASE WHEN ($id % 8 = 6) OR (($id*31 + i) % 5 = 0) THEN '- ' ELSE '' END) ||
+       |      array_to_string(list_slice($toksE, i*$L + 1, i*$L + $L), ' ') ||
+       |      (CASE WHEN $id % 9 = 4 THEN ' # # #'
+       |            WHEN ($id*13 + i) % 11 = 5 THEN ' #tag' ELSE '' END) ||
+       |      (CASE WHEN ($id % 10 = 7 AND i % 2 = 0) OR (($id*17 + i) % 7 = 3) THEN ' ...' ELSE '' END)
+       |    ), chr(10))""".stripMargin
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
 
@@ -160,6 +210,34 @@ object TextQueries {
           col("last_chunk_len"), col("chunk_checksum"))
         .orderBy(col("doc_id"))
     }),
+
+    "q84_gopher_rules" -> ((s, dir) => {
+      // Gopher quality-rule battery (Rae et al. 2021) over the
+      // deterministically rendered multi-line fixture docs. Entirely
+      // row-local codegen'd string/array math — zero shuffle at any
+      // scale; each task filters its own partition.
+      import graft.operators.Gopher
+      docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("rtext", renderedCol(col("doc_id"), tokens(col("text"))))
+        .withColumn("ls", Gopher.lines(col("rtext")))
+        .withColumn("ws", Gopher.words(col("rtext")))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(col("ls")).cast("long").as("n_lines"),
+          Gopher.meanWordLen(col("ws")).as("mean_word_len"),
+          Gopher.symbolRatio(col("rtext"), col("ws")).as("symbol_ratio"),
+          Gopher.bulletFrac(col("ls")).as("bullet_frac"),
+          Gopher.ellipsisFrac(col("ls")).as("ellipsis_frac"),
+          Gopher.alphaFrac(col("ws")).as("alpha_frac"),
+          Gopher.requiredHits(col("ws"), GopherRequired).as("n_req_hits"))
+        .withColumn("keep",
+          Gopher.keep(col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+            col("bullet_frac"), col("ellipsis_frac"), col("alpha_frac"),
+            col("n_req_hits")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,6 +293,27 @@ object TextQueries {
          |  CAST(list_reduce(list_prepend(0::BIGINT, chunk_hashes), (a, b) -> a + b) AS BIGINT)
          |    AS chunk_checksum
          |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "q84_gopher_rules" -> {
+      import graft.operators.Gopher._
+      s"""WITH d AS (SELECT doc_id, ${renderedSql("doc_id", tokensSql("text"))} AS rtext FROM documents),
+         |s AS (SELECT doc_id, rtext, ${linesSql("rtext")} AS ls, ${wordsSql("rtext")} AS ws FROM d),
+         |m AS (SELECT doc_id,
+         |    len(ws)::BIGINT AS n_words,
+         |    len(ls)::BIGINT AS n_lines,
+         |    ${meanWordLenSql("ws")} AS mean_word_len,
+         |    ${symbolRatioSql("rtext", "ws")} AS symbol_ratio,
+         |    ${bulletFracSql("ls")} AS bullet_frac,
+         |    ${ellipsisFracSql("ls")} AS ellipsis_frac,
+         |    ${alphaFracSql("ws")} AS alpha_frac,
+         |    ${requiredHitsSql("ws", graft.queries.TextQueries.GopherRequired)} AS n_req_hits
+         |  FROM s)
+         |SELECT doc_id, n_words, n_lines, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, n_req_hits,
+         |  CAST(${keepSql("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+                "ellipsis_frac", "alpha_frac", "n_req_hits")} AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
     },
   )
 }
