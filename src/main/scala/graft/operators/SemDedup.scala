@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** SemDeDup — semantic (embedding-space) deduplication via cluster-then-
+  * prune (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication" — public literature). The
+  * reference's store has no dedup of any kind (server.py:85-91 reads an
+  * already-curated corpus); this is the LLM-pipeline extension surface.
+  *
+  * Two phases, both deterministic so a row-at-a-time oracle can replay
+  * them exactly:
+  *
+  *  1. '''Deterministic Lloyd's k-means''' ([[fit]]): initial centroids
+  *     are the first k vectors by id; each iteration assigns every
+  *     vector to its nearest centroid (squared L2, rounded to 6 dp,
+  *     ties to the lowest cell id) and recomputes centroids as the
+  *     per-dimension mean. Sums are routed through DECIMAL(27,10) so
+  *     partition order cannot move a double, and each mean is rounded
+  *     once (6 dp) — the centroid table is therefore bit-identical on
+  *     any cluster layout.
+  *  2. '''Within-cell pruning''' ([[report]]): near-dup pairs are pairs
+  *     in the SAME cell with pair score ≥ the threshold (Neo4j score
+  *     convention `(1+cos)/2`, matching the engine's other similarity
+  *     surfaces); of each pair the member CLOSER to its centroid is
+  *     marked removed (the paper keeps the lowest-centroid-similarity
+  *     example of each duplicate group; ties break to the lower id).
+  *
+  * Scale shape: the centroid table is k×dim ALWAYS (driver-sized by
+  * construction — the collect is O(k·dim), the same class as
+  * [[RankedCumsum]]'s per-partition offsets); assignment is narrow
+  * row-local math against broadcast centroid literals; each iteration's
+  * update is ONE map-side-combined shuffle whose post-combine volume is
+  * k×dim×(sum,count) per task. The candidate-pair join shuffles the
+  * corpus once on `cell` and never compares across cells — the cluster
+  * count bounds pair volume exactly as in the paper (production corpora
+  * run k ≈ 10⁴–10⁵ so cells stay small; the fixture uses k=8).
+  */
+object SemDedup {
+
+  /** Squared L2 distance to a centroid literal — sequential fold in
+    * array order (the [[graft.functions.VectorFunctions]] determinism
+    * contract), rounded once to 6 dp for a portable argmin compare. */
+  private def sqDistTo(emb: Column, centroid: Seq[Double]): Column =
+    round(
+      aggregate(
+        zip_with(emb, typedLit(centroid), (x, c) => {
+          val d = x.cast("double") - c
+          d * d
+        }),
+        lit(0.0),
+        (acc, v) => acc + v), 6)
+
+  /** Nearest-centroid cell id (argmin over [[sqDistTo]], strict-less
+    * fold so ties stay with the lowest cell id). */
+  private def assignCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = centroids.map(c => sqDistTo(emb, c))
+    dists.zipWithIndex.drop(1).foldLeft((lit(0), dists.head)) {
+      case ((bestCell, bestD), (d, i)) =>
+        (when(d < bestD, lit(i)).otherwise(bestCell),
+          when(d < bestD, d).otherwise(bestD))
+    }._1
+  }
+
+  /** Deterministic Lloyd's fit. Returns the final per-cell centroids,
+    * cell index = list position. `corpus` must carry (vec_id,
+    * embedding); initial centroids are the k smallest vec_ids'
+    * embeddings (components rounded to 6 dp). Each update computes the
+    * per-dimension mean in Spark itself (decimal-routed sum, one
+    * round(…, 6) after the double divide) so the driver never does
+    * arithmetic — it only repackages k×dim already-rounded doubles
+    * into the next iteration's literals. */
+  def fit(corpus: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    val init = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double"), 6)).as("ce"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    require(init.size == k, s"need vec_ids 0..${k - 1} as seeds, found ${init.size}")
+
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val rows = corpus
+        .withColumn("cell", assignCell(col("embedding"), cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(
+          sum(col("v").cast("double").cast("decimal(27,10)")).as("sd"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          round(col("sd").cast("double") / col("n"), 6).as("m"))
+        .collect()
+      val byCell = rows.groupBy(_.getInt(0))
+      // a cell that lost every vector keeps its previous centroid (the
+      // standard empty-cluster rule; deterministic on both engines
+      // because assignment itself is deterministic)
+      cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rs) => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => cents(c)
+        }
+      }
+    }
+  }
+
+  /** Per-document SemDeDup report against fitted centroids: (vec_id,
+    * cell, centroid_score, n_nbrs, removed). `removed` = 1 iff some
+    * same-cell neighbor at pair score ≥ `minScore` sits FARTHER from
+    * the shared centroid (or equally far with a smaller id). */
+  def report(corpus: DataFrame, centroids: Seq[Seq[Double]], minScore: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      centroids.zipWithIndex.map { case (ce, i) => (i, ce) }.toDF("cell", "ce"))
+    val f = corpus
+      .withColumn("cell", assignCell(col("embedding"), centroids))
+      .join(centDf, Seq("cell"))
+      .withColumn("cscore",
+        round((lit(1.0) + cosineSimilarityHof(col("embedding"), col("ce"))) / 2.0, 6))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("cscore"))
+
+    val x = f.select(col("vec_id").as("va"), col("cell"),
+      col("embedding").as("ea"), col("cscore").as("sa"))
+    val y = f.select(col("vec_id").as("vb"), col("cell"),
+      col("embedding").as("eb"), col("cscore").as("sb"))
+    val pairs = x.join(y, Seq("cell"))
+      .filter(col("va") < col("vb") &&
+        neo4jScore(col("ea"), col("eb")) >= minScore)
+      .select(col("va"), col("vb"), col("sa"), col("sb"))
+
+    val nbrs = pairs.select(col("va").as("vec_id"),
+        (col("sa") > col("sb") || (col("sa") === col("sb") && col("va") > col("vb")))
+          .as("worse"))
+      .union(pairs.select(col("vb").as("vec_id"),
+        (col("sb") > col("sa") || (col("sb") === col("sa") && col("vb") > col("va")))
+          .as("worse")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        max(when(col("worse"), 1).otherwise(0)).as("removed"))
+
+    f.join(nbrs, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("cscore").as("centroid_score"),
+        coalesce(col("n_nbrs"), lit(0L)).cast("long").as("n_nbrs"),
+        coalesce(col("removed"), lit(0)).cast("int").as("removed"))
+  }
+}

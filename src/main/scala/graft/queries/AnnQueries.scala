@@ -49,6 +49,17 @@ object AnnQueries {
   /** q72: pairs surfaced (matches q21, whose result is the oracle). */
   val NearDupTopK = 20
 
+  /** q85 SemDeDup geometry: 8 cells / 2 Lloyd's iterations keeps the
+    * oracle's unrolled CTE tractable while exercising a full
+    * assign→update→assign→update→assign cycle; a production corpus runs
+    * k ≈ 10⁴–10⁵ (Abbas et al. 2023) with the SAME plan shape. The pair
+    * threshold is the Neo4j score convention (0.7 ⇔ cosine 0.4 — the
+    * q72 floor; the fixture plants no high-cosine clones, so this is
+    * the band where its near-dups live). */
+  val SemCells = 8
+  val SemIters = 2
+  val SemMinScore = 0.7
+
   /** q75: IVF geometry. The fixture corpus plants NO embedding clusters
     * (the same no-clones property behind q72's minCos note), so the
     * exact top-10 neighbors of the probe sit at cosine ~0.4-0.5 —
@@ -285,7 +296,54 @@ object AnnQueries {
         .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
         .limit(NearDupTopK)
     }),
+
+    "q85_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): deterministic Lloyd's k-means,
+      // then near-dup pruning WITHIN cells only — the cluster count
+      // bounds candidate-pair volume, which is the whole scale story.
+      // The unrolled DuckDB twin replays both Lloyd's iterations
+      // op-for-op, so hash-green certifies the full clustering AND the
+      // keep-farthest-from-centroid policy, not just the pair list.
+      import graft.operators.SemDedup
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      val cents = SemDedup.fit(e, SemCells, SemIters)
+      SemDedup.report(e, cents, SemMinScore)
+        .orderBy(col("vec_id"))
+    }),
   )
+
+  /** q85 twins: squared-L2 distance (rounded 6 dp, the argmin compare
+    * key), one Lloyd's assignment (row_number argmin — min distance,
+    * ties to the lowest cell, matching the strict-less Spark fold), and
+    * one centroid update (decimal-routed per-dimension sums, one
+    * round(…, 6) after the double divide; an emptied cell KEEPS its
+    * previous centroid via the left-join COALESCE — the same rule
+    * [[graft.operators.SemDedup.fit]] applies). */
+  private def semDistSql(aE: String, bE: String): String =
+    s"round(list_sum(list_transform(list_zip($aE, $bE), " +
+      s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+  private def semAssignSql(cents: String, out: String): String =
+    s"""${out}_d AS (
+       |  SELECT e.vec_id, e.embedding, c.cell, ${semDistSql("e.embedding", "c.ce")} AS d
+       |  FROM e CROSS JOIN $cents c),
+       |$out AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM ${out}_d)
+       |  WHERE rk = 1)""".stripMargin
+  private def semUpdateSql(asg: String, prev: String, out: String): String =
+    s"""${out}_s AS (
+       |  SELECT cell, pos,
+       |    SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(27,10))) AS sd,
+       |    COUNT(*) AS n
+       |  FROM $asg CROSS JOIN (SELECT unnest(range(64)) AS pos) GROUP BY cell, pos),
+       |${out}_m AS (
+       |  SELECT cell, list(round(CAST(sd AS DOUBLE) / n, 6) ORDER BY pos) AS ce
+       |  FROM ${out}_s GROUP BY cell),
+       |$out AS (
+       |  SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
+       |  FROM $prev p LEFT JOIN ${out}_m m ON p.cell = m.cell)""".stripMargin
 
   private[queries] def cosSql(aE: String, bE: String): String =
     s"""(1.0 +
@@ -387,6 +445,38 @@ object AnnQueries {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT $NearDupTopK""".stripMargin,
+
+    // both Lloyd's iterations unrolled op-for-op: hash-green certifies
+    // the clustering, the pair set AND the removal policy
+    "q85_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |c0 AS (
+         |  SELECT vec_id AS cell, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS ce
+         |  FROM e WHERE vec_id < $SemCells),
+         |${semAssignSql("c0", "a1")},
+         |${semUpdateSql("a1", "c0", "c1")},
+         |${semAssignSql("c1", "a2")},
+         |${semUpdateSql("a2", "c1", "c2")},
+         |${semAssignSql("c2", "a3")},
+         |f AS (
+         |  SELECT a3.vec_id, a3.cell, a3.embedding,
+         |    round(${cosSql("a3.embedding", "c.ce")}, 6) AS cscore
+         |  FROM a3 JOIN c2 c USING (cell)),
+         |p AS (
+         |  SELECT x.vec_id AS va, y.vec_id AS vb, x.cscore AS sa, y.cscore AS sb
+         |  FROM f x JOIN f y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${cosSql("x.embedding", "y.embedding")} >= $SemMinScore),
+         |nb AS (
+         |  SELECT vec_id, COUNT(*) AS n_nbrs, MAX(CASE WHEN worse THEN 1 ELSE 0 END) AS removed
+         |  FROM (
+         |    SELECT va AS vec_id, (sa > sb OR (sa = sb AND va > vb)) AS worse FROM p
+         |    UNION ALL
+         |    SELECT vb AS vec_id, (sb > sa OR (sb = sa AND vb > va)) AS worse FROM p)
+         |  GROUP BY vec_id)
+         |SELECT f.vec_id, CAST(f.cell AS INT) AS cell, f.cscore AS centroid_score,
+         |  COALESCE(nb.n_nbrs, 0)::BIGINT AS n_nbrs, COALESCE(nb.removed, 0)::INT AS removed
+         |FROM f LEFT JOIN nb ON f.vec_id = nb.vec_id ORDER BY f.vec_id""".stripMargin,
 
     "q22_lsh_bucket_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SemDedup
+
+class SemDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def df(vecs: Seq[Seq[Float]]) =
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+
+  test("k=1, one iteration: the centroid is the per-dimension mean, rounded once") {
+    val corpus = df(Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(0.5f, 0.5f)))
+    val Seq(c) = SemDedup.fit(corpus, k = 1, iters = 1)
+    assert(c === Seq(0.5, 0.5))
+  }
+
+  test("fit is bit-identical across partitionings (decimal-routed sums)") {
+    val vecs = (0 until 50).map(i =>
+      Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+        math.sin(i * 0.3 + 1).toFloat))
+    val a = SemDedup.fit(df(vecs).repartition(1), k = 3, iters = 2)
+    val b = SemDedup.fit(df(vecs).repartition(7), k = 3, iters = 2)
+    assert(a === b)
+  }
+
+  test("report marks exactly the closer-to-centroid member of a near-dup pair") {
+    // v0 and v1 are a tight pair; v2 sits far on the other axis (same
+    // cell, below the pair threshold). SemDeDup keeps the LOWEST
+    // centroid similarity: the pair member closer to the centroid is
+    // the redundant one.
+    val corpus = df(Seq(Seq(1f, 0f), Seq(0.98f, 0.02f), Seq(0f, 1f)))
+    val cents = SemDedup.fit(corpus, k = 1, iters = 1)
+    val r = SemDedup.report(corpus, cents, minScore = 0.95)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"centroid_score", $"n_nbrs", $"removed")
+      .as[(Long, Double, Long, Int)].collect().toSeq
+    assert(r.map(_._3) === Seq(1L, 1L, 0L), "only the tight pair are neighbors")
+    val Seq(r0, r1, r2) = r
+    assert(r2._4 === 0, "the isolated vector survives")
+    assert(Seq(r0, r1).count(_._4 == 1) === 1, "exactly one pair member removed")
+    val removedScore = Seq(r0, r1).filter(_._4 == 1).head._2
+    val keptScore = Seq(r0, r1).filter(_._4 == 0).head._2
+    assert(removedScore > keptScore, "the member CLOSER to the centroid is removed")
+  }
+
+  test("pairs are only formed WITHIN a cell — clusters bound candidate volume") {
+    // two tight, mutually-orthogonal clusters seeded by vec 0 and 1:
+    // cross-cluster cosine is ~0 so no cross pairs exist anyway, but
+    // every within-cluster pair must be found
+    val corpus = df(Seq(
+      Seq(1f, 0f), Seq(0f, 1f),          // seeds
+      Seq(0.99f, 0.01f), Seq(0.01f, 0.99f)))
+    val cents = SemDedup.fit(corpus, k = 2, iters = 1)
+    val r = SemDedup.report(corpus, cents, minScore = 0.95)
+      .select($"vec_id", $"cell", $"n_nbrs")
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(r.map(_._2) === Seq(0, 1, 0, 1), "two clean cells")
+    assert(r.map(_._3) === Seq(1L, 1L, 1L, 1L), "one within-cell neighbor each")
+  }
+
+  test("an emptied cell keeps its previous centroid") {
+    // seeds 0 and 1 are identical, so EVERY vector ties between them
+    // and the lowest-cell tie-break sends all of them (seed 1's own
+    // vector included) to cell 0 — cell 1 empties on the first
+    // assignment and must keep its seed centroid instead of vanishing
+    val corpus = df(Seq(Seq(0f, 0f), Seq(0f, 0f), Seq(3f, 3f), Seq(1f, 1f)))
+    val cents = SemDedup.fit(corpus, k = 2, iters = 1)
+    assert(cents === Seq(Seq(1.0, 1.0), Seq(0.0, 0.0)))
+  }
+}
