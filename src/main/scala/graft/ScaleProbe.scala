@@ -78,6 +78,30 @@ object ScaleProbe {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     }
+    // SemDeDup probe mode (--semdedup-k N [--semdedup-score S]): the
+    // declared q85 geometry (k=8) exists for the oracle's unrolled CTE;
+    // at probe scale the paper's shape is k growing with the corpus so
+    // cells stay small — this runs fit+report end to end on the cloned
+    // embeddings through the broadcast-join assignment path.
+    flags.get("semdedup-k").foreach { kStr =>
+      val k = kStr.toInt
+      val minScore = flags.get("semdedup-score").map(_.toDouble).getOrElse(0.9)
+      val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nVecs = emb.count()
+      def semPass(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val cents = operators.SemDedup.fit(emb, k, iters = 2)
+        val df = operators.SemDedup.report(emb, cents, minScore)
+        df.write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, df.filter(col("removed") === 1).count())
+      }
+      val (coldT, coldRemoved) = semPass()
+      val (warmT, _) = semPass()
+      println(s"""{"probe":"semdedup","n_vecs":$nVecs,"copies":$copies,"k":$k,"min_score":$minScore,"iters":2,"cold_sec":$coldT,"warm_sec":$warmT,"removed":$coldRemoved}""")
+      spark.stop()
+      return
+    }
     val nDocs = spark.read.parquet(docsPath).count()
     // pass 1 = COLD (includes shared cache builds — the honest "index
     // build" cost); pass 2 = warm steady state, Bench's methodology.

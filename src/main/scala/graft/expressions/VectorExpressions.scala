@@ -33,6 +33,13 @@ object VectorExpressions {
   def neo4jScoreFast(a: Column, b: Column): Column =
     (org.apache.spark.sql.functions.lit(1.0) + cosine(a, b)) / 2.0
 
+  /** Squared L2 distance of two vector columns (each ARRAY<FLOAT> or
+    * ARRAY<DOUBLE>) in one primitive loop — the k-means assignment hot
+    * path ([[graft.operators.SemDedup]] evaluates it corpus×k times per
+    * iteration). Null on length mismatch, matching the `zip_with`
+    * formulation's null-padding collapse. */
+  def sqDist(a: Column, b: Column): Column = column(ArraySqDist(expression(a), expression(b)))
+
   /** Intersection size of two pre-sorted distinct ARRAY<LONG> columns
     * via two-pointer merge — no per-row hash set allocation. */
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -110,6 +117,76 @@ case class ArrayFloatCosine(left: Expression, right: Expression)
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ(aᵢ-bᵢ)² over float/double arrays; single sequential loop, Double
+  * math (the same left-to-right fold as the HOF formulation — bit-equal,
+  * asserted in ExpressionsSpec). Null when lengths differ: `zip_with`
+  * pads the shorter side with null and the fold then collapses to null,
+  * so this is the HOF result for that case too. */
+case class ArraySqDist(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override val nullIntolerant: Boolean = true
+  // length-mismatched inputs yield null even when inputs are non-null
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"arguments must be ARRAY<FLOAT> or ARRAY<DOUBLE>, got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+
+  private def floatElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val af = floatElems(left); val bf = floatElems(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (floatElems(left)) "getFloat" else "getDouble"
+    val getB = if (floatElems(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.$getA($i) - (double) $b.$getB($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
   }

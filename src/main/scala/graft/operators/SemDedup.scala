@@ -31,8 +31,12 @@ import graft.functions.VectorFunctions._
   *
   * Scale shape: the centroid table is k×dim ALWAYS (driver-sized by
   * construction — the collect is O(k·dim), the same class as
-  * [[RankedCumsum]]'s per-partition offsets); assignment is narrow
-  * row-local math against broadcast centroid literals; each iteration's
+  * [[RankedCumsum]]'s per-partition offsets); assignment is row-local
+  * math against inlined centroid literals for small k, and a
+  * broadcast-join `min(struct(d, cell))` argmin for production k
+  * (routing at [[LiteralPathMaxK]], bit-identical by construction —
+  * shuffle volume stays one row per vector because the map-side
+  * combine collapses the k candidates); each iteration's
   * update is ONE map-side-combined shuffle whose post-combine volume is
   * k×dim×(sum,count) per task. The candidate-pair join shuffles the
   * corpus once on `cell` and never compares across cells — the cluster
@@ -41,29 +45,69 @@ import graft.functions.VectorFunctions._
   */
 object SemDedup {
 
-  /** Squared L2 distance to a centroid literal — sequential fold in
-    * array order (the [[graft.functions.VectorFunctions]] determinism
-    * contract), rounded once to 6 dp for a portable argmin compare. */
-  private def sqDistTo(emb: Column, centroid: Seq[Double]): Column =
-    round(
-      aggregate(
-        zip_with(emb, typedLit(centroid), (x, c) => {
-          val d = x.cast("double") - c
-          d * d
-        }),
-        lit(0.0),
-        (acc, v) => acc + v), 6)
+  /** Largest k routed to the inlined when-chain assignment: beyond
+    * this the k-deep expression tree stops being codegen-friendly
+    * (JIT method limits), and the broadcast-join argmin below is the
+    * right plan anyway. Both paths share the rounded compare key and
+    * the lowest-cell tie-break, so routing never changes a result
+    * (SemDedupSpec proves the paths bit-identical). */
+  val LiteralPathMaxK = 32
 
-  /** Nearest-centroid cell id (argmin over [[sqDistTo]], strict-less
-    * fold so ties stay with the lowest cell id). */
+  /** Squared L2 distance between two vector columns — sequential fold
+    * in array order (the [[graft.functions.VectorFunctions]]
+    * determinism contract), rounded once to 6 dp for a portable
+    * argmin compare. Backed by the codegen'd
+    * [[graft.expressions.ArraySqDist]] (bit-equal to the HOF
+    * `aggregate(zip_with(...))` fold, asserted in ExpressionsSpec):
+    * assignment evaluates it corpus×k times per iteration, where
+    * interpreted lambda dispatch would dominate. */
+  private def sqDist(emb: Column, centroid: Column): Column =
+    round(graft.expressions.VectorExpressions.sqDist(emb, centroid), 6)
+
+  /** Nearest-centroid cell id (argmin over [[sqDist]], strict-less
+    * fold so ties stay with the lowest cell id). Small-k path: the
+    * centroids are inlined literals, so assignment is pure row-local
+    * codegen with NO join at all. */
   private def assignCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = centroids.map(c => sqDistTo(emb, c))
+    val dists = centroids.map(c => sqDist(emb, typedLit(c)))
     dists.zipWithIndex.drop(1).foldLeft((lit(0), dists.head)) {
       case ((bestCell, bestD), (d, i)) =>
         (when(d < bestD, lit(i)).otherwise(bestCell),
           when(d < bestD, d).otherwise(bestD))
     }._1
   }
+
+  /** Large-k assignment: broadcast the k×dim centroid table, compute
+    * every (vector, centroid) distance on the corpus's own partitions
+    * (broadcast nested-loop — no corpus shuffle to build candidates),
+    * then argmin per vector as `min(struct(d, cell))` — the struct
+    * compares distance first and cell id second, which is EXACTLY the
+    * literal fold's strict-less / lowest-cell-tie rule. The k rows per
+    * vector are co-partitioned after the broadcast join, so the
+    * map-side combine collapses them before the exchange: shuffle
+    * volume is one row per corpus vector regardless of k. */
+  private[graft] def assignCellsJoin(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.map { case (ce, i) => (i, ce) }
+      .toDF("c_cell", "c_ce")
+    corpus
+      .join(broadcast(centDf))
+      .select(col("vec_id"), col("embedding"),
+        struct(sqDist(col("embedding"), col("c_ce")).as("d"),
+          col("c_cell").as("cell")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), min(col("dc")).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.cell").as("cell"))
+  }
+
+  /** (vec_id, embedding, cell) for every corpus vector, routed to the
+    * codegen literal path or the broadcast-join path by k. */
+  private[graft] def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    if (centroids.size <= LiteralPathMaxK)
+      corpus.select(col("vec_id"), col("embedding"),
+        assignCell(col("embedding"), centroids).as("cell"))
+    else assignCellsJoin(corpus, centroids)
 
   /** Deterministic Lloyd's fit. Returns the final per-cell centroids,
     * cell index = list position. `corpus` must carry (vec_id,
@@ -83,8 +127,7 @@ object SemDedup {
     require(init.size == k, s"need vec_ids 0..${k - 1} as seeds, found ${init.size}")
 
     (1 to iters).foldLeft(init) { (cents, _) =>
-      val rows = corpus
-        .withColumn("cell", assignCell(col("embedding"), cents))
+      val rows = assignCells(corpus, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(
@@ -115,8 +158,7 @@ object SemDedup {
     import spark.implicits._
     val centDf = broadcast(
       centroids.zipWithIndex.map { case (ce, i) => (i, ce) }.toDF("cell", "ce"))
-    val f = corpus
-      .withColumn("cell", assignCell(col("embedding"), centroids))
+    val f = assignCells(corpus, centroids)
       .join(centDf, Seq("cell"))
       .withColumn("cscore",
         round((lit(1.0) + cosineSimilarityHof(col("embedding"), col("ce"))) / 2.0, 6))

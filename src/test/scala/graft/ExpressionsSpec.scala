@@ -27,6 +27,32 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("ArraySqDist == HOF zip_with fold on all fixture pairs vs vec 0, float and double sides") {
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, c) => { val d = x.cast("double") - c.cast("double"); d * d }),
+        lit(0.0), (acc, v) => acc + v)
+    // float vs float literal, and float vs double literal (the k-means
+    // centroid case) — both must be bit-equal to the interpreted fold
+    val qd = q.map(_.toDouble)
+    val diff = embs.select(
+      graft.expressions.VectorExpressions.sqDist($"embedding", typedLit(q)).as("ff"),
+      hof($"embedding", typedLit(q)).as("ffRef"),
+      graft.expressions.VectorExpressions.sqDist($"embedding", typedLit(qd)).as("fd"),
+      hof($"embedding", typedLit(qd)).as("fdRef"))
+      .filter($"ff" =!= $"ffRef" || $"fd" =!= $"fdRef")
+    assert(diff.count() === 0)
+  }
+
+  test("ArraySqDist: length mismatch gives null, null gives null") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(1f, 2f, 3f))),
+      (Some(Seq(1f, 2f)), None)).toDF("a", "b")
+    val r = df.select(graft.expressions.VectorExpressions.sqDist($"a", $"b")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
   test("cosine null semantics: zero vector gives null, null gives null") {
     val df = Seq(
       (Seq(0f, 0f), Some(Seq(1f, 2f))),

@@ -62,6 +62,46 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(r.map(_._3) === Seq(1L, 1L, 1L, 1L), "one within-cell neighbor each")
   }
 
+  test("join-path assignment is bit-identical to the literal fold, ties included") {
+    // includes an exact tie: v3 is equidistant from both seeds, so the
+    // lowest-cell rule is exercised on both paths
+    val vecs = (0 until 60).map(i =>
+      Seq(math.sin(i * 1.3).toFloat, math.cos(i * 2.1).toFloat)) :+
+      Seq(0.5f, 0.5f)
+    val corpus = df(vecs).repartition(5)
+    val cents = SemDedup.fit(corpus, k = 4, iters = 1)
+    val literal = SemDedup.assignCells(corpus, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().sortBy(_._1)
+    val joined = SemDedup.assignCellsJoin(corpus, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().sortBy(_._1)
+    assert(literal === joined)
+  }
+
+  test("fit routes k > LiteralPathMaxK through the join path and matches a driver replay") {
+    val dim = 3
+    val vecs = (0 until 120).map(i =>
+      Seq.tabulate(dim)(d => math.sin(i * 0.7 + d * 1.9).toFloat))
+    val k = SemDedup.LiteralPathMaxK + 8
+    val spark2 = SemDedup.fit(df(vecs).repartition(7), k, iters = 1)
+
+    // driver-side replay of one Lloyd's iteration under the operator's
+    // determinism contract (6dp-rounded distances, lowest-cell ties,
+    // 6dp-rounded means)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds = vecs.take(k).map(_.map(x => r6(x.toDouble)))
+    val asg = vecs.map { v =>
+      seeds.zipWithIndex.map { case (c, i) =>
+        (r6(v.zip(c).map { case (x, ce) => val d = x.toDouble - ce; d * d }.sum), i)
+      }.min._2
+    }
+    val expect = seeds.indices.map { c =>
+      val members = vecs.zip(asg).filter(_._2 == c).map(_._1)
+      if (members.isEmpty) seeds(c)
+      else Seq.tabulate(dim)(d => r6(members.map(_(d).toDouble).sum / members.size))
+    }
+    assert(spark2 === expect)
+  }
+
   test("an emptied cell keeps its previous centroid") {
     // seeds 0 and 1 are identical, so EVERY vector ties between them
     // and the lowest-cell tie-break sends all of them (seed 1's own
