@@ -97,6 +97,17 @@ object CurationQueries {
   /** q56: neighbors per vote. */
   val KnnVoteK = 5
 
+  /** q86 trained-quality-classifier geometry: 2 full-batch GD
+    * iterations keeps the oracle's unrolled CTE tractable while
+    * exercising a full margin→residual→gradient→update→margin cycle
+    * (the q85 precedent); lr = 0.5 is exactly representable in binary
+    * so the literal prints identically into both engines. Feature
+    * space = [[DsirBuckets]] — the same hashed-bigram buckets as DSIR,
+    * making q82/q86 the two selection methods over one feature
+    * pipeline. */
+  val QcIters = 2
+  val QcLr = 0.5
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
 
@@ -356,6 +367,32 @@ object CurationQueries {
         .limit(DsirTopK)
     }),
 
+    "q86_quality_classifier" -> ((s, dir) => {
+      // CCNet/GPT-3-style learned quality filter: train a linear
+      // classifier to tell target-split docs from pool docs over the
+      // SAME hashed-bigram feature space DSIR weighs (q82), then score
+      // EVERY doc — including the 80-89 holdout bucket neither split
+      // touches, whose unseen features contribute 0 through the
+      // left-join coalesce. The oracle unrolls both GD iterations
+      // op-for-op, so hash-green certifies the training arithmetic
+      // (margins, residuals, gradients, updates) AND the scoring pass,
+      // not just the final ranking.
+      import graft.operators.QualityClassifier
+      val fb = classifierFeatures(s, dir)
+      val train = fb.filter(col("bucket") >= 90 || col("bucket") < 80)
+        .select(col("doc_id"),
+          when(col("bucket") >= 90, 1.0).otherwise(0.0).as("y"),
+          col("b"))
+      val w = QualityClassifier.fit(train, QcIters, QcLr)
+      QualityClassifier.score(
+          fb.withColumn("split",
+            when(col("bucket") >= 90, "target")
+              .when(col("bucket") < 80, "pool")
+              .otherwise("holdout")),
+          w, keyCols = Seq("lang", "split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q79_boilerplate_scrub" -> ((s, dir) => {
       // C4/RefinedWeb-style boilerplate removal at q66's chunk grain:
       // a chunk occurring in >= BoilerplateMinDf distinct documents is
@@ -405,6 +442,39 @@ object CurationQueries {
         explode(TextQueries.shingleCol(col("toks"), 2)).as("s"))
       .withColumn("b", charHash(col("s")) % lit(DsirBuckets.toLong))
       .drop("s")
+
+  /** One unrolled q86 GD iteration: margin (decimal-routed weight sum
+    * over the doc's features — inner join, `wPrev` covers every
+    * training feature by construction), residual (fast-sigmoid minus
+    * label, rounded once), gradient (decimal-routed residual sum per
+    * feature), update (`w − lr·g/N`, one round(…, 6)) — each step the
+    * same operation [[graft.operators.QualityClassifier.fit]] runs. */
+  private def qcIterSql(wPrev: String, i: Int): String = {
+    val sig = graft.operators.QualityClassifier.fastSigmoidSql("z")
+    s"""z$i AS (
+       |  SELECT t.doc_id, t.y, CAST(SUM(CAST(w AS DECIMAL(27,10))) AS DOUBLE) AS z
+       |  FROM train t JOIN $wPrev USING (b) GROUP BY t.doc_id, t.y),
+       |r$i AS (SELECT doc_id, round($sig - y, 6) AS r FROM z$i),
+       |g$i AS (
+       |  SELECT b, CAST(SUM(CAST(r AS DECIMAL(27,10))) AS DOUBLE) AS g
+       |  FROM train JOIN r$i USING (doc_id) GROUP BY b),
+       |w$i AS (
+       |  SELECT $wPrev.b, round($wPrev.w - $QcLr * g / n, 6) AS w
+       |  FROM $wPrev JOIN g$i USING (b) CROSS JOIN n)""".stripMargin
+  }
+
+  /** q86 feature table: one row per (doc, DISTINCT hashed-bigram
+    * bucket) — binary bag-of-buckets — plus one always-on
+    * [[graft.operators.QualityClassifier.BiasFeature]] row per doc.
+    * Columns (doc_id, lang, bucket, b); bucket is the split hash. */
+  private def classifierFeatures(s: SparkSession, dir: String): DataFrame = {
+    val base = hashedBigrams(s, dir)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("b"))
+      .distinct()
+    base.select(col("doc_id"), col("lang"), col("bucket")).distinct()
+      .withColumn("b", lit(graft.operators.QualityClassifier.BiasFeature))
+      .unionByName(base)
+  }
 
   /** Per-document DSIR log importance weights of `pool` docs against
     * the `target` feature distribution. Both inputs carry one row per
@@ -647,6 +717,41 @@ object CurationQueries {
          |  GROUP BY bg.doc_id, bg.lang)
          |SELECT doc_id, lang, n_grams, weight FROM w
          |ORDER BY weight DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
+    },
+
+    // both GD iterations unrolled op-for-op: hash-green certifies the
+    // training arithmetic AND the scoring pass (see qcIterSql)
+    "q86_quality_classifier" -> {
+      val bN = DsirBuckets
+      val sh2 = TextQueries.shingleSql("toks", 2)
+      val sig = graft.operators.QualityClassifier.fastSigmoidSql("z")
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |ws AS (SELECT doc_id, lang, toks, ${splitBucketSql("doc_id")} AS bucket FROM dd),
+         |bgi AS (SELECT doc_id, lang, bucket, ${charHashSql("s")} % $bN AS b
+         |  FROM (SELECT doc_id, lang, bucket, unnest($sh2) AS s FROM ws)),
+         |fb0 AS (SELECT DISTINCT doc_id, lang, bucket, b FROM bgi),
+         |feats AS (SELECT * FROM fb0
+         |  UNION ALL SELECT DISTINCT doc_id, lang, bucket, -1::BIGINT AS b FROM fb0),
+         |train AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket >= 90 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y, b
+         |  FROM feats WHERE bucket >= 90 OR bucket < 80),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM train),
+         |w0 AS (SELECT DISTINCT b, 0.0::DOUBLE AS w FROM train),
+         |${qcIterSql("w0", 1)},
+         |${qcIterSql("w1", 2)},
+         |sc AS (
+         |  SELECT f.doc_id, f.lang,
+         |    CASE WHEN f.bucket >= 90 THEN 'target'
+         |         WHEN f.bucket < 80 THEN 'pool' ELSE 'holdout' END AS split,
+         |    COUNT(*)::BIGINT AS n_feats,
+         |    CAST(SUM(CAST(COALESCE(w2.w, 0.0) AS DECIMAL(27,10))) AS DOUBLE) AS z
+         |  FROM feats f LEFT JOIN w2 ON f.b = w2.b
+         |  GROUP BY f.doc_id, f.lang, f.bucket)
+         |SELECT doc_id, lang, split, n_feats,
+         |  round($sig, 6) AS score,
+         |  CAST(round($sig, 6) >= 0.5 AS INT) AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
 
     "q79_boilerplate_scrub" -> {
