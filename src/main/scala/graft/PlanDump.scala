@@ -114,7 +114,27 @@ object PlanDump {
         "chunk document-frequency aggregate (map-side combined), then the " +
         "DF-filtered boilerplate set — small by construction — returns via " +
         "`BroadcastHashJoin`: the corpus-sized chunk table is never " +
-        "re-shuffled just to learn its flags."))
+        "re-shuffled just to learn its flags."),
+    "q87_ivf_multiprobe" ->
+      ("A BATCH of queries against the persisted IVF artifact (the same " +
+        "plan graft.search.SearchEngine.streamingKnnVsIvf runs per " +
+        "micro-batch): per-query cell selection ranks the broadcast " +
+        "quantizer centers, then ONE artifact read joined on `cell` — the " +
+        "scan carries a dynamicpruning PartitionFilter from the broadcast " +
+        "query side, so I/O is bounded by the union of probed cell " +
+        "directories; exact rescore + map-side top-k heaps above."),
+    "q85_semdedup" ->
+      ("SemDeDup report over fitted centroids (fit runs eagerly before this " +
+        "plan): codegen'd literal-argmin assignment (k=8 — no join at all " +
+        "for assignment), broadcast centroid join for centroid scores, and " +
+        "the candidate-pair join KEYED ON cell — the cluster count bounds " +
+        "pair volume precisely because no cartesian appears anywhere."),
+    "q86_quality_classifier" ->
+      ("Classifier scoring after the GD fit (training runs eagerly before " +
+        "this plan; each training iteration is the same join shape): the " +
+        "feature-space-bounded weight table returns via `BroadcastHashJoin` " +
+        "— the corpus-sized feature table never shuffles to look up " +
+        "weights — then one map-side-combined per-doc rollup."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -76,6 +76,18 @@ object AnnQueries {
   val IvfCells = 16
   val IvfNProbe = 13
 
+  /** q87: how many query vectors (vec_id < this) probe the artifact in
+    * one batch — q11's query set. Recall slack is per query and the
+    * oracle fails closed on any miss, so the batch needs the WORST
+    * query's nProbe: measured minimum at sf0.01 is 14 (query 2 keeps a
+    * top-10 neighbor in its 14th-nearest cell; q75's single query
+    * needs 11). 15 carries the same one-cell slack policy as q75 while
+    * still pruning — the scale property (the probe reading
+    * nProbe/cells of the partition directories) is cell-count
+    * relative, not absolute. */
+  val MultiProbeQueries = 5
+  val MultiProbeNProbe = 15
+
   private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
 
@@ -297,6 +309,25 @@ object AnnQueries {
         .limit(NearDupTopK)
     }),
 
+    "q87_ivf_multiprobe" -> ((s, dir) => {
+      // the PERSISTED artifact probed by a BATCH of queries — the
+      // multi-tenant/streaming face of q75 (one artifact, many
+      // callers; graft.search.SearchEngine.streamingKnnVsIvf runs this
+      // exact plan per micro-batch): per-query cell selection ranks
+      // the broadcast quantizer centers, the corpus is ONE pruned
+      // artifact read joined on the partition column (dynamic
+      // partition pruning — PlanSpec-pinned), candidates exact-rescore
+      // and top-k in map-side heaps. The oracle is the exact per-query
+      // top-10 (q11's construction at k=10), so hash-green certifies
+      // recall of the multi-probe route end to end.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      graft.search.AnnIndex
+        .probeIvfMulti(s, ivfIndexDir(s, dir),
+          e.filter(col("vec_id") < MultiProbeQueries), k = 10, nProbe = MultiProbeNProbe)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q85_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): deterministic Lloyd's k-means,
       // then near-dup pruning WITHIN cells only — the cluster count
@@ -445,6 +476,24 @@ object AnnQueries {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT $NearDupTopK""".stripMargin,
+
+    // exact per-query top-10 (q11's construction): the multi-probe
+    // route must recall every neighbor of every query — fails closed
+    "q87_ivf_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id < $MultiProbeQueries AND len(embedding) = 64),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE len(e.embedding) = 64),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, score, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // both Lloyd's iterations unrolled op-for-op: hash-green certifies
     // the clustering, the pair set AND the removal policy

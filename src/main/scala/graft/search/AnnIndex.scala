@@ -248,4 +248,47 @@ object AnnIndex {
       .limit(k)
       .select(col("vec_id"), col("cell"), col("score"))
   }
+
+  /** Probe a PERSISTED IVF index with a BATCH of queries — the
+    * multi-tenant / streaming face of [[probeIvf]] (one tenant's query
+    * stream or many concurrent callers share one artifact read).
+    * Per-query cell selection runs distributed: the quantizer centers
+    * (cells×dim — always broadcast-sized) rank against each normalized
+    * query by the SAME (sqdist, cell) ordering [[probeIvf]] sorts by
+    * driver-side, via the codegen'd
+    * [[graft.expressions.ArraySqDist]] (bit-identical arithmetic to
+    * MLlib's `Vectors.sqdist` loop). The corpus side is ONE artifact
+    * read joined on `cell` — the partition column — with the tiny
+    * (query × nProbe) side broadcast, so dynamic partition pruning
+    * bounds I/O to the UNION of probed cell directories (spec-asserted,
+    * the q73/q75 property). Per-query top-k via map-side partial top-k
+    * heaps ([[graft.expressions.TopKAggExpr]], q11's shape) — the
+    * scored candidates never fully sort. Output: (query_id, doc_id,
+    * score, rank). */
+  def probeIvfMulti(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val model = KMeansModel.load(s"$dir/model")
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d").asc, col("cell").asc)
+    val qcells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Normalize(col("qe")))
+      .crossJoin(broadcast(centers))
+      .withColumn("d", graft.expressions.VectorExpressions.sqDist(col("qn"), col("center")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select(col("cell"), col("query_id"), col("qe"))
+    spark.read.parquet(s"$dir/corpus")
+      .join(broadcast(qcells), Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        round(neo4jScore(col("embedding"), col("qe")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggExpr.topK(col("id"), col("score"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("doc_id"), col("hit.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

@@ -163,6 +163,29 @@ final class SearchEngine(
       }
       .start()
 
+  /** Streaming KNN against the PERSISTED IVF artifact — the vector
+    * twin of [[graft.streaming.EventStreams.incrementalDedupVsIndex]]:
+    * one disk artifact (quantizer + cell-partitioned corpus,
+    * [[graft.search.AnnIndex.saveIvf]]) serves batch probes (q75/q87)
+    * and the query stream alike, so the CREATE-INDEX-once lifecycle has
+    * a single source of truth across both execution modes. Each
+    * micro-batch runs [[graft.search.AnnIndex.probeIvfMulti]] — the
+    * same pruned-read plan as batch, so stream results are
+    * definitionally consistent with batch results (asserted in
+    * AnnIndexSpec). Stateless: the artifact carries all corpus state,
+    * nothing accumulates in the stream. */
+  def streamingKnnVsIvf(queryStream: DataFrame, indexDir: String, k: Int,
+                        nProbe: Int)
+                       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.search.AnnIndex.probeIvfMulti(
+            batch.sparkSession, indexDir, batch, k, nProbe), id)
+      }
+      .start()
+
   /** Batch KNN join: a *set* of queries against the corpus
     * (SURVEY.md §2.2 joins/windows, §7 step 4).
     *

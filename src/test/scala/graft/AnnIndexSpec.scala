@@ -73,6 +73,31 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(fromDisk === inMemory && fromDisk.nonEmpty)
   }
 
+  test("multi-query artifact probe equals per-query probes and prunes partitions dynamically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-multi").toString
+    val idx = AnnIndex.buildIvf(corpus, cells = 8)
+    AnnIndex.saveIvf(idx, dir)
+    val queries = corpus.filter($"vec_id" < 3).select($"vec_id", $"embedding")
+    val multi = AnnIndex.probeIvfMulti(spark, dir, queries, k = 10, nProbe = 3)
+    // the artifact scan must carry the probed cells as a PARTITION
+    // filter via dynamic pruning from the broadcast query side — the
+    // q73/q75 bounded-I/O property, now per micro-batch
+    val scan = multi.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("Scan parquet") && l.contains("graft-ivf-multi"))
+      .getOrElse("")
+    assert(scan.contains("PartitionFilters: [") && scan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$scan")
+    val got = multi.orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val want = (0L until 3L).flatMap { qid =>
+      val qv = corpus.filter($"vec_id" === qid)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      AnnIndex.probeIvf(spark, dir, qv, k = 10, nProbe = 3).collect()
+        .zipWithIndex.map { case (r, i) => (qid, r.getLong(0), r.getDouble(2), (i + 1).toLong) }
+    }
+    assert(got === want && got.nonEmpty)
+  }
+
   test("BRP similarity join finds self-pairs' neighbors symmetrically") {
     val idx = AnnIndex.buildBrp(corpus)
     val pairs = idx.nearDupPairs(minCos = 0.5).select($"vec_a", $"vec_b").collect()

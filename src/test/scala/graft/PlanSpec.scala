@@ -285,6 +285,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("pack_group"), s"window must partition by pack_group:\n$p")
   }
 
+  test("q87 multi-probe reads the IVF artifact with dynamic partition pruning on cell") {
+    val p = plan("q87_ivf_multiprobe")
+    // the corpus must be READ from the cell-partitioned artifact, with
+    // the probed cells arriving via dynamic pruning from the broadcast
+    // query side — q75's bounded-I/O property at batch-of-queries shape
+    val scan = p.linesIterator
+      .find(l => l.contains("Scan parquet") && l.contains("graft_ivf_index"))
+      .getOrElse("")
+    assert(scan.contains("PartitionFilters: [") && scan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n$scan")
+  }
+
+  test("q85 semdedup candidates come from the cell equi-join, never a cartesian") {
+    // within-cell pruning is the operator's whole scale story: the
+    // cluster count bounds pair volume ONLY if the pair join stays
+    // keyed on cell — a cartesian/BNLJ here is the all-pairs plan back
+    val p = plan("q85_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair candidates must come from the cell equi-join:\n$p")
+  }
+
+  test("q86 classifier scoring joins the weight table via broadcast only") {
+    // the weight table is bounded by the feature space (buckets+1 rows)
+    // — a SortMergeJoin here means the corpus-sized feature table pays
+    // a shuffle just to look up broadcastable weights
+    val p = plan("q86_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus shuffle for the weight join:\n$p")
+  }
+
   test("q79 boilerplate scrub broadcasts the flag-back join, never re-shuffles chunks on h") {
     // the boilerplate set (DF-filtered aggregate output) is the small
     // side by construction; a SortMergeJoin here means the corpus-sized

@@ -100,6 +100,31 @@ class SearchEngineSpec extends SparkSpec {
     assert(results.toSeq === batch)
   }
 
+  test("streaming KNN against the persisted IVF artifact equals the batch multi-probe") {
+    implicit val sq = spark.sqlContext
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    graft.search.AnnIndex.saveIvf(
+      graft.search.AnnIndex.buildIvf(embs, cells = 8), dir)
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = eng.streamingKnnVsIvf(
+      mem.toDF().select($"_1".as("vec_id"), $"_2".cast("array<float>").as("embedding")),
+      dir, k = 10, nProbe = 3) { (df, _) =>
+      results ++= df.orderBy($"query_id", $"rank").collect().map(_.toSeq)
+    }
+    try {
+      mem.addData(queries)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.search.AnnIndex.probeIvfMulti(
+        spark, dir, embs.filter($"vec_id" < 3), k = 10, nProbe = 3)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(results.toSeq === batch && batch.nonEmpty)
+  }
+
   test("hybridSearch fuses vector and keyword arms and matches q35's shape") {
     val eng = new graft.search.SearchEngine(spark)
     val out = eng.hybridSearch(sf0001, graft.queries.AnnQueries.FlagshipPrompt, k = 10)
