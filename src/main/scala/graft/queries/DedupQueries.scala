@@ -72,6 +72,16 @@ object DedupQueries {
   val PageRankRounds = 3
   val PageRankTopK = 20
 
+  /** q88 anchor length: duplicated runs shorter than 8 tokens are
+    * ignored (Lee et al. 2022 use 50 BPE tokens at web scale; 8 word
+    * tokens on the 10-99-token fixture docs keeps planted clone
+    * overlaps detectable while the word-soup background — where even
+    * 3-gram chance collisions are common, q52's scaladoc — stays
+    * silent: a chance 8-gram match needs 8 consecutive draws to agree.
+    * Measured: ~45 of 500 docs surface at both test SFs, dup_frac
+    * 0.9-1.0 — exactly the planted clones, zero background noise. */
+  val DupSpanLen = 8
+
   /** q19's pipeline: MinHash band-key candidates verified by exact
     * Jaccard — shared by q19 (pairs) and q31 (survivor selection). */
   private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
@@ -446,6 +456,29 @@ object DedupQueries {
           round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
         .orderBy(col("doc_id"))
     }),
+
+    "q88_dup_spans" -> ((s, dir) => {
+      // cross-document duplicated-SPAN detection (Lee et al. 2022's
+      // exact-substring dedup, re-expressed relationally — see
+      // operators/DupSpans): every token position carries an 8-token
+      // anchor gram; anchors whose hash occurs under >= 2 distinct
+      // doc_ids mark duplicated content at ARBITRARY offsets (q66's
+      // chunk grain only catches duplication aligned to its stride);
+      // per doc the surviving positions merge gaps-and-islands style
+      // into maximal spans. Shape: shingling row-local on the cached
+      // token table; the >= 2-docs test is a map-side-combined
+      // groupBy(h) carrying min/max doc_id (vocabulary-sized exchange,
+      // no distinct count); the flag-back is the q52 equi-join; island
+      // windows are per-doc. All-integer until one final rounded
+      // division — the oracle is op-for-op.
+      val L = DupSpanLen
+      val anchors = TextQueries.enriched(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          posexplode(TextQueries.shingleCol(col("toks"), L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("pos").cast("long").as("pos"), charHash(col("col")).as("h"))
+      graft.operators.DupSpans.report(anchors, L).orderBy(col("doc_id"))
+    }),
   )
 
   /** CTE chain defining `sh` (hashed shingle sets) and `cand` (the
@@ -498,6 +531,33 @@ object DedupQueries {
            |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
            |    AS dup_ratio
            |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      "q88_dup_spans" -> {
+        val L = DupSpanLen
+        val gram = (0 until L).map(j => s"toks[pos + ${j + 1}]").mkString(" || '|' || ")
+        s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+           |base AS (SELECT doc_id, lang, toks, len(toks)::BIGINT AS n_tokens FROM dd),
+           |an AS (SELECT doc_id, lang, n_tokens, pos, ${charHashSql(s"($gram)")} AS h
+           |  FROM (SELECT doc_id, lang, n_tokens, toks,
+           |        unnest(range(len(toks) - ${L - 1})) AS pos
+           |        FROM base WHERE len(toks) >= $L)),
+           |du AS (SELECT h FROM an GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+           |dp AS (SELECT an.* FROM an JOIN du USING (h)),
+           |fl AS (SELECT doc_id, lang, n_tokens, pos,
+           |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+           |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $L
+           |         THEN 1::BIGINT ELSE 0::BIGINT END AS ni
+           |  FROM dp),
+           |il AS (SELECT doc_id, lang, n_tokens, pos, ni,
+           |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM fl),
+           |sp AS (SELECT doc_id, lang, n_tokens, isl, MIN(pos)::BIGINT AS s,
+           |    (MAX(pos) + ${L - 1})::BIGINT AS e
+           |  FROM il GROUP BY doc_id, lang, n_tokens, isl)
+           |SELECT doc_id, lang, n_tokens, COUNT(*)::BIGINT AS n_spans,
+           |  SUM(e - s + 1)::BIGINT AS dup_tokens,
+           |  round(SUM(e - s + 1)::DOUBLE / n_tokens, 6) AS dup_frac
+           |FROM sp GROUP BY doc_id, lang, n_tokens ORDER BY doc_id""".stripMargin
       },
 
       "q17_dedup_exact" ->
