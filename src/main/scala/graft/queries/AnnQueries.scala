@@ -88,6 +88,11 @@ object AnnQueries {
   val MultiProbeQueries = 5
   val MultiProbeNProbe = 15
 
+  /** q89: neighbors per side feeding the margin normalizer (Artetxe &
+    * Schwenk 2019 use k = 4; the criterion is robust to k as long as
+    * both directions use the same one). */
+  val MarginK = 4
+
   private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
 
@@ -328,6 +333,28 @@ object AnnQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q89_margin_mining" -> ((s, dir) => {
+      // margin-based neighbor mining (Artetxe & Schwenk 2019 — the
+      // bitext-mining / hard-pair selection criterion): absolute cosine
+      // is a biased match score because hub vectors score high against
+      // EVERYTHING, so each candidate pair is rescored by the ratio
+      // margin = cos(x,y) / ((mean_k NN-cos of x + mean_k NN-cos of y)/2)
+      // — a pair only wins if it stands out against BOTH sides'
+      // neighborhoods. Query side = the q56 test bucket, corpus side =
+      // the q56 train bucket (the auto-labeling geometry: mine a
+      // mate in the pool for every held-out vector).
+      val (a, b) = SplitPair
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .withColumn("bucket", ((lit(a) * col("vec_id") + lit(b)) % lit(P)) % 100)
+      marginMine(
+          e.filter(col("bucket") >= 90).select(col("vec_id"), col("embedding").as("qe")),
+          e.filter(col("bucket") < 80)
+            .select(col("vec_id").as("nn_id"), col("embedding").as("pe")),
+          MarginK)
+        .orderBy(col("vec_id"))
+    }),
+
     "q85_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): deterministic Lloyd's k-means,
       // then near-dup pruning WITHIN cells only — the cluster count
@@ -376,12 +403,53 @@ object AnnQueries {
        |  SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
        |  FROM $prev p LEFT JOIN ${out}_m m ON p.cell = m.cell)""".stripMargin
 
-  private[queries] def cosSql(aE: String, bE: String): String =
-    s"""(1.0 +
-       |      list_sum(list_transform(list_zip($aE, $bE),
+  /** q89 core, testable on synthetic frames: mine the best-margin pool
+    * mate for every query vector. `test` = (vec_id, qe), `pool` =
+    * (nn_id, pe); output one row per query — (vec_id, nn_id, score,
+    * margin), score the 6-dp cosine, margin = score normalized by the
+    * mean of both sides' top-k scores. Shape: the small mining batch
+    * broadcasts against the streamed pool (q56's geometry — corpus side
+    * linear, never materialized); both normalizers are window sums over
+    * the SAME scored cross (no second scan, no join back: the per-query
+    * windows and the per-candidate windows each cost one keyed shuffle
+    * of the cross). Scores are rounded to 6 dp BEFORE any use and the
+    * normalizer sums are decimal-routed, so every downstream comparison
+    * and the final margin are partition-order-independent and exactly
+    * reproducible in the DuckDB twin. */
+  private[graft] def marginMine(test: DataFrame, pool: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy(col("vec_id"))
+    val wy = Window.partitionBy(col("nn_id"))
+    pool.join(broadcast(test))
+      .withColumn("score", round(cosineSimilarity(col("pe"), col("qe")), 6))
+      .select(col("vec_id"), col("nn_id"), col("score"))
+      .withColumn("rkx", row_number().over(
+        wx.orderBy(col("score").desc, col("nn_id").asc)))
+      .withColumn("rky", row_number().over(
+        wy.orderBy(col("score").desc, col("vec_id").asc)))
+      .withColumn("sx",
+        sum(when(col("rkx") <= k, col("score").cast("decimal(18,6)"))).over(wx))
+      .withColumn("sy",
+        sum(when(col("rky") <= k, col("score").cast("decimal(18,6)"))).over(wy))
+      .withColumn("margin",
+        round(col("score") * lit(2 * k) / (col("sx") + col("sy")).cast("double"), 6))
+      .withColumn("rk", row_number().over(
+        wx.orderBy(col("margin").desc, col("nn_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn_id"), col("score"), col("margin"))
+  }
+
+  /** Raw cosine twin (the [[cosSql]] score convention strips to this
+    * when the consumer wants cos itself, e.g. q89's margin). */
+  private[queries] def rawCosSql(aE: String, bE: String): String =
+    s"""list_sum(list_transform(list_zip($aE, $bE),
        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
        |      / (sqrt(list_sum(list_transform($aE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |       * sqrt(list_sum(list_transform($bE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) / 2.0""".stripMargin
+       |       * sqrt(list_sum(list_transform($bE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private[queries] def cosSql(aE: String, bE: String): String =
+    s"""(1.0 +
+       |      ${rawCosSql(aE, bE)}) / 2.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -494,6 +562,33 @@ object AnnQueries {
          |  FROM scored)
          |SELECT query_id, doc_id, score, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q89_margin_mining" -> {
+      val k = MarginK
+      val (a, b) = SplitPair
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ((($a * vec_id + $b) % $P) % 100) AS bucket
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |cx AS (SELECT t.vec_id, p.vec_id AS nn_id,
+         |    round(${rawCosSql("p.embedding", "t.embedding")}, 6) AS score
+         |  FROM e t JOIN e p ON t.bucket >= 90 AND p.bucket < 80),
+         |c2 AS (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rkx,
+         |    row_number() OVER (PARTITION BY nn_id ORDER BY score DESC, vec_id) AS rky
+         |  FROM cx),
+         |c3 AS (SELECT *,
+         |    SUM(CASE WHEN rkx <= $k THEN CAST(score AS DECIMAL(18,6)) END)
+         |      OVER (PARTITION BY vec_id) AS sx,
+         |    SUM(CASE WHEN rky <= $k THEN CAST(score AS DECIMAL(18,6)) END)
+         |      OVER (PARTITION BY nn_id) AS sy
+         |  FROM c2),
+         |m AS (SELECT vec_id, nn_id, score,
+         |    round(score * ${2 * k} / CAST(sx + sy AS DOUBLE), 6) AS margin FROM c3)
+         |SELECT vec_id, nn_id, score, margin
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY margin DESC, nn_id) AS rk FROM m)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
 
     // both Lloyd's iterations unrolled op-for-op: hash-green certifies
     // the clustering, the pair set AND the removal policy

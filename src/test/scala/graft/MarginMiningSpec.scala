@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.AnnQueries
+
+class MarginMiningSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def mine(
+      test: Seq[(Long, Seq[Float])],
+      pool: Seq[(Long, Seq[Float])],
+      k: Int): Seq[(Long, Long, Double, Double)] =
+    AnnQueries.marginMine(
+        test.toDF("vec_id", "qe"), pool.toDF("nn_id", "pe"), k)
+      .orderBy($"vec_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+
+  /** Driver-side reference: same formula, 6-dp scores, BigDecimal
+    * normalizer sums, double ratio rounded once. */
+  private def reference(
+      test: Seq[(Long, Seq[Float])],
+      pool: Seq[(Long, Seq[Float])],
+      k: Int): Seq[(Long, Long, Double, Double)] = {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      r6(d / (na * nb))
+    }
+    val cx = for ((x, qe) <- test; (y, pe) <- pool) yield (x, y, cos(pe, qe))
+    def topSum(scores: Seq[(Double, Long)]): BigDecimal =
+      scores.sortBy { case (s, id) => (-s, id) }.take(k)
+        .map { case (s, _) => BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+        .sum
+    val sx = test.map { case (x, _) =>
+      x -> topSum(cx.collect { case (`x`, y, s) => (s, y) }) }.toMap
+    val sy = pool.map { case (y, _) =>
+      y -> topSum(cx.collect { case (x, `y`, s) => (s, x) }) }.toMap
+    test.map { case (x, _) =>
+      val cands = cx.collect { case (`x`, y, s) =>
+        (x, y, s, r6(s * (2 * k) / (sx(x) + sy(y)).toDouble)) }
+      cands.sortBy { case (_, y, _, m) => (-m, y) }.head
+    }.sortBy(_._1)
+  }
+
+  private val hubTest = Seq(
+    1L -> Seq(0.98f, 0.2f), 2L -> Seq(0.95f, -0.3f), 3L -> Seq(0.99f, -0.1f))
+  private val hubPool = Seq(
+    10L -> Seq(1.0f, 0.0f), 20L -> Seq(0.90f, 0.42f), 30L -> Seq(0.5f, -0.86f))
+
+  test("margin demotes the hub: raw-cos argmax and margin argmax differ") {
+    val r = mine(hubTest, hubPool, k = 2)
+    // every query's raw-cos favorite is the hub (vector 10)...
+    val rawBest = hubTest.map { case (x, qe) =>
+      x -> hubPool.maxBy { case (y, pe) =>
+        (reference(Seq(x -> qe), Seq(y -> pe), 1).head._3, -y) }._1
+    }.toMap
+    assert(rawBest(1L) === 10L)
+    // ...but query 1's margin winner is its true mate (20): the hub's
+    // own crowded neighborhood inflates its normalizer
+    assert(r.map(t => t._1 -> t._2) === Seq(1L -> 20L, 2L -> 10L, 3L -> 10L))
+  }
+
+  test("matches the driver-side reference formula exactly") {
+    val rnd = new scala.util.Random(7)
+    def v() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val test = (0L until 6L).map(i => i -> v())
+    val pool = (100L until 130L).map(i => i -> v())
+    assert(mine(test, pool, k = 4) === reference(test, pool, k = 4))
+  }
+
+  test("result is invariant to pool partitioning") {
+    val rnd = new scala.util.Random(11)
+    def v() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val test = (0L until 4L).map(i => i -> v())
+    val pool = (100L until 160L).map(i => i -> v())
+    val a = mine(test, pool, k = 3)
+    val b = AnnQueries.marginMine(
+        test.toDF("vec_id", "qe"),
+        pool.toDF("nn_id", "pe").repartition(13), 3)
+      .orderBy($"vec_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+}
