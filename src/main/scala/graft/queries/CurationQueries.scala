@@ -87,6 +87,15 @@ object CurationQueries {
   /** q55: how many lowest-likelihood docs to surface. */
   val UnigramBottomK = 20
 
+  /** q90: bigram-LM anomaly screen — stupid-backoff discount (Brants
+    * et al. 2007 use 0.4; any fixed constant works since scores are
+    * only compared) and how many lowest-scoring test docs to surface.
+    * The backoff argument is assembled as ONE product before the
+    * single `ln`, so each score is one libm call on a bit-identical
+    * double in both engines (the q55/q82 portability rule). */
+  val StupidBackoffAlpha = "0.4"
+  val BigramBottomK = 20
+
   /** q82: hashed-feature space size and how many top-importance docs
     * the selection reports. 4096 buckets keeps the ratio table
     * broadcast-sized at ANY corpus scale (the table is bounded by the
@@ -273,6 +282,56 @@ object CurationQueries {
         .limit(UnigramBottomK)
         .select(col("doc_id"), col("lang"),
           col("dl").cast("long").as("n_tokens"), col("avg_ll"))
+    }),
+
+    "q90_bigram_lm" -> ((s, dir) => {
+      // bigram LM with stupid backoff (Brants et al. 2007 — the web-
+      // scale LM of choice precisely because its scores need no
+      // normalization pass): TRAIN-split counts score TEST-split docs,
+      // ll(w2|w1) = ln(c2/c1(w1)) when the bigram was seen, else
+      // ln(alpha * (c1(w2)+1)/(N+V)) — add-1 smoothed unigram backoff,
+      // so unseen-in-train words still score. q55's screen ranks docs
+      // by how odd their WORDS are; this one ranks by how odd their
+      // word ORDER is — the sequence-level anomaly surface. Shape:
+      // count tables are map-side-combined groupBys bounded by (bigram)
+      // vocabulary; the scoring joins are word-keyed equi-joins (at
+      // 100 TB the bigram table is corpus-vocabulary-sized — it
+      // SHUFFLES, never broadcasts, exactly like q52's shingle join);
+      // the 1-row (N+V) scalar broadcasts; the per-doc sum routes
+      // through decimal; round 6 dp before the global bottom-k heap.
+      val toks = KeywordQueries.tokenizedDocs(s, dir)
+        .withColumn("bucket", splitBucket(col("doc_id")))
+      def pairs(df: DataFrame): DataFrame = df
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
+            struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val train = toks.filter(col("bucket") < 80)
+      val c1 = train.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val stats = c1.agg((sum(col("c1")) + count(lit(1))).as("nv"))
+      val c2 = pairs(train).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      pairs(toks.filter(col("bucket") >= 90))
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1.select(col("w").as("w1"), col("c1").as("cw1")), Seq("w1"), "left")
+        .join(c1.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("ll",
+          when(col("c2").isNotNull,
+            log(col("c2").cast("double") / col("cw1")))
+          .otherwise(log(
+            lit(StupidBackoffAlpha.toDouble) *
+              ((coalesce(col("cw2"), lit(0L)) + 1).cast("double") / col("nv")))))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("ll").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("avg_ll"))
+        .orderBy(col("avg_ll").asc, col("doc_id").asc)
+        .limit(BigramBottomK)
     }),
 
     "q56_knn_vote" -> ((s, dir) => {
@@ -662,6 +721,34 @@ object CurationQueries {
          |  round(sum_ll / dl, 6) AS avg_ll
          |FROM ll
          |ORDER BY avg_ll ASC, doc_id ASC LIMIT $UnigramBottomK""".stripMargin,
+
+    "q90_bigram_lm" -> {
+      val a = StupidBackoffAlpha
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |ws AS (SELECT doc_id, lang, toks, ${splitBucketSql("doc_id")} AS bucket FROM dd),
+         |c1 AS (SELECT w, COUNT(*)::BIGINT AS c1 FROM
+         |  (SELECT unnest(toks) AS w FROM ws WHERE bucket < 80) GROUP BY w),
+         |st AS (SELECT (CAST(SUM(c1) AS BIGINT) + COUNT(*)::BIGINT) AS nv FROM c1),
+         |c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM
+         |  (SELECT toks[i+1] AS w1, toks[i+2] AS w2 FROM
+         |    (SELECT toks, unnest(range(len(toks) - 1)) AS i
+         |     FROM ws WHERE bucket < 80 AND len(toks) >= 2))
+         |  GROUP BY w1, w2),
+         |ti AS (SELECT doc_id, lang, toks[i+1] AS w1, toks[i+2] AS w2 FROM
+         |  (SELECT doc_id, lang, toks, unnest(range(len(toks) - 1)) AS i
+         |   FROM ws WHERE bucket >= 90 AND len(toks) >= 2)),
+         |sc AS (SELECT t.doc_id, t.lang,
+         |    CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2::DOUBLE / u1.c1)
+         |         ELSE ln($a * ((COALESCE(u2.c1, 0) + 1)::DOUBLE / nv)) END AS ll
+         |  FROM ti t LEFT JOIN c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+         |  LEFT JOIN c1 u1 ON t.w1 = u1.w
+         |  LEFT JOIN c1 u2 ON t.w2 = u2.w
+         |  CROSS JOIN st)
+         |SELECT doc_id, lang, COUNT(*)::BIGINT AS n_bigrams,
+         |  round(CAST(SUM(CAST(ll AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_ll
+         |FROM sc GROUP BY doc_id, lang
+         |ORDER BY avg_ll ASC, doc_id ASC LIMIT $BigramBottomK""".stripMargin
+    },
 
     "q56_knn_vote" -> {
       val cos = AnnQueries.cosSql("t.embedding", "q.embedding")

@@ -158,6 +158,40 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(rows.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
   }
 
+  test("q90 bigram stupid-backoff scores match a driver-side recomputation") {
+    val (a, b) = SplitPair
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    def bucket(id: Long) = ((a * id + b) % P) % 100
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val train = docs.filter(d => bucket(d._1) < 80)
+    val c1 = train.flatMap(d => toks(d._3)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = train.flatMap(d => toks(d._3).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nv = c1.values.sum + c1.size
+    val alpha = CurationQueries.StupidBackoffAlpha.toDouble
+    def score(w1: String, w2: String): Double = c2.get((w1, w2)) match {
+      case Some(c) => math.log(c.toDouble / c1(w1))
+      case None => math.log(alpha * ((c1.getOrElse(w2, 0L) + 1).toDouble / nv))
+    }
+    val want = docs.filter(d => bucket(d._1) >= 90)
+      .map { d =>
+        val bgs = toks(d._3).sliding(2).filter(_.size == 2).toSeq
+        val sum = bgs.map(p => BigDecimal(score(p(0), p(1)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        val avg = BigDecimal(sum.toDouble / bgs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (d._1, d._2, bgs.size.toLong, avg)
+      }
+      .filter(_._3 > 0)
+      .sortBy(t => (t._4, t._1))
+      .take(CurationQueries.BigramBottomK)
+    val got = run("q90_bigram_lm", sf0001)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.forall(_._4 < 0.0))
+  }
+
   test("q56 knn vote: winners beat every losing label's vote count") {
     // recompute the vote table via an aggregation-only plan (no window)
     // and check the query's window-ranked winner agrees
