@@ -98,6 +98,13 @@ object PortableHash {
     * pipeline decision. */
   val ShardPair: (Long, Long) = affineConstants(909L, 1).head
 
+  /** Training-order shuffle hash — its own member so the order a
+    * training run visits documents in is uncorrelated with split,
+    * sample, mix and shard membership (a correlated order would feed
+    * the model systematically biased batches — e.g. all of one
+    * domain-mix stratum first). */
+  val ShufflePair: (Long, Long) = affineConstants(1414L, 1).head
+
   /** Count-min sketch row hashes — one affine member per sketch row,
     * decoupled from every other family (its own seed). */
   val CmsDepth = 4

@@ -78,4 +78,47 @@ object RankedCumsum {
     }
     out.toDF("rank", "token", "n", "cum_n").withColumn("total_n", lit(total))
   }
+
+  /** The training-loader frame (q91): input one row per document —
+    * (h LONG: the shuffle-order key, doc_id LONG: unique tie-break,
+    * n LONG: token count) — output every row with its global 1-based
+    * rank in (h asc, doc_id asc) order, the running token sum BEFORE
+    * it, and its slice id `cum_before div budget`: contiguous
+    * fixed-token-budget slices of the shuffled corpus, the unit a
+    * training run checkpoints and resumes at. Same two-pass shape as
+    * [[tokenCoverage]] (range-partitioned parallel sort, one sort via
+    * localCheckpoint, driver prefix of #partitions subtotals) — NO
+    * single-partition window at any corpus size; all-integer, so the
+    * DuckDB window-cumsum twin is exact. */
+  def epochSlices(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = docs
+      .select(col("h").cast("long"), col("doc_id").cast("long"), col("n").cast("long"))
+      .repartitionByRange(parts, col("h").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("h").asc, col("doc_id").asc)
+    val rdd = sorted.rdd.localCheckpoint()
+    val stats = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rows = 0L
+      var s = 0L
+      it.foreach { r => rows += 1; s += r.getLong(2) }
+      Iterator((i, rows, s))
+    }.collect().sortBy(_._1)
+    val offsets = stats
+      .scanLeft((0L, 0L)) { case ((r, s), (_, pr, ps)) => (r + pr, s + ps) }
+      .dropRight(1)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var (rank, cum) = offsets(i)
+      it.map { r =>
+        rank += 1
+        val before = cum
+        cum += r.getLong(2)
+        (r.getLong(1), r.getLong(0), r.getLong(2), rank, before)
+      }
+    }
+    out.toDF("doc_id", "h", "n", "rank", "cum_before")
+      .withColumn("slice", expr(s"cum_before div $budget"))
+  }
 }

@@ -99,6 +99,12 @@ object PipelineQueries {
   /** q46: salt fan-out. */
   val SaltParts = 8
 
+  /** q91 slice budget in tokens: ~2k tokens per slice gives ~13 slices
+    * at sf0.01 (≈27k corpus tokens) and ~130 at sf0.1 — non-degenerate
+    * at every fixture SF. A production run sets this to the tokens one
+    * optimizer step (or checkpoint interval) consumes. */
+  val SliceBudget = 2048L
+
   /** q51: how many docs the weighted sample keeps. */
   val PrioritySampleK = 20
 
@@ -310,6 +316,30 @@ object PipelineQueries {
         .select(col("rank"), col("token"), col("n"),
           round(col("cum_n").cast("double") / col("total_n"), 6).as("cum_coverage"))
         .orderBy(col("rank"))
+    }),
+
+    "q91_epoch_slices" -> ((s, dir) => {
+      // the training-loader manifest: documents in deterministic
+      // shuffled order (the dedicated ShufflePair hash — uncorrelated
+      // with split/sample/mix/shard, so no pipeline decision leaks
+      // into batch composition), cut into contiguous fixed-token-
+      // budget slices by the running token sum BEFORE each doc — the
+      // unit a training run checkpoints at and resumes from ("skip
+      // the first k slices" is exact, needs no re-scan of data).
+      // Shape: the global order + running sum is the DISTRIBUTED
+      // two-pass cumsum (RankedCumsum.epochSlices — range-partitioned
+      // parallel sort, driver-prefix offsets, no single-partition
+      // window); slice assignment is exact integer division, so the
+      // report is all-integer and the window-cumsum oracle is exact.
+      val rows = TextQueries.enriched(s, dir)
+        .select(affine(ShufflePair, col("doc_id")).as("h"),
+          col("doc_id"), col("n_tokens").as("n"))
+      graft.operators.RankedCumsum.epochSlices(rows, SliceBudget)
+        .groupBy(col("slice"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min_by(col("doc_id"), col("rank")).as("first_doc"),
+          max_by(col("doc_id"), col("rank")).as("last_doc"))
+        .orderBy(col("slice"))
     }),
 
     "q77_bpe_merges" -> ((s, dir) => {
@@ -621,6 +651,20 @@ object PipelineQueries {
          |  FROM c)
          |SELECT rank, token, n, round(cum_n::DOUBLE / total_n, 6) AS cum_coverage
          |FROM r WHERE rank <= $VocabTopN ORDER BY rank""".stripMargin,
+
+    "q91_epoch_slices" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |r AS (SELECT doc_id, ${affineSql(ShufflePair, "doc_id")} AS h,
+         |    len(toks)::BIGINT AS n FROM dd),
+         |o AS (SELECT doc_id, h, n,
+         |    row_number() OVER (ORDER BY h, doc_id) AS rank,
+         |    COALESCE(SUM(n) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |  FROM r),
+         |sl AS (SELECT *, cum_before // $SliceBudget AS slice FROM o)
+         |SELECT slice, COUNT(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS n_tokens,
+         |  arg_min(doc_id, rank) AS first_doc, arg_max(doc_id, rank) AS last_doc
+         |FROM sl GROUP BY slice ORDER BY slice""".stripMargin,
 
     "q45_bigram_top" ->
       s"""WITH sh AS (

@@ -103,6 +103,49 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
       .tokenCoverage(counts.filter(lit(false)), 5).collect().isEmpty)
   }
 
+  test("epochSlices equals the single-partition window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // ragged token counts, ranks crossing range-partition boundaries,
+    // a doc bigger than the whole budget
+    val docs = spark.range(300).toDF("doc_id")
+      .select(pmod(col("doc_id") * 37 + 11, lit(101L)).as("h"),
+        col("doc_id"), (pmod(col("doc_id"), lit(9L)) * 40 + 1).as("n"))
+    val budget = 100L
+    val got = graft.operators.RankedCumsum.epochSlices(docs, budget)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val w = Window.orderBy(col("h").asc, col("doc_id").asc)
+    val want = docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("slice", expr(s"cum_before div $budget"))
+      .orderBy(col("rank"))
+      .select(col("doc_id"), col("h"), col("n"), col("rank"), col("cum_before"), col("slice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q91 slices conserve the corpus and respect the budget geometry") {
+    val rows = run("q91_epoch_slices").collect()
+    val slices = rows.map(_.getAs[Long]("slice")).toSeq
+    assert(slices === (0L until rows.length.toLong), "slices must be contiguous from 0")
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    val docToks = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+    val base = docToks.agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
+    assert((nDocs, nToks) === base, "slice totals must conserve the corpus")
+    // every slice boundary is exact: a doc starts a new slice iff the
+    // running total before it crossed the budget line, so each
+    // non-final slice holds at least the budget minus one doc's tokens
+    val maxDoc = docToks.agg(max(col("n"))).as[Long].head()
+    rows.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > PipelineQueries.SliceBudget - maxDoc,
+        s"slice ${r.getAs[Long]("slice")} underfilled")
+    }
+  }
+
   test("q69 export manifest = q43's train row minus the decontaminated mass") {
     // composing decontamination into the funnel can only SHRINK the
     // train split, and per-language doc counts must be bounded by
