@@ -75,6 +75,15 @@ object ExtraQueries {
     * sharded write's repartition. */
   val NShards = 16
 
+  /** q92 histogram-sketch geometry: fixed-width price bins (the
+    * mergeable quantile sketch — per-shard/per-day histograms SUM into
+    * the global one, the property q63 certifies for KMV) and the
+    * quantile ranks the report surfaces. Bin width 1000 over the
+    * fixture's l_extendedprice range (~900-105k) gives ~105 bins —
+    * the directory stays KB-sized no matter how many rows feed it. */
+  val HistBinWidth = 1000L
+  val HistQuantiles: Seq[Long] = Seq(1L, 5L, 25L, 50L, 75L, 90L, 95L, 99L)
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = graft.SparkEntry.tbl(s, dir, "events")
     df.schema("ts").dataType match {
@@ -110,6 +119,42 @@ object ExtraQueries {
         .select(col("event_type"), col("n_events"), col("exact_distinct"),
           col("n_h"), col("kmv_est"))
         .orderBy(col("event_type"))
+    }),
+
+    "q92_hist_quantiles" -> ((s, dir) => {
+      // mergeable quantile sketch: q30 computes exact percentiles with
+      // a full sort per group — the right answer at fixture scale and
+      // the wrong PLAN at 100 TB. The scale path is a fixed-width
+      // histogram: binning is row-local integer math, the corpus
+      // collapses to a <=~105-row bin directory under map-side combine
+      // (ONE shuffle of bin-sized data), and quantile q reads off the
+      // first bin whose cumulative count covers q% — conservative to
+      // one bin width, deterministic, and MERGEABLE (per-day/per-shard
+      // histograms SUM into the global one; the spec proves merge ==
+      // direct, q63's construction). All-integer: cum*100 >= q*total
+      // avoids division entirely, so the oracle is exact.
+      import s.implicits._
+      val w = HistBinWidth
+      val bins = graft.SparkEntry.tbl(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / w).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      // the bin directory is bounded by the value range (~105 rows),
+      // so whole-directory windows cost nothing at any corpus size
+      val wB = Window.orderBy(col("bin"))
+      val cum = bins
+        .withColumn("cum_n", sum(col("n"))
+          .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total_n", sum(col("n"))
+          .over(Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val qs = HistQuantiles.toDF("q")
+      val pick = broadcast(qs).join(cum,
+          col("cum_n") * 100 >= col("q") * col("total_n"))
+        .groupBy(col("q")).agg(min(col("bin")).as("bin"))
+      pick.join(cum, "bin")
+        .select(col("q"), col("bin"), (col("bin") * w).as("bin_lo"),
+          col("cum_n"), col("total_n"))
+        .orderBy(col("q"))
     }),
 
     "q63_kmv_merge" -> ((s, dir) => {
@@ -309,6 +354,21 @@ object ExtraQueries {
          |       ELSE round(${(KmvK - 1).toDouble} * $P / s.kth, 6) END AS kmv_est
          |FROM exact e JOIN sketch s USING (event_type)
          |ORDER BY event_type""".stripMargin
+    },
+
+    "q92_hist_quantiles" -> {
+      val w = HistBinWidth
+      val qlist = HistQuantiles.mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT CAST(floor(l_extendedprice / $w) AS BIGINT) AS bin,
+         |    COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1),
+         |c AS (SELECT bin, n,
+         |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS total_n FROM b),
+         |q AS (SELECT CAST(unnest($qlist) AS BIGINT) AS q),
+         |pick AS (SELECT q.q, MIN(c.bin) AS bin FROM q JOIN c
+         |    ON c.cum_n * 100 >= q.q * c.total_n GROUP BY q.q)
+         |SELECT p.q, p.bin, p.bin * $w AS bin_lo, c.cum_n, c.total_n
+         |FROM pick p JOIN c ON p.bin = c.bin ORDER BY p.q""".stripMargin
     },
 
     "q63_kmv_merge" -> {

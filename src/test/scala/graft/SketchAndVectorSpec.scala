@@ -25,6 +25,38 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
     assert(CmsDepth * ExtraQueries.CmsWidth < 1000000)
   }
 
+  test("q92 histogram quantiles bracket the exact order statistics") {
+    val w = ExtraQueries.HistBinWidth
+    val prices = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_extendedprice").as[Double].collect().sorted
+    val rows = ExtraQueries.queries("q92_hist_quantiles")(spark, sf0001)
+      .select($"q", $"bin_lo", $"cum_n", $"total_n")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === ExtraQueries.HistQuantiles.length)
+    rows.foreach { case (q, lo, _, total) =>
+      assert(total === prices.length.toLong)
+      // the ceil(q*n/100)-th smallest value must land inside the
+      // reported bin — the sketch is exact to one bin width
+      val kth = prices(((q * prices.length + 99) / 100).toInt - 1)
+      assert(kth >= lo && kth < lo + w, s"q=$q: $kth outside [$lo, ${lo + w})")
+    }
+  }
+
+  test("q92 histograms merge: per-month partial histograms sum to the direct one") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val w = ExtraQueries.HistBinWidth
+    val direct = li
+      .select(floor($"l_extendedprice" / w).cast("long").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+    val merged = li
+      .select(floor($"l_extendedprice" / w).cast("long").as("bin"),
+        date_trunc("month", $"l_shipdate").as("m"))
+      .groupBy($"bin", $"m").agg(count(lit(1)).as("pn"))
+      .groupBy($"bin").agg(sum($"pn").as("n"))
+    assert(direct.orderBy($"bin").as[(Long, Long)].collect().toSeq ===
+      merged.orderBy($"bin").as[(Long, Long)].collect().toSeq)
+  }
+
   test("q60 decayed counts are positive and bounded by the raw counts") {
     val rows = ExtraQueries.queries("q60_decayed_counts")(spark, sf001)
       .select($"event_type", $"n_events", $"decayed_count")
