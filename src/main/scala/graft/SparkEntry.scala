@@ -369,6 +369,28 @@ object SparkEntry {
         .orderBy($"c_mktsegment")
     }),
 
+    "q93_unpivot_metrics" -> ((s, dir) => {
+      import s.implicits._
+      // unpivot/melt — the inverse of q29's pivot: the wide per-flag
+      // metric row folds into (flag, metric, value) tuples, the long
+      // shape feeding generic metric stores and plotting pipelines.
+      // Aggregation happens BEFORE the unpivot (decimal-routed sums on
+      // flag-count-sized data), so the melt is a row-local expression
+      // over a tiny frame — at any corpus scale the only shuffle is
+      // the q1-shaped partial agg.
+      tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          dsum($"l_quantity", 2).as("sum_qty"),
+          dsum($"l_extendedprice", 2).as("sum_price"),
+          dsum($"l_discount", 2).as("sum_disc"),
+          dsum($"l_tax", 2).as("sum_tax"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"sum_qty", $"sum_price", $"sum_disc", $"sum_tax"),
+          "metric", "value")
+        .orderBy($"l_returnflag", $"metric")
+    }),
+
     // ---- vector search core (reference server.py:85-91; SURVEY §2.1 O5-O7) ----
 
     "q10_knn_exact" -> ((s, dir) => {
@@ -579,6 +601,20 @@ object SparkEntry {
         |  round(quantile_cont(c_acctbal, 0.5), 6) AS p50_acctbal,
         |  round(quantile_cont(c_acctbal, 0.9), 6) AS p90_acctbal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q93_unpivot_metrics" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) AS sum_disc,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(28,2))) AS DOUBLE) AS sum_tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM a)
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q10_knn_exact" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
