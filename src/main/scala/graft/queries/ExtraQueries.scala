@@ -148,12 +148,16 @@ object ExtraQueries {
           .over(Window.partitionBy()
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       val qs = HistQuantiles.toDF("q")
-      val pick = broadcast(qs).join(cum,
+      // min(struct(bin, …)) picks the first covering bin AND carries its
+      // cumulative row along — no join back to cum, so the corpus (and
+      // the bin directory) is scanned exactly once
+      broadcast(qs).join(cum,
           col("cum_n") * 100 >= col("q") * col("total_n"))
-        .groupBy(col("q")).agg(min(col("bin")).as("bin"))
-      pick.join(cum, "bin")
-        .select(col("q"), col("bin"), (col("bin") * w).as("bin_lo"),
-          col("cum_n"), col("total_n"))
+        .groupBy(col("q"))
+        .agg(min(struct(col("bin"), col("cum_n"), col("total_n"))).as("m"))
+        .select(col("q"), col("m.bin").as("bin"),
+          (col("m.bin") * w).as("bin_lo"),
+          col("m.cum_n").as("cum_n"), col("m.total_n").as("total_n"))
         .orderBy(col("q"))
     }),
 

@@ -278,6 +278,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), s"q70 must not plan a window:\n$p")
   }
 
+  test("q88 dup spans: equi-join on the anchor hash, map-side dup-gram agg, per-doc windows") {
+    val p = plan("q88_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the flag-back must stay an equi-join on h:\n$p")
+    // the >= 2-docs test must collapse each partition to its distinct
+    // grams before the exchange (min/max carry the test, no distinct)
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"dup-gram detection should combine map-side:\n$p")
+    // island merging windows by document, never globally
+    assert(p.contains("windowspecdefinition(doc_id#"),
+      s"island windows must partition by doc_id:\n$p")
+  }
+
+  test("q91 epoch slices have no single-partition window anywhere") {
+    // the global order + running sum is RankedCumsum's two-pass shape;
+    // a WindowExec here means one task sorts the whole corpus again
+    val p = plan("q91_epoch_slices")
+    assert(!p.contains("Window"), s"q91 must not plan a window:\n$p")
+  }
+
+  test("q92 histogram collapses the corpus map-side before one bin-sized exchange") {
+    val p = plan("q92_hist_quantiles")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"binning should combine map-side:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"one corpus scan feeds the histogram:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"quantile pick must stay a broadcast theta-join over the tiny directory:\n$p")
+  }
+
   test("q42 packing runs ONE window partitioned by pack_group") {
     val p = plan("q42_packing")
     assert(p.linesIterator.count(l => l.contains("Window ") || l.trim.startsWith("Window")) <= 2,
