@@ -134,7 +134,27 @@ object PlanDump {
         "this plan; each training iteration is the same join shape): the " +
         "feature-space-bounded weight table returns via `BroadcastHashJoin` " +
         "— the corpus-sized feature table never shuffles to look up " +
-        "weights — then one map-side-combined per-doc rollup."))
+        "weights — then one map-side-combined per-doc rollup."),
+    "q88_dup_spans" ->
+      ("Duplicated-span detection: the ≥-2-docs test is a partial-combined " +
+        "min/max aggregate on the gram hash (the exchange carries distinct " +
+        "grams per partition, never corpus positions, and no distinct-count " +
+        "runs); anchors flag back via an equi-join on `h`; the " +
+        "gaps-and-islands merge windows are partitioned by doc_id — state " +
+        "bounded by document length, no global sort anywhere."),
+    "q91_epoch_slices" ->
+      ("Training-loader epoch slices: the global deterministic-shuffle " +
+        "order + running token sum is RankedCumsum's two-pass distributed " +
+        "cumsum (range-partitioned parallel sort, driver prefix of " +
+        "#partitions subtotals) — NO single-partition Window anywhere; " +
+        "slice assignment is row-local integer division above the " +
+        "ExistingRDD scan of pass 2."),
+    "q92_hist_quantiles" ->
+      ("Mergeable histogram quantiles: binning is row-local integer math, " +
+        "the corpus collapses map-side to a ~105-row bin directory before " +
+        "ONE bin-sized exchange; whole-directory windows and the quantile " +
+        "pick (a broadcast theta-join over the 5-row quantile list) cost " +
+        "nothing at any corpus size — q30's full sort never appears."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
