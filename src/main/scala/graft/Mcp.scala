@@ -20,11 +20,18 @@ import org.json4s.jackson.JsonMethods
   */
 object Mcp {
 
-  /** Protocol revision implemented; an `initialize` asking for a
-    * different revision is answered with this one (the MCP-specified
-    * server behavior: respond with the latest version the server
-    * supports and let the client decide). */
+  /** Protocol revision implemented; the newest this server speaks. */
   val ProtocolVersion = "2025-03-26"
+
+  /** Revisions the server can answer `initialize` with. The MCP
+    * handshake: if the client's requested `protocolVersion` is one the
+    * server supports, ECHO it (the client then talks that revision);
+    * otherwise respond with the latest supported and let the client
+    * decide whether to proceed or disconnect. The tools-only slice this
+    * server implements is identical across these two revisions
+    * (2025-03-26 added JSON-RPC batching, which older clients simply
+    * never send), so both are honestly supportable. */
+  val SupportedProtocolVersions: Set[String] = Set("2024-11-05", ProtocolVersion)
 
   val ServerName = "graft-vector-search"
   val ServerVersion = "0.1.0"
@@ -101,7 +108,7 @@ object Mcp {
     }
     val isNotification = id == JNothing
     val response = method match {
-      case "initialize" => Some(result(id, initializeResult()))
+      case "initialize" => Some(result(id, initializeResult(msg \ "params")))
       case "ping" => Some(result(id, JObject()))
       case "tools/list" => Some(result(id, toolsListResult()))
       case "tools/call" => Some(toolsCall(id, msg \ "params", search))
@@ -112,7 +119,14 @@ object Mcp {
         Some(result(id, JObject("prompts" -> JArray(Nil))))
       case "resources/list" =>
         Some(result(id, JObject("resources" -> JArray(Nil))))
-      case _ if isNotification => None // e.g. notifications/initialized
+      // notifications/initialized, notifications/cancelled, and any
+      // other notification: no response, per JSON-RPC 2.0. Cancellation
+      // in particular is a no-op by design — this server answers each
+      // request synchronously before reading the next line, so by the
+      // time a cancelled notification arrives the request it names has
+      // already completed (the race the MCP spec tells receivers to
+      // tolerate by ignoring unknown/late cancellations).
+      case _ if isNotification => None
       case "" => Some(error(id, -32600, "Invalid Request: no method"))
       case m => Some(error(id, -32601, s"Method not found: $m"))
     }
@@ -122,12 +136,18 @@ object Mcp {
   private def render(v: JValue): String =
     JsonMethods.compact(JsonMethods.render(v))
 
-  private def initializeResult(): JObject = JObject(
-    "protocolVersion" -> JString(ProtocolVersion),
+  private def initializeResult(params: JValue): JObject = {
+    val negotiated = params \ "protocolVersion" match {
+      case JString(v) if SupportedProtocolVersions(v) => v
+      case _ => ProtocolVersion
+    }
+    JObject(
+    "protocolVersion" -> JString(negotiated),
     "capabilities" -> JObject("tools" -> JObject()),
     "serverInfo" -> JObject(
       "name" -> JString(ServerName),
       "version" -> JString(ServerVersion)))
+  }
 
   private def toolsListResult(): JObject = JObject(
     "tools" -> JArray(List(JObject(

@@ -78,6 +78,50 @@ object ScaleProbe {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     }
+    // BRP tuning probe mode (--brp-tables N [--brp-bucket L]): times
+    // q72's near-dup plan on the REAL srcDir fixture with an
+    // alternative (numTables, bucketLength) and reports recall against
+    // the exact all-pairs top-20 computed in the same run (2k vectors
+    // at sf0.1 ⇒ the exact baseline is cheap here; at corpus scale it
+    // is not, which is why q72 exists). Feeds the minCos-vs-geometry
+    // tuning note in SCALING.md.
+    flags.get("brp-tables").foreach { tStr =>
+      val tables = tStr.toInt
+      val bucket = flags.get("brp-bucket").map(_.toDouble).getOrElse(2.0)
+      val minCos = flags.get("brp-mincos").map(_.toDouble)
+        .getOrElse(queries.AnnQueries.NearDupMinCos)
+      val topK = queries.AnnQueries.NearDupTopK
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id"), col("embedding"))
+      def lshPass(): (Double, Seq[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val idx = search.AnnIndex.buildBrp(emb, numTables = tables,
+          bucketLength = bucket, cache = true)
+        val top = idx.nearDupPairsCanonical(minCos)
+          .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
+          .limit(topK)
+        top.write.format("noop").mode("overwrite").save()
+        val pairs = top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        idx.hashed.unpersist()
+        ((System.nanoTime() - t0) / 1e9, pairs)
+      }
+      val (coldT, lshPairs) = lshPass()
+      val (warmT, _) = lshPass()
+      // exact all-pairs top-20 under the same score convention
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val exact = a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          graft.functions.VectorFunctions.neo4jScore(col("ea"), col("eb")).as("score"))
+        .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
+        .limit(topK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recalled = lshPairs.count(exact.contains)
+      println(s"""{"probe":"brp-tuning","src":"$srcDir","n_vecs":${emb.count()},"num_tables":$tables,"bucket_length":$bucket,"min_cos":$minCos,"cold_sec":$coldT,"warm_sec":$warmT,"recall_at_$topK":${recalled.toDouble / topK}}""")
+      spark.stop()
+      return
+    }
     // SemDeDup probe mode (--semdedup-k N [--semdedup-score S]): the
     // declared q85 geometry (k=8) exists for the oracle's unrolled CTE;
     // at probe scale the paper's shape is k growing with the corpus so

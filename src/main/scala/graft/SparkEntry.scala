@@ -65,21 +65,10 @@ object SparkEntry {
     s.table(name)
   }
 
-  /** events with `ts` normalized to TIMESTAMP. The fixture writes
-    * TIMESTAMP(NANOS) parquet, which Spark 4 reads only as long-nanos
-    * (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench); under
-    * a session without that flag the column arrives as TimestampType
-    * directly — handle both. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = tbl(s, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer floor division: epoch nanos exceed Double's 2^53 exact
-        // range, so `/` (which promotes to Double) could shift by ~256ns
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
-    }
-  }
+  /** events with `ts` normalized to TIMESTAMP — all encoding handling
+    * lives in [[graft.sources.Sources.normalizeEventTs]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.normalizeEventTs(tbl(s, dir, "events"))
 
   /** decimal-routed deterministic sum of a double expression */
   private def dsum(c: Column, scale: Int = 10): Column =

@@ -36,7 +36,26 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Fail LOUDLY, not by omission: a failed query must leave an
+        // artifact the driver turns into an `err` row. Writing nothing
+        // silently shrinks the correctness file (round 8: five broken
+        // queries showed as missing rows, not red ones). The `_error`
+        // file inside the query's output dir makes the breakage visible
+        // both to the driver (unreadable-as-parquet → err entry) and to
+        // a human listing the dump.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        try {
+          if (Files.exists(dir)) { // clear any partial parquet output
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_error"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: could not write _error marker: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -84,14 +84,8 @@ object ExtraQueries {
   val HistBinWidth = 1000L
   val HistQuantiles: Seq[Long] = Seq(1L, 5L, 25L, 50L, 75L, 90L, 95L, 99L)
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = graft.SparkEntry.tbl(s, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.normalizeEventTs(graft.SparkEntry.tbl(s, dir, "events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

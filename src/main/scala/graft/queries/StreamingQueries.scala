@@ -14,15 +14,9 @@ object StreamingQueries {
   val SessionGapMinutes = 30
   private val gapUs = SessionGapMinutes * 60L * 1000000L
 
-  /** events with ts normalized (nanos-long fixture → micros timestamp). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = graft.SparkEntry.tbl(s, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
-    }
-  }
+  /** events with ts normalized — see [[graft.sources.Sources.normalizeEventTs]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.normalizeEventTs(graft.SparkEntry.tbl(s, dir, "events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

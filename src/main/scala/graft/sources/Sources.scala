@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Sources and sinks (SURVEY.md §2.2 scans/sinks rows). The reference
@@ -36,6 +37,32 @@ object Sources {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Normalize the events fixture's `ts` column to session-local
+    * TimestampType, whatever physical encoding the fixture was written
+    * with. The fixture has shipped three encodings across regenerations:
+    *   - TIMESTAMP(NANOS) parquet, which Spark 4 reads only as epoch
+    *     nanos long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    *     Verify/Bench/tests) — integer floor division to micros (epoch
+    *     nanos exceed Double's 2^53 exact range, so `/`, which promotes
+    *     to Double, could shift by ~256 ns);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    *     TIMESTAMP_NTZ — every session here pins UTC, so `cast` to
+    *     TimestampType is an epoch-preserving relabel (no wall-clock
+    *     shift), and time functions (`unix_micros`, `window`,
+    *     watermarks) accept it;
+    *   - plain TIMESTAMP — already what downstream wants.
+    * Every reader of the events table — main queries, streaming twins,
+    * and specs — MUST go through this one helper so the next fixture
+    * re-encoding is a one-line fix here, not a hunt across modules. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; extend Sources.normalizeEventTs")
+    }
 
   /** JSON-lines with a required schema (no inference). */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -49,8 +49,8 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("asof on fixtures equals a brute-force per-event maximum") {
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Sources
+      .normalizeEventTs(spark.read.parquet(s"$sf0001/events.parquet"))
       .select($"event_id", $"user_id", unix_micros($"ts").as("t"))
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select($"o_custkey", $"o_orderkey",

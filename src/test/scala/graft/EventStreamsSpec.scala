@@ -12,11 +12,10 @@ import graft.streaming.EventStreams.{Ev, Session}
 class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  /** sf0.001 events as a typed dataset (fixture ts is long nanos under
-    * the test session's nanosAsLong flag). */
-  private lazy val fixtureEvents: Seq[Ev] = spark.read
-    .parquet(s"$sf0001/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** sf0.001 events as a typed dataset (ts normalized whatever the
+    * fixture's physical encoding — see Sources.normalizeEventTs). */
+  private lazy val fixtureEvents: Seq[Ev] = graft.sources.Sources
+    .normalizeEventTs(spark.read.parquet(s"$sf0001/events.parquet"))
     .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
     .as[Ev].collect().toSeq
 
@@ -31,8 +30,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       val got = spark.table("hc")
         .select($"hour", $"event_type", $"n", $"sum_value")
         .orderBy($"hour", $"event_type").collect().toSeq
-      val want = spark.read.parquet(s"$sf0001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val want = graft.sources.Sources
+        .normalizeEventTs(spark.read.parquet(s"$sf0001/events.parquet"))
         .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(28,6)")).cast("double").as("sum_value"))
@@ -220,8 +219,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
 
   test("file-source streaming read processes a parquet drop-directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Sources
+      .normalizeEventTs(spark.read.parquet(s"$sf0001/events.parquet"))
       .write.mode("overwrite").parquet(dir)
     val stream = EventStreams.readEventStream(spark, dir)
     assert(stream.isStreaming)
@@ -263,8 +262,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         .filter($"event_id" >= 0)
         .select($"event_id", $"win_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-      val ev = spark.read.parquet(s"$sf0001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = graft.sources.Sources
+        .normalizeEventTs(spark.read.parquet(s"$sf0001/events.parquet"))
       val win = 30L * 60 * 1000000L
       val want = ev.filter($"event_type" =!= "purchase")
         .select($"event_id", $"user_id", unix_micros($"ts").as("t"))

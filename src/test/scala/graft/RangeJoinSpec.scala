@@ -9,8 +9,8 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   test("pointInInterval equals brute-force inequality join on fixtures") {
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Sources
+      .normalizeEventTs(spark.read.parquet(s"$sf0001/events.parquet"))
     val win = 30L * 60 * 1000000L
     val pts = ev.filter($"event_type" =!= "purchase")
       .select($"event_id", $"user_id", unix_micros($"ts").as("t"))

@@ -183,12 +183,22 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(Mcp.handle(
       """{"jsonrpc":"2.0","method":"notifications/cancelled","params":{"requestId":1}}""",
       _ => "x").isEmpty)
-    // an initialize asking for an older revision is answered with the
-    // one this server implements (the MCP-specified behavior)
+    // MCP version negotiation: a supported requested revision is ECHOED
+    // (the client then talks that revision) ...
     val init = parse(Mcp.handle(
       """{"jsonrpc":"2.0","id":7,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""",
       _ => "x").get)
-    assert((init \ "result" \ "protocolVersion") === JString(Mcp.ProtocolVersion))
+    assert((init \ "result" \ "protocolVersion") === JString("2024-11-05"))
+    // ... an unknown revision is answered with the latest this server
+    // speaks, and the client decides whether to proceed
+    val unknown = parse(Mcp.handle(
+      """{"jsonrpc":"2.0","id":8,"method":"initialize","params":{"protocolVersion":"1999-01-01"}}""",
+      _ => "x").get)
+    assert((unknown \ "result" \ "protocolVersion") === JString(Mcp.ProtocolVersion))
+    // ... and a missing protocolVersion also draws the latest
+    val bare = parse(Mcp.handle(
+      """{"jsonrpc":"2.0","id":9,"method":"initialize"}""", _ => "x").get)
+    assert((bare \ "result" \ "protocolVersion") === JString(Mcp.ProtocolVersion))
   }
 
   test("--serve false consumes the literal token as the flag value") {

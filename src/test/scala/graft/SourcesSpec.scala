@@ -74,6 +74,48 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("events fixture normalizes to TimestampType in every sf dir (encoding tripwire)") {
+    // The early-warning the repo lacked in round 8: the driver has
+    // re-encoded events.ts across fixture regenerations (TIMESTAMP(NANOS)
+    // → long under nanosAsLong; timestamp[us] → TIMESTAMP_NTZ). Whatever
+    // physical type ships, the ONE normalizer must yield a plain
+    // TimestampType column with sane epoch values, in all three dirs.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val ev = Sources.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType,
+        s"$dir: normalized ts must be TimestampType")
+      val r = ev.agg(
+        min(unix_micros($"ts")).as("lo"),
+        max(unix_micros($"ts")).as("hi"),
+        count(when($"ts".isNull, 1)).as("nulls")).head()
+      assert(r.getLong(2) === 0L, s"$dir: normalization must not null any ts")
+      // fixture events span recent years; a unit slip (ns↔us↔ms↔s) moves
+      // the epoch by 1000x and lands far outside [2000, 2100)
+      val (y2000, y2100) = (946684800000000L, 4102444800000000L)
+      assert(r.getLong(0) >= y2000 && r.getLong(1) < y2100,
+        s"$dir: epoch micros out of range [${r.getLong(0)}, ${r.getLong(1)}] — unit slip?")
+    }
+  }
+
+  test("normalizeEventTs maps long-nanos and NTZ encodings to identical timestamps") {
+    import org.apache.spark.sql.types._
+    val micros = Seq(1700000000000000L, 1700000123456789L, 1712345678901234L)
+    val asNanos = micros.map(_ * 1000L).toDF("ts")
+    val ntz = spark.createDataFrame(
+      spark.sparkContext.parallelize(micros.map(u =>
+        org.apache.spark.sql.Row(java.time.LocalDateTime.ofEpochSecond(
+          u / 1000000L, ((u % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)))),
+      StructType(Seq(StructField("ts", TimestampNTZType))))
+    val a = Sources.normalizeEventTs(asNanos)
+      .select(unix_micros($"ts")).as[Long].collect().sorted.toSeq
+    val b = Sources.normalizeEventTs(ntz)
+      .select(unix_micros($"ts")).as[Long].collect().sorted.toSeq
+    assert(a === micros && b === micros)
+    // already-normalized input passes through unchanged
+    val again = Sources.normalizeEventTs(Sources.normalizeEventTs(asNanos))
+    assert(again.schema("ts").dataType === TimestampType)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graft-part").toString
     Sources.writeParquet(docs, s"$dir/docs", partitionByCols = Seq("lang"))
