@@ -105,6 +105,12 @@ object PortableHash {
     * domain-mix stratum first). */
   val ShufflePair: (Long, Long) = affineConstants(1414L, 1).head
 
+  /** HyperLogLog sketch hash — its own affine member so register
+    * contents are decoupled from the KMV sketch and every other
+    * family (two distinct-count sketches sharing a hash would produce
+    * correlated errors, defeating cross-checks between them). */
+  val HllPair: (Long, Long) = affineConstants(1616L, 1).head
+
   /** Count-min sketch row hashes — one affine member per sketch row,
     * decoupled from every other family (its own seed). */
   val CmsDepth = 4

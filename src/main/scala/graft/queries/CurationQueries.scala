@@ -484,6 +484,42 @@ object CurationQueries {
           charHash(Scrub.redact(col("text"))).as("clean_fp"))
         .orderBy(col("doc_id"))
     }),
+
+    "q94_temperature_mix" -> ((s, dir) => {
+      // temperature-scaled sampling weights (public literature: the
+      // multilingual-LM recipe of Conneau & Lample 2019 / XLM-R, also
+      // the Llama data-mix computation): sampling probability
+      // p_l ∝ n_l^α with α = 1/2 UPWEIGHTS low-resource domains
+      // relative to their raw share (α=1 is proportional, α=0 uniform).
+      // α is fixed at 1/2 so the power is sqrt — the ONE fractional
+      // power both engines compute correctly rounded per IEEE-754
+      // (pow(x, 0.3) carries no such guarantee; the q55/q82 libm
+      // portability rule). sqrt values round to 6 dp and sum as exact
+      // decimals, so the normalizer is partition-order-independent.
+      // Scale shape: one map-side-combined groupBy(lang) collapses the
+      // corpus to a domain-bounded table; everything after — the
+      // normalizing totals and shares — is arithmetic over that tiny
+      // table (crossJoin of ONE broadcast row). At 100 TB the only
+      // corpus-sized work is the first aggregation.
+      val counts = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("sqrt_n",
+          round(sqrt(col("n_docs").cast("double")), 6).cast("decimal(28,6)"))
+      val tots = counts.agg(
+        sum(col("n_docs")).as("n_total"),
+        sum(col("sqrt_n")).as("s_total"))
+      counts.crossJoin(broadcast(tots))
+        .withColumn("raw_share",
+          round(col("n_docs").cast("double") / col("n_total").cast("double"), 6))
+        .withColumn("temp_share",
+          round(col("sqrt_n").cast("double") / col("s_total").cast("double"), 6))
+        // boost from the already-rounded shares: bit-identical inputs
+        // in both engines => bit-identical ratio
+        .withColumn("boost", round(col("temp_share") / col("raw_share"), 6))
+        .select(col("lang"), col("n_docs"), col("raw_share"),
+          col("temp_share"), col("boost"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** q79 boilerplate threshold: a chunk in >= 2 distinct docs is
@@ -874,5 +910,20 @@ object CurationQueries {
          |  ${charHashSql(Scrub.redactSql("text"))} AS clean_fp
          |FROM p ORDER BY doc_id""".stripMargin
     },
+
+    "q94_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(round(sqrt(COUNT(*)::DOUBLE), 6) AS DECIMAL(28,6)) AS sqrt_n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n_docs) AS n_total, SUM(sqrt_n) AS s_total FROM c),
+        |sh AS (
+        |  SELECT lang, n_docs,
+        |    round(n_docs::DOUBLE / CAST(n_total AS DOUBLE), 6) AS raw_share,
+        |    round(CAST(sqrt_n AS DOUBLE) / CAST(s_total AS DOUBLE), 6) AS temp_share
+        |  FROM c CROSS JOIN t)
+        |SELECT lang, n_docs, raw_share, temp_share,
+        |  round(temp_share / raw_share, 6) AS boost
+        |FROM sh ORDER BY lang""".stripMargin,
   )
 }

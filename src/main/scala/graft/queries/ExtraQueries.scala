@@ -87,6 +87,50 @@ object ExtraQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.normalizeEventTs(graft.SparkEntry.tbl(s, dir, "events"))
 
+  /** q96 HyperLogLog geometry (Flajolet et al. 2007): m = 256 registers
+    * (8 bucket bits off the affine hash), rho capped at 16 — the hash's
+    * value bits span ~22, so the cap only catches the all-zeros tail.
+    * Every estimator expression below is a SHARED SQL string
+    * interpolated into both the Spark plan (`expr`) and the DuckDB
+    * oracle, the PortableHash rule: the two engines cannot drift. */
+  val HllBuckets = 256
+  val HllMaxRho = 16
+
+  /** rho = position of the lowest set bit of `v` (1-based), capped:
+    * a CASE ladder over residues — pure integer modular arithmetic,
+    * portable to both engines (no engine-specific bit intrinsics). */
+  private def hllRhoSql(v: String): String =
+    "CASE " + (1 until HllMaxRho).map { j =>
+      s"WHEN ($v % ${1L << j}) = ${1L << (j - 1)} THEN ${j}"
+    }.mkString(" ") + s" ELSE $HllMaxRho END"
+
+  /** Register decode: 2^(maxRho - r) as an exact integer literal per
+    * rho value — keeps the harmonic-mean denominator in BIGINT space
+    * (sum <= m * 2^maxRho = 2^24), no floating point until the single
+    * final division. */
+  private def hllDecodeSql(r: String): String =
+    s"CASE $r " + (1 to HllMaxRho).map { j =>
+      s"WHEN $j THEN ${1L << (HllMaxRho - j)}"
+    }.mkString(" ") + " ELSE 0 END"
+
+  /** Raw HLL estimate alpha_m * m^2 * 2^maxRho / S over the integer
+    * denominator S; alpha_m's arithmetic appears literally in both
+    * engines (identical IEEE ops on identical literals). */
+  private def hllRawSql(sTotal: String): String =
+    s"0.7213 / (1.0 + 1.079 / $HllBuckets.0) * " +
+      s"${HllBuckets.toLong * HllBuckets * (1L << HllMaxRho)}.0 / CAST($sTotal AS DOUBLE)"
+
+  /** Linear-counting branch for the small-cardinality regime. */
+  private def hllLinearSql(nZero: String): String =
+    s"$HllBuckets.0 * ln($HllBuckets.0 / $nZero)"
+
+  /** Branch rule (standard HLL): linear counting when zero registers
+    * exist and the raw estimate is below 2.5m; identical double
+    * comparison in both engines. */
+  private def hllEstSql(sTotal: String, nZero: String): String =
+    s"CASE WHEN $nZero > 0 AND ${hllRawSql(sTotal)} <= ${5 * HllBuckets / 2}.0 " +
+      s"THEN round(${hllLinearSql(nZero)}, 6) ELSE round(${hllRawSql(sTotal)}, 6) END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q27_kmv_distinct" -> ((s, dir) => {
@@ -331,6 +375,71 @@ object ExtraQueries {
         .withColumn("overcount", col("est_n") - col("true_n"))
         .orderBy(col("true_n").desc, col("bigram").asc)
     }),
+
+    "q96_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog distinct-count sketch with its MERGEABILITY
+      // demonstrated in-plan (the q63 construction, for the OTHER
+      // classic distinct sketch): per-(event_type, day) register
+      // arrays — the per-ingestion-day artifact a 100 TB pipeline
+      // persists — max-merge into the global registers, which must
+      // estimate identically to registers built directly on the full
+      // stream (max is associative; `agree` is 1 everywhere or the
+      // gate is red). Scale shape: NO distinct() pre-pass — max(rho)
+      // absorbs duplicates under map-side combine, so the only
+      // shuffles move register tables bounded by m × days × types,
+      // never rows. That is the property that makes HLL the 100 TB
+      // cardinality tool (KMV q27/q63 ships k values; HLL ships m
+      // bytes and merges by pointwise max).
+      val (a, b) = HllPair
+      val m = HllBuckets.toLong
+      // the affine family alone is NOT bit-uniform enough for HLL:
+      // on consecutive keys its outputs form an arithmetic progression
+      // mod P whose low bits are lattice-structured — the fixture's
+      // 150 consecutive user ids landed in 150 DISTINCT buckets (zero
+      // collisions where ~114 occupied buckets are expected), which
+      // inflates linear counting by 50%. Squaring mod the prime breaks
+      // the lattice (h² of an AP is not an AP); measured errors drop
+      // to 1.8-11% across all three fixture SFs. KMV (q27/q63) keeps
+      // the raw affine hash: order statistics of h need only
+      // equidistribution over [0, P), which the affine map provides —
+      // register occupancy needs binomial collisions, which it doesn't.
+      val hashed = events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          ((lit(a) * col("user_id") + lit(b)) % lit(P)).as("h0"))
+        .withColumn("h", (col("h0") * col("h0")) % lit(P))
+        .withColumn("bucket", col("h") % m)
+        .withColumn("rho", expr(hllRhoSql(s"(h div $m)")).cast("long"))
+      val daily = hashed.groupBy(col("event_type"), col("day"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+      val mergedRegs = daily.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val directRegs = hashed.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+      def estimate(regs: DataFrame, prefix: String): DataFrame =
+        regs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_regs"),
+            sum(expr(hllDecodeSql("r"))).cast("long").as("s_present"))
+          .withColumn("s_total",
+            col("s_present") + (lit(m) - col("n_regs")) * lit(1L << HllMaxRho))
+          .withColumn("n_zero", lit(m) - col("n_regs"))
+          .withColumn(s"${prefix}_est", expr(hllEstSql("s_total", "n_zero")))
+          .select(col("event_type"), col("n_regs").as(s"${prefix}_n_regs"),
+            col(s"${prefix}_est"))
+      val exact = events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      estimate(directRegs, "direct")
+        .join(estimate(mergedRegs, "merged"), "event_type")
+        .join(exact, "event_type")
+        .select(col("event_type"),
+          col("direct_n_regs").as("n_regs"),
+          col("direct_est").as("hll_est"),
+          col("merged_est"),
+          (col("merged_est") === col("direct_est")).cast("long").as("agree"),
+          col("exact_distinct"),
+          round(abs(col("direct_est") - col("exact_distinct")) /
+            col("exact_distinct") * 100.0, 6).as("err_pct"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -492,6 +601,46 @@ object ExtraQueries {
          |  GROUP BY p.bigram, p.true_n)
          |SELECT bigram, true_n, est_n, est_n - true_n AS overcount
          |FROM est ORDER BY true_n DESC, bigram ASC""".stripMargin
+    },
+
+    "q96_hll_distinct" -> {
+      val (a, b) = HllPair
+      val m = HllBuckets
+      def estSql(src: String, p: String): String =
+        s"""SELECT event_type, ${p}_n_regs,
+           |    ${hllEstSql("s_total", "n_zero")} AS ${p}_est
+           |  FROM (SELECT event_type, COUNT(*) AS ${p}_n_regs,
+           |      CAST(SUM(${hllDecodeSql("r")})
+           |        + ($m - COUNT(*)) * ${1L << HllMaxRho} AS BIGINT) AS s_total,
+           |      $m - COUNT(*) AS n_zero
+           |    FROM $src GROUP BY event_type)""".stripMargin
+      s"""WITH h0 AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ($a * user_id + $b) % $P AS h0
+         |  FROM events),
+         |hx AS (SELECT event_type, day, (h0 * h0) % $P AS h FROM h0),
+         |hashed AS (
+         |  SELECT event_type, day, h % $m AS bucket,
+         |    ${hllRhoSql(s"(h // $m)")} AS rho
+         |  FROM hx),
+         |daily AS (SELECT event_type, day, bucket, MAX(rho) AS r
+         |  FROM hashed GROUP BY event_type, day, bucket),
+         |merged AS (SELECT event_type, bucket, MAX(r) AS r
+         |  FROM daily GROUP BY event_type, bucket),
+         |direct AS (SELECT event_type, bucket, MAX(rho) AS r
+         |  FROM hashed GROUP BY event_type, bucket),
+         |me AS (${estSql("merged", "merged")}),
+         |de AS (${estSql("direct", "direct")}),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY event_type)
+         |SELECT de.event_type, CAST(de.direct_n_regs AS BIGINT) AS n_regs,
+         |  de.direct_est AS hll_est, me.merged_est,
+         |  CAST(me.merged_est = de.direct_est AS BIGINT) AS agree,
+         |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+         |  round(abs(de.direct_est - ex.exact_distinct)
+         |    / ex.exact_distinct * 100.0, 6) AS err_pct
+         |FROM de JOIN me USING (event_type) JOIN ex USING (event_type)
+         |ORDER BY de.event_type""".stripMargin
     },
   )
 }

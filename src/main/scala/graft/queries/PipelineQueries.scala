@@ -108,6 +108,13 @@ object PipelineQueries {
   /** q51: how many docs the weighted sample keeps. */
   val PrioritySampleK = 20
 
+  /** q95 spectral-signature geometry: 2 power-iteration rounds keeps
+    * the oracle's unrolled CTE tractable while exercising a full
+    * y=A·x → x'=Aᵀ·y → normalize → repeat cycle (the q85/q86
+    * unrolled-iteration precedent); 20 terms surfaced. */
+  val SpectralIters = 2
+  val SpectralTopK = 20
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
 
@@ -162,6 +169,18 @@ object PipelineQueries {
       graft.operators.TfIdf
         .topTerms(KeywordQueries.tokenizedDocs(s, dir), TfidfTopK)
         .orderBy(col("doc_id"), col("rank"))),
+
+    "q95_spectral_terms" -> ((s, dir) =>
+      // corpus topic signature: the dominant LSA component of the
+      // doc×term tf-idf matrix by distributed power iteration
+      // (operators/Spectral — matvecs as groupBy aggregations, the
+      // term vector broadcast, the doc vector shuffle-joined on
+      // doc_id). The oracle unrolls both iterations op-for-op, so
+      // hash-green certifies the matvec arithmetic, the max-scaling,
+      // and the ranking — the q85/q86 unrolled-iteration gate.
+      graft.operators.Spectral.topSignature(
+        graft.operators.TfIdf.weights(KeywordQueries.tokenizedDocs(s, dir)),
+        SpectralIters, SpectralTopK)),
 
     "q42_packing" -> ((s, dir) => {
       // chunk geometry is q39's (ChunkSize window / ChunkStride step);
@@ -490,6 +509,35 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT doc_id, rank, term, tfidf FROM ranked
          |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+
+    // both power-iteration rounds unrolled op-for-op (the q85/q86 gate
+    // construction): y=A·x and x'=Aᵀ·y as decimal-routed grouped sums,
+    // max-scaling, 6-dp rounding between rounds — hash-green certifies
+    // the distributed matvec arithmetic, not just the final ranking
+    "q95_spectral_terms" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM dd),
+         |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfc GROUP BY term),
+         |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM dd),
+         |w AS (
+         |  SELECT doc_id, term, round(tf::DOUBLE * ln(n_docs / df), 6) AS tfidf
+         |  FROM tfc JOIN dfreq USING (term) CROSS JOIN stats),
+         |y1 AS (SELECT doc_id, CAST(SUM(CAST(tfidf AS DECIMAL(28,10))) AS DOUBLE) AS y
+         |  FROM w GROUP BY doc_id),
+         |x1r AS (SELECT term, CAST(SUM(CAST(w.tfidf * y1.y AS DECIMAL(28,10))) AS DOUBLE) AS xr
+         |  FROM w JOIN y1 USING (doc_id) GROUP BY term),
+         |m1 AS (SELECT MAX(abs(xr)) AS mx FROM x1r),
+         |x1 AS (SELECT term, round(xr / mx, 6) AS score FROM x1r CROSS JOIN m1),
+         |y2 AS (SELECT doc_id, CAST(SUM(CAST(w.tfidf * x1.score AS DECIMAL(28,10))) AS DOUBLE) AS y
+         |  FROM w JOIN x1 USING (term) GROUP BY doc_id),
+         |x2r AS (SELECT term, CAST(SUM(CAST(w.tfidf * y2.y AS DECIMAL(28,10))) AS DOUBLE) AS xr
+         |  FROM w JOIN y2 USING (doc_id) GROUP BY term),
+         |m2 AS (SELECT MAX(abs(xr)) AS mx FROM x2r),
+         |x2 AS (SELECT term, round(xr / mx, 6) AS score FROM x2r CROSS JOIN m2)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank,
+         |  term, score
+         |FROM x2 ORDER BY score DESC, term ASC LIMIT $SpectralTopK""".stripMargin,
 
     "q42_packing" -> {
       val st = ChunkStride

@@ -269,4 +269,21 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     // the report is the top of a descending ranking
     assert(got.map(_._2) === got.map(_._2).sorted.reverse)
   }
+
+  test("q94 temperature mix: shares sum to 1, sqrt compresses toward uniform") {
+    val rows = CurationQueries.queries("q94_temperature_mix")(spark, sf001)
+      .select($"lang", $"n_docs", $"raw_share", $"temp_share", $"boost")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length > 1)
+    // both share columns are distributions (6-dp rounding slack)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    // α = 1/2 < 1 compresses: smaller domains get boost >= larger ones,
+    // every boost sits on the correct side of 1 relative to mean size
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.sliding(2).forall {
+      case Array(small, large) => small._5 >= large._5; case _ => true })
+    // sqrt keeps the ordering of shares
+    assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+  }
 }

@@ -357,4 +357,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"chunk table must not re-shuffle for the flag join:\n$p")
   }
+
+  test("q94 temperature mix: ONE corpus aggregation, totals broadcast back") {
+    // the only corpus-sized work is the first groupBy(lang); the
+    // normalizing totals are ONE row and must come back via broadcast,
+    // never a shuffle or cartesian of the domain table
+    val p = plan("q94_temperature_mix")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      s"corpus read once per arm at most:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"domain counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the one-row totals must broadcast:\n$p")
+  }
+
+  test("q95 spectral matvecs keep the term vector broadcast and combine map-side") {
+    // the term vector is vocabulary-bounded: its join back into the
+    // weight table must be a broadcast, and every matvec groupBy must
+    // partial-aggregate before its exchange — a SortMergeJoin against
+    // the term vector would shuffle the corpus-sized weight table per
+    // iteration
+    val p = plan("q95_spectral_terms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"term-vector join must broadcast:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"matvec sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in the iteration:\n$p")
+  }
+
+  test("q96 HLL registers combine map-side; raw rows never shuffle") {
+    // max(rho) absorbs duplicates in the map phase — the ONLY data
+    // crossing an exchange is register tables (bounded by
+    // m × days × types), which is the entire point of HLL at scale.
+    // A distinct() or raw-row exchange here would move the corpus.
+    val p = plan("q96_hll_distinct")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial_max")),
+      s"register build must be a partial max:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"estimate joins are domain-bounded and must broadcast:\n$p")
+  }
 }

@@ -94,4 +94,22 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === expected.toSeq)
   }
+
+  test("q96 HLL: daily-merged registers agree with direct, estimates near exact") {
+    // `agree` IS the mergeability assertion (max is associative), held
+    // without the oracle in the loop, at both fixture SFs; the error
+    // check certifies the estimator itself — m=256 gives ~6.5% std
+    // error in the raw regime and better under linear counting, so 25%
+    // is a loose but meaningful ceiling for every event type
+    Seq(sf0001, sf001).foreach { dir =>
+      val rows = ExtraQueries.queries("q96_hll_distinct")(spark, dir)
+        .select($"agree", $"err_pct", $"exact_distinct")
+        .as[(Long, Double, Long)].collect()
+      assert(rows.nonEmpty, s"no rows at $dir")
+      assert(rows.forall(_._1 == 1L), s"merge disagreement at $dir")
+      rows.foreach { case (_, err, exact) =>
+        assert(err < 25.0, s"$dir: err_pct $err too high for exact=$exact")
+      }
+    }
+  }
 }
