@@ -60,6 +60,12 @@ object AnnQueries {
   val SemIters = 2
   val SemMinScore = 0.7
 
+  /** q97: greedy k-center rounds — 5 keeps the oracle's unrolled CTE
+    * chain tractable (4 argmax rounds past the seed) while exercising
+    * the full farthest-point trace; on the clone-free fixture the
+    * radii spread across genuinely distant embeddings. */
+  val KCenterK = 5
+
   /** q75: IVF geometry. The fixture corpus plants NO embedding clusters
     * (the same no-clones property behind q72's minCos note), so the
     * exact top-10 neighbors of the probe sit at cosine ~0.4-0.5 —
@@ -370,6 +376,22 @@ object AnnQueries {
       SemDedup.report(e, cents, SemMinScore)
         .orderBy(col("vec_id"))
     }),
+
+    "q97_kcenter" -> ((s, dir) => {
+      // greedy k-center coreset selection (Gonzalez 1985 / Sener &
+      // Savarese 2018): each round adds the embedding farthest from
+      // every chosen center — diversity sampling, the complement of
+      // q85's prune-the-dense step. One corpus scan per round against
+      // inlined center literals, one top-1 row to the driver (the
+      // BpeTrain loop contract). The oracle unrolls all
+      // [[KCenterK]] rounds, so hash-green certifies every argmax,
+      // tie-break and radius — the full selection trace.
+      graft.operators.KCenter.selectReport(
+        graft.SparkEntry.tbl(s, dir, "embeddings")
+          .filter(hasDim(col("embedding"), 64))
+          .select(col("vec_id"), col("embedding")),
+        KCenterK)
+    }),
   )
 
   /** q85 twins: squared-L2 distance (rounded 6 dp, the argmin compare
@@ -621,6 +643,35 @@ object AnnQueries {
          |SELECT f.vec_id, CAST(f.cell AS INT) AS cell, f.cscore AS centroid_score,
          |  COALESCE(nb.n_nbrs, 0)::BIGINT AS n_nbrs, COALESCE(nb.removed, 0)::INT AS removed
          |FROM f LEFT JOIN nb ON f.vec_id = nb.vec_id ORDER BY f.vec_id""".stripMargin,
+
+    // all KCenterK greedy rounds unrolled: each m_r computes every
+    // vector's min distance to the chosen set (the same rounded
+    // pairwise distance the Spark fold uses), p_r takes the
+    // (d desc, vec_id asc) argmax, ch_r appends it — hash-green
+    // certifies the complete selection trace
+    "q97_kcenter" -> {
+      val d = "round(list_sum(list_transform(list_zip(e.emb, c.emb), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+      val rounds = (2 to KCenterK).map { r =>
+        s"""m$r AS (
+           |  SELECT e.vec_id, e.emb, MIN($d) AS dmin
+           |  FROM e2 e CROSS JOIN ch${r - 1} c
+           |  GROUP BY e.vec_id, e.emb),
+           |p$r AS (SELECT vec_id, emb, CAST($r AS BIGINT) AS round, dmin AS radius
+           |  FROM m$r ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+           |ch$r AS (SELECT vec_id, emb, round, radius FROM ch${r - 1}
+           |  UNION ALL SELECT vec_id, emb, round, radius FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |e2 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS emb
+         |  FROM e),
+         |ch1 AS (SELECT vec_id, emb, CAST(1 AS BIGINT) AS round, 0.0::DOUBLE AS radius
+         |  FROM e2 ORDER BY vec_id LIMIT 1),
+         |$rounds
+         |SELECT round, vec_id, radius FROM ch$KCenterK ORDER BY round""".stripMargin
+    },
 
     "q22_lsh_bucket_knn" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
