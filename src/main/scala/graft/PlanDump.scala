@@ -154,7 +154,25 @@ object PlanDump {
         "the corpus collapses map-side to a ~105-row bin directory before " +
         "ONE bin-sized exchange; whole-directory windows and the quantile " +
         "pick (a broadcast theta-join over the 5-row quantile list) cost " +
-        "nothing at any corpus size — q30's full sort never appears."))
+        "nothing at any corpus size — q30's full sort never appears."),
+    "q94_temperature_mix" ->
+      ("Temperature-scaled domain mixture: the ONLY corpus-sized work is " +
+        "the first map-side-combined groupBy(lang); sqrt/share arithmetic " +
+        "runs over the domain-bounded table with the one-row totals " +
+        "arriving via BroadcastNestedLoopJoin — no shuffle after the " +
+        "first aggregation at any corpus size."),
+    "q95_spectral_terms" ->
+      ("Spectral term signature: each power-iteration matvec is a " +
+        "partial-aggregated groupBy (decimal-routed sums combine map-side); " +
+        "the vocabulary-bounded term vector re-enters via " +
+        "BroadcastHashJoin — the corpus-sized weight table never " +
+        "re-shuffles to look up x; max-scaling is a one-row broadcast."),
+    "q96_hll_distinct" ->
+      ("HyperLogLog registers: NO distinct() pre-pass — partial_max(rho) " +
+        "absorbs duplicate users map-side, so the only exchanged data is " +
+        "register tables bounded by m × days × types; estimate joins are " +
+        "domain-bounded broadcasts. Raw corpus rows never cross an " +
+        "exchange — the mergeable-sketch property, visible in the plan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

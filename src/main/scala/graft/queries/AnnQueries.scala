@@ -49,6 +49,22 @@ object AnnQueries {
   /** q72: pairs surfaced (matches q21, whose result is the oracle). */
   val NearDupTopK = 20
 
+  /** q47/q72: hash tables in the shared session BRP index. Round-9
+    * tuning study (ScaleProbe --brp-tables, measurements in
+    * SCALING.md): 8 tables recall q72's exact top-20 PAIRS at every
+    * fixture SF and would roughly halve the similarity-join cost (warm
+    * 5.8 s vs 10.8 s at the sf0.1 probe), but q47's POINT probe then
+    * misses its rank-3 neighbor outright at sf0.01 (zero bucket
+    * collisions in all 8 tables — no over-probe recovers it), and
+    * giving the two queries different geometries would double the
+    * cached index footprint and abandon the one-fit-per-session
+    * design. Decision: 12 stays — recall slack for the weakest
+    * consumer prices the shared index. bucketLength stays 2.0:
+    * NARROWER buckets measured SLOWER (12 tables at 1.0 → warm
+    * 13.6 s vs 10.8 s; the per-table explode, not candidate volume,
+    * dominates on this corpus). */
+  val BrpTables = 12
+
   /** q85 SemDeDup geometry: 8 cells / 2 Lloyd's iterations keeps the
     * oracle's unrolled CTE tractable while exercising a full
     * assign→update→assign→update→assign cycle; a production corpus runs
@@ -258,7 +274,7 @@ object AnnQueries {
       // persisted-artifact path (saveBrp/probe at 100 TB)
       val hits = graft.search.AnnIndex
         .sessionBrp(s, dir, e.select(col("vec_id"), col("embedding")),
-          numTables = 12)
+          numTables = BrpTables)
         .topK(qv, k = 20)
         .select(col("vec_id"))
       // exact rescore of the index-selected candidates — bit-identical
@@ -314,7 +330,7 @@ object AnnQueries {
         .filter(hasDim(col("embedding"), 64))
       graft.search.AnnIndex
         .sessionBrp(s, dir, e.select(col("vec_id"), col("embedding")),
-          numTables = 12)
+          numTables = BrpTables)
         .nearDupPairsCanonical(NearDupMinCos)
         .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
         .limit(NearDupTopK)
