@@ -121,4 +121,35 @@ object RankedCumsum {
     out.toDF("doc_id", "h", "n", "rank", "cum_before")
       .withColumn("slice", expr(s"cum_before div $budget"))
   }
+
+  /** The score-ranking frame (q98's per-signal primitive): input one
+    * row per document — (doc_id LONG unique, score DOUBLE, already
+    * rounded by the caller so rank cannot flip on a ULP) — output
+    * (doc_id, rank) with rank the global 1-based position in
+    * (score desc, doc_id asc) order. Same two-pass shape as
+    * [[tokenCoverage]]: range-partitioned parallel sort (one sort via
+    * localCheckpoint), driver prefix of #partitions row counts, second
+    * pass emits offset + local position. NO single-partition window at
+    * any corpus size; the order key is total (doc_id unique) so the
+    * result is independent of partitioning. */
+  def scoreRank(scores: DataFrame): DataFrame = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = scores
+      .select(col("doc_id").cast("long"), col("score").cast("double"))
+      .repartitionByRange(parts, col("score").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("score").desc, col("doc_id").asc)
+    val rdd = sorted.rdd.localCheckpoint()
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rows = 0L
+      it.foreach(_ => rows += 1)
+      Iterator((i, rows))
+    }.collect().sortBy(_._1)
+    val offsets = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = offsets(i)
+      it.map { r => rank += 1; (r.getLong(0), rank) }
+    }.toDF("doc_id", "rank")
+  }
 }

@@ -485,6 +485,60 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q98_rank_ensemble" -> ((s, dir) => {
+      // quality-signal ensemble by rank aggregation (Borda count — the
+      // standard way curation pipelines combine incommensurable
+      // signals: raw scores live on different scales, ranks don't).
+      // Three existing per-doc signals — q14's heuristic quality,
+      // q55's unigram log-likelihood, within-doc shingle diversity
+      // (q50's repetition complement) — each globally ranked by
+      // RankedCumsum.scoreRank (two-pass distributed rank, NO
+      // single-partition window), averaged, re-ranked, and cut into
+      // keep/review/drop terciles by integer math on the final rank.
+      // Scale shape: 4 range-partitioned sorts of narrow (id, score)
+      // tables + vocabulary-bounded broadcast joins from the signal
+      // builds; every rank is partition-count-independent (total order,
+      // doc_id tie-break).
+      import graft.operators.RankedCumsum.scoreRank
+      val enr = TextQueries.enriched(s, dir)
+      val q = enr.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(
+          col("n_tokens"), col("n_distinct"),
+          col("n_stop").cast("double") / col("n_tokens"),
+          col("char_sum").cast("double") / col("n_tokens")).as("score"))
+      val tf = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nTok = gc.agg(sum(col("c")).as("nt"))
+      val ll = tf.join(broadcast(gc), Seq("tok"))
+        .crossJoin(broadcast(nTok))
+        .withColumn("l", log(col("c").cast("double")) - log(col("nt").cast("double")))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(sum(col("l").cast("decimal(28,12)")).cast("double").as("sl"))
+        .select(col("doc_id"), round(col("sl") / col("dl"), 6).as("score"))
+      val dv = DedupQueries.hashedShingles(s, dir)
+        .join(enr.select(col("doc_id"), col("n_tokens")), "doc_id")
+        .select(col("doc_id"),
+          round(size(col("hs")).cast("double") /
+            greatest(col("n_tokens") - 2, lit(1L)).cast("double"), 6).as("score"))
+      val r1 = scoreRank(q).withColumnRenamed("rank", "r_quality")
+      val r2 = scoreRank(ll).withColumnRenamed("rank", "r_loglik")
+      val r3 = scoreRank(dv).withColumnRenamed("rank", "r_diversity")
+      val borda = r1.join(r2, "doc_id").join(r3, "doc_id")
+        .withColumn("borda",
+          round((col("r_quality") + col("r_loglik") + col("r_diversity")) / 3.0, 6))
+      // rank by borda ASC (lower mean rank = better): negate the
+      // already-rounded score so scoreRank's desc order applies
+      val fin = scoreRank(borda.select(col("doc_id"), (-col("borda")).as("score")))
+        .withColumnRenamed("rank", "final_rank")
+      borda.join(fin, "doc_id")
+        .crossJoin(broadcast(borda.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("bucket", expr("(final_rank - 1) * 3 div n_docs + 1"))
+        .select(col("doc_id"), col("r_quality"), col("r_loglik"),
+          col("r_diversity"), col("borda"), col("final_rank"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q94_temperature_mix" -> ((s, dir) => {
       // temperature-scaled sampling weights (public literature: the
       // multilingual-LM recipe of Conneau & Lample 2019 / XLM-R, also
@@ -909,6 +963,51 @@ object CurationQueries {
          |  length(${Scrub.redactSql("text")})::BIGINT AS clean_len,
          |  ${charHashSql(Scrub.redactSql("text"))} AS clean_fp
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    // all four global ranks expressed as row_number windows (fine at
+    // oracle scale; the Spark side uses the two-pass distributed rank)
+    "q98_rank_ensemble" -> {
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      s"""WITH enriched AS (${TextQueries.enrichedSql}),
+         |q AS (SELECT doc_id,
+         |    ${graft.functions.TextFunctions.qualityScoreSql(
+               "n_tokens", "n_distinct", stopRatio, avgTokLen)} AS score
+         |  FROM enriched),
+         |dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+         |gc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM gc),
+         |llg AS (
+         |  SELECT tf.doc_id, tf.dl,
+         |    CAST(SUM(CAST(ln(c::DOUBLE) - ln(nt::DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS sl
+         |  FROM tf JOIN gc USING (tok) CROSS JOIN n
+         |  GROUP BY tf.doc_id, tf.dl),
+         |ll AS (SELECT doc_id, round(sl / dl, 6) AS score FROM llg),
+         |sh AS (${DedupQueries.hashedShinglesSql}),
+         |dv AS (
+         |  SELECT sh.doc_id,
+         |    round(len(sh.hs)::DOUBLE
+         |      / greatest(e.n_tokens - 2, 1), 6) AS score
+         |  FROM sh JOIN enriched e ON sh.doc_id = e.doc_id),
+         |r1 AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_quality FROM q),
+         |r2 AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_loglik FROM ll),
+         |r3 AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_diversity FROM dv),
+         |b AS (
+         |  SELECT r1.doc_id, r_quality, r_loglik, r_diversity,
+         |    round((r_quality + r_loglik + r_diversity) / 3.0, 6) AS borda
+         |  FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)),
+         |f AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY borda ASC, doc_id ASC) AS BIGINT) AS final_rank FROM b),
+         |nn AS (SELECT COUNT(*) AS n_docs FROM b)
+         |SELECT b.doc_id, r_quality, r_loglik, r_diversity, borda, final_rank,
+         |  (final_rank - 1) * 3 // n_docs + 1 AS bucket
+         |FROM b JOIN f USING (doc_id) CROSS JOIN nn ORDER BY b.doc_id""".stripMargin
     },
 
     "q94_temperature_mix" ->

@@ -270,6 +270,32 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._2) === got.map(_._2).sorted.reverse)
   }
 
+  test("q98 rank ensemble: ranks are permutations, final order follows borda") {
+    val rows = CurationQueries.queries("q98_rank_ensemble")(spark, sf0001)
+      .select($"doc_id", $"r_quality", $"r_loglik", $"r_diversity",
+        $"borda", $"final_rank", $"bucket")
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect()
+    val n = rows.length
+    assert(n > 0)
+    // every rank column is a permutation of 1..n
+    for (f <- Seq[((Long, Long, Long, Long, Double, Long, Long)) => Long](
+        _._2, _._3, _._4, _._6))
+      assert(rows.map(f).sorted.toSeq === (1L to n).toSeq)
+    // borda is the mean of the three signal ranks
+    rows.foreach { r =>
+      assert(r._5 === math.rint((r._2 + r._3 + r._4) / 3.0 * 1e6) / 1e6)
+    }
+    // final_rank sorts by (borda asc, doc_id asc)
+    val byFinal = rows.sortBy(_._6)
+    assert(byFinal.map(r => (r._5, r._1)).toSeq ===
+      rows.map(r => (r._5, r._1)).sorted.toSeq)
+    // terciles partition 1..n in order and are near-equal sized
+    assert(byFinal.map(_._7).toSeq === byFinal.map(_._7).sorted.toSeq)
+    val sizes = rows.groupBy(_._7).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
   test("q94 temperature mix: shares sum to 1, sqrt compresses toward uniform") {
     val rows = CurationQueries.queries("q94_temperature_mix")(spark, sf001)
       .select($"lang", $"n_docs", $"raw_share", $"temp_share", $"boost")

@@ -386,6 +386,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"no cartesian anywhere in the iteration:\n$p")
   }
 
+  test("q98 rank ensemble has no single-partition window anywhere") {
+    // all four global ranks are RankedCumsum.scoreRank two-pass ranks;
+    // a WindowExec here means one task sorts the whole corpus
+    val p = plan("q98_rank_ensemble")
+    assert(!p.contains("Window"), s"q98 must not plan a window:\n$p")
+  }
+
   test("q96 HLL registers combine map-side; raw rows never shuffle") {
     // max(rho) absorbs duplicates in the map phase — the ONLY data
     // crossing an exchange is register tables (bounded by
