@@ -155,6 +155,19 @@ object PortableHash {
     Vector.fill(8)(Vector.fill(64)(math.rint(rng.nextGaussian() * 1e6) / 1e6))
   }
 
+  /** Johnson–Lindenstrauss projection planes: 16 Gaussian rows in 64-d
+    * (own seed, decoupled from [[LshPlanes]] so sign-LSH buckets and JL
+    * coordinates can never correlate), rounded to 6 decimals so the
+    * literals written into oracle SQL are bit-identical to the
+    * Scala-side literals. The projection scale 1/sqrt(16) = 0.25 is
+    * exactly representable in binary — no rounding convention needed
+    * on the scale factor itself. */
+  val JlDim = 16
+  val JlPlanes: IndexedSeq[IndexedSeq[Double]] = {
+    val rng = new scala.util.Random(1717L)
+    Vector.fill(JlDim)(Vector.fill(64)(math.rint(rng.nextGaussian() * 1e6) / 1e6))
+  }
+
   /** Sign-LSH bucket id of an ARRAY<FLOAT> embedding column: bit p is
     * set iff dot(v, plane_p) >= 0. 8 planes → 256 buckets. */
   def lshBucket(v: Column): Column =

@@ -82,6 +82,11 @@ object AnnQueries {
     * radii spread across genuinely distant embeddings. */
   val KCenterK = 5
 
+  /** q99: vectors in the JL distortion audit's deterministic id-prefix
+    * sample — 100 vectors → 4,950 audited pairs, plenty for the
+    * ratio statistics and corpus-size-independent by construction. */
+  val JlSampleN = 100
+
   /** q75: IVF geometry. The fixture corpus plants NO embedding clusters
     * (the same no-clones property behind q72's minCos note), so the
     * exact top-10 neighbors of the probe sit at cosine ~0.4-0.5 —
@@ -408,6 +413,21 @@ object AnnQueries {
           .select(col("vec_id"), col("embedding")),
         KCenterK)
     }),
+
+    "q99_jl_distortion" -> ((s, dir) => {
+      // JL random projection + distortion audit (operators/JlProject):
+      // 64-d → 16-d with the seeded literal plane family, then the
+      // audit MEASURES the pairwise-distance ratio the lemma promises
+      // over a deterministic sample — the verify-the-prefilter step a
+      // pipeline runs before trusting projected distances for
+      // clustering/dedup. Projection is row-local expression work at
+      // any scale; the audit's pair volume is sample²-bounded.
+      graft.operators.JlProject.distortionAudit(
+        graft.SparkEntry.tbl(s, dir, "embeddings")
+          .filter(hasDim(col("embedding"), 64))
+          .select(col("vec_id"), col("embedding")),
+        JlSampleN)
+    }),
   )
 
   /** q85 twins: squared-L2 distance (rounded 6 dp, the argmin compare
@@ -687,6 +707,30 @@ object AnnQueries {
          |  FROM e2 ORDER BY vec_id LIMIT 1),
          |$rounds
          |SELECT round, vec_id, radius FROM ch$KCenterK ORDER BY round""".stripMargin
+    },
+
+    "q99_jl_distortion" -> {
+      def sq(aE: String, bE: String): String =
+        s"list_sum(list_transform(list_zip($aE, $bE), " +
+          s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) = 64 AND vec_id < $JlSampleN),
+         |p AS (SELECT vec_id, embedding,
+         |    ${graft.operators.JlProject.projectSql("embedding")} AS proj
+         |  FROM e),
+         |pr AS (
+         |  SELECT round(sqrt(${sq("a.proj", "b.proj")})
+         |      / sqrt(${sq("a.embedding", "b.embedding")}), 6) AS ratio,
+         |    ${sq("a.embedding", "b.embedding")} AS d2
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+         |SELECT CAST(${graft.functions.PortableHash.JlDim} AS BIGINT) AS k,
+         |  COUNT(*) AS n_pairs,
+         |  round(CAST(SUM(CAST(ratio AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+         |    AS mean_ratio,
+         |  MIN(ratio) AS min_ratio,
+         |  MAX(ratio) AS max_ratio
+         |FROM pr WHERE d2 > 0.0""".stripMargin
     },
 
     "q22_lsh_bucket_knn" ->
