@@ -479,6 +479,36 @@ object DedupQueries {
           col("pos").cast("long").as("pos"), charHash(col("col")).as("h"))
       graft.operators.DupSpans.report(anchors, L).orderBy(col("doc_id"))
     }),
+
+    "q100_split_leakage" -> ((s, dir) => {
+      // near-dup-aware split integrity audit: a duplicate CLUSTER whose
+      // members straddle the train/test boundary leaks evaluation
+      // content into training (the failure mode Lee et al. 2022 §6.2
+      // measure — eval examples with training near-dups score inflated
+      // perplexity). Exact-match decontamination (q52/q65) misses
+      // these; only the near-dup component view catches a paraphrased
+      // straddle. Reads the SAME session-cached component labels as
+      // q31/q43/q67 (components solve once per session), assigns each
+      // doc its SplitPair bucket (the one split hash every
+      // split-consumer shares, so this audits the REAL assignment),
+      // and aggregates per component — component-cardinality-sized
+      // data after one map-side-combined groupBy at any corpus size.
+      val (a, b) = SplitPair
+      val bucket = ((lit(a) * col("doc_id") + lit(b)) % lit(P)) % 100
+      survivorLabels(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train")
+            .when(bucket >= 90, "test").otherwise("val"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter(col("cluster_size") > 1)
+        .withColumn("leaks",
+          (col("n_test") > 0 && col("n_train") > 0).cast("long"))
+        .orderBy(col("component"))
+    }),
   )
 
   /** CTE chain defining `sh` (hashed shingle sets) and `cand` (the
@@ -716,6 +746,36 @@ object DedupQueries {
            |    / 2.0, 6) AS score
            |FROM e a JOIN e b ON a.vec_id < b.vec_id
            |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+
+      // the same recursive-components construction as q67's oracle,
+      // with each doc's split from the shared SplitPair hash
+      "q100_split_leakage" -> {
+        val (a, b) = SplitPair
+        val bucket = s"((($a * doc_id + $b) % $P) % 100)"
+        s"""WITH RECURSIVE $lshPairsCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+           |labels AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+           |sp AS (SELECT doc_id, component,
+           |  CASE WHEN $bucket < 80 THEN 'train'
+           |       WHEN $bucket >= 90 THEN 'test' ELSE 'val' END AS split
+           |  FROM labels),
+           |cl AS (
+           |  SELECT component, COUNT(*) AS cluster_size,
+           |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           |  FROM sp GROUP BY component)
+           |SELECT component, cluster_size, n_train, n_val, n_test,
+           |  CAST(n_test > 0 AND n_train > 0 AS BIGINT) AS leaks
+           |FROM cl WHERE cluster_size > 1 ORDER BY component""".stripMargin
+      },
     )
   }
 

@@ -244,4 +244,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(nDups > 0, "fixture near-dups must share at least one exact 32-token span")
     res.unpersist()
   }
+
+  test("q100 split leakage: counts consistent, leak flag exact, non-degenerate") {
+    val rows = graft.queries.DedupQueries.queries("q100_split_leakage")(spark, sf001)
+      .select($"component", $"cluster_size", $"n_train", $"n_val", $"n_test", $"leaks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, size, tr, va, te, lk) =>
+      assert(size > 1, s"component $c: only multi-doc clusters are reported")
+      assert(tr + va + te === size, s"component $c: split counts must partition the cluster")
+      assert(lk === (if (tr > 0 && te > 0) 1L else 0L), s"component $c: leak flag")
+    }
+    // the fixture's planted near-dups straddle the split boundary — the
+    // audit must be non-degenerate in BOTH directions
+    assert(rows.exists(_._6 == 1L), "expected at least one leaking cluster")
+    assert(rows.exists(_._6 == 0L), "expected at least one clean cluster")
+    // cluster-size histogram must agree with q67 over the same labels
+    val q67 = graft.queries.DedupQueries.queries("q67_cluster_stats")(spark, sf001)
+      .select($"cluster_size", $"n_clusters").as[(Long, Long)].collect()
+      .filter(_._1 > 1).toMap
+    val mine = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(mine === q67)
+  }
 }
