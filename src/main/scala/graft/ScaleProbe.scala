@@ -1,24 +1,38 @@
 package graft
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decade-up scale probe: synthesizes a corpus `--copies`× the largest
-  * fixture (each sf0.1 document replicated into perturbed near-dup
-  * clones with distinct ids — deliberately dedup-HEAVY, the worst case
-  * for the pair-generating queries) and times a corpus-query subset
-  * against it. This answers "does the sf0.01→sf0.1 scaling trend hold
-  * more decades up, under adversarial dup density?" with a measurement
-  * instead of an extrapolation; results are recorded in SCALING.md.
+/** Scale probes — measurements that answer "does the plan survive a
+  * layout or scale the fixtures don't exercise?" with numbers instead
+  * of extrapolation. Results are recorded in SCALING.md. Four modes,
+  * mutually exclusive (an if/else chain — no non-local returns, so the
+  * dispatch survives being wrapped in closures/Try):
   *
-  * Probes are driven with the noop sink (full evaluation of every
-  * output row — Bench's round-7 action), so probe work equals
-  * delivered work.
+  *  - default (decade-up): synthesizes a corpus `--copies`× the largest
+  *    fixture (each sf0.1 document replicated into perturbed near-dup
+  *    clones with distinct ids — deliberately dedup-HEAVY, the worst
+  *    case for the pair-generating queries) and times a corpus-query
+  *    subset against it with the noop sink (full evaluation of every
+  *    output row — Bench's round-7 action).
+  *  - `--brp-tables N [--brp-bucket L]`: q72 BRP geometry tuning on the
+  *    REAL fixture, recall vs the exact all-pairs top-20.
+  *  - `--semdedup-k N [--semdedup-score S]`: SemDeDup fit+report at
+  *    probe scale through the broadcast-join assignment path.
+  *  - `--multifile N`: rewrites every fixture table into an N-file
+  *    layout (and the q73/q75 persisted artifacts into multi-file
+  *    partition directories), re-runs the most expensive queries + the
+  *    artifact probes against BOTH layouts, asserts bit-identical
+  *    results, and checks the partition-pruning/DPP evidence still
+  *    appears in the multi-file plans. Exists because the driver
+  *    fixtures are ONE parquet row group per table (FIXTURES.md), so
+  *    scan parallelism and multi-file pruning — the mechanisms the
+  *    100 TB story leans on — would otherwise go untested.
   *
   * Usage: `sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/sfbig
-  *   [--copies N] [--queries q65_bloom_decontam,q69_export_manifest]"`
-  * (writes the synthetic corpus on first run, reuses it after; the out
-  * dir encodes the copy count, so different scales don't collide).
+  *   [--copies N] [--multifile N] [--queries q65_bloom_decontam,...]"`
+  * (synthetic corpora are written on first run and reused after; out
+  * dirs encode the copy/file count, so different scales don't collide).
   */
 object ScaleProbe {
   val DefaultCopies = 10
@@ -30,13 +44,62 @@ object ScaleProbe {
     "q62_oov_rate", "q64_containment_audit", "q65_bloom_decontam",
     "q66_span_dedup", "q69_export_manifest", "q70_vocab_coverage")
 
+  /** The multi-file probe set: the 10 most expensive benched queries
+    * (BENCH_r09 ranking) + the three persisted-artifact probes whose
+    * partition-pruning story the layout change most directly tests. */
+  val MultiFileQueries: Seq[String] = Seq(
+    "q85_semdedup", "q98_rank_ensemble", "q72_brp_neardup",
+    "q86_quality_classifier", "q46_salted_join", "q83_dup_pagerank",
+    "q95_spectral_terms", "q89_margin_mining", "q1_pricing_summary",
+    "q82_dsir_weights",
+    "q73_band_index_probe", "q75_ivf_index_probe", "q87_ivf_multiprobe")
+
+  /** Order-independent canonical fingerprint of a result: (row count,
+    * decimal sum of per-row xxhash64 over the name-sorted columns cast
+    * to string). Both runs are Spark, so string rendering is identical;
+    * the sum is order-free, so partitioning/file layout cannot move it.
+    * Used by the multi-file probe and MultiFileSpec. */
+  def canonicalHash(df: DataFrame): (Long, BigDecimal) = {
+    val cs = df.columns.sorted.toIndexedSeq.map(c => col(c).cast("string"))
+    val row = df
+      .select(xxhash64(concat_ws("", cs: _*)).cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")).as("s"))
+      .head()
+    (row.getLong(0), BigDecimal(row.getDecimal(1)))
+  }
+
+  /** Rewrite a parquet dataset in place into (up to) `nFiles` files —
+    * per partition directory when `partCols` is set. Write-to-sibling
+    * then swap, because Spark cannot overwrite a path it is reading. */
+  private def rewriteMultiFile(spark: SparkSession, path: String, nFiles: Int,
+                               partCols: Seq[String] = Nil): Unit = {
+    val tmp = path + "_mf_tmp"
+    val w = spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp)
+    deleteRec(new java.io.File(path))
+    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+      s"rename $tmp -> $path failed")
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  private def countParquetFiles(dir: java.io.File): Int =
+    if (!dir.isDirectory) 0
+    else dir.listFiles().map(f =>
+      if (f.isDirectory) countParquetFiles(f)
+      else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+
   def main(args: Array[String]): Unit = {
     val (flags, positionals) = Search.splitArgs(args.toSeq)
     val srcDir = positionals.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = flags.get("copies").map(_.toInt).getOrElse(DefaultCopies)
-    val outDir = positionals.lift(1).getOrElse("/tmp/sfbig") + s"_x$copies"
-    val probeQueries = flags.get("queries")
-      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val outBase = positionals.lift(1).getOrElse("/tmp/sfbig")
+    val outDir = outBase + s"_x$copies"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,6 +111,26 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val ok =
+      if (flags.contains("multifile"))
+        multiFileProbe(spark, srcDir, outBase, flags)
+      else if (flags.contains("brp-tables"))
+        brpTuningProbe(spark, srcDir, flags)
+      else if (flags.contains("semdedup-k")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        semDedupProbe(spark, outDir, copies, flags)
+      } else {
+        ensureClones(spark, srcDir, outDir, copies)
+        decadeUpProbe(spark, outDir, copies, flags)
+      }
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** Synthesize the cloned corpus (near-dup documents + perturbed
+    * embeddings) once; later runs at the same copy count reuse it. */
+  private def ensureClones(spark: SparkSession, srcDir: String, outDir: String,
+                           copies: Int): Unit = {
     val docsPath = s"$outDir/documents.parquet"
     if (!new java.io.File(docsPath).exists()) {
       val copyDf = spark.range(copies).select(col("id").as("copy"))
@@ -78,82 +161,91 @@ object ScaleProbe {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     }
-    // BRP tuning probe mode (--brp-tables N [--brp-bucket L]): times
-    // q72's near-dup plan on the REAL srcDir fixture with an
-    // alternative (numTables, bucketLength) and reports recall against
-    // the exact all-pairs top-20 computed in the same run (2k vectors
-    // at sf0.1 ⇒ the exact baseline is cheap here; at corpus scale it
-    // is not, which is why q72 exists). Feeds the minCos-vs-geometry
-    // tuning note in SCALING.md.
-    flags.get("brp-tables").foreach { tStr =>
-      val tables = tStr.toInt
-      val bucket = flags.get("brp-bucket").map(_.toDouble).getOrElse(2.0)
-      val minCos = flags.get("brp-mincos").map(_.toDouble)
-        .getOrElse(queries.AnnQueries.NearDupMinCos)
-      val topK = queries.AnnQueries.NearDupTopK
-      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-        .filter(size(col("embedding")) === 64)
-        .select(col("vec_id"), col("embedding"))
-      def lshPass(): (Double, Seq[(Long, Long)]) = {
-        val t0 = System.nanoTime()
-        val idx = search.AnnIndex.buildBrp(emb, numTables = tables,
-          bucketLength = bucket, cache = true)
-        val top = idx.nearDupPairsCanonical(minCos)
-          .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
-          .limit(topK)
-        top.write.format("noop").mode("overwrite").save()
-        val pairs = top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        idx.hashed.unpersist()
-        ((System.nanoTime() - t0) / 1e9, pairs)
-      }
-      val (coldT, lshPairs) = lshPass()
-      val (warmT, _) = lshPass()
-      // exact all-pairs top-20 under the same score convention
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      val exact = a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          graft.functions.VectorFunctions.neo4jScore(col("ea"), col("eb")).as("score"))
+  }
+
+  /** BRP tuning probe (--brp-tables N [--brp-bucket L]): times q72's
+    * near-dup plan on the REAL srcDir fixture with an alternative
+    * (numTables, bucketLength) and reports recall against the exact
+    * all-pairs top-20 computed in the same run (2k vectors at sf0.1 ⇒
+    * the exact baseline is cheap here; at corpus scale it is not,
+    * which is why q72 exists). Feeds the minCos-vs-geometry tuning
+    * note in SCALING.md. */
+  private def brpTuningProbe(spark: SparkSession, srcDir: String,
+                             flags: Map[String, String]): Boolean = {
+    val tables = flags("brp-tables").toInt
+    val bucket = flags.get("brp-bucket").map(_.toDouble).getOrElse(2.0)
+    val minCos = flags.get("brp-mincos").map(_.toDouble)
+      .getOrElse(queries.AnnQueries.NearDupMinCos)
+    val topK = queries.AnnQueries.NearDupTopK
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+    def lshPass(): (Double, Seq[(Long, Long)]) = {
+      val t0 = System.nanoTime()
+      val idx = search.AnnIndex.buildBrp(emb, numTables = tables,
+        bucketLength = bucket, cache = true)
+      val top = idx.nearDupPairsCanonical(minCos)
         .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
         .limit(topK)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recalled = lshPairs.count(exact.contains)
-      println(s"""{"probe":"brp-tuning","src":"$srcDir","n_vecs":${emb.count()},"num_tables":$tables,"bucket_length":$bucket,"min_cos":$minCos,"cold_sec":$coldT,"warm_sec":$warmT,"recall_at_$topK":${recalled.toDouble / topK}}""")
-      spark.stop()
-      return
+      top.write.format("noop").mode("overwrite").save()
+      val pairs = top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      idx.hashed.unpersist()
+      ((System.nanoTime() - t0) / 1e9, pairs)
     }
-    // SemDeDup probe mode (--semdedup-k N [--semdedup-score S]): the
-    // declared q85 geometry (k=8) exists for the oracle's unrolled CTE;
-    // at probe scale the paper's shape is k growing with the corpus so
-    // cells stay small — this runs fit+report end to end on the cloned
-    // embeddings through the broadcast-join assignment path.
-    flags.get("semdedup-k").foreach { kStr =>
-      val k = kStr.toInt
-      val minScore = flags.get("semdedup-score").map(_.toDouble).getOrElse(0.9)
-      val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
-      val nVecs = emb.count()
-      def semPass(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val cents = operators.SemDedup.fit(emb, k, iters = 2)
-        val df = operators.SemDedup.report(emb, cents, minScore)
-        df.write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, df.filter(col("removed") === 1).count())
-      }
-      val (coldT, coldRemoved) = semPass()
-      val (warmT, _) = semPass()
-      println(s"""{"probe":"semdedup","n_vecs":$nVecs,"copies":$copies,"k":$k,"min_score":$minScore,"iters":2,"cold_sec":$coldT,"warm_sec":$warmT,"removed":$coldRemoved}""")
-      spark.stop()
-      return
+    val (coldT, lshPairs) = lshPass()
+    val (warmT, _) = lshPass()
+    // exact all-pairs top-20 under the same score convention
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.VectorFunctions.neo4jScore(col("ea"), col("eb")).as("score"))
+      .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(topK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = lshPairs.count(exact.contains)
+    println(s"""{"probe":"brp-tuning","src":"$srcDir","n_vecs":${emb.count()},"num_tables":$tables,"bucket_length":$bucket,"min_cos":$minCos,"cold_sec":$coldT,"warm_sec":$warmT,"recall_at_$topK":${recalled.toDouble / topK}}""")
+    true
+  }
+
+  /** SemDeDup probe mode (--semdedup-k N [--semdedup-score S]): the
+    * declared q85 geometry (k=8) exists for the oracle's unrolled CTE;
+    * at probe scale the paper's shape is k growing with the corpus so
+    * cells stay small — this runs fit+report end to end on the cloned
+    * embeddings through the broadcast-join assignment path. */
+  private def semDedupProbe(spark: SparkSession, outDir: String, copies: Int,
+                            flags: Map[String, String]): Boolean = {
+    val k = flags("semdedup-k").toInt
+    val minScore = flags.get("semdedup-score").map(_.toDouble).getOrElse(0.9)
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nVecs = emb.count()
+    def semPass(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val cents = operators.SemDedup.fit(emb, k, iters = 2)
+      val df = operators.SemDedup.report(emb, cents, minScore)
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, df.filter(col("removed") === 1).count())
     }
-    val nDocs = spark.read.parquet(docsPath).count()
-    // pass 1 = COLD (includes shared cache builds — the honest "index
-    // build" cost); pass 2 = warm steady state, Bench's methodology.
-    // The TIMED span covers query CONSTRUCTION + the noop sink: several
-    // queries run driver-eager work while building the frame (q70's
-    // two-pass offsets, q65's bloom fit, q47/q72's index probe), so
-    // timing only the sink would exclude exactly the cost a cold pass
-    // exists to measure. The diagnostic row count runs after, untimed.
+    val (coldT, coldRemoved) = semPass()
+    val (warmT, _) = semPass()
+    println(s"""{"probe":"semdedup","n_vecs":$nVecs,"copies":$copies,"k":$k,"min_score":$minScore,"iters":2,"cold_sec":$coldT,"warm_sec":$warmT,"removed":$coldRemoved}""")
+    true
+  }
+
+  /** Decade-up probe: pass 1 = COLD (includes shared cache builds — the
+    * honest "index build" cost); pass 2 = warm steady state, Bench's
+    * methodology. The TIMED span covers query CONSTRUCTION + the noop
+    * sink: several queries run driver-eager work while building the
+    * frame (q70's two-pass offsets, q65's bloom fit, q47/q72's index
+    * probe), so timing only the sink would exclude exactly the cost a
+    * cold pass exists to measure. The diagnostic row count runs after,
+    * untimed. */
+  private def decadeUpProbe(spark: SparkSession, outDir: String, copies: Int,
+                            flags: Map[String, String]): Boolean = {
+    val probeQueries = flags.get("queries")
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     def pass(): Seq[(String, (Double, Long))] = probeQueries.map { q =>
       try {
         val t0 = System.nanoTime()
@@ -171,6 +263,85 @@ object ScaleProbe {
       s"""\"$q\":{\"cold_sec\":${cold(q)._1},\"warm_sec\":$t,\"rows\":$n}"""
     }.mkString("{", ",", "}")
     println(s"""{"probe":"decade-up","n_docs":$nDocs,"copies":$copies,"action":"noop-sink","queries":$qs}""")
-    spark.stop()
+    true
+  }
+
+  /** Multi-file layout probe (--multifile N): every fixture table
+    * rewritten into N files, the q73/q75 persisted artifacts rewritten
+    * into multi-file partition directories, then each probe query runs
+    * against the single-file AND multi-file layouts. A layout must
+    * never change results (canonical-hash equality, asserted — exit 1
+    * on mismatch) and must not defeat partition pruning (the q73 DPP
+    * band filter and q75/q87 cell filters are re-checked on the
+    * multi-file plans). */
+  private def multiFileProbe(spark: SparkSession, srcDir: String,
+                             outBase: String, flags: Map[String, String]): Boolean = {
+    val nFiles = flags("multifile").toInt
+    require(nFiles > 1, "--multifile wants N > 1 files")
+    val mfDir = (if (outBase == "/tmp/sfbig") "/tmp/sfmulti" else outBase) + s"_f$nFiles"
+    val tables = new java.io.File(srcDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    tables.foreach { t =>
+      if (!new java.io.File(s"$mfDir/$t").exists())
+        spark.read.parquet(s"$srcDir/$t").repartition(nFiles)
+          .write.mode(SaveMode.Overwrite).parquet(s"$mfDir/$t")
+    }
+    val fileCounts = tables.map(t =>
+      t -> countParquetFiles(new java.io.File(s"$mfDir/$t")))
+
+    // build the persisted artifacts against the multi-file fixture,
+    // then rewrite THEM so every partition directory holds several
+    // files (4 per partition is enough to break the monoculture
+    // without drowning small cells in tiny files)
+    val ivfDir = queries.AnnQueries.ivfIndexDir(spark, mfDir)
+    val bandDir = queries.DedupQueries.bandIndexDir(spark, mfDir)
+    val perPart = math.min(nFiles, 4)
+    rewriteMultiFile(spark, s"$ivfDir/corpus", perPart, Seq("cell"))
+    rewriteMultiFile(spark, s"$bandDir/bands", perPart, Seq("band"))
+    rewriteMultiFile(spark, s"$bandDir/shingles", nFiles)
+
+    val probeQueries = flags.get("queries")
+      .map(_.split(",").toSeq).getOrElse(MultiFileQueries)
+    def timedRun(q: String, dir: String): (Double, DataFrame) = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, df)
+    }
+    val results = probeQueries.map { q =>
+      val (st, sdf) = timedRun(q, srcDir)
+      val (mt, mdf) = timedRun(q, mfDir)
+      val (sn, sh) = canonicalHash(sdf)
+      val (mn, mh) = canonicalHash(mdf)
+      val ok = sn == mn && sh == mh
+      if (!ok) println(s"MISMATCH $q: single=($sn,$sh) multi=($mn,$mh)")
+      (q, st, mt, sn, ok)
+    }
+
+    // pruning evidence on the multi-file artifact plans (the PlanSpec
+    // q73/q75 assertions, re-run against the rewritten layout)
+    def planOf(q: String): String =
+      SparkEntry.queries(q)(spark, mfDir).queryExecution.executedPlan.toString
+    val bandScan = planOf("q73_band_index_probe").linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("graft_band_index"))
+      .find(_.contains("band#")).getOrElse("")
+    val q73Prune = bandScan.contains("PartitionFilters: [") &&
+      bandScan.contains("dynamicpruning")
+    def cellPrune(q: String): Boolean = {
+      val scan = planOf(q).linesIterator
+        .find(l => l.contains("Scan parquet") && l.contains("graft_ivf_index"))
+        .getOrElse("")
+      scan.contains("PartitionFilters: [") && scan.contains("cell#")
+    }
+    val q75Prune = cellPrune("q75_ivf_index_probe")
+    val q87Prune = cellPrune("q87_ivf_multiprobe")
+
+    val allMatch = results.forall(_._5)
+    val qs = results.map { case (q, st, mt, n, ok) =>
+      s"""\"$q\":{\"single_sec\":$st,\"multi_sec\":$mt,\"rows\":$n,\"match\":$ok}"""
+    }.mkString("{", ",", "}")
+    val fc = fileCounts.map { case (t, n) => s"""\"$t\":$n""" }.mkString("{", ",", "}")
+    println(s"""{"probe":"multifile","src":"$srcDir","n_files":$nFiles,"table_files":$fc,"queries":$qs,"pruning":{"q73_band_dpp":$q73Prune,"q75_cell":$q75Prune,"q87_cell":$q87Prune},"all_match":$allMatch}""")
+    allMatch && q73Prune && q75Prune && q87Prune
   }
 }

@@ -123,8 +123,10 @@ object RankedCumsum {
   }
 
   /** The score-ranking frame (q98's per-signal primitive): input one
-    * row per document — (doc_id LONG unique, score DOUBLE, already
-    * rounded by the caller so rank cannot flip on a ULP) — output
+    * row per document — (doc_id LONG unique, score DOUBLE; the sort key
+    * is defensively `round(score, 6)` here, idempotent for callers that
+    * already rounded, so an unrounded caller cannot produce
+    * Spark-vs-oracle rank flips on a ULP) — output
     * (doc_id, rank) with rank the global 1-based position in
     * (score desc, doc_id asc) order. Same two-pass shape as
     * [[tokenCoverage]]: range-partitioned parallel sort (one sort via
@@ -137,7 +139,8 @@ object RankedCumsum {
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val sorted = scores
-      .select(col("doc_id").cast("long"), col("score").cast("double"))
+      .select(col("doc_id").cast("long"),
+        round(col("score").cast("double"), 6).as("score"))
       .repartitionByRange(parts, col("score").desc, col("doc_id").asc)
       .sortWithinPartitions(col("score").desc, col("doc_id").asc)
     val rdd = sorted.rdd.localCheckpoint()

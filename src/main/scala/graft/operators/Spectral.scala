@@ -67,8 +67,15 @@ object Spectral {
         .groupBy(col("term"))
         .agg(dsum(col("tfidf") * col("y")).as("xr"))
       val mx = xRaw.agg(max(abs(col("xr"))).as("mx"))
+      // degenerate-normalizer guard: a weight table whose matvec is
+      // all-zero (every tfidf 0) would make mx 0 and silently turn
+      // every score into NaN in BOTH engines — fail loudly instead.
+      // (Empty input needs no guard: empty xRaw × 1 mx row = empty.)
       x = xRaw.crossJoin(broadcast(mx))
-        .select(col("term"), round(col("xr") / col("mx"), 6).as("score"))
+        .select(col("term"),
+          when(col("mx").isNull || col("mx") <= 0, raise_error(lit(
+            "Spectral.termSignature: degenerate weight table (max|x'| <= 0)")))
+            .otherwise(round(col("xr") / col("mx"), 6)).as("score"))
       if (i < iters)
         y = w.join(broadcast(x), "term")
           .groupBy(col(idCol))
@@ -86,7 +93,11 @@ object Spectral {
       .orderBy(col("score").desc, col("term").asc)
       .limit(k)
       .withColumn("rank",
+        // ≤ k rows post-limit; the constant-valued but NON-FOLDABLE
+        // partition key (hash(term) % 1 ≡ 0) keeps WindowExec off its
+        // warn-and-single-partition path (the SearchEngine trick)
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(hash(col("term")), lit(1)))
           .orderBy(col("score").desc, col("term").asc)).cast("long"))
       .select(col("rank"), col("term"), col("score"))
   }

@@ -132,7 +132,7 @@ object AnnQueries {
     * The artifact-side twin of the q73 band index. */
   private val sessionIvfIndex = new graft.SessionMemo[String, String]
 
-  private def ivfIndexDir(s: SparkSession, dir: String): String =
+  private[graft] def ivfIndexDir(s: SparkSession, dir: String): String =
     sessionIvfIndex.getOrCompute(s, dir) {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
         graft.SparkEntry.pathSlug(dir) + "_" +

@@ -567,9 +567,15 @@ object CurationQueries {
           round(col("n_docs").cast("double") / col("n_total").cast("double"), 6))
         .withColumn("temp_share",
           round(col("sqrt_n").cast("double") / col("s_total").cast("double"), 6))
-        // boost from the already-rounded shares: bit-identical inputs
-        // in both engines => bit-identical ratio
-        .withColumn("boost", round(col("temp_share") / col("raw_share"), 6))
+        // boost from the UNROUNDED shares — the rounded raw_share is
+        // 0.0 for any domain with corpus share < 5e-7, which would make
+        // the ratio Infinity here and NULL in DuckDB. sqrt_n (6-dp
+        // decimal) and the decimal totals are bit-identical inputs in
+        // both engines, and double mul/div are correctly rounded, so
+        // the same expression shape yields the same bits.
+        .withColumn("boost",
+          round((col("sqrt_n").cast("double") * col("n_total").cast("double")) /
+            (col("s_total").cast("double") * col("n_docs").cast("double")), 6))
         .select(col("lang"), col("n_docs"), col("raw_share"),
           col("temp_share"), col("boost"))
         .orderBy(col("lang"))
@@ -1019,10 +1025,11 @@ object CurationQueries {
         |sh AS (
         |  SELECT lang, n_docs,
         |    round(n_docs::DOUBLE / CAST(n_total AS DOUBLE), 6) AS raw_share,
-        |    round(CAST(sqrt_n AS DOUBLE) / CAST(s_total AS DOUBLE), 6) AS temp_share
+        |    round(CAST(sqrt_n AS DOUBLE) / CAST(s_total AS DOUBLE), 6) AS temp_share,
+        |    round((CAST(sqrt_n AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+        |          (CAST(s_total AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS boost
         |  FROM c CROSS JOIN t)
-        |SELECT lang, n_docs, raw_share, temp_share,
-        |  round(temp_share / raw_share, 6) AS boost
+        |SELECT lang, n_docs, raw_share, temp_share, boost
         |FROM sh ORDER BY lang""".stripMargin,
   )
 }

@@ -153,7 +153,7 @@ object DedupQueries {
     * [[hashedShingles]] cache. */
   private val sessionBandIndex = new graft.SessionMemo[String, String]
 
-  private def bandIndexDir(s: SparkSession, dir: String): String =
+  private[graft] def bandIndexDir(s: SparkSession, dir: String): String =
     sessionBandIndex.getOrCompute(s, dir) {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_band_index_" +
         graft.SparkEntry.pathSlug(dir) + "_" +

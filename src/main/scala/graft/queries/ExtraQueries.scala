@@ -177,13 +177,17 @@ object ExtraQueries {
         .select(floor(col("l_extendedprice") / w).cast("long").as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       // the bin directory is bounded by the value range (~105 rows),
-      // so whole-directory windows cost nothing at any corpus size
-      val wB = Window.orderBy(col("bin"))
+      // so whole-directory windows cost nothing at any corpus size;
+      // the constant-valued but NON-FOLDABLE partition key (bin % 1
+      // ≡ 0 — the SearchEngine trick) gives WindowExec a real spec
+      // instead of its warn-and-single-partition path
+      val binGroup = pmod(col("bin"), lit(1))
+      val wB = Window.partitionBy(binGroup).orderBy(col("bin"))
       val cum = bins
         .withColumn("cum_n", sum(col("n"))
           .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("total_n", sum(col("n"))
-          .over(Window.partitionBy()
+          .over(Window.partitionBy(binGroup)
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       val qs = HistQuantiles.toDF("q")
       // min(struct(bin, …)) picks the first covering bin AND carries its

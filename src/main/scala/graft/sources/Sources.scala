@@ -79,10 +79,15 @@ object Sources {
     spark.read.orc(path)
 
   /** Parquet sink; `partitionByCols` become directory keys for
-    * partition pruning. */
+    * partition pruning. `numFiles` forces a multi-file layout (per
+    * partition directory when partitioned) — the knob ScaleProbe's
+    * `--multifile` mode and fixture regenerations use to produce
+    * realistic many-file datasets instead of one row group. */
   def writeParquet(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
-                   mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode)
+                   mode: SaveMode = SaveMode.Overwrite,
+                   numFiles: Option[Int] = None): Unit = {
+    val d = numFiles.map(df.repartition(_)).getOrElse(df)
+    val w = d.write.mode(mode)
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+/** Layout invariance: the driver fixtures are ONE parquet row group per
+  * table (FIXTURES.md), so every query result could in principle depend
+  * on that monoculture. This spec rewrites the sf0.001 fixture into a
+  * multi-file layout (the `ScaleProbe --multifile` transform) and
+  * asserts query results are bit-identical — files are a physical
+  * detail the engine must not observe. The sf0.1 version of this check
+  * (plus artifact-partition rewrites and pruning evidence) runs as
+  * `ScaleProbe --multifile`; see SCALING.md.
+  */
+class MultiFileSpec extends org.scalatest.funsuite.AnyFunSuite with SparkSpec {
+
+  private val nFiles = 4
+
+  private lazy val mfDir: String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_mf_spec_" +
+      SparkEntry.pathSlug(spark.sparkContext.applicationId)
+    val tables = new java.io.File(sf0001).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted
+    tables.foreach { t =>
+      spark.read.parquet(s"$sf0001/$t").repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t")
+    }
+    out
+  }
+
+  private def assertLayoutInvariant(q: String): Unit = {
+    val single = ScaleProbe.canonicalHash(SparkEntry.queries(q)(spark, sf0001))
+    val multi = ScaleProbe.canonicalHash(SparkEntry.queries(q)(spark, mfDir))
+    assert(single == multi,
+      s"$q changed under the $nFiles-file layout: single=$single multi=$multi")
+    assert(single._1 > 0, s"$q returned no rows — vacuous invariance")
+  }
+
+  test("rewritten tables really are multi-file") {
+    def files(t: String): Int = new java.io.File(s"$mfDir/$t")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("documents.parquet") > 1 && files("lineitem.parquet") > 1,
+      "expected the rewrite to produce several parquet files per table")
+  }
+
+  test("q1 pricing summary is layout-invariant (lineitem)") {
+    assertLayoutInvariant("q1_pricing_summary")
+  }
+
+  test("q17 exact dedup is layout-invariant (documents)") {
+    assertLayoutInvariant("q17_dedup_exact")
+  }
+
+  test("q19 minhash LSH near-dups are layout-invariant (pair generation)") {
+    assertLayoutInvariant("q19_minhash_lsh")
+  }
+
+  test("q10 exact knn is layout-invariant (embeddings)") {
+    assertLayoutInvariant("q10_knn_exact")
+  }
+
+  test("q9 event windows are layout-invariant (events, ts re-encoded by the rewrite)") {
+    // the rewrite reads nanos-encoded ts as long and writes plain long;
+    // the Sources normalizer must absorb either encoding identically
+    assertLayoutInvariant("q9_hourly_events")
+  }
+}
