@@ -114,6 +114,8 @@ object ScaleProbe {
     val ok =
       if (flags.contains("multifile"))
         multiFileProbe(spark, srcDir, outBase, flags)
+      else if (flags.contains("ivf-tune"))
+        ivfTuneProbe(spark, srcDir)
       else if (flags.contains("brp-tables"))
         brpTuningProbe(spark, srcDir, flags)
       else if (flags.contains("semdedup-k")) {
@@ -161,6 +163,47 @@ object ScaleProbe {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     }
+  }
+
+  /** IVF recall-tuning probe (--ivf-tune): for the q75/q87 query set
+    * (vec_id < MultiProbeQueries) against the CANONICAL IVF build on
+    * srcDir, reports each query's minimum nProbe for 10/10 exact
+    * recall — the rank of the worst cell holding a true top-10
+    * neighbor. Feeds the IvfNProbe/MultiProbeNProbe slack constants
+    * (their scaladoc records the measured minima; re-run this after
+    * any fixture regeneration or quantizer change). */
+  private def ivfTuneProbe(spark: SparkSession, srcDir: String): Boolean = {
+    import org.apache.spark.ml.linalg.Vectors
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+    val idx = search.AnnIndex.buildIvf(e, cells = queries.AnnQueries.IvfCells)
+    val cellOf = idx.assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qs = e.filter(col("vec_id") < queries.AnnQueries.MultiProbeQueries)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val minima = qs.map { case (qid, qv) =>
+      val top10 = e
+        .withColumn("score", round(
+          graft.functions.VectorFunctions.neo4jScore(col("embedding"),
+            typedLit(qv.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0))
+      val qn = {
+        val n = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        if (n == 0) qv.map(_.toDouble) else qv.map(_ / n)
+      }
+      val cellRank = idx.model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, Vectors.sqdist(Vectors.dense(qn), c)) }
+        .sortBy(_._2).map(_._1).zipWithIndex.toMap // cell -> rank (0-based)
+      val minNProbe = top10.map(id => cellRank(cellOf(id)) + 1).max
+      qid -> minNProbe
+    }
+    idx.assigned.unpersist()
+    val per = minima.map { case (q, m) => s"""\"q$q\":$m""" }.mkString("{", ",", "}")
+    println(s"""{"probe":"ivf-tune","src":"$srcDir","cells":${queries.AnnQueries.IvfCells},"min_nprobe_per_query":$per,"q75_min":${minima.head._2},"q87_batch_min":${minima.map(_._2).max}}""")
+    true
   }
 
   /** BRP tuning probe (--brp-tables N [--brp-bucket L]): times q72's

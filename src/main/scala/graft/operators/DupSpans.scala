@@ -55,7 +55,42 @@ object DupSpans {
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select(col("h"))
-    val dup = anchors.join(dupGrams, "h")
+    spanReport(anchors.join(dupGrams, "h"), spanLen)
+  }
+
+  /** Spans of `target` documents duplicated in an OTHER corpus — the
+    * cross-corpus face of [[report]] (q102: the GPT-3 appendix-C /
+    * Lee et al. 13-gram decontamination rule at span grain — flag
+    * train docs sharing a ≥spanLen-token run with the test split,
+    * which shingle-overlap and exact-hash decontamination both miss).
+    * The duplicated-gram test changes from "≥ 2 distinct docs" to
+    * "present on BOTH sides": the two anchor sets union under a side
+    * flag and one map-side-combined `groupBy(h)` keeps grams whose
+    * min/max side differ — same vocabulary-sized exchange as
+    * [[report]], no distinct(). Only `target` anchors join back;
+    * islands merge per target doc as in [[report]].
+    *
+    * Inputs both carry (doc_id, lang, n_tokens, pos, h). Output: one
+    * row per target doc with ≥ 1 leaked span — (doc_id, lang,
+    * n_tokens, n_spans, leaked_tokens, leaked_frac). */
+  def leakedSpans(target: DataFrame, other: DataFrame, spanLen: Int): DataFrame = {
+    require(spanLen >= 1, "spanLen must be >= 1")
+    val sides = target.select(col("h")).withColumn("side", lit(0))
+      .unionByName(other.select(col("h")).withColumn("side", lit(1)))
+    val leaked = sides.groupBy(col("h"))
+      .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
+      .filter(col("mn") === 0 && col("mx") === 1)
+      .select(col("h"))
+    spanReport(target.join(leaked, "h"), spanLen)
+      .withColumnRenamed("dup_tokens", "leaked_tokens")
+      .withColumnRenamed("dup_frac", "leaked_frac")
+  }
+
+  /** Steps 3-4 shared by [[report]] and [[leakedSpans]]: gaps-and-
+    * islands span merging over the surviving anchor positions, then
+    * the per-document rollup. `dup` = (doc_id, lang, n_tokens, pos)
+    * rows whose gram passed the duplication test. */
+  private def spanReport(dup: DataFrame, spanLen: Int): DataFrame = {
     val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = dup
       .withColumn("prev", lag(col("pos"), 1).over(wD))

@@ -36,27 +36,89 @@ object KCenter {
   private def sqDist(emb: Column, center: Seq[Double]): Column =
     round(graft.expressions.VectorExpressions.sqDist(emb, typedLit(center)), 6)
 
+  /** Guarded projection shared by [[select]] and [[selectBatch]]:
+    * rounds embeddings to the 6-dp compare key and fails with an
+    * actionable message on an empty corpus or k > corpus size (one
+    * cheap count scan up front; without the guard, later rounds would
+    * argmax over min-distance 0 and silently emit duplicate centers). */
+  private def guardedSrc(corpus: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val src = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double"), 6)).as("emb"))
+    val n = src.count()
+    require(n > 0, "KCenter: empty corpus — nothing to select from")
+    require(k <= n, s"KCenter: k=$k exceeds corpus size $n — every point " +
+      "would be chosen and further rounds would emit duplicate centers")
+    src
+  }
+
+  private def minDistTo(chosen: Seq[Seq[Double]]): Column =
+    chosen.map(c => sqDist(col("emb"), c)) match {
+      case Seq(one) => one
+      case many => least(many: _*)
+    }
+
   /** Selection trace: (round, vec_id, radius, embedding) per chosen
     * center. `radius` is the chosen point's distance to the previous
     * centers — i.e. the k-center coverage radius of rounds 1..r-1
     * (the seed's radius is 0). */
   def select(corpus: DataFrame, k: Int): Seq[(Long, Long, Double, Seq[Double])] = {
-    require(k > 0, "k must be positive")
-    val src = corpus.select(col("vec_id"),
-      transform(col("embedding"), x => round(x.cast("double"), 6)).as("emb"))
+    val src = guardedSrc(corpus, k)
     val seedRow = src.orderBy(col("vec_id")).limit(1).collect().head
     val seed = (1L, seedRow.getLong(0), 0.0, seedRow.getSeq[Double](1).toSeq)
     (2 to k).foldLeft(Vector(seed)) { (chosen, r) =>
-      val minD = chosen.map(c => sqDist(col("emb"), c._4)) match {
-        case Seq(one) => one
-        case many => least(many: _*)
-      }
-      val pick = src.select(col("vec_id"), col("emb"), minD.as("d"))
+      val pick = src.select(col("vec_id"), col("emb"),
+          minDistTo(chosen.map(_._4)).as("d"))
         .orderBy(col("d").desc, col("vec_id").asc)
         .limit(1).collect().head
       chosen :+ ((r.toLong, pick.getLong(0), pick.getDouble(2),
         pick.getSeq[Double](1).toSeq))
     }
+  }
+
+  /** Batch-B greedy k-center — the production variant that amortizes
+    * corpus scans: each scan takes the top-`b` farthest points (by
+    * (d desc, vec_id asc), distances to the PRE-round centers only —
+    * the whole batch is chosen against the same center set, so one
+    * scan serves b picks), giving ⌈(k-1)/b⌉ + 1 scans instead of k.
+    * Batch picks 2..b of a round sit closer to each other than true
+    * sequential greedy would allow — the standard trade (the radius
+    * column still records each pick's distance to the pre-round
+    * centers), and `b = 1` reproduces [[select]] exactly (spec law).
+    *
+    * Trace rows: (round = scan index, pick = global 1-based pick
+    * number in (d desc, vec_id) order, vec_id, radius, embedding). */
+  def selectBatch(corpus: DataFrame, k: Int, b: Int): Seq[(Long, Long, Long, Double, Seq[Double])] = {
+    require(b > 0, "batch size b must be positive")
+    val src = guardedSrc(corpus, k)
+    val seedRow = src.orderBy(col("vec_id")).limit(1).collect().head
+    var chosen = Vector((1L, 1L, seedRow.getLong(0), 0.0,
+      seedRow.getSeq[Double](1).toSeq))
+    var round = 1L
+    while (chosen.size < k) {
+      round += 1
+      val take = math.min(b, k - chosen.size)
+      val picks = src.select(col("vec_id"), col("emb"),
+          minDistTo(chosen.map(_._5)).as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc)
+        .limit(take).collect()
+      val offset = chosen.size.toLong
+      chosen ++= picks.zipWithIndex.map { case (r, i) =>
+        (round, offset + i + 1, r.getLong(0), r.getDouble(2),
+          r.getSeq[Double](1).toSeq)
+      }
+    }
+    chosen
+  }
+
+  /** The batch trace as a DataFrame (round, pick, vec_id, radius) —
+    * q101's surface; ordered by pick (the global selection order). */
+  def selectBatchReport(corpus: DataFrame, k: Int, b: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    selectBatch(corpus, k, b).map(t => (t._1, t._2, t._3, t._4))
+      .toDF("round", "pick", "vec_id", "radius")
+      .orderBy(col("pick"))
   }
 
   /** The trace as a DataFrame (round, vec_id, radius) — the query

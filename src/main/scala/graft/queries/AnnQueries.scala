@@ -82,6 +82,14 @@ object AnnQueries {
     * radii spread across genuinely distant embeddings. */
   val KCenterK = 5
 
+  /** q101 geometry: k=6 centers in batches of B=3 — seed scan, one
+    * full 3-pick scan (picks 2..4), one SHORT 2-pick scan (picks 5..6,
+    * take = k − chosen): 3 corpus scans vs 6 sequential, small enough
+    * for a fully unrolled oracle while exercising the truncated final
+    * batch. */
+  val KCenterBatchK = 6
+  val KCenterBatchB = 3
+
   /** q99: vectors in the JL distortion audit's deterministic id-prefix
     * sample — 100 vectors → 4,950 audited pairs, plenty for the
     * ratio statistics and corpus-size-independent by construction. */
@@ -90,28 +98,34 @@ object AnnQueries {
   /** q75: IVF geometry. The fixture corpus plants NO embedding clusters
     * (the same no-clones property behind q72's minCos note), so the
     * exact top-10 neighbors of the probe sit at cosine ~0.4-0.5 —
-    * essentially angular noise — and scatter across cells: measured
-    * minimum nProbe for 10/10 recall at cells=16 is 6 (sf0.001),
-    * 11 (sf0.01), 8 (sf0.1). 13 carries slack over the worst case while
-    * still pruning cell directories, and the oracle compare FAILS
-    * CLOSED on any recall miss (q47's gate construction): if a new
-    * fixture flips this red, re-measure and raise nProbe — never weaken
-    * the oracle. On a real corpus with semantic clusters the ratio is
-    * nProbe/cells ≈ 4/256; the property q75 certifies is the PLAN (the
-    * probe's `cell IN (...)` reaching the scan as a PartitionFilter),
-    * which is scale-independent. */
+    * essentially angular noise — and scatter nearly uniformly across
+    * cells: under the layout-canonical quantizer
+    * ([[graft.search.AnnIndex.IvfFitPartitions]]) the measured minimum
+    * nProbe for 10/10 recall at cells=16 is 11 (sf0.001), 15 (sf0.01),
+    * 13 (sf0.1) — `ScaleProbe --ivf-tune` re-measures in one command.
+    * 15 is the measured worst case; more slack would probe EVERY cell
+    * and delete the pruning the query exists to certify, and on a
+    * structureless corpus the worst neighbor's cell rank is an order
+    * statistic near cells·(1−1/11) at ANY cell count, so raising
+    * `cells` cannot buy headroom. The oracle compare FAILS CLOSED on
+    * any recall miss (q47's gate construction): if a regeneration
+    * flips this red, re-run --ivf-tune and set the new measured
+    * worst — never weaken the oracle. On a real corpus with semantic
+    * clusters the ratio is nProbe/cells ≈ 4/256; the property q75
+    * certifies is the PLAN (the probe's `cell IN (...)` reaching the
+    * scan as a PartitionFilter), which is scale-independent. */
   val IvfCells = 16
-  val IvfNProbe = 13
+  val IvfNProbe = 15
 
   /** q87: how many query vectors (vec_id < this) probe the artifact in
     * one batch — q11's query set. Recall slack is per query and the
     * oracle fails closed on any miss, so the batch needs the WORST
-    * query's nProbe: measured minimum at sf0.01 is 14 (query 2 keeps a
-    * top-10 neighbor in its 14th-nearest cell; q75's single query
-    * needs 11). 15 carries the same one-cell slack policy as q75 while
-    * still pruning — the scale property (the probe reading
-    * nProbe/cells of the partition directories) is cell-count
-    * relative, not absolute. */
+    * query's nProbe: measured batch minima under the canonical
+    * quantizer are 11 (sf0.001), 15 (sf0.01), 13 (sf0.1) — the same
+    * worst-case-not-slack policy as [[IvfNProbe]] (16 of 16 would stop
+    * pruning). The scale property (the probe reading nProbe/cells of
+    * the partition directories) is cell-count relative, not
+    * absolute. */
   val MultiProbeQueries = 5
   val MultiProbeNProbe = 15
 
@@ -414,6 +428,21 @@ object AnnQueries {
         KCenterK)
     }),
 
+    "q101_kcenter_batch" -> ((s, dir) => {
+      // batch-B k-center (KCenter.selectBatch): the production variant
+      // q97's scaladoc names — top-B farthest per scan against the
+      // pre-round centers, ⌈(k-1)/B⌉ + 1 scans instead of k. The
+      // oracle unrolls every scan (each round's min-distance table,
+      // the (d desc, vec_id) top-B, the pick numbering), so hash-green
+      // certifies the complete batched trace; the B=1 == select law
+      // lives in KCenterSpec.
+      graft.operators.KCenter.selectBatchReport(
+        graft.SparkEntry.tbl(s, dir, "embeddings")
+          .filter(hasDim(col("embedding"), 64))
+          .select(col("vec_id"), col("embedding")),
+        KCenterBatchK, KCenterBatchB)
+    }),
+
     "q99_jl_distortion" -> ((s, dir) => {
       // JL random projection + distortion audit (operators/JlProject):
       // 64-d → 16-d with the seeded literal plane family, then the
@@ -707,6 +736,49 @@ object AnnQueries {
          |  FROM e2 ORDER BY vec_id LIMIT 1),
          |$rounds
          |SELECT round, vec_id, radius FROM ch$KCenterK ORDER BY round""".stripMargin
+    },
+
+    // every batched scan unrolled: m_r re-derives each vector's min
+    // distance to the PRE-round center set, p_r takes the top-take by
+    // (d desc, vec_id) and numbers the picks globally, ch_r appends —
+    // hash-green certifies the complete batch-B selection trace
+    // including the truncated final batch
+    "q101_kcenter_batch" -> {
+      val d = "round(list_sum(list_transform(list_zip(e.emb, c.emb), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+      // scan schedule after the seed: (scan round, picks this scan,
+      // picks already chosen) — mirrors KCenter.selectBatch's loop
+      val sched = List.unfold((2, 1)) { case (r, off) =>
+        if (off >= KCenterBatchK) None
+        else {
+          val take = math.min(KCenterBatchB, KCenterBatchK - off)
+          Some(((r, take, off), (r + 1, off + take)))
+        }
+      }
+      val rounds = sched.map { case (r, take, off) =>
+        s"""m$r AS (
+           |  SELECT e.vec_id, e.emb, MIN($d) AS dmin
+           |  FROM e2 e CROSS JOIN ch${r - 1} c
+           |  GROUP BY e.vec_id, e.emb),
+           |p$r AS (SELECT vec_id, emb, CAST($r AS BIGINT) AS round,
+           |    CAST($off + row_number() OVER (ORDER BY dmin DESC, vec_id ASC)
+           |      AS BIGINT) AS pick,
+           |    dmin AS radius
+           |  FROM m$r ORDER BY dmin DESC, vec_id ASC LIMIT $take),
+           |ch$r AS (SELECT vec_id, emb, round, pick, radius FROM ch${r - 1}
+           |  UNION ALL SELECT vec_id, emb, round, pick, radius FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |e2 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS emb
+         |  FROM e),
+         |ch1 AS (SELECT vec_id, emb, CAST(1 AS BIGINT) AS round,
+         |    CAST(1 AS BIGINT) AS pick, 0.0::DOUBLE AS radius
+         |  FROM e2 ORDER BY vec_id LIMIT 1),
+         |$rounds
+         |SELECT round, pick, vec_id, radius FROM ch${sched.last._1}
+         |ORDER BY pick""".stripMargin
     },
 
     "q99_jl_distortion" -> {

@@ -82,6 +82,12 @@ object DedupQueries {
     * 0.9-1.0 — exactly the planted clones, zero background noise. */
   val DupSpanLen = 8
 
+  /** q102 anchor length: the 13-gram decontamination rule published
+    * with GPT-3 (Brown et al. 2020, appendix C) and re-used by Lee et
+    * al. 2022 — a 13-token exact run shared with an eval document
+    * flags the training doc. */
+  val DecontamSpanLen = 13
+
   /** q19's pipeline: MinHash band-key candidates verified by exact
     * Jaccard — shared by q19 (pairs) and q31 (survivor selection). */
   private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
@@ -480,6 +486,34 @@ object DedupQueries {
       graft.operators.DupSpans.report(anchors, L).orderBy(col("doc_id"))
     }),
 
+    "q102_span_decontam" -> ((s, dir) => {
+      // cross-corpus SPAN decontamination (the GPT-3 appendix-C /
+      // Lee et al. 2022 13-gram rule at span grain): flag TRAIN docs
+      // sharing a >= 13-token run with the TEST split — catches the
+      // partially-copied eval example that q52's shingle-overlap ratio
+      // dilutes below threshold and q65's exact hash misses entirely.
+      // Same anchors as q88 (row-local shingling off the shared token
+      // cache) with each doc's split from the shared SplitPair hash
+      // (decontamination is only meaningful against the split the
+      // funnel ships); the duplicated-gram test keys on (train-side,
+      // test-side) instead of min!=max doc — see
+      // [[graft.operators.DupSpans.leakedSpans]]. Val-split anchors
+      // never enter the gram table: train-val sharing is not leakage
+      // under this rule and must not create false flags.
+      val L = DecontamSpanLen
+      val (sa, sb) = SplitPair
+      val anchors = TextQueries.enriched(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          posexplode(TextQueries.shingleCol(col("toks"), L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("pos").cast("long").as("pos"), charHash(col("col")).as("h"),
+          (((lit(sa) * col("doc_id") + lit(sb)) % lit(P)) % 100).as("bucket"))
+      val train = anchors.filter(col("bucket") < 80).drop("bucket")
+      val test = anchors.filter(col("bucket") >= 90).drop("bucket")
+      graft.operators.DupSpans.leakedSpans(train, test, L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q100_split_leakage" -> ((s, dir) => {
       // near-dup-aware split integrity audit: a duplicate CLUSTER whose
       // members straddle the train/test boundary leaks evaluation
@@ -587,6 +621,44 @@ object DedupQueries {
            |SELECT doc_id, lang, n_tokens, COUNT(*)::BIGINT AS n_spans,
            |  SUM(e - s + 1)::BIGINT AS dup_tokens,
            |  round(SUM(e - s + 1)::DOUBLE / n_tokens, 6) AS dup_frac
+           |FROM sp GROUP BY doc_id, lang, n_tokens ORDER BY doc_id""".stripMargin
+      },
+
+      // the q88 chain with the gram test keyed on sides: `sides` flags
+      // each anchor hash train(0)/test(1) (val anchors excluded —
+      // train-val sharing is not leakage), `lk` keeps hashes present
+      // on BOTH sides, and only TRAIN anchors flow into the island
+      // merge — op-for-op the leakedSpans plan
+      "q102_span_decontam" -> {
+        val L = DecontamSpanLen
+        val (sa, sb) = SplitPair
+        val gram = (0 until L).map(j => s"toks[pos + ${j + 1}]").mkString(" || '|' || ")
+        s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+           |base AS (SELECT doc_id, lang, toks, len(toks)::BIGINT AS n_tokens,
+           |    (($sa * doc_id + $sb) % $P) % 100 AS bucket FROM dd),
+           |an AS (SELECT doc_id, lang, n_tokens, bucket, pos,
+           |    ${charHashSql(s"($gram)")} AS h
+           |  FROM (SELECT doc_id, lang, n_tokens, bucket, toks,
+           |        unnest(range(len(toks) - ${L - 1})) AS pos
+           |        FROM base WHERE len(toks) >= $L)),
+           |sides AS (SELECT h, CASE WHEN bucket < 80 THEN 0 ELSE 1 END AS side
+           |  FROM an WHERE bucket < 80 OR bucket >= 90),
+           |lk AS (SELECT h FROM sides GROUP BY h
+           |  HAVING MIN(side) = 0 AND MAX(side) = 1),
+           |dp AS (SELECT an.* FROM an JOIN lk USING (h) WHERE an.bucket < 80),
+           |fl AS (SELECT doc_id, lang, n_tokens, pos,
+           |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+           |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $L
+           |         THEN 1::BIGINT ELSE 0::BIGINT END AS ni
+           |  FROM dp),
+           |il AS (SELECT doc_id, lang, n_tokens, pos, ni,
+           |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM fl),
+           |sp AS (SELECT doc_id, lang, n_tokens, isl, MIN(pos)::BIGINT AS s,
+           |    (MAX(pos) + ${L - 1})::BIGINT AS e
+           |  FROM il GROUP BY doc_id, lang, n_tokens, isl)
+           |SELECT doc_id, lang, n_tokens, COUNT(*)::BIGINT AS n_spans,
+           |  SUM(e - s + 1)::BIGINT AS leaked_tokens,
+           |  round(SUM(e - s + 1)::DOUBLE / n_tokens, 6) AS leaked_frac
            |FROM sp GROUP BY doc_id, lang, n_tokens ORDER BY doc_id""".stripMargin
       },
 

@@ -203,10 +203,24 @@ object AnnIndex {
     *                recall for a much cheaper (offline) build.
     * @param initMode "k-means||" (default, better spread) or "random"
     *                 (one fewer pass over the data). */
+  /** KMeans input partitioning — a CONSTANT, not defaultParallelism:
+    * k-means|| seeds its per-partition sampling from the partition
+    * index, so the fitted quantizer is a function of the input's
+    * partitioning, not just its rows. Hash-repartitioning on vec_id
+    * into a fixed count (and sorting within partitions) makes the
+    * model a pure function of the DATA — invariant to file layout,
+    * file count, and session parallelism. Measured: without this, a
+    * 12-file rewrite of the same sf0.1 fixture produced a different
+    * quantizer and broke q75's fail-closed recall (ScaleProbe
+    * --multifile, SCALING.md round 10). */
+  val IvfFitPartitions = 32
+
   def buildIvf(corpus: DataFrame, cells: Int = 16, seed: Long = 7L,
                cache: Boolean = true, maxIter: Int = 10,
                initMode: String = "k-means||"): IvfIndex = {
     val prepared = prepare(corpus)
+      .repartition(IvfFitPartitions, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
     val km = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
       .setInitMode(initMode)
       .setFeaturesCol("features").setPredictionCol("cell")

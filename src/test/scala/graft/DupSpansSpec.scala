@@ -62,6 +62,42 @@ class DupSpansSpec extends AnyFunSuite with SparkSpec {
     assert(r === Seq((1L, 2L, 8L, round6(8.0 / 13)), (2L, 1L, 4L, 0.4)))
   }
 
+  private def runLeaked(target: Seq[(Long, String, Long, Long, Long)],
+                        other: Seq[(Long, String, Long, Long, Long)])
+      : Seq[(Long, Long, Long, Double)] =
+    DupSpans.leakedSpans(
+        target.toDF("doc_id", "lang", "n_tokens", "pos", "h"),
+        other.toDF("doc_id", "lang", "n_tokens", "pos", "h"), L)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_spans", $"leaked_tokens", $"leaked_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+  test("leakedSpans: a hand-built leaked span is flagged on the train side only") {
+    // train doc 1 copies a test doc's run: anchors at 3,4,5 share
+    // hashes with test doc 100 — they merge into [3, 8] = 6 tokens.
+    // h=50 is train-only (docs 1 and 2 both have it): cross-TRAIN
+    // duplication, which report() would flag but leakedSpans must NOT.
+    val train = Seq(
+      (1L, "en", 12L, 3L, 10L), (1L, "en", 12L, 4L, 11L), (1L, "en", 12L, 5L, 12L),
+      (1L, "en", 12L, 9L, 50L),
+      (2L, "en", 10L, 0L, 50L))
+    val test = Seq(
+      (100L, "en", 8L, 0L, 10L), (100L, "en", 8L, 1L, 11L), (100L, "en", 8L, 2L, 12L))
+    val r = runLeaked(train, test)
+    assert(r === Seq((1L, 1L, 6L, 0.5)))
+  }
+
+  test("leakedSpans: grams only on the other side never flag, and B=target==other flags everything shared") {
+    // nothing shared: no rows
+    assert(runLeaked(
+      Seq((1L, "en", 10L, 0L, 1L)), Seq((9L, "en", 10L, 0L, 2L))).isEmpty)
+    // the leaked-frac arithmetic matches report's span arithmetic:
+    // one shared gram -> one L-token span on the target side
+    val r = runLeaked(
+      Seq((1L, "en", 10L, 2L, 7L)), Seq((9L, "en", 10L, 6L, 7L)))
+    assert(r === Seq((1L, 1L, 4L, 0.4)))
+  }
+
   test("report is invariant to input partitioning") {
     val anchors = (0L until 40L).flatMap { d =>
       (0L until 12L).map(p => (d, "en", 30L, p * 2, (d % 5) * 100 + p))

@@ -33,6 +33,40 @@ class KCenterSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("selectBatch with B=1 reproduces select exactly (the degeneracy law)") {
+    val seq = KCenter.select(emb, 5)
+    val batch = KCenter.selectBatch(emb, 5, 1)
+    // with B=1 every scan takes one pick, so round == pick == the
+    // sequential round; the traces must be identical
+    assert(batch.map(t => (t._1, t._3, t._4, t._5)) === seq)
+    assert(batch.map(_._1) === batch.map(_._2), "B=1 rounds must equal picks")
+  }
+
+  test("selectBatch schedule: seed + full batch + truncated batch, picks numbered globally") {
+    val batch = KCenter.selectBatch(emb, 6, 3)
+    assert(batch.map(_._2) === (1L to 6L), "picks must be 1..k")
+    assert(batch.map(_._1) === Seq(1L, 2L, 2L, 2L, 3L, 3L),
+      "k=6 B=3 must scan as seed, 3-pick batch, 2-pick batch")
+    // within a batch, picks are ordered by distance-to-pre-round
+    // centers desc (ties impossible on this fixture)
+    val byRound = batch.groupBy(_._1).values
+    byRound.foreach { g =>
+      val radii = g.sortBy(_._2).map(_._4)
+      assert(radii === radii.sorted.reverse, s"in-batch order broken: $radii")
+    }
+    // the chosen SET is a valid diversity sample: all ids distinct
+    assert(batch.map(_._3).distinct.size === 6)
+  }
+
+  test("empty corpus and k > corpus size fail with actionable errors") {
+    val empty = emb.filter($"vec_id" < 0)
+    val e1 = intercept[IllegalArgumentException](KCenter.select(empty, 3))
+    assert(e1.getMessage.contains("empty corpus"))
+    val tiny = emb.filter($"vec_id" < 2)
+    val e2 = intercept[IllegalArgumentException](KCenter.selectBatch(tiny, 5, 2))
+    assert(e2.getMessage.contains("exceeds corpus size"))
+  }
+
   test("radii are non-increasing and selection is partition invariant") {
     val base = KCenter.selectReport(emb, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
