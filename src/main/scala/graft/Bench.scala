@@ -28,6 +28,19 @@ object Bench {
       .getOrElse("/root/testdata/sf0.1")
     val cpus = flags.get("cpus")
       .orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("4")
+    // --only q46_salted_join,q28_asof_orders: focused re-measurement of
+    // a named subset under the SAME methodology (warm-up pass, noop
+    // sink, per-query min) — the tool for chasing one query's ratio
+    // without paying the full suite. --reps N widens the min-of-N.
+    val reps = flags.get("reps").map(_.toInt).getOrElse(Reps)
+    val benchSet = flags.get("only") match {
+      case Some(sel) =>
+        val want = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val missing = want -- SparkEntry.benchQueries.keySet
+        require(missing.isEmpty, s"--only names unknown queries: ${missing.mkString(",")}")
+        SparkEntry.benchQueries.filter { case (k, _) => want(k) }
+      case None => SparkEntry.benchQueries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,7 +80,7 @@ object Bench {
     // outside the timed window, so attribution doesn't depend on which
     // query happens to touch a cache first (Map iteration order)
     (1 to Warmup).foreach { _ =>
-      SparkEntry.benchQueries.foreach { case (_, fn) =>
+      benchSet.foreach { case (_, fn) =>
         try run(fn(spark, sfDir)) catch { case _: Throwable => }
       }
     }
@@ -81,7 +94,7 @@ object Bench {
     // the artifact look worse, never faster.
     val failed = scala.collection.mutable.SortedSet.empty[String]
     def timedPass(): Map[String, Option[Double]] =
-      SparkEntry.benchQueries.map { case (name, fn) =>
+      benchSet.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { run(fn(spark, sfDir)); true }
@@ -91,8 +104,8 @@ object Bench {
             false }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
-    val passes = (1 to Reps).map(_ => timedPass())
-    val names = SparkEntry.benchQueries.keys.toSeq
+    val passes = (1 to reps).map(_ => timedPass())
+    val names = benchSet.keys.toSeq
     val results = names.flatMap { name =>
       val ok = passes.flatMap(_(name))
       if (ok.isEmpty) None else Some(name -> ok.min)
@@ -102,7 +115,7 @@ object Bench {
     // per-rep times (null = that pass failed), so a one-off GC stall
     // shows up as variance across reps instead of silently inflating
     // the min
-    val reps = names.map { name =>
+    val repsJson = names.map { name =>
       s"\"" + name + "\":" + passes.map(_(name).fold("null")(_.toString))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -119,7 +132,7 @@ object Bench {
     val excluded = SparkEntry.verifyOnly.toSeq.sorted
       .map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val failedJson = failed.toSeq.map(q => "\"" + q + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"reps_sec":$reps,"failed":$failedJson,"sf":"$sfDir","warmup":$Warmup,"reps":$Reps,"stat":"min","action":"noop-sink","cpus":$cpus,"excluded_verify_only":$excluded}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"reps_sec":$repsJson,"failed":$failedJson,"sf":"$sfDir","warmup":$Warmup,"reps":$reps,"stat":"min","action":"noop-sink","cpus":$cpus,"excluded_verify_only":$excluded}""")
     spark.stop()
   }
 }
