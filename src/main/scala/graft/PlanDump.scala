@@ -172,7 +172,31 @@ object PlanDump {
         "absorbs duplicate users map-side, so the only exchanged data is " +
         "register tables bounded by m × days × types; estimate joins are " +
         "domain-bounded broadcasts. Raw corpus rows never cross an " +
-        "exchange — the mergeable-sketch property, visible in the plan."))
+        "exchange — the mergeable-sketch property, visible in the plan."),
+    "q103_moore_lewis" ->
+      ("Moore-Lewis selection: both LM count tables are map-side-combined " +
+        "vocabulary-bounded aggregates that return via BroadcastHashJoin " +
+        "(the corpus-sized token stream never shuffles to look up counts); " +
+        "per-doc sums partial-combine below their exchange and the " +
+        "selection is per-partition top-k heaps (TakeOrderedAndProject)."),
+    "q104_zipf_fit" ->
+      ("Zipf head fit: ONE map-side-combined wordcount collapses the corpus " +
+        "to the vocabulary, TakeOrderedAndProject takes the head, and every " +
+        "operation after runs over ≤ N rows — the OLS sums are a single " +
+        "bounded aggregate, corpus-size-independent past the first " +
+        "exchange."),
+    "q106_epoch_alloc" ->
+      ("Epoch-capped allocation: the ONLY corpus-sized work is the first " +
+        "map-side-combined groupBy(lang); all three re-distribution rounds " +
+        "are 1-row aggregates of the domain-bounded table broadcast back " +
+        "(BroadcastNestedLoopJoin of one row each) — the fixed-round " +
+        "water-filling costs nothing more at 100 TB than at sf0.001."),
+    "q107_weighted_sample" ->
+      ("Weighted sampling without replacement as ONE top-k: quality weight, " +
+        "uniform draw and ES key are row-local codegen'd expressions over " +
+        "the cached enrichment, and the plan ends in TakeOrderedAndProject " +
+        "— the corpus is scanned once and never shuffled, which is what " +
+        "makes 'sample 50M docs by quality' a single pass at any scale."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

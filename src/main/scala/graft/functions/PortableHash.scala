@@ -135,6 +135,20 @@ object PortableHash {
     * the oracle. */
   val FramePair: (Long, Long) = affineConstants(1313L, 1).head
 
+  /** Weighted-sampling (Efraimidis-Spirakis) uniform draw — its own
+    * member so a doc's weighted-sample key is uncorrelated with its
+    * split, stratified-sample, mix, shard and shuffle assignments
+    * (the same independence argument as [[SamplePair]]; a quality-
+    * weighted subsample must not systematically favor one split). */
+  val WeightedSamplePair: (Long, Long) = affineConstants(1717L, 1).head
+
+  /** DSIR importance-resampling draw — its own member, independent of
+    * [[WeightedSamplePair]]: the quality-weighted sample (q107) and the
+    * importance-resampled corpus (q108) are different downstream
+    * datasets and must not share draw randomness (shared draws would
+    * correlate their selections beyond what the weights imply). */
+  val DsirSamplePair: (Long, Long) = affineConstants(1818L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

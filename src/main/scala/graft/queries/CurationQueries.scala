@@ -117,6 +117,62 @@ object CurationQueries {
   val QcIters = 2
   val QcLr = 0.5
 
+  /** q103 Moore-Lewis cross-entropy difference selection (Moore &
+    * Lewis 2010): in-domain corpus = the documents of ONE source
+    * (src0 — the fixture assigns sources round-robin, so it is a
+    * 1/20 sample with every language represented), candidate pool =
+    * every other source. The classic exact-unigram ancestor of q82's
+    * DSIR (hashed-bigram importance ratio): where DSIR buckets the
+    * feature space, Moore-Lewis scores each doc by its per-token
+    * log-likelihood gap between the in-domain LM (add-1 smoothed over
+    * the corpus vocabulary — the candidate pool contains words the
+    * tiny in-domain corpus has never seen) and the general LM (MLE;
+    * every corpus word is in it by construction). */
+  val MlInDomainSource = "src0"
+  val MlTopK = 50
+
+  /** q106 epoch-capped token-budget allocation — the feasibility step
+    * every published data recipe runs after computing target shares
+    * (Llama/PaLM-style "repeat a domain at most E epochs"): the
+    * temperature-scaled target mix (q94's α=1/2 recipe, here over
+    * TOKEN counts) is infeasible when a low-resource domain's target
+    * share exceeds EpochCap× its corpus size, so the allocator gives
+    * each domain min(share·remaining, cap) and re-distributes the
+    * stranded budget over unsaturated domains — [[AllocRounds]] fixed
+    * rounds (the q83 fixed-depth-plan contract; each round at least
+    * one domain saturates or the allocation completes, and the
+    * fixture geometry completes in 3 at every SF — measured, with a
+    * round-2 saturation at sf0.001 exercising the cascade). Budget =
+    * 9/5 of corpus tokens (exact integer division) and EpochCap = 2
+    * make ≥3 domains saturate and ≥1 not, at all three fixture SFs. */
+  val AllocRounds = 3
+  val AllocEpochCap = 2L
+  val AllocBudgetNum = 9L
+  val AllocBudgetDen = 5L
+
+  /** q108 DSIR importance RESAMPLING — the selection step Xie et al.
+    * 2023 actually run on their weights (q82 ranks; importance
+    * resampling SAMPLES ∝ exp(weight), keeping diversity the
+    * deterministic top-K throws away): q107's sampler with w_d =
+    * exp(lr_d). Computed entirely in the LOG domain — maximizing the
+    * ES key ln(u)/exp(lr) is minimizing ln(−ln u) − lr (the
+    * exponential-race form: Exp(1)/w minimized), so no engine ever
+    * calls libm exp and the weight's magnitude cannot overflow the
+    * key. Draws come from [[graft.functions.PortableHash.DsirSamplePair]]
+    * (independent of every other assignment). */
+  val DsirSampleK = 50
+
+  /** q107 weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): key_d = ln(u_d)/w_d with u_d a per-doc uniform
+    * draw in (0,1] and w_d the q14 quality score (> 0 by the formula's
+    * 0.3·diversity floor) — the top-K keys ARE a weighted sample
+    * without replacement, turning "sample 50M docs by quality" into
+    * ONE distributed top-k (TakeOrderedAndProject — no shuffle of the
+    * corpus, no sequential draw dependency). ln is monotone so ranking
+    * ln(u)/w descending equals ranking u^(1/w) descending (the paper's
+    * key), and u = ((a·id+b) mod P + 1)/(P+1) is never 0 or > 1. */
+  val WsTopK = 100
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.tbl(s, dir, "documents")
 
@@ -580,6 +636,147 @@ object CurationQueries {
           col("temp_share"), col("boost"))
         .orderBy(col("lang"))
     }),
+
+    "q103_moore_lewis" -> ((s, dir) => {
+      // Moore-Lewis cross-entropy difference selection (see
+      // MlInDomainSource scaladoc). Shape: token counts are two
+      // map-side-combined groupBy(tok) aggregations bounded by the
+      // vocabulary (broadcast-joined back — a unigram vocab stays
+      // broadcastable at 100 TB, the q55 argument); the in-domain
+      // membership join is a doc_id equi-join (shuffles at scale,
+      // AQE-broadcast here); per-doc sums route through decimal and
+      // round once; the selection is ONE global top-k.
+      val tf = KeywordQueries.tokenizedDocs(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("dl"),
+          explode(col("toks")).as("tok"))
+      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("cg"))
+      val gn = gc.agg(sum(col("cg")).as("n_gen"),
+        count(lit(1)).as("v"))
+      val ic = tf.filter(col("source") === MlInDomainSource)
+        .groupBy(col("tok")).agg(count(lit(1)).as("ci"))
+      val in = ic.agg(sum(col("ci")).as("n_in"))
+      tf.filter(col("source") =!= MlInDomainSource)
+        .join(broadcast(gc), Seq("tok"))
+        .join(broadcast(ic), Seq("tok"), "left")
+        .crossJoin(broadcast(gn)).crossJoin(broadcast(in))
+        .withColumn("ll",
+          log((coalesce(col("ci"), lit(0L)) + lit(1L)).cast("double")) -
+            log((col("n_in") + col("v")).cast("double")) -
+            log(col("cg").cast("double")) +
+            log(col("n_gen").cast("double")))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("dl"))
+        .agg(dsum(col("ll"), 12).as("sum_ll"))
+        .withColumn("celd", round(col("sum_ll") / col("dl"), 6))
+        .orderBy(col("celd").desc, col("doc_id").asc)
+        .limit(MlTopK)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("dl").cast("long").as("n_tokens"), col("celd"))
+    }),
+
+    "q106_epoch_alloc" -> ((s, dir) => {
+      // epoch-capped token-budget allocation (see AllocRounds
+      // scaladoc). ONE corpus aggregation collapses everything to the
+      // 5-row domain table; each of the 3 unrolled rounds is a 1-row
+      // aggregate of that table broadcast back (the q94 crossJoin-of-
+      // one-aggregate-row shape) — zero corpus-sized work after the
+      // first groupBy at any scale. All allocation arithmetic is
+      // decimal(28,6) with each increment rounded once, so the final
+      // table is bit-identical regardless of partitioning.
+      val toks = TextQueries.enriched(s, dir)
+        .groupBy(col("lang")).agg(sum(col("n_tokens")).as("n_tok"))
+        .withColumn("sqrt_n",
+          round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(28,6)"))
+        .withColumn("cap",
+          (col("n_tok") * lit(AllocEpochCap)).cast("decimal(28,6)"))
+      val tot = toks.agg(
+        sum(col("n_tok")).as("t_tok"), sum(col("sqrt_n")).as("s_tot"))
+        .withColumn("budget",  // exact integer division in both engines
+          expr(s"t_tok * $AllocBudgetNum div $AllocBudgetDen")
+            .cast("decimal(28,6)"))
+      // round 1: every domain asks for its temperature share of the
+      // full budget, capped at EpochCap epochs of its own corpus
+      val r1 = toks.crossJoin(broadcast(tot))
+        .withColumn("alloc", least(
+          round((col("sqrt_n").cast("double") / col("s_tot").cast("double")) *
+            col("budget").cast("double"), 6).cast("decimal(28,6)"),
+          col("cap")))
+      // rounds 2..AllocRounds: stranded budget re-distributes over the
+      // still-unsaturated domains by their renormalized shares
+      val rN = (2 to AllocRounds).foldLeft(r1) { (prev, _) =>
+        val agg = prev.agg(
+          (max(col("budget")) - sum(col("alloc"))).as("rem"),
+          sum(when(col("alloc") < col("cap"), col("sqrt_n"))
+            .otherwise(lit(0))).cast("decimal(28,6)").as("s_act"))
+        prev.drop("rem", "s_act").crossJoin(broadcast(agg))
+          .withColumn("alloc",
+            when(col("alloc") < col("cap") && col("s_act") > 0,
+              least(col("alloc") +
+                round((col("sqrt_n").cast("double") / col("s_act").cast("double")) *
+                  col("rem").cast("double"), 6).cast("decimal(28,6)"),
+                col("cap")))
+              .otherwise(col("alloc"))
+              // re-pin the round's widened sum type so every round —
+              // and the final output column — is DECIMAL(28,6) in both
+              // engines (decimal + decimal widens per round otherwise)
+              .cast("decimal(28,6)"))
+      }
+      val left = rN.agg((max(col("budget")) - sum(col("alloc")))
+        .cast("decimal(28,6)").as("leftover"))
+      rN.crossJoin(broadcast(left))
+        .select(col("lang"), col("n_tok"),
+          col("cap").cast("long").as("cap_tok"),
+          col("alloc"),
+          round(col("alloc").cast("double") / col("n_tok").cast("double"), 6)
+            .as("epochs"),
+          when(col("alloc") === col("cap"), 1L).otherwise(0L).as("saturated"),
+          col("leftover"))
+        .orderBy(col("lang"))
+    }),
+
+    "q107_weighted_sample" -> ((s, dir) => {
+      // Efraimidis-Spirakis quality-weighted sampling without
+      // replacement (see WsTopK scaladoc): row-local key computation
+      // off the shared enrichment cache, then ONE TakeOrderedAndProject
+      // — the corpus is scanned once and never shuffled, at any scale.
+      val (a, b) = WeightedSamplePair
+      val e = TextQueries.enriched(s, dir)
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      e.withColumn("w", graft.functions.TextFunctions.qualityScore(
+          col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
+        .withColumn("u",
+          (((lit(a) * col("doc_id") + lit(b)) % lit(P)) + lit(1L))
+            .cast("double") / lit((P + 1).toDouble))
+        .withColumn("key", round(log(col("u")) / col("w"), 6))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(WsTopK)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("w").as("weight"), col("key"))
+    }),
+
+    "q108_dsir_resample" -> ((s, dir) => {
+      // DSIR importance resampling (see DsirSampleK scaladoc): the
+      // pool's per-doc log importance weights (q82's exact broadcast-
+      // ratio machinery) drive an exponential race in the log domain —
+      // race_key = ln(−ln u) − lr, the K SMALLEST keys win. Shape: the
+      // weight rollup is q82's plan (vocab/feature-bounded broadcasts,
+      // decimal-routed per-doc sums); the race key is one row-local
+      // expression; the selection is per-partition bottom-k heaps.
+      val (a, b) = graft.functions.PortableHash.DsirSamplePair
+      val bg = hashedBigrams(s, dir)
+      val weights = dsirWeightReport(bg.filter(col("bucket") >= 90),
+        bg.filter(col("bucket") < 80))
+      weights
+        .withColumn("u",
+          (((lit(a) * col("doc_id") + lit(b)) % lit(P)) + lit(1L))
+            .cast("double") / lit((P + 1).toDouble))
+        .withColumn("race_key", round(log(-log(col("u"))) - col("weight"), 6))
+        .orderBy(col("race_key").asc, col("doc_id").asc)
+        .limit(DsirSampleK)
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          col("weight"), col("race_key"))
+    }),
   )
 
   /** q79 boilerplate threshold: a chunk in >= 2 distinct docs is
@@ -1031,5 +1228,122 @@ object CurationQueries {
         |  FROM c CROSS JOIN t)
         |SELECT lang, n_docs, raw_share, temp_share, boost
         |FROM sh ORDER BY lang""".stripMargin,
+
+    "q103_moore_lewis" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (
+         |  SELECT dd.doc_id, dd.lang, d.source, dd.dl, unnest(dd.toks) AS tok
+         |  FROM dd JOIN documents d ON dd.doc_id = d.doc_id),
+         |gc AS (SELECT tok, COUNT(*) AS cg FROM tf GROUP BY tok),
+         |gn AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_gen,
+         |  COUNT(*)::BIGINT AS v FROM gc),
+         |ic AS (SELECT tok, COUNT(*) AS ci FROM tf
+         |  WHERE source = '$MlInDomainSource' GROUP BY tok),
+         |inn AS (SELECT CAST(SUM(ci) AS BIGINT) AS n_in FROM ic),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.lang, tf.source, tf.dl,
+         |    CAST(SUM(CAST(
+         |      ln((COALESCE(ci, 0) + 1)::DOUBLE) - ln((n_in + v)::DOUBLE)
+         |      - ln(cg::DOUBLE) + ln(n_gen::DOUBLE)
+         |    AS DECIMAL(28,12))) AS DOUBLE) AS sum_ll
+         |  FROM tf JOIN gc USING (tok) LEFT JOIN ic USING (tok)
+         |  CROSS JOIN gn CROSS JOIN inn
+         |  WHERE tf.source <> '$MlInDomainSource'
+         |  GROUP BY tf.doc_id, tf.lang, tf.source, tf.dl)
+         |SELECT doc_id, lang, source, CAST(dl AS BIGINT) AS n_tokens,
+         |  round(sum_ll / dl, 6) AS celd
+         |FROM sc ORDER BY celd DESC, doc_id ASC LIMIT $MlTopK""".stripMargin,
+
+    "q106_epoch_alloc" -> {
+      // one unrolled re-distribution round: rounds 2..AllocRounds all
+      // apply the same operation CurationQueries' foldLeft runs
+      def allocRound(prev: String, i: Int): String =
+        s"""a$i AS (
+           |  SELECT CAST(MAX(budget) - SUM(alloc) AS DECIMAL(28,6)) AS rem,
+           |    CAST(SUM(CASE WHEN alloc < cap THEN sqrt_n ELSE 0 END)
+           |      AS DECIMAL(28,6)) AS s_act FROM $prev),
+           |r$i AS (
+           |  SELECT lang, n_tok, sqrt_n, cap, budget, CAST(
+           |    CASE WHEN alloc < cap AND s_act > 0 THEN
+           |      least(alloc + CAST(round(
+           |        (CAST(sqrt_n AS DOUBLE) / CAST(s_act AS DOUBLE)) *
+           |          CAST(rem AS DOUBLE), 6) AS DECIMAL(28,6)), cap)
+           |    ELSE alloc END AS DECIMAL(28,6)) AS alloc
+           |  FROM $prev CROSS JOIN a$i)""".stripMargin
+      val rounds = (2 to AllocRounds)
+        .map(i => allocRound(s"r${i - 1}", i)).mkString(",\n")
+      s"""WITH e AS (${TextQueries.enrichedSql}),
+         |c AS (
+         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS n_tok,
+         |    CAST(round(sqrt(CAST(SUM(n_tokens) AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6)) AS sqrt_n,
+         |    CAST(SUM(n_tokens) * $AllocEpochCap AS DECIMAL(28,6)) AS cap
+         |  FROM e GROUP BY lang),
+         |t AS (
+         |  SELECT CAST(SUM(n_tok) * $AllocBudgetNum // $AllocBudgetDen
+         |      AS DECIMAL(28,6)) AS budget,
+         |    CAST(SUM(sqrt_n) AS DECIMAL(28,6)) AS s_tot FROM c),
+         |r1 AS (
+         |  SELECT lang, n_tok, sqrt_n, cap, budget,
+         |    least(CAST(round(
+         |      (CAST(sqrt_n AS DOUBLE) / CAST(s_tot AS DOUBLE)) *
+         |        CAST(budget AS DOUBLE), 6) AS DECIMAL(28,6)), cap) AS alloc
+         |  FROM c CROSS JOIN t),
+         |$rounds,
+         |lv AS (SELECT CAST(MAX(budget) - SUM(alloc) AS DECIMAL(28,6))
+         |  AS leftover FROM r$AllocRounds)
+         |SELECT lang, n_tok, CAST(cap AS BIGINT) AS cap_tok, alloc,
+         |  round(CAST(alloc AS DOUBLE) / n_tok::DOUBLE, 6) AS epochs,
+         |  CAST(CASE WHEN alloc = cap THEN 1 ELSE 0 END AS BIGINT) AS saturated,
+         |  leftover
+         |FROM r$AllocRounds CROSS JOIN lv ORDER BY lang""".stripMargin
+    },
+
+    "q107_weighted_sample" -> {
+      val (a, b) = WeightedSamplePair
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      val w = graft.functions.TextFunctions.qualityScoreSql(
+        "n_tokens", "n_distinct", stopRatio, avgTokLen)
+      s"""WITH e AS (${TextQueries.enrichedSql}),
+         |k AS (
+         |  SELECT doc_id, lang, n_tokens, $w AS w,
+         |    ((($a * doc_id + $b) % $P) + 1)::DOUBLE / ${(P + 1).toDouble} AS u
+         |  FROM e)
+         |SELECT doc_id, lang, n_tokens, w AS weight,
+         |  round(ln(u) / w, 6) AS key
+         |FROM k ORDER BY key DESC, doc_id ASC LIMIT $WsTopK""".stripMargin
+    },
+
+    "q108_dsir_resample" -> {
+      val (a, b) = graft.functions.PortableHash.DsirSamplePair
+      val bN = DsirBuckets
+      val sh2 = TextQueries.shingleSql("toks", 2)
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |ws AS (SELECT doc_id, lang, toks, ${splitBucketSql("doc_id")} AS bucket FROM dd),
+         |bg AS (SELECT doc_id, lang, bucket, ${charHashSql("s")} % $bN AS b
+         |  FROM (SELECT doc_id, lang, bucket, unnest($sh2) AS s FROM ws)),
+         |ct AS (SELECT b, COUNT(*) AS ct FROM bg WHERE bucket >= 90 GROUP BY b),
+         |cr AS (SELECT b, COUNT(*) AS cr FROM bg WHERE bucket < 80 GROUP BY b),
+         |nt AS (SELECT COALESCE(SUM(ct), 0)::BIGINT AS nt FROM ct),
+         |nr AS (SELECT COALESCE(SUM(cr), 0)::BIGINT AS nr FROM cr),
+         |ratio AS (
+         |  SELECT cr.b,
+         |    ln((COALESCE(ct.ct, 0) + 1)::DOUBLE) - ln((nt + $bN)::DOUBLE)
+         |    - ln((cr.cr + 1)::DOUBLE) + ln((nr + $bN)::DOUBLE) AS lr
+         |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nt CROSS JOIN nr),
+         |w AS (
+         |  SELECT bg.doc_id, bg.lang, COUNT(*)::BIGINT AS n_grams,
+         |    round(CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE), 6) AS weight
+         |  FROM bg JOIN ratio ON bg.b = ratio.b WHERE bg.bucket < 80
+         |  GROUP BY bg.doc_id, bg.lang),
+         |k AS (
+         |  SELECT doc_id, lang, n_grams, weight,
+         |    ((($a * doc_id + $b) % $P) + 1)::DOUBLE / ${(P + 1).toDouble} AS u
+         |  FROM w)
+         |SELECT doc_id, lang, n_grams, weight,
+         |  round(ln(-ln(u)) - weight, 6) AS race_key
+         |FROM k ORDER BY race_key ASC, doc_id ASC LIMIT $DsirSampleK""".stripMargin
+    },
   )
 }

@@ -54,6 +54,27 @@ object ExtraQueries {
 
   val KmvK = 64
 
+  /** q104: Zipf head size — the fit runs over the top-N tokens by
+    * frequency (rank ties broken by token, though the fixture's counts
+    * are all distinct). Zipf's law is a statement about the HEAD of
+    * the rank-frequency curve; 20 < the 31-token fixture vocabulary so
+    * the limit genuinely binds. The fixture's word-soup corpus is
+    * nearly uniform (measured slope ≈ -0.02 vs ≈ -1 for natural
+    * language) — the operator MEASURES that honestly; a production
+    * corpus-health check alarms when the slope drifts from its
+    * baseline in either direction (too flat = synthetic/templated
+    * text, too steep = boilerplate domination). */
+  val ZipfHeadN = 20
+
+  /** q105: vocabulary-growth checkpoints (doc_id-ordered tenths of the
+    * corpus — the deterministic analogue of "as ingestion proceeds").
+    * Growth is measured over 3-GRAM types, not unigrams: the fixture's
+    * closed 31-word vocabulary saturates in the first bucket (a
+    * constant curve would make the log-log fit degenerate), while its
+    * 3-gram type count grows from ~2.4k to ~16k across the ten
+    * checkpoints at sf0.01 — a real Heaps' curve. */
+  val HeapsBuckets = 10
+
   /** q57: count-min sketch width (cells per row; depth comes from
     * [[graft.functions.PortableHash.CmsDepth]]) and how many exact top
     * bigrams to probe the sketch with. */
@@ -444,6 +465,110 @@ object ExtraQueries {
             col("exact_distinct") * 100.0, 6).as("err_pct"))
         .orderBy(col("event_type"))
     }),
+
+    "q104_zipf_fit" -> ((s, dir) => {
+      // Zipf rank-frequency fit (see ZipfHeadN scaladoc): OLS of
+      // ln(count) on ln(rank) over the head, in closed form. Shape:
+      // ONE map-side-combined wordcount (vocabulary-sized exchange),
+      // TakeOrderedAndProject for the head, then every remaining
+      // operation is over ≤ N rows — corpus-size-independent after
+      // the first aggregation. The ln sums route through decimal so
+      // the single-row result is partition-order-free.
+      val tf = KeywordQueries.tokenizedDocs(s, dir)
+        .select(explode(col("toks")).as("tok"))
+      val vc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum(col("c")).as("n_total"),
+        count(lit(1)).as("vocab_size"))
+      val head = vc.orderBy(col("c").desc, col("tok").asc).limit(ZipfHeadN)
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(pmod(col("c"), lit(1)))
+            .orderBy(col("c").desc, col("tok").asc)).cast("long"))
+      def dsum(c: Column): Column =
+        sum(c.cast("decimal(28,12)")).cast("double")
+      val pts = head.select(col("c"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      val fit = pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"),
+        sum(col("c")).as("head_count"))
+      val sxyn = col("n") * col("sxy") - col("sx") * col("sy")
+      val sxxn = col("n") * col("sxx") - col("sx") * col("sx")
+      val syyn = col("n") * col("syy") - col("sy") * col("sy")
+      fit.crossJoin(broadcast(tot))
+        .select(col("vocab_size"), col("n_total"),
+          col("n").cast("long").as("n_head"),
+          round(sxyn / sxxn, 6).as("slope"),
+          round((col("sy") - (sxyn / sxxn) * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          // an all-equal-counts head would zero syyn (0/0 → NaN here,
+          // NULL in DuckDB) — guard identically in both engines
+          when(syyn > 0, round((sxyn * sxyn) / (sxxn * syyn), 6))
+            .otherwise(lit(null).cast("double")).as("r2"),
+          round(col("head_count").cast("double") /
+            col("n_total").cast("double"), 6).as("head_mass"))
+    }),
+
+    "q105_heaps_growth" -> ((s, dir) => {
+      // Heaps' law vocabulary-growth curve over 3-gram types (see
+      // HeapsBuckets scaladoc): V(N) ≈ K·N^β measured at ten
+      // doc_id-ordered checkpoints, β fitted by the same closed-form
+      // OLS as q104. Shape: gram first-occurrence is ONE
+      // map-side-combined groupBy(gram) min(bucket) — the gram-
+      // vocabulary-sized exchange of q52's contamination screen, the
+      // only corpus-sized shuffle here; everything after lives on the
+      // 10-row checkpoint spine (bounded windows via the non-foldable
+      // constant key). The production read: β falling round-over-round
+      // means ingestion is adding repetition, not novelty — the
+      // corpus-level complement of q50's per-doc repetition screen.
+      val td = KeywordQueries.tokenizedDocs(s, dir)
+      val mx = td.agg(max(col("doc_id")).as("mx"))
+      val base = td.crossJoin(broadcast(mx))
+        .withColumn("bucket",
+          expr(s"doc_id * $HeapsBuckets div (mx + 1) + 1"))
+      val inst = base.groupBy(col("bucket"))
+        .agg(sum(greatest(col("dl").cast("long") - 2, lit(0L))).as("n_inst"))
+      val newTypes = base
+        .select(col("bucket"), explode(shingleCol(col("toks"), 3)).as("gr"))
+        .groupBy(col("gr")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+      val spine = s.range(1, HeapsBuckets + 1)
+        .toDF("bucket").select(col("bucket").cast("long"))
+      val grp = pmod(col("bucket"), lit(1))
+      val wC = Window.partitionBy(grp).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = spine
+        .join(inst, Seq("bucket"), "left")
+        .join(newTypes, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_inst"), lit(0L)).as("n_inst"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_inst", sum(col("n_inst")).over(wC))
+        .withColumn("cum_types", sum(col("n_new")).over(wC))
+      def dsum(c: Column): Column =
+        sum(c.cast("decimal(28,12)")).cast("double")
+      val pts = cum.select(col("bucket"), col("cum_inst"), col("cum_types"),
+        log(col("cum_inst").cast("double")).as("x"),
+        log(col("cum_types").cast("double")).as("y"))
+      val fit = pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"))
+      val sxyn = col("n") * col("sxy") - col("sx") * col("sy")
+      val sxxn = col("n") * col("sxx") - col("sx") * col("sx")
+      val fitRow = fit.select(
+        round(sxyn / sxxn, 6).as("beta"),
+        round((col("sy") - (sxyn / sxxn) * col("sx")) / col("n"), 6)
+          .as("ln_k"))
+      cum.crossJoin(broadcast(fitRow))
+        .select(col("bucket"), col("cum_inst"), col("cum_types"),
+          col("beta"), col("ln_k"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -645,6 +770,81 @@ object ExtraQueries {
          |    / ex.exact_distinct * 100.0, 6) AS err_pct
          |FROM de JOIN me USING (event_type) JOIN ex USING (event_type)
          |ORDER BY de.event_type""".stripMargin
+    },
+
+    "q104_zipf_fit" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT unnest(toks) AS tok FROM dd),
+         |vc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         |  COUNT(*)::BIGINT AS vocab_size FROM vc),
+         |head AS (
+         |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok ASC)
+         |    AS BIGINT) AS rank
+         |  FROM vc ORDER BY c DESC, tok ASC LIMIT $ZipfHeadN),
+         |pts AS (SELECT c, ln(rank::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM head),
+         |fit AS (
+         |  SELECT COUNT(*)::DOUBLE AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+         |    CAST(SUM(c) AS BIGINT) AS head_count
+         |  FROM pts)
+         |SELECT vocab_size, n_total, CAST(n AS BIGINT) AS n_head,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+         |    6) AS intercept,
+         |  CASE WHEN (n * syy - sy * sy) > 0 THEN
+         |    round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+         |      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         |  ELSE NULL END AS r2,
+         |  round(head_count::DOUBLE / n_total::DOUBLE, 6) AS head_mass
+         |FROM fit CROSS JOIN tot""".stripMargin,
+
+    "q105_heaps_growth" -> {
+      val gram = TextQueries.shingleSql("toks", 3)
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |m AS (SELECT MAX(doc_id) AS mx FROM dd),
+         |base AS (
+         |  SELECT doc_id, toks, dl,
+         |    doc_id * $HeapsBuckets // (mx + 1) + 1 AS bucket
+         |  FROM dd CROSS JOIN m),
+         |inst AS (
+         |  SELECT bucket, CAST(SUM(greatest(CAST(dl AS BIGINT) - 2, 0))
+         |    AS BIGINT) AS n_inst
+         |  FROM base GROUP BY bucket),
+         |firsts AS (
+         |  SELECT gr, MIN(bucket) AS bucket
+         |  FROM (SELECT bucket, unnest($gram) AS gr FROM base) GROUP BY gr),
+         |nt AS (SELECT bucket, COUNT(*) AS n_new FROM firsts GROUP BY bucket),
+         |spine AS (SELECT range::BIGINT AS bucket FROM range(1, ${HeapsBuckets + 1})),
+         |cum AS (
+         |  SELECT s.bucket,
+         |    CAST(SUM(COALESCE(i.n_inst, 0)) OVER (ORDER BY s.bucket) AS BIGINT)
+         |      AS cum_inst,
+         |    CAST(SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY s.bucket) AS BIGINT)
+         |      AS cum_types
+         |  FROM spine s LEFT JOIN inst i ON s.bucket = i.bucket
+         |    LEFT JOIN nt ON s.bucket = nt.bucket),
+         |pts AS (SELECT bucket, cum_inst, cum_types,
+         |  ln(cum_inst::DOUBLE) AS x, ln(cum_types::DOUBLE) AS y FROM cum),
+         |fit AS (
+         |  SELECT COUNT(*)::DOUBLE AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+         |  FROM pts),
+         |fr AS (
+         |  SELECT
+         |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+         |    round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+         |      6) AS ln_k
+         |  FROM fit)
+         |SELECT bucket, cum_inst, cum_types, beta, ln_k
+         |FROM cum CROSS JOIN fr ORDER BY bucket""".stripMargin
     },
   )
 }

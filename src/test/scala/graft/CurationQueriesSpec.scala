@@ -312,4 +312,178 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     // sqrt keeps the ordering of shares
     assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
   }
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q103 moore-lewis selection matches a driver-side recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap(d => toks(d._3))
+    val gc = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nGen = all.length.toLong
+    val v = gc.size.toLong
+    val inToks = docs.filter(_._2 == CurationQueries.MlInDomainSource)
+      .flatMap(d => toks(d._3))
+    val ic = inToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nIn = inToks.length.toLong
+    val expected = docs.filter(_._2 != CurationQueries.MlInDomainSource)
+      .map { case (id, _, text) =>
+        val ts = toks(text)
+        val terms = ts.map { t =>
+          math.log((ic.getOrElse(t, 0L) + 1).toDouble) -
+            math.log((nIn + v).toDouble) -
+            math.log(gc(t).toDouble) + math.log(nGen.toDouble)
+        }
+        val sum = terms
+          .map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        (id, r6(sum / ts.length))
+      }
+      .sortBy { case (id, celd) => (-celd, id) }
+      .take(CurationQueries.MlTopK).toSeq
+    val got = CurationQueries.queries("q103_moore_lewis")(spark, sf0001)
+      .select($"doc_id", $"celd").as[(Long, Double)].collect().toSeq
+    assert(got === expected)
+    // the in-domain corpus itself is never selected, and the screen is
+    // non-degenerate (scores on both sides of zero at this SF)
+    val inIds = docs.filter(_._2 == CurationQueries.MlInDomainSource).map(_._1).toSet
+    assert(got.forall(r => !inIds.contains(r._1)))
+  }
+
+  test("q106 epoch allocation matches a driver-side recompute of all rounds") {
+    // independent re-run of the fixed-round water-filling on collected
+    // per-lang token counts, BigDecimal end-to-end — every alloc,
+    // saturation flag and the leftover must agree exactly. At sf0.001
+    // the geometry exercises the round-2 cascade (a domain whose
+    // round-1 ask fit under its cap saturates only after
+    // re-distribution); both SFs must end non-degenerate.
+    Seq(sf0001, sf001).foreach { dir =>
+      val counts = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"lang", $"text").as[(String, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2.split(" ").count(_.nonEmpty).toLong).sum)
+        .toMap.toSeq.sortBy(_._1)
+      val t = counts.map(_._2).sum
+      val budget = BigDecimal(t * CurationQueries.AllocBudgetNum /
+        CurationQueries.AllocBudgetDen)
+      val sqrtN = counts.map { case (_, n) =>
+        BigDecimal(r6(math.sqrt(n.toDouble))) }
+      val cap = counts.map { case (_, n) =>
+        BigDecimal(n * CurationQueries.AllocEpochCap) }
+      val sTot = sqrtN.sum
+      var alloc = sqrtN.zip(cap).map { case (s, c) =>
+        BigDecimal(r6((s.toDouble / sTot.toDouble) * budget.toDouble)).min(c) }
+      val satAfterR1 = alloc.indices.filter(i => alloc(i) == cap(i)).toSet
+      (2 to CurationQueries.AllocRounds).foreach { _ =>
+        val rem = budget - alloc.sum
+        val sAct = sqrtN.indices
+          .filter(i => alloc(i) < cap(i)).map(sqrtN(_)).sum
+        alloc = sqrtN.indices.map { i =>
+          if (alloc(i) < cap(i) && sAct > 0)
+            (alloc(i) + BigDecimal(
+              r6((sqrtN(i).toDouble / sAct.toDouble) * rem.toDouble)))
+              .min(cap(i))
+          else alloc(i)
+        }
+      }
+      val leftover = budget - alloc.sum
+      val got = CurationQueries.queries("q106_epoch_alloc")(spark, dir)
+        .select($"lang", $"n_tok", $"cap_tok", $"alloc", $"epochs",
+          $"saturated", $"leftover")
+        .as[(String, Long, Long, BigDecimal, Double, Long, BigDecimal)]
+        .collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === counts.map(_._1))
+      assert(got.map(_._2).toSeq === counts.map(_._2))
+      got.indices.foreach { i =>
+        assert(got(i)._3 === cap(i).toLong, s"$dir cap ${counts(i)._1}")
+        assert(got(i)._4 === alloc(i), s"$dir alloc ${counts(i)._1}")
+        assert(got(i)._5 === r6(alloc(i).toDouble / counts(i)._2.toDouble))
+        assert(got(i)._6 === (if (alloc(i) == cap(i)) 1L else 0L))
+        assert(got(i)._7 === leftover)
+      }
+      // feasibility laws + non-degeneracy
+      assert(alloc.sum <= budget)
+      assert(got.forall(_._5 <= CurationQueries.AllocEpochCap.toDouble + 1e-9))
+      assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
+        s"$dir: allocation degenerate (no saturated/unsaturated split)")
+      // at sf0.001 the geometry exercises the re-distribution cascade:
+      // fr's round-1 ask fits under its cap, but the stranded budget of
+      // the three round-1 saturations pushes it to its cap in round 2
+      if (dir == sf0001) {
+        val satFinal = alloc.indices.filter(i => alloc(i) == cap(i)).toSet
+        assert((satFinal -- satAfterR1).nonEmpty,
+          "expected a domain that saturates only after round 1")
+      }
+    }
+  }
+
+  test("q107 weighted sample matches a driver-side recompute, keys well-formed") {
+    import graft.functions.PortableHash.WeightedSamplePair
+    val (a, b) = WeightedSamplePair
+    val stop = graft.functions.TextFunctions.Stopwords.toSet
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        (id, t.length.toLong, t.distinct.length.toLong,
+          t.count(stop.contains).toLong, t.map(_.length.toLong).sum)
+      }
+    val expected = rows.map { case (id, nt, nd, ns, cs) =>
+      val stopRatio = ns.toDouble / nt
+      val avgTokLen = cs.toDouble / nt
+      val w = r6(0.3 * math.min(1.0, nt / 100.0) +
+        0.3 * (nd.toDouble / nt) + 0.2 * (1.0 - stopRatio) +
+        0.2 * math.min(1.0, avgTokLen / 8.0))
+      val u = (((a * id + b) % P) + 1).toDouble / (P + 1).toDouble
+      (id, w, r6(math.log(u) / w))
+    }.sortBy { case (id, _, k) => (-k, id) }
+      .take(CurationQueries.WsTopK).toSeq
+    val got = CurationQueries.queries("q107_weighted_sample")(spark, sf0001)
+      .select($"doc_id", $"weight", $"key").as[(Long, Double, Double)]
+      .collect().toSeq
+    assert(got === expected)
+    // ES keys are ln(u)/w with u in (0,1): strictly negative; weights
+    // strictly positive by the quality formula's diversity floor
+    assert(got.forall(_._2 > 0))
+    assert(got.forall(_._3 < 0))
+  }
+
+  test("q108 dsir resample matches a driver recompute and is not the greedy top-k") {
+    import graft.functions.PortableHash.DsirSamplePair
+    val (a, b) = DsirSamplePair
+    // the weight table is the same machinery q82's oracle certifies;
+    // here the spec checks the race on top of it
+    def bucket(id: org.apache.spark.sql.Column) =
+      ((lit(SplitPair._1) * id + lit(SplitPair._2)) % lit(P)) % 100
+    val bg = graft.queries.KeywordQueries.tokenizedDocs(spark, sf0001)
+      .withColumn("bucket", bucket($"doc_id"))
+      .select($"doc_id", $"lang", $"bucket",
+        explode(graft.queries.TextQueries.shingleCol($"toks", 2)).as("s"))
+      .withColumn("b", graft.functions.PortableHash.charHash($"s") %
+        lit(CurationQueries.DsirBuckets.toLong))
+      .drop("s")
+    val weights = CurationQueries.dsirWeightReport(
+        bg.filter($"bucket" >= 90), bg.filter($"bucket" < 80))
+      .select($"doc_id", $"weight").as[(Long, Double)].collect()
+    def r6d(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = weights.map { case (id, w) =>
+      val u = (((a * id + b) % P) + 1).toDouble / (P + 1).toDouble
+      (id, r6d(math.log(-math.log(u)) - w))
+    }.sortBy { case (id, k) => (k, id) }
+      .take(CurationQueries.DsirSampleK).toSeq
+    val got = CurationQueries.queries("q108_dsir_resample")(spark, sf0001)
+      .select($"doc_id", $"race_key").as[(Long, Double)].collect().toSeq
+    assert(got === expected)
+    // importance RESAMPLING must differ from greedy top-k-by-weight —
+    // the diversity property that justifies sampling at all (and a
+    // degenerate-u tripwire: identical draws would collapse the race
+    // to the greedy ranking)
+    val greedy = weights.sortBy { case (id, w) => (-w, id) }
+      .take(CurationQueries.DsirSampleK).map(_._1).toSet
+    assert(got.map(_._1).toSet != greedy,
+      "resample selected exactly the greedy top-k")
+  }
 }

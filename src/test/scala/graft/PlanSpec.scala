@@ -405,4 +405,56 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"estimate joins are domain-bounded and must broadcast:\n$p")
   }
+
+  test("q103 moore-lewis: LM tables broadcast back, selection is top-k heaps") {
+    // both count tables are vocabulary-bounded and must return via
+    // broadcast — a SortMergeJoin against either would shuffle the
+    // corpus-sized token stream to look up counts; the selection must
+    // be per-partition heaps, not a global sort
+    val p = plan("q103_moore_lewis")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary joins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be top-k heaps:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-shuffling join anywhere:\n$p")
+  }
+
+  test("q104 zipf fit: one wordcount exchange, head via top-k heaps") {
+    // the corpus collapses to the vocabulary in the first (map-side
+    // combined) aggregation; the head is TakeOrderedAndProject; the
+    // OLS runs over <= ZipfHeadN rows so nothing after may shuffle
+    val p = plan("q104_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"head must be per-partition heaps:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"wordcount must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"post-head arithmetic is bounded and broadcast-joined:\n$p")
+  }
+
+  test("q106 allocation: one corpus aggregation, every round broadcast back") {
+    // the corpus is read/aggregated once (per cache arm); the three
+    // re-distribution rounds are 1-row aggregates of the 5-row domain
+    // table — any SortMergeJoin or cartesian of a non-single-row side
+    // means a round shuffled the domain table instead of broadcasting
+    val p = plan("q106_epoch_alloc")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"domain token counts must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"round re-distribution must broadcast:\n$p")
+  }
+
+  test("q107 weighted sample plans as ONE top-k over the cached scan") {
+    // the entire query must be row-local expressions + per-partition
+    // heaps: any exchange before the TakeOrderedAndProject means the
+    // corpus moved to be sampled
+    val p = plan("q107_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sample must be top-k heaps:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no join anywhere — key computation is row-local:\n$p")
+  }
 }

@@ -112,4 +112,78 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  // shared by the q104/q105 recomputes: the engine's decimal-routed
+  // deterministic sum (each term rounded to 12 dp, summed exactly)
+  private def dsum(terms: Seq[Double]): Double =
+    terms.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def olsSlope(xs: Seq[Double], ys: Seq[Double]): (Double, Double) = {
+    val n = xs.length.toDouble
+    val (sx, sy) = (dsum(xs), dsum(ys))
+    val sxy = dsum(xs.zip(ys).map { case (x, y) => x * y })
+    val sxx = dsum(xs.map(x => x * x))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    (r6(slope), r6((sy - slope * sx) / n))
+  }
+
+  test("q104 zipf fit matches a driver-side recompute, head genuinely bounded") {
+    val toks = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val head = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(ExtraQueries.ZipfHeadN)
+    val xs = head.indices.map(i => math.log((i + 1).toDouble))
+    val ys = head.map { case (_, c) => math.log(c.toDouble) }
+    val (slope, intercept) = olsSlope(xs, ys)
+    val row = ExtraQueries.queries("q104_zipf_fit")(spark, sf001)
+      .select($"vocab_size", $"n_total", $"n_head", $"slope", $"intercept",
+        $"r2", $"head_mass")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(row._1 === counts.size.toLong)
+    assert(row._2 === toks.length.toLong)
+    assert(row._3 === ExtraQueries.ZipfHeadN.toLong)
+    assert(row._3 < row._1, "head must genuinely bound the vocabulary")
+    assert(row._4 === slope)
+    assert(row._5 === intercept)
+    assert(row._6 > 0 && row._6 <= 1.0)
+    assert(row._7 === r6(head.map(_._2).sum.toDouble / toks.length))
+  }
+
+  test("q105 heaps growth matches a driver-side recompute, types strictly grow") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val mx = docs.map(_._1).max
+    val nB = ExtraQueries.HeapsBuckets
+    def bucket(id: Long) = id * nB / (mx + 1) + 1
+    val inst = Array.fill(nB + 1)(0L)
+    val firstB = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      val b = bucket(id)
+      inst(b.toInt) += math.max(t.length - 2, 0).toLong
+      t.sliding(3).filter(_.length == 3).map(_.mkString("|")).foreach { g =>
+        firstB.updateWith(g) {
+          case Some(old) => Some(math.min(old, b)); case None => Some(b) }
+      }
+    }
+    val cumI = (1 to nB).map(b => (1 to b).map(inst(_)).sum)
+    val cumT = (1 to nB).map(b => firstB.valuesIterator.count(_ <= b).toLong)
+    val (beta, lnK) = olsSlope(
+      cumI.map(v => math.log(v.toDouble)), cumT.map(v => math.log(v.toDouble)))
+    val rows = ExtraQueries.queries("q105_heaps_growth")(spark, sf001)
+      .select($"bucket", $"cum_inst", $"cum_types", $"beta", $"ln_k")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ===
+      (1 to nB).map(b => (b.toLong, cumI(b - 1), cumT(b - 1))))
+    assert(rows.forall(_._4 === beta))
+    assert(rows.forall(_._5 === lnK))
+    // the fixture's 3-gram vocabulary genuinely grows at EVERY
+    // checkpoint (no saturated tail faking the fit), sublinearly
+    assert(cumT.sliding(2).forall { case Seq(a, b) => b > a; case _ => true })
+    assert(beta > 0 && beta < 1, s"heaps beta $beta outside (0,1)")
+  }
 }
