@@ -196,7 +196,19 @@ object PlanDump {
         "uniform draw and ES key are row-local codegen'd expressions over " +
         "the cached enrichment, and the plan ends in TakeOrderedAndProject " +
         "— the corpus is scanned once and never shuffled, which is what " +
-        "makes 'sample 50M docs by quality' a single pass at any scale."))
+        "makes 'sample 50M docs by quality' a single pass at any scale."),
+    "q109_source_anova" ->
+      ("Per-source quality ANOVA: the corpus collapses map-side to the " +
+        "source directory in ONE aggregation; the F/η² decomposition is " +
+        "arithmetic over that k-row table with the one-row totals returning " +
+        "via broadcast — variance monitoring at 100 TB costs one combined " +
+        "scan."),
+    "q110_ks_drift" ->
+      ("Binned two-sample KS: binning and split flags are row-local, the " +
+        "corpus collapses map-side into the value-range-bounded bin " +
+        "directory (≤1001 rows), and the ECDF windows + argmax run on that " +
+        "directory under a real partition spec — the drift statistic never " +
+        "sorts or shuffles the corpus."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -75,6 +75,61 @@ object ExtraQueries {
     * checkpoints at sf0.01 — a real Heaps' curve. */
   val HeapsBuckets = 10
 
+  /** q110: two-sample Kolmogorov-Smirnov drift audit, BINNED — the
+    * split-integrity complement of q100: where q100 audits leakage,
+    * this audits DISTRIBUTION drift (a train/test quality-score gap
+    * means the eval set no longer measures the training distribution;
+    * the same statistic run train-vs-new-ingest is the standard data-
+    * drift alarm). Scores bin to floor(q·1000) so the ECDF directory
+    * is VALUE-RANGE-bounded (≤ 1001 rows — the q92 histogram argument)
+    * and cumulative counts are exact integers; D = max |F̂_a − F̂_b|
+    * over observed bins (the binned ECDFs are step functions, so the
+    * max over observed bins IS the max everywhere). 1.358 is the
+    * published Kolmogorov α=0.05 coefficient (c(α)=√(−ln(α/2)/2));
+    * the hash split makes the fixture's verdict honestly negative —
+    * D must sit UNDER the critical value, and the spec proves the
+    * positive case on a planted shift. */
+  val KsBins = 1000L
+  val KsCoeff05 = 1.358
+
+  /** The binned two-sample KS core (q110's engine, seam for the spec's
+    * planted-shift positive case): `obs` carries one row per
+    * observation — (bin LONG, a LONG 0/1, b LONG 0/1). Returns ONE row
+    * (n_a, n_b, d_stat, at_bin, crit, drift): D = max |F̂_a − F̂_b|
+    * over observed bins with at_bin the smallest bin achieving it,
+    * crit the α=0.05 two-sample critical value, drift the unrounded
+    * comparison. One map-side-combined groupBy(bin) collapses the
+    * corpus; cumulation and the argmax live on the bounded bin
+    * directory (non-foldable constant partition key — q92's trick). */
+  private[graft] def binnedKs(obs: DataFrame): DataFrame = {
+    val binCounts = obs.groupBy(col("bin")).agg(
+      sum(col("a")).as("na_bin"), sum(col("b")).as("nb_bin"))
+    val tot = binCounts.agg(
+      sum(col("na_bin")).as("n_a"), sum(col("nb_bin")).as("n_b"))
+    val grp = pmod(col("bin"), lit(1))
+    val wC = Window.partitionBy(grp).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binCounts
+      .withColumn("ca", sum(col("na_bin")).over(wC))
+      .withColumn("cb", sum(col("nb_bin")).over(wC))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff",
+        abs(col("ca").cast("double") / col("n_a").cast("double") -
+          col("cb").cast("double") / col("n_b").cast("double")))
+    val d = cum.agg(max(col("diff")).as("d_raw"))
+    val critRaw = lit(KsCoeff05) * sqrt(
+      (col("n_a") + col("n_b")).cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+    cum.crossJoin(broadcast(d))
+      .filter(col("diff") === col("d_raw"))
+      .groupBy(col("n_a"), col("n_b"), col("d_raw"))
+      .agg(min(col("bin")).as("at_bin"))
+      .select(col("n_a"), col("n_b"),
+        round(col("d_raw"), 6).as("d_stat"), col("at_bin"),
+        round(critRaw, 6).as("crit"),
+        when(col("d_raw") > critRaw, 1L).otherwise(0L).as("drift"))
+  }
+
   /** q57: count-min sketch width (cells per row; depth comes from
     * [[graft.functions.PortableHash.CmsDepth]]) and how many exact top
     * bigrams to probe the sketch with. */
@@ -466,6 +521,31 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q110_ks_drift" -> ((s, dir) => {
+      // binned two-sample KS between the train and test splits' quality
+      // distributions (see KsBins scaladoc). ONE corpus pass bins and
+      // flags both samples; everything after lives on the ≤1001-row bin
+      // directory. The hash split means NO drift exists by
+      // construction — the honest negative verdict (drift=0, D under
+      // the critical value) is exactly what the audit should report,
+      // and the planted-shift positive case is proven in the spec.
+      val (sa, sb) = SplitPair
+      val bucket = ((lit(sa) * col("doc_id") + lit(sb)) % lit(P)) % 100
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      val obs = TextQueries.enriched(s, dir)
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(
+          col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < 80 || col("bucket") >= 90)
+        .select(floor(col("q") * lit(KsBins)).cast("long").as("bin"),
+          when(col("bucket") < 80, 1L).otherwise(0L).as("a"),
+          when(col("bucket") >= 90, 1L).otherwise(0L).as("b"))
+      binnedKs(obs)
+        .withColumnRenamed("n_a", "n_train")
+        .withColumnRenamed("n_b", "n_test")
+    }),
+
     "q104_zipf_fit" -> ((s, dir) => {
       // Zipf rank-frequency fit (see ZipfHeadN scaladoc): OLS of
       // ln(count) on ln(rank) over the head, in closed form. Shape:
@@ -770,6 +850,43 @@ object ExtraQueries {
          |    / ex.exact_distinct * 100.0, 6) AS err_pct
          |FROM de JOIN me USING (event_type) JOIN ex USING (event_type)
          |ORDER BY de.event_type""".stripMargin
+    },
+
+    "q110_ks_drift" -> {
+      val (sa, sb) = graft.functions.PortableHash.SplitPair
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      val qs = graft.functions.TextFunctions.qualityScoreSql(
+        "n_tokens", "n_distinct", stopRatio, avgTokLen)
+      val crit = s"$KsCoeff05 * sqrt((n_a + n_b)::DOUBLE / " +
+        "(n_a::DOUBLE * n_b::DOUBLE))"
+      s"""WITH e AS (${TextQueries.enrichedSql}),
+         |qd AS (SELECT doc_id, $qs AS q,
+         |  ((($sa * doc_id + $sb) % $P) % 100) AS bucket FROM e),
+         |obs AS (
+         |  SELECT CAST(floor(q * $KsBins) AS BIGINT) AS bin,
+         |    CASE WHEN bucket < 80 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN bucket >= 90 THEN 1 ELSE 0 END AS b
+         |  FROM qd WHERE bucket < 80 OR bucket >= 90),
+         |bc AS (SELECT bin, CAST(SUM(a) AS BIGINT) AS na_bin,
+         |  CAST(SUM(b) AS BIGINT) AS nb_bin FROM obs GROUP BY bin),
+         |tot AS (SELECT CAST(SUM(na_bin) AS BIGINT) AS n_a,
+         |  CAST(SUM(nb_bin) AS BIGINT) AS n_b FROM bc),
+         |cum AS (
+         |  SELECT bin,
+         |    abs(CAST(SUM(na_bin) OVER (ORDER BY bin) AS DOUBLE) / n_a::DOUBLE -
+         |        CAST(SUM(nb_bin) OVER (ORDER BY bin) AS DOUBLE) / n_b::DOUBLE)
+         |      AS diff, n_a, n_b
+         |  FROM bc CROSS JOIN tot),
+         |d AS (SELECT MAX(diff) AS d_raw FROM cum)
+         |SELECT n_a AS n_train, n_b AS n_test,
+         |  round(d_raw, 6) AS d_stat,
+         |  CAST(MIN(bin) AS BIGINT) AS at_bin,
+         |  round($crit, 6) AS crit,
+         |  CAST(CASE WHEN d_raw > $crit THEN 1 ELSE 0 END AS BIGINT) AS drift
+         |FROM cum CROSS JOIN d
+         |WHERE diff = d_raw
+         |GROUP BY n_a, n_b, d_raw""".stripMargin
     },
 
     "q104_zipf_fit" ->

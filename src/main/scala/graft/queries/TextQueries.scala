@@ -127,6 +127,59 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q109_source_anova" -> ((s, dir) => {
+      // one-way ANOVA decomposition of the q14 quality score by SOURCE
+      // (Fisher's F, textbook computational form) — the bad-feed
+      // detector: a crawl source whose quality mean drifts from the
+      // corpus shows up as between-source variance, and F spikes long
+      // before eyeballing per-doc scores would catch it. Determinism:
+      // quality is 6-dp rounded, so Σq (decimal 28,6) and Σq²
+      // (decimal 28,12 — a 6-dp square is exactly 12 dp) are EXACT
+      // integers-in-decimal in both engines; the only doubles are the
+      // final divisions, mirrored expression-for-expression. Shape:
+      // ONE map-side-combined groupBy(source) collapses the corpus to
+      // the source directory; the variance decomposition is arithmetic
+      // over that k-row table with one-row totals broadcast back
+      // (q94's shape). Per-source rows carry the F/eta2 verdict.
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      val q = enriched(s, dir).withColumn("q",
+        qualityScore(col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
+      val per = q.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("q").cast("decimal(28,6)")).as("s_q"),
+        sum((col("q") * col("q")).cast("decimal(28,12)")).as("s_qq"))
+      val tot = per.agg(
+        count(lit(1)).as("k"),
+        sum(col("n_docs")).as("n_total"),
+        sum(col("s_q")).as("s_all"),
+        sum(col("s_qq")).as("q_all"),
+        // Σ_j S_j²/n_j — the between-group raw term, decimal-routed so
+        // source order cannot move the double sum
+        sum(((col("s_q").cast("double") * col("s_q").cast("double")) /
+          col("n_docs").cast("double")).cast("decimal(28,12)"))
+          .cast("double").as("sb_raw"))
+      val grand = col("s_all").cast("double") / col("n_total").cast("double")
+      val ssb = col("sb_raw") -
+        (col("s_all").cast("double") * col("s_all").cast("double")) /
+          col("n_total").cast("double")
+      val sst = col("q_all").cast("double") -
+        (col("s_all").cast("double") * col("s_all").cast("double")) /
+          col("n_total").cast("double")
+      val ssw = col("q_all").cast("double") - col("sb_raw")
+      val f = (ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("n_total") - col("k")).cast("double"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("s_q").cast("double") / col("n_docs").cast("double"), 6)
+            .as("mean_q"),
+          round(col("s_q").cast("double") / col("n_docs").cast("double") -
+            grand, 6).as("dev"),
+          round(f, 6).as("f_stat"),
+          round(ssb / sst, 6).as("eta2"))
+        .orderBy(col("source"))
+    }),
+
     "q13_text_stats" -> ((s, dir) => {
       enriched(s, dir)
         .groupBy(col("lang"))
@@ -241,6 +294,42 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q109_source_anova" -> {
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      val qs = qualityScoreSql("n_tokens", "n_distinct", stopRatio, avgTokLen)
+      s"""WITH e AS ($enrichedSql),
+         |qd AS (SELECT source, $qs AS q FROM e),
+         |per AS (
+         |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |    CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS s_q,
+         |    CAST(SUM(CAST(q * q AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS s_qq
+         |  FROM qd GROUP BY source),
+         |tot AS (
+         |  SELECT COUNT(*)::BIGINT AS k,
+         |    CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         |    SUM(s_q) AS s_all, SUM(s_qq) AS q_all,
+         |    CAST(SUM(CAST(
+         |      (CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE)) / CAST(n_docs AS DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS sb_raw
+         |  FROM per)
+         |SELECT source, n_docs,
+         |  round(CAST(s_q AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_q,
+         |  round(CAST(s_q AS DOUBLE) / CAST(n_docs AS DOUBLE) -
+         |    CAST(s_all AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS dev,
+         |  round(
+         |    ((sb_raw - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+         |        / CAST(n_total AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+         |    ((CAST(q_all AS DOUBLE) - sb_raw) / CAST(n_total - k AS DOUBLE)),
+         |    6) AS f_stat,
+         |  round(
+         |    (sb_raw - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+         |       / CAST(n_total AS DOUBLE)) /
+         |    (CAST(q_all AS DOUBLE) - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+         |       / CAST(n_total AS DOUBLE)), 6) AS eta2
+         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+    },
 
     "q13_text_stats" ->
       s"""WITH enriched AS ($enrichedSql)

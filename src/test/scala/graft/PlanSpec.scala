@@ -447,6 +447,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"round re-distribution must broadcast:\n$p")
   }
 
+  test("q109 anova: corpus collapses to the source directory map-side") {
+    // the only corpus-sized work is the per-source aggregation; the
+    // totals are ONE row broadcast back (q94's shape) — a shuffle or
+    // sort-merge of anything after the first groupBy means the
+    // variance decomposition moved the corpus twice
+    val p = plan("q109_source_anova")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"source sums must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"totals must broadcast:\n$p")
+  }
+
+  test("q110 ks drift: one corpus pass into the bounded bin directory") {
+    // binning and split flags are row-local; the corpus collapses
+    // map-side into the value-range-bounded bin directory, and the
+    // ECDF windows run on that directory with a real (non-foldable
+    // constant) partition spec — no single-partition corpus window,
+    // no corpus-sized join
+    val p = plan("q110_ks_drift")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"bin counts must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"directory joins must broadcast:\n$p")
+  }
+
   test("q107 weighted sample plans as ONE top-k over the cached scan") {
     // the entire query must be row-local expressions + per-partition
     // heaps: any exchange before the TakeOrderedAndProject means the

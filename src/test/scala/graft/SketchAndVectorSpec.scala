@@ -186,4 +186,29 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
     assert(cumT.sliding(2).forall { case Seq(a, b) => b > a; case _ => true })
     assert(beta > 0 && beta < 1, s"heaps beta $beta outside (0,1)")
   }
+
+  test("q110 ks drift: honest negative on the hash split, positive on a planted shift") {
+    val row = ExtraQueries.queries("q110_ks_drift")(spark, sf001)
+      .select($"n_train", $"n_test", $"d_stat", $"crit", $"drift")
+      .as[(Long, Long, Double, Double, Long)].head()
+    assert(row._1 > 0 && row._2 > 0)
+    assert(row._3 >= 0 && row._3 <= 1)
+    // the split is a hash of doc_id — train and test quality are the
+    // same distribution by construction, so the audit MUST come back
+    // negative here (a positive would mean the statistic is broken)
+    assert(row._5 === 0L, s"hash split showed drift: D=${row._3} crit=${row._4}")
+    assert(row._3 < row._4)
+    // planted shift through the same seam the query uses: disjoint
+    // supports drive D to exactly 1 and must trip the alarm
+    val a = (1 to 500).map(i => (i.toLong % 50, 1L, 0L))
+    val b = (1 to 500).map(i => (i.toLong % 50 + 100L, 0L, 1L))
+    val shifted = ExtraQueries.binnedKs((a ++ b).toDF("bin", "a", "b"))
+      .select($"d_stat", $"drift").as[(Double, Long)].head()
+    assert(shifted._1 === 1.0 && shifted._2 === 1L)
+    // identical samples: D = 0, no drift, at any n
+    val same = (1 to 500).map(i => (i.toLong % 50, 1L, 1L)).toDF("bin", "a", "b")
+    val eq = ExtraQueries.binnedKs(same)
+      .select($"d_stat", $"drift").as[(Double, Long)].head()
+    assert(eq._1 === 0.0 && eq._2 === 0L)
+  }
 }

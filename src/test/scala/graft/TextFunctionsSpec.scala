@@ -79,4 +79,45 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val stats = q.agg(min($"quality"), max($"quality")).head()
     assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
   }
+
+  test("q109 anova decomposition matches a driver recompute; SSB+SSW=SST") {
+    // independent path: quality per doc recomputed from raw text, the
+    // variance decomposition done naively (definitional sums of
+    // squared deviations) rather than via the computational form the
+    // query uses — agreement certifies the algebra, not just the code
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = Stopwords.toSet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (src, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        val q = r6(0.3 * math.min(1.0, t.length / 100.0) +
+          0.3 * (t.distinct.length.toDouble / t.length) +
+          0.2 * (1.0 - t.count(stop.contains).toDouble / t.length) +
+          0.2 * math.min(1.0, (t.map(_.length).sum.toDouble / t.length) / 8.0))
+        (src, q)
+      }
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val grand = docs.map(_._2).sum / docs.length
+    val ssb = bySrc.values.map { qs =>
+      val m = qs.sum / qs.length; qs.length * (m - grand) * (m - grand) }.sum
+    val ssw = bySrc.values.map { qs =>
+      val m = qs.sum / qs.length; qs.map(q => (q - m) * (q - m)).sum }.sum
+    val k = bySrc.size
+    val f = (ssb / (k - 1)) / (ssw / (docs.length - k))
+    val rows = TextQueries.queries("q109_source_anova")(spark, "/root/testdata/sf0.001")
+      .select($"source", $"n_docs", $"mean_q", $"dev", $"f_stat", $"eta2")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(rows.length === k)
+    rows.foreach { case (src, n, mean, dev, fs, eta2) =>
+      assert(n === bySrc(src).length.toLong)
+      assert(math.abs(mean - bySrc(src).sum / n) < 2e-6, s"mean $src")
+      assert(math.abs(dev - (bySrc(src).sum / n - grand)) < 2e-6, s"dev $src")
+      // computational vs definitional form agree to rounding noise
+      assert(math.abs(fs - f) / f < 1e-3, s"F: query $fs vs naive $f")
+      assert(math.abs(eta2 - ssb / (ssb + ssw)) < 1e-4)
+      assert(eta2 >= 0 && eta2 <= 1)
+    }
+  }
 }
