@@ -35,6 +35,11 @@ object HashExpressions {
   def shingleHashSet(text: Column, n: Int): Column =
     column(ShingleHashSetExpr(expression(text), n))
 
+  /** text → poly-hashes of its n-token shingles in document order
+    * (positional, duplicates kept — winnowing's input). */
+  def shingleHashSeq(text: Column, n: Int): Column =
+    column(ShingleHashSeqExpr(expression(text), n))
+
   /** One-pass language ID over the token stream (codegen'd twin of
     * [[graft.functions.TextFunctions.langPredict]]). */
   def langPredict(text: Column): Column = column(LangPredictExpr(expression(text)))
@@ -105,7 +110,11 @@ object HashOps {
     * == polyHash of the '|'-joined shingle string (same char fold, the
     * separators hashed in place), so values are identical to hashing
     * the materialized shingle strings. */
-  def shingleHashSet(text: UTF8String, n: Int): ArrayData = {
+  /** Poly-hashes of the n-token shingles of `text` in DOCUMENT ORDER
+    * (one hash per shingle position, duplicates kept) — the positional
+    * core [[shingleHashSet]] sorts and dedupes, and what winnowing
+    * (q115) consumes directly: window-min selection needs positions. */
+  def shingleHashSeq(text: UTF8String, n: Int): Array[Long] = {
     val s = text.toString
     // token boundaries (split on ' ', drop empties) — matches tokensSql
     val toks = new java.util.ArrayList[String]()
@@ -119,7 +128,7 @@ object HashOps {
       i += 1
     }
     val m = toks.size - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    if (m <= 0) return Array.empty[Long]
     val out = new Array[Long](m)
     var k = 0
     while (k < m) {
@@ -138,6 +147,17 @@ object HashOps {
       out(k) = h
       k += 1
     }
+    out
+  }
+
+  /** ARRAY<LONG> wrapper of [[shingleHashSeq]] for codegen. */
+  def shingleHashSeqData(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleHashSeq(text, n))
+
+  def shingleHashSet(text: UTF8String, n: Int): ArrayData = {
+    val out = shingleHashSeq(text, n)
+    val m = out.length
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
     java.util.Arrays.sort(out)
     // in-place dedup of the sorted array
     var w = 0
@@ -257,6 +277,23 @@ case class ShingleHashSetExpr(child: Expression, n: Int) extends UnaryExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.shingleHashSet($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashSeqExpr(child: Expression, n: Int) extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"argument must be STRING, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shingleHashSeqData(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.shingleHashSeqData($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

