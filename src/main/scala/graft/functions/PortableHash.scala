@@ -149,6 +149,12 @@ object PortableHash {
     * correlate their selections beyond what the weights imply). */
   val DsirSamplePair: (Long, Long) = affineConstants(1818L, 1).head
 
+  /** Poisson-bootstrap replicate draw (q116) — its own member so a
+    * doc's resampling weights are uncorrelated with every other hash
+    * role; the hashed key is doc_id·B + rep, giving each (doc,
+    * replicate) cell an independent uniform. */
+  val BootPair: (Long, Long) = affineConstants(1919L, 1).head
+
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =
     (lit(i._1) * x + lit(i._2)) % lit(P)

@@ -232,6 +232,26 @@ object ExtraQueries {
   val CdcSplitUs = 1705795200000000L
   val CdcTombstoneType = "error"
 
+  /** q116: Poisson-bootstrap replicate count. 40 replicates puts the
+    * bootstrap SE's own relative noise near 1/√(2·39) ≈ 11% — enough
+    * for a stable CI audit while the replicate exchange stays at
+    * sources × 40 rows. */
+  val BootReps = 40
+
+  /** Inverse CDF of Poisson(1) as a CASE ladder over a uniform `u` —
+    * the per-(doc, replicate) resampling weight of the Poisson
+    * bootstrap (Chamandy et al. 2012: at stream scale, Poisson(1)
+    * weights replace multinomial resampling because each row draws
+    * its weights INDEPENDENTLY — no global coordination, perfectly
+    * map-side). Literals in E0 notation are DOUBLE in both engines;
+    * truncating the ladder at 7 loses P(X≥8) < 1e-8 of mass —
+    * invisible at 6-dp rounding. */
+  private def poissonInvSql(u: String): String =
+    s"CASE WHEN $u < 0.367879441E0 THEN 0 WHEN $u < 0.735758882E0 THEN 1 " +
+      s"WHEN $u < 0.919698603E0 THEN 2 WHEN $u < 0.981011843E0 THEN 3 " +
+      s"WHEN $u < 0.996340153E0 THEN 4 WHEN $u < 0.999405815E0 THEN 5 " +
+      s"WHEN $u < 0.999916758E0 THEN 6 ELSE 7 END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q111_zorder_layout" -> ((s, dir) => {
@@ -288,6 +308,61 @@ object ExtraQueries {
           (!(col("xb_max") < ZQueryLo || col("xb_min") > ZQueryHi ||
             col("yb_max") < ZQueryLo || col("yb_min") > ZQueryHi)).cast("int"))
         .orderBy(col("layout"), col("file_id"))
+    }),
+
+    "q116_bootstrap_ci" -> ((s, dir) => {
+      // Poisson-bootstrap confidence intervals for each source's mean
+      // quality — the uncertainty companion to q109's ANOVA verdict
+      // (F says the sources differ; this says how sure each source
+      // MEAN is). Shape: one corpus pass fans each doc into B
+      // replicate weights (hash-seeded Poisson(1), row-local,
+      // [[poissonInvSql]]); map-side combine collapses the fan-out to
+      // a sources × B replicate table before anything crosses the
+      // exchange, replicate means and their variance live on that
+      // directory. Everything is deterministic: the uniform is the
+      // BootPair affine hash of doc_id·B + rep, replicate means round
+      // to 6 dp before the variance (decimal-routed), so the CI is
+      // bit-identical across engines and partitionings.
+      val (ba, bb) = BootPair
+      val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+      val avgTokLen = col("char_sum").cast("double") / col("n_tokens")
+      val q = TextQueries.enriched(s, dir)
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(
+          col("n_tokens"), col("n_distinct"), stopRatio, avgTokLen))
+        .select(col("doc_id"), col("source"), col("q"))
+      val point = q.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("q").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_hat"))
+      val reps = q
+        .withColumn("rep", explode(sequence(lit(0), lit(BootReps - 1))))
+        .withColumn("h", (lit(ba) * (col("doc_id") * BootReps + col("rep")) +
+          lit(bb)) % lit(P))
+        .withColumn("w", expr(poissonInvSql(s"(CAST(h AS DOUBLE) / $P.0)")))
+        .groupBy(col("source"), col("rep"))
+        .agg(sum((col("w") * col("q")).cast("decimal(28,12)")).as("s_wq"),
+          sum(col("w")).as("s_w"))
+        .filter(col("s_w") > 0)
+        .withColumn("m",
+          round(col("s_wq").cast("double") / col("s_w").cast("double"), 6))
+      val booted = reps.groupBy(col("source")).agg(
+        count(lit(1)).as("b_eff"),
+        sum(col("m").cast("decimal(28,6)")).as("s_m"),
+        sum((col("m") * col("m")).cast("decimal(28,12)")).as("s_mm"))
+        .withColumn("se_boot", round(sqrt(
+          (col("s_mm").cast("double") -
+            col("s_m").cast("double") * col("s_m").cast("double") /
+              col("b_eff").cast("double")) /
+            (col("b_eff") - 1).cast("double")), 6))
+      point.join(booted.select(col("source"), col("b_eff"), col("se_boot")),
+          "source")
+        .withColumn("ci_lo",
+          round(col("mean_hat") - lit(1.96) * col("se_boot"), 6))
+        .withColumn("ci_hi",
+          round(col("mean_hat") + lit(1.96) * col("se_boot"), 6))
+        .select(col("source"), col("n_docs"), col("b_eff"), col("mean_hat"),
+          col("se_boot"), col("ci_lo"), col("ci_hi"))
+        .orderBy(col("source"))
     }),
 
     "q114_cdc_apply" -> ((s, dir) => {
@@ -814,6 +889,50 @@ object ExtraQueries {
          |  CAST(NOT (xb_max < $ZQueryLo OR xb_min > $ZQueryHi
          |    OR yb_max < $ZQueryLo OR yb_min > $ZQueryHi) AS INT) AS scan
          |FROM stats ORDER BY layout, file_id""".stripMargin
+    },
+
+    "q116_bootstrap_ci" -> {
+      val (ba, bb) = BootPair
+      val b = BootReps
+      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+      val qs = graft.functions.TextFunctions.qualityScoreSql(
+        "n_tokens", "n_distinct", stopRatio, avgTokLen)
+      val u = s"(CAST(($ba * (doc_id * $b + rep) + $bb) % $P AS DOUBLE) / $P.0)"
+      s"""WITH e AS (${TextQueries.enrichedSql}),
+         |qd AS (SELECT doc_id, source, $qs AS q FROM e),
+         |point AS (
+         |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |    round(CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS mean_hat
+         |  FROM qd GROUP BY source),
+         |wtab AS (
+         |  SELECT source, rep, q, ${poissonInvSql(u)} AS w
+         |  FROM qd CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${b - 1})) AS rep) r),
+         |reps AS (
+         |  SELECT source, rep,
+         |    CAST(SUM(CAST(w * q AS DECIMAL(28,12))) AS DOUBLE) AS s_wq,
+         |    CAST(SUM(w) AS BIGINT) AS s_w
+         |  FROM wtab GROUP BY source, rep),
+         |rm AS (
+         |  SELECT source, round(s_wq / CAST(s_w AS DOUBLE), 6) AS m
+         |  FROM reps WHERE s_w > 0),
+         |booted AS (
+         |  SELECT source, COUNT(*)::BIGINT AS b_eff,
+         |    CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS s_m,
+         |    CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE) AS s_mm
+         |  FROM rm GROUP BY source),
+         |se AS (
+         |  SELECT source, b_eff,
+         |    round(sqrt((s_mm - s_m * s_m / CAST(b_eff AS DOUBLE))
+         |      / CAST(b_eff - 1 AS DOUBLE)), 6) AS se_boot
+         |  FROM booted)
+         |SELECT p.source, p.n_docs, s.b_eff, p.mean_hat, s.se_boot,
+         |  round(p.mean_hat - 1.96E0 * s.se_boot, 6) AS ci_lo,
+         |  round(p.mean_hat + 1.96E0 * s.se_boot, 6) AS ci_hi
+         |FROM point p JOIN se s USING (source)
+         |ORDER BY p.source""".stripMargin
     },
 
     "q114_cdc_apply" -> {

@@ -32,6 +32,15 @@ case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 /** Open-session state carried between micro-batches (epoch micros). */
 case class SessState(startUs: Long, lastUs: Long, n: Long)
 
+/** Latest-wins per-user changelog state ([[EventStreams.latestState]]):
+  * the newest event on the total order (t, event_id). */
+case class UserState(t: Long, eventId: Long, eventType: String, value: Double)
+
+/** One user's current snapshot row as maintained by the streaming CDC
+  * apply — `deleted` marks a tombstone (the batch twin q114's flag). */
+case class UserSnap(user_id: Long, last_us: Long, last_event_id: Long,
+                    last_type: String, last_value: Double, deleted: Boolean)
+
 object EventStreams {
 
   type Ev = graft.streaming.Ev
@@ -132,6 +141,34 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming CDC apply — the streaming twin of q114_cdc_apply: the
+    * event stream is a changelog keyed by user_id, and keyed state
+    * holds each user's LATEST event on the total order (t, event_id);
+    * every micro-batch emits the updated snapshot rows (Update mode —
+    * exactly a MERGE INTO materialized continuously). Tombstones stay
+    * IN state rather than deleting it: a late pre-tombstone event must
+    * still lose to the tombstone, which requires remembering it — the
+    * same reason real CDC compaction retains tombstones until a
+    * retention horizon passes. State is O(users), the bound a 100 TB
+    * keyed snapshot needs; replay equivalence vs the batch window plan
+    * is what the spec asserts. */
+  def latestState(events: Dataset[Ev],
+                  tombstoneType: String = "error"): Dataset[UserSnap] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+           state: GroupState[UserState]): UserSnap = {
+      val incoming = evs.map(e =>
+        UserState(micros(e.ts), e.event_id, e.event_type, e.value))
+      val best = (state.getOption.iterator ++ incoming)
+        .maxBy(s => (s.t, s.eventId))
+      state.update(best)
+      UserSnap(userId, best.t, best.eventId, best.eventType, best.value,
+        best.eventType == tombstoneType)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Stream-static incremental dedup — the streaming twin of

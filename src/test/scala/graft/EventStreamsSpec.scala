@@ -42,6 +42,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply replay-matches the batch q114 snapshot") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.latestState(mem.toDS())
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    try {
+      // replay in two micro-batches split at the q114 instant — the
+      // same base/delta carve the batch query audits
+      val splitUs = graft.queries.ExtraQueries.CdcSplitUs
+      val (base, delta) = fixtureEvents.partition(e =>
+        EventStreams.micros(e.ts) < splitUs)
+      assert(base.nonEmpty && delta.nonEmpty)
+      mem.addData(base); q.processAllAvailable()
+      mem.addData(delta); q.processAllAvailable()
+      // update-mode memory sink accumulates every emitted revision;
+      // the final state is the newest row per user
+      val got = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getBoolean(5)))
+        .groupBy(_._1).view.mapValues(_.maxBy(s => (s._2, s._3))).toMap
+      val want = graft.queries.ExtraQueries
+        .queries("q114_cdc_apply")(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+          r.getInt(4) == 1))).toMap
+      assert(got.keySet === want.keySet)
+      want.foreach { case (u, (t, typ, del)) =>
+        val g = got(u)
+        assert((g._2, g._4, g._5) === ((t, typ, del)), s"user $u")
+      }
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup replay-matches the batch incremental pairs") {
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

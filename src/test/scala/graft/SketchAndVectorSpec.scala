@@ -8,6 +8,44 @@ import graft.queries.{AnnQueries, ExtraQueries}
 class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("q116 bootstrap CI: well-formed, covers the point estimate, tracks the analytic SE") {
+    val rows = ExtraQueries.queries("q116_bootstrap_ci")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // driver-side analytic SE per source: sd(q)/sqrt(n) over the same
+    // 6-dp quality scores — the bootstrap must land in its ballpark
+    // (Poisson(1) weights add ~1/sqrt(2(B-1)) relative noise on top)
+    val q = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"source", $"text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        val nTok = toks.length.toDouble
+        val nDis = toks.distinct.length.toDouble
+        val stopRatio =
+          toks.count(graft.functions.TextFunctions.Stopwords.contains) / nTok
+        val avgTokLen = toks.map(_.length).sum / nTok
+        val score = 0.3 * math.min(1.0, nTok / 100.0) + 0.3 * (nDis / nTok) +
+          0.2 * (1.0 - stopRatio) + 0.2 * math.min(1.0, avgTokLen / 8.0)
+        (r.getString(0), math.rint(score * 1e6) / 1e6)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val (src, n, bEff, mean, se, lo, hi) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))
+      assert(bEff === ExtraQueries.BootReps.toLong, s"$src replicates")
+      assert(se > 0.0, s"$src se")
+      assert(lo < mean && mean < hi, s"$src CI covers the mean")
+      assert(math.abs((hi - lo) - 2 * 1.96 * se) < 2e-6, s"$src width")
+      val xs = q(src)
+      assert(xs.length.toLong === n)
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      val analytic = sd / math.sqrt(xs.length.toDouble)
+      assert(se > analytic * 0.5 && se < analytic * 2.0,
+        s"$src bootstrap se $se vs analytic $analytic")
+    }
+  }
+
   test("q57 count-min estimates never underestimate and probe the exact top-k") {
     val rows = ExtraQueries.queries("q57_countmin")(spark, sf001)
       .select($"bigram", $"true_n", $"est_n", $"overcount")
