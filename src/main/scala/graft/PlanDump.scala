@@ -208,7 +208,31 @@ object PlanDump {
         "corpus collapses map-side into the value-range-bounded bin " +
         "directory (≤1001 rows), and the ECDF windows + argmax run on that " +
         "directory under a real partition spec — the drift statistic never " +
-        "sorts or shuffles the corpus."))
+        "sorts or shuffles the corpus."),
+    "q111_zorder_layout" ->
+      ("Z-order layout + skipping audit: bucketize and Morton-interleave " +
+        "are row-local arithmetic against ONE broadcast extent row, the " +
+        "corpus collapses map-side into the ≤2^16-row z-directory, and " +
+        "file boundaries are integer overlap arithmetic on the directory " +
+        "cumsum — no per-row rank, no join back to rows; the directory IS " +
+        "the rewrite's file manifest at any corpus size."),
+    "q114_cdc_apply" ->
+      ("CDC latest-wins apply with the compaction contract audited " +
+        "in-plan: each snapshot is one row_number window partitioned by " +
+        "user_id (millions of small groups at scale, never a global " +
+        "sort); the merge unions the 1-row-per-user base artifact with " +
+        "the delta and re-applies the same keyed window."),
+    "q115_winnowing" ->
+      ("Winnowing fingerprints: positional shingle hashes (codegen'd), " +
+        "window-min and distinct all inside the projection — fingerprint " +
+        "extraction never shuffles; the pair join is a fingerprint-keyed " +
+        "equi-join (vocabulary-bounded, the q52 argument) with the " +
+        "shared-count threshold applied before the nfp joins."),
+    "q116_bootstrap_ci" ->
+      ("Poisson bootstrap: the ×40 replicate fan-out collapses to " +
+        "(source, rep) partials inside the map stage — the exchange " +
+        "carries sources×40 rows, not corpus×40; CI arithmetic runs on " +
+        "that directory with small joins broadcast."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

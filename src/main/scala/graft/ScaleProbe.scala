@@ -163,6 +163,40 @@ object ScaleProbe {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     }
+    // events and lineitem clones (added for the q111/q114 probes) are
+    // gated separately so pre-existing synthetic dirs upgrade in place
+    if (!new java.io.File(s"$outDir/events.parquet").exists()) {
+      val copyDf = spark.range(copies).select(col("id").as("copy"))
+      sources.Sources.normalizeEventTs(
+          spark.read.parquet(s"$srcDir/events.parquet"))
+        .crossJoin(copyDf)
+        // each copy is a disjoint user population with its own event-id
+        // range; timestamps keep the fixture's distribution so window
+        // state and the CDC split stay realistic
+        .select(
+          (col("event_id") + col("copy") * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("copy") * 100000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+    }
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      val copyDf = spark.range(copies).select(col("id").as("copy"))
+      spark.read.parquet(s"$srcDir/lineitem.parquet")
+        .crossJoin(copyDf)
+        // orderkeys disjoint per copy; the (partkey, suppkey) plane is
+        // reused, so z-space density scales with the copy count —
+        // exactly what a z-order layout faces as a table grows
+        .select(
+          (col("l_orderkey") + col("copy") * 100000000L).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+    }
   }
 
   /** IVF recall-tuning probe (--ivf-tune): for the q75/q87 query set

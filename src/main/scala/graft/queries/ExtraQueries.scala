@@ -336,7 +336,13 @@ object ExtraQueries {
           count(lit(1)), 6).as("mean_hat"))
       val reps = q
         .withColumn("rep", explode(sequence(lit(0), lit(BootReps - 1))))
-        .withColumn("h", (lit(ba) * (col("doc_id") * BootReps + col("rep")) +
+        // the (doc, rep) key reduces mod P BEFORE the affine multiply:
+        // a·key must stay under 2^62 (the PortableHash contract), and
+        // an un-reduced doc_id·B key overflows for ids ≥ ~2.3e17 — and
+        // a·key for ids ≥ ~2.3e8, which the 500k clone probe actually
+        // hit (ANSI mode failed loudly; this is the fix it demanded)
+        .withColumn("h", (lit(ba) *
+          (((col("doc_id") % P) * BootReps + col("rep")) % P) +
           lit(bb)) % lit(P))
         .withColumn("w", expr(poissonInvSql(s"(CAST(h AS DOUBLE) / $P.0)")))
         .groupBy(col("source"), col("rep"))
@@ -898,7 +904,8 @@ object ExtraQueries {
       val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
       val qs = graft.functions.TextFunctions.qualityScoreSql(
         "n_tokens", "n_distinct", stopRatio, avgTokLen)
-      val u = s"(CAST(($ba * (doc_id * $b + rep) + $bb) % $P AS DOUBLE) / $P.0)"
+      val u = s"(CAST(($ba * (((doc_id % $P) * $b + rep) % $P) + $bb) % $P" +
+        s" AS DOUBLE) / $P.0)"
       s"""WITH e AS (${TextQueries.enrichedSql}),
          |qd AS (SELECT doc_id, source, $qs AS q FROM e),
          |point AS (

@@ -474,6 +474,61 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"directory joins must broadcast:\n$p")
   }
 
+  test("q111 zorder: corpus collapses to the z-directory map-side, no corpus window") {
+    // bucketize + interleave are row-local arithmetic against one
+    // broadcast extent row; the ONLY corpus-sized exchange is the
+    // partial-combined groupBy into the ≤2^16-row z-directory; the
+    // cumsum windows then run on the directory under the non-foldable
+    // constant partition key — never on rows
+    val p = plan("q111_zorder_layout")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"z-directory must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"extent row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing may shuffle-join rows:\n$p")
+  }
+
+  test("q114 cdc apply: keyed snapshots, user-partitioned windows, no global sort") {
+    // each snapshot is one row_number window PARTITIONED BY user_id
+    // (millions of small groups at scale); the merge path unions the
+    // 1-row-per-user base with the delta — no global sort anywhere
+    // before the final presentation orderBy
+    val p = plan("q114_cdc_apply")
+    assert(p.contains("Window"), s"latest-wins needs the keyed window:\n$p")
+    assert(p.contains("user_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q115 winnowing: fingerprint extraction row-local, pair join shuffles on fp") {
+    // the positional hash + window-min + distinct are all inside the
+    // projection (no pre-join shuffle of anything but the fingerprint
+    // rows themselves); the pair-generating join must be EQUI-keyed on
+    // the fingerprint (vocabulary-bounded like the q52 shingle join —
+    // the tiny fixture broadcasts it, real statistics shuffle it) and
+    // must never degenerate into a cartesian with the < predicate as
+    // a post-filter
+    val p = plan("q115_winnowing")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("[fp#")),
+      s"pair join must be keyed on the fingerprint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fp equality must be the join key, not a filter:\n$p")
+  }
+
+  test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
+    // the ×B explode must collapse to (source, rep) partials inside
+    // the map stage — the exchange carries sources×B rows, not
+    // corpus×B; final CI arithmetic joins small tables via broadcast
+    val p = plan("q116_bootstrap_ci")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"replicate sums must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"directory joins must broadcast:\n$p")
+  }
+
   test("q107 weighted sample plans as ONE top-k over the cached scan") {
     // the entire query must be row-local expressions + per-partition
     // heaps: any exchange before the TakeOrderedAndProject means the
