@@ -232,7 +232,34 @@ object PlanDump {
       ("Poisson bootstrap: the ×40 replicate fan-out collapses to " +
         "(source, rep) partials inside the map stage — the exchange " +
         "carries sources×40 rows, not corpus×40; CI arithmetic runs on " +
-        "that directory with small joins broadcast."))
+        "that directory with small joins broadcast."),
+    "q117_classifier_auc" ->
+      ("Tie-aware ROC-AUC: ONE range-partitioned parallel sort of the " +
+        "narrow (doc, score) table (RankedCumsum two-pass — no " +
+        "single-partition window), one id-keyed join back to labels, one " +
+        "map-side-combined groupBy(score) into the distinct-score " +
+        "directory, then three LONG sums to a single row — never the " +
+        "P·N pairwise definition."),
+    "q118_vocab_richness" ->
+      ("Good-Turing/Chao1: the corpus collapses twice before any " +
+        "arithmetic — token counts (vocabulary-sized exchange, map-side " +
+        "combined), then frequency-of-frequencies (O(√N) rows by " +
+        "sum-of-counts) — and the per-lang rollup is exact integers " +
+        "until two final divisions."),
+    "q119_session_concurrency" ->
+      ("Sweep-line concurrency: sessionization is the q23 keyed window " +
+        "(per-user groups), each session emits two deltas, ONE " +
+        "map-side-combined groupBy collapses them to the value-range-" +
+        "bounded minute directory, the cumulative count runs on that " +
+        "bounded frame, and the peak report is TakeOrderedAndProject — " +
+        "the interval-overlap self-join (quadratic exactly when " +
+        "concurrency is high) never exists."),
+    "q120_lens_kappa" ->
+      ("Cohen's kappa between verification lenses: the candidate set is " +
+        "band-join bounded (session-cached), the four text/shingle joins " +
+        "are id-keyed equi-joins, and the confusion matrix is ONE " +
+        "map-side-combined aggregate to a single row — integer " +
+        "arithmetic until the two final divisions."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -155,4 +155,53 @@ object RankedCumsum {
       it.map { r => rank += 1; (r.getLong(0), rank) }
     }.toDF("doc_id", "rank")
   }
+
+  /** Distributed tie-aware ROC-AUC — Mann-Whitney U in midrank form,
+    * with an EXACT-INTEGER numerator so the statistic is engine- and
+    * partitioning-portable (no pair sampling, no trapezoid sweep over
+    * float thresholds). Input: one row per scored item
+    * (doc_id LONG unique, pos 0/1, score DOUBLE — defensively rounded
+    * to 6 dp here, idempotent for compliant callers). Output ONE row:
+    * (n_pos, n_neg, u2, auc, gini) where
+    * `u2 = 2·Σ_pos midrank_asc − 2·P(P+1)/2` counts each (pos, neg)
+    * pair twice (ties once each way), so `auc = u2 / (2·P·N)` and
+    * `gini = u2/(P·N) − 1` — u2 stays a LONG until the single final
+    * division, and both ratios are NULL when either class is empty
+    * (identically in the SQL twin — no 0/0 NaN divergence).
+    *
+    * Shape at scale: ONE range-partitioned parallel sort of the narrow
+    * (doc_id, score) table ([[scoreRank]] — no single-partition window
+    * at any corpus size), one doc_id-keyed join back to the labels, one
+    * map-side-combined groupBy(score) into the distinct-score directory
+    * (midranks per tie group are just min+max of ordinal ranks), and a
+    * final all-to-one aggregate of three LONG sums. Nothing quadratic
+    * anywhere — the naive definition is P·N pair comparisons. */
+  def auc(scored: DataFrame): DataFrame = {
+    val labeled = scored.select(col("doc_id").cast("long"),
+      round(col("score").cast("double"), 6).as("score"),
+      col("pos").cast("long").as("pos"))
+    // ascending-score ordinal ranks: scoreRank orders (score desc,
+    // doc_id asc), so rank the NEGATED score (exact — already 6 dp)
+    val ranks = scoreRank(labeled.select(col("doc_id"),
+      (-col("score")).as("score")))
+    val byScore = labeled.join(ranks, Seq("doc_id"))
+      .groupBy(col("score"))
+      .agg(min(col("rank")).as("minr"), max(col("rank")).as("maxr"),
+        sum(col("pos")).as("pos_at"),
+        (count(lit(1)) - sum(col("pos"))).as("neg_at"))
+    // Σ_pos midrank = Σ_s pos(s)·(minr+maxr)/2 — keep the doubled form
+    // so every intermediate is a LONG
+    val tot = byScore.agg(
+      sum(col("pos_at")).as("n_pos"),
+      sum(col("neg_at")).as("n_neg"),
+      sum(col("pos_at") * (col("minr") + col("maxr"))).as("s2r"))
+    val u2 = col("s2r") - col("n_pos") * (col("n_pos") + 1)
+    val pn = (col("n_pos") * col("n_neg")).cast("double")
+    val ok = col("n_pos") > 0 && col("n_neg") > 0
+    tot.select(col("n_pos"), col("n_neg"), u2.as("u2"),
+      when(ok, round(u2.cast("double") / (lit(2.0) * pn), 6))
+        .otherwise(lit(null).cast("double")).as("auc"),
+      when(ok, round(u2.cast("double") / pn - lit(1.0), 6))
+        .otherwise(lit(null).cast("double")).as("gini"))
+  }
 }

@@ -560,6 +560,31 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q117_classifier_auc" -> ((s, dir) => {
+      // ROC-AUC of the q86 trained quality classifier against its own
+      // training labels (target vs pool) — the evaluation step every
+      // published learned-quality-filter recipe runs before trusting
+      // the filter's threshold. Computed as Mann-Whitney U in midrank
+      // form over the distinct-score directory
+      // ([[graft.operators.RankedCumsum.auc]]): ONE parallel sort of
+      // the narrow (doc, score) table, exact-integer numerator — never
+      // the P·N pairwise definition. The oracle re-runs the unrolled
+      // GD to the same scores, then the identical rank algebra, so
+      // hash-green certifies training, scoring AND the statistic.
+      import graft.operators.QualityClassifier
+      val fb = classifierFeatures(s, dir)
+      val labeled = fb.filter(col("bucket") >= 90 || col("bucket") < 80)
+      val train = labeled.select(col("doc_id"),
+        when(col("bucket") >= 90, 1.0).otherwise(0.0).as("y"),
+        col("b"))
+      val w = QualityClassifier.fit(train, QcIters, QcLr)
+      val scored = QualityClassifier.score(
+        labeled.withColumn("pos", (col("bucket") >= 90).cast("long")),
+        w, keyCols = Seq("pos"))
+      graft.operators.RankedCumsum.auc(
+        scored.select(col("doc_id"), col("pos"), col("score")))
+    }),
+
     "q79_boilerplate_scrub" -> ((s, dir) => {
       // C4/RefinedWeb-style boilerplate removal at q66's chunk grain:
       // a chunk occurring in >= BoilerplateMinDf distinct documents is
@@ -1214,6 +1239,57 @@ object CurationQueries {
          |  round($sig, 6) AS score,
          |  CAST(round($sig, 6) >= 0.5 AS INT) AS pred
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q117_classifier_auc" -> {
+      val bN = DsirBuckets
+      val sh2 = TextQueries.shingleSql("toks", 2)
+      val sig = graft.operators.QualityClassifier.fastSigmoidSql("z")
+      // same unrolled-GD chain as q86, scores restricted to the labeled
+      // (target/pool) docs, then the identical midrank algebra: ordinal
+      // ranks ascending by (score, doc_id), midrank per tie group from
+      // min/max, exact-integer u2 before the one final division
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |ws AS (SELECT doc_id, lang, toks, ${splitBucketSql("doc_id")} AS bucket FROM dd),
+         |bgi AS (SELECT doc_id, lang, bucket, ${charHashSql("s")} % $bN AS b
+         |  FROM (SELECT doc_id, lang, bucket, unnest($sh2) AS s FROM ws)),
+         |fb0 AS (SELECT DISTINCT doc_id, lang, bucket, b FROM bgi),
+         |feats AS (SELECT * FROM fb0
+         |  UNION ALL SELECT DISTINCT doc_id, lang, bucket, -1::BIGINT AS b FROM fb0),
+         |train AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket >= 90 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y, b
+         |  FROM feats WHERE bucket >= 90 OR bucket < 80),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM train),
+         |w0 AS (SELECT DISTINCT b, 0.0::DOUBLE AS w FROM train),
+         |${qcIterSql("w0", 1)},
+         |${qcIterSql("w1", 2)},
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(CASE WHEN f.bucket >= 90 THEN 1 ELSE 0 END AS BIGINT) AS pos,
+         |    CAST(SUM(CAST(COALESCE(w2.w, 0.0) AS DECIMAL(27,10))) AS DOUBLE) AS z
+         |  FROM feats f LEFT JOIN w2 ON f.b = w2.b
+         |  WHERE f.bucket >= 90 OR f.bucket < 80
+         |  GROUP BY f.doc_id, f.bucket),
+         |sr AS (SELECT doc_id, pos, round($sig, 6) AS score FROM sc),
+         |rk AS (SELECT doc_id, pos, score,
+         |  row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn FROM sr),
+         |bs AS (SELECT score, MIN(rn) AS minr, MAX(rn) AS maxr,
+         |    CAST(SUM(pos) AS BIGINT) AS pos_at,
+         |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS neg_at
+         |  FROM rk GROUP BY score),
+         |t AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+         |    CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+         |    CAST(SUM(pos_at * (minr + maxr)) AS BIGINT) AS s2r FROM bs)
+         |SELECT n_pos, n_neg,
+         |  CAST(s2r - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round((s2r - n_pos * (n_pos + 1))::DOUBLE
+         |      / (2.0 * (n_pos * n_neg)::DOUBLE), 6) END AS auc,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round((s2r - n_pos * (n_pos + 1))::DOUBLE
+         |      / (n_pos * n_neg)::DOUBLE - 1.0, 6) END AS gini
+         |FROM t""".stripMargin
     },
 
     "q79_boilerplate_scrub" -> {

@@ -335,6 +335,63 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q120_lens_kappa" -> ((s, dir) => {
+      // Inter-lens agreement audit: Cohen's kappa (Cohen 1960) between
+      // the two verification verdicts the pipeline can apply to the
+      // SAME LSH candidate set — token-set Jaccard ≥ 0.5 (q19's rule)
+      // vs normalized edit similarity ≥ 0.8 (q113's rule). Raw
+      // agreement po overstates consensus when both lenses mostly say
+      // "not dup"; kappa subtracts the chance agreement pe implied by
+      // the marginals — the number to watch when swapping a cheap
+      // lens for an expensive one at 100 TB. Shape: the candidate set
+      // is band-join bounded (session-cached), the four joins are
+      // id-keyed, the confusion matrix is ONE map-side-combined
+      // aggregate to a single row; every count stays a LONG and the
+      // chance term is exact integer arithmetic until the two final
+      // divisions (the pe = 1 degenerate marginal guards to NULL by
+      // INTEGER comparison, identically in both engines).
+      val sh = hashedShingles(s, dir)
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val v = lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))
+        .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .join(d.select(col("doc_id").as("doc_a"),
+          col("text").as("text_a"), col("len").as("len_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"),
+          col("text").as("text_b"), col("len").as("len_b")), "doc_b")
+        .select(
+          (round(jaccard(col("hs_a"), col("hs_b")), 6) >= JaccardThreshold)
+            .cast("long").as("ja"),
+          (round(lit(1.0) -
+            levenshtein(col("text_a"), col("text_b")).cast("double") /
+              greatest(col("len_a"), col("len_b")).cast("double"), 6) >=
+            lit(EditSimThreshold.toDouble)).cast("long").as("ed"))
+      val t = v.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("ja") * col("ed")), lit(0L)).as("n11"),
+        coalesce(sum(col("ja") * (lit(1L) - col("ed"))), lit(0L)).as("n10"),
+        coalesce(sum((lit(1L) - col("ja")) * col("ed")), lit(0L)).as("n01"),
+        coalesce(sum((lit(1L) - col("ja")) * (lit(1L) - col("ed"))), lit(0L))
+          .as("n00"))
+      val prod = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00"))
+      val n2 = col("n_pairs") * col("n_pairs")
+      val poRaw = (col("n11") + col("n00")).cast("double") /
+        col("n_pairs").cast("double")
+      val peRaw = prod.cast("double") / n2.cast("double")
+      t.select(col("n_pairs"),
+        col("n11").as("both_dup"), col("n10").as("jaccard_only"),
+        col("n01").as("edit_only"), col("n00").as("neither"),
+        when(col("n_pairs") > 0, round(poRaw, 6))
+          .otherwise(lit(null).cast("double")).as("po"),
+        when(col("n_pairs") > 0, round(peRaw, 6))
+          .otherwise(lit(null).cast("double")).as("pe"),
+        when(col("n_pairs") > 0 && n2 > prod,
+          round((poRaw - peRaw) / (lit(1.0) - peRaw), 6))
+          .otherwise(lit(null).cast("double")).as("kappa"))
+    }),
+
     "q31_dedup_survivors" -> ((s, dir) =>
       // the full near-dup dedup pipeline: LSH pairs → connected
       // components → min-id survivor per cluster, over all documents
@@ -825,6 +882,37 @@ object DedupQueries {
            |SELECT doc_a, doc_b, len_a, len_b, lev, sim,
            |  CAST(sim >= $EditSimThreshold AS INT) AS kept
            |FROM ed ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q120_lens_kappa" -> {
+        val prod = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+        val poRaw = "((n11 + n00)::DOUBLE / n_pairs::DOUBLE)"
+        val peRaw = s"($prod::DOUBLE / (n_pairs * n_pairs)::DOUBLE)"
+        s"""WITH $lshCandCtes,
+           |v AS (
+           |  SELECT
+           |    CAST(round(${jaccardSql("a.hs", "b.hs")}, 6) >= $JaccardThreshold
+           |      AS BIGINT) AS ja,
+           |    CAST(round(1.0 - levenshtein(da.text, db.text)::DOUBLE /
+           |        greatest(length(da.text), length(db.text))::DOUBLE, 6) >=
+           |      $EditSimThreshold AS BIGINT) AS ed
+           |  FROM cand c JOIN sh a ON c.doc_a = a.doc_id
+           |    JOIN sh b ON c.doc_b = b.doc_id
+           |    JOIN documents da ON c.doc_a = da.doc_id
+           |    JOIN documents db ON c.doc_b = db.doc_id),
+           |t AS (SELECT COUNT(*)::BIGINT AS n_pairs,
+           |    CAST(COALESCE(SUM(ja * ed), 0) AS BIGINT) AS n11,
+           |    CAST(COALESCE(SUM(ja * (1 - ed)), 0) AS BIGINT) AS n10,
+           |    CAST(COALESCE(SUM((1 - ja) * ed), 0) AS BIGINT) AS n01,
+           |    CAST(COALESCE(SUM((1 - ja) * (1 - ed)), 0) AS BIGINT) AS n00
+           |  FROM v)
+           |SELECT n_pairs, n11 AS both_dup, n10 AS jaccard_only,
+           |  n01 AS edit_only, n00 AS neither,
+           |  CASE WHEN n_pairs > 0 THEN round($poRaw, 6) END AS po,
+           |  CASE WHEN n_pairs > 0 THEN round($peRaw, 6) END AS pe,
+           |  CASE WHEN n_pairs > 0 AND n_pairs * n_pairs > $prod
+           |    THEN round(($poRaw - $peRaw) / (1.0 - $peRaw), 6) END AS kappa
+           |FROM t""".stripMargin
+      },
 
       "q31_dedup_survivors" ->
         s"""WITH RECURSIVE $lshPairsCtes,

@@ -252,6 +252,35 @@ object ExtraQueries {
       s"WHEN $u < 0.996340153E0 THEN 4 WHEN $u < 0.999405815E0 THEN 5 " +
       s"WHEN $u < 0.999916758E0 THEN 6 ELSE 7 END"
 
+  /** q118's engine (seam for the spec's hand-built cases): per-language
+    * Good-Turing unseen mass (Gale & Sampson 1995: the probability the
+    * NEXT token is a never-seen type ≈ N₁/N) and the bias-corrected
+    * Chao1 species-richness estimate (Chao 1984/1987:
+    * V + N₁(N₁−1)/(2(N₂+1)) — defined even when no doubletons exist).
+    * Input one row per token INSTANCE (lang, tok). Both statistics are
+    * functions of the frequency-of-frequencies table alone, so the
+    * plan collapses twice before any arithmetic: corpus → per-lang
+    * token counts (the vocabulary-sized exchange every *Queries
+    * wordcount pays), counts → (lang, c, n_c) — bounded by the number
+    * of DISTINCT frequencies, O(√N) rows by sum-of-counts — and the
+    * rollup is exact integers until the two final divisions. */
+  private[graft] def goodTuringReport(tf: DataFrame): DataFrame = {
+    val vc = tf.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val fof = vc.groupBy(col("lang"), col("c")).agg(count(lit(1)).as("n_c"))
+    fof.groupBy(col("lang")).agg(
+        sum(col("n_c")).as("vocab"),
+        sum(col("c") * col("n_c")).as("n_tokens"),
+        sum(when(col("c") === 1, col("n_c")).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, col("n_c")).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("vocab"), col("n_tokens"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"),
+        round(col("vocab").cast("double") +
+          (col("n1") * (col("n1") - 1)).cast("double") /
+            (lit(2.0) * (col("n2") + 1).cast("double")), 6).as("chao1"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q111_zorder_layout" -> ((s, dir) => {
@@ -369,6 +398,18 @@ object ExtraQueries {
         .select(col("source"), col("n_docs"), col("b_eff"), col("mean_hat"),
           col("se_boot"), col("ci_lo"), col("ci_hi"))
         .orderBy(col("source"))
+    }),
+
+    "q118_vocab_richness" -> ((s, dir) => {
+      // Good-Turing unseen mass + Chao1 richness per language (see
+      // [[goodTuringReport]]) — the corpus-coverage alarm: a language
+      // whose p_unseen stays high after heavy ingestion still has
+      // unharvested vocabulary (keep crawling); chao1 >> vocab says
+      // the corpus has seen a small fraction of the language's types.
+      // The complement of q105's Heaps GROWTH curve: Heaps fits how
+      // vocabulary grew, Good-Turing estimates what is still missing.
+      goodTuringReport(KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("lang"), explode(col("toks")).as("tok")))
     }),
 
     "q114_cdc_apply" -> ((s, dir) => {
@@ -896,6 +937,23 @@ object ExtraQueries {
          |    OR yb_max < $ZQueryLo OR yb_min > $ZQueryHi) AS INT) AS scan
          |FROM stats ORDER BY layout, file_id""".stripMargin
     },
+
+    "q118_vocab_richness" ->
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |tf AS (SELECT lang, unnest(toks) AS tok FROM dd),
+         |vc AS (SELECT lang, tok, COUNT(*)::BIGINT AS c FROM tf GROUP BY lang, tok),
+         |fof AS (SELECT lang, c, COUNT(*)::BIGINT AS n_c FROM vc GROUP BY lang, c),
+         |agg AS (SELECT lang,
+         |    CAST(SUM(n_c) AS BIGINT) AS vocab,
+         |    CAST(SUM(c * n_c) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN n_c END), 0) AS BIGINT) AS n1,
+         |    CAST(COALESCE(SUM(CASE WHEN c = 2 THEN n_c END), 0) AS BIGINT) AS n2
+         |  FROM fof GROUP BY lang)
+         |SELECT lang, vocab, n_tokens, n1, n2,
+         |  round(n1::DOUBLE / n_tokens::DOUBLE, 6) AS p_unseen,
+         |  round(vocab::DOUBLE +
+         |    (n1 * (n1 - 1))::DOUBLE / (2.0 * (n2 + 1)::DOUBLE), 6) AS chao1
+         |FROM agg ORDER BY lang""".stripMargin,
 
     "q116_bootstrap_ci" -> {
       val (ba, bb) = BootPair

@@ -34,6 +34,54 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q117 auc matches the brute-force pairwise definition on q86's scores") {
+    // independent path: q86's declared output carries every labeled
+    // doc's score and split; AUC by the P·N pairwise definition
+    // (ties count 1/2) must equal the rank-algebra result
+    val scored = run("q86_quality_classifier", sf0001).collect()
+      .filter(r => r.getString(2) != "holdout")
+      .map(r => (r.getString(2) == "target", r.getDouble(4)))
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.length.toDouble * neg.length)
+    val row = run("q117_classifier_auc", sf0001).collect().head
+    assert(row.getLong(0) === pos.length.toLong)
+    assert(row.getLong(1) === neg.length.toLong)
+    assert(math.abs(row.getDouble(3) - expected) < 1e-6,
+      s"auc ${row.getDouble(3)} vs brute-force $expected")
+    // u2 is the exact-integer doubled U: auc == u2 / (2·P·N) exactly
+    assert(row.getLong(2) === math.round(2.0 * wins))
+    // gini = 2·auc − 1 from the same exact numerator
+    assert(math.abs(row.getDouble(4) - (2 * expected - 1)) < 1e-6)
+  }
+
+  test("auc laws: separation, reversal, ties, empty class, partitioning invariance") {
+    import graft.operators.RankedCumsum
+    def mk(rows: Seq[(Long, Long, Double)], parts: Int) =
+      RankedCumsum.auc(spark.createDataFrame(rows).toDF("doc_id", "pos", "score")
+        .repartition(parts))
+    val sep = (1L to 20L).map(i => (i, if (i > 10) 1L else 0L, i * 0.1))
+    val r1 = mk(sep, 1).collect().head
+    assert(r1.getDouble(3) === 1.0 && r1.getLong(2) === 2 * 10 * 10)
+    // reversed labels: every positive below every negative
+    val rev = sep.map { case (i, y, s) => (i, 1L - y, s) }
+    assert(mk(rev, 3).collect().head.getDouble(3) === 0.0)
+    // all scores identical: one big tie group, auc exactly 1/2
+    val tie = (1L to 9L).map(i => (i, i % 2, 5.0))
+    assert(mk(tie, 2).collect().head.getDouble(3) === 0.5)
+    // an empty class yields NULL auc/gini, not NaN
+    val onecls = (1L to 5L).map(i => (i, 1L, i * 1.0))
+    val oc = mk(onecls, 2).collect().head
+    assert(oc.isNullAt(3) && oc.isNullAt(4))
+    // partitioning must not move the statistic
+    val mixed = (1L to 40L).map(i =>
+      (i, if ((i * 7) % 3 == 0) 1L else 0L, ((i * 13) % 11) * 0.5))
+    assert(mk(mixed, 1).collect().head === mk(mixed, 7).collect().head)
+  }
+
   test("q52 decontamination matches a driver-side recomputation") {
     // independent path: recompute per-doc overlap from raw shingle hash
     // sets (same codegen'd expression, but set logic done in Scala)

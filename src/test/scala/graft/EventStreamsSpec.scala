@@ -19,6 +19,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
     .as[Ev].collect().toSeq
 
+  test("q119 session concurrency matches a driver-side sweep recompute") {
+    // independent path: sessionize in plain Scala (same 30-min gap
+    // rule), sweep minute deltas, take the top-5 (n_active desc,
+    // minute asc) — must equal the declared query row-for-row
+    val gapUs = 30L * 60L * 1000000L
+    val sessions = fixtureEvents
+      .groupBy(_.user_id).values.flatMap { evs =>
+        val ts = evs.map(e => (e.ts.getTime * 1000L, e.event_id))
+          .sortBy(identity).map(_._1)
+        ts.foldLeft(List.empty[(Long, Long)]) { (acc, t) =>
+          acc match {
+            case (s, e) :: rest if t - e <= gapUs => (s, t) :: rest
+            case _ => (t, t) :: acc
+          }
+        }
+      }.toSeq
+    val deltas = sessions.flatMap { case (s, e) =>
+      Seq((s / 60000000L, 1L), (e / 60000000L + 1L, -1L)) }
+    val want = deltas.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (m, d)) => (m, acc + d) }
+      .drop(1)
+      .sortBy { case (m, a) => (-a, m) }.take(5)
+    val got = graft.queries.StreamingQueries
+      .queries("q119_session_concurrency")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    // peak concurrency is at least 1 (sessions exist) and never
+    // exceeds the session count
+    assert(got.head._2 >= 1 && got.head._2 <= sessions.length)
+  }
+
   test("streaming hourly counts replay-match the batch twin") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

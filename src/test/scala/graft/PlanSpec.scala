@@ -517,6 +517,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"fp equality must be the join key, not a filter:\n$p")
   }
 
+  test("q117 auc: no pairwise join, no window — rank via the two-pass RDD shape") {
+    // the naive AUC is a P·N pairwise comparison; the plan must show
+    // neither a cartesian nor ANY window (the rank is RankedCumsum's
+    // range-partitioned two-pass, which surfaces as an RDD scan), and
+    // the score directory must combine map-side
+    val p = plan("q117_classifier_auc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"rank must not use a window:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"score directory must combine map-side:\n$p")
+  }
+
+  test("q118 vocab richness: pure aggregation cascade, map-side combined, no joins") {
+    val p = plan("q118_vocab_richness")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"frequency-of-frequencies needs no join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"token counts must combine map-side:\n$p")
+  }
+
+  test("q119 concurrency: keyed session windows, bounded sweep, top-k fused") {
+    // the per-user sessionization window must be PARTITIONED (user_id
+    // groups); the sweep cumsum runs on the bounded minute directory;
+    // the peak report must fuse into TakeOrderedAndProject — and the
+    // interval-overlap self-join must not exist
+    val p = plan("q119_session_concurrency")
+    assert(p.contains("user_id"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 must fuse sort+limit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no interval self-join may exist:\n$p")
+  }
+
+  test("q120 kappa: id-keyed joins only, one-row confusion matrix combines map-side") {
+    val p = plan("q120_lens_kappa")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"confusion counts must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not

@@ -8,6 +8,49 @@ import graft.queries.{AnnQueries, ExtraQueries}
 class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("q118 good-turing/chao1: hand-built frequency profiles give the textbook values") {
+    def report(toks: Seq[String]) =
+      ExtraQueries.goodTuringReport(
+        toks.map(t => ("xx", t)).toDF("lang", "tok")).collect().head
+    // counts {a:2, b:1, c:1}: V=3, N=4, N1=2, N2=1 →
+    // p_unseen = 2/4, chao1 = 3 + 2·1/(2·(1+1)) = 3.5
+    val r1 = report(Seq("a", "a", "b", "c"))
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ===
+      ((3L, 4L, 2L, 1L)))
+    assert(r1.getDouble(5) === 0.5 && r1.getDouble(6) === 3.5)
+    // no singletons: unseen mass 0, chao1 collapses to the seen V
+    val r2 = report(Seq("a", "a", "b", "b"))
+    assert(r2.getLong(3) === 0L && r2.getDouble(5) === 0.0 &&
+      r2.getDouble(6) === 2.0)
+    // all singletons, no doubletons: the bias-corrected form stays
+    // finite — chao1 = 3 + 3·2/(2·1) = 6
+    val r3 = report(Seq("a", "b", "c"))
+    assert(r3.getDouble(6) === 6.0)
+  }
+
+  test("q118 declared query matches a driver recompute and its identities") {
+    val rows = ExtraQueries.queries("q118_vocab_richness")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent path: token counts recomputed in the driver
+    val counts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"lang", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val cs = counts.collect { case ((l, _), c) if l == lang => c }.toSeq
+      assert(r.getLong(1) === cs.length.toLong, s"$lang vocab")
+      assert(r.getLong(2) === cs.sum, s"$lang n_tokens")
+      assert(r.getLong(3) === cs.count(_ == 1L).toLong, s"$lang n1")
+      assert(r.getLong(4) === cs.count(_ == 2L).toLong, s"$lang n2")
+      val p0 = math.rint(r.getLong(3).toDouble / r.getLong(2) * 1e6) / 1e6
+      assert(r.getDouble(5) === p0, s"$lang p_unseen")
+      // chao1 never estimates fewer types than observed
+      assert(r.getDouble(6) >= r.getLong(1).toDouble, s"$lang chao1 >= V")
+    }
+  }
+
   test("q116 bootstrap CI: well-formed, covers the point estimate, tracks the analytic SE") {
     val rows = ExtraQueries.queries("q116_bootstrap_ci")(spark, sf001).collect()
     assert(rows.nonEmpty)

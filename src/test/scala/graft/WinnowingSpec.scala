@@ -68,6 +68,38 @@ class WinnowingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q120 kappa matches a driver recompute from the per-pair lens verdicts") {
+    // independent path: q64 carries the exact Jaccard per candidate
+    // pair, q113 the edit verdict — join them in the driver, build the
+    // confusion matrix and Cohen's kappa from the textbook formula
+    val jac = DedupQueries.queries("q64_containment_audit")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val edit = DedupQueries.queries("q113_edit_verified")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(6)).toMap
+    assert(jac.keySet === edit.keySet)
+    val verdicts = jac.toSeq.map { case (k, j) =>
+      (if (j >= DedupQueries.JaccardThreshold) 1L else 0L, edit(k).toLong) }
+    val n = verdicts.size.toLong
+    val n11 = verdicts.count(v => v._1 == 1 && v._2 == 1).toLong
+    val n10 = verdicts.count(v => v._1 == 1 && v._2 == 0).toLong
+    val n01 = verdicts.count(v => v._1 == 0 && v._2 == 1).toLong
+    val n00 = verdicts.count(v => v._1 == 0 && v._2 == 0).toLong
+    val row = DedupQueries.queries("q120_lens_kappa")(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) === n)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ===
+      ((n11, n10, n01, n00)))
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).toDouble / (n * n)
+    assert(math.abs(row.getDouble(5) - po) < 1e-6)
+    assert(math.abs(row.getDouble(6) - pe) < 1e-6)
+    if (pe < 1.0) {
+      val kappa = (po - pe) / (1.0 - pe)
+      assert(math.abs(row.getDouble(7) - kappa) < 1e-6)
+      assert(row.getDouble(7) >= -1.0 - 1e-9 && row.getDouble(7) <= 1.0 + 1e-9)
+    } else assert(row.isNullAt(7))
+  }
+
   test("q113 edit verification: sim bounds, kept iff threshold, identical pair set as q64 candidates") {
     val rows = DedupQueries.queries("q113_edit_verified")(spark, sf001).collect()
     assert(rows.nonEmpty)
