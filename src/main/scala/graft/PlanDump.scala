@@ -259,7 +259,19 @@ object PlanDump {
         "band-join bounded (session-cached), the four text/shingle joins " +
         "are id-keyed equi-joins, and the confusion matrix is ONE " +
         "map-side-combined aggregate to a single row — integer " +
-        "arithmetic until the two final divisions."))
+        "arithmetic until the two final divisions."),
+    "q121_knn_confusion" ->
+      ("Per-class kNN eval: q56's broadcast-probe plan plus two " +
+        "label-directory aggregations (≤ #classes rows, map-side " +
+        "combined) and one broadcast join — the eval table costs " +
+        "nothing beyond the predictions; no new corpus pass, no " +
+        "shuffle join anywhere."),
+    "q122_dup_flows" ->
+      ("Duplication-flow matrix: the session-cached verified pairs join " +
+        "documents twice on id, the cell rollup is one map-side-combined " +
+        "groupBy to ≤ sources² rows, and the one-row total returns by " +
+        "broadcast — provenance forensics at the cost of two id-keyed " +
+        "joins over the (already bounded) pair set."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

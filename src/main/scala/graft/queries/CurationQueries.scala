@@ -475,6 +475,39 @@ object CurationQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q121_knn_confusion" -> ((s, dir) => {
+      // Per-class evaluation of the q56 kNN auto-labeler — the
+      // multiclass companion to q117's binary AUC: support / predicted
+      // count / true positives per label, with precision, recall and
+      // F1 = 2·tp/(support + n_pred) (the harmonic form reduced to ONE
+      // division over integers — no P·R intermediate to diverge on a
+      // ULP). Classes are the observed true labels; a class never
+      // predicted reports NULL precision (not NaN) in both engines.
+      // Shape: q56's plan plus two label-directory aggregations
+      // (≤ #classes rows each) and one broadcast-sized join — the
+      // eval table costs nothing beyond the predictions themselves.
+      val preds = queries("q56_knn_vote")(s, dir)
+        .select(col("true_label"), col("pred_label"))
+      val t = preds.groupBy(col("true_label")).agg(
+        count(lit(1)).as("support"),
+        coalesce(sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)), lit(0L)).as("tp"))
+      val p = preds.groupBy(col("pred_label")).agg(
+        count(lit(1)).as("n_pred"))
+      t.join(broadcast(p), t("true_label") === p("pred_label"), "left")
+        .na.fill(0L, Seq("n_pred"))
+        .select(col("true_label").as("label"), col("support"),
+          col("n_pred"), col("tp"),
+          when(col("n_pred") > 0,
+            round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
+            .otherwise(lit(null).cast("double")).as("prec"),
+          round(col("tp").cast("double") / col("support").cast("double"), 6)
+            .as("recall"),
+          round(lit(2.0) * col("tp").cast("double") /
+            (col("support") + col("n_pred")).cast("double"), 6).as("f1"))
+        .orderBy(col("label"))
+    }),
+
     "q65_bloom_decontam" -> ((s, dir) => {
       // q52's contamination screen re-shaped for the asymmetric 100 TB
       // case: the benchmark (test) shingle set is small, the train side
@@ -973,6 +1006,37 @@ object CurationQueries {
       s"(CASE WHEN $id % 4 = 0 THEN ' call +1-555-' || lpad(($id % 10000)::VARCHAR, 4, '0') ELSE '' END) || " +
       s"(CASE WHEN $id % 5 = 0 THEN ' from 10.0.' || ($id % 256) || '.' || (($id * 7) % 256) ELSE '' END))"
 
+  /** q56's oracle chain through `win` (the per-test-vector vote
+    * ranking) — shared verbatim by q56 and q121 so the eval table is
+    * checked against the SAME prediction SQL it audits. */
+  private def knnVoteCtes: String = {
+    val cos = AnnQueries.cosSql("t.embedding", "q.embedding")
+    s"""e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+       |    ${splitBucketSql("vec_id")} AS bucket
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |q AS (SELECT vec_id, label AS true_label, embedding FROM e WHERE bucket >= 90),
+       |t AS (SELECT vec_id AS tid, label AS tl, embedding FROM e WHERE bucket < 80),
+       |scored AS (
+       |  SELECT q.vec_id, q.true_label, t.tid, t.tl,
+       |    round($cos, 6) AS score
+       |  FROM t CROSS JOIN q),
+       |ranked AS (
+       |  SELECT vec_id, true_label, tl,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, tid ASC) AS rk
+       |  FROM scored),
+       |votes AS (
+       |  SELECT vec_id, true_label, tl, COUNT(*) AS n_votes
+       |  FROM ranked WHERE rk <= $KnnVoteK
+       |  GROUP BY vec_id, true_label, tl),
+       |win AS (
+       |  SELECT vec_id, true_label, tl AS pred_label, n_votes,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY n_votes DESC, tl ASC) AS vrk
+       |  FROM votes)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q52_decontamination" ->
@@ -1150,36 +1214,29 @@ object CurationQueries {
          |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
     },
 
-    "q56_knn_vote" -> {
-      val cos = AnnQueries.cosSql("t.embedding", "q.embedding")
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
-         |    ${splitBucketSql("vec_id")} AS bucket
-         |  FROM embeddings WHERE len(embedding) = 64),
-         |q AS (SELECT vec_id, label AS true_label, embedding FROM e WHERE bucket >= 90),
-         |t AS (SELECT vec_id AS tid, label AS tl, embedding FROM e WHERE bucket < 80),
-         |scored AS (
-         |  SELECT q.vec_id, q.true_label, t.tid, t.tl,
-         |    round($cos, 6) AS score
-         |  FROM t CROSS JOIN q),
-         |ranked AS (
-         |  SELECT vec_id, true_label, tl,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY score DESC, tid ASC) AS rk
-         |  FROM scored),
-         |votes AS (
-         |  SELECT vec_id, true_label, tl, COUNT(*) AS n_votes
-         |  FROM ranked WHERE rk <= $KnnVoteK
-         |  GROUP BY vec_id, true_label, tl),
-         |win AS (
-         |  SELECT vec_id, true_label, tl AS pred_label, n_votes,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY n_votes DESC, tl ASC) AS vrk
-         |  FROM votes)
+    "q56_knn_vote" ->
+      s"""WITH $knnVoteCtes
          |SELECT vec_id, true_label, pred_label, n_votes,
          |  CAST(true_label = pred_label AS BIGINT) AS correct
-         |FROM win WHERE vrk = 1 ORDER BY vec_id""".stripMargin
-    },
+         |FROM win WHERE vrk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q121_knn_confusion" ->
+      s"""WITH $knnVoteCtes,
+         |preds AS (SELECT true_label, pred_label FROM win WHERE vrk = 1),
+         |tc AS (SELECT true_label AS label, COUNT(*)::BIGINT AS support,
+         |    CAST(COALESCE(SUM(CASE WHEN pred_label = true_label THEN 1 END), 0)
+         |      AS BIGINT) AS tp
+         |  FROM preds GROUP BY true_label),
+         |pc AS (SELECT pred_label AS label, COUNT(*)::BIGINT AS n_pred
+         |  FROM preds GROUP BY pred_label)
+         |SELECT tc.label, tc.support,
+         |  CAST(COALESCE(pc.n_pred, 0) AS BIGINT) AS n_pred, tc.tp,
+         |  CASE WHEN COALESCE(pc.n_pred, 0) > 0
+         |    THEN round(tc.tp::DOUBLE / pc.n_pred::DOUBLE, 6) END AS prec,
+         |  round(tc.tp::DOUBLE / tc.support::DOUBLE, 6) AS recall,
+         |  round(2.0 * tc.tp::DOUBLE /
+         |    (tc.support + COALESCE(pc.n_pred, 0))::DOUBLE, 6) AS f1
+         |FROM tc LEFT JOIN pc ON tc.label = pc.label ORDER BY tc.label""".stripMargin,
 
     "q82_dsir_weights" -> {
       val bN = DsirBuckets

@@ -392,6 +392,40 @@ object DedupQueries {
           .otherwise(lit(null).cast("double")).as("kappa"))
     }),
 
+    "q122_dup_flows" -> ((s, dir) => {
+      // Cross-source duplication-flow matrix: which sources copy from
+      // which — every verified near-dup pair charged to its unordered
+      // (source, source) cell with the cell's pair count, corpus share
+      // and mean similarity. The provenance forensics a crawl pipeline
+      // runs when one feed is a mirror of another: a hot off-diagonal
+      // cell says drop (or down-weight) the mirror at INGEST, before
+      // paying dedup on its whole volume. Shape: the session-cached
+      // verified pairs join `documents` twice on id, the cell rollup
+      // is one map-side-combined groupBy to ≤ sources² rows, and the
+      // one-row total returns by broadcast; mean_jac routes through
+      // decimal so the cell means are partition-order-free.
+      val pairs = lshVerifiedPairs(s, dir)
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val cells = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"), col("jac"))
+      val tot = cells.agg(count(lit(1)).as("total_pairs"))
+      cells.groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jac").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_jac"))
+        .crossJoin(broadcast(tot))
+        .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+          round(col("n_pairs").cast("double") /
+            col("total_pairs").cast("double"), 6).as("share"),
+          col("mean_jac"))
+        .orderBy(col("src_lo"), col("src_hi"))
+    }),
+
     "q31_dedup_survivors" -> ((s, dir) =>
       // the full near-dup dedup pipeline: LSH pairs → connected
       // components → min-id survivor per cluster, over all documents
@@ -830,6 +864,22 @@ object DedupQueries {
       "q19_minhash_lsh" ->
         s"""WITH $lshPairsCtes
            |SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q122_dup_flows" ->
+        s"""WITH $lshPairsCtes,
+           |cells AS (
+           |  SELECT least(da.source, db.source) AS src_lo,
+           |    greatest(da.source, db.source) AS src_hi, p.jac
+           |  FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+           |    JOIN documents db ON p.doc_b = db.doc_id),
+           |tot AS (SELECT COUNT(*)::BIGINT AS total_pairs FROM cells)
+           |SELECT src_lo, src_hi, COUNT(*)::BIGINT AS n_pairs,
+           |  round(COUNT(*)::DOUBLE / total_pairs::DOUBLE, 6) AS share,
+           |  round(CAST(SUM(CAST(jac AS DECIMAL(28,6))) AS DOUBLE)
+           |    / COUNT(*), 6) AS mean_jac
+           |FROM cells CROSS JOIN tot
+           |GROUP BY src_lo, src_hi, total_pairs
+           |ORDER BY src_lo, src_hi""".stripMargin,
 
       "q64_containment_audit" ->
         s"""WITH $lshCandCtes

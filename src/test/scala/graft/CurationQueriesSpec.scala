@@ -82,6 +82,36 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(mk(mixed, 1).collect().head === mk(mixed, 7).collect().head)
   }
 
+  test("q121 per-class eval matches a driver recompute from q56's predictions") {
+    val preds = run("q56_knn_vote", sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val rows = run("q121_knn_confusion", sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet === preds.map(_._1).toSet)
+    // conservation: supports partition the test set; tp sums to the
+    // correct count; predicted counts sum to at most the test size
+    // (classes never true-labeled are excluded rows)
+    assert(rows.map(_.getLong(1)).sum === preds.length.toLong)
+    assert(rows.map(_.getLong(3)).sum === preds.count(p => p._1 == p._2).toLong)
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      val support = preds.count(_._1 == c).toLong
+      val nPred = preds.count(_._2 == c).toLong
+      val tp = preds.count(p => p._1 == c && p._2 == c).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((support, nPred, tp)))
+      if (nPred > 0)
+        assert(math.abs(r.getDouble(4) - tp.toDouble / nPred) < 1e-6)
+      else assert(r.isNullAt(4))
+      assert(math.abs(r.getDouble(5) - tp.toDouble / support) < 1e-6)
+      val f1 = 2.0 * tp / (support + nPred)
+      assert(math.abs(r.getDouble(6) - f1) < 1e-6)
+      // harmonic-mean identity where precision is defined and tp > 0
+      if (nPred > 0 && tp > 0) {
+        val pr = tp.toDouble / nPred; val rc = tp.toDouble / support
+        assert(math.abs(f1 - 2 * pr * rc / (pr + rc)) < 1e-9)
+      }
+    }
+  }
+
   test("q52 decontamination matches a driver-side recomputation") {
     // independent path: recompute per-doc overlap from raw shingle hash
     // sets (same codegen'd expression, but set logic done in Scala)

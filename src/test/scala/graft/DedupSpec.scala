@@ -73,6 +73,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(dist === want)
   }
 
+  test("q122 dup flows match a driver recompute from q19's pairs and doc sources") {
+    import graft.queries.DedupQueries
+    val pairs = DedupQueries.queries("q19_minhash_lsh")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = pairs.map { case (a, b, j) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), j)
+    }
+    val rows = DedupQueries.queries("q122_dup_flows")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum === pairs.length.toLong)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      val js = cells.filter(_._1 == cell).map(_._2)
+      assert(r.getLong(2) === js.length.toLong, s"$cell n_pairs")
+      assert(math.abs(r.getDouble(4) - js.sum / js.length) < 1e-6, s"$cell mean")
+      // verified pairs all passed the 0.5 threshold
+      assert(r.getDouble(4) >= 0.5 && r.getDouble(4) <= 1.0)
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ===
+      cells.map(_._1).toSet)
+  }
+
   test("local and distributed components agree on fixture LSH pairs") {
     val pairs = graft.queries.DedupQueries.queries("q19_minhash_lsh")(spark, sf0001)
       .select($"doc_a", $"doc_b")

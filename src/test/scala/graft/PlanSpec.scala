@@ -561,6 +561,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"confusion counts must combine map-side:\n$p")
   }
 
+  test("q121 knn eval: label directories broadcast-join, no shuffle join") {
+    // the eval layers two tiny (≤ #classes) aggregations over q56's
+    // broadcast-probe plan; the directory join must broadcast and no
+    // sort-merge join may appear anywhere
+    val p = plan("q121_knn_confusion")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"label join must broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"label counts must combine map-side:\n$p")
+  }
+
+  test("q122 dup flows: cell rollup combines map-side, total broadcasts back") {
+    val p = plan("q122_dup_flows")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"one-row total must broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"cell counts must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not
