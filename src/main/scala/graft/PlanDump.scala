@@ -271,7 +271,13 @@ object PlanDump {
         "documents twice on id, the cell rollup is one map-side-combined " +
         "groupBy to ≤ sources² rows, and the one-row total returns by " +
         "broadcast — provenance forensics at the cost of two id-keyed " +
-        "joins over the (already bounded) pair set."))
+        "joins over the (already bounded) pair set."),
+    "q123_signal_corr" ->
+      ("Signal-redundancy Pearson matrix: the three signal builds share " +
+        "q98's session caches, the 3-way join is doc_id-keyed, and the " +
+        "whole matrix collapses in ONE map-side-combined aggregate to a " +
+        "single row — exact decimal sums, so every r is " +
+        "partition-order-free."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

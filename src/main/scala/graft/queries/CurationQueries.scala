@@ -666,27 +666,7 @@ object CurationQueries {
       // builds; every rank is partition-count-independent (total order,
       // doc_id tie-break).
       import graft.operators.RankedCumsum.scoreRank
-      val enr = TextQueries.enriched(s, dir)
-      val q = enr.select(col("doc_id"),
-        graft.functions.TextFunctions.qualityScore(
-          col("n_tokens"), col("n_distinct"),
-          col("n_stop").cast("double") / col("n_tokens"),
-          col("char_sum").cast("double") / col("n_tokens")).as("score"))
-      val tf = KeywordQueries.tokenizedDocs(s, dir)
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val nTok = gc.agg(sum(col("c")).as("nt"))
-      val ll = tf.join(broadcast(gc), Seq("tok"))
-        .crossJoin(broadcast(nTok))
-        .withColumn("l", log(col("c").cast("double")) - log(col("nt").cast("double")))
-        .groupBy(col("doc_id"), col("dl"))
-        .agg(sum(col("l").cast("decimal(28,12)")).cast("double").as("sl"))
-        .select(col("doc_id"), round(col("sl") / col("dl"), 6).as("score"))
-      val dv = DedupQueries.hashedShingles(s, dir)
-        .join(enr.select(col("doc_id"), col("n_tokens")), "doc_id")
-        .select(col("doc_id"),
-          round(size(col("hs")).cast("double") /
-            greatest(col("n_tokens") - 2, lit(1L)).cast("double"), 6).as("score"))
+      val (q, ll, dv) = qualitySignals(s, dir)
       val r1 = scoreRank(q).withColumnRenamed("rank", "r_quality")
       val r2 = scoreRank(ll).withColumnRenamed("rank", "r_loglik")
       val r3 = scoreRank(dv).withColumnRenamed("rank", "r_diversity")
@@ -703,6 +683,50 @@ object CurationQueries {
         .select(col("doc_id"), col("r_quality"), col("r_loglik"),
           col("r_diversity"), col("borda"), col("final_rank"), col("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q123_signal_corr" -> ((s, dir) => {
+      // Signal-redundancy audit for the q98 ensemble: the Pearson
+      // correlation matrix of the three quality signals. Before
+      // paying for a signal at 100 TB, check it adds information —
+      // |r| near 1 between two signals means one is redundant; near 0
+      // means the ensemble genuinely diversifies. Shape: the three
+      // signal builds share q98's session caches, the 3-way join is
+      // doc_id-keyed, and the whole matrix collapses in ONE
+      // map-side-combined aggregate — 6-dp scores sum as exact
+      // decimals (products exact at 12 dp, the q109 argument), so
+      // every r is computed from partition-order-free sums; a
+      // zero-variance signal yields NULL (not NaN) identically in
+      // both engines.
+      val (q, ll, dv) = qualitySignals(s, dir)
+      val j = q.select(col("doc_id"), col("score").as("xq"))
+        .join(ll.select(col("doc_id"), col("score").as("xl")), "doc_id")
+        .join(dv.select(col("doc_id"), col("score").as("xd")), "doc_id")
+      def d6(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+      def d12(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+      val t = j.agg(count(lit(1)).as("n"),
+        d6(col("xq")).as("sq"), d6(col("xl")).as("sl"), d6(col("xd")).as("sd"),
+        d12(col("xq") * col("xq")).as("sqq"),
+        d12(col("xl") * col("xl")).as("sll"),
+        d12(col("xd") * col("xd")).as("sdd"),
+        d12(col("xq") * col("xl")).as("sql_"),
+        d12(col("xq") * col("xd")).as("sqd"),
+        d12(col("xl") * col("xd")).as("sld"))
+      val nD = col("n").cast("double")
+      def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) = {
+        val vx = nD * sxx - sx * sx
+        val vy = nD * syy - sy * sy
+        when(vx > 0 && vy > 0,
+          round((nD * sxy - sx * sy) / sqrt(vx * vy), 6))
+          .otherwise(lit(null).cast("double"))
+      }
+      t.select(col("n"),
+        r(col("sql_"), col("sq"), col("sl"), col("sqq"), col("sll"))
+          .as("r_quality_loglik"),
+        r(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd"))
+          .as("r_quality_diversity"),
+        r(col("sld"), col("sl"), col("sd"), col("sll"), col("sdd"))
+          .as("r_loglik_diversity"))
     }),
 
     "q94_temperature_mix" -> ((s, dir) => {
@@ -1005,6 +1029,67 @@ object CurationQueries {
       s"(CASE WHEN $id % 3 = 0 THEN ' contact u' || $id || '@ex-mail.org' ELSE '' END) || " +
       s"(CASE WHEN $id % 4 = 0 THEN ' call +1-555-' || lpad(($id % 10000)::VARCHAR, 4, '0') ELSE '' END) || " +
       s"(CASE WHEN $id % 5 = 0 THEN ' from 10.0.' || ($id % 256) || '.' || (($id * 7) % 256) ELSE '' END))"
+
+  /** The three per-doc quality signals of the q98 ensemble — q14's
+    * heuristic quality, q55's per-token unigram log-likelihood, and
+    * within-doc shingle diversity — as (doc_id, score) tables, every
+    * score 6-dp rounded. Shared by q98 (rank ensemble) and q123
+    * (redundancy correlation matrix) so both audit the SAME signals. */
+  private[graft] def qualitySignals(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val enr = TextQueries.enriched(s, dir)
+    val q = enr.select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(
+        col("n_tokens"), col("n_distinct"),
+        col("n_stop").cast("double") / col("n_tokens"),
+        col("char_sum").cast("double") / col("n_tokens")).as("score"))
+    val tf = KeywordQueries.tokenizedDocs(s, dir)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+    val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTok = gc.agg(sum(col("c")).as("nt"))
+    val ll = tf.join(broadcast(gc), Seq("tok"))
+      .crossJoin(broadcast(nTok))
+      .withColumn("l", log(col("c").cast("double")) - log(col("nt").cast("double")))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("l").cast("decimal(28,12)")).cast("double").as("sl"))
+      .select(col("doc_id"), round(col("sl") / col("dl"), 6).as("score"))
+    val dv = DedupQueries.hashedShingles(s, dir)
+      .join(enr.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .select(col("doc_id"),
+        round(size(col("hs")).cast("double") /
+          greatest(col("n_tokens") - 2, lit(1L)).cast("double"), 6).as("score"))
+    (q, ll, dv)
+  }
+
+  /** The oracle twin of [[qualitySignals]]: CTEs defining `q`, `ll`
+    * and `dv` (plus their intermediates) — shared verbatim by the q98
+    * and q123 oracles. */
+  private def signalCtes: String = {
+    val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
+    val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
+    s"""enriched AS (${TextQueries.enrichedSql}),
+       |q AS (SELECT doc_id,
+       |    ${graft.functions.TextFunctions.qualityScoreSql(
+             "n_tokens", "n_distinct", stopRatio, avgTokLen)} AS score
+       |  FROM enriched),
+       |dd AS (${KeywordQueries.tokenizedDocsSql}),
+       |tf AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+       |gc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM gc),
+       |llg AS (
+       |  SELECT tf.doc_id, tf.dl,
+       |    CAST(SUM(CAST(ln(c::DOUBLE) - ln(nt::DOUBLE)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS sl
+       |  FROM tf JOIN gc USING (tok) CROSS JOIN n
+       |  GROUP BY tf.doc_id, tf.dl),
+       |ll AS (SELECT doc_id, round(sl / dl, 6) AS score FROM llg),
+       |sh AS (${DedupQueries.hashedShinglesSql}),
+       |dv AS (
+       |  SELECT sh.doc_id,
+       |    round(len(sh.hs)::DOUBLE
+       |      / greatest(e.n_tokens - 2, 1), 6) AS score
+       |  FROM sh JOIN enriched e ON sh.doc_id = e.doc_id)""".stripMargin
+  }
 
   /** q56's oracle chain through `win` (the per-test-vector vote
     * ranking) — shared verbatim by q56 and q121 so the eval table is
@@ -1385,31 +1470,36 @@ object CurationQueries {
 
     // all four global ranks expressed as row_number windows (fine at
     // oracle scale; the Spark side uses the two-pass distributed rank)
+    "q123_signal_corr" -> {
+      def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+        val vx = s"(n::DOUBLE * $sxx - $sx * $sx)"
+        val vy = s"(n::DOUBLE * $syy - $sy * $sy)"
+        s"CASE WHEN $vx > 0 AND $vy > 0 THEN " +
+          s"round((n::DOUBLE * $sxy - $sx * $sy) / sqrt($vx * $vy), 6) END"
+      }
+      s"""WITH $signalCtes,
+         |j AS (SELECT q.doc_id, q.score AS xq, ll.score AS xl, dv.score AS xd
+         |  FROM q JOIN ll USING (doc_id) JOIN dv USING (doc_id)),
+         |t AS (SELECT COUNT(*)::BIGINT AS n,
+         |    CAST(SUM(CAST(xq AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+         |    CAST(SUM(CAST(xl AS DECIMAL(28,6))) AS DOUBLE) AS sl,
+         |    CAST(SUM(CAST(xd AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+         |    CAST(SUM(CAST(xq * xq AS DECIMAL(28,12))) AS DOUBLE) AS sqq,
+         |    CAST(SUM(CAST(xl * xl AS DECIMAL(28,12))) AS DOUBLE) AS sll,
+         |    CAST(SUM(CAST(xd * xd AS DECIMAL(28,12))) AS DOUBLE) AS sdd,
+         |    CAST(SUM(CAST(xq * xl AS DECIMAL(28,12))) AS DOUBLE) AS sql_,
+         |    CAST(SUM(CAST(xq * xd AS DECIMAL(28,12))) AS DOUBLE) AS sqd,
+         |    CAST(SUM(CAST(xl * xd AS DECIMAL(28,12))) AS DOUBLE) AS sld
+         |  FROM j)
+         |SELECT n,
+         |  ${r("sql_", "sq", "sl", "sqq", "sll")} AS r_quality_loglik,
+         |  ${r("sqd", "sq", "sd", "sqq", "sdd")} AS r_quality_diversity,
+         |  ${r("sld", "sl", "sd", "sll", "sdd")} AS r_loglik_diversity
+         |FROM t""".stripMargin
+    },
+
     "q98_rank_ensemble" -> {
-      val stopRatio = "(CAST(n_stop AS DOUBLE) / n_tokens)"
-      val avgTokLen = "(CAST(char_sum AS DOUBLE) / n_tokens)"
-      s"""WITH enriched AS (${TextQueries.enrichedSql}),
-         |q AS (SELECT doc_id,
-         |    ${graft.functions.TextFunctions.qualityScoreSql(
-               "n_tokens", "n_distinct", stopRatio, avgTokLen)} AS score
-         |  FROM enriched),
-         |dd AS (${KeywordQueries.tokenizedDocsSql}),
-         |tf AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
-         |gc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
-         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM gc),
-         |llg AS (
-         |  SELECT tf.doc_id, tf.dl,
-         |    CAST(SUM(CAST(ln(c::DOUBLE) - ln(nt::DOUBLE)
-         |      AS DECIMAL(28,12))) AS DOUBLE) AS sl
-         |  FROM tf JOIN gc USING (tok) CROSS JOIN n
-         |  GROUP BY tf.doc_id, tf.dl),
-         |ll AS (SELECT doc_id, round(sl / dl, 6) AS score FROM llg),
-         |sh AS (${DedupQueries.hashedShinglesSql}),
-         |dv AS (
-         |  SELECT sh.doc_id,
-         |    round(len(sh.hs)::DOUBLE
-         |      / greatest(e.n_tokens - 2, 1), 6) AS score
-         |  FROM sh JOIN enriched e ON sh.doc_id = e.doc_id),
+      s"""WITH $signalCtes,
          |r1 AS (SELECT doc_id, CAST(row_number() OVER (
          |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_quality FROM q),
          |r2 AS (SELECT doc_id, CAST(row_number() OVER (

@@ -112,6 +112,35 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q123 signal correlations match a driver-side pearson recompute") {
+    // independent path: collect the three signal tables and compute
+    // each pearson r by the definitional centered form in the driver
+    val (q, ll, dv) = CurationQueries.qualitySignals(spark, sf0001)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (mq, mll, mdv) = (m(q), m(ll), m(dv))
+    val ids = (mq.keySet & mll.keySet & mdv.keySet).toSeq.sorted
+    def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum
+      val vy = ys.map(y => (y - my) * (y - my)).sum
+      cov / math.sqrt(vx * vy)
+    }
+    val row = run("q123_signal_corr", sf0001).collect().head
+    assert(row.getLong(0) === ids.length.toLong)
+    val expect = Seq(
+      pearson(ids.map(mq), ids.map(mll)),
+      pearson(ids.map(mq), ids.map(mdv)),
+      pearson(ids.map(mll), ids.map(mdv)))
+    expect.zipWithIndex.foreach { case (e, i) =>
+      val got = row.getDouble(i + 1)
+      assert(math.abs(got - e) < 1e-5, s"r[$i] $got vs $e")
+      assert(got >= -1.0 - 1e-9 && got <= 1.0 + 1e-9)
+    }
+  }
+
   test("q52 decontamination matches a driver-side recomputation") {
     // independent path: recompute per-doc overlap from raw shingle hash
     // sets (same codegen'd expression, but set logic done in Scala)

@@ -583,6 +583,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"cell counts must combine map-side:\n$p")
   }
 
+  test("q123 signal corr: one-row matrix aggregate combines map-side, no cartesian") {
+    val p = plan("q123_signal_corr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"moment sums must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") ||
+      p.linesIterator.count(_.contains("SortMergeJoin")) <= 3,
+      s"only the doc_id-keyed signal joins may shuffle:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not
