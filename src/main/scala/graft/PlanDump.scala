@@ -277,7 +277,13 @@ object PlanDump {
         "q98's session caches, the 3-way join is doc_id-keyed, and the " +
         "whole matrix collapses in ONE map-side-combined aggregate to a " +
         "single row — exact decimal sums, so every r is " +
-        "partition-order-free."))
+        "partition-order-free."),
+    "q124_component_split" ->
+      ("Component-keyed split: both assignments are row-local hashes over " +
+        "the session-cached component labels, ONE map-side-combined " +
+        "groupBy(component) collapses the corpus, and the two one-row " +
+        "aggregates meet in a broadcast crossJoin — leakage-safety " +
+        "costs one keyed exchange at any corpus size."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

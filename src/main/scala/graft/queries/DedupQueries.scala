@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -696,6 +696,55 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q124_component_split" -> ((s, dir) => {
+      // the FIX for what q100 audits: assign train/val/test by hashing
+      // the near-dup COMPONENT id instead of the doc id, so a
+      // paraphrase cluster moves between splits as a unit and can
+      // never straddle the train/test boundary. The query runs BOTH
+      // assignments over the session-cached component labels and
+      // proves the property in-plan: straddle/leak counts under the
+      // doc-keyed baseline (q100's failure mode, honestly nonzero)
+      // next to the component-keyed counts (structurally zero), plus
+      // the realized split sizes — the price of leakage-safety is the
+      // ratio drift from 80/10/10 as whole clusters move. Shape: one
+      // map-side-combined groupBy(component), two one-row aggregates,
+      // one broadcast crossJoin — component-cardinality-sized after
+      // the first exchange at any corpus size.
+      val (a, b) = SplitPair
+      def bucket(c: Column) = ((lit(a) * c + lit(b)) % lit(P)) % 100
+      def splitOf(c: Column) = {
+        val bk = bucket(c)
+        when(bk < 80, "train").when(bk >= 90, "test").otherwise("val")
+      }
+      val lab = survivorLabels(s, dir)
+        .select(col("doc_id"), col("component"))
+        .withColumn("dsplit", splitOf(col("doc_id")))
+        .withColumn("csplit", splitOf(col("component")))
+      val perComp = lab.groupBy(col("component")).agg(
+        countDistinct(col("dsplit")).as("nd"),
+        countDistinct(col("csplit")).as("nc"),
+        max((col("dsplit") === "train").cast("long")).as("dtr"),
+        max((col("dsplit") === "test").cast("long")).as("dte"),
+        max((col("csplit") === "train").cast("long")).as("ctr"),
+        max((col("csplit") === "test").cast("long")).as("cte"))
+      val compAgg = perComp.agg(
+        count(lit(1)).as("n_components"),
+        sum((col("nd") > 1).cast("long")).as("straddle_doc"),
+        sum((col("nc") > 1).cast("long")).as("straddle_comp"),
+        sum((col("dtr") === 1 && col("dte") === 1).cast("long")).as("leaky_doc"),
+        sum((col("ctr") === 1 && col("cte") === 1).cast("long")).as("leaky_comp"))
+      val splitCounts = lab.agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("csplit") === "train").cast("long")).as("n_train"),
+        sum((col("csplit") === "val").cast("long")).as("n_val"),
+        sum((col("csplit") === "test").cast("long")).as("n_test"))
+      compAgg.crossJoin(broadcast(splitCounts))
+        .select(col("n_docs"), col("n_components"),
+          col("n_train"), col("n_val"), col("n_test"),
+          col("straddle_doc"), col("leaky_doc"),
+          col("straddle_comp"), col("leaky_comp"))
+    }),
+
     "q100_split_leakage" -> ((s, dir) => {
       // near-dup-aware split integrity audit: a duplicate CLUSTER whose
       // members straddle the train/test boundary leaks evaluation
@@ -1091,6 +1140,51 @@ object DedupQueries {
 
       // the same recursive-components construction as q67's oracle,
       // with each doc's split from the shared SplitPair hash
+      "q124_component_split" -> {
+        val (a, b) = SplitPair
+        def bucket(e: String) = s"((($a * $e + $b) % $P) % 100)"
+        def splitOf(e: String) =
+          s"CASE WHEN ${bucket(e)} < 80 THEN 'train' " +
+            s"WHEN ${bucket(e)} >= 90 THEN 'test' ELSE 'val' END"
+        s"""WITH RECURSIVE $lshPairsCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+           |labels AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+           |           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+           |sp AS (SELECT doc_id, component,
+           |  ${splitOf("doc_id")} AS dsplit,
+           |  ${splitOf("component")} AS csplit
+           |  FROM labels),
+           |pc AS (
+           |  SELECT component,
+           |    COUNT(DISTINCT dsplit)::BIGINT AS nd,
+           |    COUNT(DISTINCT csplit)::BIGINT AS nc,
+           |    MAX(CASE WHEN dsplit = 'train' THEN 1 ELSE 0 END) AS dtr,
+           |    MAX(CASE WHEN dsplit = 'test' THEN 1 ELSE 0 END) AS dte,
+           |    MAX(CASE WHEN csplit = 'train' THEN 1 ELSE 0 END) AS ctr,
+           |    MAX(CASE WHEN csplit = 'test' THEN 1 ELSE 0 END) AS cte
+           |  FROM sp GROUP BY component),
+           |ca AS (SELECT COUNT(*)::BIGINT AS n_components,
+           |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS straddle_doc,
+           |    CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS straddle_comp,
+           |    CAST(SUM(CASE WHEN dtr = 1 AND dte = 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_doc,
+           |    CAST(SUM(CASE WHEN ctr = 1 AND cte = 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_comp
+           |  FROM pc),
+           |sc AS (SELECT COUNT(*)::BIGINT AS n_docs,
+           |    CAST(SUM(CASE WHEN csplit = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |    CAST(SUM(CASE WHEN csplit = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |    CAST(SUM(CASE WHEN csplit = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           |  FROM sp)
+           |SELECT n_docs, n_components, n_train, n_val, n_test,
+           |  straddle_doc, leaky_doc, straddle_comp, leaky_comp
+           |FROM ca CROSS JOIN sc""".stripMargin
+      },
+
       "q100_split_leakage" -> {
         val (a, b) = SplitPair
         val bucket = s"((($a * doc_id + $b) % $P) % 100)"

@@ -99,6 +99,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       cells.map(_._1).toSet)
   }
 
+  test("q124 component split: comp-keyed leakage structurally zero, doc baseline recomputed") {
+    import graft.functions.PortableHash.{P, SplitPair}
+    import graft.queries.DedupQueries
+    val labels = DedupQueries.queries("q31_dedup_survivors")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (a, b) = SplitPair
+    def split(id: Long) = {
+      val bk = ((a * id + b) % P) % 100
+      if (bk < 80) "train" else if (bk >= 90) "test" else "val"
+    }
+    val byComp = labels.groupBy(_._2)
+    val straddleDoc = byComp.values
+      .count(_.map(p => split(p._1)).distinct.length > 1).toLong
+    val leakyDoc = byComp.values.count { ds =>
+      val ss = ds.map(p => split(p._1)).toSet
+      ss.contains("train") && ss.contains("test")
+    }.toLong
+    val row = DedupQueries.queries("q124_component_split")(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) === labels.length.toLong)
+    assert(row.getLong(1) === byComp.size.toLong)
+    // component-keyed split sizes: every doc inherits its component's
+    // split, so the realized sizes are the component-hash partition
+    val want = labels.groupBy(p => split(p._2)).view.mapValues(_.length.toLong)
+    assert(row.getLong(2) === want.getOrElse("train", 0L))
+    assert(row.getLong(3) === want.getOrElse("val", 0L))
+    assert(row.getLong(4) === want.getOrElse("test", 0L))
+    assert(row.getLong(2) + row.getLong(3) + row.getLong(4) === row.getLong(0))
+    assert(row.getLong(5) === straddleDoc)
+    assert(row.getLong(6) === leakyDoc)
+    // the point of the operator: component-keyed assignment cannot
+    // straddle — structurally, not statistically
+    assert(row.getLong(7) === 0L && row.getLong(8) === 0L)
+  }
+
   test("local and distributed components agree on fixture LSH pairs") {
     val pairs = graft.queries.DedupQueries.queries("q19_minhash_lsh")(spark, sf0001)
       .select($"doc_a", $"doc_b")

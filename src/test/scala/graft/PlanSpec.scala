@@ -594,6 +594,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"only the doc_id-keyed signal joins may shuffle:\n$p")
   }
 
+  test("q124 component split: keyed component rollup, one-row aggregates broadcast") {
+    val p = plan("q124_component_split")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row aggregates must meet via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"split counts must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not
