@@ -283,7 +283,14 @@ object PlanDump {
         "the session-cached component labels, ONE map-side-combined " +
         "groupBy(component) collapses the corpus, and the two one-row " +
         "aggregates meet in a broadcast crossJoin — leakage-safety " +
-        "costs one keyed exchange at any corpus size."))
+        "costs one keyed exchange at any corpus size."),
+    "q125_hilbert_layout" ->
+      ("Hilbert vs Morton vs lexicographic: the corpus collapses " +
+        "map-side into the bucket directory FIRST, then the Hilbert " +
+        "address is 8 chained integer-CASE projections over the " +
+        "≤2^16-row directory — curve arithmetic costs nothing at any " +
+        "corpus size; the three carves reuse the same bounded-window " +
+        "file machinery as q111."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

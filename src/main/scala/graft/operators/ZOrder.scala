@@ -36,4 +36,41 @@ object ZOrder {
       s"(($x $idiv ${1L << i}) % 2) * ${1L << (2 * i)} + " +
         s"(($y $idiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
+
+  /** One iteration of the classic xy2d Hilbert-curve conversion loop
+    * (Hilbert 1891; the quadrant-digit-plus-rotation formulation of
+    * the widely published xy2d/d2xy code), as three portable SQL
+    * expressions over the PREVIOUS step's (x, y, d) column names —
+    * both engines materialize one column set per step (8 steps at
+    * 8 bits), so the expression never grows combinatorially.
+    *
+    * At scale s = 2^i (descending from n/2): the bit tests
+    * rx = (x div s) % 2, ry = (y div s) % 2 pick the quadrant, the
+    * digit (3·rx XOR ry) is enumerated as a CASE over the four
+    * (rx, ry) combinations — no engine-specific XOR operator — and
+    * the ry = 0 rotation (flip by n−1 when rx = 1, then swap x/y)
+    * becomes two CASEs. Returns (d, x, y) expression strings.
+    *
+    * Why Hilbert next to Morton: consecutive Hilbert addresses are
+    * always ADJACENT cells (unit Manhattan step — spec-proven), so an
+    * equal-row file carve along d yields spatially compact files with
+    * no quadrant-boundary jumps; Morton's diagonal discontinuities
+    * are exactly what its skipping audit pays for. */
+  def hilbertStepSql(x: String, y: String, d: String, s: Long, n: Long,
+                     idiv: String): (String, String, String) = {
+    val rx = s"(($x $idiv $s) % 2)"
+    val ry = s"(($y $idiv $s) % 2)"
+    val digit = s"(CASE WHEN $rx = 0 AND $ry = 0 THEN 0 " +
+      s"WHEN $rx = 0 THEN 1 WHEN $ry = 0 THEN 3 ELSE 2 END)"
+    val dNext = s"($d + ${s * s} * $digit)"
+    val xNext = s"(CASE WHEN $ry = 1 THEN $x " +
+      s"WHEN $rx = 1 THEN ${n - 1} - $y ELSE $y END)"
+    val yNext = s"(CASE WHEN $ry = 1 THEN $y " +
+      s"WHEN $rx = 1 THEN ${n - 1} - $x ELSE $x END)"
+    (dNext, xNext, yNext)
+  }
+
+  /** The descending scales of the `bits`-bit Hilbert loop. */
+  def hilbertScales(bits: Int): Seq[Long] =
+    (bits - 1 to 0 by -1).map(i => 1L << i)
 }

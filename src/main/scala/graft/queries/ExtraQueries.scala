@@ -281,6 +281,54 @@ object ExtraQueries {
       .orderBy(col("lang"))
   }
 
+  /** Equal-row file carve of a layout directory ordered by `key`
+    * (columns xb, yb, n, cnt required): per-file row counts plus
+    * min/max bucket extents — the per-file statistics a parquet footer
+    * would carry after a rewrite sorted by that key. Shared by q111
+    * (Morton vs lexicographic) and q125 (plus Hilbert); windows run on
+    * the bounded directory under the non-foldable constant key. */
+  private def layoutFileStats(zdir: DataFrame, key: String,
+                              layout: String): DataFrame =
+    zdir
+      .withColumn("hi", sum(col("cnt")).over(
+        Window.partitionBy(pmod(col(key), lit(1))).orderBy(col(key))))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .withColumn("file_id", explode(sequence(
+        expr(s"lo * $ZFiles div n"), expr(s"(hi - 1) * $ZFiles div n"))))
+      .withColumn("rows_in",
+        least(col("hi"), expr(s"((file_id + 1) * n + ${ZFiles - 1}) div $ZFiles")) -
+          greatest(col("lo"), expr(s"(file_id * n + ${ZFiles - 1}) div $ZFiles")))
+      .groupBy(col("file_id"))
+      .agg(sum(col("rows_in")).as("n_rows"),
+        min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"),
+        min(col("yb")).as("yb_min"), max(col("yb")).as("yb_max"))
+      .select(lit(layout).as("layout"), col("file_id"), col("n_rows"),
+        col("xb_min"), col("xb_max"), col("yb_min"), col("yb_max"))
+
+  /** The q111/q125 rectangle-probe skip test over per-file extents. */
+  private def scanFlag: Column =
+    (!(col("xb_max") < ZQueryLo || col("xb_min") > ZQueryHi ||
+      col("yb_max") < ZQueryLo || col("yb_min") > ZQueryHi)).cast("int")
+
+  /** Append the [[ZBits]]-bit Hilbert address `hd` of (xb, yb) via the
+    * chained per-step projections of
+    * [[graft.operators.ZOrder.hilbertStepSql]] — indexed column names
+    * per step, so the shared SQL snippets read only the previous
+    * step's columns in BOTH engines (no lateral-alias shadowing). */
+  private[graft] def hilbertAddress(df: DataFrame): DataFrame = {
+    val keep = df.columns.toSeq
+    var d = df.selectExpr(
+      keep ++ Seq("xb AS hx0", "yb AS hy0", "0 AS hd0"): _*)
+    graft.operators.ZOrder.hilbertScales(ZBits).zipWithIndex.foreach {
+      case (sc, i) =>
+        val (de, xe, ye) = graft.operators.ZOrder.hilbertStepSql(
+          s"hx$i", s"hy$i", s"hd$i", sc, ZBuckets, "div")
+        d = d.selectExpr(keep ++ Seq(
+          s"$de AS hd${i + 1}", s"$xe AS hx${i + 1}", s"$ye AS hy${i + 1}"): _*)
+    }
+    d.selectExpr(keep ++ Seq(s"CAST(hd$ZBits AS BIGINT) AS hd"): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q111_zorder_layout" -> ((s, dir) => {
@@ -316,26 +364,46 @@ object ExtraQueries {
         .withColumn("lin", col("xb") * ZBuckets + col("yb"))
         .groupBy(col("z"), col("lin"), col("xb"), col("yb"), col("n"))
         .agg(count(lit(1)).as("cnt"))
-      def fileStats(key: String, layout: String): DataFrame =
-        zdir
-          .withColumn("hi", sum(col("cnt")).over(
-            Window.partitionBy(pmod(col("z"), lit(1))).orderBy(col(key))))
-          .withColumn("lo", col("hi") - col("cnt"))
-          .withColumn("file_id", explode(sequence(
-            expr(s"lo * $ZFiles div n"), expr(s"(hi - 1) * $ZFiles div n"))))
-          .withColumn("rows_in",
-            least(col("hi"), expr(s"((file_id + 1) * n + ${ZFiles - 1}) div $ZFiles")) -
-              greatest(col("lo"), expr(s"(file_id * n + ${ZFiles - 1}) div $ZFiles")))
-          .groupBy(col("file_id"))
-          .agg(sum(col("rows_in")).as("n_rows"),
-            min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"),
-            min(col("yb")).as("yb_min"), max(col("yb")).as("yb_max"))
-          .select(lit(layout).as("layout"), col("file_id"), col("n_rows"),
-            col("xb_min"), col("xb_max"), col("yb_min"), col("yb_max"))
-      fileStats("z", "zorder").unionByName(fileStats("lin", "linear"))
-        .withColumn("scan",
-          (!(col("xb_max") < ZQueryLo || col("xb_min") > ZQueryHi ||
-            col("yb_max") < ZQueryLo || col("yb_min") > ZQueryHi)).cast("int"))
+      layoutFileStats(zdir, "z", "zorder")
+        .unionByName(layoutFileStats(zdir, "lin", "linear"))
+        .withColumn("scan", scanFlag)
+        .orderBy(col("layout"), col("file_id"))
+    }),
+
+    "q125_hilbert_layout" -> ((s, dir) => {
+      // the q111 audit extended to the HILBERT curve — the other
+      // space-filling layout a lakehouse rewrite can pick (Hilbert
+      // 1891; consecutive addresses are always ADJACENT cells, where
+      // Morton's diagonal jumps smear file extents at quadrant
+      // boundaries — ZOrderSpec proves the unit-step law). Same
+      // directory collapse as q111, but the curve address is computed
+      // AFTER the groupBy, on the ≤ 2^16-row directory: 8 chained
+      // projection steps of pure integer CASEs (shared SQL snippets,
+      // indexed column names so neither engine's alias scoping can
+      // bite), costing nothing at any corpus size. Reports all three
+      // layouts' file extents and the same rectangle-probe scan audit
+      // so the three-way comparison is one hash-checked table.
+      val li = graft.SparkEntry.tbl(s, dir, "lineitem")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val ext = li.agg(
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+        count(lit(1)).as("n"))
+      val dir0 = li.crossJoin(broadcast(ext))
+        .withColumn("xb",
+          expr(s"((x - x_min) * $ZBuckets) div (x_max - x_min + 1)"))
+        .withColumn("yb",
+          expr(s"((y - y_min) * $ZBuckets) div (y_max - y_min + 1)"))
+        .groupBy(col("xb"), col("yb"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+      val zdir = hilbertAddress(dir0)
+        .withColumn("z",
+          expr(graft.operators.ZOrder.zSql("xb", "yb", ZBits, "div")))
+        .withColumn("lin", col("xb") * ZBuckets + col("yb"))
+      layoutFileStats(zdir, "hd", "hilbert")
+        .unionByName(layoutFileStats(zdir, "z", "zorder"))
+        .unionByName(layoutFileStats(zdir, "lin", "linear"))
+        .withColumn("scan", scanFlag)
         .orderBy(col("layout"), col("file_id"))
     }),
 
@@ -893,49 +961,91 @@ object ExtraQueries {
     }),
   )
 
+  /** Oracle twins of the q111/q125 layout machinery: bucketized corpus
+    * (`li`, `ext`, `keyed`), the equal-row carve statistics over a
+    * `zdir` directory CTE ordered by `key`, and the shared final
+    * rectangle-probe scan SELECT. */
+  private def layoutBaseCtes: String =
+    s"""li AS (
+       |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+       |ext AS (
+       |  SELECT MIN(x) AS x_min, MAX(x) AS x_max,
+       |    MIN(y) AS y_min, MAX(y) AS y_max, COUNT(*) AS n FROM li),
+       |keyed AS (
+       |  SELECT n,
+       |    ((x - x_min) * $ZBuckets) // (x_max - x_min + 1) AS xb,
+       |    ((y - y_min) * $ZBuckets) // (y_max - y_min + 1) AS yb
+       |  FROM li CROSS JOIN ext)""".stripMargin
+
+  private def layoutStatsSql(key: String, layout: String): String = {
+    val F = ZFiles
+    s"""  SELECT '$layout' AS layout, file_id,
+       |    CAST(SUM(rows_in) AS BIGINT) AS n_rows,
+       |    MIN(xb) AS xb_min, MAX(xb) AS xb_max,
+       |    MIN(yb) AS yb_min, MAX(yb) AS yb_max
+       |  FROM (
+       |    SELECT xb, yb, lo, hi, n,
+       |      unnest(generate_series(lo * $F // n, (hi - 1) * $F // n))
+       |        AS file_id
+       |    FROM (SELECT *, hi - cnt AS lo FROM (
+       |      SELECT *, CAST(SUM(cnt) OVER (ORDER BY $key) AS BIGINT)
+       |        AS hi FROM zdir)))
+       |  , LATERAL (SELECT
+       |      least(hi, ((file_id + 1) * n + ${F - 1}) // $F) -
+       |      greatest(lo, (file_id * n + ${F - 1}) // $F) AS rows_in)
+       |  GROUP BY file_id""".stripMargin
+  }
+
+  private def layoutScanSelect: String =
+    s"""SELECT layout, file_id, n_rows, xb_min, xb_max, yb_min, yb_max,
+       |  CAST(NOT (xb_max < $ZQueryLo OR xb_min > $ZQueryHi
+       |    OR yb_max < $ZQueryLo OR yb_min > $ZQueryHi) AS INT) AS scan
+       |FROM stats ORDER BY layout, file_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q111_zorder_layout" -> {
       val z = graft.operators.ZOrder.zSql("xb", "yb", ZBits, "//")
-      val F = ZFiles
-      def stats(key: String, layout: String) =
-        s"""  SELECT '$layout' AS layout, file_id,
-           |    CAST(SUM(rows_in) AS BIGINT) AS n_rows,
-           |    MIN(xb) AS xb_min, MAX(xb) AS xb_max,
-           |    MIN(yb) AS yb_min, MAX(yb) AS yb_max
-           |  FROM (
-           |    SELECT xb, yb, lo, hi, n,
-           |      unnest(generate_series(lo * $F // n, (hi - 1) * $F // n))
-           |        AS file_id
-           |    FROM (SELECT *, hi - cnt AS lo FROM (
-           |      SELECT *, CAST(SUM(cnt) OVER (ORDER BY $key) AS BIGINT)
-           |        AS hi FROM zdir)))
-           |  , LATERAL (SELECT
-           |      least(hi, ((file_id + 1) * n + ${F - 1}) // $F) -
-           |      greatest(lo, (file_id * n + ${F - 1}) // $F) AS rows_in)
-           |  GROUP BY file_id""".stripMargin
-      s"""WITH li AS (
-         |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
-         |ext AS (
-         |  SELECT MIN(x) AS x_min, MAX(x) AS x_max,
-         |    MIN(y) AS y_min, MAX(y) AS y_max, COUNT(*) AS n FROM li),
-         |keyed AS (
-         |  SELECT n,
-         |    ((x - x_min) * $ZBuckets) // (x_max - x_min + 1) AS xb,
-         |    ((y - y_min) * $ZBuckets) // (y_max - y_min + 1) AS yb
-         |  FROM li CROSS JOIN ext),
+      s"""WITH $layoutBaseCtes,
          |zdir AS (
          |  SELECT $z AS z, xb * $ZBuckets + yb AS lin, xb, yb, n,
          |    COUNT(*) AS cnt
          |  FROM keyed GROUP BY 1, 2, xb, yb, n),
          |stats AS (
-         |${stats("z", "zorder")}
+         |${layoutStatsSql("z", "zorder")}
          |  UNION ALL
-         |${stats("lin", "linear")})
-         |SELECT layout, file_id, n_rows, xb_min, xb_max, yb_min, yb_max,
-         |  CAST(NOT (xb_max < $ZQueryLo OR xb_min > $ZQueryHi
-         |    OR yb_max < $ZQueryLo OR yb_min > $ZQueryHi) AS INT) AS scan
-         |FROM stats ORDER BY layout, file_id""".stripMargin
+         |${layoutStatsSql("lin", "linear")})
+         |$layoutScanSelect""".stripMargin
+    },
+
+    "q125_hilbert_layout" -> {
+      val z = graft.operators.ZOrder.zSql("xb", "yb", ZBits, "//")
+      val steps = graft.operators.ZOrder.hilbertScales(ZBits).zipWithIndex
+        .map { case (sc, i) =>
+          val (de, xe, ye) = graft.operators.ZOrder.hilbertStepSql(
+            s"hx$i", s"hy$i", s"hd$i", sc, ZBuckets, "//")
+          s"""h${i + 1} AS (SELECT xb, yb, n, cnt,
+             |  $de AS hd${i + 1}, $xe AS hx${i + 1}, $ye AS hy${i + 1}
+             |  FROM h$i)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH $layoutBaseCtes,
+         |dir0 AS (
+         |  SELECT xb, yb, n, COUNT(*) AS cnt FROM keyed
+         |  GROUP BY xb, yb, n),
+         |h0 AS (SELECT xb, yb, n, cnt, xb AS hx0, yb AS hy0, 0 AS hd0
+         |  FROM dir0),
+         |$steps,
+         |zdir AS (
+         |  SELECT CAST(hd$ZBits AS BIGINT) AS hd, $z AS z,
+         |    xb * $ZBuckets + yb AS lin, xb, yb, n, cnt
+         |  FROM h$ZBits),
+         |stats AS (
+         |${layoutStatsSql("hd", "hilbert")}
+         |  UNION ALL
+         |${layoutStatsSql("z", "zorder")}
+         |  UNION ALL
+         |${layoutStatsSql("lin", "linear")})
+         |$layoutScanSelect""".stripMargin
     },
 
     "q118_vocab_richness" ->

@@ -604,6 +604,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"split counts must combine map-side:\n$p")
   }
 
+  test("q125 hilbert: directory collapses map-side before any curve arithmetic") {
+    // the 8 hilbert projection steps must run on the post-groupBy
+    // directory, never on corpus rows: one partial HashAggregate
+    // below, no join of corpus rows, no cartesian beyond the one-row
+    // extent broadcast
+    val p = plan("q125_hilbert_layout")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"bucket directory must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"extent row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing may shuffle-join rows:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not
