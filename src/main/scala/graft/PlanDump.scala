@@ -290,7 +290,14 @@ object PlanDump {
         "address is 8 chained integer-CASE projections over the " +
         "≤2^16-row directory — curve arithmetic costs nothing at any " +
         "corpus size; the three carves reuse the same bounded-window " +
-        "file machinery as q111."))
+        "file machinery as q111."),
+    "q126_kmv_setops" ->
+      ("KMV set operations: per-type top-K via the keyed window " +
+        "(WindowGroupLimit keeps K per partition before the sort), " +
+        "sketches are K-sized rows so the pair table broadcasts; the " +
+        "only corpus-sized exchanges are the two distinct passes — the " +
+        "exact-intersection audit drops at 100 TB, the sketches are " +
+        "what persists."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -545,6 +545,69 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q126_kmv_setops" -> ((s, dir) => {
+      // KMV SET-OPERATION estimates — the reason a pipeline persists
+      // k-minimum-values sketches instead of raw distinct sets: the
+      // union of two sketches is the K smallest of their merged hash
+      // sets, so |A∪B| estimates WITHOUT rescanning either side, and
+      // |A∩B| falls out by inclusion-exclusion (Beyer et al. 2007).
+      // Here: every event-type pair's distinct-user overlap, estimated
+      // from the per-type sketches and audited against the exact
+      // intersection in-plan (the exact side is the fixture-scale
+      // audit; at 100 TB you keep only the sketches). Deterministic
+      // end-to-end (q27's argument: order statistics of the portable
+      // affine hash), so even the approximations are hash-checked.
+      // Shape: per-type top-K via the keyed window (WindowGroupLimit
+      // keeps K per partition before the sort), sketches are K-sized
+      // rows; the pair table is #types² and broadcasts; the exact
+      // audit joins distinct (type, user) on user — the only
+      // corpus-sized exchanges are the two distinct passes.
+      val (a, b) = KmvPair
+      val K = KmvK
+      val hashed = events(s, dir)
+        .select(col("event_type"),
+          ((lit(a) * col("user_id") + lit(b)) % lit(P)).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val sk = hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"),
+          count(lit(1)).as("n_h"), max(col("h")).as("kth"))
+      def est(nH: Column, kth: Column): Column =
+        when(nH < K, nH.cast("double"))
+          .otherwise(round(lit((K - 1).toDouble) * P / kth, 6))
+      val pairs = sk.select(col("event_type").as("type_a"),
+          col("hs").as("hs_a"), col("n_h").as("nh_a"), col("kth").as("kth_a"))
+        .join(sk.select(col("event_type").as("type_b"),
+          col("hs").as("hs_b"), col("n_h").as("nh_b"), col("kth").as("kth_b")),
+          col("type_a") < col("type_b"))
+        .withColumn("hs_u",
+          slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, K))
+        .withColumn("nh_u", size(col("hs_u")).cast("long"))
+        .withColumn("kth_u", element_at(col("hs_u"), size(col("hs_u"))))
+        .withColumn("est_a", est(col("nh_a"), col("kth_a")))
+        .withColumn("est_b", est(col("nh_b"), col("kth_b")))
+        .withColumn("est_union", est(col("nh_u"), col("kth_u")))
+        .withColumn("est_inter", greatest(lit(0.0),
+          round(col("est_a") + col("est_b") - col("est_union"), 6)))
+      val du = events(s, dir).select(col("event_type"), col("user_id")).distinct()
+      val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+        .join(du.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs.join(exact, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .select(col("type_a"), col("type_b"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+          col("exact_inter"),
+          round(col("est_inter") / col("est_union"), 6).as("kmv_jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     "q92_hist_quantiles" -> ((s, dir) => {
       // mergeable quantile sketch: q30 computes exact percentiles with
       // a full sort per group — the right answer at fixture scale and
@@ -1160,6 +1223,52 @@ object ExtraQueries {
          |       ELSE round(${(KmvK - 1).toDouble} * $P / s.kth, 6) END AS kmv_est
          |FROM exact e JOIN sketch s USING (event_type)
          |ORDER BY event_type""".stripMargin
+    },
+
+    "q126_kmv_setops" -> {
+      val (a, b) = KmvPair
+      val K = KmvK
+      def est(nH: String, kth: String) =
+        s"CASE WHEN $nH < $K THEN $nH::DOUBLE " +
+          s"ELSE round(${(K - 1).toDouble} * $P / $kth, 6) END"
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT event_type, ($a * user_id + $b) % $P AS h FROM events),
+         |kmins AS (
+         |  SELECT event_type, h FROM hashed
+         |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $K),
+         |sk AS (
+         |  SELECT event_type, list(h ORDER BY h) AS hs,
+         |    COUNT(*)::BIGINT AS n_h, MAX(h) AS kth
+         |  FROM kmins GROUP BY event_type),
+         |pr AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.hs AS hs_a, b.hs AS hs_b, a.n_h AS nh_a, b.n_h AS nh_b,
+         |    a.kth AS kth_a, b.kth AS kth_b
+         |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |uu AS (SELECT *,
+         |    list_slice(list_sort(list_distinct(hs_a || hs_b)), 1, $K) AS hs_u
+         |  FROM pr),
+         |ee AS (SELECT *, len(hs_u)::BIGINT AS nh_u, hs_u[len(hs_u)] AS kth_u,
+         |    ${est("nh_a", "kth_a")} AS est_a,
+         |    ${est("nh_b", "kth_b")} AS est_b
+         |  FROM uu),
+         |e2 AS (SELECT *, ${est("nh_u", "kth_u")} AS est_union FROM ee),
+         |e3 AS (SELECT *,
+         |    greatest(0.0, round(est_a + est_b - est_union, 6)) AS est_inter
+         |  FROM e2),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ex AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    COUNT(*)::BIGINT AS exact_inter
+         |  FROM du a JOIN du b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT e3.type_a, e3.type_b, est_a, est_b, est_union, est_inter,
+         |  CAST(COALESCE(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
+         |  round(est_inter / est_union, 6) AS kmv_jaccard
+         |FROM e3 LEFT JOIN ex
+         |  ON e3.type_a = ex.type_a AND e3.type_b = ex.type_b
+         |ORDER BY e3.type_a, e3.type_b""".stripMargin
     },
 
     "q92_hist_quantiles" -> {

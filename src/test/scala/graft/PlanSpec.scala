@@ -619,6 +619,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"nothing may shuffle-join rows:\n$p")
   }
 
+  test("q126 kmv set ops: per-group top-K prunes before the sort, no cartesian") {
+    // the sketch build must plan as WindowGroupLimit (each partition
+    // keeps K candidates before the window sort); the K-sized sketch
+    // pair join may broadcast-nest but nothing may cartesian corpus
+    // rows
+    val p = plan("q126_kmv_setops")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-K must prune partitions before the sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"distinct passes must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not

@@ -51,6 +51,43 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q126 kmv set ops match a driver-side sketch recompute; exact in the small regime") {
+    import graft.functions.PortableHash.{P, KmvPair}
+    val (a, b) = KmvPair
+    val K = ExtraQueries.KmvK
+    val tu = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    val byType = tu.groupBy(_._1).view
+      .mapValues(_.map(p => (a * p._2 + b) % P).distinct.sorted).toMap
+    def estOf(hs: Seq[Long]): Double = {
+      val sk = hs.take(K)
+      if (sk.length < K) sk.length.toDouble
+      else math.rint((K - 1).toDouble * P / sk.last * 1e6) / 1e6
+    }
+    val rows = ExtraQueries.queries("q126_kmv_setops")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (ha, hb) = (byType(ta), byType(tb))
+      val hu = (ha.take(K) ++ hb.take(K)).distinct.sorted
+      val (ea, eb, eu) = (estOf(ha), estOf(hb), estOf(hu))
+      assert(r.getDouble(2) === ea, s"$ta est_a")
+      assert(r.getDouble(3) === eb, s"$tb est_b")
+      assert(r.getDouble(4) === eu, "est_union")
+      val ei = math.max(0.0, math.rint((ea + eb - eu) * 1e6) / 1e6)
+      assert(r.getDouble(5) === ei, "est_inter")
+      // exact audit column is the true set intersection
+      val exact = tu.filter(_._1 == ta).map(_._2).toSet
+        .intersect(tu.filter(_._1 == tb).map(_._2).toSet).size.toLong
+      assert(r.getLong(6) === exact, "exact_inter")
+      // in the small-set regime (every sketch under K), KMV is EXACT:
+      // inclusion-exclusion must reproduce the true intersection
+      if (ha.length < K && hb.length < K && hu.length < K)
+        assert(r.getDouble(5) === exact.toDouble, s"($ta,$tb) exact regime")
+    }
+  }
+
   test("q116 bootstrap CI: well-formed, covers the point estimate, tracks the analytic SE") {
     val rows = ExtraQueries.queries("q116_bootstrap_ci")(spark, sf001).collect()
     assert(rows.nonEmpty)
