@@ -297,7 +297,14 @@ object PlanDump {
         "sketches are K-sized rows so the pair table broadcasts; the " +
         "only corpus-sized exchanges are the two distinct passes — the " +
         "exact-intersection audit drops at 100 TB, the sketches are " +
-        "what persists."))
+        "what persists."),
+    "q127_skew_profile" ->
+      ("Skew profiler: per-key counts collapse map-side to the key " +
+        "directory, the directory is ranked by the two-pass parallel " +
+        "rank (no single-partition window), and the Gini/top-share " +
+        "report is exact LONG sums to one row — measuring whether " +
+        "salting is needed costs one combined scan plus one narrow " +
+        "sort."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -329,7 +329,50 @@ object ExtraQueries {
     d.selectExpr(keep ++ Seq(s"CAST(hd$ZBits AS BIGINT) AS hd"): _*)
   }
 
+  /** q127's engine (seam for the spec's planted-distribution laws):
+    * one-row skew report over a (key, n) count table. The Gini
+    * coefficient uses the descending-rank identity
+    * Σ i·x_(i asc) = (k+1)·Σx − Σ r_desc·x, so every term is an exact
+    * LONG from [[graft.operators.RankedCumsum.scoreRank]]'s two-pass
+    * rank — no single-partition window, no float accumulation. */
+  private[graft] def skewReport(counts: DataFrame): DataFrame = {
+    val ranked = graft.operators.RankedCumsum.scoreRank(
+      counts.select(col("key").as("doc_id"), col("n").cast("double").as("score")))
+    val j = ranked.join(
+      counts.select(col("key").as("doc_id"), col("n").cast("long").as("n")),
+      "doc_id")
+    val t = j.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total"),
+      sum(col("rank") * col("n")).as("srn"),
+      sum(when(col("rank") === 1, col("n")).otherwise(0L)).as("top1"),
+      sum(when(col("rank") <= 10, col("n")).otherwise(0L)).as("top10"),
+      max(col("n")).as("max_n"))
+    val nkD = col("n_keys").cast("double")
+    val totD = col("total").cast("double")
+    val ascSum = (col("n_keys") + 1) * col("total") - col("srn")
+    t.select(col("n_keys"), col("total"), col("max_n"),
+      round(col("top1").cast("double") / totD, 6).as("top1_share"),
+      round(col("top10").cast("double") / totD, 6).as("top10_share"),
+      round(col("max_n").cast("double") / (totD / nkD), 6).as("max_to_mean"),
+      round(lit(2.0) * ascSum.cast("double") / (nkD * totD) -
+        (col("n_keys") + 1).cast("double") / nkD, 6).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q127_skew_profile" -> ((s, dir) => {
+      // Shuffle-skew risk report for a join/aggregation key — the
+      // measurement that says WHEN q46's salting machinery is needed
+      // instead of assuming it: per-key event counts collapse
+      // map-side to the key directory, the directory is ranked by the
+      // two-pass parallel rank, and the report is exact-integer Gini
+      // plus top-share and max/mean diagnostics in one row. The
+      // production read: gini near 0 and max_to_mean near 1 → plain
+      // hash join; a fat top1_share → broadcast the hot keys or salt.
+      skewReport(events(s, dir)
+        .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n")))
+    }),
 
     "q111_zorder_layout" -> ((s, dir) => {
       // z-order vs lexicographic file layout, audited by the min/max
@@ -1224,6 +1267,30 @@ object ExtraQueries {
          |FROM exact e JOIN sketch s USING (event_type)
          |ORDER BY event_type""".stripMargin
     },
+
+    "q127_skew_profile" ->
+      s"""WITH counts AS (
+         |  SELECT user_id AS key, COUNT(*)::BIGINT AS n FROM events
+         |  GROUP BY user_id),
+         |ranked AS (
+         |  SELECT key, n, CAST(row_number() OVER (
+         |    ORDER BY n DESC, key ASC) AS BIGINT) AS rank FROM counts),
+         |t AS (SELECT COUNT(*)::BIGINT AS n_keys,
+         |    CAST(SUM(n) AS BIGINT) AS total,
+         |    CAST(SUM(rank * n) AS BIGINT) AS srn,
+         |    CAST(COALESCE(SUM(CASE WHEN rank = 1 THEN n END), 0) AS BIGINT) AS top1,
+         |    CAST(COALESCE(SUM(CASE WHEN rank <= 10 THEN n END), 0) AS BIGINT) AS top10,
+         |    CAST(MAX(n) AS BIGINT) AS max_n
+         |  FROM ranked)
+         |SELECT n_keys, total, max_n,
+         |  round(top1::DOUBLE / total::DOUBLE, 6) AS top1_share,
+         |  round(top10::DOUBLE / total::DOUBLE, 6) AS top10_share,
+         |  round(max_n::DOUBLE / (total::DOUBLE / n_keys::DOUBLE), 6)
+         |    AS max_to_mean,
+         |  round(2.0 * ((n_keys + 1) * total - srn)::DOUBLE
+         |      / (n_keys::DOUBLE * total::DOUBLE)
+         |    - (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini
+         |FROM t""".stripMargin,
 
     "q126_kmv_setops" -> {
       val (a, b) = KmvPair

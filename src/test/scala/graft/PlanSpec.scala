@@ -633,6 +633,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"distinct passes must combine map-side:\n$p")
   }
 
+  test("q127 skew profile: no window at all — the rank is the two-pass RDD shape") {
+    val p = plan("q127_skew_profile")
+    assert(!p.contains("Window"), s"rank must not use a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"key counts must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not

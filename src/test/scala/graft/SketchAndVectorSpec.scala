@@ -51,6 +51,35 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q127 skew profile: planted-distribution laws and a fixture driver recompute") {
+    def rep(counts: Seq[(Long, Long)]) =
+      ExtraQueries.skewReport(counts.toDF("key", "n")).collect().head
+    def gini(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val k = s.length.toLong; val tot = s.sum
+      val isum = s.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      2.0 * isum / (k.toDouble * tot) - (k + 1).toDouble / k
+    }
+    // uniform distribution: gini exactly 0, max/mean exactly 1
+    val u = rep((1L to 8L).map(k => (k, 5L)))
+    assert(u.getDouble(6) === 0.0 && u.getDouble(5) === 1.0)
+    // one hot key: every diagnostic fires, exact against the formula
+    val hot = Seq((1L, 991L)) ++ (2L to 10L).map(k => (k, 1L))
+    val e = rep(hot)
+    assert(e.getDouble(3) === 0.991)
+    assert(math.abs(e.getDouble(6) - gini(hot.map(_._2))) < 1e-6)
+    assert(e.getDouble(6) > 0.85, "hot-key gini must approach (k-1)/k")
+    // fixture query matches a driver recompute of every column
+    val ns = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy($"user_id").count().collect().map(_.getLong(1))
+    val row = ExtraQueries.queries("q127_skew_profile")(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) === ns.length.toLong)
+    assert(row.getLong(1) === ns.sum)
+    assert(row.getLong(2) === ns.max)
+    assert(math.abs(row.getDouble(6) - gini(ns.toSeq)) < 1e-6)
+    assert(row.getDouble(6) >= 0.0 && row.getDouble(6) < 1.0)
+  }
+
   test("q126 kmv set ops match a driver-side sketch recompute; exact in the small regime") {
     import graft.functions.PortableHash.{P, KmvPair}
     val (a, b) = KmvPair
