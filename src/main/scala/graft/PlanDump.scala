@@ -304,7 +304,18 @@ object PlanDump {
         "rank (no single-partition window), and the Gini/top-share " +
         "report is exact LONG sums to one row — measuring whether " +
         "salting is needed costs one combined scan plus one narrow " +
-        "sort."))
+        "sort."),
+    "q128_funnel" ->
+      ("Ordered funnel in ONE keyed window pass: the running first-view " +
+        "/ first-qualified-click columns share a per-user sort (planned " +
+        "once), the rollup is user-keyed, and the 3-row report is " +
+        "arithmetic on one row — the k-way self-join the naive funnel " +
+        "runs never exists."),
+    "q129_retention" ->
+      ("Cohort retention: first-day rollup and the activity join are " +
+        "user-keyed, the matrix collapses map-side into the " +
+        "time-range-bounded (cohort, offset) directory, and cohort " +
+        "sizes return by broadcast."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

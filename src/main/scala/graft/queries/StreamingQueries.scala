@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,86 @@ object StreamingQueries {
           max(col("n_ev")).as("max_session_events"),
           max(col("dur_us")).as("max_session_us"))
         .orderBy(col("user_id"))
+    }),
+
+    "q128_funnel" -> ((s, dir) => {
+      // Ordered conversion funnel view → click → purchase: a user
+      // converts step k only with an event STRICTLY AFTER their first
+      // qualified step-(k−1) event — the classic product-analytics
+      // operator, computed in ONE keyed window pass instead of the
+      // k-way self-join: running "first view so far" / "first
+      // qualified click so far" columns (each window references the
+      // previous one, so the per-user sort is planned once and
+      // reused), then a per-user min rollup and a 3-row report.
+      // Shape: per-user windows are millions of small groups at scale
+      // (the q23/q114 argument); everything after the rollup is
+      // arithmetic on one row.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = events(s, dir)
+        .withColumn("tsu", unix_micros(col("ts")))
+      val staged = e
+        .withColumn("v1",
+          min(when(col("event_type") === "view", col("tsu"))).over(w))
+        .withColumn("c1",
+          min(when(col("event_type") === "click" &&
+            col("v1") < col("tsu"), col("tsu"))).over(w))
+        .withColumn("p1",
+          min(when(col("event_type") === "purchase" &&
+            col("c1") < col("tsu"), col("tsu"))).over(w))
+      val f = staged.groupBy(col("user_id")).agg(
+        min(col("v1")).as("t1"), min(col("c1")).as("t2"),
+        min(col("p1")).as("t3"))
+      val c = f.agg(
+        sum(col("t1").isNotNull.cast("long")).as("n1"),
+        sum(col("t2").isNotNull.cast("long")).as("n2"),
+        sum(col("t3").isNotNull.cast("long")).as("n3"))
+      def ratio(a: Column, b: Column) =
+        when(b > 0, round(a.cast("double") / b.cast("double"), 6))
+          .otherwise(lit(null).cast("double"))
+      c.select(lit(1L).as("step_id"), lit("view").as("step"),
+          col("n1").as("n_users"),
+          lit(null).cast("double").as("conv_prev"),
+          lit(null).cast("double").as("conv_first"))
+        .unionByName(c.select(lit(2L).as("step_id"), lit("click").as("step"),
+          col("n2").as("n_users"),
+          ratio(col("n2"), col("n1")).as("conv_prev"),
+          ratio(col("n2"), col("n1")).as("conv_first")))
+        .unionByName(c.select(lit(3L).as("step_id"), lit("purchase").as("step"),
+          col("n3").as("n_users"),
+          ratio(col("n3"), col("n2")).as("conv_prev"),
+          ratio(col("n3"), col("n1")).as("conv_first")))
+        .orderBy(col("step_id"))
+    }),
+
+    "q129_retention" -> ((s, dir) => {
+      // Cohort retention matrix at day grain: cohort = a user's first
+      // active day, retention(c, k) = fraction of cohort c active
+      // again k days later — the other classic product-analytics
+      // table. Shape: first-day rollup is one user-keyed aggregation,
+      // the activity join is user-keyed, and the matrix is a
+      // map-side-combined groupBy into a TIME-RANGE-bounded directory
+      // (≤ days² /2 cells — the q92 argument); day arithmetic is
+      // exact integer epoch-day division.
+      val e = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"))
+      e.join(first, "user_id")
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("cohort_size"), col("day_offset"),
+          col("n_active"),
+          round(col("n_active").cast("double") /
+            col("cohort_size").cast("double"), 6).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
     "q119_session_concurrency" -> ((s, dir) => {
@@ -109,6 +189,53 @@ object StreamingQueries {
          |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
          |  CAST(MAX(dur_us) AS BIGINT) AS max_session_us
          |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q128_funnel" ->
+      s"""WITH e AS (SELECT *, epoch_us(ts) AS tsu FROM events),
+         |w1 AS (SELECT *,
+         |  MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS v1 FROM e),
+         |w2 AS (SELECT *,
+         |  MIN(CASE WHEN event_type = 'click' AND v1 < tsu THEN tsu END) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS c1 FROM w1),
+         |w3 AS (SELECT *,
+         |  MIN(CASE WHEN event_type = 'purchase' AND c1 < tsu THEN tsu END) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS p1 FROM w2),
+         |f AS (SELECT user_id, MIN(v1) AS t1, MIN(c1) AS t2, MIN(p1) AS t3
+         |  FROM w3 GROUP BY user_id),
+         |c AS (SELECT COUNT(t1)::BIGINT AS n1, COUNT(t2)::BIGINT AS n2,
+         |    COUNT(t3)::BIGINT AS n3 FROM f)
+         |SELECT 1::BIGINT AS step_id, 'view' AS step, n1 AS n_users,
+         |  NULL::DOUBLE AS conv_prev, NULL::DOUBLE AS conv_first FROM c
+         |UNION ALL
+         |SELECT 2::BIGINT, 'click', n2,
+         |  CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1::DOUBLE, 6) END,
+         |  CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1::DOUBLE, 6) END FROM c
+         |UNION ALL
+         |SELECT 3::BIGINT, 'purchase', n3,
+         |  CASE WHEN n2 > 0 THEN round(n3::DOUBLE / n2::DOUBLE, 6) END,
+         |  CASE WHEN n1 > 0 THEN round(n3::DOUBLE / n1::DOUBLE, 6) END FROM c
+         |ORDER BY step_id""".stripMargin,
+
+    "q129_retention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         |first AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+         |sizes AS (SELECT cohort_day, COUNT(*)::BIGINT AS cohort_size
+         |  FROM first GROUP BY cohort_day),
+         |act AS (
+         |  SELECT DISTINCT f.cohort_day, e.day - f.cohort_day AS day_offset,
+         |    e.user_id
+         |  FROM e JOIN first f USING (user_id)),
+         |m AS (SELECT cohort_day, day_offset, COUNT(*)::BIGINT AS n_active
+         |  FROM act GROUP BY cohort_day, day_offset)
+         |SELECT m.cohort_day, s.cohort_size, m.day_offset, m.n_active,
+         |  round(m.n_active::DOUBLE / s.cohort_size::DOUBLE, 6) AS retention
+         |FROM m JOIN sizes s USING (cohort_day)
+         |ORDER BY m.cohort_day, m.day_offset""".stripMargin,
 
     "q119_session_concurrency" ->
       s"""WITH ordered AS (

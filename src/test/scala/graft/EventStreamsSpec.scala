@@ -51,6 +51,55 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.head._2 >= 1 && got.head._2 <= sessions.length)
   }
 
+  test("q128 funnel matches a per-user driver walk of the strict ordering") {
+    val byUser = fixtureEvents.groupBy(_.user_id)
+    def firstAfter(evs: Seq[(Long, String)], tpe: String, after: Long): Option[Long] =
+      evs.collectFirst { case (t, tp) if tp == tpe && t > after => t }
+    val walks = byUser.values.map { evs =>
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        .map(e => (e.ts.getTime * 1000L, e.event_type))
+      val t1 = firstAfter(sorted, "view", Long.MinValue)
+      val t2 = t1.flatMap(firstAfter(sorted, "click", _))
+      val t3 = t2.flatMap(firstAfter(sorted, "purchase", _))
+      (t1.isDefined, t2.isDefined, t3.isDefined)
+    }.toSeq
+    val want = Seq(walks.count(_._1).toLong, walks.count(_._2).toLong,
+      walks.count(_._3).toLong)
+    val rows = graft.queries.StreamingQueries
+      .queries("q128_funnel")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).toSeq === want)
+    // the funnel can only narrow
+    assert(want(0) >= want(1) && want(1) >= want(2))
+    assert(rows(0).isNullAt(3))
+    if (want(0) > 0)
+      assert(math.abs(rows(1).getDouble(4) - want(1).toDouble / want(0)) < 1e-6)
+  }
+
+  test("q129 retention: offset-0 is exactly 1.0, cohorts partition the users") {
+    val rows = graft.queries.StreamingQueries
+      .queries("q129_retention")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // every user is active on their first day: offset 0 == cohort size
+    rows.filter(_._3 == 0L).foreach { r =>
+      assert(r._4 === r._2 && r._5 === 1.0, s"cohort ${r._1}")
+    }
+    // cohort sizes partition the distinct-user population
+    val users = fixtureEvents.map(_.user_id).distinct.length.toLong
+    val sizes = rows.groupBy(_._1).view.mapValues(_.head._2)
+    assert(sizes.values.sum === users)
+    // retention is a fraction and a driver recompute agrees cell-wise
+    val byUser = fixtureEvents.groupBy(_.user_id).view.mapValues(
+      _.map(e => e.ts.getTime * 1000L / 86400000000L)).toMap
+    val firstDay = byUser.map { case (u, ds) => u -> ds.min }
+    rows.foreach { case (c, sz, off, act, ret) =>
+      val expect = byUser.count { case (u, ds) =>
+        firstDay(u) == c && ds.contains(c + off) }.toLong
+      assert(act === expect, s"cell ($c, $off)")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+  }
+
   test("streaming hourly counts replay-match the batch twin") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

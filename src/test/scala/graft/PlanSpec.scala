@@ -642,6 +642,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"key counts must combine map-side:\n$p")
   }
 
+  test("q128 funnel: one keyed window chain, no self-join of events") {
+    // the naive funnel is a k-way self-join on user_id; the plan must
+    // instead show user-partitioned windows and NO join at all before
+    // the 3-row report union
+    val p = plan("q128_funnel")
+    assert(p.contains("Window") && p.contains("user_id"), p)
+    assert(!p.contains("Join"), s"no event self-join may exist:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"per-user rollup must combine map-side:\n$p")
+  }
+
+  test("q129 retention: user-keyed join, map-side matrix, broadcast sizes") {
+    val p = plan("q129_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"cohort sizes must broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"matrix cells must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not
