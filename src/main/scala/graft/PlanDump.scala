@@ -315,7 +315,13 @@ object PlanDump {
       ("Cohort retention: first-day rollup and the activity join are " +
         "user-keyed, the matrix collapses map-side into the " +
         "time-range-bounded (cohort, offset) directory, and cohort " +
-        "sizes return by broadcast."))
+        "sizes return by broadcast."),
+    "q130_daily_anomaly" ->
+      ("Trailing z-score alarm: ONE map-side-combined groupBy collapses " +
+        "the corpus to the types×days directory; the trailing " +
+        "mean/variance are exact integer sums over per-GROUP ROWS " +
+        "frames on that bounded table — the alarm costs one combined " +
+        "scan at any corpus size."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

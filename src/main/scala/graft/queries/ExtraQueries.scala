@@ -359,7 +359,58 @@ object ExtraQueries {
         (col("n_keys") + 1).cast("double") / nkD, 6).as("gini"))
   }
 
+  /** q130 geometry: trailing window of 7 observed periods, alarm at
+    * |z| ≥ 3 with at least a full trailing window behind the point. */
+  val TrailWindow = 7
+  val ZAlarm = 3.0
+
+  /** q130's engine (seam for the spec's planted series): per-group
+    * trailing z-score over a (grp, t, n) period-count table — the
+    * standard daily-volume anomaly alarm. The trailing mean/variance
+    * come from integer sums over the ROWS frame (k·Σx² − (Σx)² stays
+    * an exact LONG — no float accumulation inside the window), the
+    * single divide-and-sqrt happens once per row, and degenerate
+    * trails (short history, zero variance) yield NULL, not NaN,
+    * identically in both engines. Windows are per-GROUP (real
+    * partition spec); the input directory is time-range-bounded. */
+  private[graft] def trailingZ(counts: DataFrame, minTrail: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(-TrailWindow, -1)
+    val base = counts
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("n")).over(w))
+      .withColumn("sxx", sum(col("n") * col("n")).over(w))
+    val varNum = col("k") * col("sxx") - col("sx") * col("sx")
+    val z = (col("k") * col("n") - col("sx")).cast("double") /
+      (col("k").cast("double") * sqrt(varNum.cast("double") /
+        (col("k") * (col("k") - 1)).cast("double")))
+    base.select(col("grp"), col("t"), col("n"), col("k"),
+        when(col("k") >= minTrail && varNum > 0, round(z, 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull, (abs(col("z")) >= lit(ZAlarm)).cast("int")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q130_daily_anomaly" -> ((s, dir) => {
+      // Daily-volume anomaly alarm per event type ([[trailingZ]]) —
+      // the ingestion-health monitor: a feed whose daily count jumps
+      // |z| ≥ 3 against its own trailing week gets flagged before it
+      // pollutes downstream statistics. The fixture's daily counts
+      // are tiny (2–15), so occasional chance alarms are the honest
+      // verdict at this SF — the spec checks the FORMULA row-wise
+      // against a driver recompute and proves the planted-spike
+      // positive case through the seam. ONE map-side-combined groupBy
+      // collapses the corpus to the types × days directory;
+      // everything after is keyed windows on that bounded frame.
+      trailingZ(events(s, dir)
+          .select(col("event_type").as("grp"),
+            expr("unix_micros(ts) div 86400000000").as("t"))
+          .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("n")),
+        TrailWindow)
+        .orderBy(col("grp"), col("t"))
+    }),
 
     "q127_skew_profile" -> ((s, dir) => {
       // Shuffle-skew risk report for a join/aggregation key — the
@@ -1266,6 +1317,30 @@ object ExtraQueries {
          |       ELSE round(${(KmvK - 1).toDouble} * $P / s.kth, 6) END AS kmv_est
          |FROM exact e JOIN sketch s USING (event_type)
          |ORDER BY event_type""".stripMargin
+    },
+
+    "q130_daily_anomaly" -> {
+      val T = TrailWindow
+      val varNum = "(k * sxx - sx * sx)"
+      val zE = s"((k * n - sx)::DOUBLE / (k::DOUBLE * " +
+        s"sqrt($varNum::DOUBLE / (k * (k - 1))::DOUBLE)))"
+      s"""WITH c AS (
+         |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS t,
+         |    COUNT(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |    CAST(COUNT(*) OVER win AS BIGINT) AS k,
+         |    CAST(SUM(n) OVER win AS BIGINT) AS sx,
+         |    CAST(SUM(n * n) OVER win AS BIGINT) AS sxx
+         |  FROM c WINDOW win AS (PARTITION BY grp ORDER BY t
+         |    ROWS BETWEEN $T PRECEDING AND 1 PRECEDING)),
+         |zc AS (SELECT grp, t, n, k,
+         |    CASE WHEN k >= $T AND $varNum > 0 THEN round($zE, 6) END AS z
+         |  FROM w)
+         |SELECT grp, t, n, k, z,
+         |  CASE WHEN z IS NOT NULL THEN CAST(abs(z) >= $ZAlarm AS INT) END
+         |    AS is_anomaly
+         |FROM zc ORDER BY grp, t""".stripMargin
     },
 
     "q127_skew_profile" ->

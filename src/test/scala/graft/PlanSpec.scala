@@ -664,6 +664,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"matrix cells must combine map-side:\n$p")
   }
 
+  test("q130 anomaly: corpus collapses map-side, windows keyed by group") {
+    val p = plan("q130_daily_anomaly")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"day counts must combine map-side:\n$p")
+    assert(p.contains("Window") && p.contains("grp"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not

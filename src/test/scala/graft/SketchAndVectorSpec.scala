@@ -51,6 +51,56 @@ class SketchAndVectorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q130 anomaly: planted spike trips the alarm, steady and degenerate series do not") {
+    def zOf(series: Seq[Long]): Seq[Option[(Double, Int)]] =
+      ExtraQueries.trailingZ(
+          series.zipWithIndex.map { case (n, t) => ("g", t.toLong, n) }
+            .toDF("grp", "t", "n"), ExtraQueries.TrailWindow)
+        .orderBy($"t").collect()
+        .map(r => if (r.isNullAt(4)) None
+          else Some((r.getDouble(4), r.getInt(5))))
+    // noisy-but-steady baseline, then a 10x spike: the spike day (and
+    // only days with a full trail) can alarm, and the spike must
+    val base = Seq(10L, 12L, 10L, 12L, 10L, 12L, 10L, 12L, 100L)
+    val got = zOf(base)
+    assert(got.take(ExtraQueries.TrailWindow).forall(_.isEmpty),
+      "short trails must be NULL")
+    assert(got(8).exists(_._2 == 1), s"spike must alarm: ${got(8)}")
+    // driver recompute of the spike z from the textbook formula
+    val trail = base.slice(1, 8)
+    val m = trail.sum.toDouble / trail.length
+    val sd = math.sqrt(trail.map(x => (x - m) * (x - m)).sum / (trail.length - 1))
+    assert(math.abs(got(8).get._1 - (100 - m) / sd) < 1e-5)
+    // constant series: zero variance is NULL, never NaN or an alarm
+    assert(zOf(Seq.fill(12)(7L)).forall(_.isEmpty))
+    // fixture: row-wise driver recompute of every z (the fixture's
+    // tiny daily counts are noisy, so occasional |z| ≥ 3 chance
+    // alarms are the honest verdict — the formula, not the verdict,
+    // is what must match)
+    val counts = graft.sources.Sources
+      .normalizeEventTs(spark.read.parquet(s"$sf0001/events.parquet"))
+      .selectExpr("event_type AS g", "unix_micros(ts) div 86400000000 AS t")
+      .groupBy($"g", $"t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = ExtraQueries.queries("q130_daily_anomaly")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(r => !r.isNullAt(4)))
+    rows.foreach { r =>
+      val (g, t) = (r.getString(0), r.getLong(1))
+      val trail = counts.filter(c => c._1 == g && c._2 < t)
+        .sortBy(_._2).takeRight(ExtraQueries.TrailWindow).map(_._3)
+      if (trail.length >= ExtraQueries.TrailWindow) {
+        val m = trail.sum.toDouble / trail.length
+        val v = trail.map(x => (x - m) * (x - m)).sum / (trail.length - 1)
+        if (v > 0) {
+          val want = (r.getLong(2) - m) / math.sqrt(v)
+          assert(math.abs(r.getDouble(4) - want) < 1e-5, s"($g, $t)")
+          assert(r.getInt(5) === (if (math.abs(want) >= 3.0) 1 else 0))
+        } else assert(r.isNullAt(4))
+      } else assert(r.isNullAt(4), s"($g, $t) short trail")
+    }
+  }
+
   test("q127 skew profile: planted-distribution laws and a fixture driver recompute") {
     def rep(counts: Seq[(Long, Long)]) =
       ExtraQueries.skewReport(counts.toDF("key", "n")).collect().head
