@@ -321,7 +321,13 @@ object PlanDump {
         "the corpus to the types×days directory; the trailing " +
         "mean/variance are exact integer sums over per-GROUP ROWS " +
         "frames on that bounded table — the alarm costs one combined " +
-        "scan at any corpus size."))
+        "scan at any corpus size."),
+    "q131_event_transitions" ->
+      ("Markov transition matrix: ONE keyed window pass pairs each " +
+        "event with its successor (per-user groups), the matrix " +
+        "collapses map-side to ≤ types² cells, and row totals return " +
+        "by broadcast — sequence modeling at the cost of one per-user " +
+        "sort."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

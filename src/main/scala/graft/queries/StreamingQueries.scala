@@ -42,6 +42,33 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    "q131_event_transitions" -> ((s, dir) => {
+      // Order-1 Markov transition matrix between event types, per-user
+      // sequences — the behavioral model behind next-event prediction
+      // and bot detection (a scraper's view→view→view row lights up
+      // against the organic view→click mass). ONE keyed window pass
+      // pairs each event with its successor (lead over the per-user
+      // time order — millions of small groups at scale), the matrix
+      // collapses map-side to ≤ types² cells, and row totals return
+      // by broadcast for the probability normalization; n_trans
+      // conservation (Σ = events − users) is spec-proven.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val rows = tr.groupBy(col("from_type"))
+        .agg(sum(col("n_trans")).as("row_total"))
+      tr.join(broadcast(rows), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          col("row_total"),
+          round(col("n_trans").cast("double") /
+            col("row_total").cast("double"), 6).as("prob"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "q128_funnel" -> ((s, dir) => {
       // Ordered conversion funnel view → click → purchase: a user
       // converts step k only with an event STRICTLY AFTER their first
@@ -189,6 +216,23 @@ object StreamingQueries {
          |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
          |  CAST(MAX(dur_us) AS BIGINT) AS max_session_us
          |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q131_event_transitions" ->
+      s"""WITH tr0 AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |tr AS (
+         |  SELECT from_type, to_type, COUNT(*)::BIGINT AS n_trans
+         |  FROM tr0 WHERE to_type IS NOT NULL
+         |  GROUP BY from_type, to_type),
+         |rt AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS row_total
+         |  FROM tr GROUP BY from_type)
+         |SELECT tr.from_type, tr.to_type, tr.n_trans, rt.row_total,
+         |  round(tr.n_trans::DOUBLE / rt.row_total::DOUBLE, 6) AS prob
+         |FROM tr JOIN rt USING (from_type)
+         |ORDER BY tr.from_type, tr.to_type""".stripMargin,
 
     "q128_funnel" ->
       s"""WITH e AS (SELECT *, epoch_us(ts) AS tsu FROM events),

@@ -51,6 +51,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.head._2 >= 1 && got.head._2 <= sessions.length)
   }
 
+  test("q131 transitions match a per-user driver walk; rows normalize to 1") {
+    val walks = fixtureEvents.groupBy(_.user_id).values.flatMap { evs =>
+      val ts = evs.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_type)
+      ts.zip(ts.tail)
+    }.toSeq
+    val rows = graft.queries.StreamingQueries
+      .queries("q131_event_transitions")(spark, sf0001).collect()
+    // conservation: every non-final event contributes one transition
+    val users = fixtureEvents.map(_.user_id).distinct.length
+    assert(rows.map(_.getLong(2)).sum === (fixtureEvents.length - users).toLong)
+    // cell-wise recompute
+    val want = walks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet === want.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(2) === want((r.getString(0), r.getString(1))))
+    }
+    // each from-row's probabilities sum to 1 within rounding
+    rows.groupBy(_.getString(0)).values.foreach { cells =>
+      assert(math.abs(cells.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+      assert(cells.map(_.getLong(2)).sum === cells.head.getLong(3))
+    }
+  }
+
   test("q128 funnel matches a per-user driver walk of the strict ordering") {
     val byUser = fixtureEvents.groupBy(_.user_id)
     def firstAfter(evs: Seq[(Long, String)], tpe: String, after: Long): Option[Long] =

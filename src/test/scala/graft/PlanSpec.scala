@@ -673,6 +673,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q131 transitions: keyed lead window, map-side matrix, broadcast row totals") {
+    val p = plan("q131_event_transitions")
+    assert(p.contains("Window") && p.contains("user_id"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"row totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"matrix cells must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not
