@@ -327,7 +327,13 @@ object PlanDump {
         "event with its successor (per-user groups), the matrix " +
         "collapses map-side to ≤ types² cells, and row totals return " +
         "by broadcast — sequence modeling at the cost of one per-user " +
-        "sort."))
+        "sort."),
+    "q132_conversion_latency" ->
+      ("Latency quantiles: q128's keyed window chain feeds a " +
+        "minute-grain latency directory (time-range-bounded), the " +
+        "cumulative window runs on that bounded frame, and the " +
+        "quantile read-off is the q92 all-integer rule with the " +
+        "3-row quantile table broadcast."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

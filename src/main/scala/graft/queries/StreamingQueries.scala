@@ -18,6 +18,52 @@ object StreamingQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.normalizeEventTs(graft.SparkEntry.tbl(s, dir, "events"))
 
+  /** q132's latency quantiles (percent points over the minute grid). */
+  val FunnelQuantiles: Seq[Int] = Seq(50, 90, 99)
+
+  /** The q128 funnel engine: per-user (t1, t2, t3) first-qualified
+    * step times in microseconds (NULL where the user never reaches
+    * the step) — ONE keyed window chain sharing a single per-user
+    * sort. Shared by q128 (step counts) and q132 (conversion-latency
+    * quantiles) so both read the same strict-ordering semantics. */
+  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("v1",
+        min(when(col("event_type") === "view", col("tsu"))).over(w))
+      .withColumn("c1",
+        min(when(col("event_type") === "click" &&
+          col("v1") < col("tsu"), col("tsu"))).over(w))
+      .withColumn("p1",
+        min(when(col("event_type") === "purchase" &&
+          col("c1") < col("tsu"), col("tsu"))).over(w))
+      .groupBy(col("user_id")).agg(
+        min(col("v1")).as("t1"), min(col("c1")).as("t2"),
+        min(col("p1")).as("t3"))
+  }
+
+  /** Oracle twin of [[funnelTimes]] — CTEs through `f(user_id, t1,
+    * t2, t3)`, shared by the q128 and q132 oracles. */
+  private def funnelCtes: String =
+    s"""e AS (SELECT *, epoch_us(ts) AS tsu FROM events),
+       |w1 AS (SELECT *,
+       |  MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS v1 FROM e),
+       |w2 AS (SELECT *,
+       |  MIN(CASE WHEN event_type = 'click' AND v1 < tsu THEN tsu END) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS c1 FROM w1),
+       |w3 AS (SELECT *,
+       |  MIN(CASE WHEN event_type = 'purchase' AND c1 < tsu THEN tsu END) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS p1 FROM w2),
+       |f AS (SELECT user_id, MIN(v1) AS t1, MIN(c1) AS t2, MIN(p1) AS t3
+       |  FROM w3 GROUP BY user_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q23_sessions" -> ((s, dir) => {
@@ -40,6 +86,38 @@ object StreamingQueries {
           max(col("n_ev")).as("max_session_events"),
           max(col("dur_us")).as("max_session_us"))
         .orderBy(col("user_id"))
+    }),
+
+    "q132_conversion_latency" -> ((s, dir) => {
+      // Conversion-latency quantiles for the q128 funnel: among
+      // CONVERTED users, how long from first view to first qualified
+      // purchase — read off a minute-grain latency directory by the
+      // q92 all-integer rule (first bin whose cumulative count covers
+      // q% — conservative to one minute, no percentile-interpolation
+      // convention to port). The directory is TIME-RANGE-bounded, so
+      // the cumulative window runs on a bounded frame under the
+      // non-foldable constant key; everything upstream is q128's one
+      // keyed window chain.
+      val lat = funnelTimes(s, dir)
+        .filter(col("t3").isNotNull)
+        .select(expr("(t3 - t1) div 60000000").as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("n"))
+      val grp = pmod(col("m"), lit(1))
+      val c = lat
+        .withColumn("cum_n", sum(col("n")).over(
+          Window.partitionBy(grp).orderBy(col("m"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total_n", sum(col("n")).over(
+          Window.partitionBy(grp)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      import s.implicits._
+      broadcast(FunnelQuantiles.toDF("q")).join(c,
+          col("cum_n") * 100 >= col("q") * col("total_n"))
+        .groupBy(col("q"))
+        .agg(min(struct(col("m"), col("cum_n"), col("total_n"))).as("p"))
+        .select(col("q").cast("long").as("q"), col("p.m").as("lat_minutes"),
+          col("p.cum_n").as("cum_n"), col("p.total_n").as("total_n"))
+        .orderBy(col("q"))
     }),
 
     "q131_event_transitions" -> ((s, dir) => {
@@ -81,24 +159,7 @@ object StreamingQueries {
       // Shape: per-user windows are millions of small groups at scale
       // (the q23/q114 argument); everything after the rollup is
       // arithmetic on one row.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val e = events(s, dir)
-        .withColumn("tsu", unix_micros(col("ts")))
-      val staged = e
-        .withColumn("v1",
-          min(when(col("event_type") === "view", col("tsu"))).over(w))
-        .withColumn("c1",
-          min(when(col("event_type") === "click" &&
-            col("v1") < col("tsu"), col("tsu"))).over(w))
-        .withColumn("p1",
-          min(when(col("event_type") === "purchase" &&
-            col("c1") < col("tsu"), col("tsu"))).over(w))
-      val f = staged.groupBy(col("user_id")).agg(
-        min(col("v1")).as("t1"), min(col("c1")).as("t2"),
-        min(col("p1")).as("t3"))
-      val c = f.agg(
+      val c = funnelTimes(s, dir).agg(
         sum(col("t1").isNotNull.cast("long")).as("n1"),
         sum(col("t2").isNotNull.cast("long")).as("n2"),
         sum(col("t3").isNotNull.cast("long")).as("n3"))
@@ -234,22 +295,23 @@ object StreamingQueries {
          |FROM tr JOIN rt USING (from_type)
          |ORDER BY tr.from_type, tr.to_type""".stripMargin,
 
+    "q132_conversion_latency" -> {
+      val qlist = FunnelQuantiles.mkString("[", ", ", "]")
+      s"""WITH $funnelCtes,
+         |lat AS (SELECT (t3 - t1) // 60000000 AS m FROM f WHERE t3 IS NOT NULL),
+         |d AS (SELECT m, COUNT(*)::BIGINT AS n FROM lat GROUP BY m),
+         |c AS (SELECT m, n,
+         |    CAST(SUM(n) OVER (ORDER BY m) AS BIGINT) AS cum_n,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS total_n FROM d),
+         |qs AS (SELECT CAST(unnest($qlist) AS BIGINT) AS q),
+         |pick AS (SELECT qs.q, MIN(c.m) AS m FROM qs JOIN c
+         |    ON c.cum_n * 100 >= qs.q * c.total_n GROUP BY qs.q)
+         |SELECT p.q, p.m AS lat_minutes, c.cum_n, c.total_n
+         |FROM pick p JOIN c ON p.m = c.m ORDER BY p.q""".stripMargin
+    },
+
     "q128_funnel" ->
-      s"""WITH e AS (SELECT *, epoch_us(ts) AS tsu FROM events),
-         |w1 AS (SELECT *,
-         |  MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (
-         |    PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS UNBOUNDED PRECEDING) AS v1 FROM e),
-         |w2 AS (SELECT *,
-         |  MIN(CASE WHEN event_type = 'click' AND v1 < tsu THEN tsu END) OVER (
-         |    PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS UNBOUNDED PRECEDING) AS c1 FROM w1),
-         |w3 AS (SELECT *,
-         |  MIN(CASE WHEN event_type = 'purchase' AND c1 < tsu THEN tsu END) OVER (
-         |    PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS UNBOUNDED PRECEDING) AS p1 FROM w2),
-         |f AS (SELECT user_id, MIN(v1) AS t1, MIN(c1) AS t2, MIN(p1) AS t3
-         |  FROM w3 GROUP BY user_id),
+      s"""WITH $funnelCtes,
          |c AS (SELECT COUNT(t1)::BIGINT AS n1, COUNT(t2)::BIGINT AS n2,
          |    COUNT(t3)::BIGINT AS n3 FROM f)
          |SELECT 1::BIGINT AS step_id, 'view' AS step, n1 AS n_users,

@@ -74,6 +74,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q132 latency quantiles match the driver quantile rule on the same walks") {
+    val byUser = fixtureEvents.groupBy(_.user_id)
+    def firstAfter(evs: Seq[(Long, String)], tpe: String, after: Long): Option[Long] =
+      evs.collectFirst { case (t, tp) if tp == tpe && t > after => t }
+    val lats = byUser.values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        .map(e => (e.ts.getTime * 1000L, e.event_type))
+      for {
+        t1 <- firstAfter(sorted, "view", Long.MinValue)
+        t2 <- firstAfter(sorted, "click", t1)
+        t3 <- firstAfter(sorted, "purchase", t2)
+      } yield (t3 - t1) / 60000000L
+    }.toSeq.sorted
+    val rows = graft.queries.StreamingQueries
+      .queries("q132_conversion_latency")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(50L, 90L, 99L))
+    rows.foreach { case (q, m, cum, total) =>
+      assert(total === lats.length.toLong)
+      // the q92 rule: smallest minute whose cumulative count covers q%
+      val want = lats.find(v => lats.count(_ <= v) * 100 >= q * lats.length).get
+      assert(m === want, s"p$q")
+      assert(cum === lats.count(_ <= m).toLong)
+    }
+    // quantiles are monotone
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted)
+  }
+
   test("q128 funnel matches a per-user driver walk of the strict ordering") {
     val byUser = fixtureEvents.groupBy(_.user_id)
     def firstAfter(evs: Seq[(Long, String)], tpe: String, after: Long): Option[Long] =

@@ -684,6 +684,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"matrix cells must combine map-side:\n$p")
   }
 
+  test("q132 latency: bounded directory windows, broadcast quantile table") {
+    val p = plan("q132_conversion_latency")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quantile table must broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"latency directory must combine map-side:\n$p")
+  }
+
   test("q116 bootstrap: replicate fan-out combines map-side before the exchange") {
     // the ×B explode must collapse to (source, rep) partials inside
     // the map stage — the exchange carries sources×B rows, not
