@@ -151,8 +151,11 @@ object PortableHash {
 
   /** Poisson-bootstrap replicate draw (q116) — its own member so a
     * doc's resampling weights are uncorrelated with every other hash
-    * role; the hashed key is doc_id·B + rep, giving each (doc,
-    * replicate) cell an independent uniform. */
+    * role; the hashed key is ((doc_id % P)·B + rep) % P — NOT the raw
+    * doc_id·B + rep, which could breach the a·x < 2^62 overflow
+    * contract for large ids. Each (doc, replicate) cell still gets an
+    * independent uniform; callers must use the mod-P-reduced key form
+    * exactly as q116 does. */
   val BootPair: (Long, Long) = affineConstants(1919L, 1).head
 
   /** h_i applied to a long column. */

@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * images via ImageIO ([[ImageIoDecoder]], q74), WAV audio via
   * javax.sound.sampled ([[WavDecoder]], q76), and multi-frame video
   * via animated GIF ([[GifDecoder]], q81). [[StubDecoder]] remains the
-  * deterministic fake for formats with no JDK codec (JPEG-in-container
-  * variants, MP3, MP4): the Spark-side contract — schema, partitioning,
-  * batch shape, null passthrough — is identical, so a native codec
-  * drops in by replacing one function.
+  * deterministic fake for formats that cannot be HASH-ORACLED: the JDK
+  * does ship an ImageIO JPEG codec (and [[imageFeatures]] decodes
+  * `image/jpeg` blobs with it — tolerance-spec'd in MultimodalSpec),
+  * but lossy-codec output (JPEG IDCT, MP3, MP4) is not bit-exact
+  * across implementations, so no cross-engine hash oracle is possible
+  * and the oracle-checked queries use the lossless formats. The
+  * Spark-side contract — schema, partitioning, batch shape, null
+  * passthrough — is identical either way, so a native codec drops in
+  * by replacing one function.
   *
   * Scale posture: blobs never shuffle (all feature extraction is
   * row-local within a scan); at 100 TB the blob table would be stored
@@ -157,8 +162,9 @@ object Multimodal {
     * no batch API, so unlike [[extractFeatures]] there is no batch
     * grouping to fake). Non-image, unknown-type, or null blobs pass
     * through with null features: the codec dispatch is on the metadata
-    * media_type, and [[StubDecoder]] remains the honest fallback path
-    * for media types without a JDK codec (JPEG video, audio). */
+    * media_type — every image subtype ImageIO speaks decodes here,
+    * including JPEG (lossy, so spec'd by tolerance, not hash oracle);
+    * [[StubDecoder]] remains the fallback for non-image media. */
   def imageFeatures(blobs: DataFrame): DataFrame = {
     val featureFields = Seq("width", "height", "sum_r", "sum_g", "sum_b")
     val outSchema = StructType(blobs.schema.fields ++
@@ -319,7 +325,7 @@ object Multimodal {
     * every audio type: [[WavDecoder]] only speaks RIFF/WAVE, so compressed
     * audio (mpeg, ogg) must pass through with null features rather
     * than crash the task; [[StubDecoder]] remains the fallback for
-    * media types without a JDK codec (JPEG, MP3, MP4). */
+    * formats the JDK sound stack cannot decode (MP3, MP4 audio). */
   def audioFeatures(blobs: DataFrame): DataFrame = {
     val featureFields = Seq("n_samples", "sum_s", "sum_sq")
     val outSchema = StructType(blobs.schema.fields ++

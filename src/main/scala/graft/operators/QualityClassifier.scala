@@ -94,6 +94,24 @@ object QualityClassifier {
     } finally f.unpersist()
   }
 
+  /** Session-scoped memo of fitted weight tables — the TRAIN-once /
+    * SCORE-many lifecycle the persisted artifacts already follow
+    * (q73 band index, q75 IVF, q78 BPE merges). q86 and q117 fit the
+    * SAME classifier on the SAME training table; without the memo each
+    * pays the full multi-iteration GD. Keyed by (corpus dir, iters,
+    * lr) under the owning context's applicationId
+    * ([[graft.SessionMemo]]); the memoized value is the final
+    * weight Seq — a plain, context-free table, safe to share across
+    * queries of one session and dropped with the context. */
+  private[graft] val sessionFits =
+    new graft.SessionMemo[(String, Int, Double), Seq[(Long, Double)]]
+
+  /** Compute-once-per-(session, dir, hyperparams) [[fit]]. `train` is
+    * by-name: on a memo hit the training table is never even built. */
+  def sessionFit(s: org.apache.spark.sql.SparkSession, dir: String,
+                 train: => DataFrame, iters: Int, lr: Double): Seq[(Long, Double)] =
+    sessionFits.getOrCompute(s, (dir, iters, lr))(fit(train, iters, lr))
+
   /** Score every document against fitted weights. `feats` carries one
     * row per (doc, feature) with any functionally-dependent key columns
     * in `keyCols` (e.g. lang, split) — unseen features contribute 0

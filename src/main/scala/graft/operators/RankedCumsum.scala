@@ -175,7 +175,14 @@ object RankedCumsum {
     * map-side-combined groupBy(score) into the distinct-score directory
     * (midranks per tie group are just min+max of ordinal ranks), and a
     * final all-to-one aggregate of three LONG sums. Nothing quadratic
-    * anywhere — the naive definition is P·N pair comparisons. */
+    * anywhere — the naive definition is P·N pair comparisons.
+    *
+    * Range bound: the numerator s2r = Σ pos_at·(minr+maxr) ≤ 2·P·T is
+    * LONG arithmetic, so exactness holds only while 2·P·T < 2^63 —
+    * i.e. P·T < ~4.6e18 (e.g. 1e9 positives in a ≤4.6e9-row corpus).
+    * Beyond that, route s2r/u2 through DECIMAL(38,0) in BOTH engines;
+    * kept LONG here because a decimal-typed output column would hit
+    * the driver's decimal-rendering hash trap (see q106's history). */
   def auc(scored: DataFrame): DataFrame = {
     val labeled = scored.select(col("doc_id").cast("long"),
       round(col("score").cast("double"), 6).as("score"),

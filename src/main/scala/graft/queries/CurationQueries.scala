@@ -481,28 +481,32 @@ object CurationQueries {
       // count / true positives per label, with precision, recall and
       // F1 = 2·tp/(support + n_pred) (the harmonic form reduced to ONE
       // division over integers — no P·R intermediate to diverge on a
-      // ULP). Classes are the observed true labels; a class never
-      // predicted reports NULL precision (not NaN) in both engines.
-      // Shape: q56's plan plus two label-directory aggregations
-      // (≤ #classes rows each) and one broadcast-sized join — the
-      // eval table costs nothing beyond the predictions themselves.
+      // ULP). Classes are the UNION of observed true labels and
+      // observed predicted labels (full outer join of the two
+      // directories): a class never predicted reports NULL precision,
+      // a class predicted but never true-labeled reports support 0 /
+      // NULL recall — nothing an eval consumer could misread as "zero
+      // predictions". Shape: q56's plan plus two label-directory
+      // aggregations (≤ #classes rows each) and one directory-sized
+      // join — the eval table costs nothing beyond the predictions.
       val preds = queries("q56_knn_vote")(s, dir)
         .select(col("true_label"), col("pred_label"))
       val t = preds.groupBy(col("true_label")).agg(
         count(lit(1)).as("support"),
         coalesce(sum(when(col("pred_label") === col("true_label"), 1L)
           .otherwise(0L)), lit(0L)).as("tp"))
-      val p = preds.groupBy(col("pred_label")).agg(
+      val p = preds.groupBy(col("pred_label").as("p_label")).agg(
         count(lit(1)).as("n_pred"))
-      t.join(broadcast(p), t("true_label") === p("pred_label"), "left")
-        .na.fill(0L, Seq("n_pred"))
-        .select(col("true_label").as("label"), col("support"),
-          col("n_pred"), col("tp"),
+      t.join(p, col("true_label") === col("p_label"), "full")
+        .na.fill(0L, Seq("support", "n_pred", "tp"))
+        .select(coalesce(col("true_label"), col("p_label")).as("label"),
+          col("support"), col("n_pred"), col("tp"),
           when(col("n_pred") > 0,
             round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
             .otherwise(lit(null).cast("double")).as("prec"),
-          round(col("tp").cast("double") / col("support").cast("double"), 6)
-            .as("recall"),
+          when(col("support") > 0,
+            round(col("tp").cast("double") / col("support").cast("double"), 6))
+            .otherwise(lit(null).cast("double")).as("recall"),
           round(lit(2.0) * col("tp").cast("double") /
             (col("support") + col("n_pred")).cast("double"), 6).as("f1"))
         .orderBy(col("label"))
@@ -579,11 +583,11 @@ object CurationQueries {
       // not just the final ranking.
       import graft.operators.QualityClassifier
       val fb = classifierFeatures(s, dir)
-      val train = fb.filter(col("bucket") >= 90 || col("bucket") < 80)
+      def train = fb.filter(col("bucket") >= 90 || col("bucket") < 80)
         .select(col("doc_id"),
           when(col("bucket") >= 90, 1.0).otherwise(0.0).as("y"),
           col("b"))
-      val w = QualityClassifier.fit(train, QcIters, QcLr)
+      val w = QualityClassifier.sessionFit(s, dir, train, QcIters, QcLr)
       QualityClassifier.score(
           fb.withColumn("split",
             when(col("bucket") >= 90, "target")
@@ -607,10 +611,10 @@ object CurationQueries {
       import graft.operators.QualityClassifier
       val fb = classifierFeatures(s, dir)
       val labeled = fb.filter(col("bucket") >= 90 || col("bucket") < 80)
-      val train = labeled.select(col("doc_id"),
+      def train = labeled.select(col("doc_id"),
         when(col("bucket") >= 90, 1.0).otherwise(0.0).as("y"),
         col("b"))
-      val w = QualityClassifier.fit(train, QcIters, QcLr)
+      val w = QualityClassifier.sessionFit(s, dir, train, QcIters, QcLr)
       val scored = QualityClassifier.score(
         labeled.withColumn("pos", (col("bucket") >= 90).cast("long")),
         w, keyCols = Seq("pos"))
@@ -857,14 +861,21 @@ object CurationQueries {
       }
       val left = rN.agg((max(col("budget")) - sum(col("alloc")))
         .cast("decimal(28,6)").as("leftover"))
+      // Output alloc/leftover as DOUBLE, not DECIMAL(28,6): these were
+      // the suite's only decimal-typed output columns, and engine-side
+      // decimal rendering differs (e.g. 0E-6 vs 0.000000) even when the
+      // values are identical. The internal arithmetic stays decimal for
+      // partitioning-invariant exactness; only the final projection
+      // casts. Both engines cast the same decimal to the same IEEE
+      // double, so the hash contract holds.
       rN.crossJoin(broadcast(left))
         .select(col("lang"), col("n_tok"),
           col("cap").cast("long").as("cap_tok"),
-          col("alloc"),
+          col("alloc").cast("double").as("alloc"),
           round(col("alloc").cast("double") / col("n_tok").cast("double"), 6)
             .as("epochs"),
           when(col("alloc") === col("cap"), 1L).otherwise(0L).as("saturated"),
-          col("leftover"))
+          col("leftover").cast("double").as("leftover"))
         .orderBy(col("lang"))
     }),
 
@@ -1314,14 +1325,18 @@ object CurationQueries {
          |  FROM preds GROUP BY true_label),
          |pc AS (SELECT pred_label AS label, COUNT(*)::BIGINT AS n_pred
          |  FROM preds GROUP BY pred_label)
-         |SELECT tc.label, tc.support,
-         |  CAST(COALESCE(pc.n_pred, 0) AS BIGINT) AS n_pred, tc.tp,
+         |SELECT COALESCE(tc.label, pc.label) AS label,
+         |  CAST(COALESCE(tc.support, 0) AS BIGINT) AS support,
+         |  CAST(COALESCE(pc.n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(COALESCE(tc.tp, 0) AS BIGINT) AS tp,
          |  CASE WHEN COALESCE(pc.n_pred, 0) > 0
-         |    THEN round(tc.tp::DOUBLE / pc.n_pred::DOUBLE, 6) END AS prec,
-         |  round(tc.tp::DOUBLE / tc.support::DOUBLE, 6) AS recall,
-         |  round(2.0 * tc.tp::DOUBLE /
-         |    (tc.support + COALESCE(pc.n_pred, 0))::DOUBLE, 6) AS f1
-         |FROM tc LEFT JOIN pc ON tc.label = pc.label ORDER BY tc.label""".stripMargin,
+         |    THEN round(COALESCE(tc.tp, 0)::DOUBLE / pc.n_pred::DOUBLE, 6) END AS prec,
+         |  CASE WHEN COALESCE(tc.support, 0) > 0
+         |    THEN round(tc.tp::DOUBLE / tc.support::DOUBLE, 6) END AS recall,
+         |  round(2.0 * COALESCE(tc.tp, 0)::DOUBLE /
+         |    (COALESCE(tc.support, 0) + COALESCE(pc.n_pred, 0))::DOUBLE, 6) AS f1
+         |FROM tc FULL JOIN pc ON tc.label = pc.label
+         |ORDER BY label""".stripMargin,
 
     "q82_dsir_weights" -> {
       val bN = DsirBuckets
@@ -1597,10 +1612,11 @@ object CurationQueries {
          |$rounds,
          |lv AS (SELECT CAST(MAX(budget) - SUM(alloc) AS DECIMAL(28,6))
          |  AS leftover FROM r$AllocRounds)
-         |SELECT lang, n_tok, CAST(cap AS BIGINT) AS cap_tok, alloc,
+         |SELECT lang, n_tok, CAST(cap AS BIGINT) AS cap_tok,
+         |  CAST(alloc AS DOUBLE) AS alloc,
          |  round(CAST(alloc AS DOUBLE) / n_tok::DOUBLE, 6) AS epochs,
          |  CAST(CASE WHEN alloc = cap THEN 1 ELSE 0 END AS BIGINT) AS saturated,
-         |  leftover
+         |  CAST(leftover AS DOUBLE) AS leftover
          |FROM r$AllocRounds CROSS JOIN lv ORDER BY lang""".stripMargin
     },
 

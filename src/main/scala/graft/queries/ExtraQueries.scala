@@ -334,7 +334,10 @@ object ExtraQueries {
     * coefficient uses the descending-rank identity
     * Σ i·x_(i asc) = (k+1)·Σx − Σ r_desc·x, so every term is an exact
     * LONG from [[graft.operators.RankedCumsum.scoreRank]]'s two-pass
-    * rank — no single-partition window, no float accumulation. */
+    * rank — no single-partition window, no float accumulation.
+    * Range bound (same as RankedCumsum.auc): srn = Σ rank·n ≤ k·T is
+    * LONG, exact only while n_keys·total < 2^63; beyond that route srn
+    * through DECIMAL(38,0) in both engines. */
   private[graft] def skewReport(counts: DataFrame): DataFrame = {
     val ranked = graft.operators.RankedCumsum.scoreRank(
       counts.select(col("key").as("doc_id"), col("n").cast("double").as("score")))

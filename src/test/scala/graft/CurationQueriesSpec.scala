@@ -86,11 +86,18 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
     val preds = run("q56_knn_vote", sf0001).collect()
       .map(r => (r.getLong(1), r.getLong(2)))
     val rows = run("q121_knn_confusion", sf0001).collect()
-    assert(rows.map(_.getLong(0)).toSet === preds.map(_._1).toSet)
-    // conservation: supports partition the test set; tp sums to the
-    // correct count; predicted counts sum to at most the test size
-    // (classes never true-labeled are excluded rows)
+    // classes are the UNION of true and predicted labels (full outer):
+    // a class predicted but never true-labeled still gets a row —
+    // the fixture exercises this (label 1 at sf0.001)
+    assert(rows.map(_.getLong(0)).toSet ===
+      (preds.map(_._1) ++ preds.map(_._2)).toSet)
+    assert(rows.map(_.getLong(0)).toSet != preds.map(_._1).toSet,
+      "fixture should contain a predicted-only class; pick another SF if not")
+    // conservation: supports partition the test set, and so do the
+    // predicted counts (nothing lost to either join side); tp sums to
+    // the correct count
     assert(rows.map(_.getLong(1)).sum === preds.length.toLong)
+    assert(rows.map(_.getLong(2)).sum === preds.length.toLong)
     assert(rows.map(_.getLong(3)).sum === preds.count(p => p._1 == p._2).toLong)
     rows.foreach { r =>
       val c = r.getLong(0)
@@ -101,7 +108,9 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
       if (nPred > 0)
         assert(math.abs(r.getDouble(4) - tp.toDouble / nPred) < 1e-6)
       else assert(r.isNullAt(4))
-      assert(math.abs(r.getDouble(5) - tp.toDouble / support) < 1e-6)
+      if (support > 0)
+        assert(math.abs(r.getDouble(5) - tp.toDouble / support) < 1e-6)
+      else assert(r.isNullAt(5))
       val f1 = 2.0 * tp / (support + nPred)
       assert(math.abs(r.getDouble(6) - f1) < 1e-6)
       // harmonic-mean identity where precision is defined and tp > 0
@@ -518,19 +527,22 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
         }
       }
       val leftover = budget - alloc.sum
+      // output alloc/leftover are DOUBLE (the decimal internals cast
+      // once in the final projection — see the query's scaladoc); the
+      // exact-decimal recompute maps onto them via BigDecimal.toDouble
       val got = CurationQueries.queries("q106_epoch_alloc")(spark, dir)
         .select($"lang", $"n_tok", $"cap_tok", $"alloc", $"epochs",
           $"saturated", $"leftover")
-        .as[(String, Long, Long, BigDecimal, Double, Long, BigDecimal)]
+        .as[(String, Long, Long, Double, Double, Long, Double)]
         .collect().sortBy(_._1)
       assert(got.map(_._1).toSeq === counts.map(_._1))
       assert(got.map(_._2).toSeq === counts.map(_._2))
       got.indices.foreach { i =>
         assert(got(i)._3 === cap(i).toLong, s"$dir cap ${counts(i)._1}")
-        assert(got(i)._4 === alloc(i), s"$dir alloc ${counts(i)._1}")
+        assert(got(i)._4 === alloc(i).toDouble, s"$dir alloc ${counts(i)._1}")
         assert(got(i)._5 === r6(alloc(i).toDouble / counts(i)._2.toDouble))
         assert(got(i)._6 === (if (alloc(i) == cap(i)) 1L else 0L))
-        assert(got(i)._7 === leftover)
+        assert(got(i)._7 === leftover.toDouble)
       }
       // feasibility laws + non-degeneracy
       assert(alloc.sum <= budget)

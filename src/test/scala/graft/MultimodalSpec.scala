@@ -107,6 +107,46 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(feats.getLong(4) === wantSum(2))
   }
 
+  test("JPEG blobs decode for real through imageFeatures, within lossy tolerance") {
+    // JPEG is lossy and its IDCT is implementation-defined, so there is
+    // no hash oracle — the law here is tolerance: geometry must be
+    // exact, channel sums must be close to the lossless truth. Encode
+    // the known synthetic image as JPEG with the JDK's own writer,
+    // then run it through the SAME distributed path the PNG test uses.
+    val id = 5L
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthPng(id)))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", baos),
+      "JDK ImageIO must ship a JPEG writer")
+    val jpeg = baos.toByteArray
+    // JPEG SOI marker: a real encoded JPEG, not a renamed PNG
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8)
+    val blobs = Seq((id, jpeg)).toDF("doc_id", "blob")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        lit("image/jpeg").as("media_type"),
+        lit(jpeg.length.toLong).as("n_bytes"),
+        lit(Multimodal.DefaultChunkBytes).as("chunk_bytes")))
+    val feats = Multimodal.imageFeatures(blobs)
+      .select($"width", $"height", $"sum_r", $"sum_g", $"sum_b").head()
+    assert(feats.getLong(0) === Multimodal.SynthSide.toLong)
+    assert(feats.getLong(1) === Multimodal.SynthSide.toLong)
+    def wantSum(c: Int): Long =
+      (0 until Multimodal.SynthPixelValues).filter(_ % 3 == c)
+        .map(k => Multimodal.synthChannel(id, k).toLong).sum
+    val nPix = Multimodal.SynthSide * Multimodal.SynthSide
+    // mean per-pixel channel error under default-quality JPEG on an
+    // 8x8 high-frequency image: generous but non-vacuous bound of 48
+    // (channel range is 0..255; a stub or zeroed decode would fail)
+    Seq(2, 3, 4).zipWithIndex.foreach { case (i, c) =>
+      val got = feats.getLong(i)
+      val want = wantSum(c)
+      assert(math.abs(got - want) <= 48L * nPix,
+        s"channel $c: got $got want ~$want")
+      assert(got > 0L)
+    }
+  }
+
   test("synthetic WAV round-trips through a real javax.sound decode to the exact samples") {
     // encode with the JDK's WAV writer, decode with the JDK's reader,
     // compare against the arithmetic the oracle uses: known waveform ->

@@ -66,6 +66,25 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(r === ((2L, 0.5, 1)))
   }
 
+  test("sessionFit memoizes: identical weights to fit, one build per key") {
+    val rows = Seq(
+      (0L, 1.0, BiasFeature), (0L, 1.0, 10L),
+      (1L, 0.0, BiasFeature), (1L, 0.0, 20L))
+    val direct = QualityClassifier.fit(featDf(rows), iters = 2, lr = 0.5)
+    var builds = 0
+    def train = { builds += 1; featDf(rows) }
+    val key = s"memo-spec-${System.nanoTime()}"
+    val w1 = QualityClassifier.sessionFit(spark, key, train, 2, 0.5)
+    val w2 = QualityClassifier.sessionFit(spark, key, train, 2, 0.5)
+    assert(w1 === direct)         // the memo changes cost, not the answer
+    assert(w2 eq w1)              // second call returns the memoized table
+    assert(builds === 1)          // by-name train: never rebuilt on a hit
+    // different hyperparams are a different key — not a stale hit
+    val w3 = QualityClassifier.sessionFit(spark, key, train, 1, 0.5)
+    assert(builds === 2)
+    assert(w3 !== w1)
+  }
+
   test("fastSigmoid is monotone, centered at 0.5, and stays inside (0,1)") {
     val zs = Seq(-1e9, -3.0, -0.5, 0.0, 0.5, 3.0, 1e9)
     val ps = zs.toDF("z").select(QualityClassifier.fastSigmoid($"z"))
