@@ -104,6 +104,25 @@ object CurationQueries {
     * convention to match across engines). */
   val CcnetTerciles = 3
 
+  /** q133: token-length histogram bin width for the sketch-cutpoint
+    * trim (the q92 machinery applied to q54). 8 tokens keeps the
+    * per-lang directory at (length range)/8 bins — bounded by the
+    * value range, not the corpus — while the fixture's 10-99-token
+    * docs still spread over ~12 bins (non-degenerate cutpoints). */
+  val TrimBinW = 8L
+
+  /** q134: LM-score bin width for the sketch-cutpoint terciles is
+    * 1/CcnetBinInv = 1/512. The inverse is the stored constant so the
+    * binning is `floor(avg_ll * 512)` — scaling a 6-dp double by a
+    * power of two is EXACT in IEEE arithmetic, making the bin id
+    * bit-identical across engines (dividing by a decimal literal
+    * would not be). 1/512 resolves the fixture corpus score spread
+    * (bulk of the mass sits in a ~0.03-wide band) into enough bins for
+    * non-degenerate terciles; the directory stays
+    * value-range-bounded at any corpus size (≈512·|score range| bins
+    * per lang). */
+  val CcnetBinInv = 512
+
   /** q82: hashed-feature space size and how many top-importance docs
     * the selection reports. 4096 buckets keeps the ratio table
     * broadcast-sized at ANY corpus scale (the table is bounded by the
@@ -406,22 +425,11 @@ object CurationQueries {
       // per-bucket corpus profile a curation pipeline keys its
       // keep/drop policy on. Shape: the LM join broadcasts (unigram
       // vocab, the q55 argument); the tercile is a per-lang window —
-      // same caveat as q54: exact-auditable rank formulation here, a
-      // q92-style quantile-sketch CUTPOINT at 100 TB (per-lang sort
-      // becomes per-lang bounds lookup); the final rollup is one
-      // map-side-combined groupBy to ≤ langs×3 rows.
-      val tf = KeywordQueries.tokenizedDocs(s, dir)
-        .select(col("doc_id"), col("lang"), col("dl"),
-          explode(col("toks")).as("tok"))
-      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val n = gc.agg(sum(col("c")).as("n_tok_total"))
-      val scored = tf.join(broadcast(gc), Seq("tok"))
-        .crossJoin(broadcast(n))
-        .withColumn("ll",
-          log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
-        .groupBy(col("doc_id"), col("lang"), col("dl"))
-        .agg(sum(col("ll").cast("decimal(28,12)")).cast("double").as("sum_ll"))
-        .withColumn("avg_ll", round(col("sum_ll") / col("dl"), 6))
+      // same caveat as q54: exact-auditable rank formulation here;
+      // q134 is the sketch-cutpoint variant that replaces the per-lang
+      // sort at 100 TB; the final rollup is one map-side-combined
+      // groupBy to ≤ langs×3 rows.
+      val scored = lmScored(s, dir)
       val t = CcnetTerciles
       scored
         .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
@@ -431,6 +439,99 @@ object CurationQueries {
         .withColumn("bucket",
           when(col("r") * t <= col("n_lang"), "head")
             .when(col("r") * t <= col("n_lang") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).cast("long").as("n_tokens"),
+          min(col("avg_ll")).as("min_ll"),
+          max(col("avg_ll")).as("max_ll"),
+          round(sum(col("avg_ll").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("mean_ll"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    "q133_trim_sketch" -> ((s, dir) => {
+      // Sketch-cutpoint variant of q54's length trim — the plan a
+      // 100 TB pipeline actually runs (SURVEY §2.3 names this exact
+      // substitution). q54 pays a per-stratum corpus SORT for its rank;
+      // here the corpus collapses row-locally into a per-lang
+      // fixed-width token-length histogram (q92's machinery) —
+      // a directory bounded by langs × length-range/TrimBinW, NOT by
+      // the corpus — and the cut bins are read off its cumulative
+      // counts with the same integer rank arithmetic q54 trims at:
+      // lo = bin containing rank (n·p) div 100 + 1, hi = bin containing
+      // rank (n·(100−p)) div 100. The ≤|langs|-row cutpoint table joins
+      // back BROADCAST and the keep decision is row-local. Convention
+      // is conservative-INCLUSIVE (a straddling cut bin is kept whole),
+      // so the sketch keeps a SUPERSET of q54's kept set, overshooting
+      // by at most one bin width per end — proven against q54 in
+      // CurationQueriesSpec. Shape: two corpus scans (histogram build,
+      // final rollup), both map-side-combined to bounded tables; ZERO
+      // corpus sorts at any scale.
+      val w = TrimBinW
+      val tok = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("lang"), col("dl").cast("long").as("n_tokens"))
+        .withColumn("bin", expr(s"n_tokens div $w"))
+      val hist = tok.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
+      val wAsc = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      val cum = hist
+        .withColumn("cum", sum(col("n"))
+          .over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val cuts = cum.groupBy(col("lang")).agg(
+        min(when(col("cum") >= expr(s"(total * $TrimPct) div 100") + 1,
+          col("bin"))).as("lo_bin"),
+        min(when(col("cum") >= expr(s"(total * ${100 - TrimPct}) div 100"),
+          col("bin"))).as("hi_bin"),
+        max(col("total")).as("n_total"))
+      tok.join(broadcast(cuts), Seq("lang"))
+        .withColumn("kept", col("bin") >= col("lo_bin") && col("bin") <= col("hi_bin"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_total")).as("n_total"),
+          max(col("lo_bin") * w).cast("long").as("lo_cut"),
+          max((col("hi_bin") + 1) * w).cast("long").as("hi_cut"),
+          sum(col("kept").cast("long")).cast("long").as("n_kept"),
+          min(when(col("kept"), col("n_tokens"))).as("min_kept_tokens"),
+          max(when(col("kept"), col("n_tokens"))).as("max_kept_tokens"),
+          round(sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L))
+            .cast("decimal(28,6)")).cast("double") /
+            sum(col("kept").cast("long")), 6).as("avg_kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "q134_ccnet_sketch" -> ((s, dir) => {
+      // Sketch-cutpoint variant of q112's CCNet terciles — per-lang
+      // sort replaced by per-lang bounds lookup. The scored corpus bins
+      // row-locally by floor(avg_ll·CcnetBinInv) (scaling a 6-dp double
+      // by a power of two is IEEE-exact, so bin ids are bit-identical
+      // across engines) into a per-lang score histogram; scanning the
+      // directory from the HEAD end (bin desc), b1 = first bin whose
+      // cumulative count covers n/3 and b2 = the 2n/3 twin. Assignment
+      // is row-local off the broadcast ≤|langs|-row cut table:
+      // bin ≥ b1 head, b2 ≤ bin < b1 middle, bin < b2 tail —
+      // a doc OUTSIDE the two cut bins provably receives its exact q112
+      // bucket (the cut ranks' scores live inside b1/b2), so the carve
+      // deviates only within one bin width at each boundary (law proven
+      // in CurationQueriesSpec). Same output profile as q112.
+      val scored = lmScored(s, dir)
+        .withColumn("bin", floor(col("avg_ll") * CcnetBinInv))
+      val hist = scored.groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val wDesc = Window.partitionBy(col("lang")).orderBy(col("bin").desc)
+      val cum = hist
+        .withColumn("cum", sum(col("n"))
+          .over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val t = CcnetTerciles
+      val cuts = cum.groupBy(col("lang")).agg(
+        max(when(col("cum") * t >= col("total"), col("bin"))).as("b1"),
+        max(when(col("cum") * t >= col("total") * 2, col("bin"))).as("b2"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("bin") >= col("b1"), "head")
+            .when(col("bin") >= col("b2"), "middle")
             .otherwise("tail"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
@@ -482,24 +583,31 @@ object CurationQueries {
       // F1 = 2·tp/(support + n_pred) (the harmonic form reduced to ONE
       // division over integers — no P·R intermediate to diverge on a
       // ULP). Classes are the UNION of observed true labels and
-      // observed predicted labels (full outer join of the two
-      // directories): a class never predicted reports NULL precision,
-      // a class predicted but never true-labeled reports support 0 /
-      // NULL recall — nothing an eval consumer could misread as "zero
-      // predictions". Shape: q56's plan plus two label-directory
-      // aggregations (≤ #classes rows each) and one directory-sized
-      // join — the eval table costs nothing beyond the predictions.
+      // observed predicted labels: a class never predicted reports
+      // NULL precision, a class predicted but never true-labeled
+      // reports support 0 / NULL recall — nothing an eval consumer
+      // could misread as "zero predictions". The union is realized as
+      // a distinct label directory LEFT-joined to both count
+      // directories (not a FULL OUTER join, which Spark cannot
+      // broadcast — left joins onto the ≤ #classes-row directory keep
+      // the whole eval broadcast-shaped). Shape: q56's plan plus three
+      // label-directory aggregations and two broadcast joins — the
+      // eval table costs nothing beyond the predictions.
       val preds = queries("q56_knn_vote")(s, dir)
         .select(col("true_label"), col("pred_label"))
-      val t = preds.groupBy(col("true_label")).agg(
+      val labels = preds.select(col("true_label").as("label"))
+        .unionByName(preds.select(col("pred_label").as("label")))
+        .distinct()
+      val t = preds.groupBy(col("true_label").as("label")).agg(
         count(lit(1)).as("support"),
         coalesce(sum(when(col("pred_label") === col("true_label"), 1L)
           .otherwise(0L)), lit(0L)).as("tp"))
-      val p = preds.groupBy(col("pred_label").as("p_label")).agg(
+      val p = preds.groupBy(col("pred_label").as("label")).agg(
         count(lit(1)).as("n_pred"))
-      t.join(p, col("true_label") === col("p_label"), "full")
+      labels.join(broadcast(t), Seq("label"), "left")
+        .join(broadcast(p), Seq("label"), "left")
         .na.fill(0L, Seq("support", "n_pred", "tp"))
-        .select(coalesce(col("true_label"), col("p_label")).as("label"),
+        .select(col("label"),
           col("support"), col("n_pred"), col("tp"),
           when(col("n_pred") > 0,
             round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
@@ -960,6 +1068,42 @@ object CurationQueries {
        |  FROM $wPrev JOIN g$i USING (b) CROSS JOIN n)""".stripMargin
   }
 
+  /** Per-doc unigram-LM score table shared by q112 and q134 (q55's
+    * scoring pass): (doc_id, lang, dl, sum_ll, avg_ll) with avg_ll
+    * rounded once to 6 dp. The vocabulary join broadcasts (a unigram
+    * vocab stays bounded at any corpus size) and the per-doc sum is
+    * decimal-routed so partition order cannot move the score. */
+  private[graft] def lmScored(s: SparkSession, dir: String): DataFrame = {
+    val tf = KeywordQueries.tokenizedDocs(s, dir)
+      .select(col("doc_id"), col("lang"), col("dl"),
+        explode(col("toks")).as("tok"))
+    val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = gc.agg(sum(col("c")).as("n_tok_total"))
+    tf.join(broadcast(gc), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("ll",
+        log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
+      .groupBy(col("doc_id"), col("lang"), col("dl"))
+      .agg(sum(col("ll").cast("decimal(28,12)")).cast("double").as("sum_ll"))
+      .withColumn("avg_ll", round(col("sum_ll") / col("dl"), 6))
+  }
+
+  /** SQL twin of [[lmScored]]: CTE chain ending in `av(doc_id, lang,
+    * dl, avg_ll)`, to be spliced after WITH. */
+  private[graft] def lmScoredSql: String =
+    s"""dd AS (${KeywordQueries.tokenizedDocsSql}),
+       |tf AS (SELECT doc_id, lang, dl, unnest(toks) AS tok FROM dd),
+       |gc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok_total FROM gc),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.lang, tf.dl,
+       |    CAST(SUM(CAST(ln(c::DOUBLE) - ln(n_tok_total::DOUBLE)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS sum_ll
+       |  FROM tf JOIN gc USING (tok) CROSS JOIN n
+       |  GROUP BY tf.doc_id, tf.lang, tf.dl),
+       |av AS (SELECT doc_id, lang, dl, round(sum_ll / dl, 6) AS avg_ll
+       |  FROM sc)""".stripMargin
+
   /** q86 feature table: one row per (doc, DISTINCT hashed-bigram
     * bucket) — binary bag-of-buckets — plus one always-on
     * [[graft.operators.QualityClassifier.BiasFeature]] row per doc.
@@ -1282,18 +1426,7 @@ object CurationQueries {
 
     "q112_ccnet_buckets" -> {
       val t = CcnetTerciles
-      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
-         |tf AS (SELECT doc_id, lang, dl, unnest(toks) AS tok FROM dd),
-         |gc AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
-         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok_total FROM gc),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.lang, tf.dl,
-         |    CAST(SUM(CAST(ln(c::DOUBLE) - ln(n_tok_total::DOUBLE)
-         |      AS DECIMAL(28,12))) AS DOUBLE) AS sum_ll
-         |  FROM tf JOIN gc USING (tok) CROSS JOIN n
-         |  GROUP BY tf.doc_id, tf.lang, tf.dl),
-         |av AS (SELECT doc_id, lang, dl, round(sum_ll / dl, 6) AS avg_ll
-         |  FROM sc),
+      s"""WITH $lmScoredSql,
          |rk AS (SELECT *,
          |  ROW_NUMBER() OVER (PARTITION BY lang
          |    ORDER BY avg_ll DESC, doc_id ASC) AS r,
@@ -1302,6 +1435,67 @@ object CurationQueries {
          |  CASE WHEN r * $t <= n_lang THEN 'head'
          |    WHEN r * $t <= n_lang * 2 THEN 'middle'
          |    ELSE 'tail' END AS bucket FROM rk)
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  MIN(avg_ll) AS min_ll, MAX(avg_ll) AS max_ll,
+         |  round(CAST(SUM(CAST(avg_ll AS DECIMAL(28,12))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_ll
+         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+    },
+
+    "q133_trim_sketch" -> {
+      val w = TrimBinW
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |t AS (SELECT doc_id, lang, CAST(dl AS BIGINT) AS n_tokens,
+         |  CAST(dl AS BIGINT) // $w AS bin FROM dd),
+         |hist AS (SELECT lang, bin, COUNT(*)::BIGINT AS n
+         |  FROM t GROUP BY lang, bin),
+         |cum AS (SELECT lang, bin,
+         |    SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         |    SUM(n) OVER (PARTITION BY lang) AS total
+         |  FROM hist),
+         |cuts AS (SELECT lang,
+         |    MIN(CASE WHEN cum >= (total * $TrimPct) // 100 + 1 THEN bin END)
+         |      AS lo_bin,
+         |    MIN(CASE WHEN cum >= (total * ${100 - TrimPct}) // 100 THEN bin END)
+         |      AS hi_bin,
+         |    MAX(total) AS n_total
+         |  FROM cum GROUP BY lang),
+         |k AS (SELECT t.lang, n_tokens, lo_bin, hi_bin, n_total,
+         |    (bin >= lo_bin AND bin <= hi_bin) AS kept
+         |  FROM t JOIN cuts USING (lang))
+         |SELECT lang, CAST(MAX(n_total) AS BIGINT) AS n_total,
+         |  CAST(MAX(lo_bin * $w) AS BIGINT) AS lo_cut,
+         |  CAST(MAX((hi_bin + 1) * $w) AS BIGINT) AS hi_cut,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  MIN(CASE WHEN kept THEN n_tokens END) AS min_kept_tokens,
+         |  MAX(CASE WHEN kept THEN n_tokens END) AS max_kept_tokens,
+         |  round(CAST(SUM(CAST(CASE WHEN kept THEN n_tokens ELSE 0 END
+         |    AS DECIMAL(28,6))) AS DOUBLE)
+         |    / SUM(CASE WHEN kept THEN 1 ELSE 0 END), 6) AS avg_kept_tokens
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q134_ccnet_sketch" -> {
+      val t = CcnetTerciles
+      s"""WITH $lmScoredSql,
+         |bn AS (SELECT doc_id, lang, dl, avg_ll,
+         |  CAST(floor(avg_ll * $CcnetBinInv) AS BIGINT) AS bin FROM av),
+         |hist AS (SELECT lang, bin, COUNT(*)::BIGINT AS n
+         |  FROM bn GROUP BY lang, bin),
+         |cum AS (SELECT lang, bin,
+         |    SUM(n) OVER (PARTITION BY lang ORDER BY bin DESC) AS cum,
+         |    SUM(n) OVER (PARTITION BY lang) AS total
+         |  FROM hist),
+         |cuts AS (SELECT lang,
+         |    MAX(CASE WHEN cum * $t >= total THEN bin END) AS b1,
+         |    MAX(CASE WHEN cum * $t >= total * 2 THEN bin END) AS b2
+         |  FROM cum GROUP BY lang),
+         |bk AS (SELECT bn.lang, dl, avg_ll,
+         |    CASE WHEN bin >= b1 THEN 'head'
+         |      WHEN bin >= b2 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |  FROM bn JOIN cuts USING (lang))
          |SELECT lang, bucket, COUNT(*) AS n_docs,
          |  CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS n_tokens,
          |  MIN(avg_ll) AS min_ll, MAX(avg_ll) AS max_ll,
@@ -1324,8 +1518,10 @@ object CurationQueries {
          |      AS BIGINT) AS tp
          |  FROM preds GROUP BY true_label),
          |pc AS (SELECT pred_label AS label, COUNT(*)::BIGINT AS n_pred
-         |  FROM preds GROUP BY pred_label)
-         |SELECT COALESCE(tc.label, pc.label) AS label,
+         |  FROM preds GROUP BY pred_label),
+         |lbl AS (SELECT true_label AS label FROM preds
+         |  UNION SELECT pred_label FROM preds)
+         |SELECT lbl.label,
          |  CAST(COALESCE(tc.support, 0) AS BIGINT) AS support,
          |  CAST(COALESCE(pc.n_pred, 0) AS BIGINT) AS n_pred,
          |  CAST(COALESCE(tc.tp, 0) AS BIGINT) AS tp,
@@ -1335,8 +1531,9 @@ object CurationQueries {
          |    THEN round(tc.tp::DOUBLE / tc.support::DOUBLE, 6) END AS recall,
          |  round(2.0 * COALESCE(tc.tp, 0)::DOUBLE /
          |    (COALESCE(tc.support, 0) + COALESCE(pc.n_pred, 0))::DOUBLE, 6) AS f1
-         |FROM tc FULL JOIN pc ON tc.label = pc.label
-         |ORDER BY label""".stripMargin,
+         |FROM lbl LEFT JOIN tc ON lbl.label = tc.label
+         |LEFT JOIN pc ON lbl.label = pc.label
+         |ORDER BY lbl.label""".stripMargin,
 
     "q82_dsir_weights" -> {
       val bN = DsirBuckets

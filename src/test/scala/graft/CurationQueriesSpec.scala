@@ -259,6 +259,134 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
       lo > toks(lang)._1 || hi < toks(lang)._2 })
   }
 
+  test("q133 sketch trim: superset of q54's kept set, off only within cut bins") {
+    val w = CurationQueries.TrimBinW
+    val p = CurationQueries.TrimPct
+    Seq(sf0001, sf001).foreach { dir =>
+      val docs = graft.queries.KeywordQueries.tokenizedDocs(spark, dir)
+        .select($"doc_id", $"lang", $"dl".cast("long"))
+        .as[(Long, String, Long)].collect()
+      val byLang = docs.groupBy(_._2)
+      // exact q54 kept set: strict integer rank band
+      val exactKept = byLang.values.flatMap { ds =>
+        val sorted = ds.sortBy(d => (d._3, d._1))
+        val n = sorted.length.toLong
+        sorted.zipWithIndex.collect { case ((id, _, _), i)
+          if (i + 1) * 100 > n * p && (i + 1) * 100 <= n * (100 - p) => id }
+      }.toSet
+      // sketch cutpoints recomputed independently from the histogram
+      val cuts = byLang.map { case (lang, ds) =>
+        val hist = ds.groupBy(_._3 / w).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        val n = ds.length.toLong
+        var cum = 0L
+        var lo = Option.empty[Long]; var hi = Option.empty[Long]
+        hist.foreach { case (bin, cnt) =>
+          cum += cnt
+          if (lo.isEmpty && cum >= n * p / 100 + 1) lo = Some(bin)
+          if (hi.isEmpty && cum >= n * (100 - p) / 100) hi = Some(bin)
+        }
+        lang -> ((lo.get, hi.get))
+      }
+      val sketchKept = docs.filter { case (_, lang, dl) =>
+        val (lo, hi) = cuts(lang); val b = dl / w; b >= lo && b <= hi
+      }.map(_._1).toSet
+      // law 1: conservative-inclusive — never drops an exactly-kept doc
+      assert(exactKept.subsetOf(sketchKept), dir)
+      // law 2: every overshoot doc sits IN a cut bin (one-bin-width bound)
+      (sketchKept -- exactKept).foreach { id =>
+        val d = docs.find(_._1 == id).get
+        val (lo, hi) = cuts(d._2); val b = d._3 / w
+        assert(b == lo || b == hi, s"$dir doc $id outside cut bins")
+      }
+      assert((sketchKept -- exactKept).nonEmpty,
+        s"$dir: fixture should exercise the straddle bins")
+      // law 3: the declared query reports exactly this recompute, and
+      // its kept band is within one bin width of the exact trim's
+      val got = run("q133_trim_sketch", dir)
+        .select($"lang", $"n_total", $"n_kept",
+          $"min_kept_tokens", $"max_kept_tokens")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      byLang.foreach { case (lang, ds) =>
+        val keptD = ds.filter(d => sketchKept(d._1)).map(_._3)
+        val exactD = ds.filter(d => exactKept(d._1)).map(_._3)
+        val g = got(lang)
+        assert(g._2 === ds.length.toLong, s"$dir $lang n_total")
+        assert(g._3 === keptD.length.toLong, s"$dir $lang n_kept")
+        assert(g._4 === keptD.min && g._5 === keptD.max, s"$dir $lang band")
+        if (exactD.nonEmpty) {
+          assert(exactD.min - g._4 < w, s"$dir $lang lo bound")
+          assert(g._5 - exactD.max < w, s"$dir $lang hi bound")
+        }
+      }
+    }
+  }
+
+  test("q134 sketch terciles: exact q112 bucket for every doc outside the cut bins") {
+    val inv = CurationQueries.CcnetBinInv
+    val t = CurationQueries.CcnetTerciles
+    def bin(x: Double) = math.floor(x * inv).toLong
+    Seq(sf0001, sf001).foreach { dir =>
+      val scored = CurationQueries.lmScored(spark, dir)
+        .select($"doc_id", $"lang", $"avg_ll")
+        .as[(Long, String, Double)].collect()
+      val byLang = scored.groupBy(_._2)
+      // exact q112 bucket per doc: rank arithmetic on (score desc, id)
+      val exact = byLang.values.flatMap { ds =>
+        val sorted = ds.sortBy(d => (-d._3, d._1))
+        val n = sorted.length.toLong
+        sorted.zipWithIndex.map { case ((id, _, _), i) =>
+          val r = i + 1L
+          id -> (if (r * t <= n) "head"
+            else if (r * t <= n * 2) "middle" else "tail")
+        }
+      }.toMap
+      // sketch cutpoints recomputed independently (desc-cumulative)
+      val cuts = byLang.map { case (lang, ds) =>
+        val hist = ds.groupBy(d => bin(d._3)).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(-_._1)
+        val n = ds.length.toLong
+        var cum = 0L
+        var b1 = Option.empty[Long]; var b2 = Option.empty[Long]
+        hist.foreach { case (b, c) =>
+          cum += c
+          if (b1.isEmpty && cum * t >= n) b1 = Some(b)
+          if (b2.isEmpty && cum * t >= n * 2) b2 = Some(b)
+        }
+        lang -> ((b1.get, b2.get))
+      }
+      def sketch(lang: String, x: Double): String = {
+        val (b1, b2) = cuts(lang); val b = bin(x)
+        if (b >= b1) "head" else if (b >= b2) "middle" else "tail"
+      }
+      // law 1: outside the two cut bins the carve IS the exact carve
+      var offCut = 0
+      scored.foreach { case (id, lang, x) =>
+        val (b1, b2) = cuts(lang); val b = bin(x)
+        if (b != b1 && b != b2) {
+          assert(sketch(lang, x) === exact(id), s"$dir doc $id")
+          offCut += 1
+        }
+      }
+      assert(offCut > 0, s"$dir: every doc in a cut bin — degenerate binning")
+      // law 2: boundary conventions bracket the exact carve —
+      // sketch head ⊇ exact head, sketch tail ⊆ exact tail
+      scored.foreach { case (id, lang, x) =>
+        if (exact(id) == "head") assert(sketch(lang, x) === "head", s"$dir $id")
+        if (sketch(lang, x) == "tail") assert(exact(id) === "tail", s"$dir $id")
+      }
+      // law 3: the declared query reports exactly this recompute
+      val got = run("q134_ccnet_sketch", dir)
+        .select($"lang", $"bucket", $"n_docs")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = scored.groupBy(d => (d._2, sketch(d._2, d._3)))
+        .view.mapValues(_.size.toLong).toMap
+      assert(got === want)
+    }
+  }
+
   test("q62 oov rate matches a driver-side recomputation") {
     val (a, b) = SplitPair
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

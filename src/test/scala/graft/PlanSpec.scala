@@ -706,6 +706,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"directory joins must broadcast:\n$p")
   }
 
+  test("q133/q134 sketch cutpoints: windows on the bounded directory, cuts broadcast back") {
+    // the whole point of the sketch variants is NO corpus sort: the
+    // only windows allowed are per-lang cumulatives over the
+    // histogram DIRECTORY (post-aggregate), and the ≤|langs|-row
+    // cutpoint table must come back as a broadcast join — a
+    // SortMergeJoin or a non-lang window means the corpus moved
+    for (q <- Seq("q133_trim_sketch", "q134_ccnet_sketch")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(lang#"),
+        s"$q windows must partition by lang:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q cut table must broadcast:\n$p")
+      assert(p.linesIterator.exists(l =>
+          l.contains("HashAggregate") && l.contains("partial_count")),
+        s"$q histogram must combine map-side:\n$p")
+    }
+  }
+
   test("q107 weighted sample plans as ONE top-k over the cached scan") {
     // the entire query must be row-local expressions + per-partition
     // heaps: any exchange before the TakeOrderedAndProject means the
