@@ -26,7 +26,7 @@ object StreamingQueries {
     * the step) — ONE keyed window chain sharing a single per-user
     * sort. Shared by q128 (step counts) and q132 (conversion-latency
     * quantiles) so both read the same strict-ordering semantics. */
-  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def funnelTimes(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

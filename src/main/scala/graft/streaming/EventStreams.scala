@@ -41,6 +41,24 @@ case class UserState(t: Long, eventId: Long, eventType: String, value: Double)
 case class UserSnap(user_id: Long, last_us: Long, last_event_id: Long,
                     last_type: String, last_value: Double, deleted: Boolean)
 
+/** Per-user funnel progress carried between micro-batches — first
+  * qualified step times in epoch micros, -1 = step not reached
+  * (a case class of Options does not round-trip keyed state cleanly;
+  * the sentinel is private to the state, the emitted snapshot maps it
+  * back to NULL-like semantics via the batch twin's convention). */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** One user's current funnel snapshot (the streaming face of q128's
+  * per-user funnelTimes row): -1 where the step is not reached. */
+case class FunnelSnap(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+/** Last-event state for the streaming transition walk. */
+case class TransState(t: Long, eventId: Long, eventType: String)
+
+/** One observed order-1 transition (the streaming face of one q131
+  * pair): emitted exactly once per consecutive same-user event pair. */
+case class Trans(user_id: Long, from_type: String, to_type: String, t_us: Long)
+
 object EventStreams {
 
   type Ev = graft.streaming.Ev
@@ -169,6 +187,72 @@ object EventStreams {
     }
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming funnel progress — the streaming twin of q128's
+    * funnelTimes engine: keyed state holds each user's first QUALIFIED
+    * step times (view, click-strictly-after-first-view,
+    * purchase-strictly-after-first-qualified-click) and every
+    * micro-batch emits the user's updated snapshot (Update mode); the
+    * 3-row funnel report is then one directory-sized aggregation over
+    * the snapshot at any instant — the report stays continuously
+    * queryable instead of being recomputed per batch. Within a
+    * micro-batch events are processed in (ts, event_id) order; across
+    * batches the operator assumes watermark-ordered replay (the same
+    * assumption [[sessionize]]/[[latestState]] replay under and the
+    * spec replays with). State is O(users) × 3 longs — the keyed-state
+    * bound a 100 TB stream needs. Replay equivalence vs the batch
+    * engine is asserted per user in EventStreamsSpec. */
+  def funnelState(events: Dataset[Ev]): Dataset[FunnelSnap] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+           state: GroupState[FunnelState]): FunnelSnap = {
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      for (e <- evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+        val t = micros(e.ts)
+        e.event_type match {
+          case "view" if s.t1 < 0 => s = s.copy(t1 = t)
+          case "click" if s.t2 < 0 && s.t1 >= 0 && s.t1 < t =>
+            s = s.copy(t2 = t)
+          case "purchase" if s.t3 < 0 && s.t2 >= 0 && s.t2 < t =>
+            s = s.copy(t3 = t)
+          case _ =>
+        }
+      }
+      state.update(s)
+      FunnelSnap(userId, s.t1, s.t2, s.t3)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming order-1 transition walk — the streaming twin of q131:
+    * keyed state remembers each user's latest event on the total order
+    * (t, event_id); each incoming event emits exactly one (from, to)
+    * pair against the remembered predecessor and becomes the new
+    * state, so a full replay emits precisely the per-user consecutive
+    * pairs the batch lead() window produces (conservation law:
+    * pairs = events − users, the same law q131's spec proves). The
+    * transition MATRIX is a downstream directory-sized aggregation
+    * (≤ types² cells) over the emitted pairs — streaming complete-mode
+    * or batch, either reads the same append-only pair stream. State is
+    * O(users) × one event. */
+  def transitionPairs(events: Dataset[Ev]): Dataset[Trans] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+           state: GroupState[TransState]): Iterator[Trans] = {
+      val out = Seq.newBuilder[Trans]
+      var cur = state.getOption
+      for (e <- evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+        val t = micros(e.ts)
+        cur.foreach(p => out += Trans(userId, p.eventType, e.event_type, t))
+        cur = Some(TransState(t, e.event_id, e.event_type))
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Stream-static incremental dedup — the streaming twin of

@@ -206,6 +206,71 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state replay-matches the batch q128 engine per user") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.funnelState(mem.toDS())
+      .writeStream.format("memory").queryName("fun").outputMode("update").start()
+    try {
+      // watermark-ordered replay in three micro-batches (the
+      // documented across-batch ordering assumption)
+      val sorted = fixtureEvents.sortBy(e =>
+        (EventStreams.micros(e.ts), e.event_id))
+      val (b1, rest) = sorted.splitAt(sorted.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        assert(b.nonEmpty); mem.addData(b); q.processAllAvailable()
+      }
+      // update-mode sink accumulates revisions; steps only ever go
+      // -1 → fixed time, so the newest snapshot is the lexicographic max
+      val got = spark.table("fun").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val want = graft.queries.StreamingQueries.funnelTimes(spark, sf0001)
+        .collect().map { r =>
+          def t(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i)
+          r.getLong(0) -> ((t(1), t(2), t(3)))
+        }.toMap
+      assert(got === want)
+      // and the q128 report is exactly the snapshot's step counts
+      val rep = graft.queries.StreamingQueries
+        .queries("q128_funnel")(spark, sf0001)
+        .select($"step_id", $"n_users").as[(Long, Long)].collect().toMap
+      assert(rep(1L) === got.values.count(_._1 >= 0).toLong)
+      assert(rep(2L) === got.values.count(_._2 >= 0).toLong)
+      assert(rep(3L) === got.values.count(_._3 >= 0).toLong)
+    } finally q.stop()
+  }
+
+  test("streaming transition walk replay-matches the batch q131 matrix") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.transitionPairs(mem.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      val sorted = fixtureEvents.sortBy(e =>
+        (EventStreams.micros(e.ts), e.event_id))
+      val (b1, rest) = sorted.splitAt(sorted.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        assert(b.nonEmpty); mem.addData(b); q.processAllAvailable()
+      }
+      val pairs = spark.table("trans").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      // conservation: exactly one pair per consecutive same-user pair
+      val nUsers = fixtureEvents.map(_.user_id).distinct.length
+      assert(pairs.length === fixtureEvents.length - nUsers)
+      // the pair counts ARE the batch matrix, cell for cell
+      val got = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = graft.queries.StreamingQueries
+        .queries("q131_event_transitions")(spark, sf0001)
+        .select($"from_type", $"to_type", $"n_trans")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup replay-matches the batch incremental pairs") {
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
