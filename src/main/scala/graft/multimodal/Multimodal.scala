@@ -189,6 +189,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** Pooled-image feature extraction (q136): REAL decode, then
+    * `pool`×`pool` average pooling per channel — the cheapest
+    * vision-pipeline preprocessing step (thumbnailing / patch
+    * embedding front-end), kept integer-exact so the oracle can
+    * reproduce it arithmetically: each pooled cell value is
+    * `(Σ of pool² pixel channels) div pool²` (non-negative, so
+    * truncating and floor division agree across engines). Emits per
+    * image the pooled per-channel sums plus a position-weighted
+    * checksum `p_fp = Σ_cells (cell+1)·(pr + 256·pg + 65536·pb)` —
+    * sensitive to WHERE each pooled value landed, so a decoder that
+    * produced the right totals in the wrong cells still fails the
+    * oracle. Same dispatch/null-passthrough contract as
+    * [[imageFeatures]]; row-local, blobs never shuffle. */
+  def imagePooledFeatures(blobs: DataFrame, pool: Int = 2): DataFrame = {
+    val featureFields = Seq("p_sum_r", "p_sum_g", "p_sum_b", "p_fp")
+    val outSchema = StructType(blobs.schema.fields ++
+      featureFields.map(StructField(_, LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        val features: Seq[Any] =
+          if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
+            Seq(null, null, null, null)
+          else {
+            imageIoHeapStreams
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(blob))
+            require(img != null, "undecodable image blob")
+            val (cw, ch) = (img.getWidth / pool, img.getHeight / pool)
+            var (spr, spg, spb, fp) = (0L, 0L, 0L, 0L)
+            var cy = 0
+            while (cy < ch) {
+              var cx = 0
+              while (cx < cw) {
+                var (ar, ag, ab) = (0L, 0L, 0L)
+                var dy = 0
+                while (dy < pool) {
+                  var dx = 0
+                  while (dx < pool) {
+                    val rgb = img.getRGB(cx * pool + dx, cy * pool + dy)
+                    ar += (rgb >> 16) & 0xff
+                    ag += (rgb >> 8) & 0xff
+                    ab += rgb & 0xff
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                val n = pool.toLong * pool
+                val (pr, pg, pb) = (ar / n, ag / n, ab / n)
+                spr += pr; spg += pg; spb += pb
+                fp += (cy.toLong * cw + cx + 1) * (pr + 256L * pg + 65536L * pb)
+                cx += 1
+              }
+              cy += 1
+            }
+            Seq(spr, spg, spb, fp)
+          }
+        Row.fromSeq(r.toSeq ++ features)
+      }
+    }(enc)
+  }
+
   // ---------------------------------------------------------------
   // Real audio path (javax.sound.sampled — in the JDK, zero-egress-safe)
   // ---------------------------------------------------------------
@@ -316,6 +382,53 @@ object Multimodal {
         (n, s, sq)
       } finally ais.close()
     }
+
+    /** Integer-factor decimation with mean pooling (q137): output
+      * sample j = (Σ of `factor` consecutive input samples) / factor,
+      * TRUNCATING toward zero — pooled sums go negative, so the
+      * division convention is part of the cross-engine contract, and
+      * DuckDB's integer `//` truncates toward zero exactly like
+      * Java's `/` (measured on DuckDB 1.0: -7 // 4 = -1, NOT the
+      * floor -2 — its docs-level "floor division" name applies to
+      * floats). Math.floorDiv here would be off by one on every
+      * negative non-divisible window. A trailing partial window is
+      * dropped (n_out = n div factor, the resampler convention).
+      * Returns (n_out, sum of pooled, sum of pooled², pooled
+      * position-weighted checksum Σ (j+1)·pooled_j) — the checksum
+      * pins each pooled value to its position, like q136's p_fp. */
+    def decimated(blob: Array[Byte], factor: Int): (Long, Long, Long, Long) = {
+      val ais = wavReader.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        val nIn = bytes.length / 2
+        val nOut = nIn / factor
+        var (s, sq, fp) = (0L, 0L, 0L)
+        var j = 0
+        while (j < nOut) {
+          var acc = 0L
+          var d = 0
+          while (d < factor) {
+            val i = (j * factor + d) * 2
+            val v =
+              if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+              else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+            acc += v
+            d += 1
+          }
+          val pv = acc / factor // truncating, like DuckDB integer //
+          s += pv
+          sq += pv * pv
+          fp += (j + 1L) * pv
+          j += 1
+        }
+        (nOut.toLong, s, sq, fp)
+      } finally ais.close()
+    }
   }
 
   /** Audio feature extraction: adds `n_samples`/`sum_s`/`sum_sq` from
@@ -345,6 +458,38 @@ object Multimodal {
           else {
             val (n, s, sq) = decoder.features(blob)
             Seq(n, s, sq)
+          }
+        Row.fromSeq(r.toSeq ++ features)
+      }
+    }(enc)
+  }
+
+  /** Downsampled-audio feature extraction (q137): REAL decode, then
+    * integer-factor decimation with mean pooling
+    * ([[WavDecoder.decimated]]) — the standard resample-before-featurize
+    * step of an audio training pipeline, kept integer-exact (floor
+    * division both engines) so the oracle reproduces it
+    * arithmetically. Same dispatch/null-passthrough contract as
+    * [[audioFeatures]]; row-local, blobs never shuffle. */
+  def audioDownsampled(blobs: DataFrame, factor: Int = 4): DataFrame = {
+    val featureFields = Seq("n_out", "ds_sum", "ds_sum_sq", "ds_fp")
+    val outSchema = StructType(blobs.schema.fields ++
+      featureFields.map(StructField(_, LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      val decoder = WavDecoder // one decoder per partition
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        val features: Seq[Any] =
+          if (blob == null || mediaType == null ||
+              (mediaType != "audio/wav" && mediaType != "audio/x-wav"))
+            Seq(null, null, null, null)
+          else {
+            val (n, s, sq, fp) = decoder.decimated(blob, factor)
+            Seq(n, s, sq, fp)
           }
         Row.fromSeq(r.toSeq ++ features)
       }

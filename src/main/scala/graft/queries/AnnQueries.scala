@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
@@ -161,7 +161,69 @@ object AnnQueries {
       out
     }
 
+  /** q140 MMR geometry: selection size and the relevance/diversity
+    * trade-off. λ and 1−λ are SEPARATE stored doubles (0.7 / 0.3)
+    * used verbatim in both engines — computing `1 − 0.7` at runtime
+    * yields 0.30000000000000004 in IEEE and would break the
+    * twin-expression contract on the 6-dp boundary. */
+  val MmrK = 5
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q140_mmr_select" -> ((s, dir) => {
+      // Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+      // diversity-aware selection — the dedup-at-retrieval-time
+      // operator RAG rerankers and hard-negative miners run: greedily
+      // pick argmax of λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s),
+      // so near-duplicates of an already-picked result are penalized
+      // out. Both rel and sim use the engine's (1+cos)/2 score
+      // convention, each rounded to 6 dp BEFORE the combination (the
+      // q10/q11 portability rule), and the oracle unrolls all K greedy
+      // steps as CTEs — hash-green certifies every argmax, not just
+      // the final set. Shape: K bounded iterations, each ONE scan of
+      // the scored corpus topping out in per-partition heaps
+      // (TakeOrderedAndProject); the selected set is ≤ K vectors, so
+      // the max-sim column is K broadcast-literal expressions — no
+      // join, no corpus-sized state, driver holds exactly K rows.
+      import s.implicits._
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val cand = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(neo4jScore(col("embedding"), typedLit(qv)), 6).as("rel"))
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Seq[Float], Double, Double, Double)]
+      (1 to MmrK).foreach { _ =>
+        val sims = picked.toSeq.map(p =>
+          round(neo4jScore(col("embedding"), typedLit(p._2)), 6))
+        val maxSim: Column = sims match {
+          case Seq() => lit(0.0)
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+        val r = cand
+          .filter(!col("vec_id").isInCollection(
+            if (picked.isEmpty) Seq(-1L) else picked.toSeq.map(_._1)))
+          .withColumn("max_sim", maxSim)
+          .withColumn("mmr", round(lit(MmrLambda) * col("rel") -
+            lit(MmrOneMinusLambda) * col("max_sim"), 6))
+          .orderBy(col("mmr").desc, col("vec_id").asc)
+          .limit(1)
+          .select(col("vec_id"), col("embedding"), col("rel"),
+            col("max_sim"), col("mmr"))
+          .head()
+        picked += ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      }
+      picked.toSeq.zipWithIndex
+        .map { case ((id, _, rel, ms, mmr), i) => (i + 1L, id, rel, ms, mmr) }
+        .toDF("step", "vec_id", "rel", "max_sim", "mmr")
+        .orderBy(col("step"))
+    }),
 
     "q32_filtered_knn" -> ((s, dir) => {
       // metadata-filtered search: the predicate applies BEFORE scoring,
@@ -539,6 +601,46 @@ object AnnQueries {
        |      ${rawCosSql(aE, bE)}) / 2.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    "q140_mmr_select" -> {
+      // every greedy step unrolled as its own CTE (the qcIterSql
+      // pattern): step t excludes the t−1 already-picked ids and takes
+      // the arg-max of the 6-dp MMR score with the same tie-break
+      val lam = s"CAST($MmrLambda AS DOUBLE)"
+      val oml = s"CAST($MmrOneMinusLambda AS DOUBLE)"
+      def stepCte(t: Int): String = {
+        val prev = (1 until t).map(i => s"s$i")
+        val from = (Seq("cand c") ++ prev).mkString(", ")
+        val excl =
+          if (prev.isEmpty) ""
+          else s"WHERE c.vec_id NOT IN (${prev.map(p => s"$p.vec_id").mkString(", ")}) "
+        val ms = prev match {
+          case Seq() => "CAST(0.0 AS DOUBLE)"
+          case Seq(one) => s"round(${cosSql("c.embedding", s"$one.embedding")}, 6)"
+          case many => "greatest(" + many.map(p =>
+            s"round(${cosSql("c.embedding", s"$p.embedding")}, 6)").mkString(", ") + ")"
+        }
+        s"""s$t AS (
+           |  SELECT vec_id, embedding, rel, ms AS max_sim,
+           |    round($lam * rel - $oml * ms, 6) AS mmr
+           |  FROM (SELECT c.vec_id, c.embedding, c.rel, $ms AS ms
+           |        FROM $from $excl)
+           |  ORDER BY mmr DESC, vec_id ASC LIMIT 1)""".stripMargin
+      }
+      val steps = (1 to MmrK).map(stepCte).mkString(",\n")
+      val out = (1 to MmrK).map(t =>
+        s"SELECT $t::BIGINT AS step, vec_id, rel, max_sim, mmr FROM s$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    round(${cosSql("e.embedding", "q.qe")}, 6) AS rel
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE len(e.embedding) = 64 AND e.vec_id <> 0),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
+    },
 
     "q49_int8_quant" -> {
       val amax = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"

@@ -348,19 +348,10 @@ object CurationQueries {
       // instances of ln(c_tok / N). Vocabulary joins broadcast (a unigram
       // vocab stays small even at 100 TB); the per-doc sum routes
       // through decimal so partition order can't move the result; round
-      // to 6 dp BEFORE the global bottom-k.
-      val tok = KeywordQueries.tokenizedDocs(s, dir)
-      val tf = tok.select(col("doc_id"), col("lang"), col("dl"),
-        explode(col("toks")).as("tok"))
-      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val n = gc.agg(sum(col("c")).as("n_tok_total"))
-      tf.join(broadcast(gc), Seq("tok"))
-        .crossJoin(broadcast(n))
-        .withColumn("ll",
-          log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
-        .groupBy(col("doc_id"), col("lang"), col("dl"))
-        .agg(sum(col("ll").cast("decimal(28,12)")).cast("double").as("sum_ll"))
-        .withColumn("avg_ll", round(col("sum_ll") / col("dl"), 6))
+      // to 6 dp BEFORE the global bottom-k. The scoring pass is the
+      // session-cached [[lmScored]] table shared with q112/q134 — one
+      // corpus explode per session, three consumers.
+      lmScored(s, dir)
         .orderBy(col("avg_ll").asc, col("doc_id").asc)
         .limit(UnigramBottomK)
         .select(col("doc_id"), col("lang"),
@@ -1072,21 +1063,27 @@ object CurationQueries {
     * scoring pass): (doc_id, lang, dl, sum_ll, avg_ll) with avg_ll
     * rounded once to 6 dp. The vocabulary join broadcasts (a unigram
     * vocab stays bounded at any corpus size) and the per-doc sum is
-    * decimal-routed so partition order cannot move the score. */
-  private[graft] def lmScored(s: SparkSession, dir: String): DataFrame = {
-    val tf = KeywordQueries.tokenizedDocs(s, dir)
-      .select(col("doc_id"), col("lang"), col("dl"),
-        explode(col("toks")).as("tok"))
-    val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val n = gc.agg(sum(col("c")).as("n_tok_total"))
-    tf.join(broadcast(gc), Seq("tok"))
-      .crossJoin(broadcast(n))
-      .withColumn("ll",
-        log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
-      .groupBy(col("doc_id"), col("lang"), col("dl"))
-      .agg(sum(col("ll").cast("decimal(28,12)")).cast("double").as("sum_ll"))
-      .withColumn("avg_ll", round(col("sum_ll") / col("dl"), 6))
-  }
+    * decimal-routed so partition order cannot move the score.
+    * Session-cached ([[graft.SparkEntry.cachedView]], the
+    * tokenizedDocs pattern): the scoring pass — the expensive part, a
+    * corpus explode + per-doc rollup — runs once per (session, dir)
+    * and every consumer reads the narrow cached table. */
+  private[graft] def lmScored(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_lmscored_" + graft.SparkEntry.pathSlug(dir)) {
+      val tf = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("lang"), col("dl"),
+          explode(col("toks")).as("tok"))
+      val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = gc.agg(sum(col("c")).as("n_tok_total"))
+      tf.join(broadcast(gc), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("ll",
+          log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
+        .groupBy(col("doc_id"), col("lang"), col("dl"))
+        .agg(sum(col("ll").cast("decimal(28,12)")).cast("double").as("sum_ll"))
+        .withColumn("avg_ll", round(col("sum_ll") / col("dl"), 6))
+    }
 
   /** SQL twin of [[lmScored]]: CTE chain ending in `av(doc_id, lang,
     * dl, avg_ll)`, to be spliced after WITH. */

@@ -151,6 +151,11 @@ object ExtraQueries {
     * sharded write's repartition. */
   val NShards = 16
 
+  /** q135 token-balanced shard count. 8 (not q68's 16) so the fixture
+    * corpus puts hundreds of docs per shard — the serpentine balance
+    * law is exercised across many stripe pairs, not two. */
+  val TokenShardK = 8
+
   /** q92 histogram-sketch geometry: fixed-width price bins (the
     * mergeable quantile sketch — per-shard/per-day histograms SUM into
     * the global one, the property q63 certifies for KMV) and the
@@ -870,6 +875,42 @@ object ExtraQueries {
         .orderBy(col("shard"))
     }),
 
+    "q135_token_shards" -> ((s, dir) => {
+      // Token-BALANCED shard assignment — the load-balancing
+      // counterpart of q68's hash sharding (hash balances doc COUNTS;
+      // a training loader schedules by TOKENS, and a fat-doc shard
+      // becomes the stragglers' shard). Serpentine striping over the
+      // global length rank: sort docs by (dl desc, doc_id), stripe
+      // ranks boustrophedon over K shards (even stripes left-to-right,
+      // odd stripes right-to-left), so each consecutive stripe PAIR
+      // hands every shard one long + one short doc. Balance law
+      // (spec-proven plus the exact driver recompute): max shard load
+      // − min shard load ≤ 2 × the longest doc — independent of corpus
+      // size, because per-stripe-pair imbalances telescope against the
+      // descending sort. Shape: the global rank is the two-pass
+      // range-partitioned [[graft.operators.RankedCumsum.scoreRank]]
+      // (no single-partition window at any scale), the serpentine map
+      // is row-local integer arithmetic, and the manifest is one
+      // map-side-combined K-row aggregate.
+      val k = TokenShardK
+      val tok = KeywordQueries.tokenizedDocs(s, dir)
+        .select(col("doc_id"), col("dl").cast("long").as("n_toks"))
+      val ranked = graft.operators.RankedCumsum.scoreRank(
+        tok.select(col("doc_id"), col("n_toks").cast("double").as("score")))
+      tok.join(ranked, "doc_id")
+        .withColumn("stripe", expr(s"(rank - 1) div $k"))
+        .withColumn("pos", (col("rank") - 1) % k)
+        .withColumn("shard",
+          when(col("stripe") % 2 === 0, col("pos"))
+            .otherwise(lit(k - 1) - col("pos")))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          max(col("n_toks")).as("max_doc_tokens"),
+          min(col("n_toks")).as("min_doc_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     "q60_decayed_counts" -> ((s, dir) => {
       // freshness-weighted event statistics (the feature-store shape:
       // recent activity counts more): weight = 2^(-age_bucket) with
@@ -1503,6 +1544,24 @@ object ExtraQueries {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "q135_token_shards" -> {
+      val k = TokenShardK
+      s"""WITH dd AS (${KeywordQueries.tokenizedDocsSql}),
+         |t AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_toks FROM dd),
+         |rk AS (SELECT doc_id, n_toks,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n_toks DESC, doc_id ASC)
+         |    AS BIGINT) AS rank FROM t),
+         |sh AS (SELECT n_toks,
+         |  CASE WHEN ((rank - 1) // $k) % 2 = 0 THEN (rank - 1) % $k
+         |    ELSE ${k - 1} - (rank - 1) % $k END AS shard
+         |  FROM rk)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  MAX(n_toks) AS max_doc_tokens,
+         |  MIN(n_toks) AS min_doc_tokens
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "q68_shard_manifest" -> {

@@ -50,6 +50,9 @@ object MultimodalQueries {
     * sampler's modular arithmetic is exercised, not just pass-through. */
   val VideoSampleEvery = 2
 
+  /** q137 decimation factor: 64 samples → 16 pooled (8 kHz → 2 kHz). */
+  val DownFactor = 4
+
   private def byteFoldSum(strCol: org.apache.spark.sql.Column) =
     aggregate(
       filter(split(strCol, ""), ch => ch =!= ""),
@@ -85,6 +88,44 @@ object MultimodalQueries {
       Multimodal.imageFeatures(Multimodal.ingestSynthImages(docs))
         .select(col("doc_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q136_image_pool" -> ((s, dir) => {
+      // 2x2 average pooling over ACTUALLY-DECODED pixels (q74's decode
+      // path + [[Multimodal.imagePooledFeatures]]): the thumbnailing /
+      // patch-embedding front-end of a vision training pipeline, kept
+      // integer-exact so the oracle reproduces every pooled cell from
+      // the pixel formula. The position-weighted checksum p_fp pins
+      // each pooled value to its CELL — right totals in the wrong
+      // cells still fail the hash. Row-local; blobs never shuffle.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"))
+      Multimodal.imagePooledFeatures(
+          Multimodal.ingestSynthImages(docs), pool = 2)
+        .select(col("doc_id"), col("p_sum_r"), col("p_sum_g"),
+          col("p_sum_b"), col("p_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q137_audio_downsample" -> ((s, dir) => {
+      // integer-factor decimation with mean pooling over
+      // ACTUALLY-DECODED PCM (q76's decode path +
+      // [[Multimodal.WavDecoder.decimated]]): the
+      // resample-before-featurize step of an audio pipeline. Pooled
+      // sums go NEGATIVE, so the division convention is part of the
+      // contract: both engines TRUNCATE toward zero (Java `/`, DuckDB
+      // integer `//` — measured, see WavDecoder.decimated). ds_fp pins
+      // each pooled value to its position. Row-local; blobs never
+      // shuffle.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"))
+      Multimodal.audioDownsampled(
+          Multimodal.ingestSynthAudio(docs), factor = DownFactor)
+        .select(col("doc_id"), col("n_out"), col("ds_sum"),
+          col("ds_sum_sq"), col("ds_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -183,6 +224,52 @@ object MultimodalQueries {
          |  ${chanSum(1)} AS sum_g,
          |  ${chanSum(2)} AS sum_b
          |FROM documents CROSS JOIN (SELECT unnest(range($n)) AS k)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q136_image_pool" -> {
+      val (a, b) = graft.functions.PortableHash.PixelPair
+      val p = graft.functions.PortableHash.P
+      val n = Multimodal.SynthPixelValues
+      val side = Multimodal.SynthSide
+      val cw = side / 2
+      // pooled cell value, channel c: floor-avg of the 4 pixel-channel
+      // formulas inside the 2x2 block of cell (cell = cy*cw + cx);
+      // every term is the exact q74 channel formula
+      def chan(kE: String) =
+        s"((($a * (((doc_id % $p) * $n + ($kE)) % $p) + $b) % $p) % 256)"
+      def pooled(c: Int) = {
+        val terms = for (dy <- 0 to 1; dx <- 0 to 1) yield
+          chan(s"((((cell // $cw) * 2 + $dy) * $side + ((cell % $cw) * 2 + $dx)) * 3 + $c)")
+        s"((${terms.mkString(" + ")}) // 4)"
+      }
+      s"""SELECT doc_id,
+         |  CAST(SUM(${pooled(0)}) AS BIGINT) AS p_sum_r,
+         |  CAST(SUM(${pooled(1)}) AS BIGINT) AS p_sum_g,
+         |  CAST(SUM(${pooled(2)}) AS BIGINT) AS p_sum_b,
+         |  CAST(SUM((cell + 1) * (${pooled(0)} + 256 * ${pooled(1)}
+         |    + 65536 * ${pooled(2)})) AS BIGINT) AS p_fp
+         |FROM documents CROSS JOIN (SELECT unnest(range(${cw * cw})) AS cell)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q137_audio_downsample" -> {
+      val (a, b) = graft.functions.PortableHash.AudioPair
+      val p = graft.functions.PortableHash.P
+      val n = Multimodal.SynthSamples
+      val f = DownFactor
+      val nOut = n / f
+      def v(kE: String) =
+        s"(((($a * (((doc_id % $p) * $n + ($kE)) % $p) + $b) % $p) % 65536) - 32768)"
+      // truncated avg of f consecutive sample formulas — integer `//`
+      // truncates toward zero in DuckDB, matching Scala's `/` on the
+      // (possibly negative) pooled sum
+      val pooledV = s"((${(0 until f).map(d => v(s"j * $f + $d")).mkString(" + ")}) // $f)"
+      s"""SELECT doc_id, $nOut::BIGINT AS n_out,
+         |  CAST(SUM($pooledV) AS BIGINT) AS ds_sum,
+         |  CAST(SUM($pooledV * $pooledV) AS BIGINT) AS ds_sum_sq,
+         |  CAST(SUM((j + 1) * $pooledV) AS BIGINT) AS ds_fp
+         |FROM documents CROSS JOIN (SELECT unnest(range($nOut)) AS j)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 

@@ -189,11 +189,13 @@ object StreamingQueries {
       // the activity join is user-keyed, and the matrix is a
       // map-side-combined groupBy into a TIME-RANGE-bounded directory
       // (≤ days² /2 cells — the q92 argument); day arithmetic is
-      // exact integer epoch-day division. Engine-parity caveat (also
-      // q119/q130): Spark `div` truncates toward zero while the DuckDB
-      // twin's `//` floors — identical ONLY for non-negative epochs.
-      // The events fixture is all post-1970; pre-1970 timestamps would
-      // need a shared floor-division helper in both engines.
+      // exact integer epoch-day division. Division-convention note
+      // (also q119/q130): Spark `div` and DuckDB's integer `//` BOTH
+      // truncate toward zero (measured on DuckDB 1.0: -7 // 4 = -1),
+      // so engine parity holds for any epoch sign — but truncation
+      // is not calendar flooring, so pre-1970 timestamps would bucket
+      // toward zero (epoch day 0 spans two calendar days). The events
+      // fixture is all post-1970, where truncation == floor.
       val e = events(s, dir)
         .select(col("user_id"),
           expr("unix_micros(ts) div 86400000000").as("day"))

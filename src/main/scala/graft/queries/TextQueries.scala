@@ -180,6 +180,44 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    "q138_source_kl" -> ((s, dir) => {
+      // per-source unigram KL divergence vs the whole corpus — the
+      // distribution-drift face of q109's mean-drift ANOVA: a feed
+      // whose WORD MIX shifts (topic drift, language bleed, template
+      // spam) lights up in KL(source‖corpus) even when its q14 mean
+      // quality stays flat. EXACT, no smoothing: every source token
+      // also occurs in the corpus (the corpus contains the source), so
+      // p_corpus(w) > 0 wherever p_source(w) > 0 by construction.
+      // Identity computed: KL_s = S_s/N_s + ln N − ln N_s with
+      // S_s = Σ_w c_sw·(ln c_sw − ln C_w) — one libm ln per DIRECTORY
+      // row, decimal-routed sum so partition order cannot move it.
+      // Shape: ONE corpus shuffle (map-side-combined groupBy(source,
+      // tok) to the sources×vocab directory); the global counts C_w
+      // DERIVE from that directory (no second corpus pass), broadcast
+      // back vocab-bounded; totals broadcast one-row.
+      val tf = graft.SparkEntry.tbl(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val sc = tf.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_sw"))
+      val gc = sc.groupBy(col("tok")).agg(sum(col("c_sw")).as("c_w"))
+      val n = gc.agg(sum(col("c_w")).as("n_total"))
+      sc.join(broadcast(gc), Seq("tok"))
+        .withColumn("t",
+          col("c_sw").cast("double") *
+            (log(col("c_sw").cast("double")) - log(col("c_w").cast("double"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("c_sw")).as("n_toks"),
+          sum(col("t").cast("decimal(28,12)")).cast("double").as("s_s"))
+        .crossJoin(broadcast(n))
+        .select(col("source"), col("n_toks"), col("n_vocab"),
+          round(col("s_s") / col("n_toks").cast("double") +
+            log(col("n_total").cast("double")) -
+            log(col("n_toks").cast("double")), 6).as("kl"))
+        .orderBy(col("source"))
+    }),
+
     "q13_text_stats" -> ((s, dir) => {
       enriched(s, dir)
         .groupBy(col("lang"))
@@ -329,6 +367,26 @@ object TextQueries {
          |    (CAST(q_all AS DOUBLE) - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
          |       / CAST(n_total AS DOUBLE)), 6) AS eta2
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+    },
+
+    "q138_source_kl" -> {
+      val toks = tokensSql("text")
+      s"""WITH tf AS (SELECT source, unnest($toks) AS tok FROM documents),
+         |sc AS (SELECT source, tok, COUNT(*)::BIGINT AS c_sw
+         |  FROM tf GROUP BY source, tok),
+         |gc AS (SELECT tok, CAST(SUM(c_sw) AS BIGINT) AS c_w
+         |  FROM sc GROUP BY tok),
+         |n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM gc),
+         |agg AS (
+         |  SELECT source, COUNT(*)::BIGINT AS n_vocab,
+         |    CAST(SUM(c_sw) AS BIGINT) AS n_toks,
+         |    CAST(SUM(CAST(c_sw::DOUBLE * (ln(c_sw::DOUBLE) - ln(c_w::DOUBLE))
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS s_s
+         |  FROM sc JOIN gc USING (tok) GROUP BY source)
+         |SELECT source, n_toks, n_vocab,
+         |  round(s_s / n_toks::DOUBLE + ln(n_total::DOUBLE)
+         |    - ln(n_toks::DOUBLE), 6) AS kl
+         |FROM agg CROSS JOIN n ORDER BY source""".stripMargin
     },
 
     "q13_text_stats" ->

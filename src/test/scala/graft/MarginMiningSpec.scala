@@ -85,4 +85,53 @@ class MarginMiningSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("q140 MMR matches a driver greedy recompute and actually diversifies") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      (1.0 + d / (na * nb)) / 2.0
+    }
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.size($"embedding") === 64)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val qv = embs.find(_._1 == 0L).get._2
+    val cand = embs.filter(_._1 != 0L)
+      .map { case (id, e) => (id, e, r6(score(e, qv))) }
+    // greedy reference, same 6-dp rounding discipline as the query
+    var sel = List.empty[(Long, Seq[Float], Double, Double, Double)]
+    (1 to AnnQueries.MmrK).foreach { _ =>
+      val selIds = sel.map(_._1).toSet
+      val best = cand.filterNot(c => selIds(c._1)).map { case (id, e, rel) =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => r6(score(e, s._2))).max
+        (id, e, rel, ms, r6(AnnQueries.MmrLambda * rel -
+          AnnQueries.MmrOneMinusLambda * ms))
+      }.minBy { case (id, _, _, _, mmr) => (-mmr, id) }
+      sel = sel :+ best
+    }
+    val got = AnnQueries.queries("q140_mmr_select")(spark, dir)
+      .select($"step", $"vec_id", $"rel", $"max_sim", $"mmr")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === sel.map(_._1))
+    got.zip(sel).foreach { case ((_, _, rel, ms, mmr), (_, _, wr, wm, wmm)) =>
+      assert(rel === wr); assert(ms === wm); assert(mmr === wmm)
+    }
+    // step 1 is the pure-relevance argmax; later steps pay diversity:
+    // their max_sim is positive and mmr never exceeds λ·rel
+    assert(got.head._4 === 0.0)
+    got.tail.foreach { case (_, _, rel, ms, mmr) =>
+      assert(ms > 0.0)
+      assert(mmr <= AnnQueries.MmrLambda * rel + 1e-9)
+    }
+    // the MMR set differs from the plain top-K by relevance (it
+    // diversified): compare against the top-K rel ids
+    val topK = cand.sortBy(c => (-c._3, c._1)).take(AnnQueries.MmrK).map(_._1).toSet
+    assert(got.map(_._2).toSet != topK,
+      "fixture should make MMR diverge from plain top-k; tune lambda if not")
+  }
 }

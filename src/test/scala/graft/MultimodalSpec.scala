@@ -147,6 +147,56 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("2x2 average pooling matches the integer formula cell for cell") {
+    val id = 7L
+    val side = Multimodal.SynthSide
+    val cw = side / 2
+    // driver recompute straight from the synth formula: pooled cell
+    // value = floor-avg of its 4 pixel channels
+    def pix(y: Int, x: Int, c: Int) =
+      Multimodal.synthChannel(id, (y * side + x) * 3 + c).toLong
+    def pooledCell(cy: Int, cx: Int, c: Int): Long =
+      (pix(2 * cy, 2 * cx, c) + pix(2 * cy, 2 * cx + 1, c) +
+        pix(2 * cy + 1, 2 * cx, c) + pix(2 * cy + 1, 2 * cx + 1, c)) / 4
+    var (wr, wg, wb, wfp) = (0L, 0L, 0L, 0L)
+    for (cy <- 0 until cw; cx <- 0 until cw) {
+      val (pr, pg, pb) =
+        (pooledCell(cy, cx, 0), pooledCell(cy, cx, 1), pooledCell(cy, cx, 2))
+      wr += pr; wg += pg; wb += pb
+      wfp += (cy.toLong * cw + cx + 1) * (pr + 256L * pg + 65536L * pb)
+    }
+    val got = Multimodal.imagePooledFeatures(
+        Multimodal.ingestSynthImages(Seq(id).toDF("doc_id")), pool = 2)
+      .select($"p_sum_r", $"p_sum_g", $"p_sum_b", $"p_fp").head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ===
+      ((wr, wg, wb, wfp)))
+    // non-image blobs pass through with null pooled features
+    val t = Multimodal.imagePooledFeatures(Multimodal.ingestAsBlobs(
+      Seq((1L, "text")).toDF("doc_id", "text")))
+    assert(t.select($"p_fp").head().isNullAt(0))
+  }
+
+  test("audio decimation truncates negative windows like DuckDB's integer //") {
+    val id = 7L
+    val f = 4
+    val samples = (0 until Multimodal.SynthSamples)
+      .map(k => Multimodal.synthSample(id, k).toLong)
+    val pooled = samples.grouped(f).map(w => w.sum / f).toSeq
+    // the synthetic clip actually exercises the windows where the
+    // division CONVENTION matters (negative, non-divisible — floor
+    // and truncation differ there) — otherwise this test is vacuous
+    assert(pooled.exists(_ < 0), "fixture clip should have negative pooled windows")
+    assert(samples.grouped(f).exists(w => w.sum < 0 && w.sum % f != 0),
+      "need a window where floor and truncation differ")
+    val want = (pooled.length.toLong, pooled.sum,
+      pooled.map(v => v * v).sum,
+      pooled.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
+    val got = Multimodal.audioDownsampled(
+        Multimodal.ingestSynthAudio(Seq(id).toDF("doc_id")), factor = f)
+      .select($"n_out", $"ds_sum", $"ds_sum_sq", $"ds_fp").head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) === want)
+  }
+
   test("synthetic WAV round-trips through a real javax.sound decode to the exact samples") {
     // encode with the JDK's WAV writer, decode with the JDK's reader,
     // compare against the arithmetic the oracle uses: known waveform ->

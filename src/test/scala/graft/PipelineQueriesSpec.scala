@@ -27,6 +27,41 @@ class PipelineQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(stats.map(_.getAs[Long]("n_clusters")).sum === survivors)
   }
 
+  test("q135 serpentine shards: exact driver recompute, balance within 2 max docs") {
+    Seq(sf0001, sf001).foreach { dir =>
+      val k = graft.queries.ExtraQueries.TokenShardK
+      val lens = graft.queries.KeywordQueries.tokenizedDocs(spark, dir)
+        .select($"doc_id", $"dl".cast("long"))
+        .as[(Long, Long)].collect()
+      // independent serpentine recompute
+      val ranked = lens.sortBy { case (id, nt) => (-nt, id) }
+      val loads = Array.fill(k)(0L); val counts = Array.fill(k)(0L)
+      val maxT = Array.fill(k)(Long.MinValue); val minT = Array.fill(k)(Long.MaxValue)
+      ranked.zipWithIndex.foreach { case ((_, nt), i) =>
+        val stripe = i / k; val pos = i % k
+        val shard = if (stripe % 2 == 0) pos else k - 1 - pos
+        loads(shard) += nt; counts(shard) += 1
+        maxT(shard) = math.max(maxT(shard), nt); minT(shard) = math.min(minT(shard), nt)
+      }
+      val got = SparkEntry.queries("q135_token_shards")(spark, dir)
+        .select($"shard", $"n_docs", $"n_tokens", $"max_doc_tokens", $"min_doc_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.length === k, dir)
+      got.foreach { case (sh, nd, ntk, mx, mn) =>
+        val i = sh.toInt
+        assert((nd, ntk, mx, mn) === ((counts(i), loads(i), maxT(i), minT(i))),
+          s"$dir shard $sh")
+      }
+      // the balance law the serpentine order buys: max load − min load
+      // bounded by the biggest doc (×2 for the partial tail stripe),
+      // INDEPENDENT of corpus size — q68's hash sharding has no such bound
+      val maxDoc = lens.map(_._2).max
+      assert(loads.max - loads.min <= 2 * maxDoc,
+        s"$dir imbalance ${loads.max - loads.min} vs maxDoc $maxDoc")
+      assert(loads.sum === lens.map(_._2).sum, dir)
+    }
+  }
+
   test("q68 shard manifest conserves docs/tokens/bytes and is partition-count invariant") {
     val m = SparkEntry.queries("q68_shard_manifest")(spark, sf001).collect()
     val docs = spark.read.parquet(s"$sf001/documents.parquet")

@@ -724,6 +724,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q135 serpentine shards: two-pass rank (no Window), map-side K-row manifest") {
+    val p = plan("q135_token_shards")
+    assert(!p.contains("Window"), s"rank must be the two-pass shape, not a window:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"manifest must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"rank join must stay equi-keyed:\n$p")
+  }
+
+  test("q136/q137 decode paths are row-local: no join, no window, blobs never shuffle") {
+    for (q <- Seq("q136_image_pool", "q137_audio_downsample")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q must be row-local decode + sort:\n$p")
+    }
+  }
+
+  test("q138 KL: one corpus exchange, vocab directory broadcast back") {
+    val p = plan("q138_source_kl")
+    assert(p.contains("BroadcastExchange"),
+      s"global counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"directory join must broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial_count")),
+      s"(source, tok) counts must combine map-side:\n$p")
+  }
+
   test("q107 weighted sample plans as ONE top-k over the cached scan") {
     // the entire query must be row-local expressions + per-partition
     // heaps: any exchange before the TakeOrderedAndProject means the

@@ -120,4 +120,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       assert(eta2 >= 0 && eta2 <= 1)
     }
   }
+
+  test("q138 per-source KL matches the definitional sum and is non-negative") {
+    // independent path: the textbook Σ p_s(w)·ln(p_s/p_c) computed
+    // naively per source — agreement certifies the rearranged identity
+    // (S_s/N_s + ln N − ln N_s) the query uses, not just the code
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    val corpus = bySrc.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val n = corpus.values.sum.toDouble
+    val rows = TextQueries.queries("q138_source_kl")(spark, "/root/testdata/sf0.001")
+      .select($"source", $"n_toks", $"n_vocab", $"kl")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet === bySrc.keySet)
+    rows.foreach { case (src, nToks, nVocab, kl) =>
+      val cw = bySrc(src)
+      assert(nToks === cw.values.sum)
+      assert(nVocab === cw.size.toLong)
+      val ns = cw.values.sum.toDouble
+      val want = cw.map { case (w, c) =>
+        (c / ns) * math.log((c / ns) / (corpus(w) / n)) }.sum
+      assert(math.abs(kl - want) < 2e-6, s"$src: query $kl vs naive $want")
+      // Gibbs' inequality: KL >= 0, and the fixture's sources are not
+      // identical to the corpus mix, so strictly positive somewhere
+      assert(kl >= 0.0, src)
+    }
+    assert(rows.exists(_._4 > 0.0))
+  }
 }
