@@ -333,7 +333,37 @@ object PlanDump {
         "minute-grain latency directory (time-range-bounded), the " +
         "cumulative window runs on that bounded frame, and the " +
         "quantile read-off is the q92 all-integer rule with the " +
-        "3-row quantile table broadcast."))
+        "3-row quantile table broadcast."),
+    "q133_trim_sketch" ->
+      ("Sketch-cutpoint trim: the corpus collapses to a per-lang " +
+        "fixed-width length histogram (value-range-bounded directory) " +
+        "under map-side combine; the per-lang windows run on the " +
+        "DIRECTORY, the ≤|langs|-row cutpoint table joins back " +
+        "broadcast, and the keep decision is row-local — q54's " +
+        "per-stratum corpus sort is GONE."),
+    "q134_ccnet_sketch" ->
+      ("Sketch-cutpoint terciles: the LM-scored corpus (shared " +
+        "session cache) bins row-locally by floor(avg_ll·512); the " +
+        "desc-cumulative cut bins come off the per-lang score " +
+        "directory and assignment is a broadcast-joined row-local " +
+        "CASE — q112's per-lang rank window replaced by a bounds " +
+        "lookup."),
+    "q135_token_shards" ->
+      ("Serpentine token-balanced sharding: the global length rank is " +
+        "the two-pass range-partitioned shape (no Window operator " +
+        "anywhere), the boustrophedon map is row-local integer math, " +
+        "and the manifest is one map-side-combined K-row aggregate."),
+    "q138_source_kl" ->
+      ("Per-source KL: ONE corpus exchange builds the (source, tok) " +
+        "directory with map-side combine; global token counts DERIVE " +
+        "from that directory and return by broadcast — no second " +
+        "corpus pass, no sort-merge join."),
+    "q141_table_profile" ->
+      ("Exact table profiler: one single-column parquet scan per " +
+        "column (ReadSchema carries exactly one field per branch — " +
+        "column pruning is the whole plan), stacked values counted " +
+        "via map-side two-level groupBy, 11-row profiles broadcast-" +
+        "joined."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -875,6 +875,40 @@ object ExtraQueries {
         .orderBy(col("shard"))
     }),
 
+    "q141_table_profile" -> ((s, dir) => {
+      // whole-table data-quality profile of `lineitem` — the manifest
+      // every ingestion run records before a table is trusted: per
+      // column, row count, null count, EXACT distinct cardinality.
+      // Shape: one single-column scan per column (parquet column
+      // pruning makes each branch read exactly one column chunk — 16
+      // narrow scans, not 16 full-table reads), values stacked as
+      // (col_name, v) and counted through a map-side-combined
+      // two-level groupBy; the 16-row profiles join broadcast. Exact
+      // distinct on a key column is inherently |table|-sized work —
+      // at 100 TB the same query swaps the exact count for the q96
+      // per-column HLL sketch (mergeable, bounded memory); the exact
+      // form here is its oracle. Values compare as strings: every
+      // lineitem column's rendering is injective within an engine
+      // (fixed-scale decimals, dates, ints, chars), and counts never
+      // compare renderings ACROSS engines — the q106 decimal-rendering
+      // trap does not apply to cardinalities.
+      val t = graft.SparkEntry.tbl(s, dir, "lineitem")
+      val stacked = t.schema.fieldNames.sorted.toSeq
+        .map(c => t.select(lit(c).as("col_name"), col(c).cast("string").as("v")))
+        .reduce(_ unionByName _)
+      val base = stacked.groupBy(col("col_name")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("v").isNull.cast("long")).as("n_null"))
+      val dist = stacked.filter(col("v").isNotNull)
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+        .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_value_freq"))
+      base.join(broadcast(dist), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("max_value_freq"))
+        .orderBy(col("col_name"))
+    }),
+
     "q135_token_shards" -> ((s, dir) => {
       // Token-BALANCED shard assignment — the load-balancing
       // counterpart of q68's hash sharding (hash balances doc COUNTS;
@@ -1544,6 +1578,29 @@ object ExtraQueries {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "q141_table_profile" -> {
+      // the fixture lineitem schema, stacked branch per column — the
+      // oracle needs the explicit list (no catalog reflection in a
+      // static SQL string); a fixture schema change fails loudly here
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate").sorted
+      val stacked = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\nUNION ALL ")
+      s"""WITH st AS ($stacked),
+         |base AS (SELECT col_name, COUNT(*)::BIGINT AS n_rows,
+         |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |  FROM st GROUP BY col_name),
+         |vd AS (SELECT col_name, v, COUNT(*)::BIGINT AS c FROM st
+         |  WHERE v IS NOT NULL GROUP BY col_name, v),
+         |dist AS (SELECT col_name, COUNT(*)::BIGINT AS n_distinct,
+         |    MAX(c) AS max_value_freq
+         |  FROM vd GROUP BY col_name)
+         |SELECT col_name, n_rows, n_null, n_distinct, max_value_freq
+         |FROM base JOIN dist USING (col_name) ORDER BY col_name""".stripMargin
     },
 
     "q135_token_shards" -> {

@@ -218,6 +218,37 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    "q139_distinct_ngrams" -> ((s, dir) => {
+      // distinct-1 / distinct-2 corpus diversity per language (Li et
+      // al. 2016's generation-diversity metrics applied to corpus
+      // slices): the fraction of unigram and bigram INSTANCES that are
+      // distinct types — a template-spam/boilerplate slice collapses
+      // toward 0 while organic text stays high; the corpus-health
+      // sibling of q50's within-doc repetition screen. Shape: two
+      // map-side-combined (lang, gram) counts — both directories are
+      // VOCABULARY-bounded, never corpus-bounded — rolled up to ≤
+      // |langs| rows each and joined broadcast; no distinct() on raw
+      // instances anywhere.
+      val tok = KeywordQueries.tokenizedDocs(s, dir)
+      val uni = tok.select(col("lang"), explode(col("toks")).as("g"))
+        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_unigrams"), count(lit(1)).as("d1"))
+      val bi = tok
+        .select(col("lang"), explode(shingleCol(col("toks"), 2)).as("g"))
+        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("d2"))
+      uni.join(broadcast(bi), Seq("lang"))
+        .select(col("lang"), col("n_unigrams"), col("d1"),
+          col("n_bigrams"), col("d2"),
+          round(col("d1").cast("double") / col("n_unigrams").cast("double"), 6)
+            .as("distinct1"),
+          round(col("d2").cast("double") / col("n_bigrams").cast("double"), 6)
+            .as("distinct2"))
+        .orderBy(col("lang"))
+    }),
+
     "q13_text_stats" -> ((s, dir) => {
       enriched(s, dir)
         .groupBy(col("lang"))
@@ -387,6 +418,27 @@ object TextQueries {
          |  round(s_s / n_toks::DOUBLE + ln(n_total::DOUBLE)
          |    - ln(n_toks::DOUBLE), 6) AS kl
          |FROM agg CROSS JOIN n ORDER BY source""".stripMargin
+    },
+
+    "q139_distinct_ngrams" -> {
+      val toks = tokensSql("text")
+      val sh2 = shingleSql(toks, 2)
+      s"""WITH uni AS (
+         |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_unigrams,
+         |    COUNT(*)::BIGINT AS d1
+         |  FROM (SELECT lang, g, COUNT(*) AS c FROM
+         |    (SELECT lang, unnest($toks) AS g FROM documents)
+         |    GROUP BY lang, g) GROUP BY lang),
+         |bi AS (
+         |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |    COUNT(*)::BIGINT AS d2
+         |  FROM (SELECT lang, g, COUNT(*) AS c FROM
+         |    (SELECT lang, unnest($sh2) AS g FROM documents)
+         |    GROUP BY lang, g) GROUP BY lang)
+         |SELECT lang, n_unigrams, d1, n_bigrams, d2,
+         |  round(d1::DOUBLE / n_unigrams::DOUBLE, 6) AS distinct1,
+         |  round(d2::DOUBLE / n_bigrams::DOUBLE, 6) AS distinct2
+         |FROM uni JOIN bi USING (lang) ORDER BY lang""".stripMargin
     },
 
     "q13_text_stats" ->

@@ -753,6 +753,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"(source, tok) counts must combine map-side:\n$p")
   }
 
+  test("q139 diversity: vocabulary-bounded directories, broadcast rollup join") {
+    val p = plan("q139_distinct_ngrams")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the two per-lang rollups must broadcast-join:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial_count")),
+      s"(lang, gram) counts must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
+  test("q141 profile branches prune to single-column parquet scans") {
+    val p = plan("q141_table_profile")
+    // every lineitem scan must read exactly ONE column — a struct with
+    // a comma in ReadSchema means a branch dragged extra columns
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
+    assert(schemas.nonEmpty, s"expected parquet scans:\n$p")
+    schemas.foreach { l =>
+      val s = l.substring(l.indexOf("ReadSchema: struct<"))
+      assert(!s.takeWhile(_ != '>').contains(","),
+        s"profile branch reads more than one column: $s")
+    }
+    assert(!p.contains("SortMergeJoin"), s"16-row profile join must broadcast:\n$p")
+  }
+
   test("q107 weighted sample plans as ONE top-k over the cached scan") {
     // the entire query must be row-local expressions + per-partition
     // heaps: any exchange before the TakeOrderedAndProject means the

@@ -121,6 +121,53 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q139 distinct-n diversity matches a driver recompute; ratios in (0, 1]") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"lang", $"text").as[(String, String)].collect()
+    val byLang = docs.groupBy(_._1).view.mapValues(
+      _.map(_._2.split(" ").filter(_.nonEmpty).toSeq)).toMap
+    val rows = TextQueries.queries("q139_distinct_ngrams")(spark, "/root/testdata/sf0.001")
+      .select($"lang", $"n_unigrams", $"d1", $"n_bigrams", $"d2",
+        $"distinct1", $"distinct2")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSet === byLang.keySet)
+    rows.foreach { case (lang, nu, d1, nb, d2, r1, r2) =>
+      val toks = byLang(lang)
+      val unis = toks.flatten
+      val bis = toks.flatMap(t => t.zip(t.tail).map { case (a, b) => s"$a|$b" })
+      assert(nu === unis.length.toLong, s"$lang unigram instances")
+      assert(d1 === unis.distinct.length.toLong, s"$lang unigram types")
+      assert(nb === bis.length.toLong, s"$lang bigram instances")
+      assert(d2 === bis.distinct.length.toLong, s"$lang bigram types")
+      assert(r1 > 0.0 && r1 <= 1.0 && r2 > 0.0 && r2 <= 1.0)
+      // bigram diversity exceeds unigram diversity on natural-ish text
+      assert(r2 > r1, s"$lang: distinct2 $r2 should exceed distinct1 $r1")
+    }
+  }
+
+  test("q141 profile matches driver recompute column for column") {
+    val t = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val names = t.schema.fieldNames.sorted.toSeq
+    val rows = t.collect()
+    val got = graft.queries.ExtraQueries.queries("q141_table_profile")(
+        spark, "/root/testdata/sf0.001")
+      .select($"col_name", $"n_rows", $"n_null", $"n_distinct", $"max_value_freq")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === names)
+    got.foreach { case (c, nr, nn, nd, mf) =>
+      val i = t.schema.fieldIndex(c)
+      val vals = rows.map(r => if (r.isNullAt(i)) null else r.get(i).toString)
+      assert(nr === rows.length.toLong, c)
+      assert(nn === vals.count(_ == null).toLong, c)
+      val grouped = vals.filter(_ != null).groupBy(identity)
+      assert(nd === grouped.size.toLong, c)
+      assert(mf === grouped.values.map(_.length).max.toLong, c)
+    }
+    // the profile is informative: a key-like column and a low-card flag
+    val m = got.map(r => r._1 -> r._4).toMap
+    assert(m("l_returnflag") <= 5 && m("l_orderkey") > m("l_returnflag"))
+  }
+
   test("q138 per-source KL matches the definitional sum and is non-negative") {
     // independent path: the textbook Σ p_s(w)·ln(p_s/p_c) computed
     // naively per source — agreement certifies the rearranged identity
