@@ -909,6 +909,66 @@ object ExtraQueries {
         .orderBy(col("col_name"))
     }),
 
+    "q142_profile_sketch" -> ((s, dir) => {
+      // q141's 100 TB path made oracle-checkable: per-column distinct
+      // cardinality ESTIMATED by a KMV sketch (q27's machinery applied
+      // per column) instead of exact |table|-sized distinct work. KMV
+      // is deterministic given the portable hash — unlike HLL++ whose
+      // register layout is engine-private — so the sketch itself
+      // hash-oracles exactly; the exact count rides along for the
+      // audit column. Shape: the same 11 pruned single-column scans,
+      // the (col, hash) directory map-side combined, then the k-min
+      // selection via row_number ≤ k — which Spark plans as
+      // WindowGroupLimit (each partition pre-filters to its local
+      // k-min before the per-column sort, so the sort sees
+      // #partitions × k rows, never a column's distinct set). The
+      // estimate's relative-error-vs-exact law is spec-asserted.
+      // Hash role: affine-of-poly — h = (a·polyHash(v) + b) mod P.
+      // The char poly-hash ALONE is injective-enough but NOT uniform
+      // (short digit strings hash near zero, and KMV's (k−1)·P/kth
+      // estimator diverges when the k-th min is artificially small —
+      // measured: l_orderkey est 24,794× without the affine step);
+      // composing with the pairwise-independent affine family
+      // (KmvPair, q27's role) restores the uniformity the order
+      // statistic needs, identically in both engines.
+      // Rendering caveat, unlike q141: the HASHES compare across
+      // engines, so the string rendering itself is part of the
+      // contract. It holds for every fixture column (ints, doubles in
+      // [1e-3, 1e7) which Java and DuckDB both render plainly,
+      // timestamps at second grain) — but Java switches to scientific
+      // notation outside that double range while DuckDB does not; a
+      // production deployment hashes NATIVE values per type instead
+      // of renderings.
+      val t = graft.SparkEntry.tbl(s, dir, "lineitem")
+      val stacked = t.schema.fieldNames.sorted.toSeq
+        .map(c => t.select(lit(c).as("col_name"), col(c).cast("string").as("v")))
+        .reduce(_ unionByName _)
+        .filter(col("v").isNotNull)
+      val (ka, kb) = KmvPair
+      val hashed = stacked
+        .select(col("col_name"),
+          ((lit(ka) * graft.functions.PortableHash.charHash(col("v")) + lit(kb))
+            % lit(P)).as("h"))
+        .groupBy(col("col_name"), col("h")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("col_name")).orderBy(col("h"))
+      val sketch = hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KmvK)
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_h"), max(col("h")).as("kth"))
+        .withColumn("kmv_est",
+          when(col("n_h") < KmvK, col("n_h").cast("double"))
+            .otherwise(round(lit((KmvK - 1).toDouble) * P / col("kth"), 6)))
+      val exact = hashed.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_hash_distinct"))
+      sketch.join(broadcast(exact), Seq("col_name"))
+        .select(col("col_name"), col("n_h"), col("n_hash_distinct"),
+          col("kmv_est"),
+          round(col("kmv_est") / col("n_hash_distinct").cast("double"), 6)
+            .as("est_ratio"))
+        .orderBy(col("col_name"))
+    }),
+
     "q135_token_shards" -> ((s, dir) => {
       // Token-BALANCED shard assignment — the load-balancing
       // counterpart of q68's hash sharding (hash balances doc COUNTS;
@@ -1578,6 +1638,33 @@ object ExtraQueries {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "q142_profile_sketch" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate").sorted
+      val stacked = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\nUNION ALL ")
+      val (ka, kb) = KmvPair
+      val ch = s"(($ka * ${graft.functions.PortableHash.charHashSql("v")} + $kb) % $P)"
+      s"""WITH st AS ($stacked),
+         |hashed AS (SELECT col_name, $ch AS h, COUNT(*) AS cnt
+         |  FROM st WHERE v IS NOT NULL GROUP BY col_name, $ch),
+         |kmins AS (SELECT col_name, h FROM hashed
+         |  QUALIFY row_number() OVER (PARTITION BY col_name ORDER BY h) <= $KmvK),
+         |sk AS (SELECT col_name, COUNT(*)::BIGINT AS n_h,
+         |    MAX(h) AS kth FROM kmins GROUP BY col_name),
+         |ex AS (SELECT col_name, COUNT(*)::BIGINT AS n_hash_distinct
+         |  FROM hashed GROUP BY col_name),
+         |est AS (SELECT col_name, n_h,
+         |    CASE WHEN n_h < $KmvK THEN n_h::DOUBLE
+         |      ELSE round(${(KmvK - 1).toDouble} * $P / kth, 6) END AS kmv_est
+         |  FROM sk)
+         |SELECT col_name, n_h, n_hash_distinct, kmv_est,
+         |  round(kmv_est / n_hash_distinct::DOUBLE, 6) AS est_ratio
+         |FROM est JOIN ex USING (col_name) ORDER BY col_name""".stripMargin
     },
 
     "q141_table_profile" -> {

@@ -777,6 +777,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"16-row profile join must broadcast:\n$p")
   }
 
+  test("q142 KMV profile: k-min selection runs as a WindowGroupLimit, scans stay pruned") {
+    val p = plan("q142_profile_sketch")
+    // each partition keeps its local k smallest hashes BEFORE the
+    // per-column sort — the sort sees #partitions × k rows, never a
+    // column's full distinct-hash set
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
+    assert(schemas.nonEmpty && schemas.forall { l =>
+      !l.substring(l.indexOf("ReadSchema: struct<")).takeWhile(_ != '>').contains(",")
+    }, s"profile branches must stay single-column:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"11-row join must broadcast:\n$p")
+  }
+
   test("q107 weighted sample plans as ONE top-k over the cached scan") {
     // the entire query must be row-local expressions + per-partition
     // heaps: any exchange before the TakeOrderedAndProject means the

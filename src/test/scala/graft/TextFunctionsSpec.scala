@@ -168,6 +168,47 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(m("l_returnflag") <= 5 && m("l_orderkey") > m("l_returnflag"))
   }
 
+  test("q142 KMV profile: exact below k, bounded error above, k-mins verified") {
+    import graft.functions.PortableHash
+    val kk = graft.queries.ExtraQueries.KmvK
+    val got = graft.queries.ExtraQueries.queries("q142_profile_sketch")(
+        spark, "/root/testdata/sf0.001")
+      .select($"col_name", $"n_h", $"n_hash_distinct", $"kmv_est", $"est_ratio")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (c, nh, nd, est, ratio) =>
+      if (nd < kk) {
+        // below the sketch size the estimate IS the exact count
+        assert(nh === nd && est === nd.toDouble, c)
+        assert(ratio === 1.0, c)
+      } else {
+        assert(nh === kk.toLong, c)
+        // KMV with k=64 has ~12% standard error; 2x is a loose,
+        // non-vacuous bound that a broken kth/hash would blow through
+        assert(ratio > 0.5 && ratio < 2.0, s"$c ratio $ratio")
+      }
+    }
+    // both regimes must actually occur on lineitem (flags vs keys)
+    assert(got.exists(_._3 < kk) && got.exists(_._3 >= kk))
+    // driver recompute of one high-cardinality column's k-min sketch
+    val vals = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey".cast("string")).as[String].collect()
+    def polyHash(s: String): Long = {
+      // the portable char fold (PortableHash.charHashSql twin)
+      val p = PortableHash.P
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % p)
+    }
+    val (ka, kb) = graft.functions.PortableHash.KmvPair
+    def h(s: String): Long = (ka * polyHash(s) + kb) % PortableHash.P
+    val hs = vals.map(h).distinct.sorted.take(kk)
+    val row = got.find(_._1 == "l_orderkey").get
+    val wantEst =
+      if (hs.length < kk) hs.length.toDouble
+      else BigDecimal((kk - 1).toDouble * PortableHash.P / hs.last)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row._4 === wantEst, "l_orderkey kmv_est")
+  }
+
   test("q138 per-source KL matches the definitional sum and is non-negative") {
     // independent path: the textbook Σ p_s(w)·ln(p_s/p_c) computed
     // naively per source — agreement certifies the rearranged identity
