@@ -55,6 +55,16 @@ case class FunnelSnap(user_id: Long, t1: Long, t2: Long, t3: Long)
 /** Last-event state for the streaming transition walk. */
 case class TransState(t: Long, eventId: Long, eventType: String)
 
+/** Per-user retention state: the user's cohort day (first active day —
+  * stable under ordered replay) and the day offsets already credited.
+  * `seen` is bounded by the observation window's day count, the same
+  * time-range bound q129's directory argument rests on. */
+case class RetState(cohortDay: Long, seen: Seq[Long])
+
+/** One retention credit (the streaming face of one q129 cell
+  * increment): emitted exactly once per (user, active day). */
+case class RetInc(user_id: Long, cohort_day: Long, day_offset: Long)
+
 /** One observed order-1 transition (the streaming face of one q131
   * pair): emitted exactly once per consecutive same-user event pair. */
 case class Trans(user_id: Long, from_type: String, to_type: String, t_us: Long)
@@ -247,6 +257,43 @@ object EventStreams {
         val t = micros(e.ts)
         cur.foreach(p => out += Trans(userId, p.eventType, e.event_type, t))
         cur = Some(TransState(t, e.event_id, e.event_type))
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming retention credits — the streaming twin of q129's cohort
+    * matrix: keyed state holds each user's cohort day (their first
+    * active day — stable under the watermark-ordered replay the other
+    * event-state operators assume) plus the day offsets already
+    * credited, and each micro-batch emits ONE (user, cohort_day,
+    * day_offset) credit per newly active day. The retention matrix is
+    * then a downstream directory-sized count over the append-only
+    * credit stream (≤ days²/2 cells — q129's bound), with cohort
+    * sizes read off the offset-0 row. Day arithmetic is the identical
+    * `epoch_us div 86400000000` truncation as the batch twin. State is
+    * O(users × active days in the window) — bounded by the observation
+    * window, not the stream. */
+  def retentionIncrements(events: Dataset[Ev]): Dataset[RetInc] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+           state: GroupState[RetState]): Iterator[RetInc] = {
+      val out = Seq.newBuilder[RetInc]
+      var cur = state.getOption
+      for (e <- evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+        val day = micros(e.ts) / 86400000000L
+        cur match {
+          case None =>
+            cur = Some(RetState(day, Seq(day)))
+            out += RetInc(userId, day, 0L)
+          case Some(s) if !s.seen.contains(day) =>
+            cur = Some(s.copy(seen = s.seen :+ day))
+            out += RetInc(userId, s.cohortDay, day - s.cohortDay)
+          case _ =>
+        }
       }
       cur.foreach(state.update)
       out.result().iterator

@@ -271,6 +271,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention credits replay-match the batch q129 matrix") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.retentionIncrements(mem.toDS())
+      .writeStream.format("memory").queryName("ret").outputMode("append").start()
+    try {
+      val sorted = fixtureEvents.sortBy(e =>
+        (EventStreams.micros(e.ts), e.event_id))
+      val (b1, rest) = sorted.splitAt(sorted.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        assert(b.nonEmpty); mem.addData(b); q.processAllAvailable()
+      }
+      val creds = spark.table("ret").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // exactly one credit per (user, active day)
+      assert(creds.length === fixtureEvents
+        .map(e => (e.user_id, EventStreams.micros(e.ts) / 86400000000L))
+        .distinct.length)
+      assert(creds.distinct.length === creds.length)
+      // the credit counts ARE the batch matrix, cell for cell, and the
+      // offset-0 row carries each cohort's size
+      val got = creds.groupBy(c => (c._2, c._3)).view.mapValues(_.size.toLong).toMap
+      val want = graft.queries.StreamingQueries
+        .queries("q129_retention")(spark, sf0001)
+        .select($"cohort_day", $"day_offset", $"n_active", $"cohort_size")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(want.map(r => (r._1, r._2) -> r._3).toMap === got)
+      want.filter(_._2 == 0L).foreach { r => assert(r._3 === r._4) }
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup replay-matches the batch incremental pairs") {
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -214,4 +214,34 @@ class OperatorPropertiesSpec extends AnyFunSuite with SparkSpec {
       .groupBy(_._1).toSeq.flatMap { case (_, rows) => rows.take(2) }.sorted
     assert(top2.sorted === full)
   }
+
+  test("serpentine striping: max-min load <= 2 max item on random length profiles") {
+    // the q135 balance LAW, generator-driven (driver arithmetic — the
+    // law is about the assignment function, not the Spark plan; the
+    // plan's exact agreement with this function is PipelineQueriesSpec):
+    // sorted-desc lengths striped boustrophedon over K shards keep
+    // max(load) − min(load) ≤ 2·max item for ANY length distribution —
+    // per-stripe-pair imbalances telescope against the descending sort,
+    // plus at most one partial tail stripe. Adversarial shapes included
+    // (heavy head, all-equal, power-law-ish, tiny n < K).
+    val lenGen = Gen.oneOf(
+      Gen.chooseNum(1L, 1000L),                       // uniform
+      Gen.chooseNum(1L, 10L).map(x => x * x * x),     // convex / heavy head
+      Gen.const(7L),                                  // degenerate equal
+      Gen.frequency(9 -> Gen.chooseNum(1L, 20L), 1 -> Gen.chooseNum(900L, 1000L)))
+    for (k <- Seq(2, 3, 8, 16); n <- Seq(1, 5, 16, 257, 1000); seed <- Seq(1L, 99L)) {
+      val lens = samples(lenGen, n, seed * 1000 + k * 7 + n)
+      val sorted = lens.sortBy(-_)
+      val loads = Array.fill(k)(0L)
+      sorted.zipWithIndex.foreach { case (len, i) =>
+        val stripe = i / k; val pos = i % k
+        val shard = if (stripe % 2 == 0) pos else k - 1 - pos
+        loads(shard) += len
+      }
+      val nonEmptyMin = loads.min // empty shards allowed when n < k
+      assert(loads.max - nonEmptyMin <= 2 * sorted.head,
+        s"k=$k n=$n seed=$seed: loads ${loads.toSeq} max item ${sorted.head}")
+      assert(loads.sum === lens.sum)
+    }
+  }
 }
