@@ -76,6 +76,19 @@ object AnnQueries {
   val SemIters = 2
   val SemMinScore = 0.7
 
+  /** q144 product-quantization geometry (Jégou et al. 2011): the
+    * 64-dim space splits into PqM contiguous PqDim-dim subspaces, each
+    * with its own PqK-cell codebook learned by the SAME deterministic
+    * Lloyd's machinery as q85 (SemDedup.fit on the sliced corpus) —
+    * a PQ code is the m-tuple of per-subspace cell ids, compressing
+    * 64 floats to m small ints. Small here so the oracle's
+    * 4-subspace × 2-iteration unrolled chain stays tractable;
+    * production PQ runs m=8-16, k=256 with identical plan shape. */
+  val PqM = 4
+  val PqDim = 16
+  val PqK = 4
+  val PqIters = 2
+
   /** q97: greedy k-center rounds — 5 keeps the oracle's unrolled CTE
     * chain tractable (4 argmax rounds past the seed) while exercising
     * the full farthest-point trace; on the clone-free fixture the
@@ -474,6 +487,45 @@ object AnnQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q144_pq_codebook" -> ((s, dir) => {
+      // Product quantization (see PqM scaladoc) — the vector
+      // COMPRESSION leg of the ANN stack (IVF-PQ is the standard
+      // billion-scale layout: q75's IVF prunes cells, PQ shrinks
+      // residents 64×): per subspace, the q85 deterministic Lloyd's
+      // fit runs on the SLICED corpus, every vector gets its
+      // nearest-cell code, and the report carries each (subspace,
+      // cell)'s population + mean quantization distortion — the
+      // codebook-quality table a PQ deployment watches. Shape: PqM
+      // independent fits over 16-dim slices (each iteration one
+      // map-side-combined k×dim-bounded exchange, the SemDedup
+      // argument), assignment row-local against ≤PqK inlined literals,
+      // final rollup ≤ m×k rows. Oracle unrolls all m×iters Lloyd's
+      // rounds — hash-green certifies every per-subspace update and
+      // every code assignment.
+      import graft.operators.SemDedup
+      import s.implicits._
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      (0 until PqM).map { sub =>
+        val sliced = e.select(col("vec_id"),
+          slice(col("embedding"), sub * PqDim + 1, PqDim).as("embedding"))
+        val cents = SemDedup.fit(sliced, PqK, PqIters)
+        val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cell", "ce")
+        SemDedup.assignCells(sliced, cents)
+          .join(broadcast(centDf), "cell")
+          .select(lit(sub.toLong).as("sub"), col("cell").cast("long").as("cell"),
+            round(graft.expressions.VectorExpressions.sqDist(
+              col("embedding"), col("ce")), 6).as("d"))
+          .groupBy(col("sub"), col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(sum(col("d").cast("decimal(27,10)")).cast("double") /
+              count(lit(1)), 6).as("mean_sqdist"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("sub"), col("cell"))
+    }),
+
     "q97_kcenter" -> ((s, dir) => {
       // greedy k-center coreset selection (Gonzalez 1985 / Sener &
       // Savarese 2018): each round adds the embedding farthest from
@@ -781,6 +833,63 @@ object AnnQueries {
 
     // both Lloyd's iterations unrolled op-for-op: hash-green certifies
     // the clustering, the pair set AND the removal policy
+    "q144_pq_codebook" -> {
+      // per-subspace Lloyd's chains, every round unrolled (the q85
+      // oracle pattern with the source table and dim parameterized)
+      def assign(src: String, cents: String, out: String): String =
+        s"""${out}_d AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |    ${semDistSql("e.embedding", "c.ce")} AS d
+           |  FROM $src e CROSS JOIN $cents c),
+           |$out AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d, cell) AS rk FROM ${out}_d)
+           |  WHERE rk = 1)""".stripMargin
+      def update(asg: String, prev: String, out: String): String =
+        s"""${out}_s AS (
+           |  SELECT cell, pos,
+           |    SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(27,10))) AS sd,
+           |    COUNT(*) AS n
+           |  FROM $asg CROSS JOIN (SELECT unnest(range($PqDim)) AS pos)
+           |  GROUP BY cell, pos),
+           |${out}_m AS (
+           |  SELECT cell, list(round(CAST(sd AS DOUBLE) / n, 6) ORDER BY pos) AS ce
+           |  FROM ${out}_s GROUP BY cell),
+           |$out AS (
+           |  SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
+           |  FROM $prev p LEFT JOIN ${out}_m m ON p.cell = m.cell)""".stripMargin
+      val chains = (0 until PqM).map { sb =>
+        val lo = sb * PqDim + 1
+        val hi = (sb + 1) * PqDim
+        val iterCtes = (1 to PqIters).map { t =>
+          s"""${assign(s"e$sb", s"c${t - 1}_$sb", s"a${t}_$sb")},
+             |${update(s"a${t}_$sb", s"c${t - 1}_$sb", s"c${t}_$sb")}""".stripMargin
+        }.mkString(",\n")
+        s"""e$sb AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM e),
+           |c0_$sb AS (
+           |  SELECT vec_id AS cell,
+           |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS ce
+           |  FROM e$sb WHERE vec_id < $PqK),
+           |$iterCtes,
+           |${assign(s"e$sb", s"c${PqIters}_$sb", s"af_$sb")},
+           |r$sb AS (
+           |  SELECT $sb::BIGINT AS sub, CAST(a.cell AS BIGINT) AS cell,
+           |    COUNT(*)::BIGINT AS n_vecs,
+           |    round(CAST(SUM(CAST(${semDistSql("a.embedding", "c.ce")}
+           |      AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_sqdist
+           |  FROM af_$sb a JOIN c${PqIters}_$sb c USING (cell)
+           |  GROUP BY a.cell)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 until PqM).map(sb => s"SELECT * FROM r$sb")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |$chains
+         |$out
+         |ORDER BY sub, cell""".stripMargin
+    },
+
     "q85_semdedup" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),

@@ -123,6 +123,26 @@ object CurationQueries {
     * per lang). */
   val CcnetBinInv = 512
 
+  /** q143: hedge-style multiplicative-weights domain reweighting
+    * (Freund & Schapire 1997 Hedge; the update DoReMi [Xie et al.
+    * 2023] runs per minibatch against excess loss — here driven by
+    * the corpus unigram-LM per-token NLL as the per-domain loss
+    * proxy): w ← w·exp(η·excess), excess = nll − min(nll),
+    * renormalized, HedgeRounds times. EXCESS loss (not raw NLL) is
+    * both DoReMi's actual form and the numerically-safe one: exp
+    * inputs stay in [0, η·spread] regardless of the losses' absolute
+    * scale. Every round is emitted as its own column so the oracle
+    * certifies each update, not just the fixed point. η is tuned to
+    * the loss SPREAD (the fixture's cross-lang NLL spread is ~4e-3;
+    * η = 200 makes exp inputs O(1) — the same η·excess ≈ O(1) regime
+    * DoReMi reaches with η = 1 on its O(1) per-batch excesses). exp
+    * outputs round to 9 dp before the decimal-routed normalizer sum
+    * (the q55/q82 one-libm-call portability rule — a 1-ULP exp
+    * divergence at these magnitudes is ~1e-15, killed by the rounding
+    * except at measure-zero ties). */
+  val HedgeRounds = 3
+  val HedgeEta = 200.0
+
   /** q82: hashed-feature space size and how many top-importance docs
     * the selection reports. 4096 buckets keeps the ratio table
     * broadcast-sized at ANY corpus scale (the table is bounded by the
@@ -439,6 +459,45 @@ object CurationQueries {
           round(sum(col("avg_ll").cast("decimal(28,12)")).cast("double") /
             count(lit(1)), 6).as("mean_ll"))
         .orderBy(col("lang"), col("bucket"))
+    }),
+
+    "q143_hedge_mix" -> ((s, dir) => {
+      // Hedge / multiplicative-weights domain reweighting (see
+      // HedgeRounds scaladoc): per-language per-token NLL from the
+      // session-cached LM scoring pass (lmScored — the third consumer)
+      // is the loss; hard domains get UPWEIGHTED round by round
+      // (DoReMi's excess-loss direction), the counter-pull to q94's
+      // temperature smoothing. Shape: after the shared scoring pass,
+      // ONE directory aggregation to ≤|langs| rows; every round is a
+      // one-row normalizer broadcast back (the q106 crossJoin-of-one-
+      // aggregate-row shape) — zero corpus-sized work per round at any
+      // scale. Each round's weights are output columns, so hash-green
+      // certifies every multiplicative update.
+      val d0 = lmScored(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(col("dl").cast("long")).as("n_toks"),
+          sum(col("sum_ll").cast("decimal(28,12)")).cast("double").as("sll"))
+        .withColumn("nll",
+          round(-col("sll") / col("n_toks").cast("double"), 6))
+        .drop("sll")
+      val init = d0.crossJoin(broadcast(
+          d0.agg(count(lit(1)).as("k"), min(col("nll")).as("mn"))))
+        .withColumn("w", round(lit(1.0) / col("k").cast("double"), 6))
+        .withColumn("excess", round(col("nll") - col("mn"), 6))
+        .drop("k", "mn")
+      val fin = (1 to HedgeRounds).foldLeft(init) { (prev, t) =>
+        val f = prev.withColumn("f",
+          round(col("w") * exp(lit(HedgeEta) * col("excess")), 9))
+        val tot = f.agg(
+          sum(col("f").cast("decimal(28,12)")).cast("double").as("tf"))
+        f.crossJoin(broadcast(tot))
+          .withColumn(s"w$t", round(col("f") / col("tf"), 6))
+          .withColumn("w", col(s"w$t"))
+          .drop("f", "tf")
+      }
+      fin.select(col("lang") +: col("n_toks") +: col("nll") +:
+          col("excess") +: (1 to HedgeRounds).map(t => col(s"w$t")): _*)
+        .orderBy(col("lang"))
     }),
 
     "q133_trim_sketch" -> ((s, dir) => {
@@ -1438,6 +1497,36 @@ object CurationQueries {
          |  round(CAST(SUM(CAST(avg_ll AS DECIMAL(28,12))) AS DOUBLE)
          |    / COUNT(*), 6) AS mean_ll
          |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+    },
+
+    "q143_hedge_mix" -> {
+      val eta = s"CAST($HedgeEta AS DOUBLE)"
+      val rounds = (1 to HedgeRounds).map { t =>
+        val prev = if (t == 1) "r0" else s"r${t - 1}"
+        val prevW = if (t == 1) "w0" else s"w${t - 1}"
+        val keep = ("lang" +: "n_toks" +: "nll" +: "excess" +:
+          (1 until t).map(i => s"w$i")).mkString(", ")
+        s"""f$t AS (SELECT *, round($prevW * exp($eta * excess), 9) AS f
+           |  FROM $prev),
+           |t$t AS (SELECT CAST(SUM(CAST(f AS DECIMAL(28,12))) AS DOUBLE)
+           |  AS tf FROM f$t),
+           |r$t AS (SELECT $keep, round(f / tf, 6) AS w$t
+           |  FROM f$t CROSS JOIN t$t)""".stripMargin
+      }.mkString(",\n")
+      val outW = (1 to HedgeRounds).map(t => s"w$t").mkString(", ")
+      s"""WITH $lmScoredSql,
+         |d0 AS (SELECT lang, CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS n_toks,
+         |    CAST(SUM(CAST(sum_ll AS DECIMAL(28,12))) AS DOUBLE) AS sll
+         |  FROM sc GROUP BY lang),
+         |kk AS (SELECT COUNT(*)::BIGINT AS k,
+         |    MIN(round(-sll / n_toks::DOUBLE, 6)) AS mn FROM d0),
+         |r0 AS (SELECT lang, n_toks, round(-sll / n_toks::DOUBLE, 6) AS nll,
+         |    round(round(-sll / n_toks::DOUBLE, 6) - mn, 6) AS excess,
+         |    round(1.0 / k::DOUBLE, 6) AS w0
+         |  FROM d0 CROSS JOIN kk),
+         |$rounds
+         |SELECT lang, n_toks, nll, excess, $outW
+         |FROM r$HedgeRounds ORDER BY lang""".stripMargin
     },
 
     "q133_trim_sketch" -> {

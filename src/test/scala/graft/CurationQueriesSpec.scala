@@ -259,6 +259,43 @@ class CurationQueriesSpec extends AnyFunSuite with SparkSpec {
       lo > toks(lang)._1 || hi < toks(lang)._2 })
   }
 
+  test("q143 hedge reweighting matches a driver recompute; hedge laws hold") {
+    val rows = run("q143_hedge_mix", sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        (4 until 4 + CurationQueries.HedgeRounds).map(r.getDouble)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver recompute of every multiplicative round from the query's
+    // own (nll, excess) columns — certifies the update arithmetic
+    val k = rows.length
+    var w = rows.map(_ => r6(1.0 / k))
+    (0 until CurationQueries.HedgeRounds).foreach { t =>
+      val f = rows.zip(w).map { case (r, wi) =>
+        r9(wi * math.exp(CurationQueries.HedgeEta * r._4)) }
+      val tot = f.map(BigDecimal(_)).sum.toDouble
+      w = f.map(fi => r6(fi / tot))
+      rows.zip(w).foreach { case (r, wi) =>
+        assert(r._5(t) === wi, s"${r._1} round ${t + 1}") }
+    }
+    // hedge laws: weights ~sum to 1 per round (6-dp rounding slack);
+    // the zero-excess anchor shrinks monotonically; the max-excess
+    // domain grows monotonically; final ordering follows excess
+    (0 until CurationQueries.HedgeRounds).foreach { t =>
+      val s = rows.map(_._5(t)).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"round ${t + 1} sum $s")
+    }
+    val anchor = rows.minBy(_._4)
+    assert(anchor._4 === 0.0)
+    val anchorW = 1.0 / k +: anchor._5
+    assert(anchorW.zip(anchorW.tail).forall { case (a, b) => b < a })
+    val hardest = rows.maxBy(_._4)
+    val hardW = 1.0 / k +: hardest._5
+    assert(hardW.zip(hardW.tail).forall { case (a, b) => b > a })
+    val byExcess = rows.sortBy(_._4).map(_._5(CurationQueries.HedgeRounds - 1))
+    assert(byExcess === byExcess.sorted,
+      "final weights must be monotone in excess loss")
+  }
+
   test("q133 sketch trim: superset of q54's kept set, off only within cut bins") {
     val w = CurationQueries.TrimBinW
     val p = CurationQueries.TrimPct

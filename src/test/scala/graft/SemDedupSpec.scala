@@ -102,6 +102,52 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(spark2 === expect)
   }
 
+  test("q144 PQ codebook matches an independent driver Lloyd's per subspace") {
+    import graft.queries.AnnQueries
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(size($"embedding") === 64)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .sortBy(_._1)
+    val (m, dim, k, iters) =
+      (AnnQueries.PqM, AnnQueries.PqDim, AnnQueries.PqK, AnnQueries.PqIters)
+    // independent Lloyd's: same init (k smallest ids), 6-dp rounded
+    // strict-less argmin with lowest-cell ties, decimal-free mean via
+    // BigDecimal sums rounded once — written WITHOUT SemDedup.fit
+    def sqd(a: Seq[Double], b: Seq[Double]) =
+      r6(a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) })
+    val want = (0 until m).flatMap { sub =>
+      val sl = embs.map { case (id, e) =>
+        (id, e.slice(sub * dim, (sub + 1) * dim).map(_.toDouble)) }
+      var cents = sl.take(k).map(_._2.map(r6))
+      def assign() = sl.map { case (id, v) =>
+        (id, v, cents.zipWithIndex.minBy { case (c, i) => (sqd(v, c), i) }._2) }
+      (1 to iters).foreach { _ =>
+        val asg = assign()
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          val mem = asg.filter(_._3 == c).map(_._2)
+          if (mem.isEmpty) prev
+          else Seq.tabulate(dim)(d =>
+            r6((mem.map(v => BigDecimal(v(d))).sum / mem.size).toDouble))
+        }
+      }
+      val asg = assign()
+      asg.groupBy(_._3).toSeq.map { case (c, mem) =>
+        val md = r6((mem.map(x => BigDecimal(sqd(x._2, cents(c)))).sum /
+          mem.size).toDouble)
+        (sub.toLong, c.toLong, mem.size.toLong, md)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = AnnQueries.queries("q144_pq_codebook")(spark, dir)
+      .select($"sub", $"cell", $"n_vecs", $"mean_sqdist")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    // conservation: every vector is coded in every subspace
+    (0 until m).foreach { sub =>
+      assert(got.filter(_._1 == sub).map(_._3).sum === embs.length.toLong) }
+  }
+
   test("an emptied cell keeps its previous centroid") {
     // seeds 0 and 1 are identical, so EVERY vector ties between them
     // and the lowest-cell tie-break sends all of them (seed 1's own
