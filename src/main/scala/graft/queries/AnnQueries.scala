@@ -526,6 +526,64 @@ object AnnQueries {
         .orderBy(col("sub"), col("cell"))
     }),
 
+    "q145_pq_adc" -> ((s, dir) => {
+      // PQ asymmetric distance search (Jégou et al. 2011 ADC) — the
+      // query-time half of q144: the corpus lives as m-tuple codes,
+      // the query stays EXACT, and distance(q, v) ≈ Σ_sub
+      // sqdist(q_sub, centroid[code_sub(v)]) — per subspace a ≤PqK-
+      // entry lookup table, so scoring a vector is m table lookups
+      // instead of 64 multiplies. Top-k by ADC distance (asc, vec_id
+      // tie), each hit audited in-row: its EXACT score and whether it
+      // makes the exact top-k — recall is a measured, deterministic
+      // column, the q47 honesty pattern (k=4 cells/subspace is a
+      // coarse 64× compression; imperfect recall is the truthful
+      // outcome, not a bug). Shape: fits are q144's (k×dim-bounded);
+      // codes + LUT sums are row-local against inlined literals; ONE
+      // TakeOrderedAndProject ends the scan. Oracle unrolls the m
+      // Lloyd's chains, the code assignment, the LUT arithmetic and
+      // both top-k's.
+      import graft.operators.SemDedup
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val cand = e.filter(col("vec_id") =!= 0)
+      // per-subspace: codebook (q144's fit) + the query's LUT row
+      val adc = (0 until PqM).map { sub =>
+        val slc = slice(col("embedding"), sub * PqDim + 1, PqDim)
+        val sliced = cand.select(col("vec_id"), slc.as("embedding"))
+        val cents = SemDedup.fit(
+          e.select(col("vec_id"), slc.as("embedding")), PqK, PqIters)
+        val qSub = qv.slice(sub * PqDim, (sub + 1) * PqDim)
+        def r6d(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val lut = cents.map(c => r6d(qSub.zip(c)
+          .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }))
+        // code = argmin cell (the q144 assignment), ADC term = lut(code)
+        SemDedup.assignCells(sliced, cents)
+          .select(col("vec_id"),
+            element_at(typedLit(lut), col("cell") + 1).as(s"t$sub"))
+      }.reduce(_.join(_, "vec_id"))
+      val scored = adc.withColumn("adc_d",
+        round((0 until PqM).map(sub => col(s"t$sub")).reduce(_ + _), 6))
+      val exactTop = cand
+        .withColumn("score", round(neo4jScore(col("embedding"), typedLit(qv.map(_.toFloat).toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("score").as("exact_score"),
+          lit(1).as("in_exact_topk"))
+      scored
+        .orderBy(col("adc_d").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("adc_d"))
+        .join(broadcast(exactTop), Seq("vec_id"), "left")
+        .na.fill(0, Seq("in_exact_topk"))
+        .select(col("vec_id"), col("adc_d"),
+          col("exact_score"), col("in_exact_topk").cast("long").as("in_exact_topk"))
+        .orderBy(col("adc_d").asc, col("vec_id").asc)
+    }),
+
     "q97_kcenter" -> ((s, dir) => {
       // greedy k-center coreset selection (Gonzalez 1985 / Sener &
       // Savarese 2018): each round adds the embedding farthest from
@@ -583,6 +641,51 @@ object AnnQueries {
   private def semDistSql(aE: String, bE: String): String =
     s"round(list_sum(list_transform(list_zip($aE, $bE), " +
       s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+  /** One subspace's full PQ Lloyd's chain (q144/q145 oracles): slices
+    * `e` to subspace `sb`, seeds from the PqK smallest vec_ids, runs
+    * PqIters assign→update rounds, and ends with the final assignment
+    * `af_$sb(vec_id, embedding, cell)` + codebook `c{PqIters}_$sb`.
+    * The [[semAssignSql]]/[[semUpdateSql]] pattern with the source
+    * table and dimension parameterized. */
+  private def pqChainSql(sb: Int): String = {
+    def assign(src: String, cents: String, out: String): String =
+      s"""${out}_d AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    ${semDistSql("e.embedding", "c.ce")} AS d
+         |  FROM $src e CROSS JOIN $cents c),
+         |$out AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cell) AS rk FROM ${out}_d)
+         |  WHERE rk = 1)""".stripMargin
+    def update(asg: String, prev: String, out: String): String =
+      s"""${out}_s AS (
+         |  SELECT cell, pos,
+         |    SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(27,10))) AS sd,
+         |    COUNT(*) AS n
+         |  FROM $asg CROSS JOIN (SELECT unnest(range($PqDim)) AS pos)
+         |  GROUP BY cell, pos),
+         |${out}_m AS (
+         |  SELECT cell, list(round(CAST(sd AS DOUBLE) / n, 6) ORDER BY pos) AS ce
+         |  FROM ${out}_s GROUP BY cell),
+         |$out AS (
+         |  SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
+         |  FROM $prev p LEFT JOIN ${out}_m m ON p.cell = m.cell)""".stripMargin
+    val lo = sb * PqDim + 1
+    val hi = (sb + 1) * PqDim
+    val iterCtes = (1 to PqIters).map { t =>
+      s"""${assign(s"e$sb", s"c${t - 1}_$sb", s"a${t}_$sb")},
+         |${update(s"a${t}_$sb", s"c${t - 1}_$sb", s"c${t}_$sb")}""".stripMargin
+    }.mkString(",\n")
+    s"""e$sb AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM e),
+       |c0_$sb AS (
+       |  SELECT vec_id AS cell,
+       |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS ce
+       |  FROM e$sb WHERE vec_id < $PqK),
+       |$iterCtes,
+       |${assign(s"e$sb", s"c${PqIters}_$sb", s"af_$sb")}""".stripMargin
+  }
+
   private def semAssignSql(cents: String, out: String): String =
     s"""${out}_d AS (
        |  SELECT e.vec_id, e.embedding, c.cell, ${semDistSql("e.embedding", "c.ce")} AS d
@@ -834,45 +937,8 @@ object AnnQueries {
     // both Lloyd's iterations unrolled op-for-op: hash-green certifies
     // the clustering, the pair set AND the removal policy
     "q144_pq_codebook" -> {
-      // per-subspace Lloyd's chains, every round unrolled (the q85
-      // oracle pattern with the source table and dim parameterized)
-      def assign(src: String, cents: String, out: String): String =
-        s"""${out}_d AS (
-           |  SELECT e.vec_id, e.embedding, c.cell,
-           |    ${semDistSql("e.embedding", "c.ce")} AS d
-           |  FROM $src e CROSS JOIN $cents c),
-           |$out AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY d, cell) AS rk FROM ${out}_d)
-           |  WHERE rk = 1)""".stripMargin
-      def update(asg: String, prev: String, out: String): String =
-        s"""${out}_s AS (
-           |  SELECT cell, pos,
-           |    SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(27,10))) AS sd,
-           |    COUNT(*) AS n
-           |  FROM $asg CROSS JOIN (SELECT unnest(range($PqDim)) AS pos)
-           |  GROUP BY cell, pos),
-           |${out}_m AS (
-           |  SELECT cell, list(round(CAST(sd AS DOUBLE) / n, 6) ORDER BY pos) AS ce
-           |  FROM ${out}_s GROUP BY cell),
-           |$out AS (
-           |  SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
-           |  FROM $prev p LEFT JOIN ${out}_m m ON p.cell = m.cell)""".stripMargin
       val chains = (0 until PqM).map { sb =>
-        val lo = sb * PqDim + 1
-        val hi = (sb + 1) * PqDim
-        val iterCtes = (1 to PqIters).map { t =>
-          s"""${assign(s"e$sb", s"c${t - 1}_$sb", s"a${t}_$sb")},
-             |${update(s"a${t}_$sb", s"c${t - 1}_$sb", s"c${t}_$sb")}""".stripMargin
-        }.mkString(",\n")
-        s"""e$sb AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM e),
-           |c0_$sb AS (
-           |  SELECT vec_id AS cell,
-           |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS ce
-           |  FROM e$sb WHERE vec_id < $PqK),
-           |$iterCtes,
-           |${assign(s"e$sb", s"c${PqIters}_$sb", s"af_$sb")},
+        s"""${pqChainSql(sb)},
            |r$sb AS (
            |  SELECT $sb::BIGINT AS sub, CAST(a.cell AS BIGINT) AS cell,
            |    COUNT(*)::BIGINT AS n_vecs,
@@ -888,6 +954,41 @@ object AnnQueries {
          |$chains
          |$out
          |ORDER BY sub, cell""".stripMargin
+    },
+
+    "q145_pq_adc" -> {
+      // q144's chains + the query's per-subspace lookup table + both
+      // top-k's, all unrolled
+      val chains = (0 until PqM).map { sb =>
+        val lo = sb * PqDim + 1
+        val hi = (sb + 1) * PqDim
+        s"""${pqChainSql(sb)},
+           |qs$sb AS (SELECT qe[$lo:$hi] AS q FROM q),
+           |lut$sb AS (SELECT c.cell, ${semDistSql("q.q", "c.ce")} AS t$sb
+           |  FROM c${PqIters}_$sb c CROSS JOIN qs$sb q),
+           |ad$sb AS (SELECT a.vec_id, l.t$sb
+           |  FROM af_$sb a JOIN lut$sb l USING (cell)
+           |  WHERE a.vec_id <> 0)""".stripMargin
+      }.mkString(",\n")
+      val joined = (1 until PqM).foldLeft("ad0") { (acc, sb) =>
+        s"$acc JOIN ad$sb USING (vec_id)" }
+      val tsum = (0 until PqM).map(sb => s"t$sb").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+         |$chains,
+         |sc AS (SELECT vec_id, round($tsum, 6) AS adc_d FROM $joined),
+         |top AS (SELECT vec_id, adc_d FROM sc
+         |  ORDER BY adc_d ASC, vec_id ASC LIMIT 10),
+         |ex AS (SELECT e.vec_id,
+         |    round(${cosSql("e.embedding", "q.qe")}, 6) AS exact_score
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY exact_score DESC, vec_id ASC LIMIT 10)
+         |SELECT t.vec_id, t.adc_d, ex.exact_score,
+         |  CAST(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_exact_topk
+         |FROM top t LEFT JOIN ex ON t.vec_id = ex.vec_id
+         |ORDER BY t.adc_d ASC, t.vec_id ASC""".stripMargin
     },
 
     "q85_semdedup" ->

@@ -148,6 +148,67 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       assert(got.filter(_._1 == sub).map(_._3).sum === embs.length.toLong) }
   }
 
+  test("q145 ADC search matches a driver recompute; recall honestly imperfect") {
+    import graft.queries.AnnQueries
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(size($"embedding") === 64)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .sortBy(_._1)
+    val (m, dim, k, iters) =
+      (AnnQueries.PqM, AnnQueries.PqDim, AnnQueries.PqK, AnnQueries.PqIters)
+    def sqd(a: Seq[Double], b: Seq[Double]) =
+      r6(a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) })
+    val qv = embs.find(_._1 == 0L).get._2.map(_.toDouble)
+    // per-subspace Lloyd's (independent impl, as in the q144 spec),
+    // then codes + LUT sums for every candidate
+    val perSub = (0 until m).map { sub =>
+      val sl = embs.map { case (id, e) =>
+        (id, e.slice(sub * dim, (sub + 1) * dim).map(_.toDouble)) }
+      var cents = sl.take(k).map(_._2.map(r6))
+      def assign() = sl.map { case (id, v) =>
+        (id, cents.zipWithIndex.minBy { case (c, i) => (sqd(v, c), i) }._2) }
+      (1 to iters).foreach { _ =>
+        val asg = sl.map(_._2).zip(assign().map(_._2))
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          val mem = asg.filter(_._2 == c).map(_._1)
+          if (mem.isEmpty) prev
+          else Seq.tabulate(dim)(d =>
+            r6((mem.map(v => BigDecimal(v(d))).sum / mem.size).toDouble))
+        }
+      }
+      val qSub = qv.slice(sub * dim, (sub + 1) * dim)
+      val lut = cents.map(c => sqd(qSub, c))
+      assign().filter(_._1 != 0L).map { case (id, c) => id -> lut(c) }.toMap
+    }
+    val adc = embs.map(_._1).filter(_ != 0L).map { id =>
+      id -> r6(perSub.map(_(id)).sum) }.toMap
+    val wantTop = adc.toSeq.sortBy { case (id, d) => (d, id) }.take(10)
+    val got = AnnQueries.queries("q145_pq_adc")(spark, dir)
+      .select($"vec_id", $"adc_d", $"in_exact_topk")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === wantTop)
+    // the in_exact flags match an exact driver top-k
+    def cos(a: Seq[Float], b: Seq[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+      r6((1.0 + d / (na * nb)) / 2.0)
+    }
+    val exactTop = embs.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(e, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    got.foreach { case (id, _, flag) =>
+      assert(flag === (if (exactTop(id)) 1L else 0L), s"vec $id") }
+    // coarse 64x compression: recall must be partial BUT non-zero —
+    // both vacuous extremes (0 and 10) would mean something is off.
+    // Measured: 1/10 at sf0.001 (500 vecs), 5/10 at sf0.01 — the
+    // deeper corpus gives the 4-cell codebooks more to work with.
+    val recall = got.count(_._3 == 1L)
+    assert(recall >= 1 && recall <= 9, s"recall $recall/10")
+  }
+
   test("an emptied cell keeps its previous centroid") {
     // seeds 0 and 1 are identical, so EVERY vector ties between them
     // and the lowest-cell tie-break sends all of them (seed 1's own
