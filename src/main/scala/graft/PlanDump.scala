@@ -363,7 +363,21 @@ object PlanDump {
         "column (ReadSchema carries exactly one field per branch — " +
         "column pruning is the whole plan), stacked values counted " +
         "via map-side two-level groupBy, 11-row profiles broadcast-" +
-        "joined."))
+        "joined."),
+    "q144_pq_codebook" ->
+      ("Product quantization: four independent 16-dim Lloyd's fits " +
+        "(each iteration one map-side k×dim-bounded exchange), code " +
+        "assignment row-local against ≤4 inlined centroid literals, " +
+        "final rollup ≤ m×k rows — compression trained without the " +
+        "corpus ever shuffling on anything but the bounded " +
+        "per-iteration aggregates."),
+    "q145_pq_adc" ->
+      ("ADC search: per-subspace lookup tables built from the query " +
+        "against the fitted codebooks (≤4 entries each), candidate " +
+        "scoring is m row-local table lookups + one addition, and the " +
+        "scan tops out in TakeOrderedAndProject — no joins on the " +
+        "corpus path, the exact-audit join touches only the 10-row " +
+        "result."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -65,6 +65,44 @@ object TopKAggregator {
       override def outputEncoder: Encoder[List[Scored]] = ExpressionEncoder()
     }
 
+  /** Sorted-distinct merge keeping the k SMALLEST values — the KMV
+    * sketch state (q142): duplicates collapse without consuming
+    * capacity, so the result is the k smallest DISTINCT values of the
+    * union, independent of merge order. */
+  private[operators] def kMinMerge(k: Int, a: List[Long], b: List[Long]): List[Long] = {
+    val out = List.newBuilder[Long]
+    var n = 0
+    var (x, y) = (a, b)
+    var last = Long.MinValue
+    var first = true
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      val v =
+        if (y.isEmpty || (x.nonEmpty && x.head <= y.head)) { val h = x.head; x = x.tail; h }
+        else { val h = y.head; y = y.tail; h }
+      if (first || v != last) { out += v; last = v; first = false; n += 1 }
+    }
+    out.result()
+  }
+
+  /** k smallest DISTINCT Longs of a stream, as a typed Aggregator —
+    * the bounded-state KMV path: each partition reduces to ≤ k values
+    * BEFORE the shuffle (the same partial-aggregation argument as
+    * [[topK]]; a distinct()+window formulation must first materialize
+    * the full distinct directory, which for a key-like column is the
+    * table itself). The buffer's ascending distinct order makes the
+    * merged sketch independent of partition count and merge order. */
+  def kMinDistinct[I](k: Int)(f: I => Long): Aggregator[I, List[Long], List[Long]] =
+    new Aggregator[I, List[Long], List[Long]] {
+      override def zero: List[Long] = Nil
+      override def reduce(buf: List[Long], i: I): List[Long] =
+        kMinMerge(k, buf, f(i) :: Nil)
+      override def merge(a: List[Long], b: List[Long]): List[Long] =
+        kMinMerge(k, a, b)
+      override def finish(buf: List[Long]): List[Long] = buf
+      override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+      override def outputEncoder: Encoder[List[Long]] = ExpressionEncoder()
+    }
+
   /** Batch KNN join with map-side partial top-k.
     *
     * queries: (vec_id, embedding) — broadcast (the small side).

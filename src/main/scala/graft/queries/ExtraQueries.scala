@@ -916,13 +916,15 @@ object ExtraQueries {
       // is deterministic given the portable hash — unlike HLL++ whose
       // register layout is engine-private — so the sketch itself
       // hash-oracles exactly; the exact count rides along for the
-      // audit column. Shape: the same 11 pruned single-column scans,
-      // the (col, hash) directory map-side combined, then the k-min
-      // selection via row_number ≤ k — which Spark plans as
-      // WindowGroupLimit (each partition pre-filters to its local
-      // k-min before the per-column sort, so the sort sees
-      // #partitions × k rows, never a column's distinct set). The
-      // estimate's relative-error-vs-exact law is spec-asserted.
+      // audit column. Shape: the same 11 pruned single-column scans;
+      // the k-min SKETCH is a typed partial aggregate
+      // ([[graft.operators.TopKAggregator.kMinDistinct]]) whose
+      // per-partition state is ≤ k distinct minima — the shuffle
+      // carries k values per (partition, column), never a distinct
+      // directory (the directory+window formulation measured at
+      // exact-profiler cost on the 500 k probe, because distinct() on
+      // a key column IS the table). The estimate's
+      // relative-error-vs-exact law is spec-asserted.
       // Hash role: affine-of-poly — h = (a·polyHash(v) + b) mod P.
       // The char poly-hash ALONE is injective-enough but NOT uniform
       // (short digit strings hash near zero, and KMV's (k−1)·P/kth
@@ -949,17 +951,28 @@ object ExtraQueries {
         .select(col("col_name"),
           ((lit(ka) * graft.functions.PortableHash.charHash(col("v")) + lit(kb))
             % lit(P)).as("h"))
-        .groupBy(col("col_name"), col("h")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("col_name")).orderBy(col("h"))
-      val sketch = hashed
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= KmvK)
-        .groupBy(col("col_name"))
-        .agg(count(lit(1)).as("n_h"), max(col("h")).as("kth"))
+      // the SKETCH side is the bounded-state aggregate: each partition
+      // reduces to ≤ k distinct minima BEFORE the shuffle — no distinct
+      // directory is ever built for it (the 500 k probe measured the
+      // directory+window formulation at exact-profiler cost, because
+      // distinct() on a key column IS the table)
+      import s.implicits._
+      val sketch = hashed.as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(graft.operators.TopKAggregator
+          .kMinDistinct[(String, Long)](KmvK)(_._2).toColumn)
+        .toDF("col_name", "hs")
+        .select(col("col_name"), size(col("hs")).cast("long").as("n_h"),
+          element_at(col("hs"), size(col("hs"))).as("kth"))
         .withColumn("kmv_est",
           when(col("n_h") < KmvK, col("n_h").cast("double"))
             .otherwise(round(lit((KmvK - 1).toDouble) * P / col("kth"), 6)))
-      val exact = hashed.groupBy(col("col_name"))
+      // the exact AUDIT column still pays the full distinct directory —
+      // that is its point; a production sketch-only run drops it and
+      // the whole query's state is k values per column
+      val exact = hashed
+        .groupBy(col("col_name"), col("h")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("col_name"))
         .agg(count(lit(1)).as("n_hash_distinct"))
       sketch.join(broadcast(exact), Seq("col_name"))
         .select(col("col_name"), col("n_h"), col("n_hash_distinct"),

@@ -777,12 +777,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"16-row profile join must broadcast:\n$p")
   }
 
-  test("q142 KMV profile: k-min selection runs as a WindowGroupLimit, scans stay pruned") {
+  test("q142 KMV profile: k-min sketch is a bounded-state partial aggregate, scans pruned") {
     val p = plan("q142_profile_sketch")
-    // each partition keeps its local k smallest hashes BEFORE the
-    // per-column sort — the sort sees #partitions × k rows, never a
-    // column's full distinct-hash set
-    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    // the sketch side must be the typed aggregator with map-side
+    // partial state (≤ k minima per partition) — a Window/
+    // WindowGroupLimit here means the distinct-directory formulation
+    // (exact-profiler cost on key columns) crept back
+    assert(p.linesIterator.exists(l =>
+        l.contains("ObjectHashAggregate") &&
+          l.contains("partial_(graft.operators.TopKAggregator")),
+      s"expected partial kMinDistinct aggregate in:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window("),
+      s"no window formulation for the sketch:\n$p")
     val schemas = p.linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
     assert(schemas.nonEmpty && schemas.forall { l =>
       !l.substring(l.indexOf("ReadSchema: struct<")).takeWhile(_ != '>').contains(",")

@@ -183,4 +183,23 @@ class SearchEngineSpec extends SparkSpec {
     assert(math.abs(fused(1) - (1.0 / 62 + 1.0 / 61)) < 1e-6) // both arms
     assert(math.abs(fused(2) - 1.0 / 62) < 1e-6)            // keyword arm only
   }
+
+  test("kMinDistinct: dedup, bounded state, merge-order and partition invariance") {
+    import spark.implicits._
+    val agg = TopKAggregator.kMinDistinct[Long](4)(identity)
+    // plain-Scala laws through the aggregator's own reduce/merge
+    val a = Seq(9L, 3L, 3L, 7L).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(3L, 1L, 12L, 1L, 5L).foldLeft(agg.zero)(agg.reduce)
+    assert(a === List(3L, 7L, 9L))          // dedup inside one buffer
+    assert(agg.merge(a, b) === List(1L, 3L, 5L, 7L))
+    assert(agg.merge(a, b) === agg.merge(b, a)) // merge-order free
+    assert(agg.merge(a, b).length <= 4)         // bounded state
+    // distributed: the sketch equals the k smallest distinct values
+    // regardless of partitioning
+    val vals = (1L to 500L).map(i => (i * 37) % 101) // dense duplicates
+    def run(parts: Int) = vals.toDF("v").repartition(parts)
+      .as[Long].groupByKey(_ => 0).agg(agg.toColumn).collect().head._2
+    val want = vals.distinct.sorted.take(4).toList
+    assert(run(1) === want && run(13) === want)
+  }
 }
