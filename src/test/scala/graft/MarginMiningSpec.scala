@@ -133,5 +133,17 @@ class MarginMiningSpec extends AnyFunSuite with SparkSpec {
     val topK = cand.sortBy(c => (-c._3, c._1)).take(AnnQueries.MmrK).map(_._1).toSet
     assert(got.map(_._2).toSet != topK,
       "fixture should make MMR diverge from plain top-k; tune lambda if not")
+    // q146 (pooled production form): identical output when every
+    // winner sits inside the relevance pool — audit that it does
+    val byRel = cand.sortBy(c => (-c._3, c._1)).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    got.foreach { case (_, id, _, _, _) =>
+      assert(byRel(id) <= AnnQueries.MmrPoolN,
+        s"winner $id at relevance rank ${byRel(id)} outside the pool") }
+    val pooled = AnnQueries.queries("q146_mmr_pooled")(spark, dir)
+      .select($"step", $"vec_id", $"rel", $"max_sim", $"mmr")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(pooled.toSeq === got.toSeq,
+      "pooled MMR must equal full MMR when winners fit the pool")
   }
 }
