@@ -102,15 +102,23 @@ object QualityClassifier {
     * lr) under the owning context's applicationId
     * ([[graft.SessionMemo]]); the memoized value is the final
     * weight Seq — a plain, context-free table, safe to share across
-    * queries of one session and dropped with the context. */
+    * queries of one session and dropped with the context. The key also
+    * carries a caller-supplied `trainTag` naming the training-table
+    * DEFINITION: dir + hyperparams alone cannot distinguish two
+    * different training tables over the same corpus, and a second
+    * caller would silently receive weights fitted on the first one's
+    * table. */
   private[graft] val sessionFits =
-    new graft.SessionMemo[(String, Int, Double), Seq[(Long, Double)]]
+    new graft.SessionMemo[(String, String, Int, Double), Seq[(Long, Double)]]
 
-  /** Compute-once-per-(session, dir, hyperparams) [[fit]]. `train` is
-    * by-name: on a memo hit the training table is never even built. */
-  def sessionFit(s: org.apache.spark.sql.SparkSession, dir: String,
+  /** Compute-once-per-(session, dir, trainTag, hyperparams) [[fit]].
+    * `train` is by-name: on a memo hit the training table is never even
+    * built. `trainTag` must uniquely name the train-table definition
+    * among this session's callers (q86/q117 share one fit by passing
+    * the same tag for the same table). */
+  def sessionFit(s: org.apache.spark.sql.SparkSession, dir: String, trainTag: String,
                  train: => DataFrame, iters: Int, lr: Double): Seq[(Long, Double)] =
-    sessionFits.getOrCompute(s, (dir, iters, lr))(fit(train, iters, lr))
+    sessionFits.getOrCompute(s, (dir, trainTag, iters, lr))(fit(train, iters, lr))
 
   /** Score every document against fitted weights. `feats` carries one
     * row per (doc, feature) with any functionally-dependent key columns

@@ -64,17 +64,27 @@ object SemDedup {
   private def sqDist(emb: Column, centroid: Column): Column =
     round(graft.expressions.VectorExpressions.sqDist(emb, centroid), 6)
 
-  /** Nearest-centroid cell id (argmin over [[sqDist]], strict-less
-    * fold so ties stay with the lowest cell id). Small-k path: the
-    * centroids are inlined literals, so assignment is pure row-local
-    * codegen with NO join at all. */
+  /** Nearest-centroid cell id (argmin over [[sqDist]], ties to the
+    * lowest cell id). Small-k path: the centroids are inlined
+    * literals, so assignment is pure row-local codegen with NO join at
+    * all. The argmin is `array_min` over `struct(d, cell)` entries —
+    * the struct compares distance first, cell second, which is EXACTLY
+    * the strict-less / lowest-cell-tie rule [[assignCellsJoin]]'s
+    * `min(struct(...))` uses — NOT a when-chain fold: the fold
+    * duplicates its running-best subtree twice per step, so its
+    * generated code grows 2^k and at k=8×64-dim janino overflows the
+    * 64 KB method limit and silently falls back to interpreted
+    * execution (round-11 Verify log). array_min is linear in k and
+    * stays inside whole-stage codegen. A null distance (length
+    * mismatch) maps to +∞ so it can never win — the fold skipped
+    * nulls the same way. */
   private def assignCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = centroids.map(c => sqDist(emb, typedLit(c)))
-    dists.zipWithIndex.drop(1).foldLeft((lit(0), dists.head)) {
-      case ((bestCell, bestD), (d, i)) =>
-        (when(d < bestD, lit(i)).otherwise(bestCell),
-          when(d < bestD, d).otherwise(bestD))
-    }._1
+    val entries = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        coalesce(sqDist(emb, typedLit(c)), lit(Double.PositiveInfinity)).as("d"),
+        lit(i).as("cell"))
+    }
+    array_min(array(entries: _*)).getField("cell")
   }
 
   /** Large-k assignment: broadcast the k×dim centroid table, compute

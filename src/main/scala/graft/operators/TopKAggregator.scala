@@ -94,8 +94,19 @@ object TopKAggregator {
   def kMinDistinct[I](k: Int)(f: I => Long): Aggregator[I, List[Long], List[Long]] =
     new Aggregator[I, List[Long], List[Long]] {
       override def zero: List[Long] = Nil
-      override def reduce(buf: List[Long], i: I): List[Long] =
-        kMinMerge(k, buf, f(i) :: Nil)
+      override def reduce(buf: List[Long], i: I): List[Long] = {
+        val v = f(i)
+        // a full buffer whose k-th (largest) min is <= v cannot change:
+        // v > last is dropped, v == last dedups to the same list — so
+        // skip the O(k) list rebuild + singleton allocation entirely
+        // (the common case once a partition saturates: high-duplicate
+        // or sorted-ish input reduces to one allocation-free traversal
+        // per row). One pass finds (length, last) together.
+        var n = 0; var x = buf; var last = Long.MinValue
+        while (x.nonEmpty) { last = x.head; x = x.tail; n += 1 }
+        if (n == k && v >= last) buf
+        else kMinMerge(k, buf, v :: Nil)
+      }
       override def merge(a: List[Long], b: List[Long]): List[Long] =
         kMinMerge(k, a, b)
       override def finish(buf: List[Long]): List[Long] = buf

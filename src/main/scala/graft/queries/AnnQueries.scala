@@ -217,9 +217,12 @@ object AnnQueries {
         case Seq(one) => one
         case many => greatest(many: _*)
       }
-      val r = cand
-        .filter(!col("vec_id").isInCollection(
-          if (picked.isEmpty) Seq(-1L) else picked.toSeq.map(_._1)))
+      // no exclusion filter at all on the first step — a magic
+      // sentinel id would wrongly exclude a candidate carrying it
+      val base =
+        if (picked.isEmpty) cand
+        else cand.filter(!col("vec_id").isInCollection(picked.toSeq.map(_._1)))
+      val r = base
         .withColumn("max_sim", maxSim)
         .withColumn("mmr", round(lit(MmrLambda) * col("rel") -
           lit(MmrOneMinusLambda) * col("max_sim"), 6))

@@ -745,7 +745,7 @@ object CurationQueries {
         .select(col("doc_id"),
           when(col("bucket") >= 90, 1.0).otherwise(0.0).as("y"),
           col("b"))
-      val w = QualityClassifier.sessionFit(s, dir, train, QcIters, QcLr)
+      val w = QualityClassifier.sessionFit(s, dir, "bucket-bigram", train, QcIters, QcLr)
       QualityClassifier.score(
           fb.withColumn("split",
             when(col("bucket") >= 90, "target")
@@ -772,7 +772,7 @@ object CurationQueries {
       def train = labeled.select(col("doc_id"),
         when(col("bucket") >= 90, 1.0).otherwise(0.0).as("y"),
         col("b"))
-      val w = QualityClassifier.sessionFit(s, dir, train, QcIters, QcLr)
+      val w = QualityClassifier.sessionFit(s, dir, "bucket-bigram", train, QcIters, QcLr)
       val scored = QualityClassifier.score(
         labeled.withColumn("pos", (col("bucket") >= 90).cast("long")),
         w, keyCols = Seq("pos"))

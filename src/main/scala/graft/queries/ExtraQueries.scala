@@ -54,6 +54,34 @@ object ExtraQueries {
 
   val KmvK = 64
 
+  /** Stacked (col_name, v) view of every column of `t`, rendered as
+    * strings — the shared q141/q142/q147 profile input. One branch per
+    * column so parquet column pruning gives one narrow scan each.
+    * Floating-point columns carry a RANGE GUARD: the q142/q147
+    * cross-engine hash contract depends on Java and DuckDB rendering
+    * the same double identically, which holds only while values stay
+    * in [1e-3, 1e7) (Java flips to scientific notation outside it, 'E'
+    * in the rendering; DuckDB does not) — so a rendering-regime
+    * violation RAISES instead of surfacing as an inscrutable hash
+    * mismatch at the gate. Non-float columns are exempt (a text column
+    * may legitimately contain 'E'). */
+  private[queries] def profileStack(t: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    t.schema.fields.sortBy(_.name).toSeq
+      .map { f =>
+        val v0 = col(f.name).cast("string")
+        val v = f.dataType match {
+          case DoubleType | FloatType =>
+            when(v0.contains("E"), raise_error(concat(
+              lit(s"profile: double rendering left the plain range in ${f.name}: "),
+              v0))).otherwise(v0)
+          case _ => v0
+        }
+        t.select(lit(f.name).as("col_name"), v.as("v"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** q104: Zipf head size — the fit runs over the top-N tokens by
     * frequency (rank ties broken by token, though the fixture's counts
     * are all distinct). Zipf's law is a statement about the HEAD of
@@ -880,10 +908,11 @@ object ExtraQueries {
       // every ingestion run records before a table is trusted: per
       // column, row count, null count, EXACT distinct cardinality.
       // Shape: one single-column scan per column (parquet column
-      // pruning makes each branch read exactly one column chunk — 16
-      // narrow scans, not 16 full-table reads), values stacked as
-      // (col_name, v) and counted through a map-side-combined
-      // two-level groupBy; the 16-row profiles join broadcast. Exact
+      // pruning makes each branch read exactly one column chunk — 11
+      // narrow scans for lineitem's 11 columns, not 11 full-table
+      // reads), values stacked as (col_name, v) and counted through a
+      // map-side-combined two-level groupBy; the 11-row profiles join
+      // broadcast. Exact
       // distinct on a key column is inherently |table|-sized work —
       // at 100 TB the same query swaps the exact count for the q96
       // per-column HLL sketch (mergeable, bounded memory); the exact
@@ -942,10 +971,7 @@ object ExtraQueries {
       // production deployment hashes NATIVE values per type instead
       // of renderings.
       val t = graft.SparkEntry.tbl(s, dir, "lineitem")
-      val stacked = t.schema.fieldNames.sorted.toSeq
-        .map(c => t.select(lit(c).as("col_name"), col(c).cast("string").as("v")))
-        .reduce(_ unionByName _)
-        .filter(col("v").isNotNull)
+      val stacked = profileStack(t).filter(col("v").isNotNull)
       val (ka, kb) = KmvPair
       val hashed = stacked
         .select(col("col_name"),

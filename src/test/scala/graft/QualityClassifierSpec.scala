@@ -74,15 +74,23 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSpec {
     var builds = 0
     def train = { builds += 1; featDf(rows) }
     val key = s"memo-spec-${System.nanoTime()}"
-    val w1 = QualityClassifier.sessionFit(spark, key, train, 2, 0.5)
-    val w2 = QualityClassifier.sessionFit(spark, key, train, 2, 0.5)
+    val w1 = QualityClassifier.sessionFit(spark, key, "t1", train, 2, 0.5)
+    val w2 = QualityClassifier.sessionFit(spark, key, "t1", train, 2, 0.5)
     assert(w1 === direct)         // the memo changes cost, not the answer
     assert(w2 eq w1)              // second call returns the memoized table
     assert(builds === 1)          // by-name train: never rebuilt on a hit
     // different hyperparams are a different key — not a stale hit
-    val w3 = QualityClassifier.sessionFit(spark, key, train, 1, 0.5)
+    val w3 = QualityClassifier.sessionFit(spark, key, "t1", train, 1, 0.5)
     assert(builds === 2)
     assert(w3 !== w1)
+    // a different TRAIN-TABLE TAG is a different key too: a caller
+    // with another training table must never receive t1's weights
+    var builds2 = 0
+    def train2 = { builds2 += 1
+      featDf(Seq((0L, 1.0, BiasFeature), (1L, 0.0, BiasFeature))) }
+    val w4 = QualityClassifier.sessionFit(spark, key, "t2", train2, 2, 0.5)
+    assert(builds2 === 1)
+    assert(w4 !== w1)
   }
 
   test("fastSigmoid is monotone, centered at 0.5, and stays inside (0,1)") {
