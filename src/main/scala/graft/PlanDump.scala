@@ -373,11 +373,12 @@ object PlanDump {
         "per-iteration aggregates."),
     "q145_pq_adc" ->
       ("ADC search: per-subspace lookup tables built from the query " +
-        "against the fitted codebooks (≤4 entries each), candidate " +
-        "scoring is m row-local table lookups + one addition, and the " +
-        "scan tops out in TakeOrderedAndProject — no joins on the " +
-        "corpus path, the exact-audit join touches only the 10-row " +
-        "result."))
+        "against the fitted codebooks (≤4 entries each); ALL m code " +
+        "assignments + LUT lookups are sibling columns of ONE " +
+        "projection over ONE corpus scan (PlanSpec pins it: exactly " +
+        "one ReadSchema pair — scoring + exact audit — and exactly " +
+        "one join, the 10-row audit broadcast after the " +
+        "TakeOrderedAndProject top-k)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -78,7 +78,7 @@ object SemDedup {
     * stays inside whole-stage codegen. A null distance (length
     * mismatch) maps to +∞ so it can never win — the fold skipped
     * nulls the same way. */
-  private def assignCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+  private[graft] def assignCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     val entries = centroids.zipWithIndex.map { case (c, i) =>
       struct(
         coalesce(sqDist(emb, typedLit(c)), lit(Double.PositiveInfinity)).as("d"),

@@ -796,6 +796,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"11-row join must broadcast:\n$p")
   }
 
+  test("q145 ADC scores in one projection over one scan: no join on the corpus path") {
+    val p = plan("q145_pq_adc")
+    // all m per-subspace code assignments + LUT lookups are sibling
+    // columns of one projection, so the ONLY join in the plan is the
+    // 10-row exact-audit broadcast AFTER the ADC top-k (round-11
+    // verdict: the m-way vec_id self-join planned as corpus-sided
+    // BroadcastHashJoins that only broadcast at fixture scale)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1,
+      s"exactly one (audit) join allowed:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ADC scoring must never shuffle-join the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k must be per-partition heaps:\n$p")
+    // the corpus is scanned exactly twice: the ADC scoring projection
+    // and the exact-audit top-10 (codebook fits are separate bounded
+    // jobs, not part of this plan)
+    assert(p.linesIterator.count(_.contains("ReadSchema")) == 2,
+      s"expected exactly two corpus scans:\n$p")
+  }
+
   test("q107 weighted sample plans as ONE top-k over the cached scan") {
     // the entire query must be row-local expressions + per-partition
     // heaps: any exchange before the TakeOrderedAndProject means the
