@@ -371,6 +371,19 @@ object PlanDump {
         "final rollup ≤ m×k rows — compression trained without the " +
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
+    "q147_sketch_profile" ->
+      ("Sketch-only table profiler (q142 without the exact audit): 11 " +
+        "single-column pruned scans, then the ENTIRE query is the " +
+        "bounded-state typed k-min aggregate — ≤ k distinct hash " +
+        "minima per (partition, column) before the one exchange; no " +
+        "distinct directory, no window, no join anywhere."),
+    "q148_ivfpq_search" ->
+      ("Composed IVF-PQ probe: both artifact scans carry the cell " +
+        "PartitionFilter; the ADC scan's ReadSchema is (vec_id, " +
+        "c0..c3) — codes only, never the raw vectors — topping out in " +
+        "a shortlist TakeOrderedAndProject; the exact rescore " +
+        "broadcast-joins the bounded shortlist back onto the pruned " +
+        "cells."),
     "q145_pq_adc" ->
       ("ADC search: per-subspace lookup tables built from the query " +
         "against the fitted codebooks (≤4 entries each); ALL m code " +

@@ -116,6 +116,8 @@ object ScaleProbe {
         multiFileProbe(spark, srcDir, outBase, flags)
       else if (flags.contains("ivf-tune"))
         ivfTuneProbe(spark, srcDir)
+      else if (flags.contains("ivfpq-tune"))
+        ivfPqTuneProbe(spark, srcDir)
       else if (flags.contains("brp-tables"))
         brpTuningProbe(spark, srcDir, flags)
       else if (flags.contains("semdedup-k")) {
@@ -238,6 +240,44 @@ object ScaleProbe {
     val per = minima.map { case (q, m) => s"""\"q$q\":$m""" }.mkString("{", ",", "}")
     println(s"""{"probe":"ivf-tune","src":"$srcDir","cells":${queries.AnnQueries.IvfCells},"min_nprobe_per_query":$per,"q75_min":${minima.head._2},"q87_batch_min":${minima.map(_._2).max}}""")
     true
+  }
+
+  /** IVF-PQ shortlist-tuning probe (--ivfpq-tune): builds the q148
+    * artifact on srcDir, computes the exact top-10, and reports (a)
+    * how many members' cells escape the IvfNProbe pruning (must be 0 —
+    * that is --ivf-tune's territory) and (b) the max ADC rank of any
+    * member within the probed cells — i.e. the minimum IvfPqShortlist
+    * for 10/10 recall. Feeds the IvfPqShortlist slack constant; re-run
+    * after any fixture regeneration or geometry change. The tune's
+    * rank window is a single-partition sort — fine for a measurement
+    * tool, never a query shape. */
+  private def ivfPqTuneProbe(spark: SparkSession, srcDir: String): Boolean = {
+    val dir = queries.AnnQueries.ivfPqIndexDir(spark, srcDir)
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val top10 = e.withColumn("score", round(
+        graft.functions.VectorFunctions.neo4jScore(col("embedding"),
+          typedLit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        search.AnnIndex.adcDistanceCol(spark, dir, qv).as("adc_d"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("adc_d").asc, col("vec_id").asc)))
+      .filter(col("vec_id").isInCollection(top10))
+      .select(col("vec_id"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val missing = top10.filterNot(ranked.contains)
+    val minShort = if (ranked.isEmpty) -1 else ranked.values.max
+    println(s"""{"probe":"ivfpq-tune","src":"$srcDir","n_probe":${queries.AnnQueries.IvfNProbe},"pq_k":${queries.AnnQueries.IvfPqK},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
+    missing.isEmpty
   }
 
   /** BRP tuning probe (--brp-tables N [--brp-bucket L]): times q72's

@@ -130,6 +130,35 @@ object AnnQueries {
   val IvfCells = 16
   val IvfNProbe = 15
 
+  /** q148 IVF-PQ geometry: [[IvfCells]] coarse cells (the q75
+    * quantizer machinery, layout-canonical) composed with per-subspace
+    * PQ codebooks over the q144 slicing ([[IvfPqM]]=4 ×
+    * [[IvfPqSubDim]]=16). k=16 per subspace — finer than q144's 4 —
+    * because q148's oracle is the EXACT top-10 (q47's fails-closed
+    * recall gate), not an unrolled Lloyd's chain, so codebook fidelity
+    * costs the oracle nothing; 4×4-bit codes still compress the
+    * 256-byte float vector 128×. [[IvfPqShortlist]] is the number of
+    * ADC-ranked candidates exact-rescored. Measured minima for 10/10
+    * recall under `--ivfpq-tune` (re-run after any fixture
+    * regeneration): 179 (sf0.001), 86 (sf0.01), 481 (sf0.1); m=8×8-dim
+    * measured WORSE at sf0.1 (1189), so m stays 4. The minima are an
+    * honest property of THIS corpus: the fixture plants no embedding
+    * clusters (q75's no-clones note), so the exact top-10 sits at
+    * angular noise and PQ codes — any codes — cannot finely rank it;
+    * the shortlist is then a large order statistic of the ADC error.
+    * 600 covers the measured worst with ~25% headroom and the oracle
+    * still FAILS CLOSED on any miss. On a clustered production corpus
+    * the ADC margin is inter-cluster distance, not noise ordering, and
+    * the shortlist/corpus ratio collapses; the property q148 certifies
+    * is the PLAN — cell-partition pruning on both scans, an ADC scan
+    * whose ReadSchema is codes-only, a shortlist-bounded exact rescore
+    * — which is scale-independent (PlanSpec-pinned). */
+  val IvfPqM = 4
+  val IvfPqSubDim = 16
+  val IvfPqK = 16
+  val IvfPqIters = 2
+  val IvfPqShortlist = 600
+
   /** q87: how many query vectors (vec_id < this) probe the artifact in
     * one batch — q11's query set. Recall slack is per query and the
     * oracle fails closed on any miss, so the batch needs the WORST
@@ -171,6 +200,33 @@ object AnnQueries {
       // write; no unmanaged cached blocks should outlive the build
       val idx = graft.search.AnnIndex.buildIvf(e, cells = IvfCells, cache = false)
       graft.search.AnnIndex.saveIvf(idx, out)
+      out
+    }
+
+  /** Write-once-per-session persisted IVF-PQ artifact for q148 — the
+    * COMPOSED layout (q144's own scaladoc names it): the q75 cell
+    * partitioning with each resident row carrying its PQ code columns,
+    * plus the tiny persisted codebooks. Built by the same
+    * layout-canonical quantizer and the deterministic per-subspace
+    * Lloyd's fits. */
+  private val sessionIvfPqIndex = new graft.SessionMemo[String, String]
+
+  private[graft] def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    sessionIvfPqIndex.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      val idx = graft.search.AnnIndex.buildIvf(e, cells = IvfCells, cache = false)
+      val codebooks = (0 until IvfPqM).map { sub =>
+        graft.operators.SemDedup.fit(
+          e.select(col("vec_id"),
+            slice(col("embedding"), sub * IvfPqSubDim + 1, IvfPqSubDim).as("embedding")),
+          IvfPqK, IvfPqIters)
+      }
+      graft.search.AnnIndex.saveIvfPq(idx, codebooks, IvfPqSubDim, out)
       out
     }
 
@@ -630,6 +686,36 @@ object AnnQueries {
         .orderBy(col("adc_d").asc, col("vec_id").asc)
     }),
 
+    "q148_ivfpq_search" -> ((s, dir) => {
+      // IVF-PQ, COMPOSED (Jégou et al. 2011; the billion-scale layout
+      // q144's scaladoc promises, round-11 verdict item #3): the
+      // persisted artifact is the q75 cell-partitioned corpus whose
+      // rows also carry their PQ codes. The probe (a) prunes to the
+      // IvfNProbe nearest cells — `cell IN (...)` reaches both scans
+      // as a PartitionFilter; (b) ADC-scores ONLY the resident CODES
+      // (the ADC scan's ReadSchema is (vec_id, c0..c3) — the raw
+      // vectors never enter it; scoring is m lookups in ≤16-entry
+      // broadcast-literal tables) and shortlists the IvfPqShortlist
+      // best in per-partition heaps; (c) exact-rescores the shortlist
+      // alone via a broadcast semi-join back onto the pruned cells.
+      // The declared oracle IS the exact top-10 (q75's text), so
+      // hash-green certifies end-to-end recall of the
+      // compressed+pruned route — fails closed on a cell miss OR an
+      // ADC shortlist miss (IvfPqShortlist scaladoc carries the
+      // measured minima).
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q148_ivfpq_search: no 64-d embedding with vec_id=0 in " +
+            s"$dir/embeddings.parquet — cannot form the probe vector"))
+        .getSeq[Float](0).toArray
+      graft.search.AnnIndex
+        .probeIvfPq(s, ivfPqIndexDir(s, dir), qv, k = 10,
+          nProbe = IvfNProbe, shortlist = IvfPqShortlist)
+    }),
+
     "q97_kcenter" -> ((s, dir) => {
       // greedy k-center coreset selection (Gonzalez 1985 / Sener &
       // Savarese 2018): each round adds the embedding farthest from
@@ -937,6 +1023,17 @@ object AnnQueries {
     // exact top-10 (q47's oracle text): the persisted-IVF probe must
     // recover it end to end off the cell-partitioned artifact
     "q75_ivf_index_probe" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |FROM embeddings e CROSS JOIN q
+         |WHERE len(e.embedding) = 64
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // exact top-10 (q75's oracle text): the composed IVF-PQ route —
+    // cell pruning, code-only ADC shortlist, exact rescore — must
+    // recover it end to end; fails closed on any recall miss
+    "q148_ivfpq_search" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,
          |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score

@@ -1008,6 +1008,43 @@ object ExtraQueries {
         .orderBy(col("col_name"))
     }),
 
+    "q147_sketch_profile" -> ((s, dir) => {
+      // the PRODUCTION form of q142 (whose own comment names it: "a
+      // production sketch-only run drops [the exact audit] and the
+      // whole query's state is k values per column"). Declared so the
+      // gate prices the shape a 100 TB profiler actually runs: the
+      // exact-distinct audit column is GONE, so past the 11 pruned
+      // single-column scans the entire query is the bounded-state
+      // typed partial aggregate — each partition reduces to ≤ KmvK
+      // distinct hash minima per column BEFORE the shuffle, the
+      // exchange carries ≤ 11 × partitions × k longs, and no distinct
+      // directory exists anywhere (on a key column that directory IS
+      // the table — the q142 500 k-probe lesson). q142 remains the
+      // audited form proving the estimates against exact counts; this
+      // form's oracle replays the identical sketch (KMV over the
+      // portable affine hash is deterministic), so even the
+      // approximation stays hash-exact checked.
+      val t = graft.SparkEntry.tbl(s, dir, "lineitem")
+      val stacked = profileStack(t).filter(col("v").isNotNull)
+      val (ka, kb) = KmvPair
+      import s.implicits._
+      stacked
+        .select(col("col_name"),
+          ((lit(ka) * graft.functions.PortableHash.charHash(col("v")) + lit(kb))
+            % lit(P)).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(graft.operators.TopKAggregator
+          .kMinDistinct[(String, Long)](KmvK)(_._2).toColumn)
+        .toDF("col_name", "hs")
+        .select(col("col_name"), size(col("hs")).cast("long").as("n_h"),
+          element_at(col("hs"), size(col("hs"))).as("kth"))
+        .withColumn("kmv_est",
+          when(col("n_h") < KmvK, col("n_h").cast("double"))
+            .otherwise(round(lit((KmvK - 1).toDouble) * P / col("kth"), 6)))
+        .orderBy(col("col_name"))
+    }),
+
     "q135_token_shards" -> ((s, dir) => {
       // Token-BALANCED shard assignment — the load-balancing
       // counterpart of q68's hash sharding (hash balances doc COUNTS;
@@ -1704,6 +1741,32 @@ object ExtraQueries {
          |SELECT col_name, n_h, n_hash_distinct, kmv_est,
          |  round(kmv_est / n_hash_distinct::DOUBLE, 6) AS est_ratio
          |FROM est JOIN ex USING (col_name) ORDER BY col_name""".stripMargin
+    },
+
+    // q142's oracle with the exact-audit leg removed and the k-th min
+    // surfaced: the DuckDB replay still pays a full distinct (that is
+    // the oracle's job); the SPARK side must get the same sketch from
+    // bounded state only
+    "q147_sketch_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate").sorted
+      val stacked = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\nUNION ALL ")
+      val (ka, kb) = KmvPair
+      val ch = s"(($ka * ${graft.functions.PortableHash.charHashSql("v")} + $kb) % $P)"
+      s"""WITH st AS ($stacked),
+         |hashed AS (SELECT col_name, $ch AS h
+         |  FROM st WHERE v IS NOT NULL GROUP BY col_name, $ch),
+         |kmins AS (SELECT col_name, h FROM hashed
+         |  QUALIFY row_number() OVER (PARTITION BY col_name ORDER BY h) <= $KmvK),
+         |sk AS (SELECT col_name, COUNT(*)::BIGINT AS n_h,
+         |    MAX(h) AS kth FROM kmins GROUP BY col_name)
+         |SELECT col_name, n_h, kth,
+         |  CASE WHEN n_h < $KmvK THEN n_h::DOUBLE
+         |    ELSE round(${(KmvK - 1).toDouble} * $P / kth, 6) END AS kmv_est
+         |FROM sk ORDER BY col_name""".stripMargin
     },
 
     "q141_table_profile" -> {

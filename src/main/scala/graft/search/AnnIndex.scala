@@ -247,20 +247,117 @@ object AnnIndex {
     * which is the property that bounds a 100 TB probe's I/O. */
   def probeIvf(spark: SparkSession, dir: String, query: Array[Float],
                k: Int, nProbe: Int = 4): DataFrame = {
-    val model = KMeansModel.load(s"$dir/model")
-    val qn = {
-      val norm = math.sqrt(query.map(x => x.toDouble * x).sum)
-      if (norm == 0) query.map(_.toDouble) else query.map(_ / norm)
-    }
-    val probed = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, Vectors.sqdist(Vectors.dense(qn), c)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val probed = probedCells(dir, query, nProbe)
     spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probed: _*))
       .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("cell"), col("score"))
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ (cell-partitioned corpus + product-quantization codes)
+  // ---------------------------------------------------------------
+
+  /** Persist the COMPOSED billion-scale layout (Jégou et al. 2011):
+    * [[saveIvf]]'s cell-partitioned corpus, with each row additionally
+    * carrying its PQ code — the m per-subspace nearest-cell ids,
+    * computed ONCE at write time against the supplied codebooks
+    * (`codebooks(sub)(cell)` = centroid vector; fitted by the caller,
+    * e.g. [[graft.operators.SemDedup.fit]] per 16-dim slice). The
+    * codebooks themselves persist as a tiny (sub, cell, ce) parquet so
+    * a probe can rebuild its lookup tables without refitting. At scale
+    * the probe's ADC pass then reads ONLY (vec_id, c0..c{m-1}) from
+    * the probed cell directories — column pruning drops the raw
+    * vectors from the scan entirely; the raw vectors are read just for
+    * the shortlist rescore. */
+  def saveIvfPq(idx: IvfIndex, codebooks: Seq[Seq[Seq[Double]]], subDim: Int,
+                dir: String): Unit = {
+    idx.model.write.overwrite().save(s"$dir/model")
+    val withCodes = codebooks.zipWithIndex
+      .foldLeft(idx.assigned.drop("features")) { case (df, (cents, sub)) =>
+        df.withColumn(s"c$sub", graft.operators.SemDedup.assignCell(
+          slice(col("embedding"), sub * subDim + 1, subDim), cents))
+      }
+    withCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex
+      .flatMap { case (cents, sub) =>
+        cents.zipWithIndex.map { case (ce, cell) => (sub, cell, ce) }
+      }
+      .toDF("sub", "cell", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Probe a persisted IVF-PQ artifact — the composed read path the
+    * layout exists for: (1) rank the reloaded quantizer's centers,
+    * keep the `nProbe` nearest cells; (2) ADC-score ONLY the resident
+    * CODES of those cells (partition pruning on `cell`, column pruning
+    * to (vec_id, c0..c{m-1}) — the raw vectors never enter this scan)
+    * against the query's per-subspace lookup tables, shortlisting the
+    * `shortlist` best by (adc distance, vec_id) in per-partition heaps;
+    * (3) exact-rescore the shortlist alone — a broadcast semi-join of
+    * the shortlist ids against the same pruned cell directories, this
+    * time reading embeddings — and return the top `k` under the
+    * engine's (1+cos)/2 convention. Recall is exact iff every true
+    * top-k member survives both the cell pruning AND the ADC
+    * shortlist; the declared oracle (exact top-k) fails closed on
+    * either miss, and `--ivfpq-tune` re-measures both minima. */
+  /** The `nProbe` artifact cells nearest the (normalized) query under
+    * the reloaded quantizer — [[probeIvf]]'s driver-side ranking,
+    * shared with [[probeIvfPq]] and the `--ivfpq-tune` probe. */
+  private[graft] def probedCells(dir: String, query: Array[Float],
+                                 nProbe: Int): Seq[Int] = {
+    val model = KMeansModel.load(s"$dir/model")
+    val qn = {
+      val norm = math.sqrt(query.map(x => x.toDouble * x).sum)
+      if (norm == 0) query.map(_.toDouble) else query.map(_ / norm)
+    }
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(Vectors.dense(qn), c)) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+  }
+
+  /** The ADC distance COLUMN for a query against a persisted IVF-PQ
+    * artifact's code columns: per subspace a ≤k-entry lookup table
+    * (query-vs-codebook squared distances, built driver-side from the
+    * tiny persisted codebooks), summed — evaluating it touches only
+    * `c0..c{m-1}`, never the raw vectors. */
+  private[graft] def adcDistanceCol(spark: SparkSession, dir: String,
+                                    query: Array[Float]): org.apache.spark.sql.Column = {
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub"), col("cell"), col("ce")).collect()
+      .groupBy(_.getInt(0))
+    val subs = cb.keys.toSeq.sorted
+    val subDim = query.length / subs.size
+    subs.map { sub =>
+      val cents = cb(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2))
+      val qSub = query.map(_.toDouble).slice(sub * subDim, (sub + 1) * subDim)
+      val lut = cents.map(c => qSub.zip(c)
+        .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }).toSeq
+      element_at(typedLit(lut), col(s"c$sub") + 1)
+    }.reduce(_ + _)
+  }
+
+  def probeIvfPq(spark: SparkSession, dir: String, query: Array[Float],
+                 k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val probed = probedCells(dir, query, nProbe)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val short = corpus
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), adcDistanceCol(spark, dir, query).as("adc_d"))
+      .orderBy(col("adc_d").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"))
+    corpus
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(short), Seq("vec_id"))
+      .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("score"))
   }
 
   /** Probe a PERSISTED IVF index with a BATCH of queries — the

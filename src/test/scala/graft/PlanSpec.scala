@@ -796,6 +796,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"11-row join must broadcast:\n$p")
   }
 
+  test("q148 IVF-PQ: cell-pruned scans, codes-only ADC scan, shortlist-bounded rescore") {
+    val p = plan("q148_ivfpq_search")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpq_index")).toSeq
+    assert(scans.size == 2, s"expected ADC + rescore artifact scans:\n$p")
+    // both scans prune to the probed cells via the partition column
+    scans.foreach(l => assert(
+      l.contains("PartitionFilters: [") && l.contains("cell#"),
+      s"artifact scan must partition-prune on cell: $l"))
+    // the ADC scan reads ONLY (vec_id, codes) — the raw vectors never
+    // enter it; that is the compression half of the composed layout
+    val adc = scans.filter { l =>
+      val rs = l.substring(l.indexOf("ReadSchema:"))
+      !rs.contains("embedding")
+    }
+    assert(adc.size == 1 && adc.head.contains("c0"),
+      s"exactly one codes-only ADC scan expected:\n$p")
+    // shortlist + final top-k are per-partition heaps; the only join
+    // is the broadcast of the bounded shortlist back onto the cells
+    assert(p.contains("TakeOrderedAndProject"),
+      s"shortlist/top-k must be heaps:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"rescore join must broadcast the shortlist only:\n$p")
+  }
+
+  test("q147 sketch-only profile: bounded-state partial aggregate, no join, no window") {
+    val p = plan("q147_sketch_profile")
+    // past the pruned scans the WHOLE query is the typed k-min
+    // aggregate: partial state ≤ k distinct minima per (partition,
+    // column) before the one exchange — no distinct directory, no
+    // window, and (unlike q142's audited form) no join at all
+    assert(p.linesIterator.exists(l =>
+        l.contains("ObjectHashAggregate") &&
+          l.contains("partial_(graft.operators.TopKAggregator")),
+      s"expected partial kMinDistinct aggregate in:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window("),
+      s"no window formulation for the sketch:\n$p")
+    assert(!p.contains("Join"), s"sketch-only form joins nothing:\n$p")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
+    assert(schemas.nonEmpty && schemas.forall { l =>
+      !l.substring(l.indexOf("ReadSchema: struct<")).takeWhile(_ != '>').contains(",")
+    }, s"profile branches must stay single-column:\n$p")
+  }
+
   test("q145 ADC scores in one projection over one scan: no join on the corpus path") {
     val p = plan("q145_pq_adc")
     // all m per-subspace code assignments + LUT lookups are sibling
