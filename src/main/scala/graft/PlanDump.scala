@@ -371,6 +371,12 @@ object PlanDump {
         "final rollup ≤ m×k rows — compression trained without the " +
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
+    "q149_mmr_multi" ->
+      ("Multi-query pooled MMR: the query batch broadcasts against ONE " +
+        "corpus scan, the per-query top-N pool filter pushes down " +
+        "map-side (WindowGroupLimit), and the K-step greedy runs in " +
+        "mapGroups over each <= pool-sized group — rerank cost is " +
+        "pool-bounded per query, corpus-independent."),
     "q147_sketch_profile" ->
       ("Sketch-only table profiler (q142 without the exact audit): 11 " +
         "single-column pruned scans, then the ENTIRE query is the " +

@@ -245,6 +245,47 @@ object AnnQueries {
     * pool-bounded, not corpus-bounded. */
   val MmrPoolN = 64
 
+  /** q149: how many query vectors (vec_id < this) are reranked in one
+    * batch; candidates are the rest of the corpus (vec_id >= this) so
+    * query and candidate sets stay disjoint. */
+  val MmrMultiQueries = 3
+
+  /** The K-step MMR greedy over ONE query's pooled candidates, run as
+    * plain Scala inside an executor ([[q149]]'s mapGroups): `cand` =
+    * (vec_id, embedding, rel) with rel already 6-dp rounded. Arithmetic
+    * is the TWIN of the column form ([[mmrGreedy]]) and the oracle —
+    * the same sequential left-to-right cosine fold, the same
+    * (1+cos)/2, each sim rounded to 6 dp BEFORE the max, the same
+    * separate λ / 1−λ doubles, ties to the lowest vec_id — so the
+    * result is bit-identical to the unrolled SQL (spec-asserted
+    * against the column machinery in MarginMiningSpec). */
+  private[graft] def mmrGreedyLocal(
+      cand: Seq[(Long, Seq[Float], Double)]): Seq[(Long, Long, Double, Double, Double)] = {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sim(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      r6((1.0 + dot / (na * nb)) / 2.0)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Float], Double, Double, Double)]
+    (1 to MmrK).foreach { _ =>
+      val pickedIds = picked.map(_._1).toSet
+      val best = cand.iterator
+        .filterNot(c => pickedIds(c._1))
+        .map { case (id, emb, rel) =>
+          val ms = if (picked.isEmpty) 0.0 else picked.map(p => sim(emb, p._2)).max
+          (id, emb, rel, ms, r6(MmrLambda * rel - MmrOneMinusLambda * ms))
+        }
+        .minBy { case (id, _, _, _, mmr) => (-mmr, id) }
+      picked += best
+    }
+    picked.toSeq.zipWithIndex
+      .map { case ((id, _, rel, ms, mmr), i) => (i + 1L, id, rel, ms, mmr) }
+  }
+
   /** (vec_id, embedding, rel) for every non-query vector — q140/q146's
     * shared scored-candidate table. */
   private def scoredCandidates(s: SparkSession, dir: String): DataFrame = {
@@ -333,6 +374,51 @@ object AnnQueries {
         .orderBy(col("rel").desc, col("vec_id").asc)
         .limit(MmrPoolN)
       mmrGreedy(s, pool)
+    }),
+
+    "q149_mmr_multi" -> ((s, dir) => {
+      // MULTI-QUERY pooled MMR — q146's production shape made
+      // multi-tenant (round-11 verdict item #8): a batch of queries is
+      // reranked in ONE plan. Stage 1 (the only corpus-sized work,
+      // q87's broadcast-query geometry): every candidate scores
+      // against every query in one scan, and the per-query
+      // top-MmrPoolN rank filter pushes down map-side as a
+      // WindowGroupLimit (PlanSpec-pinned) — ≤ queries × pool rows
+      // survive to the shuffle. Stage 2: the K-step greedy runs INSIDE
+      // mapGroups per query — each group is the ≤ MmrPoolN-row pool,
+      // so the rerank is pool-bounded Scala on the executors, in
+      // parallel across queries, with zero further corpus work and no
+      // driver loop (q140/q146 drive K jobs for ONE query; the batch
+      // form cannot pay K jobs PER query). Arithmetic is the rounded
+      // twin of the column machinery (mmrGreedyLocal's contract); the
+      // group's rows are sorted before the greedy so partitioning and
+      // iterator order cannot move a pick. The oracle unrolls every
+      // query's pool and all K greedy steps as per-query CTE chains.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val q = e.filter(col("vec_id") < MmrMultiQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+      val pool = e.filter(col("vec_id") >= MmrMultiQueries)
+        .join(broadcast(q))
+        .select(col("query_id"), col("vec_id"), col("embedding"),
+          round(neo4jScore(col("embedding"), col("qe")), 6).as("rel"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= MmrPoolN)
+        .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+      pool.as[(Long, Long, Double, Seq[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Float])]) =>
+          val rows = it.toArray.sortBy(r => (-r._3, r._2))
+            .map(r => (r._2, r._4, r._3)).toSeq
+          mmrGreedyLocal(rows).map { case (step, id, rel, ms, mmr) =>
+            (qid, step, id, rel, ms, mmr) }
+        }
+        .toDF("query_id", "step", "vec_id", "rel", "max_sim", "mmr")
+        .orderBy(col("query_id"), col("step"))
     }),
 
     "q32_filtered_knn" -> ((s, dir) => {
@@ -873,6 +959,56 @@ object AnnQueries {
        |ORDER BY step""".stripMargin
   }
 
+  /** q149 oracle: the q146 pool+greedy chain unrolled PER QUERY —
+    * `pool` ranks every (query, candidate) pair, `cand$qid` slices one
+    * query's pool, and each query gets its own s{qid}_{t} greedy step
+    * CTEs; all queries' traces union at the end. Hash-green certifies
+    * every pool membership and every argmax of every query. */
+  private def mmrMultiOracleSql: String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val oml = s"CAST($MmrOneMinusLambda AS DOUBLE)"
+    def chain(qid: Int): String = {
+      def stepCte(t: Int): String = {
+        val prev = (1 until t).map(i => s"s${qid}_$i")
+        val from = (Seq(s"cand$qid c") ++ prev).mkString(", ")
+        val excl =
+          if (prev.isEmpty) ""
+          else s"WHERE c.vec_id NOT IN (${prev.map(p => s"$p.vec_id").mkString(", ")}) "
+        val ms = prev match {
+          case Seq() => "CAST(0.0 AS DOUBLE)"
+          case Seq(one) => s"round(${cosSql("c.embedding", s"$one.embedding")}, 6)"
+          case many => "greatest(" + many.map(p =>
+            s"round(${cosSql("c.embedding", s"$p.embedding")}, 6)").mkString(", ") + ")"
+        }
+        s"""s${qid}_$t AS (
+           |  SELECT vec_id, embedding, rel, ms AS max_sim,
+           |    round($lam * rel - $oml * ms, 6) AS mmr
+           |  FROM (SELECT c.vec_id, c.embedding, c.rel, $ms AS ms
+           |        FROM $from $excl)
+           |  ORDER BY mmr DESC, vec_id ASC LIMIT 1)""".stripMargin
+      }
+      s"""cand$qid AS (SELECT vec_id, embedding, rel FROM pool WHERE query_id = $qid),
+         |${(1 to MmrK).map(stepCte).mkString(",\n")}""".stripMargin
+    }
+    val chains = (0 until MmrMultiQueries).map(chain).mkString(",\n")
+    val out = (for (qid <- 0 until MmrMultiQueries; t <- 1 to MmrK) yield
+      s"SELECT $qid::BIGINT AS query_id, $t::BIGINT AS step, vec_id, rel, max_sim, mmr FROM s${qid}_$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < $MmrMultiQueries AND len(embedding) = 64),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.embedding,
+       |    round(${cosSql("e.embedding", "q.qe")}, 6) AS rel
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE len(e.embedding) = 64 AND e.vec_id >= $MmrMultiQueries),
+       |pool AS (SELECT * FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id ASC) <= $MmrPoolN),
+       |$chains
+       |$out
+       |ORDER BY query_id, step""".stripMargin
+  }
+
   private def semAssignSql(cents: String, out: String): String =
     s"""${out}_d AS (
        |  SELECT e.vec_id, e.embedding, c.cell, ${semDistSql("e.embedding", "c.ce")} AS d
@@ -947,6 +1083,8 @@ object AnnQueries {
     "q140_mmr_select" -> mmrOracleSql(pool = None),
 
     "q146_mmr_pooled" -> mmrOracleSql(pool = Some(MmrPoolN)),
+
+    "q149_mmr_multi" -> mmrMultiOracleSql,
 
     "q49_int8_quant" -> {
       val amax = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"

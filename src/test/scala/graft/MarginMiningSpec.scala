@@ -146,4 +146,45 @@ class MarginMiningSpec extends AnyFunSuite with SparkSpec {
     assert(pooled.toSeq === got.toSeq,
       "pooled MMR must equal full MMR when winners fit the pool")
   }
+
+  test("q149 multi-query MMR: per-query traces match a driver recompute, pools certified") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      (1.0 + d / (na * nb)) / 2.0
+    }
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.size($"embedding") === 64)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val queries = embs.filter(_._1 < AnnQueries.MmrMultiQueries).sortBy(_._1)
+    val cands = embs.filter(_._1 >= AnnQueries.MmrMultiQueries)
+    val got = AnnQueries.queries("q149_mmr_multi")(spark, dir)
+      .select($"query_id", $"step", $"vec_id", $"rel", $"max_sim", $"mmr")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got.map(_._1).distinct === queries.map(_._1).toSeq)
+    queries.foreach { case (qid, qe) =>
+      // driver reference: pool = top-N by (rel desc, id) over the
+      // disjoint candidate set, then the same rounded greedy the
+      // single-query spec uses — proving the mapGroups arithmetic
+      // bit-matches the column/oracle discipline per query
+      val scored = cands.map { case (id, e) => (id, e, r6(score(e, qe))) }
+      val pool = scored.sortBy(c => (-c._3, c._1)).take(AnnQueries.MmrPoolN)
+      val want = AnnQueries.mmrGreedyLocal(pool.map(c => (c._1, c._2, c._3)).toSeq)
+      val mine = got.filter(_._1 == qid)
+      assert(mine.map(r => (r._2, r._3, r._4, r._5, r._6)) === want,
+        s"query $qid trace diverged")
+      // pool certificate: every winner sits strictly inside the
+      // relevance pool, so the pool bound is an audited approximation
+      val byRel = scored.sortBy(c => (-c._3, c._1)).map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      mine.foreach { case (_, _, id, _, _, _) =>
+        assert(byRel(id) <= AnnQueries.MmrPoolN,
+          s"query $qid winner $id outside the pool (rank ${byRel(id)})") }
+    }
+  }
 }

@@ -796,6 +796,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"11-row join must broadcast:\n$p")
   }
 
+  test("q149 multi-query MMR: map-side pool limit, broadcast queries, pool-bounded greedy") {
+    val p = plan("q149_mmr_multi")
+    // the per-query top-N rank filter must push down map-side — the
+    // shuffle then carries <= queries × pool rows, not the scored
+    // corpus (the q4/q56 WindowGroupLimit property)
+    assert(p.contains("WindowGroupLimit"),
+      s"pool rank filter must push down map-side:\n$p")
+    // the query batch broadcasts against the corpus scan; the greedy
+    // is mapGroups over the pooled rows — no further corpus work
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must never shuffle-join:\n$p")
+    assert(p.contains("MapGroups"), s"greedy must run in mapGroups:\n$p")
+  }
+
   test("q148 IVF-PQ: cell-pruned scans, codes-only ADC scan, shortlist-bounded rescore") {
     val p = plan("q148_ivfpq_search")
     val scans = p.linesIterator.filter(l =>
