@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
 import graft.functions.VectorFunctions._
+import graft.SparkEntry.IngestOps
 
 /** Round-5 curation operators — the remaining steps of a large-scale
   * training-data pipeline (north-star extensions; the reference,
@@ -388,9 +389,12 @@ object CurationQueries {
       // by how odd their WORDS are; this one ranks by how odd their
       // word ORDER is — the sequence-level anomaly surface. Shape:
       // count tables are map-side-combined groupBys bounded by (bigram)
-      // vocabulary; the scoring joins are word-keyed equi-joins (at
-      // 100 TB the bigram table is corpus-vocabulary-sized — it
-      // SHUFFLES, never broadcasts, exactly like q52's shingle join);
+      // vocabulary; the scoring joins are word-keyed equi-joins with
+      // no static hint (at 100 TB the bigram table is
+      // corpus-vocabulary-sized; the UNIGRAM directories of
+      // q55/q103/q138 follow the same rule via AQE's runtime size
+      // gate — see lmScored — a bigram directory is strictly bigger,
+      // so it lands on the shuffle side of that gate);
       // the 1-row (N+V) scalar broadcasts; the per-doc sum routes
       // through decimal; round 6 dp before the global bottom-k heap.
       val toks = KeywordQueries.tokenizedDocs(s, dir)
@@ -804,7 +808,7 @@ object CurationQueries {
       import graft.operators.Scrub
       val (ne, np, ni) = Scrub.piiCounts(col("text"))
       docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("doc_id"), injectPii(col("doc_id"), col("text")).as("text"))
         .select(col("doc_id"),
           ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"),
@@ -937,10 +941,11 @@ object CurationQueries {
       // Moore-Lewis cross-entropy difference selection (see
       // MlInDomainSource scaladoc). Shape: token counts are two
       // map-side-combined groupBy(tok) aggregations bounded by the
-      // vocabulary (broadcast-joined back — a unigram vocab stays
-      // broadcastable at 100 TB, the q55 argument); the in-domain
-      // membership join is a doc_id equi-join (shuffles at scale,
-      // AQE-broadcast here); per-doc sums route through decimal and
+      // vocabulary (joined back with NO static hint — the count
+      // directories are corpus-vocabulary-sized, so AQE size-gates
+      // the strategy at runtime: lmScored's reconciled q90 rule); the
+      // in-domain membership join is a doc_id equi-join (shuffles at
+      // scale, AQE-broadcast here); per-doc sums route through decimal and
       // round once; the selection is ONE global top-k.
       val tf = KeywordQueries.tokenizedDocs(s, dir)
         .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
@@ -953,8 +958,8 @@ object CurationQueries {
         .groupBy(col("tok")).agg(count(lit(1)).as("ci"))
       val in = ic.agg(sum(col("ci")).as("n_in"))
       tf.filter(col("source") =!= MlInDomainSource)
-        .join(broadcast(gc), Seq("tok"))
-        .join(broadcast(ic), Seq("tok"), "left")
+        .join(gc, Seq("tok"))
+        .join(ic, Seq("tok"), "left")
         .crossJoin(broadcast(gn)).crossJoin(broadcast(in))
         .withColumn("ll",
           log((coalesce(col("ci"), lit(0L)) + lit(1L)).cast("double")) -
@@ -1120,9 +1125,20 @@ object CurationQueries {
 
   /** Per-doc unigram-LM score table shared by q112 and q134 (q55's
     * scoring pass): (doc_id, lang, dl, sum_ll, avg_ll) with avg_ll
-    * rounded once to 6 dp. The vocabulary join broadcasts (a unigram
-    * vocab stays bounded at any corpus size) and the per-doc sum is
-    * decimal-routed so partition order cannot move the score.
+    * rounded once to 6 dp. The vocabulary join carries NO static
+    * broadcast hint (the q90 rule, reconciled round 12): the count
+    * directory is corpus-VOCABULARY-sized — closed on this fixture,
+    * 10^8+ types on a web crawl, where an unconditional broadcast
+    * OOMs the driver — so the strategy is size-gated at RUNTIME by
+    * AQE (broadcast below the measured threshold, shuffle equi-join
+    * above; the fixture plan finalizes as a broadcast,
+    * PlanSpec-pinned on the adaptive final plan). Known tradeoff: on
+    * a corpus whose vocab IS broadcastable, AQE still pays the probe
+    * side's shuffle WRITE before converting — the price of never
+    * guessing wrong on an unbounded directory. Tables bounded BY
+    * CONSTRUCTION (1-row totals, lang rollups, DsirBuckets spaces)
+    * keep their static hints. The per-doc sum is decimal-routed so
+    * partition order cannot move the score.
     * Session-cached ([[graft.SparkEntry.cachedView]], the
     * tokenizedDocs pattern): the scoring pass — the expensive part, a
     * corpus explode + per-doc rollup — runs once per (session, dir)
@@ -1135,7 +1151,7 @@ object CurationQueries {
           explode(col("toks")).as("tok"))
       val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       val n = gc.agg(sum(col("c")).as("n_tok_total"))
-      tf.join(broadcast(gc), Seq("tok"))
+      tf.join(gc, Seq("tok"))
         .crossJoin(broadcast(n))
         .withColumn("ll",
           log(col("c").cast("double")) - log(col("n_tok_total").cast("double")))
@@ -1209,7 +1225,7 @@ object CurationQueries {
     val st = TextQueries.ChunkStride
     val cs = TextQueries.ChunkSize
     docs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadIfNarrow(s)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))

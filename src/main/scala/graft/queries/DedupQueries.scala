@@ -8,6 +8,7 @@ import graft.functions.PortableHash._
 import graft.functions.TextFunctions._
 import graft.operators.Dedup._
 import graft.queries.TextQueries.{shingleCol, shingleSql}
+import graft.SparkEntry.IngestOps
 
 /** Deduplication queries over `documents` (BASELINE.json north star).
   * The fixture plants near-duplicate pairs (shingle-Jaccard >= 0.8 vs a
@@ -46,7 +47,7 @@ object DedupQueries {
       // arrive as one input split (it's small on disk), which would run
       // the expensive row-local shingle pass single-threaded; shuffling
       // raw text rows is cheap, hashing them is not
-      docs(s, dir).repartition(s.sparkContext.defaultParallelism).select(
+      docs(s, dir).spreadIfNarrow(s).select(
         col("doc_id"), col("lang"),
         graft.expressions.HashExpressions.shingleHashSet(col("text"), 3).as("hs"))
     }
@@ -276,7 +277,7 @@ object DedupQueries {
       // chance-collision background before the nfp joins.
       val w = WinnowW
       val fp = docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("doc_id"), col("lang"),
           graft.expressions.HashExpressions.shingleHashSeq(col("text"), 3).as("hs"))
         .filter(size(col("hs")) >= w)
@@ -503,7 +504,7 @@ object DedupQueries {
       // nested-loop over all pairs. Identical output to brute force.
       val sigs = graft.SparkEntry.cachedView(s,
         "graft_cache_simhash_" + graft.SparkEntry.pathSlug(dir)) {
-        docs(s, dir).repartition(s.sparkContext.defaultParallelism).select(
+        docs(s, dir).spreadIfNarrow(s).select(
           col("doc_id"),
           simhash(transform(tokens(col("text")), x => charHash(x))).as("sig"))
       }
@@ -599,7 +600,7 @@ object DedupQueries {
       // the nested-loop pair join parallelizes by the streamed side's
       // partitioning; one input split would mean one task computing all
       // n²/2 cosines — spread the streamed side across the cluster
-      val a = e.repartition(s.sparkContext.defaultParallelism)
+      val a = e.spreadIfNarrow(s)
         .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
       a.join(b, col("vec_a") < col("vec_b"))
@@ -624,7 +625,7 @@ object DedupQueries {
       val st = TextQueries.ChunkStride
       val cs = TextQueries.ChunkSize
       val chunks = docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .withColumn("toks", tokens(col("text")))
         .withColumn("n_toks", size(col("toks")).cast("long"))
         .withColumn("n_chunks", expr(s"(n_toks + ${st - 1}) div $st"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{tokens, tokensSql}
 import graft.functions.VectorFunctions._
+import graft.SparkEntry.IngestOps
 
 /** Keyword (BM25) and hybrid keyword+vector retrieval over `documents`
   * — the text arm a production search engine pairs with the
@@ -59,7 +60,7 @@ object KeywordQueries {
   private[graft] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.cachedView(s,
       "graft_cache_doctoks_" + graft.SparkEntry.pathSlug(dir)) {
-      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      docs(s, dir).spreadIfNarrow(s)
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
         .withColumn("dl", size(col("toks")).cast("double"))
     }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.P
 import graft.multimodal.Multimodal
+import graft.SparkEntry.IngestOps
 
 /** Oracle-checked slice of the multimodal plumbing: q24 runs the real
   * binary path (encode → blob + metadata struct → batched mapPartitions
@@ -83,7 +84,7 @@ object MultimodalQueries {
       // All row-local: blobs never shuffle; only (doc_id, 5 longs)
       // rows move into the final sort.
       val docs = graft.SparkEntry.tbl(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("doc_id"))
       Multimodal.imageFeatures(Multimodal.ingestSynthImages(docs))
         .select(col("doc_id"), col("width"), col("height"),
@@ -100,7 +101,7 @@ object MultimodalQueries {
       // each pooled value to its CELL — right totals in the wrong
       // cells still fail the hash. Row-local; blobs never shuffle.
       val docs = graft.SparkEntry.tbl(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("doc_id"))
       Multimodal.imagePooledFeatures(
           Multimodal.ingestSynthImages(docs), pool = 2)
@@ -120,7 +121,7 @@ object MultimodalQueries {
       // each pooled value to its position. Row-local; blobs never
       // shuffle.
       val docs = graft.SparkEntry.tbl(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("doc_id"))
       Multimodal.audioDownsampled(
           Multimodal.ingestSynthAudio(docs), factor = DownFactor)
@@ -143,7 +144,7 @@ object MultimodalQueries {
       // frames. All row-local: blobs never shuffle; only (doc_id,
       // 3 longs) rows move into the final sort.
       val docs = graft.SparkEntry.tbl(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("doc_id"))
       Multimodal.audioFeatures(Multimodal.ingestSynthAudio(docs))
         .select(col("doc_id"), col("n_samples"), col("sum_s"), col("sum_sq"))
@@ -183,7 +184,7 @@ object MultimodalQueries {
       // row-local: blobs never shuffle; only (doc_id, frame stats)
       // rows reach the rollup.
       val docs = graft.SparkEntry.tbl(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("doc_id"))
       Multimodal.videoFrameFeatures(
           Multimodal.ingestSynthVideo(docs), VideoSampleEvery)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
 import graft.functions.TextFunctions._
+import graft.SparkEntry.IngestOps
 
 /** Text-analysis queries over the `documents` table (BASELINE.json north
   * star: token counting, quality scoring, language ID, fingerprinting).
@@ -107,7 +108,7 @@ object TextQueries {
     graft.SparkEntry.cachedView(s,
       "graft_cache_enriched_" + graft.SparkEntry.pathSlug(dir)) {
       val t = tokens(col("text"))
-      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      docs(s, dir).spreadIfNarrow(s)
         .withColumn("toks", t)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
@@ -193,16 +194,22 @@ object TextQueries {
       // row, decimal-routed sum so partition order cannot move it.
       // Shape: ONE corpus shuffle (map-side-combined groupBy(source,
       // tok) to the sources×vocab directory); the global counts C_w
-      // DERIVE from that directory (no second corpus pass), broadcast
-      // back vocab-bounded; totals broadcast one-row.
+      // DERIVE from that directory (no second corpus pass) and join
+      // back with NO static broadcast hint — the directory is
+      // corpus-VOCABULARY-sized, so the strategy is AQE's runtime
+      // size gate (the reconciled q90 rule; see
+      // CurationQueries.lmScored). The join's probe side here is the
+      // sources×vocab directory, not the corpus, so even the
+      // worst-case shuffle is directory-bounded. Totals broadcast
+      // one-row (bounded by construction).
       val tf = graft.SparkEntry.tbl(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
       val sc = tf.groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("c_sw"))
       val gc = sc.groupBy(col("tok")).agg(sum(col("c_sw")).as("c_w"))
       val n = gc.agg(sum(col("c_w")).as("n_total"))
-      sc.join(broadcast(gc), Seq("tok"))
+      sc.join(gc, Seq("tok"))
         .withColumn("t",
           col("c_sw").cast("double") *
             (log(col("c_sw").cast("double")) - log(col("c_w").cast("double"))))
@@ -294,7 +301,7 @@ object TextQueries {
       // one input split: 9.8 s at sf0.1 (hidden by the count() bench
       // action until round 7); this shape is ~0.3 s.
       docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .withColumn("fp", charHash(col("text")))
         .withColumn("n_shingles",
           greatest(size(tokens(col("text"))) - 2, lit(0)).cast("long"))
@@ -340,7 +347,7 @@ object TextQueries {
       // scale; each task filters its own partition.
       import graft.operators.Gopher
       docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadIfNarrow(s)
         .withColumn("rtext", renderedCol(col("doc_id"), tokens(col("text"))))
         .withColumn("ls", Gopher.lines(col("rtext")))
         .withColumn("ws", Gopher.words(col("rtext")))

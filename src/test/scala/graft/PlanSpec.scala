@@ -14,6 +14,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
 
+  /** The FINAL adaptive plan, after execution: for joins with no
+    * static broadcast hint (the corpus-vocabulary directories of
+    * q55/q103/q138 — lmScored's reconciled q90 rule) the strategy is
+    * AQE's runtime size gate, so the shape worth pinning is the
+    * adaptive final plan, not the initial one. */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q3 global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("q3_top_orders")
     assert(p.contains("TakeOrderedAndProject"))
@@ -406,18 +417,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"estimate joins are domain-bounded and must broadcast:\n$p")
   }
 
-  test("q103 moore-lewis: LM tables broadcast back, selection is top-k heaps") {
-    // both count tables are vocabulary-bounded and must return via
-    // broadcast — a SortMergeJoin against either would shuffle the
-    // corpus-sized token stream to look up counts; the selection must
-    // be per-partition heaps, not a global sort
-    val p = plan("q103_moore_lewis")
+  test("q103 moore-lewis: AQE gates the LM-table joins to broadcast, top-k heaps") {
+    // the count directories carry NO static hint (corpus-vocabulary-
+    // sized — the reconciled q90 rule): on the fixture AQE's runtime
+    // size gate must still FINALIZE them as broadcast joins, and the
+    // selection must be per-partition heaps, not a global sort
+    val p = finalPlan("q103_moore_lewis")
     assert(p.contains("BroadcastHashJoin"),
-      s"vocabulary joins must broadcast:\n$p")
+      s"fixture vocabulary joins must finalize as broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"selection must be top-k heaps:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"no corpus-shuffling join anywhere:\n$p")
+    assert(!p.contains("SortMergeJoin(") && !p.contains("CartesianProduct"),
+      s"no corpus-shuffling join may survive AQE:\n$p")
   }
 
   test("q104 zipf fit: one wordcount exchange, head via top-k heaps") {
@@ -713,10 +724,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // cutpoint table must come back as a broadcast join — a
     // SortMergeJoin or a non-lang window means the corpus moved
     for (q <- Seq("q133_trim_sketch", "q134_ccnet_sketch")) {
-      val p = plan(q)
+      // final adaptive plan: q134 consumes lmScored, whose unhinted
+      // vocabulary join AQE must gate to broadcast on the fixture
+      val p = finalPlan(q)
       assert(p.contains("windowspecdefinition(lang#"),
         s"$q windows must partition by lang:\n$p")
-      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      assert(!p.contains("SortMergeJoin(") && !p.contains("CartesianProduct"),
         s"$q cut table must broadcast:\n$p")
       assert(p.linesIterator.exists(l =>
           l.contains("HashAggregate") && l.contains("partial_count")),
@@ -742,12 +755,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q138 KL: one corpus exchange, vocab directory broadcast back") {
-    val p = plan("q138_source_kl")
-    assert(p.contains("BroadcastExchange"),
-      s"global counts must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"directory join must broadcast:\n$p")
+  test("q138 KL: one corpus exchange, AQE gates the directory join to broadcast") {
+    // the C_w directory join carries NO static hint (the reconciled
+    // q90 rule); on the fixture AQE must finalize it as a broadcast
+    val p = finalPlan("q138_source_kl")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"global counts must finalize as broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin(") && !p.contains("CartesianProduct"),
+      s"no shuffle join may survive AQE on the fixture:\n$p")
     assert(p.linesIterator.exists(l =>
         l.contains("HashAggregate") && l.contains("partial_count")),
       s"(source, tok) counts must combine map-side:\n$p")
