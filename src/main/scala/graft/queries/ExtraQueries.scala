@@ -60,11 +60,13 @@ object ExtraQueries {
     * Floating-point columns carry a RANGE GUARD: the q142/q147
     * cross-engine hash contract depends on Java and DuckDB rendering
     * the same double identically, which holds only while values stay
-    * in [1e-3, 1e7) (Java flips to scientific notation outside it, 'E'
-    * in the rendering; DuckDB does not) — so a rendering-regime
-    * violation RAISES instead of surfacing as an inscrutable hash
-    * mismatch at the gate. Non-float columns are exempt (a text column
-    * may legitimately contain 'E'). */
+    * in [1e-3, 1e7) (Java flips to scientific notation outside it;
+    * DuckDB does not) — so a rendering-regime violation RAISES
+    * instead of surfacing as an inscrutable hash mismatch at the
+    * gate. The guard compares the NATIVE double against the regime
+    * bounds — one codegen'd branch per value, checking the actual
+    * invariant rather than scanning the rendering for an exponent
+    * marker (the symptom). Non-float columns are exempt. */
   private[queries] def profileStack(t: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     t.schema.fields.sortBy(_.name).toSeq
@@ -72,8 +74,10 @@ object ExtraQueries {
         val v0 = col(f.name).cast("string")
         val v = f.dataType match {
           case DoubleType | FloatType =>
-            when(v0.contains("E"), raise_error(concat(
-              lit(s"profile: double rendering left the plain range in ${f.name}: "),
+            val d = col(f.name).cast("double")
+            val a = abs(d)
+            when(a >= 1e7 || (a < 1e-3 && d =!= 0.0), raise_error(concat(
+              lit(s"profile: double outside the plain-rendering range in ${f.name}: "),
               v0))).otherwise(v0)
           case _ => v0
         }
