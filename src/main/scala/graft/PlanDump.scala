@@ -371,6 +371,12 @@ object PlanDump {
         "final rollup ≤ m×k rows — compression trained without the " +
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
+    "q150_ivfpq_delta" ->
+      ("Incremental main+delta search (the LSM read path): the q148 " +
+        "probe shape against the MAIN-built artifact (cell-pruned " +
+        "scans, codes-only ADC, broadcast shortlist rescore) UNIONed " +
+        "with one exact scan of the small delta, merged by a final " +
+        "TakeOrderedAndProject — no join between the sides."),
     "q149_mmr_multi" ->
       ("Multi-query pooled MMR: the query batch broadcasts against ONE " +
         "corpus scan, the per-query top-N pool filter pushes down " +

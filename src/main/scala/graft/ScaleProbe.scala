@@ -117,7 +117,7 @@ object ScaleProbe {
       else if (flags.contains("ivf-tune"))
         ivfTuneProbe(spark, srcDir)
       else if (flags.contains("ivfpq-tune"))
-        ivfPqTuneProbe(spark, srcDir)
+        ivfPqTuneProbe(spark, srcDir, flags)
       else if (flags.contains("brp-tables"))
         brpTuningProbe(spark, srcDir, flags)
       else if (flags.contains("semdedup-k")) {
@@ -251,18 +251,30 @@ object ScaleProbe {
     * after any fixture regeneration or geometry change. The tune's
     * rank window is a single-partition sort — fine for a measurement
     * tool, never a query shape. */
-  private def ivfPqTuneProbe(spark: SparkSession, srcDir: String): Boolean = {
-    val dir = queries.AnnQueries.ivfPqIndexDir(spark, srcDir)
+  private def ivfPqTuneProbe(spark: SparkSession, srcDir: String,
+                             flags: Map[String, String]): Boolean = {
+    // --tune-split: measure against the q150 MAIN-split artifact
+    // instead — the exact top-10 stays FULL-corpus, but only its MAIN
+    // members must be recovered by the index (delta is always exact),
+    // so ranks are computed for those members against the main build
+    val split = flags.get("tune-split").contains("true")
+    val dir =
+      if (split) queries.AnnQueries.ivfPqMainIndexDir(spark, srcDir)
+      else queries.AnnQueries.ivfPqIndexDir(spark, srcDir)
     val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .filter(size(col("embedding")) === 64)
       .select(col("vec_id"), col("embedding"))
     val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
-    val top10 = e.withColumn("score", round(
+    val allTop10 = e.withColumn("score", round(
         graft.functions.VectorFunctions.neo4jScore(col("embedding"),
           typedLit(qv.toSeq)), 6))
       .orderBy(col("score").desc, col("vec_id").asc).limit(10)
       .collect().map(_.getLong(0)).toSeq
+    // the artifact's own resident set (main split under --tune-split)
+    val resident = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val top10 = allTop10.filter(resident)
     val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
     import org.apache.spark.sql.expressions.Window
     val ranked = spark.read.parquet(s"$dir/corpus")
@@ -276,7 +288,7 @@ object ScaleProbe {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val missing = top10.filterNot(ranked.contains)
     val minShort = if (ranked.isEmpty) -1 else ranked.values.max
-    println(s"""{"probe":"ivfpq-tune","src":"$srcDir","n_probe":${queries.AnnQueries.IvfNProbe},"pq_k":${queries.AnnQueries.IvfPqK},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
+    println(s"""{"probe":"ivfpq-tune","src":"$srcDir","split":$split,"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"pq_k":${queries.AnnQueries.IvfPqK},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
     missing.isEmpty
   }
 

@@ -128,13 +128,18 @@ object SemDedup {
     * arithmetic — it only repackages k×dim already-rounded doubles
     * into the next iteration's literals. */
   def fit(corpus: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
-    val init = corpus.filter(col("vec_id") < k)
+    // seeds = the k smallest PRESENT vec_ids (TakeOrdered — k rows to
+    // the driver). On a full corpus (ids 0..k-1 present) this is the
+    // original vec_id < k rule bit-for-bit; on a filtered slice (the
+    // q150 main split) it stays well-defined and deterministic.
+    val init = corpus
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double"), 6)).as("ce"))
+      .orderBy(col("vec_id")).limit(k)
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toSeq).toSeq
-    require(init.size == k, s"need vec_ids 0..${k - 1} as seeds, found ${init.size}")
+    require(init.size == k, s"need at least $k seed vectors, found ${init.size}")
 
     (1 to iters).foldLeft(init) { (cents, _) =>
       val rows = assignCells(corpus, cents)

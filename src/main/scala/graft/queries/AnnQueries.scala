@@ -159,6 +159,21 @@ object AnnQueries {
   val IvfPqIters = 2
   val IvfPqShortlist = 600
 
+  /** q150 incremental (main + delta) search: the corpus splits by the
+    * engine's affine split hash — ~90% MAIN (indexed: the q148 IVF-PQ
+    * artifact built on main only) + ~10% DELTA (recent, unindexed,
+    * exact-scanned) — and the query merges the two sides' top-k's:
+    * the LSM read path every vector store runs between index
+    * rebuilds. The delta side is always exact, so recall can only be
+    * lost on the main path; `--ivfpq-tune --tune-split true` measures
+    * the main-built artifact against the FULL-corpus exact top-10's
+    * main members (9 of 10 on every fixture SF): zero cell misses at
+    * nProbe 15 and ADC shortlist minima 234/89/372 at
+    * sf0.001/0.01/0.1 — inside the full-artifact envelope, so q150
+    * reuses [[IvfNProbe]] and [[IvfPqShortlist]] (both fail closed at
+    * the oracle; re-tune after any fixture regeneration). */
+  val DeltaBucketMin = 90
+
   /** q87: how many query vectors (vec_id < this) probe the artifact in
     * one batch — q11's query set. Recall slack is per query and the
     * oracle fails closed on any miss, so the batch needs the WORST
@@ -218,6 +233,40 @@ object AnnQueries {
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
       val e = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      val idx = graft.search.AnnIndex.buildIvf(e, cells = IvfCells, cache = false)
+      val codebooks = (0 until IvfPqM).map { sub =>
+        graft.operators.SemDedup.fit(
+          e.select(col("vec_id"),
+            slice(col("embedding"), sub * IvfPqSubDim + 1, IvfPqSubDim).as("embedding")),
+          IvfPqK, IvfPqIters)
+      }
+      graft.search.AnnIndex.saveIvfPq(idx, codebooks, IvfPqSubDim, out)
+      out
+    }
+
+  /** The q150 split column: the engine's affine split hash bucketed
+    * 0..99 ([[graft.functions.PortableHash.SplitPair]], q89's
+    * geometry). main = bucket < [[DeltaBucketMin]], delta = rest. */
+  private def splitBucket(vecId: Column): Column = {
+    val (a, b) = SplitPair
+    ((lit(a) * vecId + lit(b)) % lit(P)) % 100
+  }
+
+  /** Write-once-per-session q150 MAIN artifact: the q148 IVF-PQ build
+    * restricted to the main split — quantizer AND codebooks fitted on
+    * main only, exactly what a store that indexed yesterday's corpus
+    * has when today's delta arrives. */
+  private val sessionIvfPqMainIndex = new graft.SessionMemo[String, String]
+
+  private[graft] def ivfPqMainIndexDir(s: SparkSession, dir: String): String =
+    sessionIvfPqMainIndex.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqmain_index_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .filter(splitBucket(col("vec_id")) < DeltaBucketMin)
         .select(col("vec_id"), col("embedding"))
       val idx = graft.search.AnnIndex.buildIvf(e, cells = IvfCells, cache = false)
       val codebooks = (0 until IvfPqM).map { sub =>
@@ -802,6 +851,45 @@ object AnnQueries {
           nProbe = IvfNProbe, shortlist = IvfPqShortlist)
     }),
 
+    "q150_ivfpq_delta" -> ((s, dir) => {
+      // INCREMENTAL search over main + delta — the LSM read path
+      // (every vector store between index rebuilds: an immutable
+      // indexed segment plus a small recent unindexed one): ~90% of
+      // the corpus is served by the q148 composed IVF-PQ artifact
+      // BUILT ON MAIN ONLY (cell pruning → codes-only ADC shortlist →
+      // exact rescore), the ~10% delta is exact-scanned in full (it
+      // is small and fresh by construction — indexing it would cost
+      // more than scanning it), and the answer is the merge of the
+      // two sides' top-10's — top-k of a union distributes over the
+      // union, so merging per-side top-k's is exact. from_delta rides
+      // along so hash-green also certifies WHICH SIDE each hit came
+      // from. Oracle is the exact top-10 over the FULL corpus with
+      // the membership flag recomputed — fails closed on a main-path
+      // cell/shortlist miss AND on a delta row leaking or missing.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q150_ivfpq_delta: no 64-d embedding with vec_id=0 in " +
+            s"$dir/embeddings.parquet — cannot form the probe vector"))
+        .getSeq[Float](0).toArray
+      val mainTop = graft.search.AnnIndex
+        .probeIvfPq(s, ivfPqMainIndexDir(s, dir), qv, k = 10,
+          nProbe = IvfNProbe, shortlist = IvfPqShortlist)
+        .withColumn("from_delta", lit(0L))
+      val deltaTop = e
+        .filter(splitBucket(col("vec_id")) >= DeltaBucketMin)
+        .withColumn("score", round(neo4jScore(col("embedding"), typedLit(qv.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("score"))
+        .withColumn("from_delta", lit(1L))
+      mainTop.unionByName(deltaTop)
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     "q97_kcenter" -> ((s, dir) => {
       // greedy k-center coreset selection (Gonzalez 1985 / Sener &
       // Savarese 2018): each round adds the embedding farthest from
@@ -1178,6 +1266,20 @@ object AnnQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE len(e.embedding) = 64
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // exact top-10 over the FULL corpus with the split membership
+    // recomputed: the main+delta merge must recover it end to end
+    "q150_ivfpq_delta" -> {
+      val (a, b) = SplitPair
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score,
+         |  CAST(CASE WHEN ((($a * e.vec_id + $b) % $P) % 100) >= $DeltaBucketMin
+         |    THEN 1 ELSE 0 END AS BIGINT) AS from_delta
+         |FROM embeddings e CROSS JOIN q
+         |WHERE len(e.embedding) = 64
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // exact all-pairs top-20 (q21's oracle text): q72's LSH-candidate +
     // exact-rescore output must equal it, so hash-green certifies the

@@ -853,6 +853,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rescore join must broadcast the shortlist only:\n$p")
   }
 
+  test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
+    val p = plan("q150_ivfpq_delta")
+    // main side = the q148 shape against the MAIN-built artifact:
+    // both scans cell-pruned, one of them codes-only
+    val scans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpqmain_index")).toSeq
+    assert(scans.size == 2, s"expected ADC + rescore main-artifact scans:\n$p")
+    scans.foreach(l => assert(
+      l.contains("PartitionFilters: [") && l.contains("cell#"),
+      s"main-artifact scan must partition-prune on cell: $l"))
+    assert(scans.count { l =>
+      !l.substring(l.indexOf("ReadSchema:")).contains("embedding")
+    } == 1, s"exactly one codes-only ADC scan expected:\n$p")
+    // the delta side is one exact scan of the fixture embeddings; the
+    // sides merge with a Union of two top-k's — no join between them
+    assert(p.contains("Union"), s"expected the main/delta top-k merge:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"only the shortlist rescore may join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"every top-k must be per-partition heaps:\n$p")
+  }
+
   test("q147 sketch-only profile: bounded-state partial aggregate, no join, no window") {
     val p = plan("q147_sketch_profile")
     // past the pruned scans the WHOLE query is the typed k-min
