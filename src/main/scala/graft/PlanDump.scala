@@ -371,6 +371,12 @@ object PlanDump {
         "final rollup ≤ m×k rows — compression trained without the " +
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
+    "q151_ivfpq_multiprobe" ->
+      ("Batched IVF-PQ probe: per-query cell ranking against broadcast " +
+        "centers, the codes-only corpus read DPP-pruned by the " +
+        "broadcast (query x nProbe) side, inline-LUT ADC distances, " +
+        "window-group-limited per-query shortlists, and an exact " +
+        "rescore that DPP-joins back and tops out in map-side heaps."),
     "q150_ivfpq_delta" ->
       ("Incremental main+delta search (the LSM read path): the q148 " +
         "probe shape against the MAIN-built artifact (cell-pruned " +

@@ -118,6 +118,8 @@ object ScaleProbe {
         ivfTuneProbe(spark, srcDir)
       else if (flags.contains("ivfpq-tune"))
         ivfPqTuneProbe(spark, srcDir, flags)
+      else if (flags.contains("ivfpq-multi-tune"))
+        ivfPqMultiTuneProbe(spark, srcDir)
       else if (flags.contains("brp-tables"))
         brpTuningProbe(spark, srcDir, flags)
       else if (flags.contains("semdedup-k")) {
@@ -290,6 +292,47 @@ object ScaleProbe {
     val minShort = if (ranked.isEmpty) -1 else ranked.values.max
     println(s"""{"probe":"ivfpq-tune","src":"$srcDir","split":$split,"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"pq_k":${queries.AnnQueries.IvfPqK},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
     missing.isEmpty
+  }
+
+  /** Multi-query IVF-PQ shortlist tune (--ivfpq-multi-tune): for each
+    * of the q87/q151 query vectors (vec_id < MultiProbeQueries)
+    * against the full q148 artifact, reports the ADC rank of that
+    * query's worst exact-top-10 member within its probed cells — the
+    * batch needs the WORST query's shortlist (the q87
+    * worst-case-not-slack policy). Loops the single-query machinery
+    * per query: a measurement tool, not a query shape. */
+  private def ivfPqMultiTuneProbe(spark: SparkSession, srcDir: String): Boolean = {
+    val dir = queries.AnnQueries.ivfPqIndexDir(spark, srcDir)
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+    import org.apache.spark.sql.expressions.Window
+    val per = (0L until queries.AnnQueries.MultiProbeQueries.toLong).map { qid =>
+      val qv = e.filter(col("vec_id") === qid).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val top10 = e.withColumn("score", round(
+          graft.functions.VectorFunctions.neo4jScore(col("embedding"),
+            typedLit(qv.toSeq)), 6))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      val probed = search.AnnIndex.probedCells(dir, qv,
+        queries.AnnQueries.MultiProbeNProbe)
+      val ranked = spark.read.parquet(s"$dir/corpus")
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id"),
+          search.AnnIndex.adcDistanceCol(spark, dir, qv).as("adc_d"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("adc_d").asc, col("vec_id").asc)))
+        .filter(col("vec_id").isInCollection(top10))
+        .select(col("vec_id"), col("rk"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val missing = top10.count(!ranked.contains(_))
+      (qid, missing, if (ranked.isEmpty) -1 else ranked.values.max)
+    }
+    val js = per.map { case (q, m, r) =>
+      s""""q$q":{"missing":$m,"min_shortlist":$r}""" }.mkString("{", ",", "}")
+    println(s"""{"probe":"ivfpq-multi-tune","src":"$srcDir","n_probe":${queries.AnnQueries.MultiProbeNProbe},"per_query":$js,"batch_min_shortlist":${per.map(_._3).max},"any_missing":${per.map(_._2).sum}}""")
+    per.forall(_._2 == 0)
   }
 
   /** BRP tuning probe (--brp-tables N [--brp-bucket L]): times q72's

@@ -174,6 +174,19 @@ object AnnQueries {
     * the oracle; re-tune after any fixture regeneration). */
   val DeltaBucketMin = 90
 
+  /** q151 per-query ADC shortlist: the batch pays the WORST query's
+    * shortlist (q87's worst-case-not-slack policy), and
+    * `--ivfpq-multi-tune` measures the per-query minima against the
+    * q148 artifact at MultiProbeNProbe cells: batch worst 299
+    * (sf0.001), 349 (sf0.01), 1084 (sf0.1 — query 4's exact top-10
+    * scatters deep into ADC order; the q148 isotropic-corpus honesty
+    * note, amplified by taking a 5-query max). 1300 covers the
+    * measured worst with ~20% headroom; the oracle (exact per-query
+    * top-10) fails closed on any miss. The certified property stays
+    * the PLAN — per-query DPP-pruned code reads, window-group-limited
+    * shortlists, heap top-k — not the fixture's unflattering ratio. */
+  val IvfPqMultiShortlist = 1300
+
   /** q87: how many query vectors (vec_id < this) probe the artifact in
     * one batch — q11's query set. Recall slack is per query and the
     * oracle fails closed on any miss, so the batch needs the WORST
@@ -890,6 +903,30 @@ object AnnQueries {
         .limit(10)
     }),
 
+    "q151_ivfpq_multiprobe" -> ((s, dir) => {
+      // the PERSISTED IVF-PQ artifact probed by a BATCH of queries —
+      // q87's multi-tenant shape composed with the PQ compression
+      // (and graft.search.SearchEngine.streamingKnnVsIvfPq runs this
+      // exact plan per micro-batch): per-query cell selection ranks
+      // the broadcast quantizer centers DISTRIBUTED, the code-only
+      // corpus read joins broadcast (query × nProbe) cells under
+      // dynamic partition pruning, ADC distances are m row-local
+      // sqdists against the broadcast-literal codebooks (the per-query
+      // LUT evaluated inline — zero per-query driver work), per-query
+      // shortlists come from a window-group-limited rank, and the
+      // exact rescore DPP-joins the shortlist back and tops out in
+      // map-side heaps. Oracle is the exact per-query top-10 (q87's
+      // construction) — fails closed on any query's cell or shortlist
+      // miss (IvfPqMultiShortlist carries the measured minima).
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      graft.search.AnnIndex
+        .probeIvfPqMulti(s, ivfPqIndexDir(s, dir),
+          e.filter(col("vec_id") < MultiProbeQueries),
+          k = 10, nProbe = MultiProbeNProbe, shortlist = IvfPqMultiShortlist)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q97_kcenter" -> ((s, dir) => {
       // greedy k-center coreset selection (Gonzalez 1985 / Sener &
       // Savarese 2018): each round adds the embedding farthest from
@@ -1266,6 +1303,24 @@ object AnnQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE len(e.embedding) = 64
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // exact per-query top-10 (q87's construction): the batched
+    // compressed route must recall every neighbor of every query
+    "q151_ivfpq_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id < $MultiProbeQueries AND len(embedding) = 64),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE len(e.embedding) = 64),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, score, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // exact top-10 over the FULL corpus with the split membership
     // recomputed: the main+delta merge must recover it end to end

@@ -360,6 +360,73 @@ object AnnIndex {
       .select(col("vec_id"), col("score"))
   }
 
+  /** Probe a persisted IVF-PQ artifact with a BATCH of queries — the
+    * multi-tenant face of [[probeIvfPq]] ([[probeIvfMulti]]'s shape
+    * composed with the PQ compression): (1) per-query cell selection
+    * runs DISTRIBUTED against the broadcast quantizer centers (the
+    * probeIvfMulti machinery — window rank over (sqdist, cell));
+    * (2) the ADC stage joins the corpus CODES on `cell` with the tiny
+    * (query × nProbe) side broadcast — dynamic partition pruning
+    * bounds I/O to the union of probed cells, and column pruning
+    * keeps the raw vectors out of the scan; each (query, resident)
+    * ADC distance is m row-local sqdists of the query's slices
+    * against the code's centroid, looked up in the broadcast-literal
+    * codebooks (algebraically the per-query LUT, evaluated inline —
+    * no per-query driver work at all); per-query shortlists keep the
+    * best `shortlist` by (adc, vec_id) via a window-group-limited
+    * rank; (3) the exact rescore joins the shortlist back on
+    * (cell, vec_id) — DPP again — and per-query top-k tops out in
+    * map-side heaps ([[graft.expressions.TopKAggExpr]], q87's tail).
+    * Output: (query_id, doc_id, score, rank). */
+  def probeIvfPqMulti(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val model = KMeansModel.load(s"$dir/model")
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d").asc, col("cell").asc)
+    val qcells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", l2Normalize(col("qe")))
+      .crossJoin(broadcast(centers))
+      .withColumn("d", graft.expressions.VectorExpressions.sqDist(col("qn"), col("center")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select(col("cell"), col("query_id"), col("qe"))
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub"), col("cell"), col("ce")).collect()
+      .groupBy(_.getInt(0))
+    val subs = cbRows.keys.toSeq.sorted
+    val codebooks = subs.map(sub =>
+      cbRows(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+    val subDim = codebooks.head.head.size
+    val adc = subs.map { sub =>
+      graft.expressions.VectorExpressions.sqDist(
+        slice(col("qe"), sub * subDim + 1, subDim),
+        element_at(typedLit(codebooks(sub)), col(s"c$sub") + 1))
+    }.reduce(_ + _)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_d").asc, col("vec_id").asc)
+    val short = spark.read.parquet(s"$dir/corpus")
+      .join(broadcast(qcells), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("query_id"), col("qe"),
+        adc.as("adc_d"))
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select(col("cell"), col("vec_id"), col("query_id"), col("qe"))
+    spark.read.parquet(s"$dir/corpus")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .join(broadcast(short), Seq("cell", "vec_id"))
+      .select(col("query_id"), col("vec_id").as("id"),
+        round(neo4jScore(col("embedding"), col("qe")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggExpr.topK(col("id"), col("score"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("doc_id"), col("hit.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Probe a PERSISTED IVF index with a BATCH of queries — the
     * multi-tenant / streaming face of [[probeIvf]] (one tenant's query
     * stream or many concurrent callers share one artifact read).

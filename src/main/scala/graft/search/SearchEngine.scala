@@ -186,6 +186,26 @@ final class SearchEngine(
       }
       .start()
 
+  /** Streaming KNN against the PERSISTED IVF-PQ artifact — the
+    * compressed sibling of [[streamingKnnVsIvf]]: each micro-batch of
+    * query vectors runs [[graft.search.AnnIndex.probeIvfPqMulti]] —
+    * the q151 plan (per-query DPP cell pruning, codes-only ADC
+    * shortlists, exact heap rescore) — so stream results are
+    * definitionally consistent with batch results (asserted in
+    * SearchEngineSpec). Stateless: the artifact carries all corpus
+    * state. */
+  def streamingKnnVsIvfPq(queryStream: DataFrame, indexDir: String, k: Int,
+                          nProbe: Int, shortlist: Int)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.search.AnnIndex.probeIvfPqMulti(
+            batch.sparkSession, indexDir, batch, k, nProbe, shortlist), id)
+      }
+      .start()
+
   /** Batch KNN join: a *set* of queries against the corpus
     * (SURVEY.md §2.2 joins/windows, §7 step 4).
     *

@@ -853,6 +853,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rescore join must broadcast the shortlist only:\n$p")
   }
 
+  test("q151 batched IVF-PQ: DPP on both artifact reads, codes-only ADC, limited shortlist") {
+    val p = plan("q151_ivfpq_multiprobe")
+    // dedup by scan body: the DPP subquery echoes its build subtree in
+    // the dump, so the codes scan can print twice from one node
+    val scans = p.linesIterator.filter(l =>
+        l.contains("Scan parquet") && l.contains("graft_ivfpq_index"))
+      .map(l => l.substring(l.indexOf("FileScan"))).toSeq.distinct
+    assert(scans.size == 2, s"expected ADC + rescore artifact scans:\n$p")
+    // both artifact reads prune to the union of probed cells via
+    // dynamic partition pruning from the broadcast query/shortlist side
+    scans.foreach(l => assert(
+      l.contains("PartitionFilters: [") && l.contains("dynamicpruning"),
+      s"artifact scan must DPP-prune on cell: $l"))
+    assert(scans.count { l =>
+      !l.substring(l.indexOf("ReadSchema:")).contains("embedding")
+    } == 1, s"exactly one codes-only ADC scan expected:\n$p")
+    // per-query shortlist rank must push down map-side
+    assert(p.contains("WindowGroupLimit"),
+      s"shortlist rank must be window-group-limited:\n$p")
+    // exact top-k via the map-side partial top-k aggregate, never a
+    // corpus-wide window over scored candidates
+    assert(p.contains("partial_topkagg"),
+      s"per-query top-k must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"all joins must broadcast:\n$p")
+  }
+
   test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
     val p = plan("q150_ivfpq_delta")
     // main side = the q148 shape against the MAIN-built artifact:

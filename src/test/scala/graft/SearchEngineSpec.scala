@@ -125,6 +125,35 @@ class SearchEngineSpec extends SparkSpec {
     assert(results.toSeq === batch && batch.nonEmpty)
   }
 
+  test("streaming KNN against the persisted IVF-PQ artifact equals the batch q151 probe") {
+    implicit val sq = spark.sqlContext
+    val eng = new graft.search.SearchEngine(spark)
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.size($"embedding") === 64)
+    // the same session artifact q148/q151 probe
+    val dir = graft.queries.AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val nProbe = graft.queries.AnnQueries.MultiProbeNProbe
+    val shortlist = graft.queries.AnnQueries.IvfPqMultiShortlist
+    val queries = embs.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = eng.streamingKnnVsIvfPq(
+      mem.toDF().select($"_1".as("vec_id"), $"_2".cast("array<float>").as("embedding")),
+      dir, k = 10, nProbe = nProbe, shortlist = shortlist) { (df, _) =>
+      results ++= df.orderBy($"query_id", $"rank").collect().map(_.toSeq)
+    }
+    try {
+      mem.addData(queries)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.search.AnnIndex.probeIvfPqMulti(
+        spark, dir, embs.filter($"vec_id" < 3), k = 10,
+        nProbe = nProbe, shortlist = shortlist)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(results.toSeq === batch && batch.nonEmpty)
+  }
+
   test("hybridSearch fuses vector and keyword arms and matches q35's shape") {
     val eng = new graft.search.SearchEngine(spark)
     val out = eng.hybridSearch(sf0001, graft.queries.AnnQueries.FlagshipPrompt, k = 10)
