@@ -371,6 +371,18 @@ object PlanDump {
         "final rollup ≤ m×k rows — compression trained without the " +
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
+    "q152_filtered_ivfpq" ->
+      ("Filtered ANN (pre-filter strategy): the label predicate reaches " +
+        "both artifact scans as a PushedFilter UNDER the cell " +
+        "PartitionFilter — row groups are skipped by column statistics, " +
+        "the ADC shortlist ranks qualifying rows only, and selectivity " +
+        "cannot starve the top-k."),
+    "q153_ivfpq_compact" ->
+      ("Minor compaction read path: the graduated delta segment scans " +
+        "like the main artifact (cell-pruned, codes-only ADC), the two " +
+        "segments UNION under one quantizer's cell ranking, one " +
+        "shortlist bounds the exact rescore — q150's full delta scan " +
+        "retired for nProbe/cells of it."),
     "q151_ivfpq_multiprobe" ->
       ("Batched IVF-PQ probe: per-query cell ranking against broadcast " +
         "centers, the codes-only corpus read DPP-pruned by the " +

@@ -120,6 +120,10 @@ object ScaleProbe {
         ivfPqTuneProbe(spark, srcDir, flags)
       else if (flags.contains("ivfpq-multi-tune"))
         ivfPqMultiTuneProbe(spark, srcDir)
+      else if (flags.contains("ivfpq-filter-tune"))
+        ivfPqFilterTuneProbe(spark, srcDir)
+      else if (flags.contains("ivfpq-compact-tune"))
+        ivfPqCompactTuneProbe(spark, srcDir)
       else if (flags.contains("brp-tables"))
         brpTuningProbe(spark, srcDir, flags)
       else if (flags.contains("semdedup-k")) {
@@ -291,6 +295,80 @@ object ScaleProbe {
     val missing = top10.filterNot(ranked.contains)
     val minShort = if (ranked.isEmpty) -1 else ranked.values.max
     println(s"""{"probe":"ivfpq-tune","src":"$srcDir","split":$split,"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"pq_k":${queries.AnnQueries.IvfPqK},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
+    missing.isEmpty
+  }
+
+  /** Filtered-ANN shortlist tune (--ivfpq-filter-tune): q152's
+    * geometry — the exact FILTERED (label = FilterLabel) top-10's cell
+    * misses at IvfNProbe, and the max ADC rank of any member AMONG
+    * FILTERED candidates in the probed cells (the pre-filter strategy
+    * ranks qualifying rows only, so this is the minimum
+    * IvfPqFilteredShortlist for 10/10 filtered recall). */
+  private def ivfPqFilterTuneProbe(spark: SparkSession, srcDir: String): Boolean = {
+    val dir = queries.AnnQueries.ivfPqIndexDir(spark, srcDir)
+    val lbl = queries.AnnQueries.FilterLabel
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val top10 = e.filter(col("label") === lbl)
+      .withColumn("score", round(
+        graft.functions.VectorFunctions.neo4jScore(col("embedding"),
+          typedLit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probed: _*))
+      .filter(col("label") === lbl)
+      .select(col("vec_id"),
+        search.AnnIndex.adcDistanceCol(spark, dir, qv).as("adc_d"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("adc_d").asc, col("vec_id").asc)))
+      .filter(col("vec_id").isInCollection(top10))
+      .select(col("vec_id"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val missing = top10.filterNot(ranked.contains)
+    val minShort = if (ranked.isEmpty) -1 else ranked.values.max
+    println(s"""{"probe":"ivfpq-filter-tune","src":"$srcDir","label":$lbl,"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
+    missing.isEmpty
+  }
+
+  /** Post-compaction shortlist tune (--ivfpq-compact-tune): q153's
+    * geometry — the exact FULL-corpus top-10 for query CompactQueryId,
+    * ranked by ADC over the UNION of the main artifact's and the
+    * compacted delta segment's probed-cell residents (one quantizer,
+    * one cell ranking). Reports cell misses at IvfNProbe and the union
+    * shortlist minimum. */
+  private def ivfPqCompactTuneProbe(spark: SparkSession, srcDir: String): Boolean = {
+    val mainDir = queries.AnnQueries.ivfPqMainIndexDir(spark, srcDir)
+    val segDir = queries.AnnQueries.deltaSegmentDir(spark, srcDir)
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+    val qv = e.filter(col("vec_id") === queries.AnnQueries.CompactQueryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val top10 = e.withColumn("score", round(
+        graft.functions.VectorFunctions.neo4jScore(col("embedding"),
+          typedLit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val probed = search.AnnIndex.probedCells(mainDir, qv, queries.AnnQueries.IvfNProbe)
+    val adc = search.AnnIndex.adcDistanceCol(spark, mainDir, qv)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Seq(s"$mainDir/corpus", segDir)
+      .map(p => spark.read.parquet(p)
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id"), adc.as("adc_d")))
+      .reduce(_.unionByName(_))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("adc_d").asc, col("vec_id").asc)))
+      .filter(col("vec_id").isInCollection(top10))
+      .select(col("vec_id"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val missing = top10.filterNot(ranked.contains)
+    val minShort = if (ranked.isEmpty) -1 else ranked.values.max
+    println(s"""{"probe":"ivfpq-compact-tune","src":"$srcDir","query":${queries.AnnQueries.CompactQueryId},"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
     missing.isEmpty
   }
 

@@ -36,7 +36,8 @@ object Search {
     * legacy explicit spelling `--serve false` still turns serve OFF
     * instead of binding serve=true and leaking "false" into the prompt.
     * `--serve=false` also works. */
-  private val BooleanFlags = Set("serve", "ivf-tune", "ivfpq-tune", "tune-split", "ivfpq-multi-tune")
+  private val BooleanFlags = Set("serve", "ivf-tune", "ivfpq-tune", "tune-split",
+    "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all

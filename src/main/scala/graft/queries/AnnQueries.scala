@@ -187,6 +187,43 @@ object AnnQueries {
     * shortlists, heap top-k — not the fixture's unflattering ratio. */
   val IvfPqMultiShortlist = 1300
 
+  /** q152 filtered ANN (the metadata-filter search every production
+    * vector store exposes — Qdrant payloads / Milvus scalar fields):
+    * the fixture's ~10%-selective `label` column is persisted IN the
+    * q148 artifact as a payload column, and the predicate
+    * `label = FilterLabel` is applied INSIDE both artifact scans (a
+    * PushedFilter under the cell PartitionFilter) — the PRE-filter
+    * strategy, so the ADC shortlist ranks qualifying rows only and a
+    * selective filter cannot starve the top-k the way
+    * oversample-then-post-filter can. `--ivfpq-filter-tune` measures
+    * the filtered shortlist minima (ranks are over filtered candidates
+    * only, so they run far BELOW the unfiltered q148 minima: 22/23/71
+    * across SFs) and the cell misses at IvfNProbe (0 on every SF);
+    * 120 covers the worst with ~69% headroom and the exact
+    * filtered-top-10 oracle fails closed on any miss. */
+  val FilterLabel = 7
+  val IvfPqFilteredShortlist = 120
+
+  /** q153 minor compaction (the LSM write path that retires q150's
+    * exact delta scan): the delta graduates into an INDEXED segment —
+    * cells assigned by the MAIN quantizer, codes by the MAIN codebooks,
+    * no refit, main files untouched, O(delta) work — and the probe
+    * runs the q148 read path over BOTH cell-partitioned segments with
+    * ONE shortlist over the unioned ADC ranking. Query is vec_id=1
+    * (q150 already certifies vec 0 on this split).
+    * `--ivfpq-compact-tune` measures the union-ADC shortlist minima
+    * for it: 62/247/796 across SFs — vec 1's exact top-10 scatters
+    * deeper into ADC order than vec 0's (the q148 isotropic-corpus
+    * honesty note: on a clone-free fixture the true neighbors sit at
+    * angular noise that 4×16-way codes cannot finely rank, and the
+    * main-fitted codebooks quantize the delta slightly worse than
+    * their own fit corpus), so q153 carries its own constant: 1000
+    * covers the measured worst with ~25% headroom and the exact
+    * full-corpus oracle fails closed on any miss (re-tune after any
+    * fixture regeneration). */
+  val CompactQueryId = 1L
+  val CompactShortlist = 1000
+
   /** q87: how many query vectors (vec_id < this) probe the artifact in
     * one batch — q11's query set. Recall slack is per query and the
     * oracle fails closed on any miss, so the batch needs the WORST
@@ -244,9 +281,14 @@ object AnnQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
         graft.SparkEntry.pathSlug(dir) + "_" +
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      // `label` rides along as a persisted PAYLOAD column (q152's
+      // metadata filter pushes down onto it inside the artifact scans);
+      // the quantizer/codebook fits never see it, so q148/q150/q151's
+      // geometry — and their measured tune minima — are unchanged, and
+      // their plans prune it away at the reader
       val e = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(hasDim(col("embedding"), 64))
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"), col("label"))
       val idx = graft.search.AnnIndex.buildIvf(e, cells = IvfCells, cache = false)
       val codebooks = (0 until IvfPqM).map { sub =>
         graft.operators.SemDedup.fit(
@@ -289,6 +331,30 @@ object AnnQueries {
           IvfPqK, IvfPqIters)
       }
       graft.search.AnnIndex.saveIvfPq(idx, codebooks, IvfPqSubDim, out)
+      out
+    }
+
+  /** Write-once-per-session q153 COMPACTED delta segment: the q150
+    * delta split encoded into the MAIN artifact's geometry
+    * ([[graft.search.AnnIndex.encodeSegment]] — main quantizer assigns
+    * cells, main codebooks assign codes, nothing refits) and written
+    * cell-partitioned, so it probes exactly like the main corpus. This
+    * is LSM minor compaction: O(delta) work, the main segment's files
+    * untouched, and q150's exact delta scan retired. */
+  private val sessionDeltaSegment = new graft.SessionMemo[String, String]
+
+  private[graft] def deltaSegmentDir(s: SparkSession, dir: String): String =
+    sessionDeltaSegment.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqdelta_segment_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val delta = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .filter(splitBucket(col("vec_id")) >= DeltaBucketMin)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      graft.search.AnnIndex
+        .encodeSegment(s, ivfPqMainIndexDir(s, dir), delta)
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
       out
     }
 
@@ -927,6 +993,70 @@ object AnnQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q152_filtered_ivfpq" -> ((s, dir) => {
+      // FILTERED ANN over the persisted IVF-PQ artifact — the
+      // metadata-constrained search every production vector store
+      // exposes (Qdrant payload filters, Milvus scalar fields,
+      // Filtered-DiskANN's problem statement): the artifact persists
+      // `label` as a payload column, and the ~10%-selective predicate
+      // label = FilterLabel is applied INSIDE both artifact scans —
+      // under the cell PartitionFilter it reaches the parquet reader
+      // as a PushedFilter, so row groups whose label statistics
+      // exclude the value are skipped without decoding. PRE-filtering
+      // (not oversample-then-post-filter) means the ADC shortlist
+      // ranks qualifying rows only, so selectivity cannot starve the
+      // top-k; the oracle is the exact FILTERED top-10 — fails closed
+      // on a cell miss, a shortlist miss, or a filter leak
+      // (IvfPqFilteredShortlist carries the measured minima).
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q152_filtered_ivfpq: no 64-d embedding with vec_id=0 in " +
+            s"$dir/embeddings.parquet — cannot form the probe vector"))
+        .getSeq[Float](0).toArray
+      graft.search.AnnIndex
+        .probeIvfPq(s, ivfPqIndexDir(s, dir), qv, k = 10,
+          nProbe = IvfNProbe, shortlist = IvfPqFilteredShortlist,
+          predicate = col("label") === FilterLabel,
+          payload = Seq("label"))
+    }),
+
+    "q153_ivfpq_compact" -> ((s, dir) => {
+      // MINOR COMPACTION read path — the LSM step after q150: the
+      // delta segment GRADUATES into the index (cells assigned by the
+      // main quantizer, PQ codes by the main codebooks, no refit, main
+      // files untouched, O(delta) write) and the probe runs the q148
+      // shape over BOTH cell-partitioned segments: one cell ranking
+      // serves both (one quantizer), each segment scan partition-prunes
+      // to the probed cells, the codes-only ADC pass ranks the UNION,
+      // one shortlist bounds the exact rescore. q150 exact-scans its
+      // delta in full; q153 reads nProbe/cells of it like any other
+      // segment. from_delta rides along, so hash-green also certifies
+      // each hit's segment of origin. Oracle is the exact top-10 over
+      // the FULL corpus for query vec CompactQueryId with the
+      // membership flag recomputed — fails closed on a cell miss, a
+      // shortlist miss, or a row served from the wrong segment.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === CompactQueryId)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q153_ivfpq_compact: no 64-d embedding with vec_id=" +
+            s"$CompactQueryId in $dir/embeddings.parquet"))
+        .getSeq[Float](0).toArray
+      val mainDir = ivfPqMainIndexDir(s, dir)
+      val main = s.read.parquet(s"$mainDir/corpus")
+        .withColumn("from_delta", lit(0L))
+      val delta = s.read.parquet(deltaSegmentDir(s, dir))
+        .withColumn("from_delta", lit(1L))
+      graft.search.AnnIndex
+        .probeIvfPqSegments(s, mainDir, Seq(main, delta), qv, k = 10,
+          nProbe = IvfNProbe, shortlist = CompactShortlist,
+          payload = Seq("from_delta"))
+    }),
+
     "q97_kcenter" -> ((s, dir) => {
       // greedy k-center coreset selection (Gonzalez 1985 / Sener &
       // Savarese 2018): each round adds the embedding farthest from
@@ -1321,6 +1451,33 @@ object AnnQueries {
          |  FROM scored)
          |SELECT query_id, doc_id, score, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // exact FILTERED top-10: the pre-filtered compressed route must
+    // recover it end to end — fails closed on a recall miss AND on a
+    // filter leak (a non-matching label in the output changes the hash)
+    "q152_filtered_ivfpq" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |FROM embeddings e CROSS JOIN q
+         |WHERE len(e.embedding) = 64 AND e.label = $FilterLabel
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // exact top-10 over the FULL corpus (query vec CompactQueryId)
+    // with the split membership recomputed: the post-compaction
+    // two-segment index route must recover it end to end
+    "q153_ivfpq_compact" -> {
+      val (a, b) = SplitPair
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+         |           WHERE vec_id = $CompactQueryId)
+         |SELECT e.vec_id,
+         |  CAST(CASE WHEN ((($a * e.vec_id + $b) % $P) % 100) >= $DeltaBucketMin
+         |    THEN 1 ELSE 0 END AS BIGINT) AS from_delta,
+         |  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |FROM embeddings e CROSS JOIN q
+         |WHERE len(e.embedding) = 64
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // exact top-10 over the FULL corpus with the split membership
     // recomputed: the main+delta merge must recover it end to end

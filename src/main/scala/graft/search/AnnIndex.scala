@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomP
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -341,23 +341,97 @@ object AnnIndex {
     }.reduce(_ + _)
   }
 
+  /** `predicate` is the FILTERED-ANN hook (every production vector
+    * store's metadata filter — Qdrant payloads, Milvus scalar fields):
+    * a predicate over the artifact's persisted payload columns, applied
+    * INSIDE both artifact scans (it reaches the parquet reader as a
+    * PushedFilter under the cell PartitionFilter, so row groups of
+    * non-qualifying rows are skipped by their column statistics) — the
+    * PRE-filter strategy: the ADC shortlist ranks qualifying rows only,
+    * so a selective filter cannot starve the top-k the way
+    * oversample-then-post-filter can. The default `lit(true)` folds
+    * away at optimization time and leaves the unfiltered plan
+    * bit-identical. `payload` names persisted columns to carry into the
+    * output (read from the rescore scan — already open for the
+    * embeddings). */
   def probeIvfPq(spark: SparkSession, dir: String, query: Array[Float],
-                 k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+                 k: Int, nProbe: Int, shortlist: Int,
+                 predicate: Column = lit(true),
+                 payload: Seq[String] = Nil): DataFrame = {
     val probed = probedCells(dir, query, nProbe)
     val corpus = spark.read.parquet(s"$dir/corpus")
     val short = corpus
       .filter(col("cell").isin(probed: _*))
+      .filter(predicate)
       .select(col("vec_id"), adcDistanceCol(spark, dir, query).as("adc_d"))
       .orderBy(col("adc_d").asc, col("vec_id").asc)
       .limit(shortlist)
       .select(col("vec_id"))
     corpus
       .filter(col("cell").isin(probed: _*))
+      .filter(predicate)
       .join(broadcast(short), Seq("vec_id"))
       .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
-      .select(col("vec_id"), col("score"))
+      .select((col("vec_id") +: payload.map(col)) :+ col("score"): _*)
+  }
+
+  /** Encode NEW rows into an EXISTING IVF-PQ artifact's geometry — the
+    * write half of LSM minor compaction: the artifact's quantizer
+    * assigns each row's cell and its persisted codebooks assign the PQ
+    * codes, with NO refitting (exactly what a store does when a delta
+    * segment graduates into the index between full rebuilds; the main
+    * segment's files are never touched). Output carries the input
+    * columns + `cell` + `c0..c{m-1}` — write it `partitionBy("cell")`
+    * and it probes like the main corpus. Cost is O(delta): one pass
+    * over the new rows against broadcast-literal centers/codebooks. */
+  def encodeSegment(spark: SparkSession, indexDir: String, rows: DataFrame): DataFrame = {
+    val model = KMeansModel.load(s"$indexDir/model")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+      .select(col("sub"), col("cell"), col("ce")).collect()
+      .groupBy(_.getInt(0))
+    val subs = cb.keys.toSeq.sorted
+    val subDim = cb(subs.head).head.getSeq[Double](2).size
+    // the loaded quantizer itself assigns cells (predictionCol "cell"
+    // persisted at fit time) — bit-identical to the main build's
+    // assignment, so one cell ranking serves every segment
+    val assigned = model.transform(prepare(rows)).drop("features")
+    subs.foldLeft(assigned) { case (df, sub) =>
+      val cents = cb(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      df.withColumn(s"c$sub", graft.operators.SemDedup.assignCell(
+        slice(col("embedding"), sub * subDim + 1, subDim), cents))
+    }
+  }
+
+  /** Probe SEVERAL cell-partitioned segments that share ONE quantizer +
+    * codebook set (a main artifact plus [[encodeSegment]]-graduated
+    * deltas — the post-minor-compaction read path): every segment scan
+    * is pruned to the same probed cells (one quantizer ⇒ one cell
+    * ranking serves all segments), the ADC pass unions the segments'
+    * CODES (codes-only scans), one shortlist ranks the union, and the
+    * exact rescore broadcast-joins it back onto the unioned pruned
+    * segments. `payload` columns (e.g. a per-segment origin marker) ride
+    * the rescore scan into the output. */
+  def probeIvfPqSegments(spark: SparkSession, indexDir: String,
+                         segments: Seq[DataFrame], query: Array[Float],
+                         k: Int, nProbe: Int, shortlist: Int,
+                         payload: Seq[String] = Nil): DataFrame = {
+    val probed = probedCells(indexDir, query, nProbe)
+    val pruned = segments.map(_.filter(col("cell").isin(probed: _*)))
+    val adc = adcDistanceCol(spark, indexDir, query)
+    val short = pruned.map(_.select(col("vec_id"), adc.as("adc_d")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("adc_d").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"))
+    pruned.map(_.select((col("vec_id") +: payload.map(col)) :+ col("embedding"): _*))
+      .reduce(_.unionByName(_))
+      .join(broadcast(short), Seq("vec_id"))
+      .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select((col("vec_id") +: payload.map(col)) :+ col("score"): _*)
   }
 
   /** Probe a persisted IVF-PQ artifact with a BATCH of queries — the

@@ -880,6 +880,58 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"all joins must broadcast:\n$p")
   }
 
+  test("q152 filtered IVF-PQ: label pushed into both pruned scans, codes-only ADC") {
+    val p = plan("q152_filtered_ivfpq")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpq_index")).toSeq
+    assert(scans.size == 2, s"expected ADC + rescore artifact scans:\n$p")
+    scans.foreach { l =>
+      // partition pruning on cell AND the metadata predicate reaching
+      // the parquet reader as a pushed data filter — the pre-filter
+      // strategy's two I/O bounds
+      assert(l.contains("PartitionFilters: [") && l.contains("cell#"),
+        s"artifact scan must partition-prune on cell: $l")
+      assert(l.contains(s"EqualTo(label,${graft.queries.AnnQueries.FilterLabel})"),
+        s"label predicate must reach the reader as a PushedFilter: $l")
+    }
+    val adc = scans.filter { l =>
+      !l.substring(l.indexOf("ReadSchema:")).contains("embedding")
+    }
+    assert(adc.size == 1 && adc.head.contains("c0"),
+      s"exactly one codes-only ADC scan expected:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"shortlist/top-k must be heaps:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"rescore join must broadcast the shortlist only:\n$p")
+  }
+
+  test("q153 compaction: both segments cell-pruned, codes-only ADC on each, one shortlist join") {
+    val p = plan("q153_ivfpq_compact")
+    val main = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpqmain_index")).toSeq
+    val seg = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpqdelta_segment")).toSeq
+    // each segment is scanned twice: once codes-only for ADC, once for
+    // the exact rescore — and ALL FOUR scans partition-prune on cell
+    // (q150's exact full delta scan is retired; the delta now reads
+    // nProbe/cells of its directories like any indexed segment)
+    assert(main.size == 2 && seg.size == 2,
+      s"expected 2 main + 2 delta-segment scans:\n$p")
+    (main ++ seg).foreach(l => assert(
+      l.contains("PartitionFilters: [") && l.contains("cell#"),
+      s"segment scan must partition-prune on cell: $l"))
+    assert((main ++ seg).count { l =>
+      !l.substring(l.indexOf("ReadSchema:")).contains("embedding")
+    } == 2, s"one codes-only ADC scan per segment expected:\n$p")
+    assert(p.contains("Union"), s"segments must union, not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"shortlist/top-k must be heaps:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"rescore join must broadcast the one union-wide shortlist:\n$p")
+  }
+
   test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
     val p = plan("q150_ivfpq_delta")
     // main side = the q148 shape against the MAIN-built artifact:
