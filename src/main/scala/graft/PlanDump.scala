@@ -371,6 +371,11 @@ object PlanDump {
         "final rollup ≤ m×k rows — compression trained without the " +
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
+    "q154_ivfpq_residual" ->
+      ("Residual IVFADC: q148's exact plan shape — cell-pruned " +
+        "codes-only ADC scan, bounded shortlist, broadcast exact " +
+        "rescore — with per-(cell, code) broadcast-literal lookup " +
+        "tables; the encoding changed, the plan did not."),
     "q152_filtered_ivfpq" ->
       ("Filtered ANN (pre-filter strategy): the label predicate reaches " +
         "both artifact scans as a PushedFilter UNDER the cell " +

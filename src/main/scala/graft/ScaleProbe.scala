@@ -122,6 +122,8 @@ object ScaleProbe {
         ivfPqMultiTuneProbe(spark, srcDir)
       else if (flags.contains("ivfpq-filter-tune"))
         ivfPqFilterTuneProbe(spark, srcDir)
+      else if (flags.contains("ivfpq-res-tune"))
+        ivfPqResTuneProbe(spark, srcDir, flags)
       else if (flags.contains("ivfpq-compact-tune"))
         ivfPqCompactTuneProbe(spark, srcDir)
       else if (flags.contains("brp-tables"))
@@ -332,6 +334,45 @@ object ScaleProbe {
     val missing = top10.filterNot(ranked.contains)
     val minShort = if (ranked.isEmpty) -1 else ranked.values.max
     println(s"""{"probe":"ivfpq-filter-tune","src":"$srcDir","label":$lbl,"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
+    missing.isEmpty
+  }
+
+  /** Residual-IVFADC shortlist tune (--ivfpq-res-tune [--tune-qid N]):
+    * q154's geometry — the exact top-10 for query vec N (default
+    * ResQueryId) against the RESIDUAL-encoded artifact: cell misses at
+    * IvfNProbe and the max residual-ADC rank of any member within the
+    * probed cells. Run with --tune-qid 0 to compare directly against
+    * --ivfpq-tune's raw-space minima for the same query — the
+    * encoding-improvement receipt. */
+  private def ivfPqResTuneProbe(spark: SparkSession, srcDir: String,
+                                flags: Map[String, String]): Boolean = {
+    val dir = queries.AnnQueries.ivfPqResIndexDir(spark, srcDir)
+    val qid = flags.get("tune-qid").map(_.toLong)
+      .getOrElse(queries.AnnQueries.ResQueryId)
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === qid).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val top10 = e.withColumn("score", round(
+        graft.functions.VectorFunctions.neo4jScore(col("embedding"),
+          typedLit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        search.AnnIndex.adcResidualDistanceCol(spark, dir, qv).as("adc_d"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("adc_d").asc, col("vec_id").asc)))
+      .filter(col("vec_id").isInCollection(top10))
+      .select(col("vec_id"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val missing = top10.filterNot(ranked.contains)
+    val minShort = if (ranked.isEmpty) -1 else ranked.values.max
+    println(s"""{"probe":"ivfpq-res-tune","src":"$srcDir","query":$qid,"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
     missing.isEmpty
   }
 

@@ -37,7 +37,7 @@ object Search {
     * instead of binding serve=true and leaking "false" into the prompt.
     * `--serve=false` also works. */
   private val BooleanFlags = Set("serve", "ivf-tune", "ivfpq-tune", "tune-split",
-    "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune")
+    "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all

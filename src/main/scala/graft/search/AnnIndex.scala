@@ -377,6 +377,109 @@ object AnnIndex {
       .select((col("vec_id") +: payload.map(col)) :+ col("score"): _*)
   }
 
+  /** Persist the RESIDUAL-encoded IVF-PQ layout — IVFADC proper (Jégou
+    * et al. 2011 §III-C): PQ quantizes the residual `xn − c_cell` of
+    * the L2-NORMALIZED vector after coarse quantization, not the raw
+    * vector. Residuals concentrate near the origin (the coarse step
+    * has already explained the between-cell variance), so the same
+    * code budget spends its resolution on what the cell id doesn't
+    * already say; and because ‖qn − xn‖² = 2 − 2·cos on unit vectors,
+    * the ADC estimate now approximates the TRUE ranking metric rather
+    * than a raw-space surrogate. Same artifact layout as [[saveIvfPq]]
+    * (model + cell-partitioned corpus with code columns + tiny
+    * codebooks parquet); the difference is what the codes mean, which
+    * only the paired probe ([[probeIvfPqResidual]]) needs to know —
+    * its lookup tables become per-(cell, code) instead of per-code.
+    * Codebooks are fitted HERE (per-subspace deterministic Lloyd's on
+    * residual slices) because residuals only exist after the coarse
+    * assignment. */
+  def saveIvfPqResidual(idx: IvfIndex, subDim: Int, pqK: Int, pqIters: Int,
+                        dir: String): Unit = {
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    val centers = idx.model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val m = centers.head.size / subDim
+    val resid = zip_with(
+      l2Normalize(col("embedding")),
+      element_at(typedLit(centers), col("cell") + 1),
+      (a, b) => a - b)
+    val based = idx.assigned.drop("features").withColumn("resid", resid)
+    val codebooks = (0 until m).map { sub =>
+      graft.operators.SemDedup.fit(
+        based.select(col("vec_id"),
+          slice(col("resid"), sub * subDim + 1, subDim).as("embedding")),
+        pqK, pqIters)
+    }
+    val withCodes = codebooks.zipWithIndex.foldLeft(based) { case (df, (cents, sub)) =>
+      df.withColumn(s"c$sub", graft.operators.SemDedup.assignCell(
+        slice(col("resid"), sub * subDim + 1, subDim), cents))
+    }.drop("resid")
+    idx.model.write.overwrite().save(s"$dir/model")
+    withCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    codebooks.zipWithIndex
+      .flatMap { case (cents, sub) =>
+        cents.zipWithIndex.map { case (ce, cell) => (sub, cell, ce) }
+      }
+      .toDF("sub", "cell", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** The residual-ADC distance COLUMN: per subspace a per-(cell, code)
+    * lookup table — entry (cell, j) = ‖(qn − c_cell)_sub − cb_sub(j)‖²,
+    * built driver-side from the quantizer centers and the tiny
+    * persisted codebooks (cells × pqK × m doubles — at 16×16×4 that is
+    * 1024 literals), flattened so the row's partition column `cell`
+    * and its code pick the entry: still pure row-local codegen, zero
+    * joins, and the raw vectors never enter the evaluating scan. */
+  private[graft] def adcResidualDistanceCol(spark: SparkSession, dir: String,
+                                            query: Array[Float]): Column = {
+    val centers = KMeansModel.load(s"$dir/model")
+      .clusterCenters.map(_.toArray)
+    val qn = {
+      val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+      if (n == 0) query.map(_.toDouble) else query.map(_ / n)
+    }
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub"), col("cell"), col("ce")).collect()
+      .groupBy(_.getInt(0))
+    val subs = cb.keys.toSeq.sorted
+    val subDim = qn.length / subs.size
+    subs.map { sub =>
+      val cents = cb(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2))
+      val pqK = cents.size
+      val lut: Seq[Double] = centers.indices.flatMap { cell =>
+        val qr = qn.zip(centers(cell)).map { case (a, b) => a - b }
+          .slice(sub * subDim, (sub + 1) * subDim)
+        cents.map(c => qr.zip(c)
+          .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) })
+      }.toSeq
+      element_at(typedLit(lut), col("cell") * pqK + col(s"c$sub") + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Probe a RESIDUAL-encoded IVF-PQ artifact — [[probeIvfPq]]'s plan
+    * shape (cell-pruned codes-only ADC scan → bounded shortlist →
+    * broadcast exact rescore) with [[adcResidualDistanceCol]] as the
+    * estimator. */
+  def probeIvfPqResidual(spark: SparkSession, dir: String, query: Array[Float],
+                         k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val probed = probedCells(dir, query, nProbe)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val short = corpus
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), adcResidualDistanceCol(spark, dir, query).as("adc_d"))
+      .orderBy(col("adc_d").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"))
+    corpus
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(short), Seq("vec_id"))
+      .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("score"))
+  }
+
   /** Encode NEW rows into an EXISTING IVF-PQ artifact's geometry — the
     * write half of LSM minor compaction: the artifact's quantizer
     * assigns each row's cell and its persisted codebooks assign the PQ

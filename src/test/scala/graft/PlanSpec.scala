@@ -932,6 +932,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rescore join must broadcast the one union-wide shortlist:\n$p")
   }
 
+  test("q154 residual IVF-PQ: q148's plan shape over the residual artifact") {
+    val p = plan("q154_ivfpq_residual")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpqres_index")).toSeq
+    assert(scans.size == 2, s"expected ADC + rescore artifact scans:\n$p")
+    scans.foreach(l => assert(
+      l.contains("PartitionFilters: [") && l.contains("cell#"),
+      s"artifact scan must partition-prune on cell: $l"))
+    // the residual-ADC scan is still codes-only: the per-(cell, code)
+    // lookup tables are broadcast literals indexed by the partition
+    // column — no join, no embedding read
+    val adc = scans.filter { l =>
+      !l.substring(l.indexOf("ReadSchema:")).contains("embedding")
+    }
+    assert(adc.size == 1 && adc.head.contains("c0"),
+      s"exactly one codes-only residual-ADC scan expected:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"shortlist/top-k must be heaps:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"rescore join must broadcast the shortlist only:\n$p")
+  }
+
   test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
     val p = plan("q150_ivfpq_delta")
     // main side = the q148 shape against the MAIN-built artifact:
