@@ -403,25 +403,31 @@ object AnnIndex {
       l2Normalize(col("embedding")),
       element_at(typedLit(centers), col("cell") + 1),
       (a, b) => a - b)
-    val based = idx.assigned.drop("features").withColumn("resid", resid)
-    val codebooks = (0 until m).map { sub =>
-      graft.operators.SemDedup.fit(
-        based.select(col("vec_id"),
-          slice(col("resid"), sub * subDim + 1, subDim).as("embedding")),
-        pqK, pqIters)
-    }
-    val withCodes = codebooks.zipWithIndex.foldLeft(based) { case (df, (cents, sub)) =>
-      df.withColumn(s"c$sub", graft.operators.SemDedup.assignCell(
-        slice(col("resid"), sub * subDim + 1, subDim), cents))
-    }.drop("resid")
-    idx.model.write.overwrite().save(s"$dir/model")
-    withCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
-    codebooks.zipWithIndex
-      .flatMap { case (cents, sub) =>
-        cents.zipWithIndex.map { case (ce, cell) => (sub, cell, ce) }
+    // the m per-subspace fits + code assignments + the final write make
+    // ~3m+1 passes over the residuals; materialize them ONCE for the
+    // build's duration (build-time only — the artifact itself persists
+    // codes, never residuals)
+    val based = idx.assigned.drop("features").withColumn("resid", resid).persist()
+    try {
+      val codebooks = (0 until m).map { sub =>
+        graft.operators.SemDedup.fit(
+          based.select(col("vec_id"),
+            slice(col("resid"), sub * subDim + 1, subDim).as("embedding")),
+          pqK, pqIters)
       }
-      .toDF("sub", "cell", "ce")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      val withCodes = codebooks.zipWithIndex.foldLeft(based) { case (df, (cents, sub)) =>
+        df.withColumn(s"c$sub", graft.operators.SemDedup.assignCell(
+          slice(col("resid"), sub * subDim + 1, subDim), cents))
+      }.drop("resid")
+      idx.model.write.overwrite().save(s"$dir/model")
+      withCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+      codebooks.zipWithIndex
+        .flatMap { case (cents, sub) =>
+          cents.zipWithIndex.map { case (ce, cell) => (sub, cell, ce) }
+        }
+        .toDF("sub", "cell", "ce")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    } finally based.unpersist()
   }
 
   /** The residual-ADC distance COLUMN: per subspace a per-(cell, code)
