@@ -371,6 +371,12 @@ object PlanDump {
         "final rollup ≤ m×k rows — compression trained without the " +
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
+    "q155_image_phash" ->
+      ("Perceptual-hash image dedup: real decode + aHash inside " +
+        "mapPartitions (blobs never shuffle), ONE equi-join on the " +
+        "exploded (band_idx, band_val) key with the canonical " +
+        "first-agreeing-band filter — candidate generation is banding, " +
+        "never pair enumeration."),
     "q154_ivfpq_residual" ->
       ("Residual IVFADC: q148's exact plan shape — cell-pruned " +
         "codes-only ADC scan, bounded shortlist, broadcast exact " +

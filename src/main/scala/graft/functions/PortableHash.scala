@@ -122,6 +122,25 @@ object PortableHash {
     * reproducible by pure integer SQL in the oracle. */
   val PixelPair: (Long, Long) = affineConstants(1111L, 1).head
 
+  /** Variant-image perturbation hashes (q155's planted near-dup
+    * fixtures): WHICH flat pixel of a variant image is perturbed, and
+    * the perturbed channel VALUES — separate pairs (and both separate
+    * from [[PixelPair]]) so position, content, and base pixels can
+    * never alias. */
+  val VariantPixelPair: (Long, Long) = affineConstants(1717L, 1).head
+  val VariantValuePair: (Long, Long) = affineConstants(1919L, 1).head
+
+  /** Variant-image BASE hash (quadratic): the plain affine pixel hash
+    * is affine in the flat index, so two groups' images are windows of
+    * ONE global arithmetic progression mod P mod 256 — their aHash bit
+    * patterns come out near-periodic and cross-group Hamming
+    * distances collapse (measured: ~3 000 spurious sub-6 pairs on 500
+    * docs). The variant base therefore mixes with `x² + a·x + b mod P`
+    * — the square breaks the progression and cross-group bits return
+    * to independent coin flips. x < P keeps x² < 2^60: exact in both
+    * engines' 64-bit integers. */
+  val VariantBasePair: (Long, Long) = affineConstants(2323L, 1).head
+
   /** Synthetic-audio hash — its own member (decoupled from [[PixelPair]]
     * so the image and audio fixtures can never alias): PCM sample k of
     * clip id is ((a·x + b) mod P) mod 2^16 − 2^15, a signed 16-bit

@@ -79,6 +79,50 @@ object Multimodal {
     (((a * x + b) % p) % 256L).toInt
   }
 
+  /** q155 planted-near-dup geometry: consecutive-id groups of 3 share
+    * one base image (content keyed by `doc_id div 3` — integer
+    * division truncates toward zero in Scala AND DuckDB, and ids are
+    * non-negative, so the twin grouping is exact), and each member
+    * perturbs exactly ONE flat pixel (position and replacement values
+    * from their own affine hashes of doc_id). Same-group images are
+    * near-identical; cross-group images are independent hash noise —
+    * the planted structure a perceptual-hash dedup must recover. */
+  val VariantGroupSize = 3
+
+  /** The perturbed flat pixel of variant image `id`. */
+  def variantPixel(id: Long): Int = {
+    val (a, b) = graft.functions.PortableHash.VariantPixelPair
+    val p = graft.functions.PortableHash.P
+    (((a * (id % p) + b) % p) % (SynthSide * SynthSide)).toInt
+  }
+
+  /** Channel value of flat pixel-channel index `k` for VARIANT image
+    * `id`: the group base pixel (QUADRATIC hash keyed by the group id
+    * — see [[graft.functions.PortableHash.VariantBasePair]] for why
+    * the affine [[synthChannel]] cannot serve here: affine-in-k bases
+    * make different groups' images windows of one global progression
+    * and their aHashes collide) unless `k` falls on [[variantPixel]],
+    * which takes its three channels from the dedicated value hash
+    * instead. Pure integer arithmetic — the oracle reproduces every
+    * pixel; every intermediate stays under 2^62. */
+  def variantChannel(id: Long, k: Int): Int = {
+    val p = graft.functions.PortableHash.P
+    if (k / SynthChannels == variantPixel(id)) {
+      val (a, b) = graft.functions.PortableHash.VariantValuePair
+      val x = ((id % p) * SynthChannels + (k % SynthChannels)) % p
+      (((a * x + b) % p) % 256L).toInt
+    } else {
+      // affine FIRST (a·x wraps mod P, so y is equidistributed), THEN
+      // square: squaring the RAW index never wraps for small ids
+      // (x < √P) and mixes nothing — measured as near-identical hashes
+      // for unrelated groups. y² mod P + y is a proper quadratic mix.
+      val (a, b) = graft.functions.PortableHash.VariantBasePair
+      val x = (((id / VariantGroupSize) % p) * SynthPixelValues + k) % p
+      val y = (a * x + b) % p
+      (((y * y) % p + y) % p % 256L).toInt
+    }
+  }
+
   /** ImageIO's default stream cache is a TEMP FILE per encode/decode
     * call — ~50 ms of filesystem churn per tiny image, which at corpus
     * scale dwarfs the codec itself. Heap-backed streams instead; set
@@ -109,6 +153,46 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic VARIANT PNG for `id` — [[synthPng]]'s loop over
+    * [[variantChannel]]: the planted-near-dup image family. */
+  def synthVariantPng(id: Long): Array[Byte] = {
+    imageIoHeapStreams
+    val img = new java.awt.image.BufferedImage(
+      SynthSide, SynthSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < SynthSide) {
+      var x = 0
+      while (x < SynthSide) {
+        val k = (y * SynthSide + x) * SynthChannels
+        val rgb = (variantChannel(id, k) << 16) |
+          (variantChannel(id, k + 1) << 8) | variantChannel(id, k + 2)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[ingestSynthImages]] over the VARIANT family — the q155 ingest:
+    * planted near-dup PNGs, encoded row-local, blobs never shuffle. */
+  def ingestSynthVariantImages(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("blob", BinaryType, nullable = true),
+      StructField("meta", MediaMetaType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = synthVariantPng(r.getLong(idIdx))
+        Row.fromSeq(r.toSeq ++ Seq(blob,
+          Row("image/png", blob.length.toLong, DefaultChunkBytes)))
+      }
+    }(enc)
   }
 
   /** Attach a deterministic PNG blob per row (media_type "image/png") —
@@ -185,6 +269,67 @@ object Multimodal {
             Seq(w, h, sr, sg, sb)
           }
         Row.fromSeq(r.toSeq ++ features)
+      }
+    }(enc)
+  }
+
+  /** Average-hash (aHash) bands from ACTUALLY-DECODED pixels — the
+    * public ancestor of the perceptual-hash families (pHash/PDQ) that
+    * production pipelines run for near-dup image filtering: per pixel
+    * a grayscale `r+g+b` (the sum, never divided — integers stay
+    * exact), per image one bit per pixel `gray·64 > total` (strict
+    * integer compare, no float mean), and the 64 bits packed as FOUR
+    * 16-bit band integers — the SimHash-banding layout (q20): two
+    * images within small Hamming distance agree exactly on at least
+    * one band (pigeonhole: guaranteed for Hamming ≤ 3, heuristic
+    * beyond), so candidate generation is a band equi-join, never an
+    * all-pairs scan. Decode and hashing run row-local in
+    * mapPartitions; only (doc_id, 4 longs) ever move. Non-image /
+    * null blobs pass through with null bands. */
+  def imageAHashBands(blobs: DataFrame): DataFrame = {
+    val bandFields = (0 until 4).map(j => s"band$j")
+    val outSchema = StructType(blobs.schema.fields ++
+      bandFields.map(StructField(_, LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      imageIoHeapStreams
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        val bands: Seq[Any] =
+          if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
+            Seq(null, null, null, null)
+          else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+            require(img != null, "undecodable image blob")
+            val n = img.getWidth * img.getHeight
+            val gray = new Array[Long](n)
+            var total = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                gray(y * img.getWidth + x) = g
+                total += g
+                x += 1
+              }
+              y += 1
+            }
+            val bandBits = n / 4
+            val out = new Array[Long](4)
+            var fp = 0
+            while (fp < n) {
+              if (gray(fp) * n > total)
+                out(fp / bandBits) |= 1L << (fp % bandBits)
+              fp += 1
+            }
+            out.toSeq
+          }
+        Row.fromSeq(r.toSeq ++ bands)
       }
     }(enc)
   }

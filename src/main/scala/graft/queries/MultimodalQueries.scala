@@ -54,6 +54,18 @@ object MultimodalQueries {
   /** q137 decimation factor: 64 samples → 16 pooled (8 kHz → 2 kHz). */
   val DownFactor = 4
 
+  /** q155: keep candidate pairs whose full 64-bit aHash Hamming
+    * distance is at most this. Planted same-group pairs differ in ≤ 2
+    * perturbed pixels plus whatever borderline bits the mean shift
+    * flips — 6 absorbs that comfortably while random cross-group pairs
+    * sit at ~32 (binomial around 64/2) and band-collision candidates
+    * are rejected by the verify. The BAND rule (agree on ≥ 1 of 4
+    * 16-bit bands) GUARANTEES candidacy only for Hamming ≤ 3
+    * (pigeonhole); beyond that it is the standard banding heuristic —
+    * and the oracle applies the identical rule, so hash-green
+    * certifies the declared semantics, not an all-pairs ideal. */
+  val PhashMaxHamming = 6L
+
   private def byteFoldSum(strCol: org.apache.spark.sql.Column) =
     aggregate(
       filter(split(strCol, ""), ch => ch =!= ""),
@@ -69,6 +81,57 @@ object MultimodalQueries {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           col("n_chunks"), col("byte_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q155_image_phash" -> ((s, dir) => {
+      // perceptual-hash near-dup detection over REAL decoded images —
+      // the multimodal face of the dedup family (production pipelines
+      // run pHash/PDQ for near-dup image filtering; aHash is the
+      // public ancestor): planted variant PNGs (groups of 3 share a
+      // base image, each member perturbs one pixel) are ingested,
+      // DECODED back (ImageIO, row-local), aHashed into 4×16-bit
+      // bands, and near-dup pairs come from the SimHash-banding shape
+      // — a CANONICAL band equi-join per band (a pair is claimed only
+      // in its first agreeing band, so no distinct is ever needed),
+      // then an exact 64-bit Hamming verify ≤ PhashMaxHamming. Every
+      // shuffle is a band-key equi-join over (doc_id, 4 longs) rows;
+      // blobs never move. The oracle reproduces the pixels, the bits,
+      // the bands, the band rule, and the Hamming arithmetic in pure
+      // integer SQL — hash-green certifies the decode round-trip AND
+      // the banding semantics end to end.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .select(col("doc_id"))
+      val h = Multimodal
+        .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+      // ONE equi-join on the exploded (band_idx, band_val) key — not a
+      // join per band: a per-band join would evaluate the decode
+      // lineage 2×bands times. The full band vector rides along each
+      // exploded row, so the canonical rule (claim a pair only in its
+      // FIRST agreeing band — q72's no-distinct trick) is a post-join
+      // filter over carried columns.
+      val ex = h.select(col("doc_id"),
+          col("band0"), col("band1"), col("band2"), col("band3"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+      val a = ex.toDF("doc_a", "j", "v", "a0", "a1", "a2", "a3")
+      val b = ex.toDF("doc_b", "j", "v", "b0", "b1", "b2", "b3")
+      val noEarlierAgree = !(
+        (col("j") > 0 && col("a0") === col("b0")) ||
+        (col("j") > 1 && col("a1") === col("b1")) ||
+        (col("j") > 2 && col("a2") === col("b2")))
+      val hamming = (0 until 4)
+        .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))).cast("long"))
+        .reduce(_ + _)
+      a.join(b, Seq("j", "v"))
+        .filter(col("doc_a") < col("doc_b") && noEarlierAgree)
+        .withColumn("hamming", hamming)
+        .filter(col("hamming") <= lit(PhashMaxHamming))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "q74_image_decode" -> ((s, dir) => {
@@ -207,6 +270,57 @@ object MultimodalQueries {
          |    list_filter(string_split(text, ''), c -> c != ''),
          |    c -> unicode(c)::BIGINT)), (a, b) -> (a + b) % $P) AS byte_sum
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q155_image_phash" -> {
+      val (ba, bb) = graft.functions.PortableHash.VariantBasePair
+      val (pa, pb) = graft.functions.PortableHash.VariantPixelPair
+      val (qa, qb) = graft.functions.PortableHash.VariantValuePair
+      val p = graft.functions.PortableHash.P
+      val n = Multimodal.SynthPixelValues
+      val g = Multimodal.VariantGroupSize
+      // pixel → gray → bit → 16-bit bands → canonical band rule →
+      // exact Hamming: every stage is the integer arithmetic the
+      // engine's decode round-trip must hand back bit-for-bit; the
+      // base pixel is the QUADRATIC mix (affine y first — it wraps mod
+      // P — then y² mod P + y; y < P keeps y² under 2^62 in both
+      // engines)
+      s"""WITH xk AS (
+         |  SELECT d.doc_id, k.k,
+         |    (($ba * ((((d.doc_id // $g) % $p) * $n + k.k) % $p) + $bb) % $p) AS y
+         |  FROM documents d CROSS JOIN (SELECT unnest(range($n)) AS k) k),
+         |pc AS (
+         |  SELECT doc_id, k,
+         |    CASE WHEN k // 3 = (($pa * (doc_id % $p) + $pb) % $p) % 64
+         |      THEN (($qa * (((doc_id % $p) * 3 + (k % 3)) % $p) + $qb) % $p) % 256
+         |      ELSE ((y * y) % $p + y) % $p % 256
+         |    END AS v
+         |  FROM xk),
+         |px AS (SELECT doc_id, k // 3 AS fp, CAST(SUM(v) AS BIGINT) AS gray
+         |       FROM pc GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total
+         |        FROM px GROUP BY 1),
+         |bits AS (
+         |  SELECT px.doc_id, px.fp,
+         |    CASE WHEN px.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
+         |  FROM px JOIN tot t ON px.doc_id = t.doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN fp < 16 THEN bit * (1::BIGINT << fp) ELSE 0 END) AS BIGINT) AS band0,
+         |    CAST(SUM(CASE WHEN fp >= 16 AND fp < 32 THEN bit * (1::BIGINT << (fp - 16)) ELSE 0 END) AS BIGINT) AS band1,
+         |    CAST(SUM(CASE WHEN fp >= 32 AND fp < 48 THEN bit * (1::BIGINT << (fp - 32)) ELSE 0 END) AS BIGINT) AS band2,
+         |    CAST(SUM(CASE WHEN fp >= 48 THEN bit * (1::BIGINT << (fp - 48)) ELSE 0 END) AS BIGINT) AS band3
+         |  FROM bits GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         |       + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.doc_id < b.doc_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |        a.band2 = b.band2 OR a.band3 = b.band3))
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= $PhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q74_image_decode" -> {
       val (a, b) = graft.functions.PortableHash.PixelPair

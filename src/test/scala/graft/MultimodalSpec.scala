@@ -317,4 +317,56 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id").distinct().as[Long].collect().toSeq
     assert(out === Seq(2L)) // the text blob emits no frame rows
   }
+
+  test("aHash bands from a decoded variant PNG match the pixel formula bit for bit") {
+    val id = 77L
+    val got = Multimodal.imageAHashBands(
+        Multimodal.ingestSynthVariantImages(Seq(id).toDF("doc_id")))
+      .select($"band0", $"band1", $"band2", $"band3")
+      .as[(Long, Long, Long, Long)].head()
+    // driver-side reference straight from variantChannel — the decode
+    // round-trip must reproduce exactly these bits
+    val gray = (0 until 64).map(fp =>
+      (0 until 3).map(c => Multimodal.variantChannel(id, fp * 3 + c).toLong).sum)
+    val total = gray.sum
+    val bands = new Array[Long](4)
+    for (fp <- 0 until 64 if gray(fp) * 64 > total)
+      bands(fp / 16) |= 1L << (fp % 16)
+    assert((got._1, got._2, got._3, got._4) === ((bands(0), bands(1), bands(2), bands(3))))
+  }
+
+  test("variant images perturb exactly one pixel of the group base") {
+    val id = 10L // group 3 member
+    val pstar = Multimodal.variantPixel(id)
+    val diffs = (0 until 64).filter { fp =>
+      (0 until 3).exists { c =>
+        val k = fp * 3 + c
+        // the group base is the id-independent quadratic mix: compare
+        // against a SIBLING with a different perturbed pixel
+        Multimodal.variantChannel(id, k) != Multimodal.variantChannel(id + 1, k)
+      }
+    }
+    // siblings differ exactly on the union of their two perturbed
+    // pixels (they share the group base everywhere else)
+    assert(diffs.toSet === Set(pstar, Multimodal.variantPixel(id + 1)))
+  }
+
+  test("q155 recovers the planted near-dup groups with no cross-group noise") {
+    val out = SparkEntry.queries("q155_image_phash")(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    val g = Multimodal.VariantGroupSize
+    assert(out.nonEmpty)
+    // every pair is same-group (no spurious cross-group collisions)…
+    assert(out.forall { case (a, b, _) => a / g == b / g })
+    assert(out.forall(_._3 <= graft.queries.MultimodalQueries.PhashMaxHamming))
+    // …and recall over the planted pairs is near-total (a few pairs may
+    // exceed the Hamming cut when the one-pixel perturbations shift the
+    // mean across borderline bits — that is the declared semantics)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id").as[Long].collect().toSeq
+    val planted = docs.groupBy(_ / g).values.map(m => m.size * (m.size - 1) / 2).sum
+    assert(out.size >= (planted * 9) / 10,
+      s"recovered ${out.size} of $planted planted pairs")
+  }
 }

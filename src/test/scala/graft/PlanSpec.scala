@@ -955,6 +955,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rescore join must broadcast the shortlist only:\n$p")
   }
 
+  test("q155 perceptual-hash dedup: one band equi-join, no pair enumeration, blobs stay put") {
+    val p = plan("q155_image_phash")
+    // candidate generation is ONE equi-join on the exploded
+    // (band_idx, band_val) key — never an all-pairs comparison
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from the band equi-join:\n$p")
+    assert(p.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("SortMergeJoin")) == 1,
+      s"exactly one band-key join expected (not one per band):\n$p")
+    // the binary blobs are decoded where they are read: no Exchange
+    // carries a binary column — only (doc_id, band longs) ever move
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
+  }
+
   test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
     val p = plan("q150_ivfpq_delta")
     // main side = the q148 shape against the MAIN-built artifact:
