@@ -377,6 +377,18 @@ object PlanDump {
         "exploded (band_idx, band_val) key with the canonical " +
         "first-agreeing-band filter — candidate generation is banding, " +
         "never pair enumeration."),
+    "q156_audio_fingerprint" ->
+      ("Delta-sign audio fingerprint dedup: real WAV decode + " +
+        "fingerprint inside mapPartitions (blobs never shuffle), then " +
+        "q155's exact banded candidate→verify shape — one exploded " +
+        "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
+        "exact Hamming verify."),
+    "q157_video_neardup" ->
+      ("Temporal video near-dup: real multi-frame decode + per-frame " +
+        "aHash inside mapPartitions (blobs never shuffle), frame-0 " +
+        "anchor banding (+ equal frame counts) for candidates, exact " +
+        "aligned per-frame Hamming sum as the verify — band equi-join " +
+        "then doc-keyed equi-joins only, never pair enumeration."),
     "q154_ivfpq_residual" ->
       ("Residual IVFADC: q148's exact plan shape — cell-pruned " +
         "codes-only ADC scan, bounded shortlist, broadcast exact " +

@@ -126,9 +126,15 @@ object PortableHash {
     * fixtures): WHICH flat pixel of a variant image is perturbed, and
     * the perturbed channel VALUES — separate pairs (and both separate
     * from [[PixelPair]]) so position, content, and base pixels can
-    * never alias. */
-  val VariantPixelPair: (Long, Long) = affineConstants(1717L, 1).head
-  val VariantValuePair: (Long, Long) = affineConstants(1919L, 1).head
+    * never alias. Seeds 2525/2727 are deliberately fresh: the first
+    * cut reused 1717/1919, silently aliasing
+    * [[WeightedSamplePair]]/[[BootPair]] — same (a, b), so a variant
+    * image's perturbed-pixel position was exactly correlated with the
+    * same doc's weighted-sample draw, violating the independence
+    * contract every pair's scaladoc asserts. Every seed in this file
+    * must be unique (PortableHashSpec pins this). */
+  val VariantPixelPair: (Long, Long) = affineConstants(2525L, 1).head
+  val VariantValuePair: (Long, Long) = affineConstants(2727L, 1).head
 
   /** Variant-image BASE hash (quadratic): the plain affine pixel hash
     * is affine in the flat index, so two groups' images are windows of
@@ -147,12 +153,40 @@ object PortableHash {
     * value reproducible by pure integer SQL in the oracle. */
   val AudioPair: (Long, Long) = affineConstants(1212L, 1).head
 
+  /** Variant-audio planted-near-dup hashes (q156 — the audio twin of
+    * the q155 variant-image family), all fresh seeds so no pair in
+    * this file aliases another:
+    *  - [[AudioVariantBasePair]]: the GROUP base samples, mixed
+    *    quadratically (y = a·x + b mod P, then y² mod P + y) for the
+    *    same reason as [[VariantBasePair]] — an affine-in-k base makes
+    *    every group's clip a window of one global progression and the
+    *    delta-sign fingerprints of unrelated groups correlate; the
+    *    square restores independent coin flips. y < P keeps y² < 2^60.
+    *  - [[AudioVariantPosPair]]: WHICH sample of a variant clip is
+    *    perturbed.
+    *  - [[AudioVariantValuePair]]: the perturbed sample VALUE. */
+  val AudioVariantBasePair: (Long, Long) = affineConstants(2929L, 1).head
+  val AudioVariantPosPair: (Long, Long) = affineConstants(3131L, 1).head
+  val AudioVariantValuePair: (Long, Long) = affineConstants(3333L, 1).head
+
   /** Synthetic-video hash — its own member (decoupled from
     * [[PixelPair]]/[[AudioPair]] so no two media fixtures can alias):
     * gray value of flat (frame, pixel) index k of clip id is
     * ((a·x + b) mod P) mod 256, reproducible by pure integer SQL in
     * the oracle. */
   val FramePair: (Long, Long) = affineConstants(1313L, 1).head
+
+  /** Variant-video planted-near-dup hashes (q157 — the video twin of
+    * the q155/q156 variant families), all fresh seeds:
+    *  - [[VideoVariantBasePair]]: the GROUP base frames, mixed
+    *    quadratically for the same cross-group-independence reason as
+    *    [[VariantBasePair]]/[[AudioVariantBasePair]].
+    *  - [[VideoVariantPosPair]]: WHICH flat (frame, pixel) of a
+    *    variant clip is perturbed.
+    *  - [[VideoVariantValuePair]]: the perturbed gray VALUE. */
+  val VideoVariantBasePair: (Long, Long) = affineConstants(3535L, 1).head
+  val VideoVariantPosPair: (Long, Long) = affineConstants(3737L, 1).head
+  val VideoVariantValuePair: (Long, Long) = affineConstants(3939L, 1).head
 
   /** Weighted-sampling (Efraimidis-Spirakis) uniform draw — its own
     * member so a doc's weighted-sample key is uncorrelated with its
@@ -176,6 +210,29 @@ object PortableHash {
     * independent uniform; callers must use the mod-P-reduced key form
     * exactly as q116 does. */
   val BootPair: (Long, Long) = affineConstants(1919L, 1).head
+
+  /** Every dedicated affine pair with its role name — the registry the
+    * uniqueness spec (PortableHashSpec) checks pairwise, so no two
+    * roles can silently share constants again (the seed-reuse bug
+    * recorded in [[VariantPixelPair]]'s scaladoc: aliased pairs make
+    * "independent" pipeline decisions exactly correlated). */
+  val DedicatedPairs: Seq[(String, (Long, Long))] = Seq(
+    "kmv" -> KmvPair, "split" -> SplitPair, "sample" -> SamplePair,
+    "mix" -> MixPair, "shard" -> ShardPair, "shuffle" -> ShufflePair,
+    "hll" -> HllPair, "pixel" -> PixelPair,
+    "variant_pixel" -> VariantPixelPair,
+    "variant_value" -> VariantValuePair,
+    "variant_base" -> VariantBasePair,
+    "audio" -> AudioPair,
+    "audio_variant_base" -> AudioVariantBasePair,
+    "audio_variant_pos" -> AudioVariantPosPair,
+    "audio_variant_value" -> AudioVariantValuePair,
+    "frame" -> FramePair,
+    "video_variant_base" -> VideoVariantBasePair,
+    "video_variant_pos" -> VideoVariantPosPair,
+    "video_variant_value" -> VideoVariantValuePair,
+    "weighted_sample" -> WeightedSamplePair,
+    "dsir_sample" -> DsirSamplePair, "boot" -> BootPair)
 
   /** h_i applied to a long column. */
   def affine(i: (Long, Long), x: Column): Column =

@@ -423,6 +423,35 @@ object Multimodal {
     ((((a * x + b) % p) % 65536L) - 32768L).toInt
   }
 
+  /** q156 planted-near-dup audio geometry — the audio twin of
+    * [[variantChannel]]: consecutive-id groups of [[VariantGroupSize]]
+    * share one base clip (content keyed by `doc_id div 3`, quadratic
+    * mix — see [[graft.functions.PortableHash.AudioVariantBasePair]]
+    * for why an affine base correlates unrelated groups' delta-sign
+    * fingerprints), and each member perturbs exactly ONE sample
+    * (position and replacement value from its own affine hashes of
+    * doc_id). Pure integer arithmetic, every intermediate < 2^62 —
+    * the oracle reproduces every sample. */
+  def variantSamplePos(id: Long): Int = {
+    val (a, b) = graft.functions.PortableHash.AudioVariantPosPair
+    val p = graft.functions.PortableHash.P
+    (((a * (id % p) + b) % p) % SynthSamples).toInt
+  }
+
+  /** Signed 16-bit PCM sample `k` of VARIANT clip `id`. */
+  def variantSample(id: Long, k: Int): Int = {
+    val p = graft.functions.PortableHash.P
+    if (k == variantSamplePos(id)) {
+      val (a, b) = graft.functions.PortableHash.AudioVariantValuePair
+      ((((a * (id % p) + b) % p) % 65536L) - 32768L).toInt
+    } else {
+      val (a, b) = graft.functions.PortableHash.AudioVariantBasePair
+      val x = (((id / VariantGroupSize) % p) * SynthSamples + k) % p
+      val y = (a * x + b) % p
+      ((((y * y) % p + y) % p % 65536L) - 32768L).toInt
+    }
+  }
+
   private def synthFormat = new javax.sound.sampled.AudioFormat(
     SynthSampleRate, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
 
@@ -477,6 +506,42 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Deterministic VARIANT WAV for `id` — [[synthWav]]'s loop over
+    * [[variantSample]]: the planted-near-dup clip family. */
+  def synthVariantWav(id: Long): Array[Byte] = {
+    val pcm = new Array[Byte](SynthSamples * 2)
+    var k = 0
+    while (k < SynthSamples) {
+      val v = variantSample(id, k)
+      pcm(2 * k) = (v & 0xff).toByte          // little-endian
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), synthFormat, SynthSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** [[ingestSynthAudio]] over the VARIANT family — the q156 ingest:
+    * planted near-dup WAV clips, encoded row-local, blobs never
+    * shuffle. */
+  def ingestSynthVariantAudio(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("blob", BinaryType, nullable = true),
+      StructField("meta", MediaMetaType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = synthVariantWav(r.getLong(idIdx))
+        Row.fromSeq(r.toSeq ++ Seq(blob,
+          Row("audio/wav", blob.length.toLong, DefaultChunkBytes)))
+      }
+    }(enc)
   }
 
   /** Attach a deterministic WAV blob per row (media_type "audio/wav") —
@@ -609,6 +674,69 @@ object Multimodal {
     }(enc)
   }
 
+  /** Delta-sign audio fingerprint bands from ACTUALLY-DECODED PCM —
+    * the audio twin of [[imageAHashBands]], after the shape of the
+    * published Haitsma–Kalker audio fingerprint (sign of the
+    * energy-band DELTA, not the raw value — robust to volume/DC
+    * offset because any constant added to every sample cancels in the
+    * comparison): per clip one bit per sample position,
+    * `bit_k = s[(k+1) mod n] > s[k]` (strict integer compare,
+    * wraparound closes the cycle so n samples give n bits), packed as
+    * FOUR 16-bit band integers — the same SimHash-banding layout as
+    * q155, so candidate generation is a band equi-join, never an
+    * all-pairs scan. A single perturbed sample touches exactly two
+    * deltas, so each planted variant flips ≤ 2 bits vs its group base
+    * and same-group pairs sit at Hamming ≤ 4 while independent clips
+    * sit near 32. Decode + fingerprint run row-local in mapPartitions;
+    * only (doc_id, 4 longs) ever move. Non-WAV / null blobs pass
+    * through with null bands. */
+  def audioFingerprintBands(blobs: DataFrame): DataFrame = {
+    val bandFields = (0 until 4).map(j => s"band$j")
+    val outSchema = StructType(blobs.schema.fields ++
+      bandFields.map(StructField(_, LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        val bands: Seq[Any] =
+          if (blob == null || mediaType == null ||
+              (mediaType != "audio/wav" && mediaType != "audio/x-wav"))
+            Seq(null, null, null, null)
+          else {
+            val ais = wavReader.getAudioInputStream(
+              new java.io.ByteArrayInputStream(blob))
+            val samples =
+              try {
+                val fmt = ais.getFormat
+                require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+                  s"expected 16-bit mono PCM, got $fmt")
+                val bytes = ais.readAllBytes()
+                val big = fmt.isBigEndian
+                Array.tabulate(bytes.length / 2) { k =>
+                  val i = 2 * k
+                  if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                  else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+                }
+              } finally ais.close()
+            val n = samples.length
+            val bandBits = n / 4
+            val out = new Array[Long](4)
+            var k = 0
+            while (k < n) {
+              if (samples((k + 1) % n) > samples(k))
+                out(k / bandBits) |= 1L << (k % bandBits)
+              k += 1
+            }
+            out.toSeq
+          }
+        Row.fromSeq(r.toSeq ++ bands)
+      }
+    }(enc)
+  }
+
   /** Downsampled-audio feature extraction (q137): REAL decode, then
     * integer-factor decimation with mean pooling
     * ([[WavDecoder.decimated]]) — the standard resample-before-featurize
@@ -669,6 +797,41 @@ object Multimodal {
     (((a * x + b) % p) % 256L).toInt
   }
 
+  /** q157 planted-near-dup video geometry — the video twin of
+    * [[variantChannel]]/[[variantSample]]: consecutive-id groups of
+    * [[VariantGroupSize]] share one base clip (frame COUNT and frame
+    * content both keyed by `doc_id div 3`, so group members align
+    * frame for frame; content is the quadratic mix — see
+    * [[graft.functions.PortableHash.VideoVariantBasePair]]), and each
+    * member perturbs exactly ONE flat (frame, pixel) position. Pure
+    * integer arithmetic; the oracle reproduces every gray. */
+  def videoVariantFrameCount(id: Long): Int =
+    (2 + Math.floorMod(id / VariantGroupSize, 3L)).toInt
+
+  /** The perturbed flat (frame·pixels + pixel) index of variant clip
+    * `id` — over the GROUP's frame count, so the position always
+    * lands on an existing frame. */
+  def videoVariantPos(id: Long): Int = {
+    val (a, b) = graft.functions.PortableHash.VideoVariantPosPair
+    val p = graft.functions.PortableHash.P
+    (((a * (id % p) + b) % p) % (videoVariantFrameCount(id) * VideoPixels)).toInt
+  }
+
+  /** Gray value of pixel `j` of frame `f` in VARIANT clip `id`. */
+  def variantGray(id: Long, f: Int, j: Int): Int = {
+    val p = graft.functions.PortableHash.P
+    if (f * VideoPixels + j == videoVariantPos(id)) {
+      val (a, b) = graft.functions.PortableHash.VideoVariantValuePair
+      (((a * (id % p) + b) % p) % 256L).toInt
+    } else {
+      val (a, b) = graft.functions.PortableHash.VideoVariantBasePair
+      val x = (((id / VariantGroupSize) % p) * (VideoMaxFrames * VideoPixels) +
+        f * VideoPixels + j) % p
+      val y = (a * x + b) % p
+      (((y * y) % p + y) % p % 256L).toInt
+    }
+  }
+
   /** Identity grayscale palette — GIF stores this color table verbatim
     * and the decoder hands back exactly rgb(i,i,i) for stored index i,
     * the losslessness q81's oracle rests on. */
@@ -720,6 +883,113 @@ object Multimodal {
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** Deterministic VARIANT animated GIF for `id` — [[synthGif]]'s loop
+    * over [[variantGray]] with the group-keyed frame count: the
+    * planted-near-dup clip family. */
+  def synthVariantGif(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = gifWriterSpi.createWriterInstance()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val nf = videoVariantFrameCount(id)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(VideoSide, VideoSide,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var j = 0
+        while (j < VideoPixels) {
+          raster.setSample(j % VideoSide, j / VideoSide, 0, variantGray(id, f, j))
+          j += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** [[ingestSynthVideo]] over the VARIANT family — the q157 ingest:
+    * planted near-dup clips, encoded row-local, blobs never shuffle. */
+  def ingestSynthVariantVideo(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("blob", BinaryType, nullable = true),
+      StructField("meta", MediaMetaType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = synthVariantGif(r.getLong(idIdx))
+        Row.fromSeq(r.toSeq ++ Seq(blob,
+          Row("image/gif", blob.length.toLong, DefaultChunkBytes)))
+      }
+    }(enc)
+  }
+
+  /** Per-frame aHash bands from ACTUALLY-DECODED video frames — the
+    * temporal member of the perceptual-hash family
+    * ([[imageAHashBands]] per frame): for every frame of every clip,
+    * one bit per pixel `gray·64 > frame_total` (strict integer
+    * compare), packed as FOUR 16-bit band integers, emitted as one
+    * row per frame (doc_id …, frame_idx, n_frames, band0..band3).
+    * Decode + hashing run row-local; blobs never shuffle — only the
+    * small per-frame hash rows move. Non-GIF / null blobs emit no
+    * rows (same contract as [[videoFrameFeatures]]). */
+  def videoFrameHashBands(blobs: DataFrame): DataFrame = {
+    val outSchema = StructType(blobs.schema.fields ++ Seq(
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false)) ++
+      (0 until 4).map(j => StructField(s"band$j", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        if (blob == null || mediaType != "image/gif") Iterator.empty
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          val reader = gifReaderSpi.createReaderInstance()
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            (0 until n).iterator.map { f =>
+              val img = reader.read(f)
+              val np = img.getWidth * img.getHeight
+              val gray = new Array[Long](np)
+              var total = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val g = (img.getRGB(x, y) & 0xff).toLong
+                  gray(y * img.getWidth + x) = g
+                  total += g
+                  x += 1
+                }
+                y += 1
+              }
+              val bandBits = np / 4
+              val out = new Array[Long](4)
+              var j = 0
+              while (j < np) {
+                if (gray(j) * np > total)
+                  out(j / bandBits) |= 1L << (j % bandBits)
+                j += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq(f.toLong, n.toLong, out(0), out(1), out(2), out(3)))
+            }.toVector // materialize BEFORE the finally disposes the reader
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+    }(enc)
   }
 
   /** Attach a deterministic animated-GIF blob per row (media_type

@@ -66,6 +66,91 @@ object MultimodalQueries {
     * certifies the declared semantics, not an all-pairs ideal. */
   val PhashMaxHamming = 6L
 
+  /** q156: keep candidate clip pairs whose full 64-bit delta-sign
+    * fingerprint Hamming distance is at most this. Unlike q155's
+    * aHash (where a one-pixel perturbation shifts the global mean and
+    * can flip borderline bits anywhere), the delta-sign bit is LOCAL:
+    * a one-sample perturbation touches exactly its two adjacent
+    * deltas, so planted same-group pairs sit at Hamming ≤ 4
+    * DETERMINISTICALLY (spec-proven) and the cut is exactly 4 — no
+    * slack needed. Independent clips sit near 32, but unrelated
+    * GROUPS whose base-hash offsets land close mod P have genuinely
+    * similar waveforms and legitimately fingerprint close (the
+    * real-world property too: two near-silent clips collide under any
+    * robust fingerprint); those pairs are the declared distance
+    * semantics, and the oracle applies the identical rule. Band-rule
+    * caveat as [[PhashMaxHamming]]: candidacy GUARANTEED for Hamming
+    * ≤ 3 (pigeonhole over 4 bands), heuristic at 4 — in practice the
+    * ≤ 4 flips cluster on the two perturbed positions' bands, so
+    * measured planted recall is 100% through 5 000 ids. */
+  val AfpMaxHamming = 4L
+
+  /** q157: keep candidate clip pairs whose TOTAL aligned per-frame
+    * aHash Hamming distance is at most this. Each member perturbs one
+    * pixel of one frame, which flips that pixel's bit plus whatever
+    * borderline bits the frame-total shift moves (q155's aHash
+    * arithmetic, per frame) — 6 absorbs that for the overwhelming
+    * majority of planted pairs (measured: 498/499 at 500 clips,
+    * 4 990/4 999 at 5 000) while unrelated aligned clips sit near
+    * 32·n_frames. Candidacy is anchored on FRAME-0 bands (≥ 1 agreeing
+    * 16-bit band of the first frame + equal frame counts); pairs
+    * whose frame-0 hashes diverge across all four bands are missed by
+    * the declared rule — and the oracle applies the identical rule,
+    * so hash-green certifies the declared semantics. */
+  val VphashMaxHamming = 6L
+
+  /** The shared banded near-dup candidate→verify shape of q155/q156:
+    * ONE equi-join on the exploded (band_idx, band_val) key — not a
+    * join per band, which would evaluate the decode lineage 2×bands
+    * times. The full band vector rides along each exploded row, so the
+    * canonical rule (claim a pair only in its FIRST agreeing band —
+    * q72's no-distinct trick) is a post-join filter over carried
+    * columns, and the exact 64-bit Hamming verify closes the
+    * candidates. Input: (doc_id, band0..band3); every shuffle moves
+    * only those 5 columns — blobs never leave their partitions. */
+  private def bandNearDupPairs(h: DataFrame, maxHamming: Long): DataFrame = {
+    val ex = h.select(col("doc_id"),
+        col("band0"), col("band1"), col("band2"), col("band3"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+    val a = ex.toDF("doc_a", "j", "v", "a0", "a1", "a2", "a3")
+    val b = ex.toDF("doc_b", "j", "v", "b0", "b1", "b2", "b3")
+    val noEarlierAgree = !(
+      (col("j") > 0 && col("a0") === col("b0")) ||
+      (col("j") > 1 && col("a1") === col("b1")) ||
+      (col("j") > 2 && col("a2") === col("b2")))
+    val hamming = (0 until 4)
+      .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))).cast("long"))
+      .reduce(_ + _)
+    a.join(b, Seq("j", "v"))
+      .filter(col("doc_a") < col("doc_b") && noEarlierAgree)
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= lit(maxHamming))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of [[bandNearDupPairs]]: given CTE text whose last
+    * CTE is `bands(doc_id, band0..band3)`, append the band-rule
+    * candidate join + exact Hamming verify. The SQL band rule is the
+    * plain OR-of-band-equalities — equivalent to the engine's
+    * first-agreeing-band claim because both emit each qualifying pair
+    * exactly once. */
+  private def bandPairsSql(withCtes: String, maxHamming: Long): String =
+    s"""$withCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+       |       + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.doc_id < b.doc_id
+       |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+       |        a.band2 = b.band2 OR a.band3 = b.band3))
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+
   private def byteFoldSum(strCol: org.apache.spark.sql.Column) =
     aggregate(
       filter(split(strCol, ""), ch => ch =!= ""),
@@ -105,31 +190,87 @@ object MultimodalQueries {
       val h = Multimodal
         .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
-      // ONE equi-join on the exploded (band_idx, band_val) key — not a
-      // join per band: a per-band join would evaluate the decode
-      // lineage 2×bands times. The full band vector rides along each
-      // exploded row, so the canonical rule (claim a pair only in its
-      // FIRST agreeing band — q72's no-distinct trick) is a post-join
-      // filter over carried columns.
-      val ex = h.select(col("doc_id"),
+      bandNearDupPairs(h, PhashMaxHamming)
+    }),
+
+    "q156_audio_fingerprint" -> ((s, dir) => {
+      // delta-sign fingerprint near-dup detection over REAL decoded
+      // audio — the audio face of the dedup family (production
+      // pipelines run Haitsma–Kalker-style fingerprints for near-dup
+      // audio filtering; the delta-sign bit is its public core):
+      // planted variant WAV clips (groups of 3 share a base clip, each
+      // member perturbs one PCM sample) are ingested, DECODED back
+      // (javax.sound.sampled, row-local), fingerprinted into 4×16-bit
+      // bands, and near-dup pairs come from the shared banded
+      // candidate→verify shape ([[bandNearDupPairs]]). The oracle
+      // reproduces the samples, the delta bits, the bands, the band
+      // rule, and the Hamming arithmetic in pure integer SQL —
+      // hash-green certifies the audio decode round-trip AND the
+      // banding semantics end to end.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .select(col("doc_id"))
+      val h = Multimodal
+        .audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+      bandNearDupPairs(h, AfpMaxHamming)
+    }),
+
+    "q157_video_neardup" -> ((s, dir) => {
+      // temporal near-dup detection over REAL decoded video — the
+      // video face of the dedup family (production pipelines hash
+      // sampled frames and align clips temporally): planted variant
+      // GIF clips (groups of 3 share base frames AND frame count, each
+      // member perturbs one (frame, pixel)) are ingested, decoded
+      // frame by frame (row-local), per-frame aHashed into 4×16-bit
+      // bands, and clip pairs come from FRAME-0 banding (the anchor-
+      // frame index: candidacy = share ≥ 1 first-frame band AND equal
+      // frame counts — alignment is by frame index, so unequal-length
+      // clips can never verify) followed by the exact verify: total
+      // Hamming over ALL aligned frames ≤ VphashMaxHamming. Candidate
+      // generation is a band equi-join on (band_idx, band_val) of
+      // frame 0 — never pair enumeration — and the per-frame hash
+      // table joins candidates by doc id, so blobs never shuffle and
+      // every shuffled row is (doc_id, frame_idx, 4 longs). The
+      // oracle reproduces frames, bits, bands, the anchor rule, and
+      // the aligned-Hamming arithmetic in pure integer SQL.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .select(col("doc_id"))
+      val fh = Multimodal
+        .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(docs))
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+        .cache() // two consumers below: anchor candidates + verify
+      val f0 = fh.filter(col("frame_idx") === 0)
+      val ex = f0.select(col("doc_id"), col("n_frames"),
           col("band0"), col("band1"), col("band2"), col("band3"),
           explode(array((0 until 4).map(j =>
             struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
+        .select(col("doc_id"), col("n_frames"), col("bk.j").as("j"), col("bk.v").as("v"),
           col("band0"), col("band1"), col("band2"), col("band3"))
-      val a = ex.toDF("doc_a", "j", "v", "a0", "a1", "a2", "a3")
-      val b = ex.toDF("doc_b", "j", "v", "b0", "b1", "b2", "b3")
+      val a = ex.toDF("doc_a", "nfa", "j", "v", "a0", "a1", "a2", "a3")
+      val b = ex.toDF("doc_b", "nfb", "j", "v", "b0", "b1", "b2", "b3")
       val noEarlierAgree = !(
         (col("j") > 0 && col("a0") === col("b0")) ||
         (col("j") > 1 && col("a1") === col("b1")) ||
         (col("j") > 2 && col("a2") === col("b2")))
-      val hamming = (0 until 4)
+      val cand = a.join(b, Seq("j", "v"))
+        .filter(col("doc_a") < col("doc_b") && col("nfa") === col("nfb") && noEarlierAgree)
+        .select(col("doc_a"), col("doc_b"))
+      val perFrameHam = (0 until 4)
         .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))).cast("long"))
         .reduce(_ + _)
-      a.join(b, Seq("j", "v"))
-        .filter(col("doc_a") < col("doc_b") && noEarlierAgree)
-        .withColumn("hamming", hamming)
-        .filter(col("hamming") <= lit(PhashMaxHamming))
+      val ha = fh.select(col("doc_id").as("doc_a"), col("frame_idx"),
+        col("band0").as("a0"), col("band1").as("a1"),
+        col("band2").as("a2"), col("band3").as("a3"))
+      val hb = fh.select(col("doc_id").as("doc_b"), col("frame_idx"),
+        col("band0").as("b0"), col("band1").as("b1"),
+        col("band2").as("b2"), col("band3").as("b3"))
+      cand.join(ha, Seq("doc_a")).join(hb, Seq("doc_b", "frame_idx"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(perFrameHam).as("hamming"))
+        .filter(col("hamming") <= lit(VphashMaxHamming))
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -284,7 +425,8 @@ object MultimodalQueries {
       // base pixel is the QUADRATIC mix (affine y first — it wraps mod
       // P — then y² mod P + y; y < P keeps y² under 2^62 in both
       // engines)
-      s"""WITH xk AS (
+      val ctes =
+        s"""WITH xk AS (
          |  SELECT d.doc_id, k.k,
          |    (($ba * ((((d.doc_id // $g) % $p) * $n + k.k) % $p) + $bb) % $p) AS y
          |  FROM documents d CROSS JOIN (SELECT unnest(range($n)) AS k) k),
@@ -309,17 +451,108 @@ object MultimodalQueries {
          |    CAST(SUM(CASE WHEN fp >= 16 AND fp < 32 THEN bit * (1::BIGINT << (fp - 16)) ELSE 0 END) AS BIGINT) AS band1,
          |    CAST(SUM(CASE WHEN fp >= 32 AND fp < 48 THEN bit * (1::BIGINT << (fp - 32)) ELSE 0 END) AS BIGINT) AS band2,
          |    CAST(SUM(CASE WHEN fp >= 48 THEN bit * (1::BIGINT << (fp - 48)) ELSE 0 END) AS BIGINT) AS band3
-         |  FROM bits GROUP BY doc_id),
+         |  FROM bits GROUP BY doc_id)""".stripMargin
+      bandPairsSql(ctes, PhashMaxHamming)
+    },
+
+    "q156_audio_fingerprint" -> {
+      val (ba, bb) = graft.functions.PortableHash.AudioVariantBasePair
+      val (pa, pb) = graft.functions.PortableHash.AudioVariantPosPair
+      val (qa, qb) = graft.functions.PortableHash.AudioVariantValuePair
+      val p = graft.functions.PortableHash.P
+      val n = Multimodal.SynthSamples
+      val g = Multimodal.VariantGroupSize
+      // sample → delta-sign bit → 16-bit bands → band rule → exact
+      // Hamming: the integer arithmetic the engine's WAV round-trip
+      // must hand back bit-for-bit; the base sample is the QUADRATIC
+      // mix (affine y first, then y² mod P + y — y < P keeps y² under
+      // 2^62 in both engines), the perturbed sample its own affine
+      val ctes =
+        s"""WITH xk AS (
+           |  SELECT d.doc_id, k.k,
+           |    (($ba * ((((d.doc_id // $g) % $p) * $n + k.k) % $p) + $bb) % $p) AS y
+           |  FROM documents d CROSS JOIN (SELECT unnest(range($n)) AS k) k),
+           |sm AS (
+           |  SELECT doc_id, k,
+           |    CASE WHEN k = (($pa * (doc_id % $p) + $pb) % $p) % $n
+           |      THEN ((($qa * (doc_id % $p) + $qb) % $p) % 65536) - 32768
+           |      ELSE (((y * y) % $p + y) % $p % 65536) - 32768
+           |    END AS v
+           |  FROM xk),
+           |bits AS (
+           |  SELECT a.doc_id, a.k AS fp,
+           |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+           |  FROM sm a JOIN sm b
+           |    ON a.doc_id = b.doc_id AND b.k = (a.k + 1) % $n),
+           |bands AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN fp < 16 THEN bit * (1::BIGINT << fp) ELSE 0 END) AS BIGINT) AS band0,
+           |    CAST(SUM(CASE WHEN fp >= 16 AND fp < 32 THEN bit * (1::BIGINT << (fp - 16)) ELSE 0 END) AS BIGINT) AS band1,
+           |    CAST(SUM(CASE WHEN fp >= 32 AND fp < 48 THEN bit * (1::BIGINT << (fp - 32)) ELSE 0 END) AS BIGINT) AS band2,
+           |    CAST(SUM(CASE WHEN fp >= 48 THEN bit * (1::BIGINT << (fp - 48)) ELSE 0 END) AS BIGINT) AS band3
+           |  FROM bits GROUP BY doc_id)""".stripMargin
+      bandPairsSql(ctes, AfpMaxHamming)
+    },
+
+    "q157_video_neardup" -> {
+      val (ba, bb) = graft.functions.PortableHash.VideoVariantBasePair
+      val (pa, pb) = graft.functions.PortableHash.VideoVariantPosPair
+      val (qa, qb) = graft.functions.PortableHash.VideoVariantValuePair
+      val p = graft.functions.PortableHash.P
+      val px = Multimodal.VideoPixels
+      val span = Multimodal.VideoMaxFrames * Multimodal.VideoPixels
+      val g = Multimodal.VariantGroupSize
+      // frame gray → per-frame aHash bits → 16-bit bands → frame-0
+      // anchor rule (+ equal frame counts) → exact aligned Hamming:
+      // the integer arithmetic the engine's multi-frame GIF round-trip
+      // must hand back bit-for-bit; base gray is the QUADRATIC mix,
+      // the perturbed (frame, pixel) its own affine over the group's
+      // frame span
+      s"""WITH d AS (SELECT doc_id, (2 + (doc_id // $g) % 3)::BIGINT AS nf FROM documents),
+         |f AS (SELECT doc_id, nf, unnest(range(nf)) AS fr FROM d),
+         |xk AS (
+         |  SELECT doc_id, nf, fr, j.j,
+         |    (($ba * ((((doc_id // $g) % $p) * $span + fr * $px + j.j) % $p) + $bb) % $p) AS y
+         |  FROM f CROSS JOIN (SELECT unnest(range($px)) AS j) j),
+         |pv AS (
+         |  SELECT doc_id, nf, fr, j,
+         |    CASE WHEN fr * $px + j = (($pa * (doc_id % $p) + $pb) % $p) % (nf * $px)
+         |      THEN (($qa * (doc_id % $p) + $qb) % $p) % 256
+         |      ELSE ((y * y) % $p + y) % $p % 256
+         |    END AS v
+         |  FROM xk),
+         |ft AS (SELECT doc_id, fr, CAST(SUM(v) AS BIGINT) AS total
+         |       FROM pv GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT pv.doc_id, pv.fr, pv.j,
+         |    CASE WHEN pv.v * $px > t.total THEN 1 ELSE 0 END AS bit
+         |  FROM pv JOIN ft t ON pv.doc_id = t.doc_id AND pv.fr = t.fr),
+         |bandsf AS (
+         |  SELECT doc_id, fr,
+         |    CAST(SUM(CASE WHEN j < 16 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS band0,
+         |    CAST(SUM(CASE WHEN j >= 16 AND j < 32 THEN bit * (1::BIGINT << (j - 16)) ELSE 0 END) AS BIGINT) AS band1,
+         |    CAST(SUM(CASE WHEN j >= 32 AND j < 48 THEN bit * (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS band2,
+         |    CAST(SUM(CASE WHEN j >= 48 THEN bit * (1::BIGINT << (j - 48)) ELSE 0 END) AS BIGINT) AS band3
+         |  FROM bits GROUP BY doc_id, fr),
+         |f0 AS (
+         |  SELECT b.doc_id, d.nf, b.band0, b.band1, b.band2, b.band3
+         |  FROM bandsf b JOIN d ON b.doc_id = d.doc_id WHERE b.fr = 0),
          |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
-         |       + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
-         |  FROM bands a JOIN bands b
-         |    ON a.doc_id < b.doc_id
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM f0 a JOIN f0 b
+         |    ON a.doc_id < b.doc_id AND a.nf = b.nf
          |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |        a.band2 = b.band2 OR a.band3 = b.band3))
-         |SELECT doc_a, doc_b, hamming FROM cand
-         |WHERE hamming <= $PhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
+         |        a.band2 = b.band2 OR a.band3 = b.band3)),
+         |ham AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(SUM(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
+         |       + bit_count(xor(fa.band2, fb.band2)) + bit_count(xor(fa.band3, fb.band3))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN bandsf fa ON fa.doc_id = c.doc_a
+         |  JOIN bandsf fb ON fb.doc_id = c.doc_b AND fb.fr = fa.fr
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= $VphashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q74_image_decode" -> {

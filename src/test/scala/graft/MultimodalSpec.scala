@@ -351,6 +351,126 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(diffs.toSet === Set(pstar, Multimodal.variantPixel(id + 1)))
   }
 
+  test("fingerprint bands from a decoded variant WAV match the sample formula bit for bit") {
+    val id = 23L
+    val df = Seq(id).toDF("doc_id")
+    val got = Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(df))
+      .select($"band0", $"band1", $"band2", $"band3")
+      .as[(Long, Long, Long, Long)].head()
+    val n = Multimodal.SynthSamples
+    val s = Array.tabulate(n)(k => Multimodal.variantSample(id, k))
+    val bands = new Array[Long](4)
+    for (k <- 0 until n if s((k + 1) % n) > s(k))
+      bands(k / (n / 4)) |= 1L << (k % (n / 4))
+    assert(got === ((bands(0), bands(1), bands(2), bands(3))))
+  }
+
+  test("variant clips perturb exactly one sample of the group base") {
+    val id = 10L // group 3 member; compare against a sibling
+    val diffs = (0 until Multimodal.SynthSamples).filter(k =>
+      Multimodal.variantSample(id, k) != Multimodal.variantSample(id + 1, k))
+    // siblings differ exactly on the union of their two perturbed
+    // samples (they share the group base everywhere else)
+    assert(diffs.toSet ===
+      Set(Multimodal.variantSamplePos(id), Multimodal.variantSamplePos(id + 1)))
+  }
+
+  test("a one-sample perturbation flips at most two delta-sign bits") {
+    // the Hamming bound AfpMaxHamming rests on: member vs its group
+    // base differ only at the two deltas adjacent to the perturbed
+    // sample, so same-group pairs sit at Hamming <= 4
+    val n = Multimodal.SynthSamples
+    def bits(s: Array[Int]): Set[Int] =
+      (0 until n).filter(k => s((k + 1) % n) > s(k)).toSet
+    for (id <- 0L until 12L) {
+      val member = Array.tabulate(n)(k => Multimodal.variantSample(id, k))
+      val base = member.clone()
+      // reconstruct the unperturbed base at the perturbed position
+      val pos = Multimodal.variantSamplePos(id)
+      val (a, b) = graft.functions.PortableHash.AudioVariantBasePair
+      val p = graft.functions.PortableHash.P
+      val x = (((id / Multimodal.VariantGroupSize) % p) * n + pos) % p
+      val y = (a * x + b) % p
+      base(pos) = ((((y * y) % p + y) % p % 65536L) - 32768L).toInt
+      val flipped = (bits(member) diff bits(base)) union (bits(base) diff bits(member))
+      assert(flipped.size <= 2, s"id=$id flipped ${flipped.size} bits")
+    }
+  }
+
+  test("q156 recovers the planted audio near-dup groups with no cross-group noise") {
+    val out = SparkEntry.queries("q156_audio_fingerprint")(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    val g = Multimodal.VariantGroupSize
+    assert(out.nonEmpty)
+    // every pair is same-group (no spurious cross-group collisions)…
+    assert(out.forall { case (a, b, _) => a / g == b / g })
+    assert(out.forall(_._3 <= graft.queries.MultimodalQueries.AfpMaxHamming))
+    // …and recall over the planted pairs is near-total (a pair can
+    // only miss when neither of its <= 4 differing bits leaves a band
+    // agreeing — the banding heuristic's declared semantics)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id").as[Long].collect().toSeq
+    val planted = docs.groupBy(_ / g).values.map(m => m.size * (m.size - 1) / 2).sum
+    assert(out.size >= (planted * 9) / 10,
+      s"recovered ${out.size} of $planted planted pairs")
+  }
+
+  test("per-frame hash bands from a decoded variant GIF match the gray formula bit for bit") {
+    val id = 17L
+    val df = Seq(id).toDF("doc_id")
+    val got = Multimodal.videoFrameHashBands(Multimodal.ingestSynthVariantVideo(df))
+      .select($"frame_idx", $"n_frames", $"band0", $"band1", $"band2", $"band3")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val nf = Multimodal.videoVariantFrameCount(id)
+    assert(got.length === nf && got.forall(_._2 === nf.toLong))
+    for (f <- 0 until nf) {
+      val px = Multimodal.VideoPixels
+      val gray = Array.tabulate(px)(j => Multimodal.variantGray(id, f, j).toLong)
+      val total = gray.sum
+      val bands = new Array[Long](4)
+      for (j <- 0 until px if gray(j) * px > total)
+        bands(j / 16) |= 1L << (j % 16)
+      assert((got(f)._3, got(f)._4, got(f)._5, got(f)._6) ===
+        ((bands(0), bands(1), bands(2), bands(3))), s"frame $f")
+    }
+  }
+
+  test("variant clips share the group's frame count and perturb one (frame, pixel)") {
+    val id = 10L // group 3 member; sibling id+1
+    assert(Multimodal.videoVariantFrameCount(id) ===
+      Multimodal.videoVariantFrameCount(id + 1))
+    val nf = Multimodal.videoVariantFrameCount(id)
+    val diffs = for {
+      f <- 0 until nf; j <- 0 until Multimodal.VideoPixels
+      if Multimodal.variantGray(id, f, j) != Multimodal.variantGray(id + 1, f, j)
+    } yield f * Multimodal.VideoPixels + j
+    // siblings differ exactly on the union of their two perturbed
+    // flat positions (they share the group base everywhere else)
+    assert(diffs.toSet ===
+      Set(Multimodal.videoVariantPos(id), Multimodal.videoVariantPos(id + 1)))
+  }
+
+  test("q157 recovers the planted video near-dup groups with no cross-group noise") {
+    val out = SparkEntry.queries("q157_video_neardup")(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    val g = Multimodal.VariantGroupSize
+    assert(out.nonEmpty)
+    // every pair is same-group (no spurious cross-group collisions)…
+    assert(out.forall { case (a, b, _) => a / g == b / g })
+    assert(out.forall(_._3 <= graft.queries.MultimodalQueries.VphashMaxHamming))
+    // …and recall over the planted pairs is near-total (a pair can
+    // miss when borderline frame-total shifts push its aligned
+    // Hamming past the cut or its frame-0 bands all diverge — the
+    // declared anchor-rule semantics; measured 498/499 at 500 clips)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id").as[Long].collect().toSeq
+    val planted = docs.groupBy(_ / g).values.map(m => m.size * (m.size - 1) / 2).sum
+    assert(out.size >= (planted * 9) / 10,
+      s"recovered ${out.size} of $planted planted pairs")
+  }
+
   test("q155 recovers the planted near-dup groups with no cross-group noise") {
     val out = SparkEntry.queries("q155_image_phash")(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming")
