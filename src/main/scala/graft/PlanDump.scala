@@ -383,6 +383,12 @@ object PlanDump {
         "q155's exact banded candidate→verify shape — one exploded " +
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
+    "q158_phash_index_probe" ->
+      ("Incremental image dedup vs the persisted phash band index: the " +
+        "new batch decodes + hashes only ITSELF (O(new) decode work), " +
+        "candidates are a band equi-join against the parquet artifact " +
+        "∪ prior-new keys, first-agreeing-band claim, exact Hamming " +
+        "verify — the indexed corpus is never re-decoded."),
     "q157_video_neardup" ->
       ("Temporal video near-dup: real multi-frame decode + per-frame " +
         "aHash inside mapPartitions (blobs never shuffle), frame-0 " +

@@ -378,6 +378,56 @@ object EventStreams {
     * @param indexDir artifact directory written by saveCorpusIndex
     * @return streaming (doc_id, partner, jac) — verified near-dup pairs
     *         of each streamed doc against the indexed corpus. */
+  /** Stateless stream-static probe of newly-ingested IMAGES against
+    * the persisted q158 phash band index — the multimodal face of
+    * [[incrementalDedupVsIndex]]: each micro-batch decodes + aHashes
+    * only its own images (row-local mapPartitions — decode composes
+    * with a stream unchanged), explodes its band keys, equi-joins the
+    * static index, claims each (new, indexed) pair once via the
+    * first-agreeing-band rule, and emits pairs verified by exact
+    * 64-bit Hamming. No state store, so replay must equal the batch
+    * probe restricted to old-corpus partners — EventStreamsSpec
+    * asserts exactly that. Same stream-static caveat as the text
+    * twin: no dynamic partition pruning per micro-batch; batching
+    * amortizes the index scan.
+    *
+    * @param newDocs  streaming (doc_id) of newly-arrived image docs
+    * @param indexDir artifact directory written by
+    *                 [[graft.queries.MultimodalQueries.phashIndexDir]]
+    * @return streaming (doc_id, partner, hamming) verified pairs. */
+  def phashProbeVsIndex(spark: SparkSession, indexDir: String,
+                        newDocs: DataFrame, maxHamming: Long): DataFrame = {
+    import graft.multimodal.Multimodal
+    val idx = spark.read.parquet(s"$indexDir/bands")
+    graft.operators.Dedup.requireIndexCols(idx, indexDir, "bands",
+      Seq("doc_id", "j", "v", "band0", "band1", "band2", "band3"))
+    val pb = idx.select(col("doc_id").as("partner"), col("j"), col("v"),
+      col("band0").as("b0"), col("band1").as("b1"),
+      col("band2").as("b2"), col("band3").as("b3"))
+    val nh = Multimodal
+      .imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs))
+      .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+    val nx = nh.select(col("doc_id"),
+        col("band0").as("a0"), col("band1").as("a1"),
+        col("band2").as("a2"), col("band3").as("a3"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
+        col("a0"), col("a1"), col("a2"), col("a3"))
+    val noEarlierAgree = !(
+      (col("j") > 0 && col("a0") === col("b0")) ||
+      (col("j") > 1 && col("a1") === col("b1")) ||
+      (col("j") > 2 && col("a2") === col("b2")))
+    val hamming = (0 until 4)
+      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+      .reduce(_ + _)
+    nx.join(pb, Seq("j", "v"))
+      .filter(col("doc_id") =!= col("partner") && noEarlierAgree)
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= lit(maxHamming))
+      .select(col("doc_id"), col("partner"), col("hamming"))
+  }
+
   def incrementalDedupVsIndex(spark: SparkSession, indexDir: String,
                               newDocs: DataFrame, threshold: Double): DataFrame = {
     import graft.operators.Dedup

@@ -303,6 +303,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static phash probe replay-matches the declared q158 old-partner counts") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    val dir = MultimodalQueries.phashIndexDir(spark, sf0001)
+    val newIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashProbeNewMod)) >=
+        MultimodalQueries.PhashProbeNewMin)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    val mem = MemoryStream[Long]
+    val stream = EventStreams.phashProbeVsIndex(spark, dir,
+      mem.toDF().toDF("doc_id"), MultimodalQueries.PhashMaxHamming)
+    val q = stream
+      .writeStream.format("memory").queryName("phashidx").outputMode("append").start()
+    try {
+      // two micro-batches: per-batch probes must compose statelessly
+      mem.addData(newIds.take(newIds.size / 2))
+      q.processAllAvailable()
+      mem.addData(newIds.drop(newIds.size / 2))
+      q.processAllAvailable()
+      val gotRows = spark.table("phashidx")
+        .select($"doc_id", $"partner", $"hamming")
+        .as[(Long, Long, Long)].collect().toSeq
+      // stateless exactly-once: no pair may arrive twice across batches
+      assert(gotRows.size === gotRows.distinct.size)
+      // the law ties the twin to the DECLARED query: per-doc pair
+      // counts from the stream == q158's n_dup_old column (the stream
+      // probes the persisted index only, i.e. old-corpus partners)
+      val gotCounts = gotRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val want = SparkEntry.queries("q158_phash_index_probe")(spark, sf0001)
+        .select($"doc_id", $"n_dup_old")
+        .as[(Long, Long)].collect().toMap
+      assert(newIds.forall(id => gotCounts.getOrElse(id, 0L) === want(id)),
+        "streamed old-partner counts diverge from the batch q158")
+      assert(gotRows.nonEmpty, "fixture should plant cross-batch image near-dups")
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup replay-matches the batch incremental pairs") {
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -471,6 +471,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       s"recovered ${out.size} of $planted planted pairs")
   }
 
+  test("q158 exercises both partner classes and keeps the accepted flag consistent") {
+    import graft.queries.MultimodalQueries
+    val out = SparkEntry.queries("q158_phash_index_probe")(spark, sf0001)
+      .select($"doc_id", $"n_dup_old", $"n_dup_new_prior", $"accepted")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id").as[Long].collect().toSeq
+    val isNew: Long => Boolean =
+      id => id % MultimodalQueries.PhashProbeNewMod >= MultimodalQueries.PhashProbeNewMin
+    // every new doc reports exactly once, accepted iff no dup of either class
+    assert(out.map(_._1).sorted === docs.filter(isNew).sorted)
+    assert(out.forall(r => (r._4 == 1L) === (r._2 == 0L && r._3 == 0L)))
+    // the % 5 split exists so BOTH partner classes are real on the
+    // planted fixture (old partners AND earlier-new partners) — pin it
+    assert(out.exists(_._2 > 0), "no old-corpus duplicates exercised")
+    assert(out.exists(_._3 > 0), "no prior-new duplicates exercised")
+    // a new doc's dup counts never exceed its group's other members
+    val g = Multimodal.VariantGroupSize
+    val bySize = docs.groupBy(_ / g).view.mapValues(_.size).toMap
+    assert(out.forall(r => r._2 + r._3 <= bySize(r._1 / g) - 1 + 2),
+      "dup counts exceed plausible group size + collision slack")
+  }
+
   test("q155 recovers the planted near-dup groups with no cross-group noise") {
     val out = SparkEntry.queries("q155_image_phash")(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming")
