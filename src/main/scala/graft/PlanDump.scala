@@ -383,6 +383,11 @@ object PlanDump {
         "q155's exact banded candidate→verify shape — one exploded " +
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
+    "q159_image_survivors" ->
+      ("Image dedup survivors: the session-cached q155 pair view feeds " +
+        "connected components (union-find below the edge cutover, " +
+        "large-star/small-star above) — after the one decode+hash pass " +
+        "everything moves (id, id) rows only."),
     "q158_phash_index_probe" ->
       ("Incremental image dedup vs the persisted phash band index: the " +
         "new batch decodes + hashes only ITSELF (O(new) decode work), " +

@@ -172,6 +172,23 @@ object MultimodalQueries {
   val PhashProbeNewMod = 5L
   val PhashProbeNewMin = 3L
 
+  /** q155's verified near-dup image pairs, session-cached: two
+    * consumers read the same pair set (the q155 pair listing and the
+    * q159 component/survivor rollup), and the expensive part — decode
+    * + aHash of every image — must run once per session, not once per
+    * consumer. */
+  private[queries] def imagePhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_phash_pairs_" + graft.SparkEntry.pathSlug(dir)) {
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .select(col("doc_id"))
+      val h = Multimodal
+        .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+      bandNearDupPairs(h, PhashMaxHamming)
+    }
+
   private val sessionPhashIndex = new graft.SessionMemo[String, String]
 
   /** Session-once persisted phash band index of the OLD image corpus
@@ -224,13 +241,26 @@ object MultimodalQueries {
       // the bands, the band rule, and the Hamming arithmetic in pure
       // integer SQL — hash-green certifies the decode round-trip AND
       // the banding semantics end to end.
-      val docs = graft.SparkEntry.tbl(s, dir, "documents")
-        .spreadIfNarrow(s)
-        .select(col("doc_id"))
-      val h = Multimodal
-        .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
-      bandNearDupPairs(h, PhashMaxHamming)
+      imagePhashPairs(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q159_image_survivors" -> ((s, dir) => {
+      // the full image-dedup pipeline, closing the q31 shape for the
+      // multimodal face: q155's verified phash pairs → connected
+      // components (driver union-find below the edge cutover,
+      // large-star/small-star contraction above — the same
+      // Dedup.connectedComponents every text pipeline uses) → min-id
+      // survivor per near-dup cluster, over ALL images. The pair set
+      // is the session-cached q155 view, so decode+hash runs once for
+      // both consumers; everything after it moves only (id, id) rows.
+      graft.operators.Dedup.survivors(
+          graft.SparkEntry.tbl(s, dir, "documents").select(col("doc_id")),
+          "doc_id",
+          imagePhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id"), col("component"),
+          col("is_survivor").cast("int").as("is_survivor"))
+        .orderBy(col("doc_id"))
     }),
 
     "q156_audio_fingerprint" -> ((s, dir) => {
@@ -558,6 +588,36 @@ object MultimodalQueries {
       // exact Hamming: every stage is the integer arithmetic the
       // engine's decode round-trip must hand back bit-for-bit
       bandPairsSql(variantImageBandsCtes, PhashMaxHamming)
+    },
+
+    "q159_image_survivors" -> {
+      // q155's band rule + Hamming cut as a pairs CTE, then the q31
+      // recursive-components construction: reach = transitive closure
+      // of the undirected pair graph, component = min reachable id,
+      // survivor = the doc that IS its component's min
+      val hamming =
+        "bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))" +
+          " + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))"
+      s"""WITH RECURSIVE ${variantImageBandsCtes.stripPrefix("WITH ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.doc_id < b.doc_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |        a.band2 = b.band2 OR a.band3 = b.band3)
+         |   AND $hamming <= $PhashMaxHamming),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  COALESCE(c.component, d.doc_id) AS component,
+         |  CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS is_survivor
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q158_phash_index_probe" -> {

@@ -494,6 +494,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "dup counts exceed plausible group size + collision slack")
   }
 
+  test("q159 survivor labels agree with the q155 pair graph") {
+    val pairs = SparkEntry.queries("q155_image_phash")(spark, sf0001)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    val out = SparkEntry.queries("q159_image_survivors")(spark, sf0001)
+      .select($"doc_id", $"component", $"is_survivor")
+      .as[(Long, Long, Int)].collect().toSeq
+    val comp = out.map(r => r._1 -> r._2).toMap
+    // paired docs share a component; the component is the min member;
+    // exactly the min member of each component survives
+    assert(pairs.forall { case (a, b) => comp(a) == comp(b) })
+    val members = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(members.forall { case (c, ms) => ms.min == c })
+    assert(out.forall(r => (r._3 == 1) == (r._1 == r._2)))
+    // unpaired docs are their own singleton component
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(out.filter(r => !inPairs(r._1)).forall(r => r._2 == r._1))
+  }
+
   test("q155 recovers the planted near-dup groups with no cross-group noise") {
     val out = SparkEntry.queries("q155_image_phash")(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming")
