@@ -383,6 +383,12 @@ object PlanDump {
         "q155's exact banded candidate→verify shape — one exploded " +
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
+    "q160_image_export" ->
+      ("Dedup-aware image export manifest: survivors of the q155 pair " +
+        "graph shard under the dedicated portable shard hash, each " +
+        "shard carrying decoded-pixel gray mass as its content " +
+        "checksum — ONE decode pass (the session-cached bands view) " +
+        "feeds q155, q159, and this manifest."),
     "q159_image_survivors" ->
       ("Image dedup survivors: the session-cached q155 pair view feeds " +
         "connected components (union-find below the edge cutover, " +

@@ -283,11 +283,14 @@ object Multimodal {
     * images within small Hamming distance agree exactly on at least
     * one band (pigeonhole: guaranteed for Hamming ≤ 3, heuristic
     * beyond), so candidate generation is a band equi-join, never an
-    * all-pairs scan. Decode and hashing run row-local in
-    * mapPartitions; only (doc_id, 4 longs) ever move. Non-image /
-    * null blobs pass through with null bands. */
+    * all-pairs scan. Also emits `gray_total` (the per-image gray mass
+    * the bit threshold divides against) — the content checksum
+    * downstream export manifests carry without a second decode pass
+    * (q160). Decode and hashing run row-local in mapPartitions; only
+    * (doc_id, 5 longs) ever move. Non-image / null blobs pass
+    * through with null bands. */
   def imageAHashBands(blobs: DataFrame): DataFrame = {
-    val bandFields = (0 until 4).map(j => s"band$j")
+    val bandFields = (0 until 4).map(j => s"band$j") :+ "gray_total"
     val outSchema = StructType(blobs.schema.fields ++
       bandFields.map(StructField(_, LongType, nullable = true)))
     val enc = RowEncoder.encoderFor(outSchema)
@@ -300,7 +303,7 @@ object Multimodal {
         val mediaType = r.getStruct(metaIdx).getString(0)
         val bands: Seq[Any] =
           if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
-            Seq(null, null, null, null)
+            Seq(null, null, null, null, null)
           else {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
             require(img != null, "undecodable image blob")
@@ -327,7 +330,7 @@ object Multimodal {
                 out(fp / bandBits) |= 1L << (fp % bandBits)
               fp += 1
             }
-            out.toSeq
+            out.toSeq :+ total
           }
         Row.fromSeq(r.toSeq ++ bands)
       }

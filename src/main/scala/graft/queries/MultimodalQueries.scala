@@ -172,22 +172,31 @@ object MultimodalQueries {
   val PhashProbeNewMod = 5L
   val PhashProbeNewMin = 3L
 
-  /** q155's verified near-dup image pairs, session-cached: two
-    * consumers read the same pair set (the q155 pair listing and the
-    * q159 component/survivor rollup), and the expensive part — decode
-    * + aHash of every image — must run once per session, not once per
-    * consumer. */
-  private[queries] def imagePhashPairs(s: SparkSession, dir: String): DataFrame =
+  /** The full corpus's variant-image aHash bands (+ per-image gray
+    * mass), session-cached: the EXPENSIVE pass — decode + hash of
+    * every image — runs once per session, and three consumers derive
+    * from the tiny cached table (q155 pairs, q159 components, q160
+    * export manifest). */
+  private[queries] def variantImageBands(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.cachedView(s,
-      "graft_cache_phash_pairs_" + graft.SparkEntry.pathSlug(dir)) {
+      "graft_cache_phash_bands_" + graft.SparkEntry.pathSlug(dir)) {
       val docs = graft.SparkEntry.tbl(s, dir, "documents")
         .spreadIfNarrow(s)
         .select(col("doc_id"))
-      val h = Multimodal
+      Multimodal
         .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
-      bandNearDupPairs(h, PhashMaxHamming)
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("gray_total"))
     }
+
+  /** q155's verified near-dup image pairs over the cached bands — the
+    * banded join recomputes per consumer (cheap: 5-long rows), the
+    * decode does not. */
+  private[queries] def imagePhashPairs(s: SparkSession, dir: String): DataFrame =
+    bandNearDupPairs(
+      variantImageBands(s, dir)
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3")),
+      PhashMaxHamming)
 
   private val sessionPhashIndex = new graft.SessionMemo[String, String]
 
@@ -261,6 +270,42 @@ object MultimodalQueries {
         .select(col("doc_id"), col("component"),
           col("is_survivor").cast("int").as("is_survivor"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q160_image_export" -> ((s, dir) => {
+      // the dedup-aware export manifest for the image corpus — q68's
+      // webdataset-manifest shape composed with q159's survivor
+      // policy: only the canonical member of each near-dup cluster is
+      // exported, shards are assigned by the dedicated portable shard
+      // hash (uncorrelated with split/sample/mix membership — the q68
+      // independence argument), and each shard's row carries the doc
+      // count plus the decoded-pixel gray mass as the content
+      // checksum a loader can verify against. Everything derives from
+      // the session-cached bands view: ONE decode pass feeds q155,
+      // q159, and this manifest; the survivor join and the 16-group
+      // rollup move (id, long) rows only. At 100 TB the same shard
+      // hash drives the actual sharded write (repartition on shard),
+      // so manifest and data can never drift.
+      val (a, b) = graft.functions.PortableHash.ShardPair
+      val nShards = ExtraQueries.NShards
+      val surv = graft.operators.Dedup.survivors(
+          graft.SparkEntry.tbl(s, dir, "documents").select(col("doc_id")),
+          "doc_id",
+          imagePhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .filter(col("is_survivor"))
+        .select(col("doc_id"))
+      surv
+        .join(variantImageBands(s, dir).select(col("doc_id"), col("gray_total")),
+          "doc_id")
+        .withColumn("shard",
+          ((lit(a) * pmod(col("doc_id"), lit(P)) + lit(b)) % lit(P)) % nShards)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(col("gray_total")).cast("long").as("gray_mass"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
     }),
 
     "q156_audio_fingerprint" -> ((s, dir) => {
@@ -618,6 +663,43 @@ object MultimodalQueries {
          |  CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS is_survivor
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q160_image_export" -> {
+      val (a, b) = graft.functions.PortableHash.ShardPair
+      val nShards = ExtraQueries.NShards
+      val hamming =
+        "bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))" +
+          " + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))"
+      // q159's survivor construction + q68's shard hash; gray_mass
+      // comes from the same `tot` CTE the aHash bit threshold uses —
+      // the decoded-pixel checksum the engine must reproduce
+      s"""WITH RECURSIVE ${variantImageBandsCtes.stripPrefix("WITH ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.doc_id < b.doc_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |        a.band2 = b.band2 OR a.band3 = b.band3)
+         |   AND $hamming <= $PhashMaxHamming),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+         |surv AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |  WHERE COALESCE(c.component, d.doc_id) = d.doc_id),
+         |t AS (
+         |  SELECT s.doc_id, tt.total,
+         |    (($a * (s.doc_id % $P) + $b) % $P) % $nShards AS shard
+         |  FROM surv s JOIN tot tt ON s.doc_id = tt.doc_id)
+         |SELECT shard, COUNT(*) AS n_images,
+         |  CAST(SUM(total) AS BIGINT) AS gray_mass,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "q158_phash_index_probe" -> {

@@ -512,6 +512,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(r => !inPairs(r._1)).forall(r => r._2 == r._1))
   }
 
+  test("q160 manifest shards exactly the q159 survivors under the dedicated shard hash") {
+    val surv = SparkEntry.queries("q159_image_survivors")(spark, sf0001)
+      .filter($"is_survivor" === 1).select($"doc_id").as[Long].collect().toSeq
+    val out = SparkEntry.queries("q160_image_export")(spark, sf0001)
+      .select($"shard", $"n_images", $"min_doc", $"max_doc")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val (a, b) = graft.functions.PortableHash.ShardPair
+    val p = graft.functions.PortableHash.P
+    val want = surv.groupBy(id => ((a * (id % p) + b) % p) % graft.queries.ExtraQueries.NShards)
+    assert(out.map(_._2).sum === surv.size.toLong)
+    assert(out.map(r => r._1 -> r._2).toMap ===
+      want.view.mapValues(_.size.toLong).toMap)
+    assert(out.forall(r => r._3 == want(r._1).min && r._4 == want(r._1).max))
+  }
+
   test("q155 recovers the planted near-dup groups with no cross-group noise") {
     val out = SparkEntry.queries("q155_image_phash")(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming")
