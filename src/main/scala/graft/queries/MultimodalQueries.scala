@@ -328,6 +328,9 @@ object MultimodalQueries {
       val h = Multimodal
         .audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+        .cache() // both join sides read the tiny fingerprint table —
+                 // decode must not run once per side (q157's pattern;
+                 // bounded: n_docs × 5 longs, blobs never cached)
       bandNearDupPairs(h, AfpMaxHamming)
     }),
 
