@@ -383,6 +383,11 @@ object MultimodalQueries {
       val nh = Multimodal
         .imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+        .cache() // three consumers (probe keys, prior-new partner keys,
+                 // and nothing else decodes): the new batch must decode
+                 // once per probe, not once per join arm. In-query
+                 // cache is right here — each ingest batch is new data,
+                 // so cross-invocation reuse would be incorrect anyway.
       val nx = explodeBandKeys(nh)
         .toDF("nid", "j", "v", "a0", "a1", "a2", "a3")
       val pbOld = s.read.parquet(s"$idx/bands")

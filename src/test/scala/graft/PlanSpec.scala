@@ -971,6 +971,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
   }
 
+  test("q156 audio fingerprint dedup: q155's banded shape over one cached decode") {
+    val p = plan("q156_audio_fingerprint")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from the band equi-join:\n$p")
+    assert(p.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("SortMergeJoin")) == 1,
+      s"exactly one band-key join expected:\n$p")
+    // both join arms must read the SAME session-cached fingerprint
+    // table — the decode-once receipt in plan form
+    assert(p.linesIterator.count(l => l.contains("InMemoryTableScan") ||
+        l.contains("Scan In-memory table")) >= 2,
+      s"both arms should scan the cached fingerprint view:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
+  }
+
+  test("q157 video near-dup: anchor band join + doc-keyed verify joins, no pair enumeration") {
+    val p = plan("q157_video_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the frame-0 band equi-join:\n$p")
+    // one band join (candidates) + two doc-keyed joins (aligned verify)
+    assert(p.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("SortMergeJoin")) == 3,
+      s"band join + two verify joins expected:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory table"),
+      s"the per-frame hash table must come from the session cache:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
+  }
+
+  test("q158 probes the persisted phash index; the corpus is never re-decoded") {
+    val p = plan("q158_phash_index_probe")
+    // the indexed corpus side must be READ from the saved artifact
+    assert(p.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("graft_phash_index")),
+      s"expected the persisted phash band scan in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe candidates must come from the band equi-join:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
+  }
+
   test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
     val p = plan("q150_ivfpq_delta")
     // main side = the q148 shape against the MAIN-built artifact:
