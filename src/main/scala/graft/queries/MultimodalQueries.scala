@@ -124,7 +124,9 @@ object MultimodalQueries {
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= lit(maxHamming))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // no ordering here: the pair-listing queries sort at their own
+    // call sites; the component/manifest consumers (q159/q160) must
+    // not pay a full sort of the pair set they immediately re-shuffle
   }
 
   /** DuckDB twin of [[bandNearDupPairs]]: given CTE text whose last
@@ -357,6 +359,7 @@ object MultimodalQueries {
       // hash-green certifies the audio decode round-trip AND the
       // banding semantics end to end.
       bandNearDupPairs(variantAudioBands(s, dir), AfpMaxHamming)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "q158_phash_index_probe" -> ((s, dir) => {
