@@ -214,6 +214,19 @@ object Multimodal {
     }(enc)
   }
 
+  /** Quarantine-not-crash: at 100 TB corrupt media is CERTAIN, and a
+    * pipeline that dies on one truncated JPEG is not production-
+    * shaped. Every feature-extraction path routes its decode through
+    * this guard — an undecodable blob yields None, and the caller
+    * passes the row through with null features (or emits no frame
+    * rows), exactly the contract foreign media already gets. The
+    * decoders themselves still throw (a direct caller wants the
+    * error); the mapPartitions paths quarantine. Fixture blobs always
+    * decode, so oracle-checked results are unaffected; MultimodalSpec
+    * feeds garbage bytes to pin the policy for every modality. */
+  private def tryDecode[A](f: => A): Option[A] =
+    try Some(f) catch { case scala.util.control.NonFatal(_) => None }
+
   /** The real decoder: ImageIO (PNG/BMP/GIF — whatever the JDK
     * registers) → geometry + per-channel pixel sums. Integer-exact
     * features, so the oracle can reproduce them arithmetically. */
@@ -264,9 +277,9 @@ object Multimodal {
         val features: Seq[Any] =
           if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
             Seq(null, null, null, null, null)
-          else {
-            val (w, h, sr, sg, sb) = decoder.features(blob)
-            Seq(w, h, sr, sg, sb)
+          else tryDecode(decoder.features(blob)) match {
+            case Some((w, h, sr, sg, sb)) => Seq(w, h, sr, sg, sb)
+            case None => Seq(null, null, null, null, null) // quarantined
           }
         Row.fromSeq(r.toSeq ++ features)
       }
@@ -304,7 +317,7 @@ object Multimodal {
         val bands: Seq[Any] =
           if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
             Seq(null, null, null, null, null)
-          else {
+          else tryDecode {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
             require(img != null, "undecodable image blob")
             val n = img.getWidth * img.getHeight
@@ -331,7 +344,7 @@ object Multimodal {
               fp += 1
             }
             out.toSeq :+ total
-          }
+          }.getOrElse(Seq(null, null, null, null, null)) // quarantined
         Row.fromSeq(r.toSeq ++ bands)
       }
     }(enc)
@@ -364,7 +377,7 @@ object Multimodal {
         val features: Seq[Any] =
           if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
             Seq(null, null, null, null)
-          else {
+          else tryDecode {
             imageIoHeapStreams
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(blob))
@@ -397,7 +410,7 @@ object Multimodal {
               cy += 1
             }
             Seq(spr, spg, spb, fp)
-          }
+          }.getOrElse(Seq(null, null, null, null)) // quarantined
         Row.fromSeq(r.toSeq ++ features)
       }
     }(enc)
@@ -668,9 +681,9 @@ object Multimodal {
           if (blob == null || mediaType == null ||
               (mediaType != "audio/wav" && mediaType != "audio/x-wav"))
             Seq(null, null, null)
-          else {
-            val (n, s, sq) = decoder.features(blob)
-            Seq(n, s, sq)
+          else tryDecode(decoder.features(blob)) match {
+            case Some((n, s, sq)) => Seq(n, s, sq)
+            case None => Seq(null, null, null) // quarantined
           }
         Row.fromSeq(r.toSeq ++ features)
       }
@@ -708,7 +721,7 @@ object Multimodal {
           if (blob == null || mediaType == null ||
               (mediaType != "audio/wav" && mediaType != "audio/x-wav"))
             Seq(null, null, null, null)
-          else {
+          else tryDecode {
             val ais = wavReader.getAudioInputStream(
               new java.io.ByteArrayInputStream(blob))
             val samples =
@@ -734,7 +747,7 @@ object Multimodal {
               k += 1
             }
             out.toSeq
-          }
+          }.getOrElse(Seq(null, null, null, null)) // quarantined
         Row.fromSeq(r.toSeq ++ bands)
       }
     }(enc)
@@ -763,9 +776,9 @@ object Multimodal {
           if (blob == null || mediaType == null ||
               (mediaType != "audio/wav" && mediaType != "audio/x-wav"))
             Seq(null, null, null, null)
-          else {
-            val (n, s, sq, fp) = decoder.decimated(blob, factor)
-            Seq(n, s, sq, fp)
+          else tryDecode(decoder.decimated(blob, factor)) match {
+            case Some((n, s, sq, fp)) => Seq(n, s, sq, fp)
+            case None => Seq(null, null, null, null) // quarantined
           }
         Row.fromSeq(r.toSeq ++ features)
       }
@@ -956,7 +969,7 @@ object Multimodal {
         val blob = r.getAs[Array[Byte]](blobIdx)
         val mediaType = r.getStruct(metaIdx).getString(0)
         if (blob == null || mediaType != "image/gif") Iterator.empty
-        else {
+        else tryDecode {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(blob))
           val reader = gifReaderSpi.createReaderInstance()
@@ -990,7 +1003,7 @@ object Multimodal {
               Row.fromSeq(r.toSeq ++ Seq(f.toLong, n.toLong, out(0), out(1), out(2), out(3)))
             }.toVector // materialize BEFORE the finally disposes the reader
           } finally { reader.dispose(); iis.close() }
-        }
+        }.getOrElse(Vector.empty) // quarantined
       }
     }(enc)
   }
@@ -1073,11 +1086,12 @@ object Multimodal {
         val blob = r.getAs[Array[Byte]](blobIdx)
         val mediaType = r.getStruct(metaIdx).getString(0)
         if (blob == null || mediaType != "image/gif") Iterator.empty
-        else {
-          val (n, frames) = decoder.sampledFrames(blob, everyK)
-          frames.iterator.map { case (f, s) =>
-            Row.fromSeq(r.toSeq ++ Seq(f, n, s))
-          }
+        else tryDecode(decoder.sampledFrames(blob, everyK)) match {
+          case Some((n, frames)) =>
+            frames.iterator.map { case (f, s) =>
+              Row.fromSeq(r.toSeq ++ Seq(f, n, s))
+            }
+          case None => Iterator.empty // quarantined
         }
       }
     }(enc)

@@ -527,6 +527,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r._3 == want(r._1).min && r._4 == want(r._1).max))
   }
 
+  test("corrupt blobs quarantine as null features in every modality — never a task failure") {
+    // at 100 TB corrupt media is certain; a pipeline that dies on one
+    // truncated file is not production-shaped. Garbage bytes carrying
+    // each real media type must pass through with null features (or
+    // emit no frame rows) exactly like foreign media — the task must
+    // never fail.
+    def junkRow(mt: String) = {
+      val junk: Array[Byte] = Array.fill(64)(0x5a.toByte)
+      Seq((7L, junk)).toDF("doc_id", "blob")
+        .withColumn("meta", struct(lit(mt).as("media_type"),
+          lit(64L).as("n_bytes"), lit(256).as("chunk_bytes")))
+    }
+    val img = Multimodal.imageFeatures(junkRow("image/png"))
+      .select($"width", $"sum_r").head()
+    assert(img.isNullAt(0) && img.isNullAt(1))
+    val pooled = Multimodal.imagePooledFeatures(junkRow("image/png"))
+      .select($"p_sum_r", $"p_fp").head()
+    assert(pooled.isNullAt(0) && pooled.isNullAt(1))
+    val bands = Multimodal.imageAHashBands(junkRow("image/png"))
+      .select($"band0", $"gray_total").head()
+    assert(bands.isNullAt(0) && bands.isNullAt(1))
+    val au = Multimodal.audioFeatures(junkRow("audio/wav"))
+      .select($"n_samples", $"sum_sq").head()
+    assert(au.isNullAt(0) && au.isNullAt(1))
+    val ds = Multimodal.audioDownsampled(junkRow("audio/wav"))
+      .select($"n_out", $"ds_fp").head()
+    assert(ds.isNullAt(0) && ds.isNullAt(1))
+    val afp = Multimodal.audioFingerprintBands(junkRow("audio/wav"))
+      .select($"band0").head()
+    assert(afp.isNullAt(0))
+    // frame emitters: a corrupt clip contributes no frames, the scan continues
+    assert(Multimodal.videoFrameFeatures(junkRow("image/gif"), 2).count() === 0L)
+    assert(Multimodal.videoFrameHashBands(junkRow("image/gif")).count() === 0L)
+  }
+
   test("q155 recovers the planted near-dup groups with no cross-group noise") {
     val out = SparkEntry.queries("q155_image_phash")(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming")
