@@ -383,6 +383,11 @@ object PlanDump {
         "q155's exact banded candidate→verify shape — one exploded " +
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
+    "q161_media_health" ->
+      ("Media ingest health: row-local decode with the quarantine "
+        + "policy (corrupt blobs become null features, never task "
+        + "failures), map-side-combined per-source rollup — the "
+        + "trust-a-batch report with zero extra shuffles."),
     "q160_image_export" ->
       ("Dedup-aware image export manifest: survivors of the q155 pair " +
         "graph shard under the dedicated portable shard hash, each " +

@@ -308,6 +308,33 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q161_media_health" -> ((s, dir) => {
+      // the ingest health report every media pipeline runs before
+      // trusting a batch: per source, how many blobs arrived, how many
+      // actually DECODE, how many were quarantined, and the decoded
+      // content mass. Corruption is planted deterministically (blobs
+      // of doc_id % 37 == 0 truncated to 10 bytes at ingest), so the
+      // oracle knows exactly which decodes must fail — hash-green
+      // certifies that the quarantine policy nulls precisely the
+      // corrupt blobs and decodes everything else. Row-local decode,
+      // map-side-combined 20-group rollup; blobs never shuffle.
+      val docs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .select(col("doc_id"), col("source"))
+      val blobs = Multimodal.ingestSynthVariantImages(docs)
+        .withColumn("blob",
+          when(pmod(col("doc_id"), lit(37L)) === 0,
+            expr("substring(blob, 1, 10)")).otherwise(col("blob")))
+      Multimodal.imageAHashBands(blobs)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_blobs"),
+          count(col("gray_total")).as("n_ok"),
+          (count(lit(1)) - count(col("gray_total"))).as("n_quarantined"),
+          coalesce(sum(col("gray_total")), lit(0L)).cast("long").as("gray_mass"))
+        .orderBy(col("source"))
+    }),
+
     "q160_image_export" -> ((s, dir) => {
       // the dedup-aware export manifest for the image corpus — q68's
       // webdataset-manifest shape composed with q159's survivor
@@ -692,6 +719,21 @@ object MultimodalQueries {
          |  CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS is_survivor
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q161_media_health" -> {
+      // the bands CTE chain gives per-doc decoded gray mass; the
+      // planted %37 rule decides which decodes MUST fail, so the
+      // oracle states the exact health report the quarantine policy
+      // has to produce
+      s"""$variantImageBandsCtes
+         |SELECT d.source,
+         |  COUNT(*) AS n_blobs,
+         |  CAST(SUM(CASE WHEN d.doc_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+         |  CAST(SUM(CASE WHEN d.doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+         |  CAST(SUM(CASE WHEN d.doc_id % 37 <> 0 THEN t.total ELSE 0 END) AS BIGINT) AS gray_mass
+         |FROM documents d JOIN tot t ON d.doc_id = t.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
 
     "q160_image_export" -> {

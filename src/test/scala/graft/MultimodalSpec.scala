@@ -562,6 +562,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.videoFrameHashBands(junkRow("image/gif")).count() === 0L)
   }
 
+  test("q161 health report quarantines exactly the planted corruption") {
+    val out = SparkEntry.queries("q161_media_health")(spark, sf0001)
+      .select($"source", $"n_blobs", $"n_ok", $"n_quarantined")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSeq
+    val wantBad = docs.filter(_._1 % 37 == 0).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(out.map(_._2).sum === docs.size.toLong)
+    assert(out.forall(r => r._2 === r._3 + r._4))
+    assert(out.map(r => r._1 -> r._4).toMap.filter(_._2 > 0) === wantBad)
+    assert(out.map(_._4).sum > 0, "fixture should plant at least one corrupt blob")
+  }
+
   test("q155 recovers the planted near-dup groups with no cross-group noise") {
     val out = SparkEntry.queries("q155_image_phash")(spark, sf0001)
       .select($"doc_a", $"doc_b", $"hamming")
