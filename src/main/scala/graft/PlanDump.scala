@@ -383,6 +383,12 @@ object PlanDump {
         "q155's exact banded candidate→verify shape — one exploded " +
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
+    "q162_semantic_decontam" ->
+      ("Semantic decontamination: benchmark embeddings broadcast, the "
+        + "corpus scans once, per-vector max similarity partial-"
+        + "aggregates map-side under the vec_id exchange — the "
+        + "embedding-space complement of the lexical q52/q65/q102 "
+        + "screens."),
     "q161_media_health" ->
       ("Media ingest health: row-local decode with the quarantine "
         + "policy (corrupt blobs become null features, never task "

@@ -510,7 +510,42 @@ object AnnQueries {
       .orderBy(col("step"))
   }
 
+  /** q162: benchmark membership rule (vec_id % 41 == 0 — ~2.5% of the
+    * corpus plays the eval suite) and the contamination similarity
+    * cut on the (1+cos)/2 score. 0.65 sits at the fixture's p90, so
+    * both verdicts are well represented; production would set it from
+    * a held-out calibration. */
+  val SemDecontamBenchMod = 41L
+  val SemDecontamTau = 0.65
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q162_semantic_decontam" -> ((s, dir) => {
+      // semantic train/eval overlap screen — the embedding-space
+      // complement of the LEXICAL decontamination family (q52 n-gram,
+      // q65 bloom, q102 span): paraphrased or templated benchmark
+      // leakage carries no shared n-grams, but its embedding sits next
+      // to the eval item, so production pipelines screen BOTH ways.
+      // Every non-benchmark vector reports its maximum similarity to
+      // any benchmark item and a contaminated flag at Tau. Scale
+      // shape: the benchmark side BROADCASTS (eval suites are
+      // thousands of items vs a trillion-token corpus), the corpus
+      // scans ONCE, and the per-vector max folds map-side inside the
+      // broadcast nested-loop — no corpus shuffle anywhere before the
+      // final sort.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+      val bench = e.filter(pmod(col("vec_id"), lit(SemDecontamBenchMod)) === 0)
+        .select(col("embedding").as("bemb"))
+      e.filter(pmod(col("vec_id"), lit(SemDecontamBenchMod)) =!= 0)
+        .crossJoin(broadcast(bench))
+        .groupBy(col("vec_id"))
+        .agg(round(max(neo4jScore(col("embedding"), col("bemb"))), 6)
+          .as("max_eval_sim"))
+        .withColumn("contaminated",
+          (col("max_eval_sim") >= SemDecontamTau).cast("int"))
+        .select(col("vec_id"), col("max_eval_sim"), col("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
 
     "q140_mmr_select" -> ((s, dir) => {
       // Maximal Marginal Relevance (Carbonell & Goldstein 1998)
@@ -1407,6 +1442,20 @@ object AnnQueries {
        |      ${rawCosSql(aE, bE)}) / 2.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    "q162_semantic_decontam" ->
+      s"""WITH b AS (
+         |  SELECT embedding AS bemb FROM embeddings
+         |  WHERE vec_id % $SemDecontamBenchMod = 0),
+         |m AS (
+         |  SELECT c.vec_id,
+         |    round(MAX(${cosSql("c.embedding", "b.bemb")}), 6) AS max_eval_sim
+         |  FROM embeddings c CROSS JOIN b
+         |  WHERE c.vec_id % $SemDecontamBenchMod <> 0
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, max_eval_sim,
+         |  CASE WHEN max_eval_sim >= $SemDecontamTau THEN 1 ELSE 0 END AS contaminated
+         |FROM m ORDER BY vec_id""".stripMargin,
 
     "q140_mmr_select" -> mmrOracleSql(pool = None),
 

@@ -1015,6 +1015,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
   }
 
+  test("q162 broadcasts the benchmark side and partial-maxes below the exchange") {
+    val p = plan("q162_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the benchmark side must broadcast:\n$p")
+    // the per-vector max must fold map-side: partial_max under the
+    // vec_id exchange, so the shuffle carries one row per vector, not
+    // corpus × benchmark scored rows
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(vec_id")
+    val partialIdx = p.indexOf("partial_max", math.max(exchangeIdx, 0))
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial max under the exchange:\n$p")
+  }
+
   test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
     val p = plan("q150_ivfpq_delta")
     // main side = the q148 shape against the MAIN-built artifact:
