@@ -510,13 +510,16 @@ object AnnQueries {
       .orderBy(col("step"))
   }
 
-  /** q162: benchmark membership rule (vec_id % 41 == 0 — ~2.5% of the
-    * corpus plays the eval suite) and the contamination similarity
-    * cut on the (1+cos)/2 score. 0.65 sits at the fixture's p90, so
-    * both verdicts are well represented; production would set it from
-    * a held-out calibration. */
-  val SemDecontamBenchMod = 41L
-  val SemDecontamTau = 0.65
+  /** q162: the first SemDecontamBenchN vectors play the eval suite —
+    * a FIXED-size benchmark, deliberately not a corpus-fraction rule:
+    * real eval suites do not grow with the training corpus, and the
+    * fixed size is what keeps the screen LINEAR in corpus at 100 TB
+    * (O(corpus × |bench|), |bench| a broadcast constant). The
+    * contamination cut on the (1+cos)/2 score sits at the fixture's
+    * p90 so both verdicts are well represented; production would set
+    * it from a held-out calibration. */
+  val SemDecontamBenchN = 50L
+  val SemDecontamTau = 0.68
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -534,9 +537,9 @@ object AnnQueries {
       // broadcast nested-loop — no corpus shuffle anywhere before the
       // final sort.
       val e = graft.SparkEntry.tbl(s, dir, "embeddings")
-      val bench = e.filter(pmod(col("vec_id"), lit(SemDecontamBenchMod)) === 0)
+      val bench = e.filter(col("vec_id") < SemDecontamBenchN)
         .select(col("embedding").as("bemb"))
-      e.filter(pmod(col("vec_id"), lit(SemDecontamBenchMod)) =!= 0)
+      e.filter(col("vec_id") >= SemDecontamBenchN)
         .crossJoin(broadcast(bench))
         .groupBy(col("vec_id"))
         .agg(round(max(neo4jScore(col("embedding"), col("bemb"))), 6)
@@ -1446,12 +1449,12 @@ object AnnQueries {
     "q162_semantic_decontam" ->
       s"""WITH b AS (
          |  SELECT embedding AS bemb FROM embeddings
-         |  WHERE vec_id % $SemDecontamBenchMod = 0),
+         |  WHERE vec_id < $SemDecontamBenchN),
          |m AS (
          |  SELECT c.vec_id,
          |    round(MAX(${cosSql("c.embedding", "b.bemb")}), 6) AS max_eval_sim
          |  FROM embeddings c CROSS JOIN b
-         |  WHERE c.vec_id % $SemDecontamBenchMod <> 0
+         |  WHERE c.vec_id >= $SemDecontamBenchN
          |  GROUP BY c.vec_id)
          |SELECT vec_id, max_eval_sim,
          |  CASE WHEN max_eval_sim >= $SemDecontamTau THEN 1 ELSE 0 END AS contaminated
