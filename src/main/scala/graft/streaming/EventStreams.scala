@@ -378,6 +378,30 @@ object EventStreams {
     * @param indexDir artifact directory written by saveCorpusIndex
     * @return streaming (doc_id, partner, jac) — verified near-dup pairs
     *         of each streamed doc against the indexed corpus. */
+  /** Stateless ingest-time SEMANTIC decontamination screen — q162's
+    * verdicts per micro-batch, shaped for a stream: the fixed-size
+    * benchmark inlines as an array LITERAL and the per-vector max
+    * folds inside ONE projection — no join, no aggregation, no
+    * shuffle, so the screen runs in append mode with zero state and
+    * composes with any ingest topology. A vector's verdict depends
+    * only on itself and the static benchmark, so replay must equal
+    * the declared batch query — EventStreamsSpec asserts it.
+    *
+    * @param newVecs   streaming (vec_id, embedding)
+    * @param benchmark the benchmark embeddings (small and fixed by
+    *                  q162's contract — that is what makes the
+    *                  literal inlining legitimate)
+    * @return streaming (vec_id, max_eval_sim, contaminated) */
+  def semanticScreen(newVecs: DataFrame, benchmark: Seq[Seq[Float]],
+                     tau: Double): DataFrame = {
+    require(benchmark.nonEmpty, "empty benchmark set")
+    val scores = transform(typedLit(benchmark), b =>
+      graft.functions.VectorFunctions.neo4jScore(col("embedding"), b))
+    newVecs
+      .select(col("vec_id"), round(array_max(scores), 6).as("max_eval_sim"))
+      .withColumn("contaminated", (col("max_eval_sim") >= tau).cast("int"))
+  }
+
   /** Stateless stream-static probe of newly-ingested IMAGES against
     * the persisted q158 phash band index — the multimodal face of
     * [[incrementalDedupVsIndex]]: each micro-batch decodes + aHashes

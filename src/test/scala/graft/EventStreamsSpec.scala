@@ -303,6 +303,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic screen replay-matches the declared q162 verdicts") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.AnnQueries
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bench = e.filter($"vec_id" < AnnQueries.SemDecontamBenchN)
+      .select($"embedding").as[Seq[Float]].collect().toSeq
+    val corpus = e.filter($"vec_id" >= AnnQueries.SemDecontamBenchN)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = EventStreams.semanticScreen(
+      mem.toDF().toDF("vec_id", "embedding"), bench, AnnQueries.SemDecontamTau)
+    val q = stream
+      .writeStream.format("memory").queryName("semscreen").outputMode("append").start()
+    try {
+      mem.addData(corpus.take(corpus.size / 2))
+      q.processAllAvailable()
+      mem.addData(corpus.drop(corpus.size / 2))
+      q.processAllAvailable()
+      val got = spark.table("semscreen")
+        .select($"vec_id", $"max_eval_sim", $"contaminated")
+        .as[(Long, Double, Int)].collect().toSeq.sortBy(_._1)
+      val want = SparkEntry.queries("q162_semantic_decontam")(spark, sf0001)
+        .select($"vec_id", $"max_eval_sim", $"contaminated")
+        .as[(Long, Double, Int)].collect().toSeq.sortBy(_._1)
+      assert(got === want, "streamed verdicts diverge from the batch q162")
+      assert(want.exists(_._3 == 1) && want.exists(_._3 == 0),
+        "fixture should exercise both verdicts")
+    } finally q.stop()
+  }
+
   test("stream-static phash probe replay-matches the declared q158 old-partner counts") {
     implicit val sq = spark.sqlContext
     import graft.queries.MultimodalQueries
