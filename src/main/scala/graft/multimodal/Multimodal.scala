@@ -130,11 +130,11 @@ object Multimodal {
   private lazy val imageIoHeapStreams: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
-  /** Deterministic PNG for `id`: every pixel channel from
-    * [[synthChannel]], encoded by ImageIO. PNG is lossless, so decoding
-    * gives back exactly these values — the property q74's oracle
-    * check rests on. */
-  def synthPng(id: Long): Array[Byte] = {
+  /** Encode an 8×8 RGB PNG whose flat pixel-channel index `k` carries
+    * `chan(k)` — the builder [[synthPng]]/[[synthVariantPng]] share,
+    * exposed so specs can construct images with chosen properties
+    * (e.g. the brightness-invariance law of the aHash). */
+  def rgbPng(chan: Int => Int): Array[Byte] = {
     imageIoHeapStreams
     val img = new java.awt.image.BufferedImage(
       SynthSide, SynthSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -143,8 +143,7 @@ object Multimodal {
       var x = 0
       while (x < SynthSide) {
         val k = (y * SynthSide + x) * SynthChannels
-        val rgb = (synthChannel(id, k) << 16) |
-          (synthChannel(id, k + 1) << 8) | synthChannel(id, k + 2)
+        val rgb = (chan(k) << 16) | (chan(k + 1) << 8) | chan(k + 2)
         img.setRGB(x, y, rgb)
         x += 1
       }
@@ -155,28 +154,15 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic PNG for `id`: every pixel channel from
+    * [[synthChannel]], encoded by ImageIO. PNG is lossless, so decoding
+    * gives back exactly these values — the property q74's oracle
+    * check rests on. */
+  def synthPng(id: Long): Array[Byte] = rgbPng(k => synthChannel(id, k))
+
   /** Deterministic VARIANT PNG for `id` — [[synthPng]]'s loop over
     * [[variantChannel]]: the planted-near-dup image family. */
-  def synthVariantPng(id: Long): Array[Byte] = {
-    imageIoHeapStreams
-    val img = new java.awt.image.BufferedImage(
-      SynthSide, SynthSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < SynthSide) {
-      var x = 0
-      while (x < SynthSide) {
-        val k = (y * SynthSide + x) * SynthChannels
-        val rgb = (variantChannel(id, k) << 16) |
-          (variantChannel(id, k + 1) << 8) | variantChannel(id, k + 2)
-        img.setRGB(x, y, rgb)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  def synthVariantPng(id: Long): Array[Byte] = rgbPng(k => variantChannel(id, k))
 
   /** [[ingestSynthImages]] over the VARIANT family — the q155 ingest:
     * planted near-dup PNGs, encoded row-local, blobs never shuffle. */
@@ -504,43 +490,37 @@ object Multimodal {
       .getOrElse(throw new IllegalStateException("no WAV reader in this JVM"))
   }
 
-  /** Deterministic WAV for `id`: every PCM sample from [[synthSample]],
-    * framed by the JDK's WAV writer. PCM WAV is lossless, so decoding
-    * hands back exactly these integers — the property q76's oracle
-    * check rests on (the audio twin of [[synthPng]]). */
-  def synthWav(id: Long): Array[Byte] = {
-    val pcm = new Array[Byte](SynthSamples * 2)
+  /** Frame an arbitrary signed-16-bit sample array as a WAV blob —
+    * the builder [[synthWav]]/[[synthVariantWav]] share, exposed so
+    * specs can construct clips with chosen properties (e.g. the
+    * DC-offset-invariance law of the delta-sign fingerprint). */
+  def pcmWav(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
     var k = 0
-    while (k < SynthSamples) {
-      val v = synthSample(id, k)
+    while (k < samples.length) {
+      val v = samples(k)
       pcm(2 * k) = (v & 0xff).toByte          // little-endian
       pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
       k += 1
     }
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), synthFormat, SynthSamples.toLong)
+      new java.io.ByteArrayInputStream(pcm), synthFormat, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
+  /** Deterministic WAV for `id`: every PCM sample from [[synthSample]],
+    * framed by the JDK's WAV writer. PCM WAV is lossless, so decoding
+    * hands back exactly these integers — the property q76's oracle
+    * check rests on (the audio twin of [[synthPng]]). */
+  def synthWav(id: Long): Array[Byte] =
+    pcmWav(Array.tabulate(SynthSamples)(k => synthSample(id, k)))
+
   /** Deterministic VARIANT WAV for `id` — [[synthWav]]'s loop over
     * [[variantSample]]: the planted-near-dup clip family. */
-  def synthVariantWav(id: Long): Array[Byte] = {
-    val pcm = new Array[Byte](SynthSamples * 2)
-    var k = 0
-    while (k < SynthSamples) {
-      val v = variantSample(id, k)
-      pcm(2 * k) = (v & 0xff).toByte          // little-endian
-      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
-      k += 1
-    }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), synthFormat, SynthSamples.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+  def synthVariantWav(id: Long): Array[Byte] =
+    pcmWav(Array.tabulate(SynthSamples)(k => variantSample(id, k)))
 
   /** [[ingestSynthAudio]] over the VARIANT family — the q156 ingest:
     * planted near-dup WAV clips, encoded row-local, blobs never

@@ -562,6 +562,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.videoFrameHashBands(junkRow("image/gif")).count() === 0L)
   }
 
+  test("delta-sign fingerprint is exactly invariant to DC offset (its design law)") {
+    // the Haitsma–Kalker motivation for delta coding: any constant
+    // added to every sample cancels in the s[k+1] > s[k] comparison,
+    // so re-leveled/re-normalized copies of a clip fingerprint
+    // IDENTICALLY — not approximately. Verified through the full
+    // encode → decode → fingerprint path.
+    val rng = new scala.util.Random(42)
+    val base = Array.fill(Multimodal.SynthSamples)(rng.nextInt(20000) - 10000)
+    for (dc <- Seq(-5000, -1, 1, 4321)) {
+      val shifted = base.map(_ + dc)
+      def bandsOf(samples: Array[Int]) = {
+        val df = Seq((1L, Multimodal.pcmWav(samples))).toDF("doc_id", "blob")
+          .withColumn("meta", struct(lit("audio/wav").as("media_type"),
+            lit(0L).as("n_bytes"), lit(256).as("chunk_bytes")))
+        Multimodal.audioFingerprintBands(df)
+          .select($"band0", $"band1", $"band2", $"band3")
+          .as[(Long, Long, Long, Long)].head()
+      }
+      assert(bandsOf(base) === bandsOf(shifted), s"dc=$dc changed the fingerprint")
+    }
+  }
+
+  test("aHash is exactly invariant to additive brightness (its design law)") {
+    // (g + c)·n > total + n·c  ⟺  g·n > total: a uniformly brightened
+    // copy aHashes IDENTICALLY — the perceptual robustness that makes
+    // the hash a near-dup signal rather than a content checksum.
+    // Verified through the full encode → decode → hash path.
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(Multimodal.SynthPixelValues)(rng.nextInt(200))
+    def bandsOf(chan: Int => Int) = {
+      val df = Seq((1L, Multimodal.rgbPng(chan))).toDF("doc_id", "blob")
+        .withColumn("meta", struct(lit("image/png").as("media_type"),
+          lit(0L).as("n_bytes"), lit(256).as("chunk_bytes")))
+      Multimodal.imageAHashBands(df)
+        .select($"band0", $"band1", $"band2", $"band3")
+        .as[(Long, Long, Long, Long)].head()
+    }
+    for (c <- Seq(1, 17, 55))
+      assert(bandsOf(k => base(k)) === bandsOf(k => base(k) + c),
+        s"brightness +$c changed the aHash")
+  }
+
   test("q161 health report quarantines exactly the planted corruption") {
     val out = SparkEntry.queries("q161_media_health")(spark, sf0001)
       .select($"source", $"n_blobs", $"n_ok", $"n_quarantined")
