@@ -383,6 +383,11 @@ object PlanDump {
         "q155's exact banded candidate→verify shape — one exploded " +
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
+    "q163_paraphrase_mining" ->
+      ("Paraphrase mining: sign-LSH bucket equi-join for candidates "
+        + "(never all-pairs), exact cosine verify, lexical Jaccard "
+        + "gate via the session-cached shingle view — every stage "
+        + "before the sort is shuffle-bounded by candidates."),
     "q162_semantic_decontam" ->
       ("Semantic decontamination: benchmark embeddings broadcast, the "
         + "corpus scans once, per-vector max similarity partial-"

@@ -521,7 +521,56 @@ object AnnQueries {
   val SemDecontamBenchN = 50L
   val SemDecontamTau = 0.68
 
+  /** q163: paraphrase candidacy = embedding score ≥ ParaSimTau (the
+    * fixture's ~p99 of all-pairs similarity) among SAME-sign-LSH-bucket
+    * pairs, minus lexical near-copies (3-shingle Jaccard must stay ≤
+    * ParaJacMax — a high-Jaccard pair is a COPY, not a paraphrase).
+    * Honesty note: this fixture's text and embeddings are independent
+    * synthetics, so the lexical gate excludes zero pairs here
+    * (measured at sf0.01) — it exists because production corpora
+    * correlate the two (a copy IS embedding-similar), and the oracle
+    * applies the identical gate either way, so hash-green covers the
+    * gate's arithmetic even while the fixture cannot make it bite. */
+  val ParaSimTau = 0.66
+  val ParaJacMax = 0.5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q163_paraphrase_mining" -> ((s, dir) => {
+      // paraphrase mining — the standard recipe for paraphrase /
+      // contrastive training sets: pairs that are EMBEDDING-similar
+      // but LEXICALLY distinct (semantically same thing, said
+      // differently). Cross-modal composition of machinery the engine
+      // already owns: candidates from the PORTABLE sign-LSH bucket
+      // equi-join (q22's 8-plane buckets — same-bucket is the
+      // declared candidate rule, and the oracle applies the identical
+      // buckets), verified by exact cosine score ≥ ParaSimTau, then
+      // the LEXICAL gate — 3-shingle Jaccard ≤ ParaJacMax via the
+      // session-cached shingle sets (doc_id ≡ vec_id across the
+      // fixture tables) — so near-copies are excluded by content, not
+      // by id. Scale shape: bucket equi-join (never all-pairs), the
+      // tiny candidate set joins the shingle view by id, and every
+      // stage before the final sort is shuffle-bounded by candidates.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", graft.functions.PortableHash.lshBucket(col("embedding")))
+      val a = e.toDF("vec_a", "emb_a", "bucket")
+      val b = e.toDF("vec_b", "emb_b", "bucket")
+      val cand = a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("score", round(neo4jScore(col("emb_a"), col("emb_b")), 6))
+        .filter(col("score") >= ParaSimTau)
+        .select(col("vec_a"), col("vec_b"), col("score"))
+      val sh = DedupQueries.hashedShingles(s, dir)
+      val sa = sh.select(col("doc_id").as("vec_a"), col("hs").as("hs_a"))
+      val sb = sh.select(col("doc_id").as("vec_b"), col("hs").as("hs_b"))
+      cand.join(sa, "vec_a").join(sb, "vec_b")
+        .withColumn("jac",
+          round(graft.operators.Dedup.jaccard(col("hs_a"), col("hs_b")), 6))
+        .filter(col("jac") <= ParaJacMax)
+        .select(col("vec_a"), col("vec_b"), col("score"), col("jac"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
 
     "q162_semantic_decontam" -> ((s, dir) => {
       // semantic train/eval overlap screen — the embedding-space
@@ -1445,6 +1494,22 @@ object AnnQueries {
        |      ${rawCosSql(aE, bE)}) / 2.0""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    "q163_paraphrase_mining" ->
+      s"""WITH sh AS (${DedupQueries.hashedShinglesSql}),
+         |e AS (SELECT vec_id, embedding,
+         |    ${graft.functions.PortableHash.lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= $ParaSimTau)
+         |SELECT c.vec_a, c.vec_b, c.score,
+         |  round(${graft.operators.Dedup.jaccardSql("x.hs", "y.hs")}, 6) AS jac
+         |FROM cand c JOIN sh x ON c.vec_a = x.doc_id JOIN sh y ON c.vec_b = y.doc_id
+         |WHERE round(${graft.operators.Dedup.jaccardSql("x.hs", "y.hs")}, 6) <= $ParaJacMax
+         |ORDER BY c.vec_a, c.vec_b""".stripMargin,
 
     "q162_semantic_decontam" ->
       s"""WITH b AS (

@@ -86,6 +86,38 @@ class MarginMiningSpec extends AnyFunSuite with SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("q163 paraphrase pairs satisfy both gates and live in one sign-LSH bucket") {
+    val out = SparkEntry.queries("q163_paraphrase_mining")(spark, sf0001)
+      .select($"vec_a", $"vec_b", $"score", $"jac")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.nonEmpty, "fixture should yield paraphrase candidates")
+    assert(out.forall(r => r._3 >= AnnQueries.ParaSimTau && r._4 <= AnnQueries.ParaJacMax))
+    // the declared candidate rule: both members share a bucket
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id",
+        graft.functions.PortableHash.lshBucket($"embedding").as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.forall(r => e(r._1) == e(r._2)), "pair spans buckets")
+    // completeness against a driver-side recompute of the declared
+    // rule: every same-bucket pair passing both gates must be present
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+    }
+    val byBucket = e.toSeq.groupBy(_._2)
+    val wantPairs = (for {
+      (_, ms) <- byBucket.toSeq
+      Seq(x, y) <- ms.map(_._1).sorted.combinations(2).toSeq
+      if BigDecimal(cos(emb(x), emb(y))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= AnnQueries.ParaSimTau
+    } yield (x, y)).toSet
+    // the jac gate excludes nothing on this fixture (documented at the
+    // constants), so candidate set == output set here
+    assert(out.map(r => (r._1, r._2)).toSet === wantPairs)
+  }
+
   test("q140 MMR matches a driver greedy recompute and actually diversifies") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

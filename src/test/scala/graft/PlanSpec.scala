@@ -1028,6 +1028,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected map-side partial max under the exchange:\n$p")
   }
 
+  test("q163 paraphrase candidates come from the bucket equi-join, never all-pairs") {
+    val p = plan("q163_paraphrase_mining")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the sign-LSH bucket equi-join:\n$p")
+  }
+
   test("q150 main+delta search: pruned main artifact, exact delta scan, top-k merge") {
     val p = plan("q150_ivfpq_delta")
     // main side = the q148 shape against the MAIN-built artifact:
