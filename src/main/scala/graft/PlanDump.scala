@@ -388,6 +388,13 @@ object PlanDump {
         + "(never all-pairs), exact cosine verify, lexical Jaccard "
         + "gate via the session-cached shingle view — every stage "
         + "before the sort is shuffle-bounded by candidates."),
+    "q164_retrieval_metrics" ->
+      ("Retrieval-quality eval (recall@k / MRR / nDCG@k): both arms "
+        + "rank via the map-side partial top-k heap under their "
+        + "query_id exchange — never a per-query window, whose "
+        + "IrQueries keys would each funnel a full candidate set "
+        + "through one reducer — and the metric joins run over "
+        + "≤ IrQueries×IrK frames (AQE broadcasts them)."),
     "q162_semantic_decontam" ->
       ("Semantic decontamination: benchmark embeddings broadcast, the "
         + "corpus scans once, per-vector max similarity partial-"

@@ -266,6 +266,43 @@ object AnnQueries {
     * both directions use the same one). */
   val MarginK = 4
 
+  /** q164 IR-metrics geometry: the query batch (first [[IrQueries]]
+    * vec_ids, evaluated over the REST of the corpus so a self-hit
+    * cannot pad the scores) and the metric depth k. */
+  val IrQueries = 5
+  val IrK = 10
+
+  /** nDCG position discounts 1/log2(1+pos), pos = 1..[[IrK]], as exact
+    * 12-dp decimals computed ONCE here and emitted as literals into
+    * BOTH engines' CASE ladders — the PortableHash shared-snippet rule:
+    * two engines evaluating ln-based discounts independently could
+    * drift in the last ulp; identical decimal literals cannot. */
+  private[queries] val irDisc: IndexedSeq[java.math.BigDecimal] =
+    (1 to IrK).map { p =>
+      new java.math.BigDecimal(math.log(2.0) / math.log(1.0 + p))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Ideal-DCG prefix sums of [[irDisc]]: idcg(n) for n = 1..[[IrK]]
+    * relevant items — exact decimal sums of the 12-dp literals. */
+  private[queries] val irIdcg: IndexedSeq[java.math.BigDecimal] =
+    irDisc.scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).tail
+
+  /** CASE ladder mapping a 1..[[IrK]] rank to its decimal discount —
+    * valid in Spark SQL (`expr`) and DuckDB verbatim. */
+  private[queries] def irDiscSql(pos: String): String =
+    s"CASE $pos " + (1 to IrK).map { p =>
+      s"WHEN $p THEN CAST(${irDisc(p - 1).toPlainString} AS DECIMAL(14,12))"
+    }.mkString(" ") + " END"
+
+  /** CASE ladder mapping a relevant-set size 1..[[IrK]] to its ideal
+    * DCG (the rank filter caps n_rel at [[IrK]], so the ladder is
+    * total over every value the plan can produce). */
+  private[queries] def irIdcgSql(n: String): String =
+    s"CASE $n " + (1 to IrK).map { p =>
+      s"WHEN $p THEN CAST(${irIdcg(p - 1).toPlainString} AS DECIMAL(28,12))"
+    }.mkString(" ") + " END"
+
   private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
 
@@ -679,6 +716,86 @@ object AnnQueries {
         }
         .toDF("query_id", "step", "vec_id", "rel", "max_sim", "mmr")
         .orderBy(col("query_id"), col("step"))
+    }),
+
+    "q164_retrieval_metrics" -> ((s, dir) => {
+      // IR-quality audit of the approximate arm — per-query recall@k,
+      // MRR and nDCG@k of sign-LSH bucket retrieval (q22's arm,
+      // Hamming radius <= 1) against the exact cosine top-k as the
+      // relevant set, with n_cand (candidates the arm actually scored)
+      // making the coverage/recall trade explicit. The eval every
+      // retrieval deployment runs before trusting an index; the tuning
+      // probes certify recall for ONE constant, this query makes the
+      // quality surface a standing, oracle-checked report — and on
+      // this isotropic fixture it reports the single-table arm's
+      // honest weakness (tiny bucket coverage ⇒ near-zero recall),
+      // exactly the evidence that justifies the multi-table BRP (q47)
+      // and IVF (q75/q148) paths. Shape at scale: each arm is one
+      // corpus scan against the broadcast query batch (the LSH arm
+      // scores only bucket-radius candidates), per-query top-k comes
+      // from the bounded-state [[graft.expressions.TopKAggExpr]]
+      // partial aggregate (≤ k heap rows per mapper — no window, so
+      // no per-query-key shuffle of the full candidate set and no
+      // 5-key skew), n_cand rides the same aggregate for free, and
+      // every row past the two scans lives in ≤ IrQueries × IrK
+      // frames — the metric math is directory-sized however big the
+      // corpus. Determinism: scores round to 6 dp before ranking with
+      // vec_id tie-breaks (the aggregate's (score desc, id asc) total
+      // order), and the nDCG discounts/ideals are the SHARED 12-dp
+      // decimal CASE ladders ([[irDiscSql]]) — both engines sum
+      // identical literals, so the one double division per metric is
+      // IEEE-identical.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val q = e.filter(col("vec_id") < IrQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          lshBucket(col("embedding")).as("qb"))
+      val corpus = e.filter(col("vec_id") >= IrQueries)
+      // scored (query_id, vec_id, score) → per-query ranked top-IrK
+      // (query_id, n_cand, vec_id, pos) via the partial top-k heap
+      def ranked(scored: DataFrame): DataFrame = scored
+        .groupBy(col("query_id"))
+        .agg(graft.expressions.TopKAggExpr
+            .topK(col("vec_id"), col("score"), IrK).as("hits"),
+          count(lit(1)).as("n_cand"))
+        .select(col("query_id"), col("n_cand"),
+          posexplode(col("hits")).as(Seq("p0", "hit")))
+        .select(col("query_id"), col("n_cand"),
+          col("hit.id").as("vec_id"),
+          (col("p0") + 1).cast("long").as("pos"))
+      // ground truth: exact per-query top-k over the full corpus
+      val rel = ranked(
+          corpus.join(broadcast(q.select(col("query_id"), col("qe"))))
+            .select(col("query_id"), col("vec_id"),
+              round(neo4jScore(col("embedding"), col("qe")), 6).as("score")))
+        .select(col("query_id"), col("vec_id"))
+      // retrieved: the LSH arm ranks bucket-radius candidates only
+      val ret = ranked(
+        corpus.withColumn("bucket", lshBucket(col("embedding")))
+          .join(broadcast(q),
+            bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
+          .select(col("query_id"), col("vec_id"),
+            round(neo4jScore(col("embedding"), col("qe")), 6).as("score")))
+      val hits = ret.join(rel, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"), min(col("pos")).as("first_pos"),
+          sum(expr(irDiscSql("pos"))).as("dcg"))
+      val cand = ret.groupBy(col("query_id"))
+        .agg(max(col("n_cand")).as("n_cand"))
+      val nrel = rel.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_rel"))
+      nrel.join(cand, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_rel"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_rel"), 6).as("recall_at_10"),
+          round(when(col("first_pos").isNotNull,
+              lit(1.0) / col("first_pos")).otherwise(lit(0.0)), 6).as("mrr"),
+          round(coalesce(col("dcg").cast("double"), lit(0.0))
+            / expr(irIdcgSql("n_rel")).cast("double"), 6).as("ndcg_at_10"))
+        .orderBy(col("query_id"))
     }),
 
     "q32_filtered_knn" -> ((s, dir) => {
@@ -1946,5 +2063,42 @@ object AnnQueries {
          |    / 2.0, 6) AS score
          |FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
          |ORDER BY score DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q164_retrieval_metrics" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    ${graft.functions.PortableHash.lshBucketSql("embedding")} AS qb
+         |  FROM e WHERE vec_id < $IrQueries),
+         |c AS (SELECT vec_id, embedding,
+         |    ${graft.functions.PortableHash.lshBucketSql("embedding")} AS bucket
+         |  FROM e WHERE vec_id >= $IrQueries),
+         |ex AS (SELECT query_id, c.vec_id,
+         |    round(${cosSql("c.embedding", "q.qe")}, 6) AS score FROM c, q),
+         |rel AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS pos FROM ex)
+         |  WHERE pos <= $IrK),
+         |ls AS (SELECT query_id, c.vec_id,
+         |    round(${cosSql("c.embedding", "q.qe")}, 6) AS score
+         |  FROM c JOIN q ON bit_count(xor(c.bucket, q.qb)) <= 1),
+         |ret AS (SELECT query_id, vec_id, pos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS pos FROM ls)
+         |  WHERE pos <= $IrK),
+         |hits AS (SELECT query_id, COUNT(*) AS n_hit, MIN(pos) AS first_pos,
+         |    SUM(${irDiscSql("pos")}) AS dcg
+         |  FROM ret JOIN rel USING (query_id, vec_id) GROUP BY query_id),
+         |cand AS (SELECT query_id, COUNT(*) AS n_cand FROM ls GROUP BY query_id),
+         |nr AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id)
+         |SELECT query_id, n_rel,
+         |  CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_rel, 6) AS recall_at_10,
+         |  round(CASE WHEN first_pos IS NULL THEN 0.0
+         |    ELSE 1.0 / first_pos END, 6) AS mrr,
+         |  round(CAST(coalesce(dcg, 0) AS DOUBLE)
+         |    / CAST(${irIdcgSql("n_rel")} AS DOUBLE), 6) AS ndcg_at_10
+         |FROM nr LEFT JOIN cand USING (query_id)
+         |  LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin,
   )
 }

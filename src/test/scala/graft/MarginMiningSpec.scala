@@ -179,6 +179,62 @@ class MarginMiningSpec extends AnyFunSuite with SparkSpec {
       "pooled MMR must equal full MMR when winners fit the pool")
   }
 
+  test("q164 retrieval metrics match a driver recompute of both arms") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      (1.0 + d / (na * nb)) / 2.0
+    }
+    // discounts recomputed HERE from the published formula (not read
+    // off AnnQueries' table) — an independent check of the ladder
+    val disc = (1 to AnnQueries.IrK).map { p =>
+      BigDecimal(math.log(2.0) / math.log(1.0 + p))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val idcg = disc.scanLeft(BigDecimal(0))(_ + _).tail
+    val dir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.size($"embedding") === 64)
+      .select($"vec_id", $"embedding",
+        graft.functions.PortableHash.lshBucket($"embedding").as("bucket"))
+      .as[(Long, Seq[Float], Long)].collect()
+    val queries = embs.filter(_._1 < AnnQueries.IrQueries).sortBy(_._1)
+    val corpus = embs.filter(_._1 >= AnnQueries.IrQueries)
+    val want = queries.map { case (qid, qe, qb) =>
+      val rel = corpus
+        .map { case (id, e, _) => (id, r6(score(e, qe))) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(AnnQueries.IrK)
+        .map(_._1).toSet
+      val cands = corpus.filter { case (_, _, b) =>
+        java.lang.Long.bitCount(b ^ qb) <= 1 }
+      val ret = cands
+        .map { case (id, e, _) => (id, r6(score(e, qe))) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(AnnQueries.IrK)
+        .map(_._1).zipWithIndex.map { case (id, i) => (id, i + 1) }
+      val hitPos = ret.collect { case (id, pos) if rel(id) => pos }
+      val nRel = rel.size
+      val dcg = hitPos.map(p => disc(p - 1)).foldLeft(BigDecimal(0))(_ + _)
+      (qid, nRel.toLong, cands.length.toLong, hitPos.length.toLong,
+        r6(hitPos.length.toDouble / nRel),
+        if (hitPos.isEmpty) 0.0 else r6(1.0 / hitPos.min),
+        r6(dcg.toDouble / idcg(nRel - 1).toDouble))
+    }.toSeq
+    val got = AnnQueries.queries("q164_retrieval_metrics")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === want)
+    // the report must expose the coverage/recall trade: every arm
+    // scored a candidate set, and hits never exceed it
+    got.foreach { case (qid, nRel, nCand, nHit, recall, mrr, ndcg) =>
+      assert(nHit <= nCand, s"query $qid: more hits than candidates")
+      assert(nHit <= nRel && recall <= 1.0 && ndcg <= 1.0 + 1e-9)
+      assert((nHit == 0) == (mrr == 0.0), s"query $qid: mrr/hit mismatch")
+    }
+  }
+
   test("q149 multi-query MMR: per-query traces match a driver recompute, pools certified") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

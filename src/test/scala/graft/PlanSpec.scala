@@ -98,6 +98,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected map-side partial top-k under the exchange:\n$p")
   }
 
+  test("q164 both IR-metric arms rank via map-side partial top-k, no window, broadcast-only joins") {
+    // final adaptive plan: the metric joins are over <= IrQueries
+    // rows with no static hint, so their broadcast conversion is
+    // AQE's runtime size gate (same rationale as the q55/q103/q138
+    // directory joins above)
+    val p = finalPlan("q164_retrieval_metrics")
+    // one partial top-k heap per arm (exact ground truth + LSH
+    // retrieved) — never a corpus-candidate window, whose per-query
+    // keys would funnel each query's full candidate set through one
+    // reducer (IrQueries keys = IrQueries reducers, however big the
+    // corpus)
+    assert("partial_topkagg".r.findAllIn(p).size >= 2,
+      s"expected a map-side partial top-k per arm in:\n$p")
+    assert(!p.toLowerCase.contains("window"),
+      s"no window operator may rank the candidate sets:\n$p")
+    assert(!p.contains("SortMergeJoin(") && !p.contains("CartesianProduct"),
+      s"no shuffle join may survive AQE on the fixture:\n$p")
+  }
+
   test("q41 broadcasts document frequencies and corpus size, never shuffles tf on term") {
     val p = plan("q41_tfidf_topterms")
     assert(p.contains("BroadcastHashJoin"),
