@@ -718,6 +718,14 @@ object Multimodal {
                 }
               } finally ais.close()
             val n = samples.length
+            // declared geometry contract: 4 equal bands of ≤64 bits
+            // each. A foreign clip with n % 4 != 0 would otherwise
+            // throw AIOOBE mid-pack (masquerading as a decode
+            // failure), and n > 256 would alias shift counts mod 64,
+            // silently corrupting fingerprints — fail the contract
+            // explicitly so the quarantine reason is the geometry.
+            require(n > 0 && n % 4 == 0 && n <= 256,
+              s"unsupported clip geometry: $n samples (need >0, %4==0, <=256)")
             val bandBits = n / 4
             val out = new Array[Long](4)
             var k = 0
@@ -972,6 +980,12 @@ object Multimodal {
                 }
                 y += 1
               }
+              // same geometry contract as the audio bands: 4 equal
+              // bands of ≤64 bits — a non-8x8 foreign frame must
+              // quarantine on the declared geometry, not corrupt via
+              // Long-shift aliasing (shift counts are mod 64)
+              require(np > 0 && np % 4 == 0 && np <= 256,
+                s"unsupported frame geometry: $np pixels (need >0, %4==0, <=256)")
               val bandBits = np / 4
               val out = new Array[Long](4)
               var j = 0

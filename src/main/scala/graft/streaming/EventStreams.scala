@@ -351,33 +351,6 @@ object EventStreams {
       .select(col("doc_id"), col("n_sh"), col("n_hit"), col("overlap"),
         (col("overlap") >= threshold).cast("int").as("flagged"))
 
-  /** Stream-vs-ARTIFACT incremental dedup — [[incrementalDedup]] wired
-    * to the persisted corpus band index
-    * ([[graft.operators.Dedup.saveCorpusIndex]], the q73 artifact): the
-    * corpus side's band keys and shingle sets are READ BACK from
-    * parquet, so one artifact written by the full batch build serves
-    * both the daily batch probe (q73) and this ingest-time stream —
-    * nothing about the existing corpus is recomputed per micro-batch.
-    *
-    * Two properties make this the 100 TB ingest shape:
-    *  - the canonical-band predicate sits inside the stream-static join
-    *    (both sides carry full signatures), so each verified pair emits
-    *    exactly once and the query is fully STATELESS — no
-    *    dropDuplicates state to bound, unlike [[incrementalDedup]];
-    *  - Jaccard verification joins the artifact's shingle table and
-    *    filters before any result materializes. The bands table is
-    *    PARTITIONED BY band on disk; note that unlike the batch probe
-    *    (q73, whose plan carries a dynamicpruning PartitionFilter),
-    *    stream-static joins get NO dynamic partition pruning, so each
-    *    micro-batch scans the full bands table — per-batch read I/O is
-    *    O(corpus bands), and only the join compute is O(collisions).
-    *    At ingest scale the mitigation is batching (fewer, larger
-    *    micro-batches amortize the corpus scan), not pruning.
-    *
-    * @param newDocs  streaming (doc_id, text)
-    * @param indexDir artifact directory written by saveCorpusIndex
-    * @return streaming (doc_id, partner, jac) — verified near-dup pairs
-    *         of each streamed doc against the indexed corpus. */
   /** Stateless ingest-time SEMANTIC decontamination screen — q162's
     * verdicts per micro-batch, shaped for a stream: the fixed-size
     * benchmark inlines as an array LITERAL and the per-vector max
@@ -452,6 +425,33 @@ object EventStreams {
       .select(col("doc_id"), col("partner"), col("hamming"))
   }
 
+  /** Stream-vs-ARTIFACT incremental dedup — [[incrementalDedup]] wired
+    * to the persisted corpus band index
+    * ([[graft.operators.Dedup.saveCorpusIndex]], the q73 artifact): the
+    * corpus side's band keys and shingle sets are READ BACK from
+    * parquet, so one artifact written by the full batch build serves
+    * both the daily batch probe (q73) and this ingest-time stream —
+    * nothing about the existing corpus is recomputed per micro-batch.
+    *
+    * Two properties make this the 100 TB ingest shape:
+    *  - the canonical-band predicate sits inside the stream-static join
+    *    (both sides carry full signatures), so each verified pair emits
+    *    exactly once and the query is fully STATELESS — no
+    *    dropDuplicates state to bound, unlike [[incrementalDedup]];
+    *  - Jaccard verification joins the artifact's shingle table and
+    *    filters before any result materializes. The bands table is
+    *    PARTITIONED BY band on disk; note that unlike the batch probe
+    *    (q73, whose plan carries a dynamicpruning PartitionFilter),
+    *    stream-static joins get NO dynamic partition pruning, so each
+    *    micro-batch scans the full bands table — per-batch read I/O is
+    *    O(corpus bands), and only the join compute is O(collisions).
+    *    At ingest scale the mitigation is batching (fewer, larger
+    *    micro-batches amortize the corpus scan), not pruning.
+    *
+    * @param newDocs  streaming (doc_id, text)
+    * @param indexDir artifact directory written by saveCorpusIndex
+    * @return streaming (doc_id, partner, jac) — verified near-dup pairs
+    *         of each streamed doc against the indexed corpus. */
   def incrementalDedupVsIndex(spark: SparkSession, indexDir: String,
                               newDocs: DataFrame, threshold: Double): DataFrame = {
     import graft.operators.Dedup
