@@ -118,6 +118,8 @@ object ScaleProbe {
         ivfTuneProbe(spark, srcDir)
       else if (flags.contains("ivfpq-tune"))
         ivfPqTuneProbe(spark, srcDir, flags)
+      else if (flags.contains("served-tune"))
+        servedTuneProbe(spark, srcDir)
       else if (flags.contains("ivfpq-multi-tune"))
         ivfPqMultiTuneProbe(spark, srcDir)
       else if (flags.contains("ivfpq-filter-tune"))
@@ -297,6 +299,44 @@ object ScaleProbe {
     val missing = top10.filterNot(ranked.contains)
     val minShort = if (ranked.isEmpty) -1 else ranked.values.max
     println(s"""{"probe":"ivfpq-tune","src":"$srcDir","split":$split,"n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"pq_k":${queries.AnnQueries.IvfPqK},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
+    missing.isEmpty
+  }
+
+  /** Served-search shortlist tune (--served-tune): q165's geometry —
+    * the query vector is the [[graft.search.HashingEmbedder]] embedding
+    * of [[graft.queries.AnnQueries.ServedPrompt]] (a sparse
+    * normalized-TF vector, geometrically unlike the corpus's dense
+    * synthetics — which is exactly why the served path carries its own
+    * measured constant), probed against the shared q148 artifact:
+    * reports the exact top-10's cell misses at IvfNProbe (must be 0)
+    * and the max ADC rank of any member — the minimum ServedShortlist
+    * for 10/10 recall. Re-run after any fixture regeneration. */
+  private def servedTuneProbe(spark: SparkSession, srcDir: String): Boolean = {
+    val dir = queries.AnnQueries.ivfPqIndexDir(spark, srcDir)
+    val qv = new search.HashingEmbedder(64)
+      .embed(queries.AnnQueries.ServedPrompt)
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+    val top10 = e.withColumn("score", round(
+        graft.functions.VectorFunctions.neo4jScore(col("embedding"),
+          typedLit(qv.toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        search.AnnIndex.adcDistanceCol(spark, dir, qv).as("adc_d"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("adc_d").asc, col("vec_id").asc)))
+      .filter(col("vec_id").isInCollection(top10))
+      .select(col("vec_id"), col("rk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val missing = top10.filterNot(ranked.contains)
+    val minShort = if (ranked.isEmpty) -1 else ranked.values.max
+    println(s"""{"probe":"served-tune","src":"$srcDir","n_members":${top10.size},"n_probe":${queries.AnnQueries.IvfNProbe},"missing_from_probed_cells":${missing.size},"min_shortlist":$minShort}""")
     missing.isEmpty
   }
 

@@ -28,7 +28,8 @@ object Search {
   /** Resolved settings, each via the reference's precedence chain
     * `flag > env > default` (reference __init__.py:19-24). */
   final case class Config(
-      sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean)
+      sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean,
+      index: Boolean = true)
 
   /** Flags that take no value: a bare `--serve` means serve=true and
     * the next token stays a positional (prompt word) — EXCEPT a literal
@@ -37,7 +38,8 @@ object Search {
     * instead of binding serve=true and leaking "false" into the prompt.
     * `--serve=false` also works. */
   private val BooleanFlags = Set("serve", "ivf-tune", "ivfpq-tune", "tune-split",
-    "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune")
+    "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune",
+    "served-tune", "index")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all
@@ -86,9 +88,14 @@ object Search {
     val cpus = flags.get("cpus").orElse(env.get("SPARK_GRAFT_CPUS"))
       .getOrElse("4")
     val serve = flags.get("serve").exists(_ != "false")
+    // the served path defaults to the INDEX route (the reference's tool
+    // call is an index probe, server.py:87); `--index false` /
+    // SPARK_GRAFT_INDEX=false forces the exact brute-force scan
+    val index = flags.get("index").orElse(env.get("SPARK_GRAFT_INDEX"))
+      .forall(_ != "false")
     require(prompt.nonEmpty || serve,
-      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve]")
-    Config(sfDir, prompt, k, cpus, serve)
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index false]")
+    Config(sfDir, prompt, k, cpus, serve, index)
   }
 
   /** The stdio request loop: blank lines skipped, EOF ends the
@@ -100,7 +107,14 @@ object Search {
     * notifications are consumed but, per the protocol, not answered —
     * they don't count). */
   def serve(engine: SearchEngine, sfDir: String, k: Int,
-      in: java.io.BufferedReader, out: java.io.PrintStream): Int = {
+      in: java.io.BufferedReader, out: java.io.PrintStream,
+      index: Boolean = true): Int = {
+    // the one tool closure every protocol dialect routes through:
+    // indexed (artifact probe, exact fallback inside
+    // searchJsonIndexed) unless the exact scan was forced
+    val tool: String => String =
+      if (index) prompt => engine.searchJsonIndexed(sfDir, prompt, k)
+      else prompt => engine.searchJson(sfDir, prompt, k)
     var served = 0
     var line = in.readLine()
     while (line != null) {
@@ -110,8 +124,7 @@ object Search {
         // else — including {/[-prefixed text that does NOT parse as
         // JSON — is a raw prompt
         val response =
-          Mcp.tryHandle(req, prompt => engine.searchJson(sfDir, prompt, k))
-            .getOrElse(Some(engine.searchJson(sfDir, req, k)))
+          Mcp.tryHandle(req, tool).getOrElse(Some(tool(req)))
         response.foreach { r => out.println(r); served += 1 }
       }
       line = in.readLine()
@@ -134,7 +147,9 @@ object Search {
     if (cfg.serve)
       serve(engine, cfg.sfDir, cfg.k,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
-        System.out)
+        System.out, cfg.index)
+    else if (cfg.index)
+      println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k))
     else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k))
     spark.stop()
   }

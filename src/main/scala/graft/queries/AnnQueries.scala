@@ -159,6 +159,28 @@ object AnnQueries {
   val IvfPqIters = 2
   val IvfPqShortlist = 600
 
+  /** q165 served search — the SERVICE entry point routed through the
+    * q148 IVF-PQ artifact ([[graft.search.SearchEngine.searchIndexed]]):
+    * the reference's tool call IS an index probe
+    * (`db.index.vector.queryNodes`, reference server.py:87), so the
+    * engine's public path must be one too, not a corpus scan. The
+    * prompt is a FIXED string (the tool's one argument); its
+    * deterministic [[graft.search.HashingEmbedder]] vector probes the
+    * same session artifact q148–q154 share, and the oracle is the
+    * EXACT top-10 (computed from the prompt vector's literals inlined
+    * into the SQL — the q33 embedder-portability convention), joined
+    * to the document payloads — fails closed on a cell miss, an ADC
+    * shortlist miss, or a payload-fetch defect.
+    * [[ServedShortlist]]: `--served-tune` measures the minimum ADC
+    * shortlist for 10/10 recall of the PROMPT vector (a sparse
+    * normalized-TF query — geometrically unlike the corpus's dense
+    * synthetics, so it carries its own constant): minima 148
+    * (sf0.001), 152 (sf0.01), 886 (sf0.1), zero cell misses at
+    * [[IvfNProbe]] on every SF. 1100 covers the measured worst with
+    * ~24% headroom; re-run after any fixture regeneration. */
+  val ServedPrompt = "similarity search over document embeddings"
+  val ServedShortlist = 1100
+
   /** q150 incremental (main + delta) search: the corpus splits by the
     * engine's affine split hash — ~90% MAIN (indexed: the q148 IVF-PQ
     * artifact built on main only) + ~10% DELTA (recent, unindexed,
@@ -305,6 +327,14 @@ object AnnQueries {
 
   private[queries] lazy val flagshipVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(FlagshipPrompt).toSeq
+
+  /** q165's query vector — the served prompt through the same
+    * deterministic embedder the service constructs (SearchEngine's
+    * default). Used only by the ORACLE (the engine path embeds inside
+    * [[graft.search.SearchEngine.searchIndexed]] itself — the oracle
+    * must not share the engine's code path, only its declared rule). */
+  private[queries] lazy val servedVec: Seq[Float] =
+    new graft.search.HashingEmbedder(64).embed(ServedPrompt).toSeq
 
   /** Write-once-per-session persisted IVF artifact for q75 — the vector
     * side of the reference's CREATE-INDEX-once / probe-many lifecycle
@@ -1149,6 +1179,22 @@ object AnnQueries {
         .orderBy(col("adc_d").asc, col("vec_id").asc)
     }),
 
+    "q165_served_search" -> ((s, dir) => {
+      // the SERVICE entry point, declared as a query: the same
+      // prompt-in/hits-out call the MCP `vector_search` tool routes
+      // (Search.serve → searchJsonIndexed → THIS), minus only the JSON
+      // rendering — embed ServedPrompt, probe the shared session
+      // IVF-PQ artifact (cell PartitionFilters on both scans,
+      // codes-only ADC ReadSchema, broadcast shortlist rescore), fetch
+      // the k hit payloads by id (PushedFilter In on the documents
+      // scan — point lookups, never a table scan). Oracle is the
+      // EXACT top-10 with payloads recomputed from the prompt
+      // vector's literals, so hash-green certifies the full served
+      // route: recall (fails closed on a cell or shortlist miss),
+      // scoring, and the payload fetch.
+      new graft.search.SearchEngine(s).searchIndexed(dir, ServedPrompt, 10)
+    }),
+
     "q148_ivfpq_search" -> ((s, dir) => {
       // IVF-PQ, COMPOSED (Jégou et al. 2011; the billion-scale layout
       // q144's scaladoc promises, round-11 verdict item #3): the
@@ -1733,6 +1779,18 @@ object AnnQueries {
     // exact top-10 (q75's oracle text): the composed IVF-PQ route —
     // cell pruning, code-only ADC shortlist, exact rescore — must
     // recover it end to end; fails closed on any recall miss
+    // exact top-10 BY THE SERVED PROMPT'S VECTOR with document
+    // payloads: the index-served service route must recover it end to
+    // end — fails closed on a recall miss and on a payload-fetch defect
+    "q165_served_search" -> {
+      val lits = servedVec.map(_.toDouble).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64)
+         |SELECT e.vec_id AS doc_id, d.text,
+         |  round(${cosSql("e.embedding", lits)}, 6) AS score
+         |FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
     "q148_ivfpq_search" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

@@ -872,6 +872,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"rescore join must broadcast the shortlist only:\n$p")
   }
 
+  test("q165 served search: payload fetch is pushed-down point lookups + broadcast of the k hits") {
+    // the probe half of the served route executes eagerly inside
+    // searchIndexed and has exactly q148's plan (pinned above — same
+    // probeIvfPq call, same artifact); what q165's RETURNED plan must
+    // pin is the payload fetch: the k hit ids reach the documents
+    // parquet scan as a PushedFilter (point lookups — at 100 TB the
+    // fetch reads the row groups holding k docs, never the table) and
+    // the k-row score table broadcasts, with no shuffle anywhere
+    val p = plan("q165_served_search")
+    val docScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("documents")).getOrElse(
+      fail(s"no documents scan in served plan:\n$p"))
+    assert(docScan.contains("PushedFilters: [In(doc_id"),
+      s"hit ids must push into the documents scan: $docScan")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("Exchange hashpartitioning"),
+      s"k-row score table must broadcast, nothing may shuffle:\n$p")
+  }
+
   test("q151 batched IVF-PQ: DPP on both artifact reads, codes-only ADC, limited shortlist") {
     val p = plan("q151_ivfpq_multiprobe")
     // dedup by scan body: the DPP subquery echoes its build subtree in

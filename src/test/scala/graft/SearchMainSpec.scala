@@ -89,6 +89,38 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(text.startsWith("[") && text.contains("\"doc_id\"") && text.contains("\"score\""))
   }
 
+  test("indexed service route equals the exact path, end to end through MCP") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val eng = new graft.search.SearchEngine(spark)
+    val prompt = graft.queries.AnnQueries.ServedPrompt
+    // the engine API: index-served hits must EQUAL the exact scan's
+    // (ServedShortlist's tune covers this prompt's vector at every SF)
+    assert(eng.searchJsonIndexed(sf001, prompt, 10) ===
+      eng.searchJson(sf001, prompt, 10))
+    // and through the serve loop's MCP dialect with index=true (the
+    // default): the tool call's text block carries the indexed result
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      s"""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(JString(prompt)))}}}}""" + "\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf001, k = 10,
+      in, new java.io.PrintStream(buf, true, "UTF-8"), index = true)
+    assert(served === 1)
+    val call = parse(buf.toString("UTF-8").trim)
+    assert(call \ "result" \ "isError" === JBool(false))
+    val JString(text) = (call \ "result" \ "content")(0) \ "text": @unchecked
+    assert(text === eng.searchJson(sf001, prompt, 10))
+  }
+
+  test("index-route failure falls back to the exact path, never errors the tool call") {
+    // a 32-d embedder cannot probe the 64-d artifact (the quantizer
+    // rejects the dim) — searchJsonIndexed must degrade to the exact
+    // scan, whose hasDim(32) corpus is empty → the declared
+    // empty-result intent, not an exception
+    val eng32 = new graft.search.SearchEngine(spark, new graft.search.HashingEmbedder(32))
+    assert(eng32.searchJsonIndexed(sf001, "anything at all", 5) === "No results found.")
+  }
+
   test("MCP error envelopes: parse error, unknown method, unknown tool, bad args") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.parse
