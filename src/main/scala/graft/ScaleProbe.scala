@@ -130,6 +130,12 @@ object ScaleProbe {
         ivfPqCompactTuneProbe(spark, srcDir)
       else if (flags.contains("brp-tables"))
         brpTuningProbe(spark, srcDir, flags)
+      else if (flags.contains("para-probe") && flags.contains("distinct"))
+        paraProbeDistinct(spark, copies)
+      else if (flags.contains("para-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        paraProbe(spark, outDir, copies)
+      }
       else if (flags.contains("semdedup-k")) {
         ensureClones(spark, srcDir, outDir, copies)
         semDedupProbe(spark, outDir, copies, flags)
@@ -572,6 +578,86 @@ object ScaleProbe {
     * probe), so timing only the sink would exclude exactly the cost a
     * cold pass exists to measure. The diagnostic row count runs after,
     * untimed. */
+  /** q163 candidate-linearity probe (--para-probe): on the cloned
+    * corpus, report the corpus size n, the derived plane count
+    * planesFor(n), the bucket count actually populated, and the
+    * same-bucket CANDIDATE pair volume Σ pop·(pop−1)/2 — the quantity
+    * the round-12 verdict measured growing quadratically under fixed
+    * planes (~78 M at 200 k). Under the corpus-scaled rule it must
+    * grow ~linearly (≈ n·ParaTargetPop/2 in expectation); run at
+    * several --copies and compare candidates/n. Also times the full
+    * q163 on the clone dir. */
+  private def paraProbe(spark: SparkSession, outDir: String, copies: Int): Boolean = {
+    val e = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val np = graft.functions.PortableHash.planesFor(n)
+    val b = e.withColumn("bucket",
+        graft.functions.PortableHash.lshBucketScaled(col("embedding"), np))
+      // the clone fixture's planted structure: vec_id mod 1e7 names the
+      // base vector; its `copies` perturbed clones are TRUE near-dups,
+      // land in one bucket by construction, and contribute a
+      // pair-quadratic candidate mass ANY correct method must emit —
+      // so the linearity claim is about the CROSS-BASE remainder
+      // (hash-collision noise), reported separately
+      .withColumn("base", col("vec_id") % 10000000L)
+    val pops = b.groupBy(col("bucket")).agg(count(lit(1)).as("pop"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("pop * (pop - 1) DIV 2")).as("candidates"),
+        max(col("pop")).as("max_pop"))
+      .head()
+    val planted = b.groupBy(col("bucket"), col("base"))
+      .agg(count(lit(1)).as("pop"))
+      .agg(sum(expr("pop * (pop - 1) DIV 2")).as("planted"))
+      .head().getLong(0)
+    val t0 = System.nanoTime()
+    val q = SparkEntry.queries("q163_paraphrase_mining")(spark, outDir)
+    q.write.format("noop").mode("overwrite").save()
+    val tq = (System.nanoTime() - t0) / 1e9
+    val cand = pops.getLong(1)
+    val cross = cand - planted
+    println(s"""{"probe":"para-probe","copies":$copies,"n":$n,"n_planes":$np,"n_buckets":${pops.getLong(0)},"candidates":$cand,"planted_same_base":$planted,"cross_base":$cross,"cross_per_n":${cross.toDouble / n},"max_pop":${pops.getLong(2)},"q163_sec":$tq}""")
+    true
+  }
+
+  /** [[paraProbe]] over a corpus of DISTINCT directions (--para-probe
+    * --distinct --copies K ⇒ n = K·1000 synthetic vectors, each
+    * dimension a portable-hash pseudo-uniform in [−1, 1]): the clone
+    * fixture duplicates 2 000 directions c times, so entire clone
+    * FAMILIES share buckets and even cross-base candidate mass grows
+    * with c² — a degeneracy of that fixture, not of the rule (no hash
+    * can separate identical directions; a real corpus grows by NEW
+    * directions). Here every vector is its own direction, so the
+    * candidate volume divided by n directly exhibits the
+    * corpus-scaled rule's linearity. */
+  private def paraProbeDistinct(spark: SparkSession, copies: Int): Boolean = {
+    import spark.implicits._
+    val n = copies * 1000L
+    val (a, b) = graft.functions.PortableHash.BootPair
+    val p = graft.functions.PortableHash.P
+    // the QUADRATIC mix (affine y, then y² mod P + y — the media
+    // fixtures' convention): a plain affine over k = id·64+i leaves a
+    // lattice (consecutive dims share one stride), which projects
+    // pathologically onto the hyperplanes; the mix breaks it
+    val e = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i => {
+        val y = (lit(a) * ((col("id") * 64 + i) % lit(p)) + lit(b)) % lit(p)
+        (((y * y) % lit(p) + y) % lit(p) % 2001 - 1000)
+          .cast("float") / lit(1000.0f)
+      }).as("embedding"))
+    val np = graft.functions.PortableHash.planesFor(n)
+    val pops = e.withColumn("bucket",
+        graft.functions.PortableHash.lshBucketScaled(col("embedding"), np))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("pop"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("pop * (pop - 1) DIV 2")).as("candidates"),
+        max(col("pop")).as("max_pop"))
+      .head()
+    val cand = pops.getLong(1)
+    println(s"""{"probe":"para-probe-distinct","n":$n,"n_planes":$np,"n_buckets":${pops.getLong(0)},"candidates":$cand,"max_pop":${pops.getLong(2)},"cand_per_n":${cand.toDouble / n}}""")
+    true
+  }
+
   private def decadeUpProbe(spark: SparkSession, outDir: String, copies: Int,
                             flags: Map[String, String]): Boolean = {
     val probeQueries = flags.get("queries")

@@ -284,4 +284,76 @@ object PortableHash {
       s"(CASE WHEN list_sum(list_transform(list_zip($v, $lits), " +
         s"p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------------
+  // corpus-scaled sign-LSH (q163): plane count derived from n
+  // ---------------------------------------------------------------
+
+  /** Expected bucket population target for the corpus-scaled buckets:
+    * with p = [[planesFor]](n) planes, 2^p buckets hold ≈ n/2^p ≤ 32
+    * vectors each, so same-bucket candidate volume is
+    * ≈ n·[[ParaTargetPop]]/2 — LINEAR in the corpus. A FIXED plane
+    * count makes per-bucket population ∝ n and candidate volume
+    * quadratic (round-12 verdict: ~78 M scored pairs at 200 k under 8
+    * fixed planes) — the classic LSH scale-killer. */
+  val ParaTargetPop = 32L
+
+  /** Plane-pool bound: 24 planes cover 32·2^24 ≈ 537 M vectors per
+    * Spark-side corpus slice at the target population; beyond that the
+    * cap trades candidate linearity for recall smoothly (population
+    * grows again), and a 100 TB deployment would extend the pool — the
+    * rule, not the constant, is the contract. */
+  val LshPlanesMax = 24
+
+  /** [[LshPlanes]] extended to [[LshPlanesMax]]: the FIRST 8 ARE
+    * LshPlanes verbatim (a small corpus's scaled buckets are exactly
+    * the q22-portable 8-plane buckets), the extension has its own seed
+    * so no other hash family can correlate with it. Same 6-decimal
+    * rounding so oracle SQL literals are bit-identical. */
+  val LshPlanesExt: IndexedSeq[IndexedSeq[Double]] = {
+    val rng = new scala.util.Random(909L)
+    LshPlanes ++ Vector.fill(LshPlanesMax - LshPlanes.size)(
+      Vector.fill(64)(math.rint(rng.nextGaussian() * 1e6) / 1e6))
+  }
+
+  /** The smallest plane count p in [8, [[LshPlanesMax]]] with
+    * [[ParaTargetPop]]·2^p ≥ n — integer-exact (no float log2 at a
+    * power-of-two boundary can disagree between engines; the oracle
+    * walks the identical threshold chain, [[planesForSql]]). */
+  def planesFor(n: Long): Int = {
+    var p = 8
+    while (p < LshPlanesMax && (ParaTargetPop << p) < n) p += 1
+    p
+  }
+
+  /** DuckDB CASE chain computing [[planesFor]] of count expression
+    * `nExpr`. */
+  def planesForSql(nExpr: String): String =
+    (8 until LshPlanesMax)
+      .map(p => s"WHEN $nExpr <= ${ParaTargetPop << p} THEN $p")
+      .mkString("(CASE ", " ", s" ELSE $LshPlanesMax END)")
+
+  /** Sign-LSH bucket over the first `nPlanes` of [[LshPlanesExt]] —
+    * [[lshBucket]]'s corpus-scaled generalization (identical at
+    * nPlanes = 8). */
+  def lshBucketScaled(v: Column, nPlanes: Int): Column =
+    LshPlanesExt.take(nPlanes).zipWithIndex.map { case (plane, p) =>
+      val dot = aggregate(
+        zip_with(v, typedLit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, d) => acc + d)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL computing [[lshBucketScaled]] of embedding expression
+    * `v` with the plane count from expression `npExpr`: all
+    * [[LshPlanesMax]] plane terms are emitted, each gated on
+    * `p < npExpr` — the SQL stays one static string while the rule
+    * stays data-derived, exactly like the Scala side's
+    * driver-computed count. */
+  def lshBucketScaledSql(v: String, npExpr: String): String =
+    LshPlanesExt.zipWithIndex.map { case (plane, p) =>
+      val lits = plane.mkString("[", ",", "]")
+      s"(CASE WHEN $p < $npExpr AND list_sum(list_transform(list_zip($v, $lits), " +
+        s"p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -589,8 +589,12 @@ object AnnQueries {
   val SemDecontamTau = 0.68
 
   /** q163: paraphrase candidacy = embedding score ≥ ParaSimTau (the
-    * fixture's ~p99 of all-pairs similarity) among SAME-sign-LSH-bucket
-    * pairs, minus lexical near-copies (3-shingle Jaccard must stay ≤
+    * fixture's ~p99 of all-pairs similarity) among pairs sharing a
+    * CORPUS-SCALED sign-LSH bucket
+    * ([[graft.functions.PortableHash.planesFor]] planes — buckets ∝ n
+    * so candidate volume stays corpus-linear; at fixture sizes the
+    * buckets are q22's 8-plane ones), minus lexical near-copies
+    * (3-shingle Jaccard must stay ≤
     * ParaJacMax — a high-Jaccard pair is a COPY, not a paraphrase).
     * Honesty note: this fixture's text and embeddings are independent
     * synthetics, so the lexical gate excludes zero pairs here
@@ -609,18 +613,30 @@ object AnnQueries {
       // but LEXICALLY distinct (semantically same thing, said
       // differently). Cross-modal composition of machinery the engine
       // already owns: candidates from the PORTABLE sign-LSH bucket
-      // equi-join (q22's 8-plane buckets — same-bucket is the
+      // equi-join with the plane count DERIVED FROM CORPUS SIZE
+      // (PortableHash.planesFor — same-CORPUS-SCALED-bucket is the
       // declared candidate rule, and the oracle applies the identical
-      // buckets), verified by exact cosine score ≥ ParaSimTau, then
-      // the LEXICAL gate — 3-shingle Jaccard ≤ ParaJacMax via the
-      // session-cached shingle sets (doc_id ≡ vec_id across the
-      // fixture tables) — so near-copies are excluded by content, not
-      // by id. Scale shape: bucket equi-join (never all-pairs), the
-      // tiny candidate set joins the shingle view by id, and every
-      // stage before the final sort is shuffle-bounded by candidates.
-      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+      // count-threshold chain and buckets; at fixture n ≤ 8192 the
+      // buckets ARE q22's 8-plane buckets), verified by exact cosine
+      // score ≥ ParaSimTau, then the LEXICAL gate — 3-shingle Jaccard
+      // ≤ ParaJacMax via the session-cached shingle sets (doc_id ≡
+      // vec_id across the fixture tables) — so near-copies are
+      // excluded by content, not by id. Scale shape: bucket equi-join
+      // (never all-pairs) whose expected per-bucket population stays
+      // ≈ ParaTargetPop because buckets scale with n, so scored
+      // candidate volume grows LINEARLY with the corpus (fixed planes
+      // made it quadratic — round-12 verdict; --para-probe receipts
+      // the linearity); the tiny candidate set joins the shingle view
+      // by id, and every stage before the final sort is
+      // shuffle-bounded by candidates.
+      val base = graft.SparkEntry.tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", graft.functions.PortableHash.lshBucket(col("embedding")))
+      // one metadata-cheap count job at plan time picks the plane
+      // count — the engine-side twin of the oracle's scalar subquery
+      val np = graft.functions.PortableHash.planesFor(base.count())
+      val e = base
+        .withColumn("bucket",
+          graft.functions.PortableHash.lshBucketScaled(col("embedding"), np))
       val a = e.toDF("vec_a", "emb_a", "bucket")
       val b = e.toDF("vec_b", "emb_b", "bucket")
       val cand = a.join(b, Seq("bucket"))
@@ -826,6 +842,108 @@ object AnnQueries {
           round(coalesce(col("dcg").cast("double"), lit(0.0))
             / expr(irIdcgSql("n_rel")).cast("double"), 6).as("ndcg_at_10"))
         .orderBy(col("query_id"))
+    }),
+
+    "q166_retrieval_arms" -> ((s, dir) => {
+      // the PRODUCTION-arm IR report — q164's metric machinery turned
+      // on the arms a deployment actually serves (round-12 verdict
+      // item #3: the standing eval must certify what users get, not
+      // only the sign-LSH strawman): per-query recall@10 / MRR /
+      // nDCG@10 of (a) the session BRP index (q47's arm, candidates =
+      // all bucket-sharing vectors via the canonical first-agreeing-
+      // table band join), (b) the persisted IVF artifact at the
+      // shipped IvfNProbe (q87's batched probe), and (c) the persisted
+      // IVF-PQ artifact at the shipped MultiProbeNProbe +
+      // IvfPqMultiShortlist (q151's batched probe). Ground truth is
+      // the exact top-IrK EXCLUDING SELF (the standard eval rule —
+      // a self-hit pads every metric); each arm over-probes k+1, drops
+      // self, and re-ranks by the engine's (rounded score desc,
+      // vec_id) total order. The ORACLE declares the arms PERFECT
+      // (recall = mrr = ndcg = 1.0 at the shipped constants — exactly
+      // what the q47/q87/q151 fails-closed exact oracles certify), so
+      // any cell miss, shortlist miss, or band miss on any arm flips
+      // this red: the report is a standing per-arm quality gate, and
+      // on a clustered production corpus the same query emits the
+      // honest sub-1.0 surface. Scale shape: each arm is one
+      // candidate-bounded scan/join against the broadcast 5-query
+      // batch; everything past the arms lives in ≤ 3·IrQueries·(IrK+1)
+      // rows.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qdf = e.filter(col("vec_id") < IrQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val qvecs = e.filter(col("vec_id") < IrQueries)
+        .select(col("vec_id"), col("embedding"))
+      // ground truth: exact per-query top-IrK over everything but self
+      val rel = e.join(broadcast(qdf), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(neo4jScore(col("embedding"), col("qe")), 6).as("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.expressions.TopKAggExpr
+          .topK(col("vec_id"), col("score"), IrK).as("hits"))
+        .select(col("query_id"), posexplode(col("hits")).as(Seq("p0", "hit")))
+        .select(col("query_id"), col("hit.id").as("vec_id"))
+      // (query_id, vec_id, score) → self dropped, re-ranked 1..IrK by
+      // the engine-wide (rounded score desc, id asc) total order —
+      // frames are ≤ IrK+1 rows per query
+      def rerank(raw: DataFrame): DataFrame = raw
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("pos") <= IrK)
+        .select(col("query_id"), col("vec_id"), col("pos"))
+      val retIvf = rerank(graft.search.AnnIndex
+        .probeIvfMulti(s, ivfIndexDir(s, dir), qvecs, IrK + 1, IvfNProbe)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("score")))
+      val retPq = rerank(graft.search.AnnIndex
+        .probeIvfPqMulti(s, ivfPqIndexDir(s, dir), qvecs, IrK + 1,
+          MultiProbeNProbe, IvfPqMultiShortlist)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("score")))
+      // BRP arm: query signatures from the SAME fitted model, candidates
+      // from the canonical banded equi-join (each (query, vector) pair
+      // claimed once at its lowest agreeing table — no distinct), exact
+      // rescore with the engine's scoring expression
+      val idx = graft.search.AnnIndex.sessionBrp(s, dir,
+        e.select(col("vec_id"), col("embedding")), numTables = BrpTables)
+      val qh = idx.model.transform(graft.search.AnnIndex.prepare(
+        qdf.select(col("query_id"), col("qe"), col("qe").as("embedding"))))
+      val qb = qh.select(col("query_id"), col("qe"),
+          transform(col("hashes"), v =>
+            element_at(org.apache.spark.ml.functions.vector_to_array(v), 1)).as("qsig"))
+        .select(col("query_id"), col("qe"), col("qsig"),
+          posexplode(col("qsig")))
+        .toDF("query_id", "qe", "qsig", "t", "b")
+      val canonical = (0 until BrpTables).map { j =>
+        lit(j) >= col("x.t") ||
+          element_at(col("x.sig"), j + 1) =!= element_at(col("y.qsig"), j + 1)
+      }.reduce(_ && _)
+      val retBrp = rerank(idx.banded.alias("x")
+        .join(broadcast(qb.alias("y")),
+          col("x.t") === col("y.t") && col("x.b") === col("y.b") && canonical)
+        .select(col("y.query_id"), col("x.vec_id"),
+          round(neo4jScore(col("x.embedding"), col("y.qe")), 6).as("score")))
+      val ret = retBrp.withColumn("arm", lit("brp"))
+        .unionByName(retIvf.withColumn("arm", lit("ivf")))
+        .unionByName(retPq.withColumn("arm", lit("ivfpq")))
+      val hits = ret.join(rel, Seq("query_id", "vec_id"))
+        .groupBy(col("arm"), col("query_id"))
+        .agg(count(lit(1)).as("n_hit"), min(col("pos")).as("first_pos"),
+          sum(expr(irDiscSql("pos"))).as("dcg"))
+      val nret = ret.groupBy(col("arm"), col("query_id"))
+        .agg(count(lit(1)).as("n_ret"))
+      val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      nret.join(broadcast(nrel), Seq("query_id"))
+        .join(hits, Seq("arm", "query_id"), "left")
+        .select(col("arm"), col("query_id"), col("n_rel"), col("n_ret"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_rel"), 6).as("recall_at_10"),
+          round(when(col("first_pos").isNotNull,
+            lit(1.0) / col("first_pos")).otherwise(lit(0.0)), 6).as("mrr"),
+          round(coalesce(col("dcg").cast("double"), lit(0.0))
+            / expr(irIdcgSql("n_rel")).cast("double"), 6).as("ndcg_at_10"))
+        .orderBy(col("arm"), col("query_id"))
     }),
 
     "q32_filtered_knn" -> ((s, dir) => {
@@ -1660,9 +1778,11 @@ object AnnQueries {
 
     "q163_paraphrase_mining" ->
       s"""WITH sh AS (${DedupQueries.hashedShinglesSql}),
-         |e AS (SELECT vec_id, embedding,
-         |    ${graft.functions.PortableHash.lshBucketSql("embedding")} AS bucket
+         |nc AS (SELECT ${graft.functions.PortableHash.planesForSql("count(*)")} AS np
          |  FROM embeddings),
+         |e AS (SELECT vec_id, embedding,
+         |    ${graft.functions.PortableHash.lshBucketScaledSql("embedding", "nc.np")} AS bucket
+         |  FROM embeddings CROSS JOIN nc),
          |cand AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
@@ -2121,6 +2241,32 @@ object AnnQueries {
          |    / 2.0, 6) AS score
          |FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
          |ORDER BY score DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the production arms at their SHIPPED constants must be PERFECT
+    // on this fixture — recall@10 = MRR = nDCG@10 = 1.0 per query per
+    // arm (what q47/q87/q151's exact oracles already certify, here as
+    // the standing report): any band/cell/shortlist miss flips the
+    // predicted 1.0 rows red. n_rel is recomputed (exact top-IrK
+    // excluding self), so the prediction also fails closed on a
+    // ground-truth defect.
+    "q166_retrieval_arms" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+         |  WHERE vec_id < $IrQueries),
+         |ex AS (SELECT query_id, e.vec_id,
+         |    round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         |  FROM e JOIN q ON e.vec_id <> q.query_id),
+         |rel AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS pos FROM ex)
+         |  WHERE pos <= $IrK),
+         |nr AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id)
+         |SELECT arm, query_id, n_rel, n_rel AS n_ret, n_rel AS n_hit,
+         |  CAST(1.0 AS DOUBLE) AS recall_at_10,
+         |  CAST(1.0 AS DOUBLE) AS mrr,
+         |  CAST(1.0 AS DOUBLE) AS ndcg_at_10
+         |FROM nr CROSS JOIN (SELECT unnest(['brp', 'ivf', 'ivfpq']) AS arm)
+         |ORDER BY arm, query_id""".stripMargin,
 
     "q164_retrieval_metrics" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
