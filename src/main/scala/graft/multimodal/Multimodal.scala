@@ -957,47 +957,96 @@ object Multimodal {
         val blob = r.getAs[Array[Byte]](blobIdx)
         val mediaType = r.getStruct(metaIdx).getString(0)
         if (blob == null || mediaType != "image/gif") Iterator.empty
-        else tryDecode {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(blob))
-          val reader = gifReaderSpi.createReaderInstance()
-          try {
-            reader.setInput(iis, false, true)
-            val n = reader.getNumImages(true)
-            (0 until n).iterator.map { f =>
-              val img = reader.read(f)
-              val np = img.getWidth * img.getHeight
-              val gray = new Array[Long](np)
-              var total = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val g = (img.getRGB(x, y) & 0xff).toLong
-                  gray(y * img.getWidth + x) = g
-                  total += g
-                  x += 1
-                }
-                y += 1
-              }
-              // same geometry contract as the audio bands: 4 equal
-              // bands of ≤64 bits — a non-8x8 foreign frame must
-              // quarantine on the declared geometry, not corrupt via
-              // Long-shift aliasing (shift counts are mod 64)
-              require(np > 0 && np % 4 == 0 && np <= 256,
-                s"unsupported frame geometry: $np pixels (need >0, %4==0, <=256)")
-              val bandBits = np / 4
-              val out = new Array[Long](4)
-              var j = 0
-              while (j < np) {
-                if (gray(j) * np > total)
-                  out(j / bandBits) |= 1L << (j % bandBits)
-                j += 1
-              }
-              Row.fromSeq(r.toSeq ++ Seq(f.toLong, n.toLong, out(0), out(1), out(2), out(3)))
-            }.toVector // materialize BEFORE the finally disposes the reader
-          } finally { reader.dispose(); iis.close() }
-        }.getOrElse(Vector.empty) // quarantined
+        else {
+          val frames = gifFrameBands(blob).getOrElse(Vector.empty) // quarantined
+          frames.zipWithIndex.map { case (out, f) =>
+            Row.fromSeq(r.toSeq ++ Seq(f.toLong, frames.size.toLong,
+              out(0), out(1), out(2), out(3)))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode a GIF blob's frames to per-frame 4×16-bit aHash band
+    * arrays (one `Array[Long](4)` per frame, frame order preserved);
+    * None = quarantined (undecodable, or a frame outside the declared
+    * geometry contract). The shared decode core of
+    * [[videoFrameHashBands]] (per-frame rows, batch) and
+    * [[videoFrameHashArray]] (one row per clip — the stream-static
+    * probe's row-local shape). */
+  private def gifFrameBands(blob: Array[Byte]): Option[Vector[Array[Long]]] =
+    tryDecode {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val reader = gifReaderSpi.createReaderInstance()
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        (0 until n).iterator.map { f =>
+          val img = reader.read(f)
+          val np = img.getWidth * img.getHeight
+          val gray = new Array[Long](np)
+          var total = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val g = (img.getRGB(x, y) & 0xff).toLong
+              gray(y * img.getWidth + x) = g
+              total += g
+              x += 1
+            }
+            y += 1
+          }
+          // same geometry contract as the audio bands: 4 equal
+          // bands of ≤64 bits — a non-8x8 foreign frame must
+          // quarantine on the declared geometry, not corrupt via
+          // Long-shift aliasing (shift counts are mod 64)
+          require(np > 0 && np % 4 == 0 && np <= 256,
+            s"unsupported frame geometry: $np pixels (need >0, %4==0, <=256)")
+          val bandBits = np / 4
+          val out = new Array[Long](4)
+          var j = 0
+          while (j < np) {
+            if (gray(j) * np > total)
+              out(j / bandBits) |= 1L << (j % bandBits)
+            j += 1
+          }
+          out
+        }.toVector // materialize BEFORE the finally disposes the reader
+      } finally { reader.dispose(); iis.close() }
+    }
+
+  /** [[videoFrameHashBands]] folded to ONE ROW PER CLIP: (input cols…,
+    * n_frames, frames ARRAY<STRUCT<band0..band3>>) with array position
+    * = frame index. This is the shape a STATELESS stream-static probe
+    * needs — the whole clip's hash rides one row, so the aligned
+    * per-frame Hamming against a static partner array is row-local
+    * higher-order-function math (zip_with + aggregate), never a
+    * streaming aggregation. Non-GIF / null / quarantined blobs emit
+    * no row. */
+  def videoFrameHashArray(blobs: DataFrame): DataFrame = {
+    val bandStruct = StructType((0 until 4).map(j =>
+      StructField(s"band$j", LongType, nullable = false)))
+    val outSchema = StructType(blobs.schema.fields ++ Seq(
+      StructField("n_frames", LongType, nullable = false),
+      StructField("frames", ArrayType(bandStruct, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        if (blob == null || mediaType != "image/gif") Iterator.empty
+        else gifFrameBands(blob) match {
+          case None => Iterator.empty // quarantined
+          case Some(frames) => Iterator.single(Row.fromSeq(r.toSeq ++ Seq(
+            frames.size.toLong,
+            frames.map(out => Row(out(0), out(1), out(2), out(3))))))
+        }
       }
     }(enc)
   }

@@ -543,6 +543,68 @@ object AnnIndex {
       .select((col("vec_id") +: payload.map(col)) :+ col("score"): _*)
   }
 
+  /** Append one encoded micro-batch to the LIVE delta segment of an
+    * LSM-maintained IVF-PQ index and, every `compactEvery` batches,
+    * fold the live files into the consolidated COMPACTED segment —
+    * the maintenance step [[graft.search.SearchEngine.streamingIvfPqMaintain]]
+    * runs per micro-batch. Layout under `deltaDir`:
+    *
+    *  - `live/`      — cell-partitioned parquet, APPENDED per batch
+    *                   (encodeSegment output: main quantizer assigns
+    *                   cells, main codebooks assign codes — no refit,
+    *                   O(batch) work; exactly minor compaction's write)
+    *  - `compacted/` — the folded generations: at each compaction the
+    *                   union of compacted ∪ live is consolidated (one
+    *                   pass, repartitioned by cell so each cell
+    *                   directory holds few large files instead of
+    *                   one-per-batch small ones) and atomically swapped
+    *                   in via directory rename; live is then cleared.
+    *
+    * The fold bounds the per-probe file count: without it a probe's
+    * delta scan opens O(batches) files per cell; with it, O(1) plus
+    * the current live tail — the LSM write-amplification trade every
+    * store makes. All driver-side FS steps run inside foreachBatch,
+    * which Structured Streaming serializes per query, so no two
+    * compactions race. */
+  def appendDeltaBatch(spark: SparkSession, indexDir: String, deltaDir: String,
+                       batch: DataFrame, batchId: Long, compactEvery: Int): Unit = {
+    encodeSegment(spark, indexDir, batch)
+      .write.mode("append").partitionBy("cell").parquet(s"$deltaDir/live")
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(s"$deltaDir/live")
+      val compacted = new org.apache.hadoop.fs.Path(s"$deltaDir/compacted")
+      val next = new org.apache.hadoop.fs.Path(s"$deltaDir/compacted_next")
+      val segs = Seq(s"$deltaDir/live") ++
+        (if (fs.exists(compacted)) Seq(s"$deltaDir/compacted") else Nil)
+      segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(next.toString)
+      if (fs.exists(compacted)) fs.delete(compacted, true)
+      fs.rename(next, compacted)
+      fs.delete(live, true)
+    }
+  }
+
+  /** Probe an LSM-maintained index: MAIN artifact ∪ whatever delta
+    * segments currently exist (compacted and/or live) — q150's
+    * main+delta read generalized to the [[appendDeltaBatch]] layout,
+    * all segments sharing the main quantizer/codebooks so ONE cell
+    * ranking prunes every scan ([[probeIvfPqSegments]]). */
+  def probeIvfPqLsm(spark: SparkSession, indexDir: String, deltaDir: String,
+                    query: Array[Float], k: Int, nProbe: Int,
+                    shortlist: Int): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val segDirs = s"$indexDir/corpus" +: Seq(s"$deltaDir/compacted", s"$deltaDir/live")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    // column pruning happens inside probeIvfPqSegments' selects, so
+    // differing payload columns across segments are harmless
+    probeIvfPqSegments(spark, indexDir, segDirs.map(spark.read.parquet(_)),
+      query, k, nProbe, shortlist)
+  }
+
   /** Probe a persisted IVF-PQ artifact with a BATCH of queries — the
     * multi-tenant face of [[probeIvfPq]] ([[probeIvfMulti]]'s shape
     * composed with the PQ compression): (1) per-query cell selection

@@ -265,6 +265,36 @@ final class SearchEngine(
       }
       .start()
 
+  /** Streaming LSM MAINTENANCE of a persisted IVF-PQ index — the
+    * write-path twin that closes the lifecycle q148–q153 cover in
+    * batch (create → serve → graduate → compact): each micro-batch of
+    * newly ingested vectors is encoded into the MAIN artifact's
+    * geometry ([[graft.search.AnnIndex.encodeSegment]] — main
+    * quantizer assigns cells, main codebooks assign codes, NO refit,
+    * O(batch) work) and appended to the delta's live segment; every
+    * `compactEvery` batches the live files fold into the consolidated
+    * compacted segment ([[graft.search.AnnIndex.appendDeltaBatch]]).
+    * Probes against the evolving index run
+    * [[graft.search.AnnIndex.probeIvfPqLsm]] — main ∪ compacted ∪
+    * live, one cell ranking pruning every segment scan. `afterBatch`
+    * fires after each batch's maintenance completes (the spec probes
+    * there); replay==batch: the final index state is a pure function
+    * of the rows ingested, not of the batch carve — SearchEngineSpec
+    * asserts the streamed index answers identically to a one-shot
+    * batch encode AND to the exact scan. */
+  def streamingIvfPqMaintain(newVecs: DataFrame, indexDir: String,
+                             deltaDir: String, compactEvery: Int)
+                            (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.search.AnnIndex.appendDeltaBatch(
+            batch.sparkSession, indexDir, deltaDir, batch.toDF(), id, compactEvery)
+        afterBatch(id)
+      }
+      .start()
+
   /** Batch KNN join: a *set* of queries against the corpus
     * (SURVEY.md §2.2 joins/windows, §7 step 4).
     *

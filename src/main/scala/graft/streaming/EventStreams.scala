@@ -395,14 +395,40 @@ object EventStreams {
   def phashProbeVsIndex(spark: SparkSession, indexDir: String,
                         newDocs: DataFrame, maxHamming: Long): DataFrame = {
     import graft.multimodal.Multimodal
+    bandProbeStream(spark, indexDir,
+      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs)),
+      maxHamming)
+  }
+
+  /** [[phashProbeVsIndex]]'s AUDIO twin: micro-batches of newly
+    * ingested clips decode + delta-sign-fingerprint only themselves
+    * and probe the persisted q167 band artifact
+    * ([[graft.queries.MultimodalQueries.afpIndexDir]]). Stateless; no
+    * state store, so replay must equal the batch probe restricted to
+    * old-corpus partners — EventStreamsSpec asserts it against q167's
+    * n_dup_old column. */
+  def afpProbeVsIndex(spark: SparkSession, indexDir: String,
+                      newDocs: DataFrame, maxHamming: Long): DataFrame = {
+    import graft.multimodal.Multimodal
+    bandProbeStream(spark, indexDir,
+      Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(newDocs)),
+      maxHamming)
+  }
+
+  /** The shared stream-static band probe of the image/audio twins:
+    * streaming fingerprints (doc_id, band0..band3) explode to band
+    * keys, equi-join the static artifact's exploded keys, claim each
+    * (new, indexed) pair once via the first-agreeing-band rule, verify
+    * by exact 64-bit Hamming. Append-mode, zero state. */
+  private def bandProbeStream(spark: SparkSession, indexDir: String,
+                              newBands: DataFrame, maxHamming: Long): DataFrame = {
     val idx = spark.read.parquet(s"$indexDir/bands")
     graft.operators.Dedup.requireIndexCols(idx, indexDir, "bands",
       Seq("doc_id", "j", "v", "band0", "band1", "band2", "band3"))
     val pb = idx.select(col("doc_id").as("partner"), col("j"), col("v"),
       col("band0").as("b0"), col("band1").as("b1"),
       col("band2").as("b2"), col("band3").as("b3"))
-    val nh = Multimodal
-      .imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs))
+    val nh = newBands
       .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
     val nx = nh.select(col("doc_id"),
         col("band0").as("a0"), col("band1").as("a1"),
@@ -421,6 +447,74 @@ object EventStreams {
     nx.join(pb, Seq("j", "v"))
       .filter(col("doc_id") =!= col("partner") && noEarlierAgree)
       .withColumn("hamming", hamming)
+      .filter(col("hamming") <= lit(maxHamming))
+      .select(col("doc_id"), col("partner"), col("hamming"))
+  }
+
+  /** [[phashProbeVsIndex]]'s VIDEO twin against the q168 two-table
+    * artifact ([[graft.queries.MultimodalQueries.vphashIndexDir]]):
+    * each micro-batch decodes its own clips into ONE ROW PER CLIP
+    * ([[graft.multimodal.Multimodal.videoFrameHashArray]] — the whole
+    * clip's per-frame hashes ride the row), candidates come from the
+    * static frame-0 anchor band keys (+ equal frame counts, q157's
+    * rule) claimed once per pair, and the aligned-Hamming verify is
+    * ROW-LOCAL higher-order-function math between the streamed frames
+    * array and the partner's pre-folded static array — no streaming
+    * aggregation anywhere, so the query is append-mode and stateless;
+    * replay must equal q168's old-partner counts (EventStreamsSpec). */
+  def vphashProbeVsIndex(spark: SparkSession, indexDir: String,
+                         newDocs: DataFrame, maxHamming: Long): DataFrame = {
+    import graft.multimodal.Multimodal
+    val f0 = spark.read.parquet(s"$indexDir/f0bands")
+    graft.operators.Dedup.requireIndexCols(f0, indexDir, "f0bands",
+      Seq("doc_id", "j", "v", "band0", "band1", "band2", "band3", "n_frames"))
+    val pb = f0.select(col("doc_id").as("partner"), col("j"), col("v"),
+      col("band0").as("b0"), col("band1").as("b1"),
+      col("band2").as("b2"), col("band3").as("b3"),
+      col("n_frames").as("nfb"))
+    // static per-partner frame arrays, folded ONCE at setup (batch
+    // aggregation of a static table — position = frame index)
+    val pfr = spark.read.parquet(s"$indexDir/frames")
+      .groupBy(col("doc_id").as("partner"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"),
+        col("band0"), col("band1"), col("band2"), col("band3")))).as("pframes"))
+      .select(col("partner"),
+        transform(col("pframes"), f => struct(
+          f.getField("band0").as("band0"), f.getField("band1").as("band1"),
+          f.getField("band2").as("band2"), f.getField("band3").as("band3")))
+          .as("pframes"))
+    val nh = Multimodal
+      .videoFrameHashArray(Multimodal.ingestSynthVariantVideo(newDocs))
+      .select(col("doc_id"), col("n_frames"), col("frames"))
+    val nx = nh.select(col("doc_id"), col("n_frames").as("nfa"), col("frames"),
+        element_at(col("frames"), 1).as("f0"))
+      .select(Seq(col("doc_id"), col("nfa"), col("frames")) ++
+        (0 until 4).map(j => col("f0").getField(s"band$j").as(s"a$j")): _*)
+      .select(col("doc_id"), col("nfa"), col("frames"),
+        col("a0"), col("a1"), col("a2"), col("a3"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), col(s"a$j").as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("nfa"), col("frames"),
+        col("bk.j").as("j"), col("bk.v").as("v"),
+        col("a0"), col("a1"), col("a2"), col("a3"))
+    val noEarlierAgree = !(
+      (col("j") > 0 && col("a0") === col("b0")) ||
+      (col("j") > 1 && col("a1") === col("b1")) ||
+      (col("j") > 2 && col("a2") === col("b2")))
+    // aligned total Hamming: zip the streamed clip's frame array with
+    // the partner's static one — candidates already guarantee equal
+    // lengths — and fold the per-frame band XOR popcounts
+    val alignedHam = aggregate(
+      zip_with(col("frames"), col("pframes"), (fa, fb) =>
+        (0 until 4).map(i =>
+          bit_count(fa.getField(s"band$i").bitwiseXOR(fb.getField(s"band$i")))
+            .cast("long")).reduce(_ + _)),
+      lit(0L), (acc, x) => acc + x)
+    nx.join(pb, Seq("j", "v"))
+      .filter(col("doc_id") =!= col("partner") &&
+        col("nfa") === col("nfb") && noEarlierAgree)
+      .join(pfr, Seq("partner"))
+      .withColumn("hamming", alignedHam)
       .filter(col("hamming") <= lit(maxHamming))
       .select(col("doc_id"), col("partner"), col("hamming"))
   }

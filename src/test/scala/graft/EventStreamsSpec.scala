@@ -370,6 +370,70 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static afp probe replay-matches the declared q167 old-partner counts") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    val dir = MultimodalQueries.afpIndexDir(spark, sf0001)
+    val newIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashProbeNewMod)) >=
+        MultimodalQueries.PhashProbeNewMin)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    val mem = MemoryStream[Long]
+    val stream = EventStreams.afpProbeVsIndex(spark, dir,
+      mem.toDF().toDF("doc_id"), MultimodalQueries.AfpMaxHamming)
+    val q = stream
+      .writeStream.format("memory").queryName("afpidx").outputMode("append").start()
+    try {
+      mem.addData(newIds.take(newIds.size / 2))
+      q.processAllAvailable()
+      mem.addData(newIds.drop(newIds.size / 2))
+      q.processAllAvailable()
+      val gotRows = spark.table("afpidx")
+        .select($"doc_id", $"partner", $"hamming")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(gotRows.size === gotRows.distinct.size)
+      val gotCounts = gotRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val want = SparkEntry.queries("q167_afp_index_probe")(spark, sf0001)
+        .select($"doc_id", $"n_dup_old")
+        .as[(Long, Long)].collect().toMap
+      assert(newIds.forall(id => gotCounts.getOrElse(id, 0L) === want(id)),
+        "streamed old-partner counts diverge from the batch q167")
+      assert(gotRows.nonEmpty, "fixture should plant cross-batch audio near-dups")
+    } finally q.stop()
+  }
+
+  test("stream-static vphash probe replay-matches the declared q168 old-partner counts") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    val dir = MultimodalQueries.vphashIndexDir(spark, sf0001)
+    val newIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashProbeNewMod)) >=
+        MultimodalQueries.PhashProbeNewMin)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    val mem = MemoryStream[Long]
+    val stream = EventStreams.vphashProbeVsIndex(spark, dir,
+      mem.toDF().toDF("doc_id"), MultimodalQueries.VphashMaxHamming)
+    val q = stream
+      .writeStream.format("memory").queryName("vphidx").outputMode("append").start()
+    try {
+      mem.addData(newIds.take(newIds.size / 2))
+      q.processAllAvailable()
+      mem.addData(newIds.drop(newIds.size / 2))
+      q.processAllAvailable()
+      val gotRows = spark.table("vphidx")
+        .select($"doc_id", $"partner", $"hamming")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(gotRows.size === gotRows.distinct.size)
+      val gotCounts = gotRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val want = SparkEntry.queries("q168_vphash_index_probe")(spark, sf0001)
+        .select($"doc_id", $"n_dup_old")
+        .as[(Long, Long)].collect().toMap
+      assert(newIds.forall(id => gotCounts.getOrElse(id, 0L) === want(id)),
+        "streamed old-partner counts diverge from the batch q168")
+      assert(gotRows.nonEmpty, "fixture should plant cross-batch video near-dups")
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup replay-matches the batch incremental pairs") {
     implicit val sq = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

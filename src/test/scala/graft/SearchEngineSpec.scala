@@ -11,6 +11,72 @@ class SearchEngineSpec extends SparkSpec {
 
   lazy val eng = new SearchEngine(spark, new HashingEmbedder(64))
 
+  test("streaming LSM maintenance: delta appends + compaction answer identically to batch and exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import graft.queries.AnnQueries
+    val mainDir = AnnQueries.ivfPqMainIndexDir(spark, sf0001)
+    val (a, b) = graft.functions.PortableHash.SplitPair
+    val p = graft.functions.PortableHash.P
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(size($"embedding") === 64)
+    val isDelta =
+      ((lit(a) * $"vec_id" + lit(b)) % lit(p)) % 100 >= AnnQueries.DeltaBucketMin
+    val delta = e.filter(isDelta).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    assert(delta.size >= 3, "fixture delta split must carve into micro-batches")
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_lsm_spec").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // three micro-batches, compactEvery = 2: batches 0+1 fold into the
+    // compacted segment, batch 2 stays in the live tail — the probe
+    // must read main ∪ compacted ∪ live
+    val q = eng.streamingIvfPqMaintain(
+      mem.toDF().toDF("vec_id", "embedding"), mainDir, deltaDir,
+      compactEvery = 2)()
+    try {
+      val third = (delta.size + 2) / 3
+      delta.grouped(third).foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/compacted")),
+      "compaction must have folded the first two batches")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/live")),
+      "the last batch must sit in the live tail")
+    val qv = e.filter($"vec_id" === AnnQueries.CompactQueryId)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val got = graft.search.AnnIndex.probeIvfPqLsm(spark, mainDir, deltaDir,
+      qv, 10, AnnQueries.IvfNProbe, AnnQueries.CompactShortlist)
+    // every segment scan in the probe plan is pruned to the probed cells
+    val plan = got.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(l => l.contains("Scan parquet") &&
+      (l.contains("graft_ivfpqmain_index") || l.contains("graft_lsm_spec"))).toSeq
+    assert(scans.size >= 3, s"main + compacted + live scans expected:\n$plan")
+    scans.foreach(l => assert(
+      l.contains("PartitionFilters: [") && l.contains("cell#"),
+      s"segment scan must partition-prune on cell: $l"))
+    val gotRows = got.as[(Long, Double)].collect().toSeq
+    // replay == batch: a ONE-SHOT encode of the same rows answers
+    // identically — the index state is a function of the rows, not of
+    // the batch carve or the compaction schedule
+    val batchSeg = graft.search.AnnIndex.encodeSegment(spark, mainDir,
+      e.filter(isDelta).select($"vec_id", $"embedding"))
+    val batchRows = graft.search.AnnIndex.probeIvfPqSegments(spark, mainDir,
+        Seq(spark.read.parquet(s"$mainDir/corpus"), batchSeg),
+        qv, 10, AnnQueries.IvfNProbe, AnnQueries.CompactShortlist)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotRows === batchRows, "streamed index diverges from one-shot batch encode")
+    // and == the exact scan (q153's certified query + shortlist)
+    val exact = e.withColumn("score",
+        round(neo4jScore($"embedding", typedLit(qv.toSeq)), 6))
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(gotRows === exact, "LSM probe diverges from the exact top-10")
+  }
+
   test("flagship entry returns ranked hits with scores in [0,1]") {
     val hits = SparkEntry.entry(spark).collect()
     assert(hits.nonEmpty && hits.length <= 10)
