@@ -130,6 +130,8 @@ object ScaleProbe {
         ivfPqCompactTuneProbe(spark, srcDir)
       else if (flags.contains("brp-tables"))
         brpTuningProbe(spark, srcDir, flags)
+      else if (flags.contains("cc-probe"))
+        ccProbe(spark, flags)
       else if (flags.contains("para-probe") && flags.contains("distinct"))
         paraProbeDistinct(spark, copies)
       else if (flags.contains("para-probe")) {
@@ -618,6 +620,61 @@ object ScaleProbe {
     val cross = cand - planted
     println(s"""{"probe":"para-probe","copies":$copies,"n":$n,"n_planes":$np,"n_buckets":${pops.getLong(0)},"candidates":$cand,"planted_same_base":$planted,"cross_base":$cross,"cross_per_n":${cross.toDouble / n},"max_pop":${pops.getLong(2)},"q163_sec":$tq}""")
     true
+  }
+
+  /** Distributed connected-components probe (--cc-probe): runs the
+    * large-star/small-star contraction ([[graft.operators.Dedup
+    * .starContract]]) ABOVE the 10 M-edge driver cutover — the regime
+    * where it, not the driver union-find, is the engine (round-12
+    * verdict #4: the path was spec-covered on small graphs but never
+    * probed at the scale it exists for). Planted graph: `--cc-nodes` N
+    * nodes in groups of `--cc-group` g — a CHAIN through each group
+    * (diameter g−1, the worst case for plain min-label propagation;
+    * star contraction's round bound is O(log n), diameter-free) plus a
+    * deterministic intra-group shortcut every 97th node, ≈ N edges
+    * total. Ground truth is closed-form (component = the group's min
+    * id), so correctness is checked EXHAUSTIVELY on all N labels, not
+    * sampled; a slice through the driver union-find cross-checks the
+    * two paths agree. Shuffle volume is captured by a listener over
+    * the contraction's stages. */
+  private def ccProbe(spark: SparkSession, flags: Map[String, String]): Boolean = {
+    val nodes = flags.get("cc-nodes").map(_.toLong).getOrElse(20000000L)
+    val g = flags.get("cc-group").map(_.toLong).getOrElse(1000L)
+    val ids = spark.range(nodes)
+    val chain = ids.filter((col("id") + 1) % g =!= 0)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val shortcut = ids.filter(col("id") % 97 === 0 && col("id") % g >= 10)
+      .select(col("id").as("a"), (col("id") - 7).as("b"))
+    val edges = chain.union(shortcut)
+    val nEdges = edges.count()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shuffleRecords.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val (cc, rounds) = graft.operators.Dedup.starContract(edges)
+    // exhaustive closed-form check: every node's component must be its
+    // group's minimum id
+    val bad = cc.filter(col("component") =!= col("id") - (col("id") % g)).count()
+    val nLabeled = cc.count()
+    val tSec = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    // driver-path cross-check on the first 100 groups (chain + shortcut
+    // never cross groups, so filtering on `a` keeps `b` inside too)
+    val slice = edges.filter(col("a") < 100 * g)
+    val local = graft.operators.Dedup.connectedComponents(slice)
+      .withColumnRenamed("component", "local_component")
+    val mismatches = cc.filter(col("id") < 100 * g)
+      .join(local, Seq("id"))
+      .filter(col("component") =!= col("local_component")).count()
+    println(s"""{"probe":"cc-probe","nodes":$nodes,"group":$g,"edges":$nEdges,"rounds":$rounds,"labeled":$nLabeled,"bad_labels":$bad,"driver_slice_mismatches":$mismatches,"sec":$tSec,"shuffle_bytes":${shuffleBytes.get},"shuffle_records":${shuffleRecords.get}}""")
+    bad == 0 && mismatches == 0 && rounds <= 30
   }
 
   /** [[paraProbe]] over a corpus of DISTINCT directions (--para-probe
