@@ -384,10 +384,34 @@ object PlanDump {
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
     "q163_paraphrase_mining" ->
-      ("Paraphrase mining: sign-LSH bucket equi-join for candidates "
-        + "(never all-pairs), exact cosine verify, lexical Jaccard "
-        + "gate via the session-cached shingle view — every stage "
-        + "before the sort is shuffle-bounded by candidates."),
+      ("Paraphrase mining: CORPUS-SCALED sign-LSH bucket equi-join for "
+        + "candidates (planesFor(n) planes, buckets ∝ n, candidate "
+        + "volume near-linear — never all-pairs), exact cosine verify, "
+        + "lexical Jaccard gate via the session-cached shingle view — "
+        + "every stage before the sort is shuffle-bounded by candidates."),
+    "q165_served_search" ->
+      ("The SERVICE entry point's returned plan: the IVF-PQ probe half "
+        + "executes eagerly (q148's pinned shape) and the payload fetch "
+        + "is k point lookups — the collected hit ids reach the "
+        + "documents scan as a PushedFilter In, the k-row score table "
+        + "broadcasts, nothing shuffles."),
+    "q166_retrieval_arms" ->
+      ("Production-arm IR report: the BRP banded arm (canonical "
+        + "first-agreeing-table claim over the session index's band "
+        + "view), the IVF and IVF-PQ artifact probes (cell-pruned, "
+        + "q87/q151's shapes), each re-ranked in <= k+1-row frames "
+        + "after the self drop, metric math over <= 3*5*11 rows."),
+    "q167_afp_index_probe" ->
+      ("Incremental audio dedup vs the persisted fingerprint band "
+        + "index: q158's exact probe shape — the new batch decodes "
+        + "only itself, band equi-join vs artifact ∪ prior-new keys, "
+        + "first-agreeing-band claim, exact Hamming verify."),
+    "q168_vphash_index_probe" ->
+      ("Incremental video dedup vs the two-table artifact: frame-0 "
+        + "anchor bands (+ equal frame counts) for candidates, the "
+        + "aligned per-frame Hamming verify joining the artifact's "
+        + "frames table for old partners and the batch's own decode "
+        + "for prior-new — the indexed clips are never re-decoded."),
     "q164_retrieval_metrics" ->
       ("Retrieval-quality eval (recall@k / MRR / nDCG@k): both arms "
         + "rank via the map-side partial top-k heap under their "
