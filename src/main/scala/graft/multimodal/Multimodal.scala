@@ -1042,7 +1042,12 @@ object Multimodal {
         val mediaType = r.getStruct(metaIdx).getString(0)
         if (blob == null || mediaType != "image/gif") Iterator.empty
         else gifFrameBands(blob) match {
-          case None => Iterator.empty // quarantined
+          // quarantined, or a frameless container (downstream consumers
+          // anchor on frame 0 — a zero-frame row would put nulls into
+          // the band keys instead of being absent like the per-frame
+          // layout's natural empty)
+          case None => Iterator.empty
+          case Some(frames) if frames.isEmpty => Iterator.empty
           case Some(frames) => Iterator.single(Row.fromSeq(r.toSeq ++ Seq(
             frames.size.toLong,
             frames.map(out => Row(out(0), out(1), out(2), out(3))))))

@@ -557,15 +557,22 @@ object AnnIndex {
     *                   union of compacted ∪ live is consolidated (one
     *                   pass, repartitioned by cell so each cell
     *                   directory holds few large files instead of
-    *                   one-per-batch small ones) and atomically swapped
-    *                   in via directory rename; live is then cleared.
+    *                   one-per-batch small ones) and swapped in by
+    *                   directory rename; live is then cleared.
     *
     * The fold bounds the per-probe file count: without it a probe's
     * delta scan opens O(batches) files per cell; with it, O(1) plus
     * the current live tail — the LSM write-amplification trade every
     * store makes. All driver-side FS steps run inside foreachBatch,
     * which Structured Streaming serializes per query, so no two
-    * compactions race. */
+    * compactions race. Crash-consistency caveat: the swap is
+    * delete(compacted) THEN rename(next, compacted) — two FS ops, not
+    * one atomic commit; a driver crash between them leaves the folded
+    * data only in `compacted_next` (recoverable, but invisible to
+    * probes until renamed). A production deployment fronts the segment
+    * set with a manifest file swapped by one atomic rename — the
+    * standard LSM answer; the probe/encode machinery is unchanged by
+    * that hardening. */
   def appendDeltaBatch(spark: SparkSession, indexDir: String, deltaDir: String,
                        batch: DataFrame, batchId: Long, compactEvery: Int): Unit = {
     encodeSegment(spark, indexDir, batch)
