@@ -88,13 +88,17 @@ object Search {
     val cpus = flags.get("cpus").orElse(env.get("SPARK_GRAFT_CPUS"))
       .getOrElse("4")
     val serve = flags.get("serve").exists(_ != "false")
-    // the served path defaults to the INDEX route (the reference's tool
-    // call is an index probe, server.py:87); `--index false` /
-    // SPARK_GRAFT_INDEX=false forces the exact brute-force scan
+    // --serve defaults to the INDEX route (the reference's tool call is
+    // an index probe, server.py:87, and a long-lived service amortizes
+    // the build across requests); a ONE-SHOT prompt defaults to the
+    // exact scan — building the whole IVF-PQ artifact costs several
+    // corpus passes, strictly more than the single scan it would
+    // replace in a process that answers once and exits. `--index` /
+    // `--index false` / SPARK_GRAFT_INDEX override either default.
     val index = flags.get("index").orElse(env.get("SPARK_GRAFT_INDEX"))
-      .forall(_ != "false")
+      .map(_ != "false").getOrElse(serve)
     require(prompt.nonEmpty || serve,
-      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index false]")
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false]")
     Config(sfDir, prompt, k, cpus, serve, index)
   }
 

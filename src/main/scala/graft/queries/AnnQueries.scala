@@ -933,9 +933,18 @@ object AnnQueries {
       val nret = ret.groupBy(col("arm"), col("query_id"))
         .agg(count(lit(1)).as("n_ret"))
       val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
-      nret.join(broadcast(nrel), Seq("query_id"))
+      // the report frame is the FULL arms × queries grid, not whatever
+      // (arm, query) pairs happened to retrieve: an arm returning zero
+      // candidates for a query must surface as an explicit all-zero
+      // row — the total-miss case is exactly what a standing quality
+      // gate exists to catch, not to go blind on
+      val arms = s.range(1)
+        .select(explode(typedLit(Seq("brp", "ivf", "ivfpq"))).as("arm"))
+      nrel.crossJoin(broadcast(arms))
+        .join(nret, Seq("arm", "query_id"), "left")
         .join(hits, Seq("arm", "query_id"), "left")
-        .select(col("arm"), col("query_id"), col("n_rel"), col("n_ret"),
+        .select(col("arm"), col("query_id"), col("n_rel"),
+          coalesce(col("n_ret"), lit(0L)).as("n_ret"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           round(coalesce(col("n_hit"), lit(0L)).cast("double")
             / col("n_rel"), 6).as("recall_at_10"),

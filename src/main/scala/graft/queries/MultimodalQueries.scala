@@ -352,11 +352,14 @@ object MultimodalQueries {
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
           col("band0"), col("band1"), col("band2"), col("band3"))
       fh.write.mode("overwrite").parquet(s"$out/frames")
-      explodeBandKeys(fh.filter(col("frame_idx") === 0)
-          .select(col("doc_id"), col("band0"), col("band1"),
+      // f0bands derives from the frames table JUST WRITTEN, not from
+      // fh's lineage: re-evaluating fh here would re-decode the whole
+      // old GIF corpus once per reference — the build must pay exactly
+      // one decode pass
+      val f0 = s.read.parquet(s"$out/frames").filter(col("frame_idx") === 0)
+      explodeBandKeys(f0.select(col("doc_id"), col("band0"), col("band1"),
             col("band2"), col("band3")))
-        .join(fh.filter(col("frame_idx") === 0)
-          .select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+        .join(f0.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
         .write.mode("overwrite").partitionBy("j").parquet(s"$out/f0bands")
       out
     }

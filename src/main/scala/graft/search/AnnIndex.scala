@@ -543,69 +543,154 @@ object AnnIndex {
       .select((col("vec_id") +: payload.map(col)) :+ col("score"): _*)
   }
 
-  /** Append one encoded micro-batch to the LIVE delta segment of an
-    * LSM-maintained IVF-PQ index and, every `compactEvery` batches,
-    * fold the live files into the consolidated COMPACTED segment —
-    * the maintenance step [[graft.search.SearchEngine.streamingIvfPqMaintain]]
+  /** Append one encoded micro-batch to an LSM-maintained IVF-PQ delta
+    * and, every `compactEvery` batches, fold the accumulated live
+    * segments into a new immutable COMPACTED generation — the
+    * maintenance step [[graft.search.SearchEngine.streamingIvfPqMaintain]]
     * runs per micro-batch. Layout under `deltaDir`:
     *
-    *  - `live/`      — cell-partitioned parquet, APPENDED per batch
-    *                   (encodeSegment output: main quantizer assigns
-    *                   cells, main codebooks assign codes — no refit,
-    *                   O(batch) work; exactly minor compaction's write)
-    *  - `compacted/` — the folded generations: at each compaction the
-    *                   union of compacted ∪ live is consolidated (one
-    *                   pass, repartitioned by cell so each cell
-    *                   directory holds few large files instead of
-    *                   one-per-batch small ones) and swapped in by
-    *                   directory rename; live is then cleared.
+    *  - `live/b<batchId>/` — one immutable cell-partitioned parquet
+    *    segment PER BATCH, written mode(overwrite): an at-least-once
+    *    replay of a batch rewrites its own directory instead of
+    *    appending duplicate rows — the idempotence foreachBatch's
+    *    delivery contract requires (encodeSegment is deterministic,
+    *    so the rewrite is bit-identical).
+    *  - `compacted_g<gen>/` — immutable folded generations: each
+    *    compaction unions the previous generation with the live tail,
+    *    dedups on vec_id (the backstop that keeps rows from a batch
+    *    replayed across a crashed compaction from surviving twice),
+    *    consolidates by cell, and writes a NEW generation directory —
+    *    never mutating one a concurrent probe may be scanning.
+    *  - `manifest_g<gen>` — the atomic publish: a tiny file naming the
+    *    generation's live watermark (`liveUpTo=<batchId>`), written
+    *    under a temp name and renamed into place (single-file rename
+    *    to a fresh name — atomic on HDFS and posix alike). The
+    *    rename's boolean result is CHECKED: a false fails the batch
+    *    loudly so foreachBatch retries it, instead of silently
+    *    serving probes a stale segment set. Readers take the
+    *    highest-numbered manifest.
     *
-    * The fold bounds the per-probe file count: without it a probe's
-    * delta scan opens O(batches) files per cell; with it, O(1) plus
-    * the current live tail — the LSM write-amplification trade every
-    * store makes. All driver-side FS steps run inside foreachBatch,
-    * which Structured Streaming serializes per query, so no two
-    * compactions race. Crash-consistency caveat: the swap is
-    * delete(compacted) THEN rename(next, compacted) — two FS ops, not
-    * one atomic commit; a driver crash between them leaves the folded
-    * data only in `compacted_next` (recoverable, but invisible to
-    * probes until renamed). A production deployment fronts the segment
-    * set with a manifest file swapped by one atomic rename — the
-    * standard LSM answer; the probe/encode machinery is unchanged by
-    * that hardening. */
+    * Probes ([[probeIvfPqLsm]]) resolve segments through the manifest:
+    * newest compacted generation + live batches past its watermark.
+    * GC is grace-period: a compaction deletes only generations and
+    * live dirs that the PREVIOUS manifest no longer references, so a
+    * probe that resolved its segment list against the previous
+    * manifest still finds every directory it planned to scan — the
+    * manifest-per-generation answer (Iceberg/LSM snapshot isolation)
+    * to the probe-vs-compaction race. The fold bounds per-probe file
+    * count: O(1) generations plus the current live tail, the LSM
+    * write-amplification trade every store makes. */
   def appendDeltaBatch(spark: SparkSession, indexDir: String, deltaDir: String,
                        batch: DataFrame, batchId: Long, compactEvery: Int): Unit = {
     encodeSegment(spark, indexDir, batch)
-      .write.mode("append").partitionBy("cell").parquet(s"$deltaDir/live")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$deltaDir/live/b$batchId")
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      val live = new org.apache.hadoop.fs.Path(s"$deltaDir/live")
-      val compacted = new org.apache.hadoop.fs.Path(s"$deltaDir/compacted")
-      val next = new org.apache.hadoop.fs.Path(s"$deltaDir/compacted_next")
-      val segs = Seq(s"$deltaDir/live") ++
-        (if (fs.exists(compacted)) Seq(s"$deltaDir/compacted") else Nil)
+      val (prevGen, prevUpTo) = latestManifest(fs, deltaDir).getOrElse((-1L, -1L))
+      val liveTail = liveBatchDirs(fs, deltaDir)
+        .filter { case (id, _) => id > prevUpTo && id <= batchId }
+      val segs = liveTail.map(_._2) ++
+        (if (prevGen >= 0) Seq(s"$deltaDir/compacted_g$prevGen") else Nil)
+      val gen = prevGen + 1
       segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .dropDuplicates("vec_id")
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(next.toString)
-      if (fs.exists(compacted)) fs.delete(compacted, true)
-      fs.rename(next, compacted)
-      fs.delete(live, true)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$deltaDir/compacted_g$gen")
+      publishManifest(fs, deltaDir, gen, batchId)
+      // grace GC — drop only what the PREVIOUS manifest stopped
+      // referencing (older generations; live batches at or below ITS
+      // watermark): an in-flight probe resolved against prevGen keeps
+      // every dir it planned to scan. Best-effort: a failed delete
+      // costs disk, never correctness.
+      (0L until prevGen).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$deltaDir/compacted_g$old"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$old"), false)
+      }
+      liveBatchDirs(fs, deltaDir).filter(_._1 <= prevUpTo).foreach { case (_, d) =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      }
     }
   }
 
-  /** Probe an LSM-maintained index: MAIN artifact ∪ whatever delta
-    * segments currently exist (compacted and/or live) — q150's
-    * main+delta read generalized to the [[appendDeltaBatch]] layout,
-    * all segments sharing the main quantizer/codebooks so ONE cell
-    * ranking prunes every scan ([[probeIvfPqSegments]]). */
+  /** (gen, liveUpTo) of the highest-numbered `manifest_g<gen>` under
+    * `deltaDir`, or None before the first compaction. */
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             deltaDir: String): Option[(Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(deltaDir)
+    if (!fs.exists(dir)) return None
+    val gens = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest_g") && !n.endsWith(".tmp"))
+      .map(_.drop("manifest_g".length).toLong)
+    if (gens.isEmpty) None
+    else {
+      val gen = gens.max
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$gen"))
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some((gen, body.stripPrefix("liveUpTo=").toLong))
+    }
+  }
+
+  /** (batchId, path) of every `live/b<id>` segment, id-ascending. */
+  private def liveBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                            deltaDir: String): Seq[(Long, String)] = {
+    val live = new org.apache.hadoop.fs.Path(s"$deltaDir/live")
+    if (!fs.exists(live)) Nil
+    else fs.listStatus(live).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("b"))
+      .map(p => (p.getName.drop(1).toLong, p.toString))
+      .sortBy(_._1)
+  }
+
+  /** Publish `manifest_g<gen>` via temp-file + rename — the single
+    * atomic commit of a compaction. A false from rename (how Hadoop
+    * filesystems report rename failure) FAILS the batch so the
+    * streaming engine retries it, rather than leaving an orphaned
+    * generation invisible to every probe. */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              deltaDir: String, gen: Long, liveUpTo: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$gen.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$gen")
+    val out = fs.create(tmp, true)
+    try out.write(s"liveUpTo=$liveUpTo\n".getBytes("UTF-8")) finally out.close()
+    // dst exists only when THIS compaction is itself a crash-replay —
+    // same gen, same fold, same content — so the delete is safe
+    if (fs.exists(dst) && !fs.delete(dst, false))
+      throw new IllegalStateException(s"manifest publish: could not replace $dst")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"manifest publish failed: rename($tmp, $dst) returned false")
+  }
+
+  /** The delta's CURRENT segment set, resolved through the manifest:
+    * the newest compacted generation plus live batches past its
+    * watermark (every live batch when no compaction has run yet).
+    * Immutable segment dirs + grace-period GC make this list stable
+    * for the lifetime of the probe that resolved it. */
+  private[graft] def deltaSegments(fs: org.apache.hadoop.fs.FileSystem,
+                                   deltaDir: String): Seq[String] =
+    latestManifest(fs, deltaDir) match {
+      case Some((gen, upTo)) =>
+        s"$deltaDir/compacted_g$gen" +:
+          liveBatchDirs(fs, deltaDir).filter(_._1 > upTo).map(_._2)
+      case None => liveBatchDirs(fs, deltaDir).map(_._2)
+    }
+
+  /** Probe an LSM-maintained index: MAIN artifact ∪ the delta's
+    * manifest-resolved segment set — q150's main+delta read
+    * generalized to the [[appendDeltaBatch]] layout, all segments
+    * sharing the main quantizer/codebooks so ONE cell ranking prunes
+    * every scan ([[probeIvfPqSegments]]). */
   def probeIvfPqLsm(spark: SparkSession, indexDir: String, deltaDir: String,
                     query: Array[Float], k: Int, nProbe: Int,
                     shortlist: Int): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val segDirs = s"$indexDir/corpus" +: Seq(s"$deltaDir/compacted", s"$deltaDir/live")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val segDirs = s"$indexDir/corpus" +: deltaSegments(fs, deltaDir)
     // column pruning happens inside probeIvfPqSegments' selects, so
     // differing payload columns across segments are harmless
     probeIvfPqSegments(spark, indexDir, segDirs.map(spark.read.parquet(_)),

@@ -115,14 +115,30 @@ final class SearchEngine(
   }
 
   /** [[searchJson]] served from the index, with the EXACT path as the
-    * explicit fallback: any index-route failure (artifact unbuildable,
+    * explicit fallback: an index-route failure (artifact unbuildable,
     * dim mismatch, corrupted directory) degrades to the brute-force
     * scan rather than failing the tool call — the service answer may
-    * get slower, never wronger. Empty-result intent as [[searchJson]]. */
+    * get slower, never wronger. But never SILENTLY: each fallback is
+    * counted ([[indexFallbackCount]]) and logged to stderr, because a
+    * persistently dead index route otherwise turns every request into
+    * hidden full-corpus-scan cost with zero operator signal. Only
+    * NonFatal failures degrade (an InterruptedException or OOM must
+    * propagate). Empty-result intent as [[searchJson]]. */
   def searchJsonIndexed(sfDir: String, prompt: String, k: Int = 10): String =
     renderHits(
       try searchIndexed(sfDir, prompt, k).as[SearchHit].collect()
-      catch { case _: Exception => search(sfDir, prompt, k).collect() })
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          indexFallbackCount.incrementAndGet()
+          System.err.println("graft: index route failed (" +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}); serving exact scan")
+          search(sfDir, prompt, k).collect()
+      })
+
+  /** How many tool calls this engine served via the exact-scan
+    * fallback because the index route failed — the operator's signal
+    * that the served path is degraded. */
+  val indexFallbackCount = new java.util.concurrent.atomic.AtomicLong
 
   /** Intended empty-result semantics: the reference *means* to return
     * "No results found." on an empty hit set but its check is unreachable
@@ -271,12 +287,16 @@ final class SearchEngine(
     * newly ingested vectors is encoded into the MAIN artifact's
     * geometry ([[graft.search.AnnIndex.encodeSegment]] — main
     * quantizer assigns cells, main codebooks assign codes, NO refit,
-    * O(batch) work) and appended to the delta's live segment; every
-    * `compactEvery` batches the live files fold into the consolidated
-    * compacted segment ([[graft.search.AnnIndex.appendDeltaBatch]]).
-    * Probes against the evolving index run
-    * [[graft.search.AnnIndex.probeIvfPqLsm]] — main ∪ compacted ∪
-    * live, one cell ranking pruning every segment scan. `afterBatch`
+    * O(batch) work) and written as an immutable per-batch live
+    * segment (idempotent under foreachBatch's at-least-once replay);
+    * every `compactEvery` batches the live tail folds into a new
+    * compacted generation published by an atomic manifest swap
+    * ([[graft.search.AnnIndex.appendDeltaBatch]] — grace-period GC
+    * keeps a racing probe's resolved segment set on disk). Probes
+    * against the evolving index run
+    * [[graft.search.AnnIndex.probeIvfPqLsm]] — main ∪ the
+    * manifest-resolved delta segments, one cell ranking pruning every
+    * segment scan. `afterBatch`
     * fires after each batch's maintenance completes (the spec probes
     * there); replay==batch: the final index state is a pure function
     * of the rows ingested, not of the batch carve — SearchEngineSpec

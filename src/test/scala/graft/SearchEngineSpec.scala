@@ -42,10 +42,17 @@ class SearchEngineSpec extends SparkSpec {
     } finally q.stop()
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/compacted")),
-      "compaction must have folded the first two batches")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/live")),
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/compacted_g0")),
+      "compaction must have folded the first two batches into generation 0")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g0")),
+      "the compaction must have published its manifest")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/live/b2")),
       "the last batch must sit in the live tail")
+    // the manifest-resolved segment set is exactly gen0 + the live tail
+    // past its watermark — batches 0/1 are folded, never double-served
+    val segs = graft.search.AnnIndex.deltaSegments(fs, deltaDir)
+    assert(segs.head.endsWith("compacted_g0") && segs.size === 2 &&
+      segs(1).endsWith("live/b2"), s"unexpected segment set: $segs")
     val qv = e.filter($"vec_id" === AnnQueries.CompactQueryId)
       .select($"embedding").head().getSeq[Float](0).toArray
     val got = graft.search.AnnIndex.probeIvfPqLsm(spark, mainDir, deltaDir,
@@ -75,6 +82,50 @@ class SearchEngineSpec extends SparkSpec {
       .orderBy($"score".desc, $"vec_id".asc).limit(10)
       .select($"vec_id", $"score").as[(Long, Double)].collect().toSeq
     assert(gotRows === exact, "LSM probe diverges from the exact top-10")
+  }
+
+  test("at-least-once replay of delta batches leaves the LSM index unchanged") {
+    import graft.queries.AnnQueries
+    val mainDir = AnnQueries.ivfPqMainIndexDir(spark, sf0001)
+    val (a, b) = graft.functions.PortableHash.SplitPair
+    val p = graft.functions.PortableHash.P
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(size($"embedding") === 64)
+    val isDelta =
+      ((lit(a) * $"vec_id" + lit(b)) % lit(p)) % 100 >= AnnQueries.DeltaBucketMin
+    val delta = e.filter(isDelta).select($"vec_id", $"embedding")
+    val half = delta.filter($"vec_id" % 2 === 0)
+    val rest = delta.filter($"vec_id" % 2 =!= 0)
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_lsm_replay").toString
+    def append(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.search.AnnIndex.appendDeltaBatch(
+        spark, mainDir, deltaDir, batch, id, compactEvery = 2)
+    append(half, 0)
+    append(half, 0) // foreachBatch retry of an uncommitted batch
+    append(rest, 1) // compacts generation 0
+    append(rest, 1) // replay AFTER the publish (crash before checkpoint
+                    // commit) — must fold into gen 1, not duplicate
+    val qv = e.filter($"vec_id" === AnnQueries.CompactQueryId)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val gotRows = graft.search.AnnIndex.probeIvfPqLsm(spark, mainDir, deltaDir,
+        qv, 10, AnnQueries.IvfNProbe, AnnQueries.CompactShortlist)
+      .as[(Long, Double)].collect().toSeq
+    val batchSeg = graft.search.AnnIndex.encodeSegment(spark, mainDir, delta)
+    val batchRows = graft.search.AnnIndex.probeIvfPqSegments(spark, mainDir,
+        Seq(spark.read.parquet(s"$mainDir/corpus"), batchSeg),
+        qv, 10, AnnQueries.IvfNProbe, AnnQueries.CompactShortlist)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotRows === batchRows,
+      "replayed batches must leave the index identical to exactly-once delivery")
+    // the replayed compaction must also not have grown the index: the
+    // current segment set holds exactly one row per delta vector
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val segs = graft.search.AnnIndex.deltaSegments(fs, deltaDir)
+    val nRows = segs.map(spark.read.parquet(_).count()).sum
+    assert(nRows === delta.count(),
+      s"segment set $segs must hold one row per ingested vector")
   }
 
   test("flagship entry returns ranked hits with scores in [0,1]") {

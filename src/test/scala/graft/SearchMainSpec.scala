@@ -53,6 +53,12 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(c2.serve && c2.prompt === "find things")
     val c3 = Search.parseConfig(Seq("--serve=false", "--sf-dir", "/x", "p"), Map.empty)
     assert(!c3.serve && c3.prompt === "p")
+    // index-route default follows the process shape: a service
+    // amortizes the artifact build, a one-shot prompt must not pay it
+    assert(c.index && c2.index, "--serve defaults to the index route")
+    assert(!c3.index, "a one-shot prompt defaults to the exact scan")
+    val c4 = Search.parseConfig(Seq("--index", "--sf-dir", "/x", "p"), Map.empty)
+    assert(c4.index && !c4.serve, "--index opts a one-shot into the probe")
   }
 
   test("--serve speaks MCP: initialize -> initialized -> tools/list -> tools/call") {
@@ -119,6 +125,9 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     // empty-result intent, not an exception
     val eng32 = new graft.search.SearchEngine(spark, new graft.search.HashingEmbedder(32))
     assert(eng32.searchJsonIndexed(sf001, "anything at all", 5) === "No results found.")
+    // the degradation must be visible to the operator, not absorbed
+    assert(eng32.indexFallbackCount.get === 1,
+      "an index-route failure must be counted, not silently swallowed")
   }
 
   test("MCP error envelopes: parse error, unknown method, unknown tool, bad args") {
