@@ -126,6 +126,20 @@ class SearchEngineSpec extends SparkSpec {
     val nRows = segs.map(spark.read.parquet(_).count()).sum
     assert(nRows === delta.count(),
       s"segment set $segs must hold one row per ingested vector")
+    // grace-period GC: a segment set resolved BEFORE a compaction must
+    // still be fully on disk AFTER it — the snapshot a racing probe
+    // planned its scans against is never deleted under it (only the
+    // generation after next may reclaim it)
+    val before = graft.search.AnnIndex.deltaSegments(fs, deltaDir)
+    append(half, 2)
+    append(rest, 3) // compacts generation 2
+    before.foreach(d => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(d)),
+      s"pre-compaction segment $d must survive one compaction (grace GC)"))
+    val after = graft.search.AnnIndex.deltaSegments(fs, deltaDir)
+    val nRows2 = after.map(spark.read.parquet(_).count()).sum
+    assert(nRows2 === delta.count(),
+      s"post-compaction segment set $after must still hold one row per vector")
   }
 
   test("flagship entry returns ranked hits with scores in [0,1]") {
