@@ -203,7 +203,7 @@ object MultimodalQueries {
   /** Exploded (band_idx, band_val) key rows with the full band vector
     * carried — the layout [[bandNearDupPairs]] joins on and the q158
     * artifact persists. */
-  private def explodeBandKeys(h: DataFrame): DataFrame =
+  private[graft] def explodeBandKeys(h: DataFrame): DataFrame =
     h.select(col("doc_id"),
         col("band0"), col("band1"), col("band2"), col("band3"),
         explode(array((0 until 4).map(j =>
@@ -303,6 +303,57 @@ object MultimodalQueries {
       explodeBandKeys(h)
         .write.mode("overwrite").partitionBy("j").parquet(s"$out/bands")
       out
+    }
+
+  private val sessionPhashLsm = new graft.SessionMemo[String, String]
+
+  /** q169's batch split of the NEW corpus (doc_id % 5 >= 3): EVEN new
+    * ids are the EARLIER ingest batch that GRADUATES into the index,
+    * ODD new ids the later batch that probes it. Parity is the right
+    * carve on this fixture: planted new+new variant pairs are
+    * consecutive ids (the two % 5 ∈ {3,4} members of a variant
+    * group), so every one of them spans the two batches — the
+    * graduated arm is exercised by construction, and a silently
+    * failed graduation turns every n_dup_graduated to 0 and flips the
+    * oracle red. */
+  val PhashLsmBatchMod = 2L
+
+  /** Session-once GRADUATION of the earlier ingest batch into a
+    * [[graft.sources.SegmentStore]] next to the static q158 artifact —
+    * the media face of the IVF-PQ delta's LSM maintenance: the
+    * batch's band-key rows (decoded once, off the shared session
+    * cache) are appended as an immutable live segment and compacted
+    * into a manifest-published generation (compactEvery = 1, so the
+    * one-shot query exercises the full fold + publish + GC path).
+    * Later batches probe static ∪ store without re-decoding anything
+    * already indexed — O(new) decode forever, not just until the next
+    * full rebuild. */
+  private[graft] def phashLsmDir(s: SparkSession, dir: String): String =
+    sessionPhashLsm.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_phash_lsm_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val b1 = phashNewBatchBands(s, dir)
+        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      graft.sources.SegmentStore.appendBatch(s, out, explodeBandKeys(b1),
+        batchId = 0L, compactEvery = 1,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      out
+    }
+
+  /** The NEW ingest batch's aHash bands, session-cached (decode runs
+    * once per session; q158's probe and q169's graduation both draw
+    * from this one table). */
+  private def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_phash_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
+      val newDocs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
+        .select(col("doc_id"))
+      Multimodal
+        .imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
     }
 
   private val sessionAfpIndex = new graft.SessionMemo[String, String]
@@ -521,15 +572,67 @@ object MultimodalQueries {
       // Keyed by dir — this engine's "new batch" is a deterministic
       // function of the fixture, so cross-invocation reuse is exact;
       // a production daily ingest would key the view by batch id.
-      // Two join arms consume it: the batch must decode once per
-      // session, not once per arm.
-      val nh = graft.SparkEntry.cachedView(s,
-        "graft_cache_phash_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
-        Multimodal
-          .imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs))
-          .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
-      }
-      bandIndexProbe(nh, s.read.parquet(s"$idx/bands"), newDocs, PhashMaxHamming)
+      // Three consumers draw on it (this probe's two join arms +
+      // q169's graduation): the batch must decode once per session.
+      bandIndexProbe(phashNewBatchBands(s, dir),
+        s.read.parquet(s"$idx/bands"), newDocs, PhashMaxHamming)
+    }),
+
+    "q169_phash_ingest_lsm" -> ((s, dir) => {
+      // the GRADUATION step q158 stops short of — the media face of
+      // the IVF-PQ LSM lifecycle (q150-q153): an earlier ingest batch
+      // (even new doc_ids) has been folded into a SegmentStore next
+      // to the static band artifact ([[phashLsmDir]] — immutable
+      // per-batch segment, manifest-published compacted generation),
+      // and the LATER batch (odd new ids) probes static ∪ store in
+      // ONE band equi-join, so tomorrow's ingest dedups against
+      // today's without anyone re-decoding or rebuilding the index.
+      // Partner provenance rides the index rows (`graduated` =
+      // which side served the hit), so the output CERTIFIES the
+      // graduated rows actually answered: a silently empty store
+      // zeroes n_dup_graduated and the oracle — which recomputes both
+      // classes from the pixel formulas — turns red. Scale shape:
+      // probe decode is O(batch2) (off the shared session cache),
+      // candidates one equi-join on exploded (j, v) keys claimed once
+      // by the first-agreeing-band rule, exact 64-bit Hamming verify;
+      // within-batch2 pairs are q158's already-covered job and are by
+      // declared rule NOT counted here.
+      val idx = phashIndexDir(s, dir)
+      val lsm = phashLsmDir(s, dir)
+      val b2 = phashNewBatchBands(s, dir)
+        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
+      val b2docs = b2.select(col("doc_id"))
+      val indexSide = s.read.parquet(s"$idx/bands")
+        .withColumn("graduated", lit(false))
+        .unionByName(graft.sources.SegmentStore.read(s, lsm)
+          .withColumn("graduated", lit(true)))
+      val nx = explodeBandKeys(b2)
+        .toDF("nid", "j", "v", "a0", "a1", "a2", "a3")
+      val pb = indexSide.select(col("doc_id").as("pid"), col("graduated"),
+        col("j"), col("v"),
+        col("band0").as("b0"), col("band1").as("b1"),
+        col("band2").as("b2"), col("band3").as("b3"))
+      val noEarlierAgree = !(
+        (col("j") > 0 && col("a0") === col("b0")) ||
+        (col("j") > 1 && col("a1") === col("b1")) ||
+        (col("j") > 2 && col("a2") === col("b2")))
+      val hamming = (0 until 4)
+        .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+        .reduce(_ + _)
+      val dups = nx.join(pb, Seq("j", "v"))
+        .filter(noEarlierAgree)
+        .filter(hamming <= lit(PhashMaxHamming))
+        .groupBy(col("nid"))
+        .agg(
+          sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
+          sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
+      b2docs.join(dups, col("doc_id") === col("nid"), "left")
+        .na.fill(0L, Seq("n_dup_old", "n_dup_graduated"))
+        .withColumn("accepted",
+          (col("n_dup_old") === 0 && col("n_dup_graduated") === 0).cast("long"))
+        .select(col("doc_id"), col("n_dup_old"), col("n_dup_graduated"),
+          col("accepted"))
+        .orderBy(col("doc_id"))
     }),
 
     "q167_afp_index_probe" -> ((s, dir) => {
@@ -1086,6 +1189,40 @@ object MultimodalQueries {
       // formulas, so the engine's artifact round-trip must be
       // invisible in the result
       bandProbeSql(variantImageBandsCtes, PhashMaxHamming),
+
+    "q169_phash_ingest_lsm" ->
+      // graduation probe: batch2 (odd new ids) against old ∪ batch1
+      // (even new ids), partner classes split by which side serves —
+      // the oracle recomputes BOTH sides from the pixel formulas, so
+      // the static artifact round-trip AND the SegmentStore fold +
+      // manifest resolution must both be invisible; a store that
+      // silently served nothing zeroes n_dup_graduated and this
+      // prediction turns red
+      s"""$variantImageBandsCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS nid,
+         |    (b.doc_id % 5 >= 3) AS graduated,
+         |    CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+         |       + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
+         |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |        a.band2 = b.band2 OR a.band3 = b.band3)),
+         |agg AS (
+         |  SELECT nid,
+         |    CAST(SUM(CASE WHEN NOT graduated AND hamming <= $PhashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
+         |    CAST(SUM(CASE WHEN graduated AND hamming <= $PhashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_graduated
+         |  FROM cand GROUP BY nid)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_dup_old, 0) AS n_dup_old,
+         |  COALESCE(a.n_dup_graduated, 0) AS n_dup_graduated,
+         |  CASE WHEN COALESCE(a.n_dup_old, 0) = 0
+         |        AND COALESCE(a.n_dup_graduated, 0) = 0
+         |    THEN 1::BIGINT ELSE 0::BIGINT END AS accepted
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.nid
+         |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q156_audio_fingerprint" ->
       bandPairsSql(variantAudioBandsCtes, AfpMaxHamming),

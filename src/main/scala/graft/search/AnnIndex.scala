@@ -579,106 +579,19 @@ object AnnIndex {
     * manifest-per-generation answer (Iceberg/LSM snapshot isolation)
     * to the probe-vs-compaction race. The fold bounds per-probe file
     * count: O(1) generations plus the current live tail, the LSM
-    * write-amplification trade every store makes. */
+    * write-amplification trade every store makes. The layout and its
+    * invariants live in [[graft.sources.SegmentStore]] — the same
+    * store maintains the media band indexes' graduation path. */
   def appendDeltaBatch(spark: SparkSession, indexDir: String, deltaDir: String,
-                       batch: DataFrame, batchId: Long, compactEvery: Int): Unit = {
-    encodeSegment(spark, indexDir, batch)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$deltaDir/live/b$batchId")
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val (prevGen, prevUpTo) = latestManifest(fs, deltaDir).getOrElse((-1L, -1L))
-      val liveTail = liveBatchDirs(fs, deltaDir)
-        .filter { case (id, _) => id > prevUpTo && id <= batchId }
-      val segs = liveTail.map(_._2) ++
-        (if (prevGen >= 0) Seq(s"$deltaDir/compacted_g$prevGen") else Nil)
-      val gen = prevGen + 1
-      segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-        .dropDuplicates("vec_id")
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$deltaDir/compacted_g$gen")
-      publishManifest(fs, deltaDir, gen, batchId)
-      // grace GC — drop only what the PREVIOUS manifest stopped
-      // referencing (older generations; live batches at or below ITS
-      // watermark): an in-flight probe resolved against prevGen keeps
-      // every dir it planned to scan. Best-effort: a failed delete
-      // costs disk, never correctness.
-      (0L until prevGen).foreach { old =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$deltaDir/compacted_g$old"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$old"), false)
-      }
-      liveBatchDirs(fs, deltaDir).filter(_._1 <= prevUpTo).foreach { case (_, d) =>
-        fs.delete(new org.apache.hadoop.fs.Path(d), true)
-      }
-    }
-  }
+                       batch: DataFrame, batchId: Long, compactEvery: Int): Unit =
+    graft.sources.SegmentStore.appendBatch(spark, deltaDir,
+      encodeSegment(spark, indexDir, batch), batchId, compactEvery,
+      partitionCol = "cell", dedupKeys = Seq("vec_id"))
 
-  /** (gen, liveUpTo) of the highest-numbered `manifest_g<gen>` under
-    * `deltaDir`, or None before the first compaction. */
-  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
-                             deltaDir: String): Option[(Long, Long)] = {
-    val dir = new org.apache.hadoop.fs.Path(deltaDir)
-    if (!fs.exists(dir)) return None
-    val gens = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest_g") && !n.endsWith(".tmp"))
-      .map(_.drop("manifest_g".length).toLong)
-    if (gens.isEmpty) None
-    else {
-      val gen = gens.max
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$gen"))
-      val body =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      Some((gen, body.stripPrefix("liveUpTo=").toLong))
-    }
-  }
-
-  /** (batchId, path) of every `live/b<id>` segment, id-ascending. */
-  private def liveBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
-                            deltaDir: String): Seq[(Long, String)] = {
-    val live = new org.apache.hadoop.fs.Path(s"$deltaDir/live")
-    if (!fs.exists(live)) Nil
-    else fs.listStatus(live).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("b"))
-      .map(p => (p.getName.drop(1).toLong, p.toString))
-      .sortBy(_._1)
-  }
-
-  /** Publish `manifest_g<gen>` via temp-file + rename — the single
-    * atomic commit of a compaction. A false from rename (how Hadoop
-    * filesystems report rename failure) FAILS the batch so the
-    * streaming engine retries it, rather than leaving an orphaned
-    * generation invisible to every probe. */
-  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
-                              deltaDir: String, gen: Long, liveUpTo: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$gen.tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$deltaDir/manifest_g$gen")
-    val out = fs.create(tmp, true)
-    try out.write(s"liveUpTo=$liveUpTo\n".getBytes("UTF-8")) finally out.close()
-    // dst exists only when THIS compaction is itself a crash-replay —
-    // same gen, same fold, same content — so the delete is safe
-    if (fs.exists(dst) && !fs.delete(dst, false))
-      throw new IllegalStateException(s"manifest publish: could not replace $dst")
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"manifest publish failed: rename($tmp, $dst) returned false")
-  }
-
-  /** The delta's CURRENT segment set, resolved through the manifest:
-    * the newest compacted generation plus live batches past its
-    * watermark (every live batch when no compaction has run yet).
-    * Immutable segment dirs + grace-period GC make this list stable
-    * for the lifetime of the probe that resolved it. */
+  /** The delta's CURRENT segment set — [[graft.sources.SegmentStore.segments]]. */
   private[graft] def deltaSegments(fs: org.apache.hadoop.fs.FileSystem,
                                    deltaDir: String): Seq[String] =
-    latestManifest(fs, deltaDir) match {
-      case Some((gen, upTo)) =>
-        s"$deltaDir/compacted_g$gen" +:
-          liveBatchDirs(fs, deltaDir).filter(_._1 > upTo).map(_._2)
-      case None => liveBatchDirs(fs, deltaDir).map(_._2)
-    }
+    graft.sources.SegmentStore.segments(fs, deltaDir)
 
   /** Probe an LSM-maintained index: MAIN artifact ∪ the delta's
     * manifest-resolved segment set — q150's main+delta read

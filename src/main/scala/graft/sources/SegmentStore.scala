@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Manifest-fronted segment layout for incrementally maintained
+  * indexes — the one LSM write/read discipline every persisted
+  * artifact that must GROW between full rebuilds shares (the IVF-PQ
+  * delta of [[graft.search.AnnIndex.appendDeltaBatch]], the media
+  * band indexes' graduation path). Layout under a store directory:
+  *
+  *  - `live/b<batchId>/`  — one immutable partitioned-parquet segment
+  *    PER ingest batch, written mode(overwrite): an at-least-once
+  *    replay of a batch rewrites its own directory instead of
+  *    appending duplicate rows — the idempotence foreachBatch's
+  *    delivery contract requires (callers encode deterministically,
+  *    so the rewrite is bit-identical).
+  *  - `compacted_g<gen>/` — immutable folded generations: each
+  *    compaction unions the previous generation with the live tail,
+  *    dedups on the caller's key columns (the backstop that keeps
+  *    rows from a batch replayed across a crashed compaction from
+  *    surviving twice), consolidates by the partition column, and
+  *    writes a NEW generation directory — never mutating one a
+  *    concurrent reader may be scanning.
+  *  - `manifest_g<gen>`   — the atomic publish: a tiny file naming the
+  *    generation's live watermark (`liveUpTo=<batchId>`), written
+  *    under a temp name and renamed into place (single-file rename to
+  *    a fresh name — atomic on HDFS and posix alike). The rename's
+  *    boolean result is CHECKED: a false fails the batch loudly so
+  *    the caller retries it, instead of silently serving readers a
+  *    stale segment set. Readers take the highest-numbered manifest.
+  *
+  * Readers resolve [[segments]]: newest compacted generation + live
+  * batches past its watermark. GC is grace-period: a compaction
+  * deletes only generations and live dirs that the PREVIOUS manifest
+  * no longer references, so a reader that resolved its segment list
+  * against the previous manifest still finds every directory it
+  * planned to scan — snapshot isolation by immutability, the
+  * Iceberg/LSM manifest answer to the reader-vs-compaction race. The
+  * fold bounds per-read file count: O(1) generations plus the
+  * current live tail, the write-amplification trade every LSM store
+  * makes. */
+object SegmentStore {
+
+  /** Write `batch` as the immutable live segment of `batchId` and,
+    * when `compactEvery` divides the batch count, fold live + the
+    * previous generation into a new one published by manifest.
+    *
+    * @param partitionCol column the segment parquet is partitioned by
+    *                     (readers prune on it).
+    * @param dedupKeys    row identity for the compaction's replay
+    *                     backstop — one surviving row per key set. */
+  def appendBatch(spark: SparkSession, storeDir: String, batch: DataFrame,
+                  batchId: Long, compactEvery: Int,
+                  partitionCol: String, dedupKeys: Seq[String]): Unit = {
+    batch.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(s"$storeDir/live/b$batchId")
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val (prevGen, prevUpTo) = latestManifest(fs, storeDir).getOrElse((-1L, -1L))
+      val liveTail = liveBatchDirs(fs, storeDir)
+        .filter { case (id, _) => id > prevUpTo && id <= batchId }
+      val segs = liveTail.map(_._2) ++
+        (if (prevGen >= 0) Seq(s"$storeDir/compacted_g$prevGen") else Nil)
+      val gen = prevGen + 1
+      segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .dropDuplicates(dedupKeys)
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(s"$storeDir/compacted_g$gen")
+      publishManifest(fs, storeDir, gen, batchId)
+      // grace GC — drop only what the PREVIOUS manifest stopped
+      // referencing (older generations; live batches at or below ITS
+      // watermark): an in-flight reader resolved against prevGen keeps
+      // every dir it planned to scan. Best-effort: a failed delete
+      // costs disk, never correctness.
+      (0L until prevGen).foreach { old =>
+        fs.delete(new Path(s"$storeDir/compacted_g$old"), true)
+        fs.delete(new Path(s"$storeDir/manifest_g$old"), false)
+      }
+      liveBatchDirs(fs, storeDir).filter(_._1 <= prevUpTo).foreach { case (_, d) =>
+        fs.delete(new Path(d), true)
+      }
+    }
+  }
+
+  /** The store's CURRENT segment set, resolved through the manifest:
+    * the newest compacted generation plus live batches past its
+    * watermark (every live batch when no compaction has run yet).
+    * Immutable segment dirs + grace-period GC make this list stable
+    * for the lifetime of the reader that resolved it. */
+  def segments(fs: FileSystem, storeDir: String): Seq[String] =
+    latestManifest(fs, storeDir) match {
+      case Some((gen, upTo)) =>
+        s"$storeDir/compacted_g$gen" +:
+          liveBatchDirs(fs, storeDir).filter(_._1 > upTo).map(_._2)
+      case None => liveBatchDirs(fs, storeDir).map(_._2)
+    }
+
+  /** [[segments]] resolved and read as one DataFrame (empty segment
+    * set is the caller's concern — this throws on an empty store). */
+  def read(spark: SparkSession, storeDir: String): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    segments(fs, storeDir).map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** (gen, liveUpTo) of the highest-numbered `manifest_g<gen>`, or
+    * None before the first compaction. */
+  def latestManifest(fs: FileSystem, storeDir: String): Option[(Long, Long)] = {
+    val dir = new Path(storeDir)
+    if (!fs.exists(dir)) return None
+    val gens = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest_g") && !n.endsWith(".tmp"))
+      .map(_.drop("manifest_g".length).toLong)
+    if (gens.isEmpty) None
+    else {
+      val gen = gens.max
+      val in = fs.open(new Path(s"$storeDir/manifest_g$gen"))
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some((gen, body.stripPrefix("liveUpTo=").toLong))
+    }
+  }
+
+  /** (batchId, path) of every `live/b<id>` segment, id-ascending. */
+  def liveBatchDirs(fs: FileSystem, storeDir: String): Seq[(Long, String)] = {
+    val live = new Path(s"$storeDir/live")
+    if (!fs.exists(live)) Nil
+    else fs.listStatus(live).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("b"))
+      .map(p => (p.getName.drop(1).toLong, p.toString))
+      .sortBy(_._1)
+  }
+
+  /** Publish `manifest_g<gen>` via temp-file + rename — the single
+    * atomic commit of a compaction. A false from rename (how Hadoop
+    * filesystems report rename failure) FAILS the batch so the caller
+    * retries it, rather than leaving an orphaned generation invisible
+    * to every reader. */
+  private def publishManifest(fs: FileSystem, storeDir: String,
+                              gen: Long, liveUpTo: Long): Unit = {
+    val tmp = new Path(s"$storeDir/manifest_g$gen.tmp")
+    val dst = new Path(s"$storeDir/manifest_g$gen")
+    val out = fs.create(tmp, true)
+    try out.write(s"liveUpTo=$liveUpTo\n".getBytes("UTF-8")) finally out.close()
+    // dst exists only when THIS compaction is itself a crash-replay —
+    // same gen, same fold, same content — so the delete is safe
+    if (fs.exists(dst) && !fs.delete(dst, false))
+      throw new IllegalStateException(s"manifest publish: could not replace $dst")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"manifest publish failed: rename($tmp, $dst) returned false")
+  }
+}

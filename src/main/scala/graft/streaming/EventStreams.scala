@@ -451,6 +451,39 @@ object EventStreams {
       .select(col("doc_id"), col("partner"), col("hamming"))
   }
 
+  /** Streaming GRADUATION of image-ingest batches into a
+    * [[graft.sources.SegmentStore]] band index — [[phashProbeVsIndex]]'s
+    * WRITE-path twin and the media face of
+    * [[graft.search.SearchEngine.streamingIvfPqMaintain]], closing the
+    * q158/q169 lifecycle: each micro-batch decodes + aHashes only
+    * ITSELF (row-local mapPartitions), explodes its band keys, and
+    * appends an immutable per-batch segment; every `compactEvery`
+    * batches the live tail folds into a manifest-published compacted
+    * generation. Probes against the growing index read static ∪
+    * store (q169's shape). Replay==batch: per-batch overwrite + the
+    * fold's (doc_id, j) dedup make the store's final content a pure
+    * function of the docs ingested, not of the batch carve —
+    * EventStreamsSpec asserts the streamed store holds exactly the
+    * one-shot graduation's rows. */
+  def mediaIngestGraduate(newDocs: DataFrame, storeDir: String,
+                          compactEvery: Int)
+                         (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          import graft.multimodal.Multimodal
+          val bands = Multimodal
+            .imageAHashBands(Multimodal.ingestSynthVariantImages(batch.toDF()))
+            .select(col("doc_id"), col("band0"), col("band1"),
+              col("band2"), col("band3"))
+          graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
+            graft.queries.MultimodalQueries.explodeBandKeys(bands), id,
+            compactEvery, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        }
+        afterBatch(id)
+      }
+      .start()
+
   /** [[phashProbeVsIndex]]'s VIDEO twin against the q168 two-table
     * artifact ([[graft.queries.MultimodalQueries.vphashIndexDir]]):
     * each micro-batch decodes its own clips into ONE ROW PER CLIP

@@ -370,6 +370,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media graduation builds exactly the one-shot store, manifest-published") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    import graft.multimodal.Multimodal
+    // the graduating batch of q169's carve: EVEN new doc_ids
+    val b1 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashProbeNewMod)) >=
+        MultimodalQueries.PhashProbeNewMin &&
+        pmod($"doc_id", lit(MultimodalQueries.PhashLsmBatchMod)) === 0)
+      .select($"doc_id")
+    val ids = b1.as[Long].collect().sorted
+    assert(ids.length >= 3, "fixture batch must carve into micro-batches")
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft_media_lsm_stream").toString
+    val mem = MemoryStream[Long]
+    // three micro-batches, compactEvery = 2: batches 0+1 fold into
+    // generation 0, batch 2 stays in the live tail
+    val q = EventStreams.mediaIngestGraduate(
+      mem.toDF().toDF("doc_id"), storeDir, compactEvery = 2)()
+    try {
+      val third = (ids.length + 2) / 3
+      ids.grouped(third).foreach { g => mem.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.SegmentStore.latestManifest(fs, storeDir).isDefined,
+      "the fold must have published a manifest")
+    // replay==batch for the WRITE path: the streamed store holds
+    // exactly the rows a one-shot graduation of the same docs writes —
+    // content is a function of the docs ingested, not the batch carve
+    val streamed = graft.sources.SegmentStore.read(spark, storeDir)
+      .select($"doc_id", $"j", $"v", $"band0", $"band1", $"band2", $"band3")
+      .collect().map(_.toSeq).toSet
+    val oneShot = MultimodalQueries.explodeBandKeys(
+        Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(b1))
+          .select($"doc_id", $"band0", $"band1", $"band2", $"band3"))
+      .select($"doc_id", $"j", $"v", $"band0", $"band1", $"band2", $"band3")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot,
+      "streamed graduation diverges from the one-shot store content")
+  }
+
   test("stream-static afp probe replay-matches the declared q167 old-partner counts") {
     implicit val sq = spark.sqlContext
     import graft.queries.MultimodalQueries
