@@ -200,6 +200,87 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The GRADUATION probe shared by q169/q170 — the banded-index face
+    * of the LSM read: the LATER ingest batch probes static artifact ∪
+    * [[graft.sources.SegmentStore]] in ONE band equi-join
+    * (first-agreeing-band claim, exact 64-bit Hamming verify), with
+    * partner PROVENANCE riding the index rows so the output CERTIFIES
+    * the graduated segments actually answered — a silently empty
+    * store zeroes n_dup_graduated and the oracle turns red.
+    * Within-batch pairs are by declared rule not counted: that is the
+    * plain index probe's already-covered job (q158/q167). */
+  private def graduatedBandProbe(s: SparkSession, staticBands: DataFrame,
+                                 storeDir: String, b2: DataFrame,
+                                 maxHamming: Long): DataFrame = {
+    val indexSide = staticBands
+      .select(col("doc_id"), col("j"), col("v"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+      .withColumn("graduated", lit(false))
+      .unionByName(graft.sources.SegmentStore.read(s, storeDir)
+        .select(col("doc_id"), col("j"), col("v"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+        .withColumn("graduated", lit(true)))
+    val nx = explodeBandKeys(b2)
+      .toDF("nid", "j", "v", "a0", "a1", "a2", "a3")
+    val pb = indexSide.select(col("doc_id").as("pid"), col("graduated"),
+      col("j"), col("v"),
+      col("band0").as("b0"), col("band1").as("b1"),
+      col("band2").as("b2"), col("band3").as("b3"))
+    val noEarlierAgree = !(
+      (col("j") > 0 && col("a0") === col("b0")) ||
+      (col("j") > 1 && col("a1") === col("b1")) ||
+      (col("j") > 2 && col("a2") === col("b2")))
+    val hamming = (0 until 4)
+      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+      .reduce(_ + _)
+    val dups = nx.join(pb, Seq("j", "v"))
+      .filter(noEarlierAgree)
+      .filter(hamming <= lit(maxHamming))
+      .groupBy(col("nid"))
+      .agg(
+        sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
+        sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
+    b2.select(col("doc_id")).join(dups, col("doc_id") === col("nid"), "left")
+      .na.fill(0L, Seq("n_dup_old", "n_dup_graduated"))
+      .withColumn("accepted",
+        (col("n_dup_old") === 0 && col("n_dup_graduated") === 0).cast("long"))
+      .select(col("doc_id"), col("n_dup_old"), col("n_dup_graduated"),
+        col("accepted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[graduatedBandProbe]] over any bands CTE: batch2
+    * (odd new ids) probes old ∪ batch1 (even new ids), partner classes
+    * split by which side serves — the oracle recomputes BOTH sides
+    * from the sample formulas, so the static artifact round-trip AND
+    * the SegmentStore fold + manifest resolution must be invisible. */
+  private def graduationProbeSql(withCtes: String, maxHamming: Long): String =
+    s"""$withCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS nid,
+       |    (b.doc_id % 5 >= 3) AS graduated,
+       |    CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+       |       + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
+       |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
+       |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+       |        a.band2 = b.band2 OR a.band3 = b.band3)),
+       |agg AS (
+       |  SELECT nid,
+       |    CAST(SUM(CASE WHEN NOT graduated AND hamming <= $maxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
+       |    CAST(SUM(CASE WHEN graduated AND hamming <= $maxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_graduated
+       |  FROM cand GROUP BY nid)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_dup_old, 0) AS n_dup_old,
+       |  COALESCE(a.n_dup_graduated, 0) AS n_dup_graduated,
+       |  CASE WHEN COALESCE(a.n_dup_old, 0) = 0
+       |        AND COALESCE(a.n_dup_graduated, 0) = 0
+       |    THEN 1::BIGINT ELSE 0::BIGINT END AS accepted
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.nid
+       |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Exploded (band_idx, band_val) key rows with the full band vector
     * carried — the layout [[bandNearDupPairs]] joins on and the q158
     * artifact persists. */
@@ -353,6 +434,39 @@ object MultimodalQueries {
         .select(col("doc_id"))
       Multimodal
         .imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+    }
+
+  private val sessionAfpLsm = new graft.SessionMemo[String, String]
+
+  /** [[phashLsmDir]]'s AUDIO face: the earlier clip batch's delta-sign
+    * fingerprint band keys graduate into a SegmentStore next to the
+    * static q167 artifact — same carve, same fold + manifest publish. */
+  private[graft] def afpLsmDir(s: SparkSession, dir: String): String =
+    sessionAfpLsm.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_afp_lsm_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val b1 = afpNewBatchBands(s, dir)
+        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      graft.sources.SegmentStore.appendBatch(s, out, explodeBandKeys(b1),
+        batchId = 0L, compactEvery = 1,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      out
+    }
+
+  /** The NEW clip batch's delta-sign fingerprint bands, session-cached
+    * (decode runs once per session; q167's probe and q170's graduation
+    * both draw from this one table). */
+  private def afpNewBatchBands(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_afp_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
+      val newDocs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
+        .select(col("doc_id"))
+      Multimodal
+        .audioFingerprintBands(Multimodal.ingestSynthVariantAudio(newDocs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
     }
 
@@ -597,42 +711,29 @@ object MultimodalQueries {
       // by the first-agreeing-band rule, exact 64-bit Hamming verify;
       // within-batch2 pairs are q158's already-covered job and are by
       // declared rule NOT counted here.
-      val idx = phashIndexDir(s, dir)
-      val lsm = phashLsmDir(s, dir)
-      val b2 = phashNewBatchBands(s, dir)
-        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
-      val b2docs = b2.select(col("doc_id"))
-      val indexSide = s.read.parquet(s"$idx/bands")
-        .withColumn("graduated", lit(false))
-        .unionByName(graft.sources.SegmentStore.read(s, lsm)
-          .withColumn("graduated", lit(true)))
-      val nx = explodeBandKeys(b2)
-        .toDF("nid", "j", "v", "a0", "a1", "a2", "a3")
-      val pb = indexSide.select(col("doc_id").as("pid"), col("graduated"),
-        col("j"), col("v"),
-        col("band0").as("b0"), col("band1").as("b1"),
-        col("band2").as("b2"), col("band3").as("b3"))
-      val noEarlierAgree = !(
-        (col("j") > 0 && col("a0") === col("b0")) ||
-        (col("j") > 1 && col("a1") === col("b1")) ||
-        (col("j") > 2 && col("a2") === col("b2")))
-      val hamming = (0 until 4)
-        .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
-        .reduce(_ + _)
-      val dups = nx.join(pb, Seq("j", "v"))
-        .filter(noEarlierAgree)
-        .filter(hamming <= lit(PhashMaxHamming))
-        .groupBy(col("nid"))
-        .agg(
-          sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
-          sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
-      b2docs.join(dups, col("doc_id") === col("nid"), "left")
-        .na.fill(0L, Seq("n_dup_old", "n_dup_graduated"))
-        .withColumn("accepted",
-          (col("n_dup_old") === 0 && col("n_dup_graduated") === 0).cast("long"))
-        .select(col("doc_id"), col("n_dup_old"), col("n_dup_graduated"),
-          col("accepted"))
-        .orderBy(col("doc_id"))
+      graduatedBandProbe(s,
+        s.read.parquet(s"${phashIndexDir(s, dir)}/bands"),
+        phashLsmDir(s, dir),
+        phashNewBatchBands(s, dir)
+          .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
+        PhashMaxHamming)
+    }),
+
+    "q170_afp_ingest_lsm" -> ((s, dir) => {
+      // q169's AUDIO face — the graduation step over the delta-sign
+      // fingerprint index: the earlier clip batch (even new ids) is
+      // folded into a SegmentStore next to the static q167 artifact
+      // ([[afpLsmDir]]), the later batch (odd new ids) probes
+      // static ∪ store with partner provenance certifying the
+      // graduated rows answered. Same O(new) decode + band-join
+      // shape; the two modalities now share one incremental-index
+      // discipline end to end (build → probe → graduate → compact).
+      graduatedBandProbe(s,
+        s.read.parquet(s"${afpIndexDir(s, dir)}/bands"),
+        afpLsmDir(s, dir),
+        afpNewBatchBands(s, dir)
+          .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
+        AfpMaxHamming)
     }),
 
     "q167_afp_index_probe" -> ((s, dir) => {
@@ -651,13 +752,8 @@ object MultimodalQueries {
         .spreadIfNarrow(s)
         .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
         .select(col("doc_id"))
-      val nh = graft.SparkEntry.cachedView(s,
-        "graft_cache_afp_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
-        Multimodal
-          .audioFingerprintBands(Multimodal.ingestSynthVariantAudio(newDocs))
-          .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
-      }
-      bandIndexProbe(nh, s.read.parquet(s"$idx/bands"), newDocs, AfpMaxHamming)
+      bandIndexProbe(afpNewBatchBands(s, dir),
+        s.read.parquet(s"$idx/bands"), newDocs, AfpMaxHamming)
     }),
 
     "q168_vphash_index_probe" -> ((s, dir) => {
@@ -1193,36 +1289,14 @@ object MultimodalQueries {
     "q169_phash_ingest_lsm" ->
       // graduation probe: batch2 (odd new ids) against old ∪ batch1
       // (even new ids), partner classes split by which side serves —
-      // the oracle recomputes BOTH sides from the pixel formulas, so
-      // the static artifact round-trip AND the SegmentStore fold +
-      // manifest resolution must both be invisible; a store that
-      // silently served nothing zeroes n_dup_graduated and this
-      // prediction turns red
-      s"""$variantImageBandsCtes,
-         |cand AS (
-         |  SELECT a.doc_id AS nid,
-         |    (b.doc_id % 5 >= 3) AS graduated,
-         |    CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
-         |       + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
-         |  FROM bands a JOIN bands b
-         |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
-         |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
-         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |        a.band2 = b.band2 OR a.band3 = b.band3)),
-         |agg AS (
-         |  SELECT nid,
-         |    CAST(SUM(CASE WHEN NOT graduated AND hamming <= $PhashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
-         |    CAST(SUM(CASE WHEN graduated AND hamming <= $PhashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_graduated
-         |  FROM cand GROUP BY nid)
-         |SELECT d.doc_id,
-         |  COALESCE(a.n_dup_old, 0) AS n_dup_old,
-         |  COALESCE(a.n_dup_graduated, 0) AS n_dup_graduated,
-         |  CASE WHEN COALESCE(a.n_dup_old, 0) = 0
-         |        AND COALESCE(a.n_dup_graduated, 0) = 0
-         |    THEN 1::BIGINT ELSE 0::BIGINT END AS accepted
-         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.nid
-         |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
-         |ORDER BY d.doc_id""".stripMargin,
+      // a store that silently served nothing zeroes n_dup_graduated
+      // and this prediction turns red
+      graduationProbeSql(variantImageBandsCtes, PhashMaxHamming),
+
+    "q170_afp_ingest_lsm" ->
+      // the audio face: identical graduation semantics over the WAV
+      // sample formulas
+      graduationProbeSql(variantAudioBandsCtes, AfpMaxHamming),
 
     "q156_audio_fingerprint" ->
       bandPairsSql(variantAudioBandsCtes, AfpMaxHamming),

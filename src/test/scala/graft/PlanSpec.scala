@@ -1069,6 +1069,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
   }
 
+  test("q170 probes static afp index + graduated store from parquet; no decode, no all-pairs") {
+    val p = plan("q170_afp_ingest_lsm")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("graft_afp_index")),
+      s"expected the static afp band scan in:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("graft_afp_lsm")),
+      s"expected the graduated SegmentStore scan in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe candidates must come from the band equi-join:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
+  }
+
   test("q162 broadcasts the benchmark side and partial-maxes below the exchange") {
     val p = plan("q162_semantic_decontam")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
