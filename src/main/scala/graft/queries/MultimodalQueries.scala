@@ -494,6 +494,52 @@ object MultimodalQueries {
       out
     }
 
+  private val sessionVphashLsm = new graft.SessionMemo[String, String]
+
+  /** [[phashLsmDir]]'s VIDEO face — TWO [[graft.sources.SegmentStore]]s
+    * because the q168 artifact is two tables: the earlier clip batch's
+    * frame-0 anchor band keys (+ frame count) graduate into
+    * `f0bands` (partitioned by band index — the candidate side) and
+    * its full per-frame hash rows into `frames` (partitioned by frame
+    * index — the aligned-Hamming verify side). One decode feeds both
+    * appends (the shared session cache); the fold + manifest publish
+    * is the same discipline per table. */
+  private[graft] def vphashLsmDir(s: SparkSession, dir: String): String =
+    sessionVphashLsm.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_vphash_lsm_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val b1 = vphNewBatchBands(s, dir)
+        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      val f0 = b1.filter(col("frame_idx") === 0)
+      graft.sources.SegmentStore.appendBatch(s, s"$out/f0bands",
+        explodeBandKeys(f0.select(col("doc_id"), col("band0"), col("band1"),
+            col("band2"), col("band3")))
+          .join(f0.select(col("doc_id"), col("n_frames")), Seq("doc_id")),
+        batchId = 0L, compactEvery = 1,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      graft.sources.SegmentStore.appendBatch(s, s"$out/frames", b1,
+        batchId = 0L, compactEvery = 1,
+        partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))
+      out
+    }
+
+  /** The NEW clip batch's per-frame hash bands, session-cached (decode
+    * runs once per session; q168's probe and q171's graduation both
+    * draw from this one table). */
+  private def vphNewBatchBands(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_vph_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
+      val newDocs = graft.SparkEntry.tbl(s, dir, "documents")
+        .spreadIfNarrow(s)
+        .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
+        .select(col("doc_id"))
+      Multimodal
+        .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(newDocs))
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+    }
+
   private val sessionVphashIndex = new graft.SessionMemo[String, String]
 
   /** Session-once persisted video hash index of the OLD clip corpus —
@@ -773,13 +819,7 @@ object MultimodalQueries {
         .spreadIfNarrow(s)
         .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
         .select(col("doc_id"))
-      val nfh = graft.SparkEntry.cachedView(s,
-        "graft_cache_vph_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
-        Multimodal
-          .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(newDocs))
-          .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-            col("band0"), col("band1"), col("band2"), col("band3"))
-      }
+      val nfh = vphNewBatchBands(s, dir)
       val nf0 = nfh.filter(col("frame_idx") === 0)
       val nx = explodeBandKeys(nf0.select(col("doc_id"),
           col("band0"), col("band1"), col("band2"), col("band3")))
@@ -837,6 +877,76 @@ object MultimodalQueries {
         .withColumn("accepted",
           (col("n_dup_old") === 0 && col("n_dup_new_prior") === 0).cast("long"))
         .select(col("doc_id"), col("n_dup_old"), col("n_dup_new_prior"), col("accepted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q171_vphash_ingest_lsm" -> ((s, dir) => {
+      // q169/q170's VIDEO face — graduation over the TWO-table q168
+      // artifact: the earlier clip batch's anchor keys and per-frame
+      // hashes are folded into two SegmentStores next to the static
+      // index ([[vphashLsmDir]]); the later batch probes static ∪
+      // store on the frame-0 anchor keys (equal frame counts +
+      // first-agreeing-band claim) and verifies with q157's exact
+      // ALIGNED Hamming, partner frames read from static ∪ graduated
+      // frames tables — no indexed clip is ever re-decoded, and
+      // partner provenance certifies the graduated segments answered.
+      // Within-batch pairs are q168's covered job, not counted here.
+      val idx = vphashIndexDir(s, dir)
+      val lsm = vphashLsmDir(s, dir)
+      val b2 = vphNewBatchBands(s, dir)
+        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
+      val nf0 = b2.filter(col("frame_idx") === 0)
+      val nx = explodeBandKeys(nf0.select(col("doc_id"),
+          col("band0"), col("band1"), col("band2"), col("band3")))
+        .join(nf0.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+        .select(col("doc_id").as("nid"), col("j"), col("v"),
+          col("band0").as("a0"), col("band1").as("a1"),
+          col("band2").as("a2"), col("band3").as("a3"),
+          col("n_frames").as("nfa"))
+      def pbSide(df: DataFrame, grad: Boolean) = df.select(
+        col("doc_id").as("pid"), lit(grad).as("graduated"),
+        col("j"), col("v"),
+        col("band0").as("b0"), col("band1").as("b1"),
+        col("band2").as("b2"), col("band3").as("b3"),
+        col("n_frames").as("nfb"))
+      val pb = pbSide(s.read.parquet(s"$idx/f0bands"), grad = false)
+        .unionByName(pbSide(
+          graft.sources.SegmentStore.read(s, s"$lsm/f0bands"), grad = true))
+      val noEarlierAgree = !(
+        (col("j") > 0 && col("a0") === col("b0")) ||
+        (col("j") > 1 && col("a1") === col("b1")) ||
+        (col("j") > 2 && col("a2") === col("b2")))
+      val cand = nx.join(pb, Seq("j", "v"))
+        .filter(col("nfa") === col("nfb") && noEarlierAgree)
+        .select(col("nid"), col("pid"), col("graduated"))
+      val na = b2.select(col("doc_id").as("nid"), col("frame_idx"),
+        col("band0").as("a0"), col("band1").as("a1"),
+        col("band2").as("a2"), col("band3").as("a3"))
+      def pfSide(df: DataFrame) = df.select(
+        col("doc_id").as("pid"), col("frame_idx"),
+        col("band0").as("b0"), col("band1").as("b1"),
+        col("band2").as("b2"), col("band3").as("b3"))
+      val pf = pfSide(s.read.parquet(s"$idx/frames"))
+        .unionByName(pfSide(
+          graft.sources.SegmentStore.read(s, s"$lsm/frames")))
+      val perFrameHam = (0 until 4)
+        .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+        .reduce(_ + _)
+      val dups = cand.join(na, Seq("nid")).join(pf, Seq("pid", "frame_idx"))
+        .groupBy(col("nid"), col("pid"), col("graduated"))
+        .agg(sum(perFrameHam).as("hamming"))
+        .filter(col("hamming") <= lit(VphashMaxHamming))
+        .groupBy(col("nid"))
+        .agg(
+          sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
+          sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
+      b2.select(col("doc_id")).distinct()
+        .join(dups, col("doc_id") === col("nid"), "left")
+        .na.fill(0L, Seq("n_dup_old", "n_dup_graduated"))
+        .withColumn("accepted",
+          (col("n_dup_old") === 0 && col("n_dup_graduated") === 0).cast("long"))
+        .select(col("doc_id"), col("n_dup_old"), col("n_dup_graduated"),
+          col("accepted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1297,6 +1407,46 @@ object MultimodalQueries {
       // the audio face: identical graduation semantics over the WAV
       // sample formulas
       graduationProbeSql(variantAudioBandsCtes, AfpMaxHamming),
+
+    "q171_vphash_ingest_lsm" ->
+      // the video face: q168's candidate rule (frame-0 anchor bands +
+      // equal frame counts) with the graduation carve — batch2 (odd
+      // new ids) against old ∪ graduated batch1 (even new ids) — and
+      // q157's aligned-Hamming verify; the oracle recomputes BOTH
+      // index tables from the GIF frame formulas, so the two-store
+      // fold + manifest resolution must be invisible
+      s"""$variantVideoBandsCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS nid, b.doc_id AS pid,
+         |    (b.doc_id % 5 >= 3) AS graduated
+         |  FROM f0 a JOIN f0 b
+         |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
+         |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
+         |   AND a.nf = b.nf
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |        a.band2 = b.band2 OR a.band3 = b.band3)),
+         |ham AS (
+         |  SELECT c.nid, c.pid, c.graduated,
+         |    CAST(SUM(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
+         |       + bit_count(xor(fa.band2, fb.band2)) + bit_count(xor(fa.band3, fb.band3))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN bandsf fa ON fa.doc_id = c.nid
+         |  JOIN bandsf fb ON fb.doc_id = c.pid AND fb.fr = fa.fr
+         |  GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT nid,
+         |    CAST(SUM(CASE WHEN NOT graduated AND hamming <= $VphashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
+         |    CAST(SUM(CASE WHEN graduated AND hamming <= $VphashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_graduated
+         |  FROM ham GROUP BY nid)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_dup_old, 0) AS n_dup_old,
+         |  COALESCE(a.n_dup_graduated, 0) AS n_dup_graduated,
+         |  CASE WHEN COALESCE(a.n_dup_old, 0) = 0
+         |        AND COALESCE(a.n_dup_graduated, 0) = 0
+         |    THEN 1::BIGINT ELSE 0::BIGINT END AS accepted
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.nid
+         |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q156_audio_fingerprint" ->
       bandPairsSql(variantAudioBandsCtes, AfpMaxHamming),

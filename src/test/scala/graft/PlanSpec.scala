@@ -1083,6 +1083,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
   }
 
+  test("q171 probes static vphash tables + graduated stores; no decode, no all-pairs") {
+    val p = plan("q171_vphash_ingest_lsm")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("graft_vphash_index")),
+      s"expected the static vphash table scans in:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Scan parquet") && l.contains("graft_vphash_lsm")),
+      s"expected the graduated SegmentStore scans in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the anchor band equi-join:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("blob"), s"blobs must never shuffle: $l"))
+  }
+
   test("q162 broadcasts the benchmark side and partial-maxes below the exchange") {
     val p = plan("q162_semantic_decontam")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
