@@ -412,6 +412,13 @@ object PlanDump {
         + "aligned per-frame Hamming verify joining the artifact's "
         + "frames table for old partners and the batch's own decode "
         + "for prior-new — the indexed clips are never re-decoded."),
+    "q169_phash_ingest_lsm" ->
+      ("Index GRADUATION (the media LSM): the later ingest batch "
+        + "probes the static band artifact ∪ the SegmentStore "
+        + "generation the earlier batch folded into — both sides read "
+        + "back from parquet (no decode anywhere in the plan), one "
+        + "band equi-join, partner provenance certifying the "
+        + "graduated rows answered."),
     "q164_retrieval_metrics" ->
       ("Retrieval-quality eval (recall@k / MRR / nDCG@k): both arms "
         + "rank via the map-side partial top-k heap under their "
