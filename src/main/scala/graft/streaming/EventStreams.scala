@@ -468,17 +468,75 @@ object EventStreams {
   def mediaIngestGraduate(newDocs: DataFrame, storeDir: String,
                           compactEvery: Int)
                          (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    bandIngestGraduate(newDocs, storeDir, compactEvery, docs => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+        .select(col("doc_id"), col("band0"), col("band1"),
+          col("band2"), col("band3"))
+    })(afterBatch)
+
+  /** [[mediaIngestGraduate]]'s AUDIO face: micro-batches of newly
+    * ingested clips decode + delta-sign-fingerprint only themselves
+    * and graduate into the q170 store. */
+  def afpIngestGraduate(newDocs: DataFrame, storeDir: String,
+                        compactEvery: Int)
+                       (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    bandIngestGraduate(newDocs, storeDir, compactEvery, docs => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
+        .select(col("doc_id"), col("band0"), col("band1"),
+          col("band2"), col("band3"))
+    })(afterBatch)
+
+  /** The shared single-table graduation sink: fingerprint the batch
+    * (row-local decode — O(batch) work), explode band keys, append as
+    * an immutable per-batch segment, fold on the compaction cadence. */
+  private def bandIngestGraduate(newDocs: DataFrame, storeDir: String,
+                                 compactEvery: Int,
+                                 fingerprint: DataFrame => DataFrame)
+                                (afterBatch: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
+            graft.queries.MultimodalQueries.explodeBandKeys(
+              fingerprint(batch.toDF())), id,
+            compactEvery, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        afterBatch(id)
+      }
+      .start()
+
+  /** [[mediaIngestGraduate]]'s VIDEO face — TWO stores per batch
+    * because the q168/q171 artifact is two tables: ONE decode of the
+    * micro-batch (cached for the two appends, released after) feeds
+    * the frame-0 anchor-key store and the per-frame hash store; each
+    * store folds on its own manifest cadence. */
+  def vphashIngestGraduate(newDocs: DataFrame, storeDir: String,
+                           compactEvery: Int)
+                          (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
           import graft.multimodal.Multimodal
-          val bands = Multimodal
-            .imageAHashBands(Multimodal.ingestSynthVariantImages(batch.toDF()))
-            .select(col("doc_id"), col("band0"), col("band1"),
-              col("band2"), col("band3"))
-          graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
-            graft.queries.MultimodalQueries.explodeBandKeys(bands), id,
-            compactEvery, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+          val s = batch.sparkSession
+          val fh = Multimodal
+            .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(batch.toDF()))
+            .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+              col("band0"), col("band1"), col("band2"), col("band3"))
+            .cache()
+          try {
+            graft.sources.SegmentStore.appendBatch(s, s"$storeDir/frames", fh,
+              id, compactEvery,
+              partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))
+            val f0 = fh.filter(col("frame_idx") === 0)
+            graft.sources.SegmentStore.appendBatch(s, s"$storeDir/f0bands",
+              graft.queries.MultimodalQueries.explodeBandKeys(
+                  f0.select(col("doc_id"), col("band0"), col("band1"),
+                    col("band2"), col("band3")))
+                .join(f0.select(col("doc_id"), col("n_frames")), Seq("doc_id")),
+              id, compactEvery,
+              partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+          } finally fh.unpersist(blocking = false)
         }
         afterBatch(id)
       }

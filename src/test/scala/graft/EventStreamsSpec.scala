@@ -412,6 +412,66 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "streamed graduation diverges from the one-shot store content")
   }
 
+  test("streaming audio/video graduation twins build exactly their one-shot stores") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    import graft.multimodal.Multimodal
+    val b1 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashProbeNewMod)) >=
+        MultimodalQueries.PhashProbeNewMin &&
+        pmod($"doc_id", lit(MultimodalQueries.PhashLsmBatchMod)) === 0)
+      .select($"doc_id")
+    val ids = b1.as[Long].collect().sorted
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val bandCols = Seq("doc_id", "j", "v", "band0", "band1", "band2", "band3")
+    // AUDIO: two micro-batches through the shared single-table shape
+    val afpDir =
+      java.nio.file.Files.createTempDirectory("graft_afp_lsm_stream").toString
+    val memA = MemoryStream[Long]
+    val qa = EventStreams.afpIngestGraduate(
+      memA.toDF().toDF("doc_id"), afpDir, compactEvery = 2)()
+    try {
+      ids.grouped((ids.length + 1) / 2).foreach { g =>
+        memA.addData(g.toSeq); qa.processAllAvailable()
+      }
+    } finally qa.stop()
+    val afpOneShot = MultimodalQueries.explodeBandKeys(
+      Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(b1))
+        .select($"doc_id", $"band0", $"band1", $"band2", $"band3"))
+    assert(rows(graft.sources.SegmentStore.read(spark, afpDir), bandCols) ===
+      rows(afpOneShot, bandCols),
+      "streamed afp graduation diverges from the one-shot store")
+    // VIDEO: one decode per batch must fill BOTH stores
+    val vDir =
+      java.nio.file.Files.createTempDirectory("graft_vph_lsm_stream").toString
+    val memV = MemoryStream[Long]
+    val qv = EventStreams.vphashIngestGraduate(
+      memV.toDF().toDF("doc_id"), vDir, compactEvery = 2)()
+    try {
+      ids.grouped((ids.length + 1) / 2).foreach { g =>
+        memV.addData(g.toSeq); qv.processAllAvailable()
+      }
+    } finally qv.stop()
+    val fh = Multimodal
+      .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(b1))
+      .select($"doc_id", $"frame_idx", $"n_frames",
+        $"band0", $"band1", $"band2", $"band3")
+    val frameCols = Seq("doc_id", "frame_idx", "n_frames",
+      "band0", "band1", "band2", "band3")
+    assert(rows(graft.sources.SegmentStore.read(spark, s"$vDir/frames"), frameCols) ===
+      rows(fh, frameCols),
+      "streamed video frames store diverges from the one-shot decode")
+    val f0 = fh.filter($"frame_idx" === 0)
+    val f0OneShot = MultimodalQueries.explodeBandKeys(
+        f0.select($"doc_id", $"band0", $"band1", $"band2", $"band3"))
+      .join(f0.select($"doc_id", $"n_frames"), Seq("doc_id"))
+    val f0Cols = bandCols :+ "n_frames"
+    assert(rows(graft.sources.SegmentStore.read(spark, s"$vDir/f0bands"), f0Cols) ===
+      rows(f0OneShot, f0Cols),
+      "streamed video anchor-key store diverges from the one-shot build")
+  }
+
   test("stream-static afp probe replay-matches the declared q167 old-partner counts") {
     implicit val sq = spark.sqlContext
     import graft.queries.MultimodalQueries
