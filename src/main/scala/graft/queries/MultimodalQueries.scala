@@ -99,6 +99,36 @@ object MultimodalQueries {
     * so hash-green certifies the declared semantics. */
   val VphashMaxHamming = 6L
 
+  /** First-agreeing-band claim over carried band vectors (a0..a3 vs
+    * b0..b3): a pair is claimed only at its LOWEST agreeing band
+    * index — q72's no-distinct trick, THE one definition every banded
+    * candidate join in the engine (pairs, probes, graduations, the
+    * streaming twins) filters with; a band-count change edits exactly
+    * this site. */
+  private[graft] def noEarlierAgree: org.apache.spark.sql.Column = !(
+    (col("j") > 0 && col("a0") === col("b0")) ||
+    (col("j") > 1 && col("a1") === col("b1")) ||
+    (col("j") > 2 && col("a2") === col("b2")))
+
+  /** Exact 64-bit Hamming over the carried 4×16-bit band vectors —
+    * [[noEarlierAgree]]'s verify twin, same single-definition rule. */
+  private[graft] def bandHamming: org.apache.spark.sql.Column = (0 until 4)
+    .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+    .reduce(_ + _)
+
+  /** The per-new-item report tail every ingest probe shares: left-join
+    * the duplicate counts (keyed `nid`) onto the batch's doc frame,
+    * zero-fill, and derive the accepted flag (no duplicates in any
+    * class). */
+  private def acceptFrame(newDocs: DataFrame, dups: DataFrame,
+                          countCols: Seq[String]): DataFrame =
+    newDocs.join(dups, col("doc_id") === col("nid"), "left")
+      .na.fill(0L, countCols)
+      .withColumn("accepted",
+        countCols.map(c => col(c) === 0).reduce(_ && _).cast("long"))
+      .select((col("doc_id") +: countCols.map(col)) :+ col("accepted"): _*)
+      .orderBy(col("doc_id"))
+
   /** The shared banded near-dup candidate→verify shape of q155/q156:
     * ONE equi-join on the exploded (band_idx, band_val) key — not a
     * join per band, which would evaluate the decode lineage 2×bands
@@ -112,16 +142,9 @@ object MultimodalQueries {
     val ex = explodeBandKeys(h)
     val a = ex.toDF("doc_a", "j", "v", "a0", "a1", "a2", "a3")
     val b = ex.toDF("doc_b", "j", "v", "b0", "b1", "b2", "b3")
-    val noEarlierAgree = !(
-      (col("j") > 0 && col("a0") === col("b0")) ||
-      (col("j") > 1 && col("a1") === col("b1")) ||
-      (col("j") > 2 && col("a2") === col("b2")))
-    val hamming = (0 until 4)
-      .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))).cast("long"))
-      .reduce(_ + _)
     a.join(b, Seq("j", "v"))
       .filter(col("doc_a") < col("doc_b") && noEarlierAgree)
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= lit(maxHamming))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     // no ordering here: the pair-listing queries sort at their own
@@ -177,27 +200,15 @@ object MultimodalQueries {
       .withColumn("pnew", lit(true))
       .select(col("pid"), col("pnew"), col("j"), col("v"),
         col("b0"), col("b1"), col("b2"), col("b3"))
-    val noEarlierAgree = !(
-      (col("j") > 0 && col("a0") === col("b0")) ||
-      (col("j") > 1 && col("a1") === col("b1")) ||
-      (col("j") > 2 && col("a2") === col("b2")))
-    val hamming = (0 until 4)
-      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
-      .reduce(_ + _)
     val dups = nx.join(pbOld.unionByName(pbNew), Seq("j", "v"))
       .filter(col("nid") =!= col("pid") &&
         (!col("pnew") || col("pid") < col("nid")) && noEarlierAgree)
-      .filter(hamming <= lit(maxHamming))
+      .filter(bandHamming <= lit(maxHamming))
       .groupBy(col("nid"))
       .agg(
         sum(when(!col("pnew"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
         sum(when(col("pnew"), 1L).otherwise(0L)).cast("long").as("n_dup_new_prior"))
-    newDocs.join(dups, col("doc_id") === col("nid"), "left")
-      .na.fill(0L, Seq("n_dup_old", "n_dup_new_prior"))
-      .withColumn("accepted",
-        (col("n_dup_old") === 0 && col("n_dup_new_prior") === 0).cast("long"))
-      .select(col("doc_id"), col("n_dup_old"), col("n_dup_new_prior"), col("accepted"))
-      .orderBy(col("doc_id"))
+    acceptFrame(newDocs, dups, Seq("n_dup_old", "n_dup_new_prior"))
   }
 
   /** The GRADUATION probe shared by q169/q170 — the banded-index face
@@ -226,27 +237,14 @@ object MultimodalQueries {
       col("j"), col("v"),
       col("band0").as("b0"), col("band1").as("b1"),
       col("band2").as("b2"), col("band3").as("b3"))
-    val noEarlierAgree = !(
-      (col("j") > 0 && col("a0") === col("b0")) ||
-      (col("j") > 1 && col("a1") === col("b1")) ||
-      (col("j") > 2 && col("a2") === col("b2")))
-    val hamming = (0 until 4)
-      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
-      .reduce(_ + _)
     val dups = nx.join(pb, Seq("j", "v"))
       .filter(noEarlierAgree)
-      .filter(hamming <= lit(maxHamming))
+      .filter(bandHamming <= lit(maxHamming))
       .groupBy(col("nid"))
       .agg(
         sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
         sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
-    b2.select(col("doc_id")).join(dups, col("doc_id") === col("nid"), "left")
-      .na.fill(0L, Seq("n_dup_old", "n_dup_graduated"))
-      .withColumn("accepted",
-        (col("n_dup_old") === 0 && col("n_dup_graduated") === 0).cast("long"))
-      .select(col("doc_id"), col("n_dup_old"), col("n_dup_graduated"),
-        col("accepted"))
-      .orderBy(col("doc_id"))
+    acceptFrame(b2.select(col("doc_id")), dups, Seq("n_dup_old", "n_dup_graduated"))
   }
 
   /** DuckDB twin of [[graduatedBandProbe]] over any bands CTE: batch2
@@ -399,22 +397,26 @@ object MultimodalQueries {
     * oracle red. */
   val PhashLsmBatchMod = 2L
 
-  /** Session-once GRADUATION of the earlier ingest batch into a
-    * [[graft.sources.SegmentStore]] next to the static q158 artifact —
-    * the media face of the IVF-PQ delta's LSM maintenance: the
-    * batch's band-key rows (decoded once, off the shared session
-    * cache) are appended as an immutable live segment and compacted
-    * into a manifest-published generation (compactEvery = 1, so the
-    * one-shot query exercises the full fold + publish + GC path).
-    * Later batches probe static ∪ store without re-decoding anything
-    * already indexed — O(new) decode forever, not just until the next
-    * full rebuild. */
-  private[graft] def phashLsmDir(s: SparkSession, dir: String): String =
-    sessionPhashLsm.getOrCompute(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_phash_lsm_" +
+  /** Session-once GRADUATION of the earlier ingest batch (even new
+    * ids) into a [[graft.sources.SegmentStore]] next to a static band
+    * artifact — the media face of the IVF-PQ delta's LSM maintenance,
+    * shared by every single-table modality: the batch's band-key rows
+    * (decoded once, off the modality's session cache) are appended as
+    * an immutable live segment and compacted into a manifest-published
+    * generation (compactEvery = 1, so the one-shot query exercises
+    * the full fold + publish + GC path). Later batches probe static ∪
+    * store without re-decoding anything already indexed — O(new)
+    * decode forever, not just until the next full rebuild. ONE recipe:
+    * a carve constant or store-layout change edits exactly one site
+    * for every modality. */
+  private def bandLsmDir(s: SparkSession, memo: graft.SessionMemo[String, String],
+                         prefix: String, dir: String,
+                         newBatchBands: (SparkSession, String) => DataFrame): String =
+    memo.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/$prefix" +
         graft.SparkEntry.pathSlug(dir) + "_" +
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
-      val b1 = phashNewBatchBands(s, dir)
+      val b1 = newBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
       graft.sources.SegmentStore.appendBatch(s, out, explodeBandKeys(b1),
         batchId = 0L, compactEvery = 1,
@@ -422,53 +424,40 @@ object MultimodalQueries {
       out
     }
 
-  /** The NEW ingest batch's aHash bands, session-cached (decode runs
-    * once per session; q158's probe and q169's graduation both draw
-    * from this one table). */
-  private def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
-    graft.SparkEntry.cachedView(s,
-      "graft_cache_phash_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
-      val newDocs = graft.SparkEntry.tbl(s, dir, "documents")
+  /** The NEW ingest batch (doc_id % 5 >= 3), fingerprinted and
+    * session-cached — each modality's expensive decode runs once per
+    * session, feeding both its probe (q158/q167/q168) and its
+    * graduation (q169/q170/q171). */
+  private def newBatchBandsView(s: SparkSession, dir: String, cacheKey: String,
+                                fingerprint: DataFrame => DataFrame): DataFrame =
+    graft.SparkEntry.cachedView(s, cacheKey + graft.SparkEntry.pathSlug(dir)) {
+      fingerprint(graft.SparkEntry.tbl(s, dir, "documents")
         .spreadIfNarrow(s)
         .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
-        .select(col("doc_id"))
-      Multimodal
-        .imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs))
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+        .select(col("doc_id")))
     }
+
+  private[graft] def phashLsmDir(s: SparkSession, dir: String): String =
+    bandLsmDir(s, sessionPhashLsm, "graft_phash_lsm_", dir, phashNewBatchBands)
+
+  private def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
+    newBatchBandsView(s, dir, "graft_cache_phash_newbatch_", docs =>
+      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+        .select(col("doc_id"), col("band0"), col("band1"),
+          col("band2"), col("band3")))
 
   private val sessionAfpLsm = new graft.SessionMemo[String, String]
 
-  /** [[phashLsmDir]]'s AUDIO face: the earlier clip batch's delta-sign
-    * fingerprint band keys graduate into a SegmentStore next to the
-    * static q167 artifact — same carve, same fold + manifest publish. */
+  /** [[phashLsmDir]]'s AUDIO face — [[bandLsmDir]] over the delta-sign
+    * fingerprint, next to the static q167 artifact. */
   private[graft] def afpLsmDir(s: SparkSession, dir: String): String =
-    sessionAfpLsm.getOrCompute(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_afp_lsm_" +
-        graft.SparkEntry.pathSlug(dir) + "_" +
-        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
-      val b1 = afpNewBatchBands(s, dir)
-        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
-      graft.sources.SegmentStore.appendBatch(s, out, explodeBandKeys(b1),
-        batchId = 0L, compactEvery = 1,
-        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
-      out
-    }
+    bandLsmDir(s, sessionAfpLsm, "graft_afp_lsm_", dir, afpNewBatchBands)
 
-  /** The NEW clip batch's delta-sign fingerprint bands, session-cached
-    * (decode runs once per session; q167's probe and q170's graduation
-    * both draw from this one table). */
   private def afpNewBatchBands(s: SparkSession, dir: String): DataFrame =
-    graft.SparkEntry.cachedView(s,
-      "graft_cache_afp_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
-      val newDocs = graft.SparkEntry.tbl(s, dir, "documents")
-        .spreadIfNarrow(s)
-        .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
-        .select(col("doc_id"))
-      Multimodal
-        .audioFingerprintBands(Multimodal.ingestSynthVariantAudio(newDocs))
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
-    }
+    newBatchBandsView(s, dir, "graft_cache_afp_newbatch_", docs =>
+      Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
+        .select(col("doc_id"), col("band0"), col("band1"),
+          col("band2"), col("band3")))
 
   private val sessionAfpIndex = new graft.SessionMemo[String, String]
 
@@ -524,21 +513,14 @@ object MultimodalQueries {
       out
     }
 
-  /** The NEW clip batch's per-frame hash bands, session-cached (decode
-    * runs once per session; q168's probe and q171's graduation both
-    * draw from this one table). */
+  /** The NEW clip batch's per-frame hash bands — [[newBatchBandsView]]
+    * with the video fingerprint (per-frame rows, so q171's anchor and
+    * verify sides both derive from the one cached decode). */
   private def vphNewBatchBands(s: SparkSession, dir: String): DataFrame =
-    graft.SparkEntry.cachedView(s,
-      "graft_cache_vph_newbatch_" + graft.SparkEntry.pathSlug(dir)) {
-      val newDocs = graft.SparkEntry.tbl(s, dir, "documents")
-        .spreadIfNarrow(s)
-        .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
-        .select(col("doc_id"))
-      Multimodal
-        .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(newDocs))
+    newBatchBandsView(s, dir, "graft_cache_vph_newbatch_", docs =>
+      Multimodal.videoFrameHashBands(Multimodal.ingestSynthVariantVideo(docs))
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-          col("band0"), col("band1"), col("band2"), col("band3"))
-    }
+          col("band0"), col("band1"), col("band2"), col("band3")))
 
   private val sessionVphashIndex = new graft.SessionMemo[String, String]
 
@@ -842,10 +824,6 @@ object MultimodalQueries {
           col("band0").as("b0"), col("band1").as("b1"),
           col("band2").as("b2"), col("band3").as("b3"),
           col("n_frames").as("nfb"))
-      val noEarlierAgree = !(
-        (col("j") > 0 && col("a0") === col("b0")) ||
-        (col("j") > 1 && col("a1") === col("b1")) ||
-        (col("j") > 2 && col("a2") === col("b2")))
       val cand = nx.join(pbOld.unionByName(pbNew), Seq("j", "v"))
         .filter(col("nid") =!= col("pid") &&
           (!col("pnew") || col("pid") < col("nid")) &&
@@ -861,23 +839,15 @@ object MultimodalQueries {
         .unionByName(nfh.select(col("doc_id").as("pid"), col("frame_idx"),
           col("band0").as("b0"), col("band1").as("b1"),
           col("band2").as("b2"), col("band3").as("b3")))
-      val perFrameHam = (0 until 4)
-        .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
-        .reduce(_ + _)
       val dups = cand.join(na, Seq("nid")).join(pf, Seq("pid", "frame_idx"))
         .groupBy(col("nid"), col("pid"), col("pnew"))
-        .agg(sum(perFrameHam).as("hamming"))
+        .agg(sum(bandHamming).as("hamming"))
         .filter(col("hamming") <= lit(VphashMaxHamming))
         .groupBy(col("nid"))
         .agg(
           sum(when(!col("pnew"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
           sum(when(col("pnew"), 1L).otherwise(0L)).cast("long").as("n_dup_new_prior"))
-      newDocs.join(dups, col("doc_id") === col("nid"), "left")
-        .na.fill(0L, Seq("n_dup_old", "n_dup_new_prior"))
-        .withColumn("accepted",
-          (col("n_dup_old") === 0 && col("n_dup_new_prior") === 0).cast("long"))
-        .select(col("doc_id"), col("n_dup_old"), col("n_dup_new_prior"), col("accepted"))
-        .orderBy(col("doc_id"))
+      acceptFrame(newDocs, dups, Seq("n_dup_old", "n_dup_new_prior"))
     }),
 
     "q171_vphash_ingest_lsm" -> ((s, dir) => {
@@ -912,10 +882,6 @@ object MultimodalQueries {
       val pb = pbSide(s.read.parquet(s"$idx/f0bands"), grad = false)
         .unionByName(pbSide(
           graft.sources.SegmentStore.read(s, s"$lsm/f0bands"), grad = true))
-      val noEarlierAgree = !(
-        (col("j") > 0 && col("a0") === col("b0")) ||
-        (col("j") > 1 && col("a1") === col("b1")) ||
-        (col("j") > 2 && col("a2") === col("b2")))
       val cand = nx.join(pb, Seq("j", "v"))
         .filter(col("nfa") === col("nfb") && noEarlierAgree)
         .select(col("nid"), col("pid"), col("graduated"))
@@ -929,25 +895,16 @@ object MultimodalQueries {
       val pf = pfSide(s.read.parquet(s"$idx/frames"))
         .unionByName(pfSide(
           graft.sources.SegmentStore.read(s, s"$lsm/frames")))
-      val perFrameHam = (0 until 4)
-        .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
-        .reduce(_ + _)
       val dups = cand.join(na, Seq("nid")).join(pf, Seq("pid", "frame_idx"))
         .groupBy(col("nid"), col("pid"), col("graduated"))
-        .agg(sum(perFrameHam).as("hamming"))
+        .agg(sum(bandHamming).as("hamming"))
         .filter(col("hamming") <= lit(VphashMaxHamming))
         .groupBy(col("nid"))
         .agg(
           sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
           sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
-      b2.select(col("doc_id")).distinct()
-        .join(dups, col("doc_id") === col("nid"), "left")
-        .na.fill(0L, Seq("n_dup_old", "n_dup_graduated"))
-        .withColumn("accepted",
-          (col("n_dup_old") === 0 && col("n_dup_graduated") === 0).cast("long"))
-        .select(col("doc_id"), col("n_dup_old"), col("n_dup_graduated"),
-          col("accepted"))
-        .orderBy(col("doc_id"))
+      acceptFrame(b2.select(col("doc_id")).distinct(), dups,
+        Seq("n_dup_old", "n_dup_graduated"))
     }),
 
     "q157_video_neardup" -> ((s, dir) => {
@@ -978,16 +935,9 @@ object MultimodalQueries {
           col("band0"), col("band1"), col("band2"), col("band3"))
       val a = ex.toDF("doc_a", "nfa", "j", "v", "a0", "a1", "a2", "a3")
       val b = ex.toDF("doc_b", "nfb", "j", "v", "b0", "b1", "b2", "b3")
-      val noEarlierAgree = !(
-        (col("j") > 0 && col("a0") === col("b0")) ||
-        (col("j") > 1 && col("a1") === col("b1")) ||
-        (col("j") > 2 && col("a2") === col("b2")))
       val cand = a.join(b, Seq("j", "v"))
         .filter(col("doc_a") < col("doc_b") && col("nfa") === col("nfb") && noEarlierAgree)
         .select(col("doc_a"), col("doc_b"))
-      val perFrameHam = (0 until 4)
-        .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))).cast("long"))
-        .reduce(_ + _)
       val ha = fh.select(col("doc_id").as("doc_a"), col("frame_idx"),
         col("band0").as("a0"), col("band1").as("a1"),
         col("band2").as("a2"), col("band3").as("a3"))
@@ -996,7 +946,7 @@ object MultimodalQueries {
         col("band2").as("b2"), col("band3").as("b3"))
       cand.join(ha, Seq("doc_a")).join(hb, Seq("doc_b", "frame_idx"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum(perFrameHam).as("hamming"))
+        .agg(sum(bandHamming).as("hamming"))
         .filter(col("hamming") <= lit(VphashMaxHamming))
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))

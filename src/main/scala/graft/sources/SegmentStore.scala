@@ -70,14 +70,19 @@ object SegmentStore {
         .write.mode("overwrite").partitionBy(partitionCol)
         .parquet(s"$storeDir/compacted_g$gen")
       publishManifest(fs, storeDir, gen, batchId)
-      // grace GC — drop only what the PREVIOUS manifest stopped
-      // referencing (older generations; live batches at or below ITS
-      // watermark): an in-flight reader resolved against prevGen keeps
-      // every dir it planned to scan. Best-effort: a failed delete
-      // costs disk, never correctness.
-      (0L until prevGen).foreach { old =>
-        fs.delete(new Path(s"$storeDir/compacted_g$old"), true)
-        fs.delete(new Path(s"$storeDir/manifest_g$old"), false)
+      // grace GC, O(1) per compaction — drop only what the PREVIOUS
+      // manifest stopped referencing: generation prevGen-1 (the one
+      // dir a successful previous compaction left behind as ITS
+      // grace copy) and live batches at or below the previous
+      // watermark. An in-flight reader resolved against prevGen keeps
+      // every dir it planned to scan. Best-effort: a failed delete —
+      // or an orphan from a crash between publish and GC — costs
+      // disk reclaimed by an offline sweep, never correctness, and
+      // never a per-compaction O(generations) filesystem sweep on an
+      // indefinitely-running streaming sink.
+      if (prevGen > 0) {
+        fs.delete(new Path(s"$storeDir/compacted_g${prevGen - 1}"), true)
+        fs.delete(new Path(s"$storeDir/manifest_g${prevGen - 1}"), false)
       }
       liveBatchDirs(fs, storeDir).filter(_._1 <= prevUpTo).foreach { case (_, d) =>
         fs.delete(new Path(d), true)

@@ -437,16 +437,10 @@ object EventStreams {
           struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
         col("a0"), col("a1"), col("a2"), col("a3"))
-    val noEarlierAgree = !(
-      (col("j") > 0 && col("a0") === col("b0")) ||
-      (col("j") > 1 && col("a1") === col("b1")) ||
-      (col("j") > 2 && col("a2") === col("b2")))
-    val hamming = (0 until 4)
-      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
-      .reduce(_ + _)
     nx.join(pb, Seq("j", "v"))
-      .filter(col("doc_id") =!= col("partner") && noEarlierAgree)
-      .withColumn("hamming", hamming)
+      .filter(col("doc_id") =!= col("partner") &&
+        graft.queries.MultimodalQueries.noEarlierAgree)
+      .withColumn("hamming", graft.queries.MultimodalQueries.bandHamming)
       .filter(col("hamming") <= lit(maxHamming))
       .select(col("doc_id"), col("partner"), col("hamming"))
   }
@@ -588,10 +582,6 @@ object EventStreams {
       .select(col("doc_id"), col("nfa"), col("frames"),
         col("bk.j").as("j"), col("bk.v").as("v"),
         col("a0"), col("a1"), col("a2"), col("a3"))
-    val noEarlierAgree = !(
-      (col("j") > 0 && col("a0") === col("b0")) ||
-      (col("j") > 1 && col("a1") === col("b1")) ||
-      (col("j") > 2 && col("a2") === col("b2")))
     // aligned total Hamming: zip the streamed clip's frame array with
     // the partner's static one — candidates already guarantee equal
     // lengths — and fold the per-frame band XOR popcounts
@@ -602,8 +592,8 @@ object EventStreams {
             .cast("long")).reduce(_ + _)),
       lit(0L), (acc, x) => acc + x)
     nx.join(pb, Seq("j", "v"))
-      .filter(col("doc_id") =!= col("partner") &&
-        col("nfa") === col("nfb") && noEarlierAgree)
+      .filter(col("doc_id") =!= col("partner") && col("nfa") === col("nfb") &&
+        graft.queries.MultimodalQueries.noEarlierAgree)
       .join(pfr, Seq("partner"))
       .withColumn("hamming", alignedHam)
       .filter(col("hamming") <= lit(maxHamming))
