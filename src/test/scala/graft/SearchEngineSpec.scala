@@ -140,6 +140,13 @@ class SearchEngineSpec extends SparkSpec {
     val nRows2 = after.map(spark.read.parquet(_).count()).sum
     assert(nRows2 === delta.count(),
       s"post-compaction segment set $after must still hold one row per vector")
+    // ...and GC must actually reclaim: after the gen-2 compaction only
+    // generations 1 (grace copy) and 2 may remain on disk — the store
+    // does not leak a directory per compaction
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(deltaDir))
+      .map(_.getPath.getName).filter(_.startsWith("compacted_g")).sorted
+    assert(gens.toSeq === Seq("compacted_g1", "compacted_g2"),
+      s"expected exactly the current + grace generations, got ${gens.toSeq}")
   }
 
   test("flagship entry returns ranked hits with scores in [0,1]") {
