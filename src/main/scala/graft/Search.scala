@@ -29,7 +29,7 @@ object Search {
     * `flag > env > default` (reference __init__.py:19-24). */
   final case class Config(
       sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean,
-      index: Boolean = true)
+      index: Boolean = true, delta: Option[String] = None)
 
   /** Flags that take no value: a bare `--serve` means serve=true and
     * the next token stays a positional (prompt word) — EXCEPT a literal
@@ -97,9 +97,12 @@ object Search {
     // `--index false` / SPARK_GRAFT_INDEX override either default.
     val index = flags.get("index").orElse(env.get("SPARK_GRAFT_INDEX"))
       .map(_ != "false").getOrElse(serve)
+    // --delta <dir> / SPARK_GRAFT_DELTA: serve from the EVOLVING index
+    // (main artifact ∪ the LSM delta a streamingDocIngest maintains)
+    val delta = flags.get("delta").orElse(env.get("SPARK_GRAFT_DELTA"))
     require(prompt.nonEmpty || serve,
-      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false]")
-    Config(sfDir, prompt, k, cpus, serve, index)
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false] [--delta dir]")
+    Config(sfDir, prompt, k, cpus, serve, index, delta)
   }
 
   /** The stdio request loop: blank lines skipped, EOF ends the
@@ -112,12 +115,13 @@ object Search {
     * they don't count). */
   def serve(engine: SearchEngine, sfDir: String, k: Int,
       in: java.io.BufferedReader, out: java.io.PrintStream,
-      index: Boolean = true): Int = {
+      index: Boolean = true, delta: Option[String] = None): Int = {
     // the one tool closure every protocol dialect routes through:
-    // indexed (artifact probe, exact fallback inside
-    // searchJsonIndexed) unless the exact scan was forced
+    // indexed (artifact probe — ∪ the LSM delta when --delta names
+    // one — exact fallback inside searchJsonIndexed) unless the
+    // exact scan was forced
     val tool: String => String =
-      if (index) prompt => engine.searchJsonIndexed(sfDir, prompt, k)
+      if (index) prompt => engine.searchJsonIndexed(sfDir, prompt, k, delta)
       else prompt => engine.searchJson(sfDir, prompt, k)
     var served = 0
     var line = in.readLine()
@@ -151,9 +155,9 @@ object Search {
     if (cfg.serve)
       serve(engine, cfg.sfDir, cfg.k,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
-        System.out, cfg.index)
+        System.out, cfg.index, cfg.delta)
     else if (cfg.index)
-      println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k))
+      println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta))
     else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k))
     spark.stop()
   }

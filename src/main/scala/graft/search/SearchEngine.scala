@@ -99,19 +99,79 @@ final class SearchEngine(
     * measured minima). */
   def searchIndexed(sfDir: String, prompt: String, k: Int = 10,
                     nProbe: Int = graft.queries.AnnQueries.IvfNProbe,
-                    shortlist: Int = graft.queries.AnnQueries.ServedShortlist): DataFrame = {
+                    shortlist: Int = graft.queries.AnnQueries.ServedShortlist,
+                    deltaDir: Option[String] = None): DataFrame = {
     val qv = embedder.embed(prompt)
-    val hits = graft.search.AnnIndex
-      .probeIvfPq(spark, indexDir(sfDir), qv, k, nProbe, shortlist)
-      .collect() // ≤ k rows — the bounded driver merge every top-k ends in
+    val main = indexDir(sfDir)
+    val hits = (deltaDir match {
+      // the EVOLVING-index route: main artifact ∪ the LSM delta's
+      // manifest-resolved segments ([[streamingDocIngest]] writes
+      // them), one cell ranking pruning every segment scan — content
+      // ingested at micro-batch t is served at t+1 with NO rebuild
+      case Some(d) => graft.search.AnnIndex
+        .probeIvfPqLsm(spark, main, d, qv, k, nProbe, shortlist)
+      case None => graft.search.AnnIndex
+        .probeIvfPq(spark, main, qv, k, nProbe, shortlist)
+    }).collect() // ≤ k rows — the bounded driver merge every top-k ends in
     val scores = hits.map(r => (r.getLong(0), r.getDouble(1))).toSeq
       .toDF("doc_id", "score")
     val ids = hits.map(_.getLong(0))
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpusPayload = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id").isin(ids: _*))
+      .select($"doc_id", $"text")
+    // delta docs are NOT in the corpus parquet — their payload rides
+    // the delta segments themselves (encodeSegment carries the ingest
+    // batch's columns through), fetched by the same pushed-down point
+    // lookups; corpus wins on an id collision (an id re-ingest serves
+    // the canonical stored text)
+    val payload = deltaDir.map { d =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      graft.sources.SegmentStore.segments(fs, d)
+        .map(spark.read.parquet(_)) match {
+          case Nil => corpusPayload
+          case segs =>
+            val deltaPayload = segs.map(_.select(
+                col("vec_id").as("doc_id"), col("text")))
+              .reduce(_.unionByName(_))
+              .filter(col("doc_id").isin(ids: _*))
+              .join(corpusPayload.select($"doc_id"), Seq("doc_id"), "left_anti")
+            corpusPayload.unionByName(deltaPayload)
+        }
+    }.getOrElse(corpusPayload)
+    payload
       .join(broadcast(scores), Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id"))
       .select($"doc_id", $"text", $"score")
+  }
+
+  /** Streaming DOCUMENT ingest that keeps the SERVED index current —
+    * the end-to-end lifecycle the reference cannot express (its index
+    * is provisioned manually, README.md:71-79): each micro-batch of
+    * (doc_id, text) rows is embedded per-partition
+    * ([[Embedder.embedCorpus]] — one embedder init per partition,
+    * never per row), encoded into the main artifact's geometry, and
+    * appended to the LSM delta with the TEXT riding the segment rows
+    * as payload; [[searchIndexed]] with the same `deltaDir` then
+    * serves the new documents — hits, payload and all — from the next
+    * micro-batch on, with no index rebuild and no touch of the main
+    * artifact's files. Replay==batch by [[graft.sources.SegmentStore]]'s
+    * per-batch-overwrite + fold-dedup idempotence. */
+  def streamingDocIngest(newDocs: DataFrame, sfDir: String, deltaDir: String,
+                         compactEvery: Int)
+                        (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val main = indexDir(sfDir)
+    newDocs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.search.AnnIndex.appendDeltaBatch(
+            batch.sparkSession, main, deltaDir,
+            embedder.embedCorpus(batch.toDF(), "text", "embedding")
+              .select(col("doc_id").as("vec_id"), col("embedding"), col("text")),
+            id, compactEvery)
+        afterBatch(id)
+      }
+      .start()
   }
 
   /** [[searchJson]] served from the index, with the EXACT path as the
@@ -124,9 +184,11 @@ final class SearchEngine(
     * hidden full-corpus-scan cost with zero operator signal. Only
     * NonFatal failures degrade (an InterruptedException or OOM must
     * propagate). Empty-result intent as [[searchJson]]. */
-  def searchJsonIndexed(sfDir: String, prompt: String, k: Int = 10): String =
+  def searchJsonIndexed(sfDir: String, prompt: String, k: Int = 10,
+                        deltaDir: Option[String] = None): String =
     renderHits(
-      try searchIndexed(sfDir, prompt, k).as[SearchHit].collect()
+      try searchIndexed(sfDir, prompt, k,
+          deltaDir = deltaDir).as[SearchHit].collect()
       catch {
         case scala.util.control.NonFatal(e) =>
           indexFallbackCount.incrementAndGet()

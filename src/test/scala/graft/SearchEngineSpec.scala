@@ -149,6 +149,46 @@ class SearchEngineSpec extends SparkSpec {
       s"expected exactly the current + grace generations, got ${gens.toSeq}")
   }
 
+  test("streaming doc ingest: new documents are served from the evolving index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_docingest_spec").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = eng.streamingDocIngest(
+      mem.toDF().toDF("doc_id", "text"), sf0001, deltaDir, compactEvery = 2)()
+    val newDocs = Seq(
+      (900001L, "zebra quantum flux capacitor"),
+      (900002L, "violet meridian cascade"),
+      (900003L, "umbral glacier syncopation"))
+    try {
+      mem.addData(newDocs.take(2)); q.processAllAvailable()
+      mem.addData(newDocs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    // a prompt equal to an ingested doc's text must rank that doc
+    // FIRST at score 1.0, payload round-tripped from the delta
+    // segment rows — content ingested at micro-batch t is served at
+    // t+1 with no index rebuild
+    val served = eng.searchIndexed(sf0001, newDocs(2)._2, k = 3,
+        deltaDir = Some(deltaDir))
+      .as[(Long, String, Double)].collect()
+    assert(served.nonEmpty && served.head._1 === 900003L &&
+      served.head._3 === 1.0 && served.head._2 === newDocs(2)._2,
+      s"ingested doc must be served with its payload: ${served.toSeq}")
+    // ...and a doc from the FIRST batch too (it sits in the folded
+    // compacted generation, not the live tail)
+    val served1 = eng.searchIndexed(sf0001, newDocs.head._2, k = 3,
+        deltaDir = Some(deltaDir))
+      .as[(Long, String, Double)].collect()
+    assert(served1.nonEmpty && served1.head._1 === 900001L &&
+      served1.head._3 === 1.0, s"folded doc must be served: ${served1.toSeq}")
+    // without the delta, the static route cannot know the new doc
+    val static = eng.searchIndexed(sf0001, newDocs(2)._2, k = 3)
+      .as[(Long, String, Double)].collect()
+    assert(!static.exists(_._1 === 900003L),
+      "static route must not serve a doc that was never in its corpus")
+  }
+
   test("flagship entry returns ranked hits with scores in [0,1]") {
     val hits = SparkEntry.entry(spark).collect()
     assert(hits.nonEmpty && hits.length <= 10)

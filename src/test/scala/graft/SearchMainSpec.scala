@@ -59,6 +59,10 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(!c3.index, "a one-shot prompt defaults to the exact scan")
     val c4 = Search.parseConfig(Seq("--index", "--sf-dir", "/x", "p"), Map.empty)
     assert(c4.index && !c4.serve, "--index opts a one-shot into the probe")
+    val c5 = Search.parseConfig(
+      Seq("--serve", "--delta", "/lsm", "--sf-dir", "/x"), Map.empty)
+    assert(c5.delta === Some("/lsm"), "--delta routes the evolving-index serve")
+    assert(c.delta.isEmpty, "no --delta means the static artifact alone")
   }
 
   test("--serve speaks MCP: initialize -> initialized -> tools/list -> tools/call") {
