@@ -97,8 +97,10 @@ object Search {
     // `--index false` / SPARK_GRAFT_INDEX override either default.
     val index = flags.get("index").orElse(env.get("SPARK_GRAFT_INDEX"))
       .map(_ != "false").getOrElse(serve)
-    // --delta <dir> / SPARK_GRAFT_DELTA: serve from the EVOLVING index
-    // (main artifact ∪ the LSM delta a streamingDocIngest maintains)
+    // --delta <dir> / SPARK_GRAFT_DELTA: serve from the EVOLVING corpus
+    // (∪ the LSM delta a streamingDocIngest maintains) — honored on
+    // EVERY route: the index probe, the exact scan, and the fallback,
+    // so a streamed-in document is never silently dropped
     val delta = flags.get("delta").orElse(env.get("SPARK_GRAFT_DELTA"))
     require(prompt.nonEmpty || serve,
       "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false] [--delta dir]")
@@ -122,7 +124,7 @@ object Search {
     // exact scan was forced
     val tool: String => String =
       if (index) prompt => engine.searchJsonIndexed(sfDir, prompt, k, delta)
-      else prompt => engine.searchJson(sfDir, prompt, k)
+      else prompt => engine.searchJson(sfDir, prompt, k, delta)
     var served = 0
     var line = in.readLine()
     while (line != null) {
@@ -158,7 +160,7 @@ object Search {
         System.out, cfg.index, cfg.delta)
     else if (cfg.index)
       println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta))
-    else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k))
+    else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta))
     spark.stop()
   }
 }

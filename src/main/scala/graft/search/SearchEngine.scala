@@ -65,9 +65,44 @@ final class SearchEngine(
 
   /** The reference's end-to-end tool path: natural-language prompt →
     * embed → top-k (k=10 is the reference's hard-coded fan-out,
-    * server.py:87). */
-  def search(sfDir: String, prompt: String, k: Int = 10): Dataset[SearchHit] =
-    topK(corpus(sfDir, embedder.dim), embedder.embed(prompt), k)
+    * server.py:87). With `deltaDir`, the exact scan covers corpus ∪
+    * the LSM delta's rows — the EXACT route serves streamed-in
+    * documents too, which is what lets [[searchJsonIndexed]]'s
+    * fallback stay "slower, never wronger" when a delta is in play. */
+  def search(sfDir: String, prompt: String, k: Int = 10,
+             deltaDir: Option[String] = None): Dataset[SearchHit] =
+    topK(corpusWithDelta(sfDir, deltaDir, embedder.dim), embedder.embed(prompt), k)
+
+  /** The searchable rows: corpus ∪ (when a delta is named) the LSM
+    * segments' (doc_id, text, embedding) rows. Corpus wins on an id
+    * collision (the canonical stored document), and replay-window twin
+    * copies inside the delta collapse to one row. */
+  private def corpusWithDelta(sfDir: String, deltaDir: Option[String],
+                              dim: Int): DataFrame = {
+    val base = corpus(sfDir, dim)
+    val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
+    if (segs.isEmpty) base
+    else {
+      val baseRows = base.select($"doc_id", $"text", $"embedding")
+      baseRows.unionByName(
+        segs.map(_.select(col("vec_id").as("doc_id"), col("text"),
+            col("embedding")))
+          .reduce(_.unionByName(_))
+          .dropDuplicates("doc_id")
+          .join(baseRows.select($"doc_id"), Seq("doc_id"), "left_anti"))
+    }
+  }
+
+  /** The delta's CURRENT segment set as DataFrames — resolved ONCE per
+    * call, so a probe and its payload fetch read the same snapshot
+    * even if a compaction publishes a new manifest mid-query
+    * (immutable dirs + grace GC keep the resolved set on disk). */
+  private def deltaSegs(deltaDir: String): Seq[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.sources.SegmentStore.segments(fs, deltaDir)
+      .map(spark.read.parquet(_))
+  }
 
   /** The session IVF-PQ artifact serving this corpus — the SAME
     * write-once artifact the q148–q154 query family probes
@@ -103,17 +138,29 @@ final class SearchEngine(
                     deltaDir: Option[String] = None): DataFrame = {
     val qv = embedder.embed(prompt)
     val main = indexDir(sfDir)
-    val hits = (deltaDir match {
-      // the EVOLVING-index route: main artifact ∪ the LSM delta's
-      // manifest-resolved segments ([[streamingDocIngest]] writes
-      // them), one cell ranking pruning every segment scan — content
-      // ingested at micro-batch t is served at t+1 with NO rebuild
-      case Some(d) => graft.search.AnnIndex
-        .probeIvfPqLsm(spark, main, d, qv, k, nProbe, shortlist)
-      case None => graft.search.AnnIndex
-        .probeIvfPq(spark, main, qv, k, nProbe, shortlist)
-    }).collect() // ≤ k rows — the bounded driver merge every top-k ends in
-    val scores = hits.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the delta's segment set is resolved ONCE — the probe and the
+    // payload fetch below read the same snapshot even if a compaction
+    // publishes a new manifest mid-query
+    val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
+    val hitRows = (if (segs.isEmpty)
+        // the static route: the write-once session artifact
+        graft.search.AnnIndex.probeIvfPq(spark, main, qv, k, nProbe, shortlist)
+      else
+        // the EVOLVING-index route: main artifact ∪ the LSM delta's
+        // manifest-resolved segments ([[streamingDocIngest]] writes
+        // them), one cell ranking pruning every segment scan — content
+        // ingested at micro-batch t is served at t+1 with NO rebuild
+        graft.search.AnnIndex.probeIvfPqSegments(spark, main,
+          spark.read.parquet(s"$main/corpus") +: segs, qv, k, nProbe, shortlist))
+      .collect() // ≤ k rows — the bounded driver merge every top-k ends in
+    // id-unique hits: a RE-INGESTED doc_id can surface from the corpus
+    // AND a delta segment (or from two deltas inside the crash-replay
+    // window) — keep its best-scoring row, so the served set never
+    // lists one document twice; compaction's vec_id dedup heals the
+    // delta side at the next fold
+    val hits = hitRows.toSeq.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.maxBy(_.getDouble(1)) }.toSeq
+    val scores = hits.map(r => (r.getLong(0), r.getDouble(1)))
       .toDF("doc_id", "score")
     val ids = hits.map(_.getLong(0))
     val corpusPayload = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -124,21 +171,14 @@ final class SearchEngine(
     // batch's columns through), fetched by the same pushed-down point
     // lookups; corpus wins on an id collision (an id re-ingest serves
     // the canonical stored text)
-    val payload = deltaDir.map { d =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      graft.sources.SegmentStore.segments(fs, d)
-        .map(spark.read.parquet(_)) match {
-          case Nil => corpusPayload
-          case segs =>
-            val deltaPayload = segs.map(_.select(
-                col("vec_id").as("doc_id"), col("text")))
-              .reduce(_.unionByName(_))
-              .filter(col("doc_id").isin(ids: _*))
-              .join(corpusPayload.select($"doc_id"), Seq("doc_id"), "left_anti")
-            corpusPayload.unionByName(deltaPayload)
-        }
-    }.getOrElse(corpusPayload)
+    val payload =
+      if (segs.isEmpty) corpusPayload
+      else corpusPayload.unionByName(
+        segs.map(_.select(col("vec_id").as("doc_id"), col("text")))
+          .reduce(_.unionByName(_))
+          .filter(col("doc_id").isin(ids: _*))
+          .dropDuplicates("doc_id")
+          .join(corpusPayload.select($"doc_id"), Seq("doc_id"), "left_anti"))
     payload
       .join(broadcast(scores), Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id"))
@@ -167,6 +207,12 @@ final class SearchEngine(
           graft.search.AnnIndex.appendDeltaBatch(
             batch.sparkSession, main, deltaDir,
             embedder.embedCorpus(batch.toDF(), "text", "embedding")
+              // a zero-norm embedding (empty/whitespace text under the
+              // hashing embedder) has no direction to index: cosine
+              // against it is NULL, which would poison the probe's
+              // driver merge — excluded at ingest, the same class of
+              // guard the dim filter applies at the corpus
+              .filter(exists(col("embedding"), x => x =!= lit(0.0f)))
               .select(col("doc_id").as("vec_id"), col("embedding"), col("text")),
             id, compactEvery)
         afterBatch(id)
@@ -194,7 +240,9 @@ final class SearchEngine(
           indexFallbackCount.incrementAndGet()
           System.err.println("graft: index route failed (" +
             s"${e.getClass.getSimpleName}: ${e.getMessage}); serving exact scan")
-          search(sfDir, prompt, k).collect()
+          // the fallback scans corpus ∪ delta — dropping the streamed-in
+          // docs here would make the degraded answer WRONG, not slow
+          search(sfDir, prompt, k, deltaDir).collect()
       })
 
   /** How many tool calls this engine served via the exact-scan
@@ -206,8 +254,9 @@ final class SearchEngine(
     * "No results found." on an empty hit set but its check is unreachable
     * (reference server.py:98-102 tests a truthy `"[]"` string —
     * SURVEY.md §2.1 O10). The engine implements the intent. */
-  def searchJson(sfDir: String, prompt: String, k: Int = 10): String =
-    renderHits(search(sfDir, prompt, k).collect())
+  def searchJson(sfDir: String, prompt: String, k: Int = 10,
+                 deltaDir: Option[String] = None): String =
+    renderHits(search(sfDir, prompt, k, deltaDir).collect())
 
   private def renderHits(hits: Array[SearchHit]): String =
     if (hits.isEmpty) "No results found."

@@ -187,6 +187,29 @@ class SearchEngineSpec extends SparkSpec {
       .as[(Long, String, Double)].collect()
     assert(!static.exists(_._1 === 900003L),
       "static route must not serve a doc that was never in its corpus")
+    // the EXACT route honors the delta too — the fallback's answer set
+    // must match the index route's, never drop streamed-in docs
+    val exact = eng.search(sf0001, newDocs(2)._2, k = 3, Some(deltaDir)).collect()
+    assert(exact.nonEmpty && exact.head.doc_id === 900003L &&
+      exact.head.score === 1.0,
+      s"exact route must serve the ingested doc: ${exact.toSeq}")
+    // id collision: re-ingesting an EXISTING corpus id must not list
+    // that document twice in the served top-k (corpus text stays
+    // canonical; the better-scoring row carries the rank)
+    val deltaDir2 =
+      java.nio.file.Files.createTempDirectory("graft_docingest_coll").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = eng.streamingDocIngest(
+      mem2.toDF().toDF("doc_id", "text"), sf0001, deltaDir2, compactEvery = 0)()
+    try { mem2.addData(Seq((0L, "collision probe text"))); q2.processAllAvailable() }
+    finally q2.stop()
+    val coll = eng.searchIndexed(sf0001, "collision probe text", k = 5,
+        deltaDir = Some(deltaDir2))
+      .as[(Long, String, Double)].collect()
+    assert(coll.map(_._1).distinct.length === coll.length,
+      s"served top-k must be id-unique under re-ingest: ${coll.toSeq}")
+    assert(coll.head._1 === 0L && coll.head._3 === 1.0,
+      s"the re-ingested vector must still rank: ${coll.toSeq}")
   }
 
   test("flagship entry returns ranked hits with scores in [0,1]") {
