@@ -132,6 +132,10 @@ object ScaleProbe {
         brpTuningProbe(spark, srcDir, flags)
       else if (flags.contains("cc-probe"))
         ccProbe(spark, flags)
+      else if (flags.contains("ingest-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        ingestProbe(spark, outDir, flags)
+      }
       else if (flags.contains("para-probe") && flags.contains("distinct"))
         paraProbeDistinct(spark, copies)
       else if (flags.contains("para-probe")) {
@@ -690,6 +694,84 @@ object ScaleProbe {
     cc.unpersist(blocking = false)
     println(s"""{"probe":"cc-probe","nodes":$nodes,"group":$g,"edges":$nEdges,"rounds":$rounds,"labeled":$nLabeled,"bad_labels":$bad,"driver_slice_mismatches":$mismatches,"sec":$tSec,"shuffle_bytes":$sBytes,"shuffle_records":$sRecords}""")
     bad == 0 && mismatches == 0 && rounds <= 30
+  }
+
+  /** Evolving-index serve probe (--ingest-probe [--batches N
+    * --batch-docs M]): the round-13 lifecycle measured at corpus
+    * scale — build the served session IVF-PQ artifact over the cloned
+    * corpus, stream N micro-batches of M synthetic documents into the
+    * LSM delta ([[graft.search.SearchEngine.streamingDocIngest]] —
+    * embed per-partition, encode against the main quantizer, append +
+    * compact), then serve: (a) a STATIC probe (artifact only), (b) an
+    * LSM probe (artifact ∪ delta) with the same unrelated prompt, and
+    * (c) an LSM probe whose prompt IS an ingested doc's text — the
+    * correctness receipt: it must come back ranked first at score 1.0
+    * with its payload, proving content ingested mid-session is served
+    * with no rebuild. Receipts: per-batch ingest seconds + each probe
+    * second. */
+  private def ingestProbe(spark: SparkSession, srcDir: String,
+                          flags: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val nBatches = flags.get("batches").map(_.toInt).getOrElse(5)
+    val batchDocs = flags.get("batch-docs").map(_.toInt).getOrElse(1000)
+    val eng = new graft.search.SearchEngine(
+      spark, new graft.search.HashingEmbedder(64))
+    val t0 = System.nanoTime()
+    eng.indexDir(srcDir) // CREATE INDEX once — the session artifact
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val deltaDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_probe").toString
+    val batchSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var tBatch = System.nanoTime()
+    val mem = MemoryStream[(Long, String)]
+    val q = eng.streamingDocIngest(
+      mem.toDF().toDF("doc_id", "text"), srcDir, deltaDir,
+      compactEvery = 2) { _ =>
+      batchSec += (System.nanoTime() - tBatch) / 1e9
+      tBatch = System.nanoTime()
+    }
+    // ids far beyond the clone corpus's doc_id + copy*10M ranges
+    // (max ~990M at 100 copies) — an accidental collision makes the
+    // corpus text canonical per the declared rule, which is exactly
+    // what the first run of this probe tripped over
+    val marked = (0L until nBatches * batchDocs.toLong).map(i =>
+      (2000000000L + i, s"synthetic ingest document $i with stable words " +
+        s"alpha${i % 97} beta${i % 89} gamma${i % 83}"))
+    try {
+      marked.grouped(batchDocs).foreach { g =>
+        tBatch = System.nanoTime()
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def timed(f: => Array[org.apache.spark.sql.Row]): (Double, Array[org.apache.spark.sql.Row]) = {
+      val t = System.nanoTime(); val r = f; ((System.nanoTime() - t) / 1e9, r)
+    }
+    val prompt = "an unrelated probe prompt about distributed analytics"
+    val (staticSec, _) = timed(eng.searchIndexed(srcDir, prompt, 10).collect())
+    val (lsmSec, _) = timed(
+      eng.searchIndexed(srcDir, prompt, 10, deltaDir = Some(deltaDir)).collect())
+    val target = marked(marked.size / 2)
+    val (servedSec, served) = timed(
+      eng.searchIndexed(srcDir, target._2, 10, deltaDir = Some(deltaDir)).collect())
+    val hit = served.headOption.exists(r =>
+      r.getLong(0) == target._1 && r.getDouble(2) == 1.0 &&
+        r.getString(1) == target._2)
+    // receipt context: what actually came back, and what the delta
+    // holds for the target id — turns a red flag into a diagnosis
+    val head = served.take(3).map(r =>
+      s"""[${r.getLong(0)},${r.getDouble(2)}]""").mkString(",")
+    val headText = served.headOption
+      .map(r => String.valueOf(r.getString(1)).take(80)).getOrElse("")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val segDirs = graft.sources.SegmentStore.segments(fs, deltaDir)
+    val deltaCount = segDirs.map(spark.read.parquet(_).count()).sum
+    val targetInDelta = segDirs.map(spark.read.parquet(_)
+      .filter(col("vec_id") === target._1).count()).sum
+    println(s"""{"probe":"ingest-probe","n_corpus":${spark.read.parquet(s"$srcDir/embeddings.parquet").count()},"batches":$nBatches,"batch_docs":$batchDocs,"build_sec":$buildSec,"batch_sec":[${batchSec.map(s => f"$s%.3f").mkString(",")}],"static_probe_sec":$staticSec,"lsm_probe_sec":$lsmSec,"served_ingested_sec":$servedSec,"ingested_doc_served":$hit,"served_head":[$head],"served_head_text":"$headText","target_text":"${target._2.take(80)}","delta_rows":$deltaCount,"target_in_delta":$targetInDelta}""")
+    hit
   }
 
   /** [[paraProbe]] over a corpus of DISTINCT directions (--para-probe

@@ -39,7 +39,7 @@ object Search {
     * `--serve=false` also works. */
   private val BooleanFlags = Set("serve", "ivf-tune", "ivfpq-tune", "tune-split",
     "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune",
-    "served-tune", "index", "para-probe", "distinct", "cc-probe")
+    "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all

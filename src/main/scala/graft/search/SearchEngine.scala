@@ -142,24 +142,40 @@ final class SearchEngine(
     // payload fetch below read the same snapshot even if a compaction
     // publishes a new manifest mid-query
     val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
-    val hitRows = (if (segs.isEmpty)
-        // the static route: the write-once session artifact
-        graft.search.AnnIndex.probeIvfPq(spark, main, qv, k, nProbe, shortlist)
-      else
-        // the EVOLVING-index route: main artifact ∪ the LSM delta's
-        // manifest-resolved segments ([[streamingDocIngest]] writes
-        // them), one cell ranking pruning every segment scan — content
-        // ingested at micro-batch t is served at t+1 with NO rebuild
-        graft.search.AnnIndex.probeIvfPqSegments(spark, main,
-          spark.read.parquet(s"$main/corpus") +: segs, qv, k, nProbe, shortlist))
+    // the EVOLVING-index route is q150's main+delta read: the main
+    // artifact is PROBED (cell pruning, ADC shortlist, exact rescore)
+    // and the delta is EXACT-SCANNED in full — q150's documented rule
+    // (small and fresh: indexing it costs more than scanning it), and
+    // the rule matters MORE here than for in-distribution vectors: the
+    // main quantizer/codebooks were fitted before these documents
+    // existed, so a distribution-shifted ingest gets PQ codes that
+    // under-represent it and ADC-ranking the delta could starve
+    // exactly the documents the delta exists to serve. The exact scan
+    // makes fresh-content recall unconditional. Top-k distributes
+    // over union, so the ≤ 2k-row driver merge is exact. (The 500 k
+    // ingest probe certifies the route end to end — SCALING.md
+    // round-13, including the id-collision rule it tripped first.)
+    val mainHits = graft.search.AnnIndex
+      .probeIvfPq(spark, main, qv, k, nProbe, shortlist)
       .collect() // ≤ k rows — the bounded driver merge every top-k ends in
+    val deltaHits =
+      if (segs.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else segs.map(_.select(col("vec_id"), col("embedding")))
+        .reduce(_.unionByName(_))
+        .withColumn("score", round(neo4jScore(col("embedding"), typedLit(qv.toSeq)), 6))
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), col("score"))
+        .collect()
     // id-unique hits: a RE-INGESTED doc_id can surface from the corpus
     // AND a delta segment (or from two deltas inside the crash-replay
     // window) — keep its best-scoring row, so the served set never
     // lists one document twice; compaction's vec_id dedup heals the
     // delta side at the next fold
-    val hits = hitRows.toSeq.groupBy(_.getLong(0))
+    val hits = (mainHits ++ deltaHits).toSeq.groupBy(_.getLong(0))
       .map { case (_, rs) => rs.maxBy(_.getDouble(1)) }.toSeq
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .take(k)
     val scores = hits.map(r => (r.getLong(0), r.getDouble(1)))
       .toDF("doc_id", "score")
     val ids = hits.map(_.getLong(0))
