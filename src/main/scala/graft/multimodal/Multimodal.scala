@@ -935,20 +935,38 @@ object Multimodal {
     }(enc)
   }
 
-  /** Per-frame aHash bands from ACTUALLY-DECODED video frames — the
-    * temporal member of the perceptual-hash family
-    * ([[imageAHashBands]] per frame): for every frame of every clip,
-    * one bit per pixel `gray·64 > frame_total` (strict integer
-    * compare), packed as FOUR 16-bit band integers, emitted as one
-    * row per frame (doc_id …, frame_idx, n_frames, band0..band3).
-    * Decode + hashing run row-local; blobs never shuffle — only the
-    * small per-frame hash rows move. Non-GIF / null blobs emit no
-    * rows (same contract as [[videoFrameFeatures]]). */
+  /** Per-frame aHash bands + quarter gray totals from ACTUALLY-DECODED
+    * video frames — the temporal member of the perceptual-hash family:
+    * every frame box-resamples to a CANONICAL 8×8 grid (the geometry
+    * guarantee — hash shape never follows the input size), aHashes one
+    * bit per virtual pixel (`v·64 > grid_total`, strict integer
+    * compare) packed as FOUR 16-bit band integers, and carries each
+    * 16-pixel quarter's exact virtual-gray total (`qt0..qt3`). Emitted
+    * as one row per frame (doc_id …, frame_idx, n_frames, band0..band3,
+    * qt0..qt3).
+    *
+    * The bands alone are the VERIFY payload (aligned per-frame Hamming
+    * — the metric with measured planted/unrelated separation); the
+    * quarter totals exist for the CANDIDATE key: anchor candidacy
+    * composes `band_j + qt_j·2^16`, so a blocking bucket requires a
+    * quarter whose bit pattern AND exact gray mass both agree. That
+    * kills the two collision families 16-bit bands alone admit —
+    * random band coincidence (~n²/2^16 pairs) and this fixture's
+    * near-affine cross-group drifts (comparison-type bits survive a
+    * slowly-varying brightness shift; an exact 12-bit total does not)
+    * — while planted near-dups keep 3 of 4 quarters bit-AND-total
+    * identical (a one-pixel edit touches one quarter). Measured:
+    * candidate volume linear through 20 k clips (SCALING.md round 14)
+    * vs ~n²/2^16 before. Decode + hashing run row-local; blobs never
+    * shuffle — only the small per-frame hash rows move. Non-GIF /
+    * null blobs emit no rows (same contract as
+    * [[videoFrameFeatures]]). */
   def videoFrameHashBands(blobs: DataFrame): DataFrame = {
     val outSchema = StructType(blobs.schema.fields ++ Seq(
       StructField("frame_idx", LongType, nullable = false),
       StructField("n_frames", LongType, nullable = false)) ++
-      (0 until 4).map(j => StructField(s"band$j", LongType, nullable = false)))
+      (0 until 4).map(j => StructField(s"band$j", LongType, nullable = false)) ++
+      (0 until 4).map(j => StructField(s"qt$j", LongType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     val blobIdx = blobs.schema.fieldIndex("blob")
     val metaIdx = blobs.schema.fieldIndex("meta")
@@ -960,21 +978,38 @@ object Multimodal {
         else {
           val frames = gifFrameBands(blob).getOrElse(Vector.empty) // quarantined
           frames.zipWithIndex.map { case (out, f) =>
-            Row.fromSeq(r.toSeq ++ Seq(f.toLong, frames.size.toLong,
-              out(0), out(1), out(2), out(3)))
+            Row.fromSeq(r.toSeq ++ (Seq(f.toLong, frames.size.toLong) ++ out))
           }
         }
       }
     }(enc)
   }
 
-  /** Decode a GIF blob's frames to per-frame 4×16-bit aHash band
-    * arrays (one `Array[Long](4)` per frame, frame order preserved);
-    * None = quarantined (undecodable, or a frame outside the declared
-    * geometry contract). The shared decode core of
+  /** Decode a GIF blob's frames to per-frame hash rows of EIGHT longs —
+    * `(band0..band3, qt0..qt3)`: 4×16-bit aHash bands + the 4 exact
+    * quarter gray totals of the canonical grid (frame order preserved);
+    * None = quarantined (undecodable, or a frame below the declared
+    * ≥8×8 geometry floor). The shared decode core of
     * [[videoFrameHashBands]] (per-frame rows, batch) and
     * [[videoFrameHashArray]] (one row per clip — the stream-static
-    * probe's row-local shape). */
+    * probe's row-local shape).
+    *
+    * Construction — the geometry guarantee:
+    *  1. Box-resample the W×H frame to a canonical 8×8 virtual grid:
+    *     virtual pixel (cx, cy) = floor(mean gray) over the source box
+    *     [⌊cx·W/8⌋, ⌊(cx+1)·W/8⌋) × [⌊cy·H/8⌋, ⌊(cy+1)·H/8⌋) — exact
+    *     integer math, identity on an 8×8 source, area-average
+    *     downsample on larger frames. Every decodable frame maps to
+    *     the SAME 64-value grid, so hash and key shape never follow
+    *     the input geometry (the round-13 scheme derived band width
+    *     from the source pixel count — a thumbnail corpus collapsed
+    *     its bucket space).
+    *  2. aHash bit per virtual pixel: `v·64 > grid_total`; bit j of
+    *     band j/16 at position j%16 (row-major) — unchanged from the
+    *     proven verify metric.
+    *  3. `qt_q` = exact sum of quarter q's 16 virtual values (≤ 4080,
+    *     12 bits) — the candidate key's second blocking signal; see
+    *     [[videoFrameHashBands]] for why bands alone under-block. */
   private def gifFrameBands(blob: Array[Byte]): Option[Vector[Array[Long]]] =
     tryDecode {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -985,32 +1020,43 @@ object Multimodal {
         val n = reader.getNumImages(true)
         (0 until n).iterator.map { f =>
           val img = reader.read(f)
-          val np = img.getWidth * img.getHeight
-          val gray = new Array[Long](np)
+          val w = img.getWidth
+          val h = img.getHeight
+          // geometry floor: anything at least as large as the canonical
+          // grid resamples cleanly; smaller frames quarantine loudly
+          // instead of aliasing into degenerate boxes
+          require(w >= 8 && h >= 8,
+            s"unsupported frame geometry: ${w}x$h (need >= 8x8)")
+          val v = new Array[Long](64)
           var total = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val g = (img.getRGB(x, y) & 0xff).toLong
-              gray(y * img.getWidth + x) = g
-              total += g
-              x += 1
+          var cy = 0
+          while (cy < 8) {
+            val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+            var cx = 0
+            while (cx < 8) {
+              val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+              var sum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  sum += (img.getRGB(x, y) & 0xff).toLong
+                  x += 1
+                }
+                y += 1
+              }
+              val vv = sum / ((y1 - y0).toLong * (x1 - x0))
+              v(cy * 8 + cx) = vv
+              total += vv
+              cx += 1
             }
-            y += 1
+            cy += 1
           }
-          // same geometry contract as the audio bands: 4 equal
-          // bands of ≤64 bits — a non-8x8 foreign frame must
-          // quarantine on the declared geometry, not corrupt via
-          // Long-shift aliasing (shift counts are mod 64)
-          require(np > 0 && np % 4 == 0 && np <= 256,
-            s"unsupported frame geometry: $np pixels (need >0, %4==0, <=256)")
-          val bandBits = np / 4
-          val out = new Array[Long](4)
+          val out = new Array[Long](8)
           var j = 0
-          while (j < np) {
-            if (gray(j) * np > total)
-              out(j / bandBits) |= 1L << (j % bandBits)
+          while (j < 64) {
+            if (v(j) * 64 > total) out(j / 16) |= 1L << (j % 16)
+            out(4 + j / 16) += v(j)
             j += 1
           }
           out
@@ -1019,16 +1065,17 @@ object Multimodal {
     }
 
   /** [[videoFrameHashBands]] folded to ONE ROW PER CLIP: (input cols…,
-    * n_frames, frames ARRAY<STRUCT<band0..band3>>) with array position
-    * = frame index. This is the shape a STATELESS stream-static probe
+    * n_frames, frames ARRAY<STRUCT<band0..band3, qt0..qt3>>) with array
+    * position = frame index. This is the shape a STATELESS stream-static probe
     * needs — the whole clip's hash rides one row, so the aligned
     * per-frame Hamming against a static partner array is row-local
     * higher-order-function math (zip_with + aggregate), never a
     * streaming aggregation. Non-GIF / null / quarantined blobs emit
     * no row. */
   def videoFrameHashArray(blobs: DataFrame): DataFrame = {
-    val bandStruct = StructType((0 until 4).map(j =>
-      StructField(s"band$j", LongType, nullable = false)))
+    val bandStruct = StructType(
+      (0 until 4).map(j => StructField(s"band$j", LongType, nullable = false)) ++
+        (0 until 4).map(j => StructField(s"qt$j", LongType, nullable = false)))
     val outSchema = StructType(blobs.schema.fields ++ Seq(
       StructField("n_frames", LongType, nullable = false),
       StructField("frames", ArrayType(bandStruct, containsNull = false),
@@ -1049,8 +1096,7 @@ object Multimodal {
           case None => Iterator.empty
           case Some(frames) if frames.isEmpty => Iterator.empty
           case Some(frames) => Iterator.single(Row.fromSeq(r.toSeq ++ Seq(
-            frames.size.toLong,
-            frames.map(out => Row(out(0), out(1), out(2), out(3))))))
+            frames.size.toLong, frames.map(out => Row.fromSeq(out.toSeq)))))
         }
       }
     }(enc)

@@ -90,13 +90,17 @@ object MultimodalQueries {
     * pixel of one frame, which flips that pixel's bit plus whatever
     * borderline bits the frame-total shift moves (q155's aHash
     * arithmetic, per frame) — 6 absorbs that for the overwhelming
-    * majority of planted pairs (measured: 498/499 at 500 clips,
-    * 4 990/4 999 at 5 000) while unrelated aligned clips sit near
-    * 32·n_frames. Candidacy is anchored on FRAME-0 bands (≥ 1 agreeing
-    * 16-bit band of the first frame + equal frame counts); pairs
-    * whose frame-0 hashes diverge across all four bands are missed by
-    * the declared rule — and the oracle applies the identical rule,
-    * so hash-green certifies the declared semantics. */
+    * majority of planted pairs (measured: 5 981/6 000 recovered at
+    * 6 000 clips — 15 anchor misses + 4 over-the-cut) while unrelated
+    * aligned clips sit near 32·n_frames. Candidacy is anchored on
+    * FRAME-0 COMPOSED keys (≥ 1 agreeing `band_j + qt_j·2^16` key of
+    * the first frame + equal frame counts — the quarter-total
+    * composition keeps candidate volume LINEAR in corpus size where
+    * 16-bit bands alone grew ~n²/2^16, measured through 20 k clips);
+    * pairs whose frame-0 keys diverge across all four quarters are
+    * missed by the declared rule — and the oracle applies the
+    * identical rule, so hash-green certifies the declared
+    * semantics. */
   val VphashMaxHamming = 6L
 
   /** First-agreeing-band claim over carried band vectors (a0..a3 vs
@@ -279,6 +283,36 @@ object MultimodalQueries {
        |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Frame-0 anchor key for band `j`: the 16-bit aHash band composed
+    * with the quarter's EXACT virtual-gray total (`band_j + qt_j·2^16`
+    * — both under 2^28, one Long). Candidacy through a composed key
+    * needs a quarter whose bit pattern AND gray mass both match, which
+    * suppresses the two collision families bands alone admit (random
+    * 2^-16 coincidence; near-affine brightness drifts that preserve
+    * threshold-relative bits) while a one-pixel edit still leaves 3 of
+    * 4 quarters fully agreeing — see
+    * [[graft.multimodal.Multimodal.videoFrameHashBands]]. */
+  private def videoAnchorKey(j: Int): org.apache.spark.sql.Column =
+    col(s"band$j") + col(s"qt$j") * lit(1L << 16)
+
+  /** Exploded (band_idx, composed_key) anchor rows with the full
+    * composed-key vector carried — the VIDEO candidate layout
+    * ([[explodeBandKeys]]'s face for the two-table clip index): the
+    * equi-join key and the first-agreeing-band claim both act on
+    * composed keys; the PURE bands for the aligned-Hamming verify ride
+    * the `frames` table, not these rows. Input: frame-0 rows
+    * (doc_id, n_frames, band0..band3, qt0..qt3); output:
+    * (doc_id, n_frames, j, v, k0..k3). */
+  private[graft] def explodeVideoAnchorKeys(f0: DataFrame): DataFrame =
+    f0.select(Seq(col("doc_id"), col("n_frames")) ++
+        (0 until 4).map(j => videoAnchorKey(j).as(s"k$j")): _*)
+      .select(col("doc_id"), col("n_frames"),
+        col("k0"), col("k1"), col("k2"), col("k3"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), col(s"k$j").as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("n_frames"), col("bk.j").as("j"),
+        col("bk.v").as("v"), col("k0"), col("k1"), col("k2"), col("k3"))
+
   /** Exploded (band_idx, band_val) key rows with the full band vector
     * carried — the layout [[bandNearDupPairs]] joins on and the q158
     * artifact persists. */
@@ -356,7 +390,8 @@ object MultimodalQueries {
       Multimodal
         .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(docs))
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-          col("band0"), col("band1"), col("band2"), col("band3"))
+          col("band0"), col("band1"), col("band2"), col("band3"),
+          col("qt0"), col("qt1"), col("qt2"), col("qt3"))
     }
 
   private val sessionPhashIndex = new graft.SessionMemo[String, String]
@@ -502,9 +537,7 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
       val f0 = b1.filter(col("frame_idx") === 0)
       graft.sources.SegmentStore.appendBatch(s, s"$out/f0bands",
-        explodeBandKeys(f0.select(col("doc_id"), col("band0"), col("band1"),
-            col("band2"), col("band3")))
-          .join(f0.select(col("doc_id"), col("n_frames")), Seq("doc_id")),
+        explodeVideoAnchorKeys(f0.drop("frame_idx")),
         batchId = 0L, compactEvery = 1,
         partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
       graft.sources.SegmentStore.appendBatch(s, s"$out/frames", b1,
@@ -520,7 +553,8 @@ object MultimodalQueries {
     newBatchBandsView(s, dir, "graft_cache_vph_newbatch_", docs =>
       Multimodal.videoFrameHashBands(Multimodal.ingestSynthVariantVideo(docs))
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-          col("band0"), col("band1"), col("band2"), col("band3")))
+          col("band0"), col("band1"), col("band2"), col("band3"),
+          col("qt0"), col("qt1"), col("qt2"), col("qt3")))
 
   private val sessionVphashIndex = new graft.SessionMemo[String, String]
 
@@ -543,16 +577,15 @@ object MultimodalQueries {
       val fh = Multimodal
         .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(old))
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-          col("band0"), col("band1"), col("band2"), col("band3"))
+          col("band0"), col("band1"), col("band2"), col("band3"),
+          col("qt0"), col("qt1"), col("qt2"), col("qt3"))
       fh.write.mode("overwrite").parquet(s"$out/frames")
       // f0bands derives from the frames table JUST WRITTEN, not from
       // fh's lineage: re-evaluating fh here would re-decode the whole
       // old GIF corpus once per reference — the build must pay exactly
       // one decode pass
       val f0 = s.read.parquet(s"$out/frames").filter(col("frame_idx") === 0)
-      explodeBandKeys(f0.select(col("doc_id"), col("band0"), col("band1"),
-            col("band2"), col("band3")))
-        .join(f0.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+      explodeVideoAnchorKeys(f0.drop("frame_idx"))
         .write.mode("overwrite").partitionBy("j").parquet(s"$out/f0bands")
       out
     }
@@ -802,27 +835,23 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) >= PhashProbeNewMin)
         .select(col("doc_id"))
       val nfh = vphNewBatchBands(s, dir)
-      val nf0 = nfh.filter(col("frame_idx") === 0)
-      val nx = explodeBandKeys(nf0.select(col("doc_id"),
-          col("band0"), col("band1"), col("band2"), col("band3")))
-        .join(nf0.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+      val nkeys = explodeVideoAnchorKeys(nfh.filter(col("frame_idx") === 0))
+      val nx = nkeys
         .select(col("doc_id").as("nid"), col("j"), col("v"),
-          col("band0").as("a0"), col("band1").as("a1"),
-          col("band2").as("a2"), col("band3").as("a3"),
+          col("k0").as("a0"), col("k1").as("a1"),
+          col("k2").as("a2"), col("k3").as("a3"),
           col("n_frames").as("nfa"))
       val pbOld = s.read.parquet(s"$idx/f0bands")
         .select(col("doc_id").as("pid"), lit(false).as("pnew"),
           col("j"), col("v"),
-          col("band0").as("b0"), col("band1").as("b1"),
-          col("band2").as("b2"), col("band3").as("b3"),
+          col("k0").as("b0"), col("k1").as("b1"),
+          col("k2").as("b2"), col("k3").as("b3"),
           col("n_frames").as("nfb"))
-      val pbNew = explodeBandKeys(nf0.select(col("doc_id"),
-          col("band0"), col("band1"), col("band2"), col("band3")))
-        .join(nf0.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+      val pbNew = nkeys
         .select(col("doc_id").as("pid"), lit(true).as("pnew"),
           col("j"), col("v"),
-          col("band0").as("b0"), col("band1").as("b1"),
-          col("band2").as("b2"), col("band3").as("b3"),
+          col("k0").as("b0"), col("k1").as("b1"),
+          col("k2").as("b2"), col("k3").as("b3"),
           col("n_frames").as("nfb"))
       val cand = nx.join(pbOld.unionByName(pbNew), Seq("j", "v"))
         .filter(col("nid") =!= col("pid") &&
@@ -865,19 +894,16 @@ object MultimodalQueries {
       val lsm = vphashLsmDir(s, dir)
       val b2 = vphNewBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
-      val nf0 = b2.filter(col("frame_idx") === 0)
-      val nx = explodeBandKeys(nf0.select(col("doc_id"),
-          col("band0"), col("band1"), col("band2"), col("band3")))
-        .join(nf0.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+      val nx = explodeVideoAnchorKeys(b2.filter(col("frame_idx") === 0))
         .select(col("doc_id").as("nid"), col("j"), col("v"),
-          col("band0").as("a0"), col("band1").as("a1"),
-          col("band2").as("a2"), col("band3").as("a3"),
+          col("k0").as("a0"), col("k1").as("a1"),
+          col("k2").as("a2"), col("k3").as("a3"),
           col("n_frames").as("nfa"))
       def pbSide(df: DataFrame, grad: Boolean) = df.select(
         col("doc_id").as("pid"), lit(grad).as("graduated"),
         col("j"), col("v"),
-        col("band0").as("b0"), col("band1").as("b1"),
-        col("band2").as("b2"), col("band3").as("b3"),
+        col("k0").as("b0"), col("k1").as("b1"),
+        col("k2").as("b2"), col("k3").as("b3"),
         col("n_frames").as("nfb"))
       val pb = pbSide(s.read.parquet(s"$idx/f0bands"), grad = false)
         .unionByName(pbSide(
@@ -914,25 +940,22 @@ object MultimodalQueries {
       // GIF clips (groups of 3 share base frames AND frame count, each
       // member perturbs one (frame, pixel)) are ingested, decoded
       // frame by frame (row-local), per-frame aHashed into 4×16-bit
-      // bands, and clip pairs come from FRAME-0 banding (the anchor-
-      // frame index: candidacy = share ≥ 1 first-frame band AND equal
-      // frame counts — alignment is by frame index, so unequal-length
-      // clips can never verify) followed by the exact verify: total
-      // Hamming over ALL aligned frames ≤ VphashMaxHamming. Candidate
-      // generation is a band equi-join on (band_idx, band_val) of
-      // frame 0 — never pair enumeration — and the per-frame hash
-      // table joins candidates by doc id, so blobs never shuffle and
-      // every shuffled row is (doc_id, frame_idx, 4 longs). The
-      // oracle reproduces frames, bits, bands, the anchor rule, and
-      // the aligned-Hamming arithmetic in pure integer SQL.
+      // bands + exact quarter gray totals, and clip pairs come from
+      // FRAME-0 anchor keys (candidacy = share ≥ 1 first-frame
+      // COMPOSED key — band bits AND quarter total, the second
+      // blocking signal that keeps candidate volume linear in corpus
+      // size — AND equal frame counts; alignment is by frame index,
+      // so unequal-length clips can never verify) followed by the
+      // exact verify: total band Hamming over ALL aligned frames ≤
+      // VphashMaxHamming. Candidate generation is an equi-join on
+      // (band_idx, composed_key) of frame 0 — never pair enumeration
+      // — and the per-frame hash table joins candidates by doc id, so
+      // blobs never shuffle and every shuffled row is a handful of
+      // longs. The oracle reproduces frames, bits, bands, totals, the
+      // anchor rule, and the aligned-Hamming arithmetic in pure
+      // integer SQL.
       val fh = variantVideoFrameBands(s, dir)
-      val f0 = fh.filter(col("frame_idx") === 0)
-      val ex = f0.select(col("doc_id"), col("n_frames"),
-          col("band0"), col("band1"), col("band2"), col("band3"),
-          explode(array((0 until 4).map(j =>
-            struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
-        .select(col("doc_id"), col("n_frames"), col("bk.j").as("j"), col("bk.v").as("v"),
-          col("band0"), col("band1"), col("band2"), col("band3"))
+      val ex = explodeVideoAnchorKeys(fh.filter(col("frame_idx") === 0))
       val a = ex.toDF("doc_a", "nfa", "j", "v", "a0", "a1", "a2", "a3")
       val b = ex.toDF("doc_b", "nfb", "j", "v", "b0", "b1", "b2", "b3")
       val cand = a.join(b, Seq("j", "v"))
@@ -1160,11 +1183,15 @@ object MultimodalQueries {
   }
 
   /** DuckDB CTE chain ending in `bandsf(doc_id, fr, band0..band3)`
-    * (every frame's bands) and `f0(doc_id, nf, band0..band3)` (the
-    * anchor frame + frame count) — the variant-video frame → gray →
-    * aHash-bit → band arithmetic the engine's GIF round-trip must
-    * reproduce bit-for-bit. Shared by the q157 pair oracle and the
-    * q168 probe oracle. */
+    * (every frame's aHash bands — the verify payload) and
+    * `f0(doc_id, nf, k0..k3)` (the anchor frame's COMPOSED candidate
+    * keys `band_j + qt_j·2^16` + frame count) — the variant-video
+    * frame → gray → aHash-bit/quarter-total → key arithmetic the
+    * engine's GIF round-trip must reproduce bit-for-bit (the fixture's
+    * 8×8 frames ARE the canonical grid, so the box-resample is
+    * identity and the virtual pixel value is the formula gray).
+    * Shared by the q157 pair oracle and the q168/q171 probe
+    * oracles. */
   private lazy val variantVideoBandsCtes: String = {
     val (ba, bb) = graft.functions.PortableHash.VideoVariantBasePair
     val (pa, pb) = graft.functions.PortableHash.VideoVariantPosPair
@@ -1188,19 +1215,22 @@ object MultimodalQueries {
        |  FROM xk),
        |ft AS (SELECT doc_id, fr, CAST(SUM(v) AS BIGINT) AS total
        |       FROM pv GROUP BY 1, 2),
-       |bits AS (
-       |  SELECT pv.doc_id, pv.fr, pv.j,
-       |    CASE WHEN pv.v * $px > t.total THEN 1 ELSE 0 END AS bit
-       |  FROM pv JOIN ft t ON pv.doc_id = t.doc_id AND pv.fr = t.fr),
        |bandsf AS (
-       |  SELECT doc_id, fr,
-       |    CAST(SUM(CASE WHEN j < 16 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS band0,
-       |    CAST(SUM(CASE WHEN j >= 16 AND j < 32 THEN bit * (1::BIGINT << (j - 16)) ELSE 0 END) AS BIGINT) AS band1,
-       |    CAST(SUM(CASE WHEN j >= 32 AND j < 48 THEN bit * (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS band2,
-       |    CAST(SUM(CASE WHEN j >= 48 THEN bit * (1::BIGINT << (j - 48)) ELSE 0 END) AS BIGINT) AS band3
-       |  FROM bits GROUP BY doc_id, fr),
+       |  SELECT p.doc_id, p.fr,
+       |    CAST(SUM(CASE WHEN p.j < 16 AND p.v * $px > t.total THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS band0,
+       |    CAST(SUM(CASE WHEN p.j >= 16 AND p.j < 32 AND p.v * $px > t.total THEN (1::BIGINT << (p.j - 16)) ELSE 0 END) AS BIGINT) AS band1,
+       |    CAST(SUM(CASE WHEN p.j >= 32 AND p.j < 48 AND p.v * $px > t.total THEN (1::BIGINT << (p.j - 32)) ELSE 0 END) AS BIGINT) AS band2,
+       |    CAST(SUM(CASE WHEN p.j >= 48 AND p.v * $px > t.total THEN (1::BIGINT << (p.j - 48)) ELSE 0 END) AS BIGINT) AS band3,
+       |    CAST(SUM(CASE WHEN p.j < 16 THEN p.v ELSE 0 END) AS BIGINT) AS qt0,
+       |    CAST(SUM(CASE WHEN p.j >= 16 AND p.j < 32 THEN p.v ELSE 0 END) AS BIGINT) AS qt1,
+       |    CAST(SUM(CASE WHEN p.j >= 32 AND p.j < 48 THEN p.v ELSE 0 END) AS BIGINT) AS qt2,
+       |    CAST(SUM(CASE WHEN p.j >= 48 THEN p.v ELSE 0 END) AS BIGINT) AS qt3
+       |  FROM pv p JOIN ft t ON p.doc_id = t.doc_id AND p.fr = t.fr
+       |  GROUP BY 1, 2),
        |f0 AS (
-       |  SELECT b.doc_id, d.nf, b.band0, b.band1, b.band2, b.band3
+       |  SELECT b.doc_id, d.nf,
+       |    b.band0 + b.qt0 * 65536 AS k0, b.band1 + b.qt1 * 65536 AS k1,
+       |    b.band2 + b.qt2 * 65536 AS k2, b.band3 + b.qt3 * 65536 AS k3
        |  FROM bandsf b JOIN d ON b.doc_id = d.doc_id WHERE b.fr = 0)""".stripMargin
   }
 
@@ -1359,12 +1389,12 @@ object MultimodalQueries {
       graduationProbeSql(variantAudioBandsCtes, AfpMaxHamming),
 
     "q171_vphash_ingest_lsm" ->
-      // the video face: q168's candidate rule (frame-0 anchor bands +
-      // equal frame counts) with the graduation carve — batch2 (odd
-      // new ids) against old ∪ graduated batch1 (even new ids) — and
-      // q157's aligned-Hamming verify; the oracle recomputes BOTH
-      // index tables from the GIF frame formulas, so the two-store
-      // fold + manifest resolution must be invisible
+      // the video face: q168's candidate rule (frame-0 composed
+      // anchor keys + equal frame counts) with the graduation carve —
+      // batch2 (odd new ids) against old ∪ graduated batch1 (even new
+      // ids) — and q157's aligned-Hamming verify; the oracle
+      // recomputes BOTH index tables from the GIF frame formulas, so
+      // the two-store fold + manifest resolution must be invisible
       s"""$variantVideoBandsCtes,
          |cand AS (
          |  SELECT a.doc_id AS nid, b.doc_id AS pid,
@@ -1373,8 +1403,8 @@ object MultimodalQueries {
          |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
          |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
          |   AND a.nf = b.nf
-         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |        a.band2 = b.band2 OR a.band3 = b.band3)),
+         |   AND (a.k0 = b.k0 OR a.k1 = b.k1 OR
+         |        a.k2 = b.k2 OR a.k3 = b.k3)),
          |ham AS (
          |  SELECT c.nid, c.pid, c.graduated,
          |    CAST(SUM(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
@@ -1407,17 +1437,18 @@ object MultimodalQueries {
       bandProbeSql(variantAudioBandsCtes, AfpMaxHamming),
 
     "q157_video_neardup" ->
-      // frame gray → per-frame aHash bits → 16-bit bands → frame-0
-      // anchor rule (+ equal frame counts) → exact aligned Hamming:
-      // the integer arithmetic the engine's multi-frame GIF round-trip
-      // must hand back bit-for-bit
+      // frame gray → per-frame aHash bits → 16-bit bands + quarter
+      // totals → frame-0 composed-key anchor rule (+ equal frame
+      // counts) → exact aligned Hamming: the integer arithmetic the
+      // engine's multi-frame GIF round-trip must hand back
+      // bit-for-bit
       s"""$variantVideoBandsCtes,
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM f0 a JOIN f0 b
          |    ON a.doc_id < b.doc_id AND a.nf = b.nf
-         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |        a.band2 = b.band2 OR a.band3 = b.band3)),
+         |   AND (a.k0 = b.k0 OR a.k1 = b.k1 OR
+         |        a.k2 = b.k2 OR a.k3 = b.k3)),
          |ham AS (
          |  SELECT c.doc_a, c.doc_b,
          |    CAST(SUM(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
@@ -1431,8 +1462,9 @@ object MultimodalQueries {
 
     "q168_vphash_index_probe" ->
       // q158's probe semantics with q157's candidate rule (frame-0
-      // anchor bands + equal frame counts) and aligned-Hamming verify:
-      // the engine's two-table artifact round-trip must be invisible
+      // composed anchor keys + equal frame counts) and aligned-Hamming
+      // verify: the engine's two-table artifact round-trip must be
+      // invisible
       s"""$variantVideoBandsCtes,
          |cand AS (
          |  SELECT a.doc_id AS nid, b.doc_id AS pid,
@@ -1442,8 +1474,8 @@ object MultimodalQueries {
          |   AND a.doc_id <> b.doc_id
          |   AND (b.doc_id % 5 < 3 OR b.doc_id < a.doc_id)
          |   AND a.nf = b.nf
-         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |        a.band2 = b.band2 OR a.band3 = b.band3)),
+         |   AND (a.k0 = b.k0 OR a.k1 = b.k1 OR
+         |        a.k2 = b.k2 OR a.k3 = b.k3)),
          |ham AS (
          |  SELECT c.nid, c.pid, c.pnew,
          |    CAST(SUM(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))

@@ -516,18 +516,16 @@ object EventStreams {
           val fh = Multimodal
             .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(batch.toDF()))
             .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-              col("band0"), col("band1"), col("band2"), col("band3"))
+              col("band0"), col("band1"), col("band2"), col("band3"),
+              col("qt0"), col("qt1"), col("qt2"), col("qt3"))
             .cache()
           try {
             graft.sources.SegmentStore.appendBatch(s, s"$storeDir/frames", fh,
               id, compactEvery,
               partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))
-            val f0 = fh.filter(col("frame_idx") === 0)
             graft.sources.SegmentStore.appendBatch(s, s"$storeDir/f0bands",
-              graft.queries.MultimodalQueries.explodeBandKeys(
-                  f0.select(col("doc_id"), col("band0"), col("band1"),
-                    col("band2"), col("band3")))
-                .join(f0.select(col("doc_id"), col("n_frames")), Seq("doc_id")),
+              graft.queries.MultimodalQueries.explodeVideoAnchorKeys(
+                fh.filter(col("frame_idx") === 0)),
               id, compactEvery,
               partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
           } finally fh.unpersist(blocking = false)
@@ -552,10 +550,10 @@ object EventStreams {
     import graft.multimodal.Multimodal
     val f0 = spark.read.parquet(s"$indexDir/f0bands")
     graft.operators.Dedup.requireIndexCols(f0, indexDir, "f0bands",
-      Seq("doc_id", "j", "v", "band0", "band1", "band2", "band3", "n_frames"))
+      Seq("doc_id", "j", "v", "k0", "k1", "k2", "k3", "n_frames"))
     val pb = f0.select(col("doc_id").as("partner"), col("j"), col("v"),
-      col("band0").as("b0"), col("band1").as("b1"),
-      col("band2").as("b2"), col("band3").as("b3"),
+      col("k0").as("b0"), col("k1").as("b1"),
+      col("k2").as("b2"), col("k3").as("b3"),
       col("n_frames").as("nfb"))
     // static per-partner frame arrays, folded ONCE at setup (batch
     // aggregation of a static table — position = frame index)
@@ -571,10 +569,14 @@ object EventStreams {
     val nh = Multimodal
       .videoFrameHashArray(Multimodal.ingestSynthVariantVideo(newDocs))
       .select(col("doc_id"), col("n_frames"), col("frames"))
+    // composed anchor keys (band_j + qt_j·2^16) from the streamed
+    // clip's first frame — the same second blocking signal the batch
+    // probe's candidate rule uses
     val nx = nh.select(col("doc_id"), col("n_frames").as("nfa"), col("frames"),
         element_at(col("frames"), 1).as("f0"))
       .select(Seq(col("doc_id"), col("nfa"), col("frames")) ++
-        (0 until 4).map(j => col("f0").getField(s"band$j").as(s"a$j")): _*)
+        (0 until 4).map(j => (col("f0").getField(s"band$j") +
+          col("f0").getField(s"qt$j") * lit(1L << 16)).as(s"a$j")): _*)
       .select(col("doc_id"), col("nfa"), col("frames"),
         col("a0"), col("a1"), col("a2"), col("a3"),
         explode(array((0 until 4).map(j =>

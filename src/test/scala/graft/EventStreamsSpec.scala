@@ -456,17 +456,16 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val fh = Multimodal
       .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(b1))
       .select($"doc_id", $"frame_idx", $"n_frames",
-        $"band0", $"band1", $"band2", $"band3")
+        $"band0", $"band1", $"band2", $"band3",
+        $"qt0", $"qt1", $"qt2", $"qt3")
     val frameCols = Seq("doc_id", "frame_idx", "n_frames",
-      "band0", "band1", "band2", "band3")
+      "band0", "band1", "band2", "band3", "qt0", "qt1", "qt2", "qt3")
     assert(rows(graft.sources.SegmentStore.read(spark, s"$vDir/frames"), frameCols) ===
       rows(fh, frameCols),
       "streamed video frames store diverges from the one-shot decode")
-    val f0 = fh.filter($"frame_idx" === 0)
-    val f0OneShot = MultimodalQueries.explodeBandKeys(
-        f0.select($"doc_id", $"band0", $"band1", $"band2", $"band3"))
-      .join(f0.select($"doc_id", $"n_frames"), Seq("doc_id"))
-    val f0Cols = bandCols :+ "n_frames"
+    val f0OneShot = MultimodalQueries.explodeVideoAnchorKeys(
+      fh.filter($"frame_idx" === 0))
+    val f0Cols = Seq("doc_id", "j", "v", "k0", "k1", "k2", "k3", "n_frames")
     assert(rows(graft.sources.SegmentStore.read(spark, s"$vDir/f0bands"), f0Cols) ===
       rows(f0OneShot, f0Cols),
       "streamed video anchor-key store diverges from the one-shot build")

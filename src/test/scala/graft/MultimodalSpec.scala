@@ -420,19 +420,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val id = 17L
     val df = Seq(id).toDF("doc_id")
     val got = Multimodal.videoFrameHashBands(Multimodal.ingestSynthVariantVideo(df))
-      .select($"frame_idx", $"n_frames", $"band0", $"band1", $"band2", $"band3")
-      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      .select($"frame_idx", $"n_frames", $"band0", $"band1", $"band2", $"band3",
+        $"qt0", $"qt1", $"qt2", $"qt3")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
     val nf = Multimodal.videoVariantFrameCount(id)
     assert(got.length === nf && got.forall(_._2 === nf.toLong))
     for (f <- 0 until nf) {
       val px = Multimodal.VideoPixels
+      // the fixture frame IS the canonical 8×8 grid, so the
+      // box-resample is identity: virtual pixel = formula gray. Bands
+      // are the plain aHash packing; qt_q is quarter q's exact gray
+      // total — the candidate key's second blocking signal
       val gray = Array.tabulate(px)(j => Multimodal.variantGray(id, f, j).toLong)
       val total = gray.sum
       val bands = new Array[Long](4)
-      for (j <- 0 until px if gray(j) * px > total)
-        bands(j / 16) |= 1L << (j % 16)
+      val qt = new Array[Long](4)
+      for (j <- 0 until px) {
+        if (gray(j) * px > total) bands(j / 16) |= 1L << (j % 16)
+        qt(j / 16) += gray(j)
+      }
       assert((got(f)._3, got(f)._4, got(f)._5, got(f)._6) ===
         ((bands(0), bands(1), bands(2), bands(3))), s"frame $f")
+      assert((got(f)._7, got(f)._8, got(f)._9, got(f)._10) ===
+        ((qt(0), qt(1), qt(2), qt(3))), s"frame $f quarter totals")
     }
   }
 
