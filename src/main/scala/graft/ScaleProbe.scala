@@ -673,10 +673,12 @@ object ScaleProbe {
     // the operator never pays in production
     val nLabeled = cc.count()
     val tSec = (System.nanoTime() - t0) / 1e9
-    // the listener bus is asynchronous: let queued StageCompleted
-    // events drain before snapshotting, then detach so the
-    // verification jobs stay out of the contraction's receipts
-    Thread.sleep(1000)
+    // the listener bus is asynchronous: drain queued StageCompleted
+    // events before snapshotting (a real drain, not a fixed sleep —
+    // under load the queue can outlive any constant pause), then
+    // detach so the verification jobs stay out of the contraction's
+    // receipts
+    org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
     spark.sparkContext.removeSparkListener(listener)
     val sBytes = shuffleBytes.get
     val sRecords = shuffleRecords.get

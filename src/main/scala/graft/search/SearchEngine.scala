@@ -11,6 +11,22 @@ import graft.functions.VectorFunctions._
   * to the fixture corpus's `(doc_id, text, score)`. */
 case class SearchHit(doc_id: Long, text: String, score: Double)
 
+object SearchEngine {
+  /** Ceiling on a served request's `k`. The served path's payload
+    * fetch pushes the hit ids down as an In filter and merges ≤ k rows
+    * on the driver — both O(k) by design; the cap turns a hostile or
+    * buggy k into a loud argument error instead of a giant literal
+    * list (the reference's tool hard-codes k=10, server.py:87). */
+  val MaxServedK = 1000
+
+  /** Ceiling on collision-exclusion passes in the served delta top-k
+    * (each pass excludes ≥ 1 corpus-colliding id and rescans the small
+    * delta; more than a handful means the delta is nearly all
+    * re-ingests of corpus ids — fail loudly, the service entry point
+    * degrades to the exact scan). */
+  val MaxCollisionPasses = 8
+}
+
 /** Semantic top-k vector search over a document corpus — the Spark-native
   * rendition of the reference's single tool
   * `vector_search_neo4j(prompt)` (reference server.py:71-102):
@@ -75,21 +91,43 @@ final class SearchEngine(
 
   /** The searchable rows: corpus ∪ (when a delta is named) the LSM
     * segments' (doc_id, text, embedding) rows. Corpus wins on an id
-    * collision (the canonical stored document), and replay-window twin
-    * copies inside the delta collapse to one row. */
+    * collision (the canonical stored document), and id collisions
+    * INSIDE the delta — replay-window twin copies, or a document
+    * re-ingested across batches — resolve latest-batch-wins
+    * ([[graft.sources.SegmentStore.BatchCol]], the same rule the
+    * store's compaction folds by, applied here to the unfolded live
+    * tail so pre- and post-compaction reads agree). */
   private def corpusWithDelta(sfDir: String, deltaDir: Option[String],
                               dim: Int): DataFrame = {
     val base = corpus(sfDir, dim)
+    val segs = deltaSegsLww(deltaDir)
+    segs match {
+      case None => base
+      case Some(delta) =>
+        val baseRows = base.select($"doc_id", $"text", $"embedding")
+        baseRows.unionByName(
+          delta.select($"doc_id", $"text", $"embedding")
+            .join(baseRows.select($"doc_id"), Seq("doc_id"), "left_anti"))
+    }
+  }
+
+  /** The delta's rows as one id-unique (doc_id, text, embedding,
+    * batch) frame — segments resolved ONCE (snapshot stability), id
+    * collisions across segments resolved latest-batch-wins. None when
+    * no delta is named or the delta is empty. */
+  private def deltaSegsLww(deltaDir: Option[String]): Option[DataFrame] = {
     val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
-    if (segs.isEmpty) base
+    if (segs.isEmpty) None
     else {
-      val baseRows = base.select($"doc_id", $"text", $"embedding")
-      baseRows.unionByName(
-        segs.map(_.select(col("vec_id").as("doc_id"), col("text"),
-            col("embedding")))
-          .reduce(_.unionByName(_))
-          .dropDuplicates("doc_id")
-          .join(baseRows.select($"doc_id"), Seq("doc_id"), "left_anti"))
+      val batchCol = graft.sources.SegmentStore.BatchCol
+      val w = Window.partitionBy(col("doc_id")).orderBy(col(batchCol).desc)
+      Some(segs
+        .map(_.select(col("vec_id").as("doc_id"), col("text"),
+          col("embedding"), col(batchCol)))
+        .reduce(_.unionByName(_))
+        .withColumn("_lww_rn", row_number().over(w))
+        .filter(col("_lww_rn") === 1)
+        .drop("_lww_rn"))
     }
   }
 
@@ -136,12 +174,20 @@ final class SearchEngine(
                     nProbe: Int = graft.queries.AnnQueries.IvfNProbe,
                     shortlist: Int = graft.queries.AnnQueries.ServedShortlist,
                     deltaDir: Option[String] = None): DataFrame = {
+    // the payload fetch and the driver merge are O(k): an unbounded
+    // caller-supplied k would build an arbitrarily large In literal
+    // list and driver row set — fail the request loudly instead (the
+    // reference's tool hard-codes k=10; MaxServedK leaves 100×
+    // headroom for legitimate fan-out)
+    require(k >= 1 && k <= SearchEngine.MaxServedK,
+      s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
     val qv = embedder.embed(prompt)
     val main = indexDir(sfDir)
     // the delta's segment set is resolved ONCE — the probe and the
     // payload fetch below read the same snapshot even if a compaction
-    // publishes a new manifest mid-query
-    val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
+    // publishes a new manifest mid-query; id collisions inside the
+    // delta resolve latest-batch-wins (the store's own fold rule)
+    val delta = deltaSegsLww(deltaDir)
     // the EVOLVING-index route is q150's main+delta read: the main
     // artifact is PROBED (cell pruning, ADC shortlist, exact rescore)
     // and the delta is EXACT-SCANNED in full — q150's documented rule
@@ -154,47 +200,73 @@ final class SearchEngine(
     // makes fresh-content recall unconditional. Top-k distributes
     // over union, so the ≤ 2k-row driver merge is exact. (The 500 k
     // ingest probe certifies the route end to end — SCALING.md
-    // round-13, including the id-collision rule it tripped first.)
+    // round-13.)
     val mainHits = graft.search.AnnIndex
       .probeIvfPq(spark, main, qv, k, nProbe, shortlist)
       .collect() // ≤ k rows — the bounded driver merge every top-k ends in
-    val deltaHits =
-      if (segs.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else segs.map(_.select(col("vec_id"), col("embedding")))
-        .reduce(_.unionByName(_))
-        .withColumn("score", round(neo4jScore(col("embedding"), typedLit(qv.toSeq)), 6))
-        .orderBy(desc("score"), asc("vec_id"))
-        .limit(k)
-        .select(col("vec_id"), col("score"))
-        .collect()
-    // id-unique hits: a RE-INGESTED doc_id can surface from the corpus
-    // AND a delta segment (or from two deltas inside the crash-replay
-    // window) — keep its best-scoring row, so the served set never
-    // lists one document twice; compaction's vec_id dedup heals the
-    // delta side at the next fold
-    val hits = (mainHits ++ deltaHits).toSeq.groupBy(_.getLong(0))
-      .map { case (_, rs) => rs.maxBy(_.getDouble(1)) }.toSeq
-      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // delta side: exact top-k over delta \ corpus-ids — the corpus is
+    // CANONICAL on an id collision, exactly like the exact route's
+    // anti-join (corpusWithDelta), so the fallback really is "slower,
+    // never wronger". Rather than anti-joining the full corpus per
+    // serve, membership is checked with bounded point lookups on the
+    // candidate top-k's ids (a PushedFilter In, like the payload
+    // fetch); a hit excludes those ids and retries — one pass when no
+    // id collides (the common case: ingest ids are fresh), each extra
+    // pass costs one scan of the small delta. The pass cap bounds the
+    // pathological all-collisions delta; the served entry point
+    // degrades to the exact scan on the loud failure.
+    val deltaHits: Seq[(Long, Double)] = delta match {
+      case None => Nil
+      case Some(d) =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        var excluded = Set.empty[Long]
+        var out: Option[Seq[(Long, Double)]] = None
+        var passes = 0
+        while (out.isEmpty) {
+          passes += 1
+          if (passes > SearchEngine.MaxCollisionPasses)
+            throw new IllegalStateException(
+              s"delta top-$k still colliding with corpus ids after " +
+                s"${SearchEngine.MaxCollisionPasses} passes (${excluded.size} excluded)")
+          val base = if (excluded.isEmpty) d
+            else d.filter(!col("doc_id").isin(excluded.toSeq: _*))
+          val top = base
+            .withColumn("score", round(neo4jScore(col("embedding"), typedLit(qv.toSeq)), 6))
+            .orderBy(desc("score"), asc("doc_id"))
+            .limit(k)
+            .select($"doc_id", $"score")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val collided =
+            if (top.isEmpty) Set.empty[Long]
+            else docs.filter(col("doc_id").isin(top.map(_._1): _*))
+              .select($"doc_id").collect().map(_.getLong(0)).toSet
+          if (collided.isEmpty) out = Some(top) else excluded ++= collided
+        }
+        out.get
+    }
+    // mainHits' ids live in the corpus, deltaHits' ids provably do not
+    // — the sets are disjoint and each is id-unique, so the merge is a
+    // plain sorted take
+    val hits = (mainHits ++ deltaHits)
+      .sortBy { case (id, score) => (-score, id) }
       .take(k)
-    val scores = hits.map(r => (r.getLong(0), r.getDouble(1)))
-      .toDF("doc_id", "score")
-    val ids = hits.map(_.getLong(0))
+    val scores = hits.toDF("doc_id", "score")
     val corpusPayload = spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(col("doc_id").isin(ids: _*))
+      .filter(col("doc_id").isin(mainHits.map(_._1): _*))
       .select($"doc_id", $"text")
     // delta docs are NOT in the corpus parquet — their payload rides
     // the delta segments themselves (encodeSegment carries the ingest
-    // batch's columns through), fetched by the same pushed-down point
-    // lookups; corpus wins on an id collision (an id re-ingest serves
-    // the canonical stored text)
-    val payload =
-      if (segs.isEmpty) corpusPayload
-      else corpusPayload.unionByName(
-        segs.map(_.select(col("vec_id").as("doc_id"), col("text")))
-          .reduce(_.unionByName(_))
-          .filter(col("doc_id").isin(ids: _*))
-          .dropDuplicates("doc_id")
-          .join(corpusPayload.select($"doc_id"), Seq("doc_id"), "left_anti"))
+    // batch's columns through), already id-unique and corpus-disjoint
+    val payload = delta match {
+      case None => corpusPayload
+      case Some(d) =>
+        val deltaIds = deltaHits.map(_._1)
+        if (deltaIds.isEmpty) corpusPayload
+        else corpusPayload.unionByName(
+          d.filter(col("doc_id").isin(deltaIds: _*))
+            .select($"doc_id", $"text"))
+    }
     payload
       .join(broadcast(scores), Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id"))
@@ -212,12 +284,23 @@ final class SearchEngine(
     * serves the new documents — hits, payload and all — from the next
     * micro-batch on, with no index rebuild and no touch of the main
     * artifact's files. Replay==batch by [[graft.sources.SegmentStore]]'s
-    * per-batch-overwrite + fold-dedup idempotence. */
+    * committed-segment idempotence (a replayed batch id no-ops).
+    *
+    * RESTART CONTRACT: the store's idempotence keys on STABLE batch
+    * ids. Pass `checkpointDir` for any ingest that can outlive its
+    * process — a restart then resumes at the next unprocessed batch.
+    * Without it Spark assigns a throwaway checkpoint, a restarted
+    * query numbers batches from 0 again, and batch 0's new (different)
+    * rows would be discarded as an already-committed replay of the old
+    * batch 0 — silent row loss, not replay. Omit it only for
+    * one-process test/demo streams. */
   def streamingDocIngest(newDocs: DataFrame, sfDir: String, deltaDir: String,
-                         compactEvery: Int)
+                         compactEvery: Int,
+                         checkpointDir: Option[String] = None)
                         (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
     val main = indexDir(sfDir)
-    newDocs.writeStream.outputMode("append")
+    checkpointDir.foldLeft(newDocs.writeStream.outputMode("append"))(
+        (w, dir) => w.option("checkpointLocation", dir))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
           graft.search.AnnIndex.appendDeltaBatch(
@@ -428,12 +511,16 @@ final class SearchEngine(
     * there); replay==batch: the final index state is a pure function
     * of the rows ingested, not of the batch carve — SearchEngineSpec
     * asserts the streamed index answers identically to a one-shot
-    * batch encode AND to the exact scan. */
+    * batch encode AND to the exact scan. Same RESTART CONTRACT as
+    * [[streamingDocIngest]]: pass `checkpointDir` for any maintenance
+    * stream that can outlive its process — stable batch ids are what
+    * the store's committed-segment idempotence keys on. */
   def streamingIvfPqMaintain(newVecs: DataFrame, indexDir: String,
-                             deltaDir: String, compactEvery: Int)
+                             deltaDir: String, compactEvery: Int,
+                             checkpointDir: Option[String] = None)
                             (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
-    newVecs.writeStream
-      .outputMode("append")
+    checkpointDir.foldLeft(newVecs.writeStream.outputMode("append"))(
+        (w, dir) => w.option("checkpointLocation", dir))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
           graft.search.AnnIndex.appendDeltaBatch(

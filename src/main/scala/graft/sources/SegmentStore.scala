@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** Manifest-fronted segment layout for incrementally maintained
   * indexes — the one LSM write/read discipline every persisted
@@ -11,18 +12,26 @@ import org.apache.spark.sql.functions.col
   * band indexes' graduation path). Layout under a store directory:
   *
   *  - `live/b<batchId>/`  — one immutable partitioned-parquet segment
-  *    PER ingest batch, written mode(overwrite): an at-least-once
-  *    replay of a batch rewrites its own directory instead of
-  *    appending duplicate rows — the idempotence foreachBatch's
-  *    delivery contract requires (callers encode deterministically,
-  *    so the rewrite is bit-identical).
+  *    PER ingest batch, COMMITTED by temp-dir + rename: the batch
+  *    writes to `live/.b<id>_tmp` and renames into place, so a
+  *    concurrent reader can never scan a half-written segment (the
+  *    same discipline the manifest publish uses; readers additionally
+  *    require the job's `_SUCCESS` marker, which rides the rename).
+  *    An at-least-once replay of an already-committed batch is a
+  *    NO-OP — the callers encode deterministically, so the committed
+  *    directory already holds exactly the replay's rows, and skipping
+  *    the rewrite means a reader mid-scan never sees the directory
+  *    recycled under it. Only an UNCOMMITTED partial (a crash between
+  *    write and rename) is ever deleted, and no reader trusts one.
   *  - `compacted_g<gen>/` — immutable folded generations: each
   *    compaction unions the previous generation with the live tail,
-  *    dedups on the caller's key columns (the backstop that keeps
-  *    rows from a batch replayed across a crashed compaction from
-  *    surviving twice), consolidates by the partition column, and
-  *    writes a NEW generation directory — never mutating one a
-  *    concurrent reader may be scanning.
+  *    keeps the LATEST writer per caller key set (max
+  *    [[BatchCol]] per `dedupKeys` — deterministic last-writer-wins,
+  *    so a document re-ingested across batches is served from its
+  *    newest row, and rows from a batch replayed across a crashed
+  *    compaction collapse to one), consolidates by the partition
+  *    column, and writes a NEW generation directory — never mutating
+  *    one a concurrent reader may be scanning.
   *  - `manifest_g<gen>`   — the atomic publish: a tiny file naming the
   *    generation's live watermark (`liveUpTo=<batchId>`), written
   *    under a temp name and renamed into place (single-file rename to
@@ -30,6 +39,13 @@ import org.apache.spark.sql.functions.col
   *    boolean result is CHECKED: a false fails the batch loudly so
   *    the caller retries it, instead of silently serving readers a
   *    stale segment set. Readers take the highest-numbered manifest.
+  *
+  * Every segment row carries [[BatchCol]] (the writing batch's id) —
+  * the column the fold's last-writer-wins rule orders by, also
+  * available to readers that need the same rule over the UNFOLDED
+  * live tail (e.g. the served document delta). Within one batch the
+  * caller's keys are expected unique (or deterministic in content);
+  * ties inside a batch collapse arbitrarily.
   *
   * Readers resolve [[segments]]: newest compacted generation + live
   * batches past its watermark. GC is grace-period: a compaction
@@ -43,29 +59,56 @@ import org.apache.spark.sql.functions.col
   * makes. */
 object SegmentStore {
 
-  /** Write `batch` as the immutable live segment of `batchId` and,
-    * when `compactEvery` divides the batch count, fold live + the
-    * previous generation into a new one published by manifest.
+  /** Reserved per-row column: the id of the batch that wrote the row.
+    * Stamped by [[appendBatch]]; orders the fold's last-writer-wins
+    * dedup and any reader-side latest-wins over the live tail. */
+  val BatchCol = "_seg_batch"
+
+  /** Write `batch` as the immutable live segment of `batchId` (no-op
+    * if that segment is already committed — see the replay contract
+    * above) and, when `compactEvery` divides the batch count, fold
+    * live + the previous generation into a new one published by
+    * manifest.
     *
     * @param partitionCol column the segment parquet is partitioned by
     *                     (readers prune on it).
-    * @param dedupKeys    row identity for the compaction's replay
-    *                     backstop — one surviving row per key set. */
+    * @param dedupKeys    row identity for the compaction's
+    *                     last-writer-wins rule — the newest batch's
+    *                     row survives per key set. */
   def appendBatch(spark: SparkSession, storeDir: String, batch: DataFrame,
                   batchId: Long, compactEvery: Int,
                   partitionCol: String, dedupKeys: Seq[String]): Unit = {
-    batch.write.mode("overwrite").partitionBy(partitionCol)
-      .parquet(s"$storeDir/live/b$batchId")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$storeDir/live/b$batchId")
+    if (!isCommitted(fs, dst)) {
+      val tmp = new Path(s"$storeDir/live/.b${batchId}_tmp")
+      fs.delete(tmp, true) // stale partial from a crashed attempt
+      batch.withColumn(BatchCol, lit(batchId))
+        .write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(tmp.toString)
+      // dst here can only be an UNCOMMITTED partial (a committed one
+      // short-circuits above); no reader resolves uncommitted dirs,
+      // so the delete races nothing
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(
+          s"live segment commit failed: rename($tmp, $dst) returned false")
+    }
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val (prevGen, prevUpTo) = latestManifest(fs, storeDir).getOrElse((-1L, -1L))
       val liveTail = liveBatchDirs(fs, storeDir)
         .filter { case (id, _) => id > prevUpTo && id <= batchId }
       val segs = liveTail.map(_._2) ++
         (if (prevGen >= 0) Seq(s"$storeDir/compacted_g$prevGen") else Nil)
       val gen = prevGen + 1
+      // last-writer-wins fold: the newest BatchCol per key set
+      // survives (the previous generation's rows keep their original
+      // stamps, so the rule also holds across generations)
+      val w = Window.partitionBy(dedupKeys.map(col): _*)
+        .orderBy(col(BatchCol).desc)
       segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-        .dropDuplicates(dedupKeys)
+        .withColumn("_seg_rn", row_number().over(w))
+        .filter(col("_seg_rn") === 1).drop("_seg_rn")
         .repartition(col(partitionCol))
         .write.mode("overwrite").partitionBy(partitionCol)
         .parquet(s"$storeDir/compacted_g$gen")
@@ -90,6 +133,13 @@ object SegmentStore {
     }
   }
 
+  /** A live segment is committed iff its rename landed AND the write
+    * job finished (`_SUCCESS` marker, which the rename carries along)
+    * — the two-part check that makes both a crash mid-write and a
+    * crash mid-rename invisible to readers. */
+  private def isCommitted(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
   /** The store's CURRENT segment set, resolved through the manifest:
     * the newest compacted generation plus live batches past its
     * watermark (every live batch when no compaction has run yet).
@@ -104,7 +154,11 @@ object SegmentStore {
     }
 
   /** [[segments]] resolved and read as one DataFrame (empty segment
-    * set is the caller's concern — this throws on an empty store). */
+    * set is the caller's concern — this throws on an empty store).
+    * Rows carry [[BatchCol]]; key collisions across the live tail are
+    * NOT collapsed here (the fold collapses them at compaction) —
+    * callers needing latest-wins over the raw union apply the
+    * [[BatchCol]] rule themselves. */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     segments(fs, storeDir).map(spark.read.parquet(_)).reduce(_.unionByName(_))
@@ -129,12 +183,14 @@ object SegmentStore {
     }
   }
 
-  /** (batchId, path) of every `live/b<id>` segment, id-ascending. */
+  /** (batchId, path) of every COMMITTED `live/b<id>` segment,
+    * id-ascending — in-flight temp dirs (`.b<id>_tmp`) and renamed
+    * but success-markerless partials are invisible to readers. */
   def liveBatchDirs(fs: FileSystem, storeDir: String): Seq[(Long, String)] = {
     val live = new Path(s"$storeDir/live")
     if (!fs.exists(live)) Nil
     else fs.listStatus(live).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("b"))
+      .filter(p => p.getName.startsWith("b") && isCommitted(fs, p))
       .map(p => (p.getName.drop(1).toLong, p.toString))
       .sortBy(_._1)
   }

@@ -460,36 +460,44 @@ object EventStreams {
     * EventStreamsSpec asserts the streamed store holds exactly the
     * one-shot graduation's rows. */
   def mediaIngestGraduate(newDocs: DataFrame, storeDir: String,
-                          compactEvery: Int)
+                          compactEvery: Int,
+                          checkpointDir: Option[String] = None)
                          (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     bandIngestGraduate(newDocs, storeDir, compactEvery, docs => {
       import graft.multimodal.Multimodal
       Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"),
           col("band2"), col("band3"))
-    })(afterBatch)
+    }, checkpointDir)(afterBatch)
 
   /** [[mediaIngestGraduate]]'s AUDIO face: micro-batches of newly
     * ingested clips decode + delta-sign-fingerprint only themselves
     * and graduate into the q170 store. */
   def afpIngestGraduate(newDocs: DataFrame, storeDir: String,
-                        compactEvery: Int)
+                        compactEvery: Int,
+                        checkpointDir: Option[String] = None)
                        (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     bandIngestGraduate(newDocs, storeDir, compactEvery, docs => {
       import graft.multimodal.Multimodal
       Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
         .select(col("doc_id"), col("band0"), col("band1"),
           col("band2"), col("band3"))
-    })(afterBatch)
+    }, checkpointDir)(afterBatch)
 
   /** The shared single-table graduation sink: fingerprint the batch
     * (row-local decode — O(batch) work), explode band keys, append as
-    * an immutable per-batch segment, fold on the compaction cadence. */
+    * an immutable per-batch segment, fold on the compaction cadence.
+    * RESTART CONTRACT as [[graft.search.SearchEngine.streamingDocIngest]]:
+    * the store's committed-segment idempotence keys on stable batch
+    * ids — pass `checkpointDir` for any ingest that can outlive its
+    * process. */
   private def bandIngestGraduate(newDocs: DataFrame, storeDir: String,
                                  compactEvery: Int,
-                                 fingerprint: DataFrame => DataFrame)
+                                 fingerprint: DataFrame => DataFrame,
+                                 checkpointDir: Option[String] = None)
                                 (afterBatch: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    newDocs.writeStream.outputMode("append")
+    checkpointDir.foldLeft(newDocs.writeStream.outputMode("append"))(
+        (w, dir) => w.option("checkpointLocation", dir))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
           graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
@@ -506,9 +514,11 @@ object EventStreams {
     * the frame-0 anchor-key store and the per-frame hash store; each
     * store folds on its own manifest cadence. */
   def vphashIngestGraduate(newDocs: DataFrame, storeDir: String,
-                           compactEvery: Int)
+                           compactEvery: Int,
+                           checkpointDir: Option[String] = None)
                           (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
-    newDocs.writeStream.outputMode("append")
+    checkpointDir.foldLeft(newDocs.writeStream.outputMode("append"))(
+        (w, dir) => w.option("checkpointLocation", dir))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
           import graft.multimodal.Multimodal

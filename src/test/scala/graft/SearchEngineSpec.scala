@@ -193,23 +193,82 @@ class SearchEngineSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.head.doc_id === 900003L &&
       exact.head.score === 1.0,
       s"exact route must serve the ingested doc: ${exact.toSeq}")
-    // id collision: re-ingesting an EXISTING corpus id must not list
-    // that document twice in the served top-k (corpus text stays
-    // canonical; the better-scoring row carries the rank)
+    // id collision: the CORPUS is canonical — re-ingesting an existing
+    // corpus id must neither list that document twice nor let the
+    // delta's embedding outrank the stored one, and the indexed route
+    // must answer exactly like the exact route (the "slower, never
+    // wronger" contract: both anti-join colliding ids out of the
+    // delta). A fresh id in the same delta still serves normally.
     val deltaDir2 =
       java.nio.file.Files.createTempDirectory("graft_docingest_coll").toString
     val mem2 = MemoryStream[(Long, String)]
     val q2 = eng.streamingDocIngest(
       mem2.toDF().toDF("doc_id", "text"), sf0001, deltaDir2, compactEvery = 0)()
-    try { mem2.addData(Seq((0L, "collision probe text"))); q2.processAllAvailable() }
-    finally q2.stop()
+    try {
+      mem2.addData(Seq((0L, "collision probe text"),
+        (900010L, "collision probe text fresh")))
+      q2.processAllAvailable()
+    } finally q2.stop()
     val coll = eng.searchIndexed(sf0001, "collision probe text", k = 5,
         deltaDir = Some(deltaDir2))
       .as[(Long, String, Double)].collect()
     assert(coll.map(_._1).distinct.length === coll.length,
       s"served top-k must be id-unique under re-ingest: ${coll.toSeq}")
-    assert(coll.head._1 === 0L && coll.head._3 === 1.0,
-      s"the re-ingested vector must still rank: ${coll.toSeq}")
+    assert(!coll.exists(r => r._1 === 0L && r._3 === 1.0),
+      s"a colliding re-ingest must not serve the delta embedding: ${coll.toSeq}")
+    assert(coll.exists(_._1 === 900010L),
+      s"the fresh id in the same delta must still serve: ${coll.toSeq}")
+    val collExact = eng.search(sf0001, "collision probe text", k = 5,
+      Some(deltaDir2)).collect().map(h => (h.doc_id, h.text, h.score))
+    assert(coll.toSeq === collExact.toSeq,
+      "indexed and exact routes must agree under id collision")
+  }
+
+  test("served k is guarded: a hostile k fails loudly, the cap serves fine") {
+    val err = intercept[IllegalArgumentException] {
+      eng.searchIndexed(sf0001, "any prompt", k = SearchEngine.MaxServedK + 1)
+    }
+    assert(err.getMessage.contains("served k"))
+    intercept[IllegalArgumentException] {
+      eng.searchIndexed(sf0001, "any prompt", k = 0)
+    }
+    // the cap itself is a legal request (bounded In-list by design)
+    assert(eng.searchIndexed(sf0001, "any prompt",
+      k = SearchEngine.MaxServedK).limit(1).count() === 1L)
+  }
+
+  test("delta re-ingest across batches serves the newest row (last-writer-wins)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_docingest_lww").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = eng.streamingDocIngest(
+      mem.toDF().toDF("doc_id", "text"), sf0001, deltaDir, compactEvery = 0)()
+    try {
+      mem.addData(Seq((900021L, "first draft wording"))); q.processAllAvailable()
+      mem.addData(Seq((900021L, "corrected final wording"))); q.processAllAvailable()
+    } finally q.stop()
+    // the correction must be what serves — embedding AND payload — on
+    // both routes, even though both batches sit uncompacted in the
+    // live tail
+    val served = eng.searchIndexed(sf0001, "corrected final wording", k = 3,
+        deltaDir = Some(deltaDir))
+      .as[(Long, String, Double)].collect()
+    assert(served.head._1 === 900021L && served.head._3 === 1.0 &&
+      served.head._2 === "corrected final wording",
+      s"the newest ingest of an id must serve: ${served.toSeq}")
+    val exact = eng.search(sf0001, "corrected final wording", k = 3,
+      Some(deltaDir)).collect()
+    assert(exact.head.doc_id === 900021L && exact.head.score === 1.0 &&
+      exact.head.text === "corrected final wording",
+      s"exact route must apply the same last-writer-wins: ${exact.toSeq}")
+    // and the superseded draft no longer matches at 1.0 anywhere
+    val old = eng.searchIndexed(sf0001, "first draft wording", k = 3,
+        deltaDir = Some(deltaDir))
+      .as[(Long, String, Double)].collect()
+    assert(!old.exists(r => r._1 === 900021L && r._3 === 1.0),
+      s"the superseded embedding must not serve: ${old.toSeq}")
   }
 
   test("flagship entry returns ranked hits with scores in [0,1]") {
