@@ -181,6 +181,37 @@ object AnnQueries {
   val ServedPrompt = "similarity search over document embeddings"
   val ServedShortlist = 1100
 
+  /** q172/q173 delete-lifecycle script — the tombstone path's declared
+    * fixture: three documents ingested into the session LSM delta,
+    * then a scripted mix of deletes and a correction, exercising every
+    * lifecycle rule on BOTH serve routes (q172: the raw
+    * [[graft.search.AnnIndex.probeIvfPqLsm]] vector probe; q173: the
+    * full [[graft.search.SearchEngine.searchIndexed]] service path):
+    *
+    *  - corpus doc [[DeletedCorpusId]] is DELETED — it is its own
+    *    exact top-1 under q172's query vector, so a probe that ignores
+    *    the tombstone instantly flips both oracles red;
+    *  - `beta` is ingested then deleted (a fresh-id takedown);
+    *  - `gamma` is ingested, deleted, and RE-INGESTED with corrected
+    *    text (del + put = re-ingest-with-correction — the newest
+    *    version serves);
+    *  - `alpha` just lives.
+    *
+    * The batch carve (puts at 0/1/3, deletes at 1/2, compactEvery 2)
+    * makes both stores FOLD mid-script, so the oracles also certify
+    * that last-writer-wins and tombstone shadowing survive compaction
+    * and the manifest swap. All texts are static: the oracle inlines
+    * their deterministic embedder vectors as literals (the q165
+    * convention). */
+  val ServedDeleteDocs: Seq[(Long, String)] = Seq(
+    2000000101L -> "tombstone lifecycle alpha document",
+    2000000102L -> "tombstone lifecycle beta document",
+    2000000103L -> "tombstone lifecycle gamma draft wording")
+  val ServedDeleteCorrected: (Long, String) =
+    (2000000103L, "tombstone lifecycle gamma corrected wording")
+  val ServedDeletePrompt: String = ServedDeleteCorrected._2
+  val DeletedCorpusId = 0L
+
   /** q150 incremental (main + delta) search: the corpus splits by the
     * engine's affine split hash — ~90% MAIN (indexed: the q148 IVF-PQ
     * artifact built on main only) + ~10% DELTA (recent, unindexed,
@@ -336,6 +367,23 @@ object AnnQueries {
   private[queries] lazy val servedVec: Seq[Float] =
     new graft.search.HashingEmbedder(64).embed(ServedPrompt).toSeq
 
+  /** q173's query vector + the scripted docs' vectors — the same
+    * deterministic embedder both the engine's ingest (embedCorpus) and
+    * its serve path construct; used by the oracles as literals. */
+  private[queries] def docVec(text: String): Seq[Float] =
+    new graft.search.HashingEmbedder(64).embed(text).toSeq
+
+  /** DuckDB literal rows for the delete-lifecycle's LIVE synthetic
+    * docs (alpha + corrected gamma — beta and the gamma draft are
+    * tombstoned/superseded): `(vec_id, embedding, text)` VALUES the
+    * oracle unions with the live corpus. */
+  private[queries] def servedDeleteLiveValuesSql: String =
+    Seq(ServedDeleteDocs.head, ServedDeleteCorrected)
+      .map { case (id, text) =>
+        val lits = docVec(text).map(_.toDouble).mkString("[", ", ", "]")
+        s"($id::BIGINT, $lits, '$text')"
+      }.mkString(",\n         ")
+
   /** Write-once-per-session persisted IVF artifact for q75 — the vector
     * side of the reference's CREATE-INDEX-once / probe-many lifecycle
     * (reference README.md:71-79 provisions the index, server.py:87
@@ -389,6 +437,41 @@ object AnnQueries {
           IvfPqK, IvfPqIters)
       }
       graft.search.AnnIndex.saveIvfPq(idx, codebooks, IvfPqSubDim, out)
+      out
+    }
+
+  private val sessionServedDelta = new graft.SessionMemo[String, String]
+
+  /** Session-once SCRIPTED delete-lifecycle delta next to the shared
+    * q148 artifact — the [[ServedDeleteDocs]] script through the same
+    * batch building blocks the streaming faces wrap
+    * ([[graft.search.AnnIndex.appendDeltaBatch]] /
+    * [[graft.search.AnnIndex.appendTombstones]]; the streaming op
+    * stream itself — [[graft.search.SearchEngine.streamingDocApply]] —
+    * is spec-tied to produce this exact store state). Batch ids:
+    * b0 put(alpha, beta); b1 put(gamma draft) + del(corpus 0, beta);
+    * b2 del(gamma); b3 put(gamma corrected). compactEvery=2 folds both
+    * stores mid-script. */
+  private[graft] def servedDeltaDir(s: SparkSession, dir: String): String =
+    sessionServedDelta.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_served_delta_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val main = ivfPqIndexDir(s, dir)
+      import s.implicits._
+      def put(docs: Seq[(Long, String)], batchId: Long): Unit =
+        graft.search.AnnIndex.appendDeltaBatch(s, main, out,
+          docs.map { case (id, t) => (id, docVec(t), t) }
+            .toDF("vec_id", "embedding", "text"),
+          batchId, compactEvery = 2)
+      def del(ids: Seq[Long], batchId: Long): Unit =
+        graft.search.AnnIndex.appendTombstones(s, out,
+          ids.toDF("vec_id"), batchId, compactEvery = 2)
+      put(ServedDeleteDocs.take(2), 0L)
+      put(Seq(ServedDeleteDocs(2)), 1L)
+      del(Seq(DeletedCorpusId, ServedDeleteDocs(1)._1), 1L)
+      del(Seq(ServedDeleteDocs(2)._1), 2L)
+      put(Seq(ServedDeleteCorrected), 3L)
       out
     }
 
@@ -1322,6 +1405,42 @@ object AnnQueries {
       new graft.search.SearchEngine(s).searchIndexed(dir, ServedPrompt, 10)
     }),
 
+    "q172_lsm_delete" -> ((s, dir) => {
+      // the tombstone path on the RAW LSM probe: main ∪ scripted delta
+      // under latest-op-wins. The query vector is corpus vec 0's own
+      // embedding and vec 0 is DELETED — its exact self-match (score
+      // 1.0) must be unserved, so a probe that ignores the tombstone
+      // store, misses the main-shadowing rule, or lets a superseded
+      // delta row rank flips the exact oracle red. The oracle is the
+      // exact top-10 over (corpus \ deleted) ∪ the script's live
+      // synthetic vectors (inlined literals).
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === DeletedCorpusId)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q172_lsm_delete: no 64-d embedding with vec_id=$DeletedCorpusId"))
+        .getSeq[Float](0).toArray
+      graft.search.AnnIndex.probeIvfPqLsm(s, ivfPqIndexDir(s, dir),
+        servedDeltaDir(s, dir), qv, k = 10,
+        nProbe = IvfNProbe, shortlist = ServedShortlist)
+    }),
+
+    "q173_served_delete" -> ((s, dir) => {
+      // the tombstone path on the SERVICE route: the same scripted
+      // delta through searchIndexed. The prompt IS the corrected
+      // gamma text, so the corrected re-ingest must rank first at
+      // 1.0 (del + put serves the newest version), the deleted beta
+      // and the superseded gamma draft must be absent even though
+      // their texts are near the prompt, and the corpus back-fills
+      // the rest (minus the deleted corpus doc). Oracle: exact top-10
+      // over (live corpus) ∪ live synthetic literal rows, payloads
+      // included — fails closed on any lifecycle rule breaking on
+      // either the hit side or the payload side.
+      new graft.search.SearchEngine(s).searchIndexed(dir, ServedDeletePrompt,
+        10, deltaDir = Some(servedDeltaDir(s, dir)))
+    }),
+
     "q148_ivfpq_search" -> ((s, dir) => {
       // IVF-PQ, COMPOSED (Jégou et al. 2011; the billion-scale layout
       // q144's scaladoc promises, round-11 verdict item #3): the
@@ -1917,6 +2036,46 @@ object AnnQueries {
          |SELECT e.vec_id AS doc_id, d.text,
          |  round(${cosSql("e.embedding", lits)}, 6) AS score
          |FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    // exact top-10 over the LIVE set: corpus minus the deleted doc,
+    // plus the script's surviving synthetic vectors — the tombstone,
+    // latest-op-wins, and correction rules all inlined into what
+    // "live" means; a probe serving any dead row (or dropping vec 0's
+    // replacement ranks) flips the hash
+    "q172_lsm_delete" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+         |           WHERE vec_id = $DeletedCorpusId),
+         |live AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) = 64 AND vec_id <> $DeletedCorpusId
+         |  UNION ALL
+         |  SELECT vec_id, embedding
+         |  FROM (VALUES
+         |         $servedDeleteLiveValuesSql) AS t(vec_id, embedding, text))
+         |SELECT l.vec_id,
+         |  round(${cosSql("l.embedding", "q.qe")}, 6) AS score
+         |FROM live l CROSS JOIN q
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // q165's served-search oracle over the LIVE set, payloads
+    // included: the corrected gamma text must sit at rank 1 score 1.0,
+    // beta/the draft must be absent, corpus back-fills minus the
+    // deleted doc
+    "q173_served_delete" -> {
+      val lits = docVec(ServedDeletePrompt).map(_.toDouble).mkString("[", ", ", "]")
+      s"""WITH live AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding, d.text
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE len(e.embedding) = 64 AND e.vec_id <> $DeletedCorpusId
+         |  UNION ALL
+         |  SELECT vec_id AS doc_id, embedding, text
+         |  FROM (VALUES
+         |         $servedDeleteLiveValuesSql) AS t(vec_id, embedding, text))
+         |SELECT doc_id, text,
+         |  round(${cosSql("embedding", lits)}, 6) AS score
+         |FROM live
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     },
 

@@ -354,15 +354,27 @@ object AnnIndex {
     * bit-identical. `payload` names persisted columns to carry into the
     * output (read from the rescore scan — already open for the
     * embeddings). */
+  /** `exclude`, when given, is a (vec_id) frame anti-joined into BOTH
+    * artifact scans BEFORE any ranking — the tombstone hook: excluded
+    * ids can neither shortlist nor rescore, so the top-k back-fills
+    * with live rows exactly (no oversample-then-drop under-fill). The
+    * exclude side is tiny by contract (live tombstones between major
+    * folds) and broadcasts. */
   def probeIvfPq(spark: SparkSession, dir: String, query: Array[Float],
                  k: Int, nProbe: Int, shortlist: Int,
                  predicate: Column = lit(true),
-                 payload: Seq[String] = Nil): DataFrame = {
+                 payload: Seq[String] = Nil,
+                 exclude: Option[DataFrame] = None): DataFrame = {
     val probed = probedCells(dir, query, nProbe)
     val corpus = spark.read.parquet(s"$dir/corpus")
-    val short = corpus
-      .filter(col("cell").isin(probed: _*))
-      .filter(predicate)
+    def live(df: DataFrame): DataFrame = exclude match {
+      case None => df
+      case Some(ex) =>
+        df.join(broadcast(ex.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    }
+    val short = live(corpus
+        .filter(col("cell").isin(probed: _*))
+        .filter(predicate))
       .select(col("vec_id"), adcDistanceCol(spark, dir, query).as("adc_d"))
       .orderBy(col("adc_d").asc, col("vec_id").asc)
       .limit(shortlist)
@@ -588,6 +600,37 @@ object AnnIndex {
       encodeSegment(spark, indexDir, batch), batchId, compactEvery,
       partitionCol = "cell", dedupKeys = Seq("vec_id"))
 
+  /** Append one micro-batch of DELETE markers to the delta's tombstone
+    * store (`deltaDir/tombstones` — its own [[graft.sources.SegmentStore]],
+    * same commit/fold/GC discipline as the vector segments; rows are
+    * just ids, bucketed for partitioning). A tombstone shadows the
+    * MAIN artifact's row for that id forever (the main files are
+    * immutable between major rebuilds — the marker IS the delete) and
+    * shadows delta rows from EARLIER batches; a later re-ingest of the
+    * id serves again (latest-op-wins, put wins a same-batch tie). The
+    * store stays tiny by contract: a major fold (delta → main rewrite)
+    * is where tombstoned keys disappear physically. */
+  def appendTombstones(spark: SparkSession, deltaDir: String,
+                       ids: DataFrame, batchId: Long, compactEvery: Int): Unit =
+    graft.sources.SegmentStore.appendBatch(spark, s"$deltaDir/tombstones",
+      ids.select(col("vec_id"))
+        .withColumn("bucket", pmod(col("vec_id"), lit(16L))),
+      batchId, compactEvery,
+      partitionCol = "bucket", dedupKeys = Seq("vec_id"))
+
+  /** The delta's live tombstones as (vec_id, del_batch = newest delete
+    * batch per id); None when the store doesn't exist (no delete has
+    * ever been applied — the common case costs one existence check). */
+  def tombstones(spark: SparkSession, deltaDir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = s"$deltaDir/tombstones"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+    else Some(graft.sources.SegmentStore.read(spark, dir)
+      .groupBy(col("vec_id"))
+      .agg(max(col(graft.sources.SegmentStore.BatchCol)).as("del_batch")))
+  }
+
   /** The delta's CURRENT segment set — [[graft.sources.SegmentStore.segments]]. */
   private[graft] def deltaSegments(fs: org.apache.hadoop.fs.FileSystem,
                                    deltaDir: String): Seq[String] =
@@ -597,16 +640,48 @@ object AnnIndex {
     * manifest-resolved segment set — q150's main+delta read
     * generalized to the [[appendDeltaBatch]] layout, all segments
     * sharing the main quantizer/codebooks so ONE cell ranking prunes
-    * every scan ([[probeIvfPqSegments]]). */
+    * every scan ([[probeIvfPqSegments]]).
+    *
+    * Delete/update semantics (latest-op-wins): live tombstones shadow
+    * the main artifact's rows outright (the corpus is an implicit put
+    * older than any delete) and delta rows from batches at or below
+    * the delete's; a later re-ingest serves again. Id twins across
+    * delta batches resolve to the newest batch's row — the same rule
+    * the store's fold applies, here over the unfolded live tail, so
+    * pre- and post-compaction probes agree. Both guards are broadcast
+    * anti/filter joins applied BEFORE any ranking, so the top-k
+    * back-fills exactly. */
   def probeIvfPqLsm(spark: SparkSession, indexDir: String, deltaDir: String,
                     query: Array[Float], k: Int, nProbe: Int,
                     shortlist: Int): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val segDirs = s"$indexDir/corpus" +: deltaSegments(fs, deltaDir)
+    val batchCol = graft.sources.SegmentStore.BatchCol
+    val dels = tombstones(spark, deltaDir)
+    val main = spark.read.parquet(s"$indexDir/corpus")
+    val mainLive = dels match {
+      case None => main
+      case Some(d) =>
+        main.join(broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    }
+    val deltaDirs = deltaSegments(fs, deltaDir)
+    val deltaLive = if (deltaDirs.isEmpty) Nil else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col(batchCol).desc)
+      val lww = deltaDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .withColumn("_lww_rn", row_number().over(w))
+        .filter(col("_lww_rn") === 1).drop("_lww_rn")
+      Seq(dels match {
+        case None => lww
+        case Some(d) => lww
+          .join(broadcast(d), Seq("vec_id"), "left")
+          .filter(col("del_batch").isNull || col(batchCol) >= col("del_batch"))
+          .drop("del_batch")
+      })
+    }
     // column pruning happens inside probeIvfPqSegments' selects, so
     // differing payload columns across segments are harmless
-    probeIvfPqSegments(spark, indexDir, segDirs.map(spark.read.parquet(_)),
+    probeIvfPqSegments(spark, indexDir, mainLive +: deltaLive,
       query, k, nProbe, shortlist)
   }
 

@@ -89,45 +89,68 @@ final class SearchEngine(
              deltaDir: Option[String] = None): Dataset[SearchHit] =
     topK(corpusWithDelta(sfDir, deltaDir, embedder.dim), embedder.embed(prompt), k)
 
-  /** The searchable rows: corpus ∪ (when a delta is named) the LSM
-    * segments' (doc_id, text, embedding) rows. Corpus wins on an id
-    * collision (the canonical stored document), and id collisions
-    * INSIDE the delta — replay-window twin copies, or a document
-    * re-ingested across batches — resolve latest-batch-wins
-    * ([[graft.sources.SegmentStore.BatchCol]], the same rule the
-    * store's compaction folds by, applied here to the unfolded live
-    * tail so pre- and post-compaction reads agree). */
+  /** The searchable rows: live corpus ∪ (when a delta is named) the
+    * delta's LIVE (doc_id, text, embedding) rows, under the engine's
+    * latest-op-wins lifecycle semantics:
+    *
+    *  - the provisioned corpus counts as an implicit put OLDER than
+    *    every delta operation, so ANY tombstone for a corpus id
+    *    unserves that document (takedown/GDPR — the main files are
+    *    immutable between rebuilds; the marker is the delete);
+    *  - a delta put serves iff no NEWER tombstone shadows it
+    *    (put wins a same-batch tie — del+put in one batch is a
+    *    replace), and id twins across delta batches resolve
+    *    latest-batch-wins ([[graft.sources.SegmentStore.BatchCol]],
+    *    the store's own fold rule applied to the unfolded tail);
+    *  - a bare put colliding with a LIVE corpus id stays
+    *    corpus-canonical (an accidental id reuse must not overwrite
+    *    the stored document — correction is expressed as del + put). */
   private def corpusWithDelta(sfDir: String, deltaDir: Option[String],
                               dim: Int): DataFrame = {
     val base = corpus(sfDir, dim)
-    val segs = deltaSegsLww(deltaDir)
-    segs match {
+    val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
+    val baseLive = dels match {
       case None => base
+      case Some(d) => base.join(
+        broadcast(d.select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_anti")
+    }
+    deltaSegsLww(deltaDir, dels) match {
+      case None => baseLive
       case Some(delta) =>
-        val baseRows = base.select($"doc_id", $"text", $"embedding")
+        val baseRows = baseLive.select($"doc_id", $"text", $"embedding")
         baseRows.unionByName(
           delta.select($"doc_id", $"text", $"embedding")
             .join(baseRows.select($"doc_id"), Seq("doc_id"), "left_anti"))
     }
   }
 
-  /** The delta's rows as one id-unique (doc_id, text, embedding,
+  /** The delta's LIVE rows as one id-unique (doc_id, text, embedding,
     * batch) frame — segments resolved ONCE (snapshot stability), id
-    * collisions across segments resolved latest-batch-wins. None when
-    * no delta is named or the delta is empty. */
-  private def deltaSegsLww(deltaDir: Option[String]): Option[DataFrame] = {
+    * twins resolved latest-batch-wins, rows at or below a newer
+    * tombstone dropped (put wins a same-batch tie). None when no
+    * delta is named or the delta is empty. */
+  private def deltaSegsLww(deltaDir: Option[String],
+                           dels: Option[DataFrame]): Option[DataFrame] = {
     val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
     if (segs.isEmpty) None
     else {
       val batchCol = graft.sources.SegmentStore.BatchCol
       val w = Window.partitionBy(col("doc_id")).orderBy(col(batchCol).desc)
-      Some(segs
+      val lww = segs
         .map(_.select(col("vec_id").as("doc_id"), col("text"),
           col("embedding"), col(batchCol)))
         .reduce(_.unionByName(_))
         .withColumn("_lww_rn", row_number().over(w))
         .filter(col("_lww_rn") === 1)
-        .drop("_lww_rn"))
+        .drop("_lww_rn")
+      Some(dels match {
+        case None => lww
+        case Some(d) => lww
+          .join(broadcast(d.select(col("vec_id").as("doc_id"), col("del_batch"))),
+            Seq("doc_id"), "left")
+          .filter(col("del_batch").isNull || col(batchCol) >= col("del_batch"))
+          .drop("del_batch")
+      })
     }
   }
 
@@ -183,11 +206,14 @@ final class SearchEngine(
       s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
     val qv = embedder.embed(prompt)
     val main = indexDir(sfDir)
-    // the delta's segment set is resolved ONCE — the probe and the
-    // payload fetch below read the same snapshot even if a compaction
-    // publishes a new manifest mid-query; id collisions inside the
-    // delta resolve latest-batch-wins (the store's own fold rule)
-    val delta = deltaSegsLww(deltaDir)
+    // the delta's segment set and tombstones are resolved ONCE — the
+    // probe and the payload fetch below read the same snapshot even
+    // if a compaction publishes a new manifest mid-query; id
+    // collisions inside the delta resolve latest-batch-wins and
+    // tombstoned rows are dropped (the lifecycle rules corpusWithDelta
+    // documents — both routes share them)
+    val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
+    val delta = deltaSegsLww(deltaDir, dels)
     // the EVOLVING-index route is q150's main+delta read: the main
     // artifact is PROBED (cell pruning, ADC shortlist, exact rescore)
     // and the delta is EXACT-SCANNED in full — q150's documented rule
@@ -201,8 +227,11 @@ final class SearchEngine(
     // over union, so the ≤ 2k-row driver merge is exact. (The 500 k
     // ingest probe certifies the route end to end — SCALING.md
     // round-13.)
+    // tombstoned ids are excluded INSIDE the probe's scans (broadcast
+    // anti-join before any ranking), so the main top-k back-fills with
+    // live rows exactly — a deleted document is unserved, not a hole
     val mainHits = graft.search.AnnIndex
-      .probeIvfPq(spark, main, qv, k, nProbe, shortlist)
+      .probeIvfPq(spark, main, qv, k, nProbe, shortlist, exclude = dels)
       .collect() // ≤ k rows — the bounded driver merge every top-k ends in
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // delta side: exact top-k over delta \ corpus-ids — the corpus is
@@ -237,10 +266,22 @@ final class SearchEngine(
             .limit(k)
             .select($"doc_id", $"score")
             .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-          val collided =
+          // a collision means the id belongs to a LIVE corpus document
+          // (canonical) — a DELETED corpus id is fair game for the
+          // delta, that's the del+put correction flow; both checks are
+          // ≤ k-id point lookups
+          val inCorpus =
             if (top.isEmpty) Set.empty[Long]
             else docs.filter(col("doc_id").isin(top.map(_._1): _*))
               .select($"doc_id").collect().map(_.getLong(0)).toSet
+          val deleted =
+            if (inCorpus.isEmpty) Set.empty[Long]
+            else dels match {
+              case None => Set.empty[Long]
+              case Some(d) => d.filter(col("vec_id").isin(inCorpus.toSeq: _*))
+                .select($"vec_id").collect().map(_.getLong(0)).toSet
+            }
+          val collided = inCorpus -- deleted
           if (collided.isEmpty) out = Some(top) else excluded ++= collided
         }
         out.get
@@ -314,6 +355,61 @@ final class SearchEngine(
               .filter(exists(col("embedding"), x => x =!= lit(0.0f)))
               .select(col("doc_id").as("vec_id"), col("embedding"), col("text")),
             id, compactEvery)
+        afterBatch(id)
+      }
+      .start()
+  }
+
+  /** Streaming DOCUMENT lifecycle — [[streamingDocIngest]] generalized
+    * to an OPERATIONS stream (doc_id, text, op) with op ∈ {put, del}:
+    * each micro-batch's puts are embedded/encoded into the LSM delta
+    * exactly as streamingDocIngest does, and its dels land as
+    * tombstone markers in the delta's tombstone store
+    * ([[graft.search.AnnIndex.appendTombstones]] — same SegmentStore
+    * discipline, ids only). [[searchIndexed]]/[[search]] with the same
+    * `deltaDir` then serve latest-op-wins: a delete UNSERVES a
+    * document — including one baked into the main artifact, whose
+    * files never change (the tombstone is the delete, the thing the
+    * reference's manually-provisioned index cannot express at all) —
+    * and a later put of the same id serves the corrected content
+    * (del + put = re-ingest-with-correction). Put wins a same-batch
+    * tie, so one batch carrying del+put of an id is a replace.
+    * Replay==batch and the RESTART CONTRACT are [[streamingDocIngest]]'s
+    * (committed-segment idempotence keyed on stable batch ids; pass
+    * `checkpointDir` for anything that can outlive its process).
+    * Unknown op values fail the batch loudly — a silently dropped
+    * operation is a correctness bug, not a tolerable default. */
+  def streamingDocApply(ops: DataFrame, sfDir: String, deltaDir: String,
+                        compactEvery: Int,
+                        checkpointDir: Option[String] = None)
+                       (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val main = indexDir(sfDir)
+    checkpointDir.foldLeft(ops.writeStream.outputMode("append"))(
+        (w, dir) => w.option("checkpointLocation", dir))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.toDF().cache()
+          try {
+            val badOps = b.filter(!col("op").isin("put", "del")).limit(1).collect()
+            require(badOps.isEmpty,
+              s"streamingDocApply: unknown op '${badOps.headOption.map(_.getAs[String]("op")).orNull}' " +
+                "(supported: put, del)")
+            val puts = b.filter(col("op") === "put")
+            if (!puts.isEmpty)
+              graft.search.AnnIndex.appendDeltaBatch(
+                s, main, deltaDir,
+                embedder.embedCorpus(puts, "text", "embedding")
+                  .filter(exists(col("embedding"), x => x =!= lit(0.0f)))
+                  .select(col("doc_id").as("vec_id"), col("embedding"), col("text")),
+                id, compactEvery)
+            val delIds = b.filter(col("op") === "del")
+              .select(col("doc_id").as("vec_id"))
+            if (!delIds.isEmpty)
+              graft.search.AnnIndex.appendTombstones(
+                s, deltaDir, delIds, id, compactEvery)
+          } finally b.unpersist(blocking = false)
+        }
         afterBatch(id)
       }
       .start()

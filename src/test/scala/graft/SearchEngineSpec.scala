@@ -224,6 +224,83 @@ class SearchEngineSpec extends SparkSpec {
       "indexed and exact routes must agree under id collision")
   }
 
+  test("streamingDocApply lifecycle: deletes unserve (corpus docs too), corrections re-serve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_docapply_spec").toString
+    val corpusDoc0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" === 0L).select($"text").as[String].head()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = eng.streamingDocApply(
+      mem.toDF().toDF("doc_id", "text", "op"), sf0001, deltaDir,
+      compactEvery = 2)()
+    try {
+      // b0: ingest alpha + beta; b1: ingest the gamma draft, delete
+      // corpus doc 0 and beta (compactEvery=2 folds both stores here);
+      // b2: delete gamma; b3: re-ingest gamma corrected
+      mem.addData(Seq((900031L, "apply alpha text", "put"),
+        (900032L, "apply beta text", "put")))
+      q.processAllAvailable()
+      mem.addData(Seq((900033L, "apply gamma draft text", "put"),
+        (0L, "", "del"), (900032L, "", "del")))
+      q.processAllAvailable()
+      mem.addData(Seq((900033L, "", "del")))
+      q.processAllAvailable()
+      mem.addData(Seq((900033L, "apply gamma corrected text", "put")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def servedIds(prompt: String) =
+      eng.searchIndexed(sf0001, prompt, k = 5, deltaDir = Some(deltaDir))
+        .as[(Long, String, Double)].collect()
+    // the DELETED corpus doc is unserved even as its own exact match —
+    // on the indexed route AND the exact fallback
+    val c0 = servedIds(corpusDoc0)
+    assert(!c0.exists(_._1 === 0L),
+      s"deleted corpus doc must be unserved: ${c0.toSeq}")
+    val c0Exact = eng.search(sf0001, corpusDoc0, k = 5, Some(deltaDir)).collect()
+    assert(!c0Exact.exists(_.doc_id === 0L),
+      s"deleted corpus doc must be unserved on the exact route: ${c0Exact.toSeq}")
+    // the fresh-id takedown
+    val beta = servedIds("apply beta text")
+    assert(!beta.exists(_._1 === 900032L),
+      s"deleted ingested doc must be unserved: ${beta.toSeq}")
+    // correction: the newest version serves, the superseded one cannot
+    val gamma = servedIds("apply gamma corrected text")
+    assert(gamma.head._1 === 900033L && gamma.head._3 === 1.0 &&
+      gamma.head._2 === "apply gamma corrected text",
+      s"the corrected re-ingest must serve: ${gamma.toSeq}")
+    val draft = servedIds("apply gamma draft text")
+    assert(!draft.exists(r => r._1 === 900033L && r._3 === 1.0),
+      s"the superseded draft must not serve: ${draft.toSeq}")
+    // the untouched ingest still serves, and indexed == exact on it
+    val alpha = servedIds("apply alpha text")
+    assert(alpha.head._1 === 900031L && alpha.head._3 === 1.0)
+    val alphaExact = eng.search(sf0001, "apply alpha text", k = 5,
+      Some(deltaDir)).collect().map(h => (h.doc_id, h.text, h.score))
+    assert(alpha.toSeq === alphaExact.toSeq,
+      "indexed and exact routes must agree on the lifecycle state")
+  }
+
+  test("streamingDocApply rejects an unknown op loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_docapply_badop").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = eng.streamingDocApply(
+      mem.toDF().toDF("doc_id", "text", "op"), sf0001, deltaDir,
+      compactEvery = 0)()
+    try {
+      mem.addData(Seq((900041L, "some text", "upsert")))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("unknown op") ||
+        Option(err.getCause).exists(_.getMessage.contains("unknown op")))
+    } finally q.stop()
+  }
+
   test("served k is guarded: a hostile k fails loudly, the cap serves fine") {
     val err = intercept[IllegalArgumentException] {
       eng.searchIndexed(sf0001, "any prompt", k = SearchEngine.MaxServedK + 1)
