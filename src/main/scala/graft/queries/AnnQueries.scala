@@ -212,6 +212,17 @@ object AnnQueries {
   val ServedDeletePrompt: String = ServedDeleteCorrected._2
   val DeletedCorpusId = 0L
 
+  /** q174 refit trigger: rebuild the artifact when the delta's mean
+    * PQ quantization distortion under the MAIN-fitted codebooks
+    * exceeds this multiple of the main rows' own mean — the standing
+    * gauge that says WHEN the frozen geometry has drifted from the
+    * data (between folds the codebooks never refit, so on a
+    * distribution-shifted ingest the ratio climbs). 1.25 sits far
+    * above the measured fixture ratio (~1.0 — the delta carve is an
+    * affine hash of the same distribution, the in-distribution
+    * baseline) and far below what a genuine shift produces. */
+  val RefitDriftMax = 1.25
+
   /** q150 incremental (main + delta) search: the corpus splits by the
     * engine's affine split hash — ~90% MAIN (indexed: the q148 IVF-PQ
     * artifact built on main only) + ~10% DELTA (recent, unindexed,
@@ -457,21 +468,53 @@ object AnnQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_served_delta_" +
         graft.SparkEntry.pathSlug(dir) + "_" +
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      scriptDeleteLifecycle(s, ivfPqIndexDir(s, dir), out)
+      out
+    }
+
+  /** The [[ServedDeleteDocs]] op script against an LSM delta at
+    * `deltaDir` — shared by [[servedDeltaDir]] (q172/q173 probe it
+    * live) and [[foldedIndexDir]] (q175 folds it into a fresh
+    * artifact; majorCompact RETIRES its delta, so the two queries
+    * script separate directories and stay order-independent). */
+  private def scriptDeleteLifecycle(s: SparkSession, mainDir: String,
+                                    deltaDir: String): Unit = {
+    import s.implicits._
+    def put(docs: Seq[(Long, String)], batchId: Long): Unit =
+      graft.search.AnnIndex.appendDeltaBatch(s, mainDir, deltaDir,
+        docs.map { case (id, t) => (id, docVec(t), t) }
+          .toDF("vec_id", "embedding", "text"),
+        batchId, compactEvery = 2)
+    def del(ids: Seq[Long], batchId: Long): Unit =
+      graft.search.AnnIndex.appendTombstones(s, deltaDir,
+        ids.toDF("vec_id"), batchId, compactEvery = 2)
+    put(ServedDeleteDocs.take(2), 0L)
+    put(Seq(ServedDeleteDocs(2)), 1L)
+    del(Seq(DeletedCorpusId, ServedDeleteDocs(1)._1), 1L)
+    del(Seq(ServedDeleteDocs(2)._1), 2L)
+    put(Seq(ServedDeleteCorrected), 3L)
+  }
+
+  private val sessionFoldedIndex = new graft.SessionMemo[String, String]
+
+  /** Session-once MAJOR-COMPACTED artifact for q175: the delete
+    * lifecycle scripted into its own delta, then
+    * [[graft.search.AnnIndex.majorCompact]] folds main ∪ live delta
+    * into a fresh artifact (tombstoned keys physically dropped, delta
+    * retired). q175 probes THIS artifact with no delta at all — its
+    * oracle is the same live-set exact top-10 as q172's, so
+    * hash-green IS the post-fold == pre-fold proof. */
+  private[graft] def foldedIndexDir(s: SparkSession, dir: String): String =
+    sessionFoldedIndex.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_folded_index_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val delta = s"${System.getProperty("java.io.tmpdir")}/graft_fold_delta_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
       val main = ivfPqIndexDir(s, dir)
-      import s.implicits._
-      def put(docs: Seq[(Long, String)], batchId: Long): Unit =
-        graft.search.AnnIndex.appendDeltaBatch(s, main, out,
-          docs.map { case (id, t) => (id, docVec(t), t) }
-            .toDF("vec_id", "embedding", "text"),
-          batchId, compactEvery = 2)
-      def del(ids: Seq[Long], batchId: Long): Unit =
-        graft.search.AnnIndex.appendTombstones(s, out,
-          ids.toDF("vec_id"), batchId, compactEvery = 2)
-      put(ServedDeleteDocs.take(2), 0L)
-      put(Seq(ServedDeleteDocs(2)), 1L)
-      del(Seq(DeletedCorpusId, ServedDeleteDocs(1)._1), 1L)
-      del(Seq(ServedDeleteDocs(2)._1), 2L)
-      put(Seq(ServedDeleteCorrected), 3L)
+      scriptDeleteLifecycle(s, main, delta)
+      graft.search.AnnIndex.majorCompact(s, main, delta, out)
       out
     }
 
@@ -1441,6 +1484,75 @@ object AnnQueries {
         10, deltaDir = Some(servedDeltaDir(s, dir)))
     }),
 
+    "q174_refit_gauge" -> ((s, dir) => {
+      // the REFIT TRIGGER: between major folds the artifact's
+      // quantizer/codebooks never refit (q153's no-refit graduation),
+      // so an indefinitely-running ingest needs a standing gauge that
+      // says when the frozen geometry has drifted from the data. The
+      // statistic is mean PQ quantization distortion — per row, the
+      // squared distance to its assigned code under the MAIN-fitted
+      // codebooks (q144's statistic, pointed at the drift question):
+      // the q150 delta carve plays the "arrived after the build" role,
+      // codebooks are fitted on the main split exactly as the q150
+      // artifact's are, and the report is one row — populations, both
+      // means, their ratio, and the refit flag (ratio > RefitDriftMax).
+      // Shape: IvfPqM k×dim-bounded fits (driver-literal codebooks),
+      // then ONE corpus scan computes every row's distortion row-local
+      // (codegen'd argmin over ≤16 inlined centroids per subspace),
+      // and a 2-group aggregate folds it — no joins, no second pass.
+      // Oracle unrolls the Lloyd's chains on the main split and the
+      // same assignment + decimal-mean arithmetic.
+      import graft.operators.SemDedup
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      val isMain = splitBucket(col("vec_id")) < DeltaBucketMin
+      val main = e.filter(isMain)
+      val dcols = (0 until IvfPqM).map { sub =>
+        val slc = slice(col("embedding"), sub * IvfPqSubDim + 1, IvfPqSubDim)
+        val cents = SemDedup.fit(
+          main.select(col("vec_id"), slc.as("embedding")), IvfPqK, IvfPqIters)
+        round(graft.expressions.VectorExpressions.sqDist(
+          slc, element_at(typedLit(cents.map(_.toSeq)),
+            SemDedup.assignCell(slc, cents) + 1)), 6)
+      }
+      val scored = e.select(isMain.as("is_main"),
+        round(dcols.reduce(_ + _), 6).as("d"))
+      val gauge = scored.groupBy(col("is_main"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d").cast("decimal(27,10)")).cast("double") /
+            count(lit(1)), 6).as("mean_d"))
+      gauge.filter(col("is_main"))
+        .select(col("n").as("n_main"), col("mean_d").as("main_mean_distortion"))
+        .crossJoin(gauge.filter(!col("is_main"))
+          .select(col("n").as("n_delta"), col("mean_d").as("delta_mean_distortion")))
+        .withColumn("drift_ratio",
+          round(col("delta_mean_distortion") / col("main_mean_distortion"), 6))
+        .withColumn("refit",
+          (col("drift_ratio") > lit(RefitDriftMax)).cast("long"))
+    }),
+
+    "q175_major_fold" -> ((s, dir) => {
+      // MAJOR compaction, probed: the delete-lifecycle delta is folded
+      // back into a fresh main artifact (majorCompact — live rows
+      // only, tombstoned keys physically dropped, delta retired) and
+      // THIS probe runs against the folded artifact with no delta at
+      // all. The oracle is the same live-set exact top-10 as q172's —
+      // hash-green IS the post-fold == pre-fold proof, and it fails
+      // closed if the fold resurrects a deleted row, drops a live one,
+      // serves a superseded version, or breaks the carried geometry's
+      // probe minima.
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+      val qv = e.filter(col("vec_id") === DeletedCorpusId)
+        .select(col("embedding")).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"q175_major_fold: no 64-d embedding with vec_id=$DeletedCorpusId"))
+        .getSeq[Float](0).toArray
+      graft.search.AnnIndex.probeIvfPq(s, foldedIndexDir(s, dir), qv,
+        k = 10, nProbe = IvfNProbe, shortlist = ServedShortlist)
+    }),
+
     "q148_ivfpq_search" -> ((s, dir) => {
       // IVF-PQ, COMPOSED (Jégou et al. 2011; the billion-scale layout
       // q144's scaladoc promises, round-11 verdict item #3): the
@@ -1683,18 +1795,23 @@ object AnnQueries {
   private def semDistSql(aE: String, bE: String): String =
     s"round(list_sum(list_transform(list_zip($aE, $bE), " +
       s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
-  /** One subspace's full PQ Lloyd's chain (q144/q145 oracles): slices
-    * `e` to subspace `sb`, seeds from the PqK smallest vec_ids, runs
-    * PqIters assign→update rounds, and ends with the final assignment
-    * `af_$sb(vec_id, embedding, cell)` + codebook `c{PqIters}_$sb`.
-    * The [[semAssignSql]]/[[semUpdateSql]] pattern with the source
-    * table and dimension parameterized. */
-  private def pqChainSql(sb: Int): String = {
-    def assign(src: String, cents: String, out: String): String =
+  /** One subspace's full PQ Lloyd's chain (q144/q145/q174 oracles):
+    * slices `src` to subspace `sb`, seeds from the k smallest PRESENT
+    * vec_ids (on a full corpus identical to the original `vec_id < k`
+    * rule — [[graft.operators.SemDedup.fit]]'s documented seeding),
+    * runs `iters` assign→update rounds, and ends with the final
+    * assignment `af_$sb$tag(vec_id, embedding, cell)` + codebook
+    * `c{iters}_$sb$tag`. `tag` namespaces the CTEs so one statement
+    * can carry chains over different source tables. */
+  private def pqChainSql(sb: Int, src: String = "e", tag: String = "",
+                         dim: Int = PqDim, k: Int = PqK,
+                         iters: Int = PqIters): String = {
+    val sfx = s"${sb}$tag"
+    def assign(from: String, cents: String, out: String): String =
       s"""${out}_d AS (
          |  SELECT e.vec_id, e.embedding, c.cell,
          |    ${semDistSql("e.embedding", "c.ce")} AS d
-         |  FROM $src e CROSS JOIN $cents c),
+         |  FROM $from e CROSS JOIN $cents c),
          |$out AS (
          |  SELECT vec_id, embedding, cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1705,7 +1822,7 @@ object AnnQueries {
          |  SELECT cell, pos,
          |    SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(27,10))) AS sd,
          |    COUNT(*) AS n
-         |  FROM $asg CROSS JOIN (SELECT unnest(range($PqDim)) AS pos)
+         |  FROM $asg CROSS JOIN (SELECT unnest(range($dim)) AS pos)
          |  GROUP BY cell, pos),
          |${out}_m AS (
          |  SELECT cell, list(round(CAST(sd AS DOUBLE) / n, 6) ORDER BY pos) AS ce
@@ -1713,19 +1830,19 @@ object AnnQueries {
          |$out AS (
          |  SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
          |  FROM $prev p LEFT JOIN ${out}_m m ON p.cell = m.cell)""".stripMargin
-    val lo = sb * PqDim + 1
-    val hi = (sb + 1) * PqDim
-    val iterCtes = (1 to PqIters).map { t =>
-      s"""${assign(s"e$sb", s"c${t - 1}_$sb", s"a${t}_$sb")},
-         |${update(s"a${t}_$sb", s"c${t - 1}_$sb", s"c${t}_$sb")}""".stripMargin
+    val lo = sb * dim + 1
+    val hi = (sb + 1) * dim
+    val iterCtes = (1 to iters).map { t =>
+      s"""${assign(s"e$sfx", s"c${t - 1}_$sfx", s"a${t}_$sfx")},
+         |${update(s"a${t}_$sfx", s"c${t - 1}_$sfx", s"c${t}_$sfx")}""".stripMargin
     }.mkString(",\n")
-    s"""e$sb AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM e),
-       |c0_$sb AS (
-       |  SELECT vec_id AS cell,
+    s"""e$sfx AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $src),
+       |c0_$sfx AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS ce
-       |  FROM e$sb WHERE vec_id < $PqK),
+       |  FROM (SELECT vec_id, embedding FROM e$sfx ORDER BY vec_id LIMIT $k)),
        |$iterCtes,
-       |${assign(s"e$sb", s"c${PqIters}_$sb", s"af_$sb")}""".stripMargin
+       |${assign(s"e$sfx", s"c${iters}_$sfx", s"af_$sfx")}""".stripMargin
   }
 
   /** Shared q140/q146 oracle: every greedy step unrolled as its own
@@ -1902,6 +2019,26 @@ object AnnQueries {
     s"""(1.0 +
        |      ${rawCosSql(aE, bE)}) / 2.0""".stripMargin
 
+  /** Exact top-10 of corpus vec [[DeletedCorpusId]]'s own embedding
+    * over the delete-lifecycle's LIVE set — shared verbatim by q172
+    * (live LSM probe) and q175 (post-fold probe): identical expected
+    * output from two different physical layouts is exactly the
+    * pre/post-fold equivalence claim. */
+  private lazy val liveSetExactTop10Sql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+       |           WHERE vec_id = $DeletedCorpusId),
+       |live AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE len(embedding) = 64 AND vec_id <> $DeletedCorpusId
+       |  UNION ALL
+       |  SELECT vec_id, embedding
+       |  FROM (VALUES
+       |         $servedDeleteLiveValuesSql) AS t(vec_id, embedding, text))
+       |SELECT l.vec_id,
+       |  round(${cosSql("l.embedding", "q.qe")}, 6) AS score
+       |FROM live l CROSS JOIN q
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q163_paraphrase_mining" ->
@@ -2044,20 +2181,58 @@ object AnnQueries {
     // latest-op-wins, and correction rules all inlined into what
     // "live" means; a probe serving any dead row (or dropping vec 0's
     // replacement ranks) flips the hash
-    "q172_lsm_delete" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
-         |           WHERE vec_id = $DeletedCorpusId),
-         |live AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE len(embedding) = 64 AND vec_id <> $DeletedCorpusId
-         |  UNION ALL
-         |  SELECT vec_id, embedding
-         |  FROM (VALUES
-         |         $servedDeleteLiveValuesSql) AS t(vec_id, embedding, text))
-         |SELECT l.vec_id,
-         |  round(${cosSql("l.embedding", "q.qe")}, 6) AS score
-         |FROM live l CROSS JOIN q
-         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q172_lsm_delete" -> liveSetExactTop10Sql,
+
+    // the SAME live-set exact top-10 as q172 — but the engine side
+    // probes the FOLDED artifact with no delta, so green here is the
+    // post-fold == pre-fold certificate
+    "q175_major_fold" -> liveSetExactTop10Sql,
+
+    // the Lloyd's chains on the main split (the q150 artifact's own
+    // codebook fits), every row's assigned-code distortion, and the
+    // decimal means + ratio + flag — the exact arithmetic of the gauge
+    "q174_refit_gauge" -> {
+      val (a, b) = SplitPair
+      val chains = (0 until IvfPqM).map { sb =>
+        pqChainSql(sb, src = "m", tag = "g", dim = IvfPqSubDim,
+          k = IvfPqK, iters = IvfPqIters)
+      }.mkString(",\n")
+      val subCtes = (0 until IvfPqM).map { sb =>
+        val lo = sb * IvfPqSubDim + 1
+        val hi = (sb + 1) * IvfPqSubDim
+        s"""es$sb AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM e),
+           |ad$sb AS (
+           |  SELECT s.vec_id, MIN(${semDistSql("s.embedding", "c.ce")}) AS d$sb
+           |  FROM es$sb s CROSS JOIN c${IvfPqIters}_${sb}g c
+           |  GROUP BY s.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+         |m AS (SELECT vec_id, embedding FROM e
+         |      WHERE ((($a * vec_id + $b) % $P) % 100) < $DeltaBucketMin),
+         |$chains,
+         |$subCtes,
+         |rowd AS (
+         |  SELECT e.vec_id,
+         |    ((($a * e.vec_id + $b) % $P) % 100) < $DeltaBucketMin AS is_main,
+         |    round(ad0.d0 + ad1.d1 + ad2.d2 + ad3.d3, 6) AS d
+         |  FROM e JOIN ad0 USING (vec_id) JOIN ad1 USING (vec_id)
+         |       JOIN ad2 USING (vec_id) JOIN ad3 USING (vec_id)),
+         |g AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN is_main THEN 1 ELSE 0 END) AS BIGINT) AS n_main,
+         |    CAST(SUM(CASE WHEN is_main THEN 0 ELSE 1 END) AS BIGINT) AS n_delta,
+         |    round(CAST(SUM(CASE WHEN is_main THEN CAST(d AS DECIMAL(27,10)) END) AS DOUBLE)
+         |      / SUM(CASE WHEN is_main THEN 1 END), 6) AS main_mean_distortion,
+         |    round(CAST(SUM(CASE WHEN NOT is_main THEN CAST(d AS DECIMAL(27,10)) END) AS DOUBLE)
+         |      / SUM(CASE WHEN NOT is_main THEN 1 END), 6) AS delta_mean_distortion
+         |  FROM rowd)
+         |SELECT n_main, n_delta, main_mean_distortion, delta_mean_distortion,
+         |  round(delta_mean_distortion / main_mean_distortion, 6) AS drift_ratio,
+         |  CASE WHEN round(delta_mean_distortion / main_mean_distortion, 6) > $RefitDriftMax
+         |    THEN 1::BIGINT ELSE 0::BIGINT END AS refit
+         |FROM g""".stripMargin
+    },
 
     // q165's served-search oracle over the LIVE set, payloads
     // included: the corrected gamma text must sit at rank 1 score 1.0,

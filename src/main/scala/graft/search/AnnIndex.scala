@@ -685,6 +685,77 @@ object AnnIndex {
       query, k, nProbe, shortlist)
   }
 
+  /** MAJOR compaction: fold the LSM delta back into a fresh MAIN
+    * artifact — the path that keeps an indefinitely-running ingest
+    * from growing its exact-scanned delta and its tombstone set
+    * forever. The fold:
+    *
+    *  1. resolves the delta's LIVE rows exactly as [[probeIvfPqLsm]]
+    *     serves them (manifest-resolved segments, latest-batch-wins,
+    *     tombstones applied — so post-fold probes are definitionally
+    *     the pre-fold answers);
+    *  2. rewrites main ∪ live delta cell-partitioned under the SAME
+    *     quantizer/codebooks into `outDir` (q153's graduation
+    *     generalized to every segment: no refit, the geometry — and
+    *     the tuned probe minima — carry over; when the q174 drift
+    *     gauge says the frozen geometry has decayed, rebuild the
+    *     artifact from scratch instead — that is the refit, and it is
+    *     a full build by definition);
+    *  3. drops tombstoned keys PHYSICALLY — deletes stop costing
+    *     probe-side anti-joins and their markers' disk;
+    *  4. only after the new artifact is fully written, empties the
+    *     delta (segments, manifests, tombstones). A crash before the
+    *     cleanup leaves the old artifact + delta fully serving and the
+    *     fold simply reruns (mode overwrite — idempotent).
+    *
+    * Returns `outDir`. The caller swaps serving to the new artifact
+    * dir (the directory-level publish — same single-swap discipline
+    * as the manifest rename, at the artifact granularity). */
+  def majorCompact(spark: SparkSession, indexDir: String, deltaDir: String,
+                   outDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val batchCol = graft.sources.SegmentStore.BatchCol
+    val dels = tombstones(spark, deltaDir)
+    val main = spark.read.parquet(s"$indexDir/corpus")
+    val mainLive = dels match {
+      case None => main
+      case Some(d) =>
+        main.join(broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    }
+    val deltaDirs = deltaSegments(fs, deltaDir)
+    val deltaLive: Option[DataFrame] = if (deltaDirs.isEmpty) None else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col(batchCol).desc)
+      val lww = deltaDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .withColumn("_lww_rn", row_number().over(w))
+        .filter(col("_lww_rn") === 1).drop("_lww_rn")
+      Some((dels match {
+        case None => lww
+        case Some(d) => lww
+          .join(broadcast(d), Seq("vec_id"), "left")
+          .filter(col("del_batch").isNull || col(batchCol) >= col("del_batch"))
+          .drop("del_batch")
+      }).drop(batchCol))
+    }
+    // quantizer + codebooks carry over unchanged (no refit — step 2)
+    KMeansModel.load(s"$indexDir/model").write.overwrite().save(s"$outDir/model")
+    spark.read.parquet(s"$indexDir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
+    val folded = deltaLive match {
+      case None => mainLive
+      // schemas differ by payload columns (main may carry label, the
+      // delta text) — the union keeps both, null where absent; probes
+      // prune to what they select
+      case Some(d) => mainLive.unionByName(d, allowMissingColumns = true)
+    }
+    folded
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/corpus")
+    // step 4: the delta retires only after the artifact is complete
+    fs.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
+  }
+
   /** Probe a persisted IVF-PQ artifact with a BATCH of queries — the
     * multi-tenant face of [[probeIvfPq]] ([[probeIvfMulti]]'s shape
     * composed with the PQ compression): (1) per-query cell selection

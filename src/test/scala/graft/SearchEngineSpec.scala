@@ -301,6 +301,53 @@ class SearchEngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("majorCompact: post-fold probe == pre-fold, tombstones physically gone, delta retired") {
+    import graft.search.AnnIndex
+    val mainDir = graft.queries.AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_majorfold_spec").toString + "/d"
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_majorfold_out").toString + "/a"
+    // script: ingest two docs, delete corpus doc 7 and one ingest,
+    // correct the other across batches
+    def put(rows: Seq[(Long, String)], id: Long): Unit =
+      AnnIndex.appendDeltaBatch(spark, mainDir, deltaDir,
+        rows.map { case (i, t) =>
+          (i, new HashingEmbedder(64).embed(t).toSeq, t)
+        }.toDF("vec_id", "embedding", "text"), id, compactEvery = 2)
+    def del(ids: Seq[Long], id: Long): Unit =
+      AnnIndex.appendTombstones(spark, deltaDir, ids.toDF("vec_id"), id,
+        compactEvery = 2)
+    put(Seq(900051L -> "fold alpha text", 900052L -> "fold beta text"), 0L)
+    del(Seq(7L, 900052L), 1L)
+    put(Seq(900051L -> "fold alpha corrected"), 2L)
+    val qv = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" === 7L).select($"embedding").head().getSeq[Float](0).toArray
+    val pre = AnnIndex.probeIvfPqLsm(spark, mainDir, deltaDir, qv,
+      k = 10, nProbe = graft.queries.AnnQueries.IvfNProbe,
+      shortlist = graft.queries.AnnQueries.ServedShortlist)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    AnnIndex.majorCompact(spark, mainDir, deltaDir, outDir)
+    val post = AnnIndex.probeIvfPq(spark, outDir, qv,
+      k = 10, nProbe = graft.queries.AnnQueries.IvfNProbe,
+      shortlist = graft.queries.AnnQueries.ServedShortlist)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pre === post, s"fold changed the served answers: $pre vs $post")
+    assert(!post.exists(_._1 === 7L), "the deleted corpus doc must stay unserved")
+    // tombstoned keys are PHYSICALLY absent from the folded corpus —
+    // deletes stop costing probe-side anti-joins
+    val folded = spark.read.parquet(s"$outDir/corpus")
+    assert(folded.filter($"vec_id".isin(7L, 900052L)).count() === 0L,
+      "tombstoned keys must not survive the fold physically")
+    // the corrected ingest rides the folded corpus with its payload
+    val alpha = folded.filter($"vec_id" === 900051L)
+      .select($"text").as[String].collect().toSeq
+    assert(alpha === Seq("fold alpha corrected"),
+      s"the newest version must fold in exactly once: $alpha")
+    // the delta is retired wholesale
+    assert(!new java.io.File(deltaDir).exists(), "the delta must be emptied")
+  }
+
   test("served k is guarded: a hostile k fails loudly, the cap serves fine") {
     val err = intercept[IllegalArgumentException] {
       eng.searchIndexed(sf0001, "any prompt", k = SearchEngine.MaxServedK + 1)
