@@ -212,6 +212,19 @@ object AnnQueries {
   val ServedDeletePrompt: String = ServedDeleteCorrected._2
   val DeletedCorpusId = 0L
 
+  /** q176 evolving-index eval queries — dedicated NEAR-DUP probes of
+    * the lifecycle script's LIVE documents (4-of-5 / 4-of-4 word
+    * overlap → cosine 0.8 / 0.894, far above the corpus's random-max
+    * cosine at every SF), so the standing report can only be perfect
+    * if the served route actually retrieves the ingested content: a
+    * delta-serving miss drops the planted top-1, a wrongly-served
+    * tombstoned row (beta, or the gamma draft — both textually close
+    * to these queries by construction) pushes a non-relevant id into
+    * the top-k. Ids are labels only (not documents). */
+  val EvolvingEvalQueries: Seq[(Long, String)] = Seq(
+    3000000001L -> "tombstone lifecycle gamma corrected phrasing",
+    3000000002L -> "tombstone lifecycle alpha document extra")
+
   /** q174 refit trigger: rebuild the artifact when the delta's mean
     * PQ quantization distortion under the MAIN-fitted codebooks
     * exceeds this multiple of the main rows' own mean — the standing
@@ -1079,6 +1092,81 @@ object AnnQueries {
           round(coalesce(col("dcg").cast("double"), lit(0.0))
             / expr(irIdcgSql("n_rel")).cast("double"), 6).as("ndcg_at_10"))
         .orderBy(col("arm"), col("query_id"))
+    }),
+
+    "q176_evolving_eval" -> ((s, dir) => {
+      // the EVOLVING-index arm on the standing eval (q166's metric
+      // machinery pointed at the route `--delta` users get): per-query
+      // recall@10 / MRR / nDCG@10 of probeIvfPqLsm over main ∪ the
+      // delete-lifecycle delta, against the exact top-IrK (excluding
+      // self) over the LIVE set — corpus minus the deleted doc, plus
+      // the script's surviving ingests. Queries: the 5 standing corpus
+      // vectors (vec 0's DOCUMENT is deleted, so querying its own
+      // vector also certifies the unserve) + two planted near-dup
+      // probes of the live ingests (EvolvingEvalQueries — overlap
+      // engineered above the corpus's random-max cosine, so only a
+      // route that serves the ingested content, and ONLY its newest
+      // version, can be perfect). The oracle predicts perfection at
+      // the shipped constants — any delta-serving miss, resurrected
+      // tombstone, or superseded version flips it red. Scale shape:
+      // 7 bounded artifact probes + metric math over ≤ 7·(IrK+1) rows.
+      import s.implicits._
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      val liveSyn = Seq(ServedDeleteDocs.head, ServedDeleteCorrected)
+        .map { case (id, t) => (id, docVec(t)) }.toDF("vec_id", "embedding")
+      val live = e.filter(col("vec_id") =!= DeletedCorpusId)
+        .unionByName(liveSyn)
+      val q = e.filter(col("vec_id") < IrQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .unionByName(EvolvingEvalQueries
+          .map { case (id, t) => (id, docVec(t)) }.toDF("query_id", "qe"))
+      // ground truth: exact top-IrK excluding self over the LIVE set
+      val rel = live.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(neo4jScore(col("embedding"), col("qe")), 6).as("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.expressions.TopKAggExpr
+          .topK(col("vec_id"), col("score"), IrK).as("hits"))
+        .select(col("query_id"), posexplode(col("hits")).as(Seq("p0", "hit")))
+        .select(col("query_id"), col("hit.id").as("vec_id"))
+      // the served arm: one LSM probe per query (bounded plans; the
+      // delta and its tombstones resolve per probe exactly as serving
+      // does), self dropped, re-ranked by the engine total order
+      val main = ivfPqIndexDir(s, dir)
+      val delta = servedDeltaDir(s, dir)
+      val ret = q.collect().map { r =>
+        graft.search.AnnIndex.probeIvfPqLsm(s, main, delta,
+            r.getSeq[Float](1).toArray, IrK + 1, IvfNProbe, ServedShortlist)
+          .select(lit(r.getLong(0)).as("query_id"),
+            col("vec_id"), col("score"))
+      }.reduce(_.unionByName(_))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("pos") <= IrK)
+        .select(col("query_id"), col("vec_id"), col("pos"))
+      val hits = ret.join(rel, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hit"), min(col("pos")).as("first_pos"),
+          sum(expr(irDiscSql("pos"))).as("dcg"))
+      val nret = ret.groupBy(col("query_id")).agg(count(lit(1)).as("n_ret"))
+      val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      nrel
+        .join(nret, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_rel"),
+          coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_rel"), 6).as("recall_at_10"),
+          round(when(col("first_pos").isNotNull,
+            lit(1.0) / col("first_pos")).otherwise(lit(0.0)), 6).as("mrr"),
+          round(coalesce(col("dcg").cast("double"), lit(0.0))
+            / expr(irIdcgSql("n_rel")).cast("double"), 6).as("ndcg_at_10"))
+        .orderBy(col("query_id"))
     }),
 
     "q32_filtered_knn" -> ((s, dir) => {
@@ -2187,6 +2275,23 @@ object AnnQueries {
     // probes the FOLDED artifact with no delta, so green here is the
     // post-fold == pre-fold certificate
     "q175_major_fold" -> liveSetExactTop10Sql,
+
+    // the standing evolving-index report PREDICTS PERFECTION (the q166
+    // convention): every query retrieves its exact live top-IrK at the
+    // shipped constants, so a delta-serving miss, a resurrected
+    // tombstone, or a superseded version breaking into the top-k turns
+    // a 1.0 into not-1.0 and the gate red
+    "q176_evolving_eval" -> {
+      val ids = ((0 until IrQueries).map(_.toLong) ++
+        EvolvingEvalQueries.map(_._1)).sorted
+      s"""SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  $IrK::BIGINT AS n_rel, $IrK::BIGINT AS n_ret, $IrK::BIGINT AS n_hit,
+         |  CAST(1.0 AS DOUBLE) AS recall_at_10,
+         |  CAST(1.0 AS DOUBLE) AS mrr,
+         |  CAST(1.0 AS DOUBLE) AS ndcg_at_10
+         |FROM (SELECT unnest([${ids.mkString(", ")}]) AS query_id)
+         |ORDER BY query_id""".stripMargin
+    },
 
     // the Lloyd's chains on the main split (the q150 artifact's own
     // codebook fits), every row's assigned-code distortion, and the
