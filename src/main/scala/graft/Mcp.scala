@@ -42,15 +42,24 @@ object Mcp {
   val ToolName = "vector_search"
   val ToolDescription =
     "Semantic top-k vector search over the document corpus: " +
-      "natural-language prompt in, JSON array of (doc_id, text, score) out."
+      "natural-language prompt in, JSON array of (doc_id, text, score) out. " +
+      "Optional `filter`: an object of scalar equality constraints over " +
+      "stored metadata columns (e.g. {\"label\": 2}) — hits must match all."
+
+  /** The tool closure's shape: (prompt, metadata filter) → result
+    * JSON. The filter is the parsed `filter` argument — conjunctive
+    * scalar equalities ([[graft.search.SearchEngine.searchIndexed]]'s
+    * semantics); the raw-prompt dialect always passes Nil. */
+  type Search = (String, Seq[(String, Any)]) => String
 
   /** Handle one inbound stdio line. Returns the response line to write,
     * or None when the protocol mandates silence (a notification, or a
     * batch of only notifications).
     *
-    * @param search the engine closure: prompt => result JSON (the same
-    *               body the raw serve loop calls). */
-  def handle(line: String, search: String => String): Option[String] =
+    * @param search the engine closure: (prompt, filter) => result JSON
+    *               (the same body the raw serve loop calls with an
+    *               empty filter). */
+  def handle(line: String, search: Search): Option[String] =
     parseJson(line) match {
       // unparseable: JSON-RPC 2.0 mandates a -32700 response with null id
       case None => Some(render(error(JNull, -32700, "Parse error")))
@@ -70,7 +79,7 @@ object Mcp {
     * declares) answer with a batch of the individual responses,
     * notifications contributing none; an all-notification batch gets no
     * response at all, and an empty batch is an Invalid Request. */
-  def tryHandle(line: String, search: String => String): Option[Option[String]] =
+  def tryHandle(line: String, search: Search): Option[Option[String]] =
     parseJson(line) match {
       case Some(v @ (_: JObject | _: JArray)) => Some(dispatch(v, search))
       case _ => None
@@ -82,7 +91,7 @@ object Mcp {
   /** Route one parsed JSON-RPC payload; None = protocol-mandated
     * silence. (A bare scalar only reaches here via the strict [[handle]]
     * path, where it is an Invalid Request answered by handleValue.) */
-  private def dispatch(v: JValue, search: String => String): Option[String] =
+  private def dispatch(v: JValue, search: Search): Option[String] =
     v match {
       case JArray(Nil) =>
         Some(render(error(JNull, -32600, "Invalid Request: empty batch")))
@@ -98,7 +107,7 @@ object Mcp {
     * discouraged — id, so such a message is a request and gets a
     * response. A non-object batch element is an Invalid Request
     * answered with a null id. */
-  private def handleValue(msg: JValue, search: String => String): Option[JValue] = {
+  private def handleValue(msg: JValue, search: Search): Option[JValue] = {
     if (!msg.isInstanceOf[JObject])
       return Some(error(JNull, -32600, "Invalid Request: not an object"))
     val id = msg \ "id"
@@ -158,11 +167,45 @@ object Mcp {
         "properties" -> JObject(
           "prompt" -> JObject(
             "type" -> JString("string"),
-            "description" -> JString("Natural-language search prompt"))),
+            "description" -> JString("Natural-language search prompt")),
+          "filter" -> JObject(
+            "type" -> JString("object"),
+            "description" -> JString(
+              "Scalar equality constraints over stored metadata " +
+                "columns; a hit must match all of them"),
+            "additionalProperties" -> JObject(
+              "type" -> JArray(List(JString("string"), JString("number"),
+                JString("boolean")))))),
         "required" -> JArray(List(JString("prompt"))))))))
 
+  /** Parse the optional `filter` argument: absent → Right(Nil); an
+    * object of scalar values → Right(pairs); anything else (non-object
+    * filter, or a nested/null value) → Left(reason) answered as
+    * -32602 Invalid params — a silently dropped constraint would turn
+    * a narrowed search into a broad one, the worst possible default. */
+  private[graft] def parseFilter(v: JValue): Either[String, Seq[(String, Any)]] =
+    v match {
+      case JNothing => Right(Nil)
+      case JObject(fields) =>
+        fields.foldLeft[Either[String, Seq[(String, Any)]]](Right(Nil)) {
+          case (Left(e), _) => Left(e)
+          case (Right(acc), (name, value)) => value match {
+            case JInt(i) => Right(acc :+ (name -> i.longValue))
+            case JLong(l) => Right(acc :+ (name -> l))
+            case JDouble(d) => Right(acc :+ (name -> d))
+            case JDecimal(d) => Right(acc :+ (name -> d.doubleValue))
+            case JString(s) => Right(acc :+ (name -> s))
+            case JBool(b) => Right(acc :+ (name -> b))
+            case other => Left(
+              s"filter.$name must be a scalar, got ${other.getClass.getSimpleName}")
+          }
+        }
+      case other =>
+        Left(s"filter must be an object, got ${other.getClass.getSimpleName}")
+    }
+
   private def toolsCall(id: JValue, params: JValue,
-      search: String => String): JValue = {
+      search: Search): JValue = {
     val name = params \ "name" match {
       case JString(n) => n
       case _ => ""
@@ -175,19 +218,21 @@ object Mcp {
       error(id, -32602, s"Unknown tool: $name")
     else if (prompt.trim.isEmpty)
       error(id, -32602, "Missing required argument: prompt")
-    else {
-      // tool-execution failures are NOT protocol errors: MCP reports
-      // them inside the result with isError=true so the model can see
-      // and react to them — only unknown tools / bad arguments get
-      // JSON-RPC error envelopes
-      val (text, isError) =
-        try (search(prompt.trim), false)
-        catch { case e: Exception => (s"search failed: ${e.getMessage}", true) }
-      result(id, JObject(
-        "content" -> JArray(List(JObject(
-          "type" -> JString("text"),
-          "text" -> JString(text)))),
-        "isError" -> JBool(isError)))
+    else parseFilter(params \ "arguments" \ "filter") match {
+      case Left(reason) => error(id, -32602, s"Invalid argument: $reason")
+      case Right(filter) =>
+        // tool-execution failures are NOT protocol errors: MCP reports
+        // them inside the result with isError=true so the model can see
+        // and react to them — only unknown tools / bad arguments get
+        // JSON-RPC error envelopes
+        val (text, isError) =
+          try (search(prompt.trim, filter), false)
+          catch { case e: Exception => (s"search failed: ${e.getMessage}", true) }
+        result(id, JObject(
+          "content" -> JArray(List(JObject(
+            "type" -> JString("text"),
+            "text" -> JString(text)))),
+          "isError" -> JBool(isError)))
     }
   }
 

@@ -29,7 +29,8 @@ object Search {
     * `flag > env > default` (reference __init__.py:19-24). */
   final case class Config(
       sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean,
-      index: Boolean = true, delta: Option[String] = None)
+      index: Boolean = true, delta: Option[String] = None,
+      filter: Seq[(String, Any)] = Nil)
 
   /** Flags that take no value: a bare `--serve` means serve=true and
     * the next token stays a positional (prompt word) — EXCEPT a literal
@@ -39,7 +40,8 @@ object Search {
     * `--serve=false` also works. */
   private val BooleanFlags = Set("serve", "ivf-tune", "ivfpq-tune", "tune-split",
     "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune",
-    "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe")
+    "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe",
+    "lsm-soak")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all
@@ -102,9 +104,22 @@ object Search {
     // EVERY route: the index probe, the exact scan, and the fallback,
     // so a streamed-in document is never silently dropped
     val delta = flags.get("delta").orElse(env.get("SPARK_GRAFT_DELTA"))
+    // --filter col=value: the one-shot CLI face of the tool's metadata
+    // filter (numeric values compare numerically, anything else as a
+    // string — the same scalar-equality semantics the MCP argument has)
+    val filter = flags.get("filter").toSeq.map { f =>
+      f.split("=", 2) match {
+        case Array(c, v) =>
+          c -> (scala.util.Try(v.toLong).toOption
+            .orElse(scala.util.Try(v.toDouble).toOption)
+            .getOrElse(v): Any)
+        case _ => throw new IllegalArgumentException(
+          s"--filter expects col=value, got '$f'")
+      }
+    }
     require(prompt.nonEmpty || serve,
-      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false] [--delta dir]")
-    Config(sfDir, prompt, k, cpus, serve, index, delta)
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false] [--delta dir] [--filter col=value]")
+    Config(sfDir, prompt, k, cpus, serve, index, delta, filter)
   }
 
   /** The stdio request loop: blank lines skipped, EOF ends the
@@ -121,10 +136,12 @@ object Search {
     // the one tool closure every protocol dialect routes through:
     // indexed (artifact probe — ∪ the LSM delta when --delta names
     // one — exact fallback inside searchJsonIndexed) unless the
-    // exact scan was forced
-    val tool: String => String =
-      if (index) prompt => engine.searchJsonIndexed(sfDir, prompt, k, delta)
-      else prompt => engine.searchJson(sfDir, prompt, k, delta)
+    // exact scan was forced. MCP callers may pass a metadata filter;
+    // the raw-prompt dialect has no filter syntax and passes none.
+    val tool: Mcp.Search =
+      if (index) (prompt, filter) =>
+        engine.searchJsonIndexed(sfDir, prompt, k, delta, filter)
+      else (prompt, filter) => engine.searchJson(sfDir, prompt, k, delta, filter)
     var served = 0
     var line = in.readLine()
     while (line != null) {
@@ -134,7 +151,7 @@ object Search {
         // else — including {/[-prefixed text that does NOT parse as
         // JSON — is a raw prompt
         val response =
-          Mcp.tryHandle(req, tool).getOrElse(Some(tool(req)))
+          Mcp.tryHandle(req, tool).getOrElse(Some(tool(req, Nil)))
         response.foreach { r => out.println(r); served += 1 }
       }
       line = in.readLine()
@@ -159,8 +176,10 @@ object Search {
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
         System.out, cfg.index, cfg.delta)
     else if (cfg.index)
-      println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta))
-    else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta))
+      println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta,
+        cfg.filter))
+    else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta,
+      cfg.filter))
     spark.stop()
   }
 }

@@ -1094,6 +1094,22 @@ object AnnQueries {
         .orderBy(col("arm"), col("query_id"))
     }),
 
+    "q177_served_filtered" -> ((s, dir) => {
+      // METADATA-FILTERED search at the SERVICE surface (every
+      // production vector store's table-stakes argument — Qdrant
+      // payload filters, Milvus scalar fields; the reference's Cypher
+      // could add a WHERE but its tool takes only a prompt): the same
+      // searchIndexed call the MCP tool routes when the caller passes
+      // {"filter": {"label": N}} — q152's PRE-filter strategy, so the
+      // predicate reaches both artifact scans as a PushedFilter under
+      // the cell PartitionFilter and the ADC shortlist ranks
+      // qualifying rows only. Oracle: the exact FILTERED top-10 with
+      // payloads — fails closed on a recall miss AND on a filter leak
+      // (any non-matching label in the output flips the hash).
+      new graft.search.SearchEngine(s).searchIndexed(dir, ServedPrompt, 10,
+        filter = Seq("label" -> FilterLabel))
+    }),
+
     "q176_evolving_eval" -> ((s, dir) => {
       // the EVOLVING-index arm on the standing eval (q166's metric
       // machinery pointed at the route `--delta` users get): per-query
@@ -2275,6 +2291,19 @@ object AnnQueries {
     // probes the FOLDED artifact with no delta, so green here is the
     // post-fold == pre-fold certificate
     "q175_major_fold" -> liveSetExactTop10Sql,
+
+    // exact FILTERED top-10 with payloads for the served prompt — the
+    // q152 oracle shape on the service route: recall misses AND filter
+    // leaks both flip the hash
+    "q177_served_filtered" -> {
+      val lits = servedVec.map(_.toDouble).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+         |           WHERE len(embedding) = 64 AND label = $FilterLabel)
+         |SELECT e.vec_id AS doc_id, d.text,
+         |  round(${cosSql("e.embedding", lits)}, 6) AS score
+         |FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
 
     // the standing evolving-index report PREDICTS PERFECTION (the q166
     // convention): every query retrieves its exact live top-IrK at the

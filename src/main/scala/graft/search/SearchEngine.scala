@@ -84,10 +84,20 @@ final class SearchEngine(
     * server.py:87). With `deltaDir`, the exact scan covers corpus ∪
     * the LSM delta's rows — the EXACT route serves streamed-in
     * documents too, which is what lets [[searchJsonIndexed]]'s
-    * fallback stay "slower, never wronger" when a delta is in play. */
+    * fallback stay "slower, never wronger" when a delta is in play.
+    * `filter` is the service-surface metadata filter (see
+    * [[searchIndexed]] for the semantics both routes share). */
   def search(sfDir: String, prompt: String, k: Int = 10,
-             deltaDir: Option[String] = None): Dataset[SearchHit] =
-    topK(corpusWithDelta(sfDir, deltaDir, embedder.dim), embedder.embed(prompt), k)
+             deltaDir: Option[String] = None,
+             filter: Seq[(String, Any)] = Nil): Dataset[SearchHit] =
+    topK(corpusWithDelta(sfDir, deltaDir, embedder.dim, filter),
+      embedder.embed(prompt), k)
+
+  /** `filter` as one conjunctive equality predicate (lit(true) when
+    * empty — folds away at optimization). */
+  private def filterPredicate(filter: Seq[(String, Any)]): Column =
+    filter.map { case (c, v) => col(c) === lit(v) }
+      .foldLeft(lit(true))(_ && _)
 
   /** The searchable rows: live corpus ∪ (when a delta is named) the
     * delta's LIVE (doc_id, text, embedding) rows, under the engine's
@@ -104,17 +114,27 @@ final class SearchEngine(
     *    the store's own fold rule applied to the unfolded tail);
     *  - a bare put colliding with a LIVE corpus id stays
     *    corpus-canonical (an accidental id reuse must not overwrite
-    *    the stored document — correction is expressed as del + put). */
+    *    the stored document — correction is expressed as del + put);
+    *  - a metadata `filter` applies to each side over the columns its
+    *    rows CARRY: the corpus side filters before scoring (pushdown);
+    *    a delta whose segment rows lack a filtered column contributes
+    *    nothing under that filter (an ingested doc with no label
+    *    cannot match `label = 2` — excluded, not errored), the same
+    *    rule on both routes. */
   private def corpusWithDelta(sfDir: String, deltaDir: Option[String],
-                              dim: Int): DataFrame = {
-    val base = corpus(sfDir, dim)
+                              dim: Int,
+                              filter: Seq[(String, Any)] = Nil): DataFrame = {
+    val base = {
+      val c = corpus(sfDir, dim)
+      if (filter.isEmpty) c else c.filter(filterPredicate(filter))
+    }
     val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
     val baseLive = dels match {
       case None => base
       case Some(d) => base.join(
         broadcast(d.select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_anti")
     }
-    deltaSegsLww(deltaDir, dels) match {
+    deltaSegsLww(deltaDir, dels, filter) match {
       case None => baseLive
       case Some(delta) =>
         val baseRows = baseLive.select($"doc_id", $"text", $"embedding")
@@ -128,29 +148,41 @@ final class SearchEngine(
     * batch) frame — segments resolved ONCE (snapshot stability), id
     * twins resolved latest-batch-wins, rows at or below a newer
     * tombstone dropped (put wins a same-batch tie). None when no
-    * delta is named or the delta is empty. */
+    * delta is named, the delta is empty, or a `filter` names a column
+    * the segment rows don't carry (the schema rule corpusWithDelta
+    * documents). */
   private def deltaSegsLww(deltaDir: Option[String],
-                           dels: Option[DataFrame]): Option[DataFrame] = {
+                           dels: Option[DataFrame],
+                           filter: Seq[(String, Any)] = Nil): Option[DataFrame] = {
     val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
-    if (segs.isEmpty) None
+    if (segs.isEmpty ||
+        !filter.forall { case (c, _) => segs.forall(_.columns.contains(c)) })
+      None
     else {
       val batchCol = graft.sources.SegmentStore.BatchCol
       val w = Window.partitionBy(col("doc_id")).orderBy(col(batchCol).desc)
+      // filter columns (if any) ride the resolution and the filter
+      // applies AFTER latest-wins — a stale matching version must not
+      // shadow the current non-matching one
+      val carry = filter.map(_._1).distinct
+        .filterNot(Set("doc_id", "text", "embedding", batchCol))
       val lww = segs
-        .map(_.select(col("vec_id").as("doc_id"), col("text"),
-          col("embedding"), col(batchCol)))
+        .map(_.select(Seq(col("vec_id").as("doc_id"), col("text"),
+          col("embedding"), col(batchCol)) ++ carry.map(col): _*))
         .reduce(_.unionByName(_))
         .withColumn("_lww_rn", row_number().over(w))
         .filter(col("_lww_rn") === 1)
         .drop("_lww_rn")
-      Some(dels match {
+      val live = dels match {
         case None => lww
         case Some(d) => lww
           .join(broadcast(d.select(col("vec_id").as("doc_id"), col("del_batch"))),
             Seq("doc_id"), "left")
           .filter(col("del_batch").isNull || col(batchCol) >= col("del_batch"))
           .drop("del_batch")
-      })
+      }
+      Some(if (filter.isEmpty) live
+        else live.filter(filterPredicate(filter)).drop(carry: _*))
     }
   }
 
@@ -193,10 +225,21 @@ final class SearchEngine(
     * exact top-k and fails closed on any miss
     * ([[graft.queries.AnnQueries.ServedShortlist]] carries the
     * measured minima). */
+  /** `filter`: the service-surface metadata filter — conjunctive
+    * scalar equality over persisted payload columns (q152's
+    * pre-filter strategy: it reaches the artifact scans as a
+    * PushedFilter under the cell PartitionFilter, so the shortlist
+    * ranks qualifying rows only and a selective filter cannot starve
+    * the top-k). The delta contributes only rows that carry AND match
+    * the filtered columns (latest version decides — the rule
+    * corpusWithDelta documents, shared by the exact fallback), and
+    * collision canonicity is judged against the FILTERED live corpus
+    * (the exact route's anti-join semantics). */
   def searchIndexed(sfDir: String, prompt: String, k: Int = 10,
                     nProbe: Int = graft.queries.AnnQueries.IvfNProbe,
                     shortlist: Int = graft.queries.AnnQueries.ServedShortlist,
-                    deltaDir: Option[String] = None): DataFrame = {
+                    deltaDir: Option[String] = None,
+                    filter: Seq[(String, Any)] = Nil): DataFrame = {
     // the payload fetch and the driver merge are O(k): an unbounded
     // caller-supplied k would build an arbitrarily large In literal
     // list and driver row set — fail the request loudly instead (the
@@ -213,7 +256,7 @@ final class SearchEngine(
     // tombstoned rows are dropped (the lifecycle rules corpusWithDelta
     // documents — both routes share them)
     val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
-    val delta = deltaSegsLww(deltaDir, dels)
+    val delta = deltaSegsLww(deltaDir, dels, filter)
     // the EVOLVING-index route is q150's main+delta read: the main
     // artifact is PROBED (cell pruning, ADC shortlist, exact rescore)
     // and the delta is EXACT-SCANNED in full — q150's documented rule
@@ -231,7 +274,8 @@ final class SearchEngine(
     // anti-join before any ranking), so the main top-k back-fills with
     // live rows exactly — a deleted document is unserved, not a hole
     val mainHits = graft.search.AnnIndex
-      .probeIvfPq(spark, main, qv, k, nProbe, shortlist, exclude = dels)
+      .probeIvfPq(spark, main, qv, k, nProbe, shortlist,
+        predicate = filterPredicate(filter), exclude = dels)
       .collect() // ≤ k rows — the bounded driver merge every top-k ends in
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // delta side: exact top-k over delta \ corpus-ids — the corpus is
@@ -248,7 +292,14 @@ final class SearchEngine(
     val deltaHits: Seq[(Long, Double)] = delta match {
       case None => Nil
       case Some(d) =>
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        // collision canonicity is judged against the FILTERED live
+        // corpus (corpusWithDelta's anti-join target): a corpus id
+        // outside the filter does not block a matching delta row
+        val docs = {
+          val c = corpus(sfDir, embedder.dim)
+          (if (filter.isEmpty) c else c.filter(filterPredicate(filter)))
+            .select($"doc_id")
+        }
         var excluded = Set.empty[Long]
         var out: Option[Seq[(Long, Double)]] = None
         var passes = 0
@@ -426,10 +477,11 @@ final class SearchEngine(
     * NonFatal failures degrade (an InterruptedException or OOM must
     * propagate). Empty-result intent as [[searchJson]]. */
   def searchJsonIndexed(sfDir: String, prompt: String, k: Int = 10,
-                        deltaDir: Option[String] = None): String =
+                        deltaDir: Option[String] = None,
+                        filter: Seq[(String, Any)] = Nil): String =
     renderHits(
       try searchIndexed(sfDir, prompt, k,
-          deltaDir = deltaDir).as[SearchHit].collect()
+          deltaDir = deltaDir, filter = filter).as[SearchHit].collect()
       catch {
         case scala.util.control.NonFatal(e) =>
           indexFallbackCount.incrementAndGet()
@@ -437,7 +489,7 @@ final class SearchEngine(
             s"${e.getClass.getSimpleName}: ${e.getMessage}); serving exact scan")
           // the fallback scans corpus ∪ delta — dropping the streamed-in
           // docs here would make the degraded answer WRONG, not slow
-          search(sfDir, prompt, k, deltaDir).collect()
+          search(sfDir, prompt, k, deltaDir, filter).collect()
       })
 
   /** How many tool calls this engine served via the exact-scan
@@ -450,8 +502,9 @@ final class SearchEngine(
     * (reference server.py:98-102 tests a truthy `"[]"` string —
     * SURVEY.md §2.1 O10). The engine implements the intent. */
   def searchJson(sfDir: String, prompt: String, k: Int = 10,
-                 deltaDir: Option[String] = None): String =
-    renderHits(search(sfDir, prompt, k, deltaDir).collect())
+                 deltaDir: Option[String] = None,
+                 filter: Seq[(String, Any)] = Nil): String =
+    renderHits(search(sfDir, prompt, k, deltaDir, filter).collect())
 
   private def renderHits(hits: Array[SearchHit]): String =
     if (hits.isEmpty) "No results found."

@@ -122,6 +122,54 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(text === eng.searchJson(sf001, prompt, 10))
   }
 
+  test("filtered search round-trips through MCP and equals the exact filtered scan") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val eng = new graft.search.SearchEngine(spark)
+    val prompt = graft.queries.AnnQueries.ServedPrompt
+    val label = graft.queries.AnnQueries.FilterLabel
+    // engine API: the indexed filtered route equals the exact filtered
+    // scan, and every hit matches the filter (no leak)
+    val filt = Seq("label" -> (label: Any))
+    assert(eng.searchJsonIndexed(sf001, prompt, 10, filter = filt) ===
+      eng.searchJson(sf001, prompt, 10, filter = filt))
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hits = eng.searchIndexed(sf001, prompt, 10, filter = filt)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val labels = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id").isin(hits: _*))
+      .select(col("label")).as[Int].collect().toSet
+    assert(labels === Set(label), s"filter leak: labels $labels")
+    // and through the MCP dialect: the filter argument narrows the call
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      s"""{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"$prompt","filter":{"label":$label}}}}""" + "\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf001, k = 10,
+      in, new java.io.PrintStream(buf, true, "UTF-8"), index = true)
+    assert(served === 1)
+    val call = parse(buf.toString("UTF-8").trim)
+    assert(call \ "result" \ "isError" === JBool(false))
+    val JString(text) = (call \ "result" \ "content")(0) \ "text": @unchecked
+    assert(text === eng.searchJson(sf001, prompt, 10, filter = filt))
+    // a malformed filter is a protocol-level bad argument, not a
+    // silently-broadened search
+    val bad = parse(Mcp.handle(
+      s"""{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"x","filter":{"label":{"nested":1}}}}}""",
+      (_, _) => "unused").get)
+    assert((bad \ "error" \ "code") === JInt(-32602))
+    val bad2 = parse(Mcp.handle(
+      s"""{"jsonrpc":"2.0","id":8,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"x","filter":[1,2]}}}""",
+      (_, _) => "unused").get)
+    assert((bad2 \ "error" \ "code") === JInt(-32602))
+    // the advertised schema carries the filter property
+    val tl = parse(Mcp.handle(
+      """{"jsonrpc":"2.0","id":9,"method":"tools/list"}""",
+      (_, _) => "unused").get)
+    val props = (tl \ "result" \ "tools")(0) \ "inputSchema" \ "properties"
+    assert((props \ "filter" \ "type") === JString("object"))
+  }
+
   test("index-route failure falls back to the exact path, never errors the tool call") {
     // a 32-d embedder cannot probe the 64-d artifact (the quantizer
     // rejects the dim) — searchJsonIndexed must degrade to the exact
@@ -138,7 +186,7 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.parse
     def err(line: String): (JValue, JValue) = {
-      val r = parse(Mcp.handle(line, _ => "unused").get)
+      val r = parse(Mcp.handle(line, (_, _) => "unused").get)
       (r \ "error" \ "code", r \ "id")
     }
     assert(err("{not json")._1 === JInt(-32700))
@@ -147,17 +195,17 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(err("""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"wrong","arguments":{"prompt":"x"}}}""")._1 === JInt(-32602))
     assert(err("""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"vector_search","arguments":{}}}""")._1 === JInt(-32602))
     // unknown NOTIFICATION (no id) must be silently consumed, not answered
-    assert(Mcp.handle("""{"jsonrpc":"2.0","method":"notifications/cancelled"}""", _ => "x").isEmpty)
+    assert(Mcp.handle("""{"jsonrpc":"2.0","method":"notifications/cancelled"}""", (_, _) => "x").isEmpty)
     // a tools-only server answers the other list surfaces with empty
     // lists (clients enumerate all three on connect), never -32601
-    val pl = parse(Mcp.handle("""{"jsonrpc":"2.0","id":7,"method":"prompts/list"}""", _ => "x").get)
+    val pl = parse(Mcp.handle("""{"jsonrpc":"2.0","id":7,"method":"prompts/list"}""", (_, _) => "x").get)
     assert(pl \ "result" \ "prompts" === JArray(Nil))
-    val rl = parse(Mcp.handle("""{"jsonrpc":"2.0","id":8,"method":"resources/list"}""", _ => "x").get)
+    val rl = parse(Mcp.handle("""{"jsonrpc":"2.0","id":8,"method":"resources/list"}""", (_, _) => "x").get)
     assert(rl \ "result" \ "resources" === JArray(Nil))
     // a tool-execution failure is an in-band result, not a protocol error
     val r = parse(Mcp.handle(
       s"""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"boom"}}}""",
-      _ => throw new RuntimeException("engine down")).get)
+      (_, _) => throw new RuntimeException("engine down")).get)
     assert(r \ "result" \ "isError" === JBool(true))
     val JString(msg) = (r \ "result" \ "content")(0) \ "text": @unchecked
     assert(msg.contains("engine down"))
@@ -170,21 +218,21 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
       {"jsonrpc":"2.0","id":1,"method":"ping"},
       {"jsonrpc":"2.0","method":"notifications/initialized"},
       {"jsonrpc":"2.0","id":2,"method":"tools/list"}]""".replaceAll("\n\\s*", "")
-    val JArray(rs) = parse(Mcp.handle(batch, _ => "x").get): @unchecked
+    val JArray(rs) = parse(Mcp.handle(batch, (_, _) => "x").get): @unchecked
     // two responses (the notification contributes none), order kept
     assert(rs.map(_ \ "id") === List(JInt(1), JInt(2)))
     // all-notification batch: no response line at all
-    assert(Mcp.handle("""[{"jsonrpc":"2.0","method":"notifications/initialized"}]""", _ => "x").isEmpty)
+    assert(Mcp.handle("""[{"jsonrpc":"2.0","method":"notifications/initialized"}]""", (_, _) => "x").isEmpty)
     // empty batch: Invalid Request
-    val e = parse(Mcp.handle("[]", _ => "x").get)
+    val e = parse(Mcp.handle("[]", (_, _) => "x").get)
     assert(e \ "error" \ "code" === JInt(-32600))
     // non-object batch elements each draw a -32600 with null id
-    val JArray(bad) = parse(Mcp.handle("""[1,{"jsonrpc":"2.0","id":3,"method":"ping"}]""", _ => "x").get): @unchecked
+    val JArray(bad) = parse(Mcp.handle("""[1,{"jsonrpc":"2.0","id":3,"method":"ping"}]""", (_, _) => "x").get): @unchecked
     assert(bad.head \ "error" \ "code" === JInt(-32600) && bad.head \ "id" === JNull)
     assert(bad(1) \ "id" === JInt(3))
     // "id": null is a PRESENT id — a request, answered; only a missing
     // id makes a notification
-    val nullId = parse(Mcp.handle("""{"jsonrpc":"2.0","id":null,"method":"ping"}""", _ => "x").get)
+    val nullId = parse(Mcp.handle("""{"jsonrpc":"2.0","id":null,"method":"ping"}""", (_, _) => "x").get)
     assert(nullId \ "id" === JNull && (nullId \ "result") != JNothing)
   }
 
@@ -210,14 +258,14 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     // shapes (object/array) — a prompt that happens to be a number must
     // get search results, not an Invalid Request envelope
     Seq("42", "true", "\"hash join\"").foreach { line =>
-      assert(Mcp.tryHandle(line, _ => "x").isEmpty, line)
+      assert(Mcp.tryHandle(line, (_, _) => "x").isEmpty, line)
     }
     // the strict protocol path still rejects them (a real MCP client
     // never sends a scalar): Invalid Request, not silence
-    val r = parse(Mcp.handle("42", _ => "x").get)
+    val r = parse(Mcp.handle("42", (_, _) => "x").get)
     assert((r \ "error" \ "code") === JInt(-32600))
     // and objects/batches remain protocol traffic on both paths
-    assert(Mcp.tryHandle("""{"jsonrpc":"2.0","id":1,"method":"ping"}""", _ => "x")
+    assert(Mcp.tryHandle("""{"jsonrpc":"2.0","id":1,"method":"ping"}""", (_, _) => "x")
       .exists(_.isDefined))
   }
 
@@ -227,22 +275,22 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     // any method WITHOUT an id is a notification — never answered
     assert(Mcp.handle(
       """{"jsonrpc":"2.0","method":"notifications/cancelled","params":{"requestId":1}}""",
-      _ => "x").isEmpty)
+      (_, _) => "x").isEmpty)
     // MCP version negotiation: a supported requested revision is ECHOED
     // (the client then talks that revision) ...
     val init = parse(Mcp.handle(
       """{"jsonrpc":"2.0","id":7,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""",
-      _ => "x").get)
+      (_, _) => "x").get)
     assert((init \ "result" \ "protocolVersion") === JString("2024-11-05"))
     // ... an unknown revision is answered with the latest this server
     // speaks, and the client decides whether to proceed
     val unknown = parse(Mcp.handle(
       """{"jsonrpc":"2.0","id":8,"method":"initialize","params":{"protocolVersion":"1999-01-01"}}""",
-      _ => "x").get)
+      (_, _) => "x").get)
     assert((unknown \ "result" \ "protocolVersion") === JString(Mcp.ProtocolVersion))
     // ... and a missing protocolVersion also draws the latest
     val bare = parse(Mcp.handle(
-      """{"jsonrpc":"2.0","id":9,"method":"initialize"}""", _ => "x").get)
+      """{"jsonrpc":"2.0","id":9,"method":"initialize"}""", (_, _) => "x").get)
     assert((bare \ "result" \ "protocolVersion") === JString(Mcp.ProtocolVersion))
   }
 
