@@ -299,7 +299,7 @@ object ScaleProbe {
     val resident = spark.read.parquet(s"$dir/corpus")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val top10 = allTop10.filter(resident)
-    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    val probed = search.AnnIndex.probedCells(spark, dir, qv, queries.AnnQueries.IvfNProbe)
     import org.apache.spark.sql.expressions.Window
     val ranked = spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probed: _*))
@@ -337,7 +337,7 @@ object ScaleProbe {
           typedLit(qv.toSeq)), 6))
       .orderBy(col("score").desc, col("vec_id").asc).limit(10)
       .collect().map(_.getLong(0)).toSeq
-    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    val probed = search.AnnIndex.probedCells(spark, dir, qv, queries.AnnQueries.IvfNProbe)
     import org.apache.spark.sql.expressions.Window
     val ranked = spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probed: _*))
@@ -373,7 +373,7 @@ object ScaleProbe {
           typedLit(qv.toSeq)), 6))
       .orderBy(col("score").desc, col("vec_id").asc).limit(10)
       .collect().map(_.getLong(0)).toSeq
-    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    val probed = search.AnnIndex.probedCells(spark, dir, qv, queries.AnnQueries.IvfNProbe)
     import org.apache.spark.sql.expressions.Window
     val ranked = spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probed: _*))
@@ -413,7 +413,7 @@ object ScaleProbe {
           typedLit(qv.toSeq)), 6))
       .orderBy(col("score").desc, col("vec_id").asc).limit(10)
       .collect().map(_.getLong(0)).toSeq
-    val probed = search.AnnIndex.probedCells(dir, qv, queries.AnnQueries.IvfNProbe)
+    val probed = search.AnnIndex.probedCells(spark, dir, qv, queries.AnnQueries.IvfNProbe)
     import org.apache.spark.sql.expressions.Window
     val ranked = spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probed: _*))
@@ -448,7 +448,7 @@ object ScaleProbe {
           typedLit(qv.toSeq)), 6))
       .orderBy(col("score").desc, col("vec_id").asc).limit(10)
       .collect().map(_.getLong(0)).toSeq
-    val probed = search.AnnIndex.probedCells(mainDir, qv, queries.AnnQueries.IvfNProbe)
+    val probed = search.AnnIndex.probedCells(spark, mainDir, qv, queries.AnnQueries.IvfNProbe)
     val adc = search.AnnIndex.adcDistanceCol(spark, mainDir, qv)
     import org.apache.spark.sql.expressions.Window
     val ranked = Seq(s"$mainDir/corpus", segDir)
@@ -488,7 +488,7 @@ object ScaleProbe {
             typedLit(qv.toSeq)), 6))
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)
         .collect().map(_.getLong(0)).toSeq
-      val probed = search.AnnIndex.probedCells(dir, qv,
+      val probed = search.AnnIndex.probedCells(spark, dir, qv,
         queries.AnnQueries.MultiProbeNProbe)
       val ranked = spark.read.parquet(s"$dir/corpus")
         .filter(col("cell").isin(probed: _*))

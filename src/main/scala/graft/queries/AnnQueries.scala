@@ -1147,13 +1147,16 @@ object AnnQueries {
           .topK(col("vec_id"), col("score"), IrK).as("hits"))
         .select(col("query_id"), posexplode(col("hits")).as(Seq("p0", "hit")))
         .select(col("query_id"), col("hit.id").as("vec_id"))
-      // the served arm: one LSM probe per query (bounded plans; the
-      // delta and its tombstones resolve per probe exactly as serving
-      // does), self dropped, re-ranked by the engine total order
+      // the served arm: the LSM liveness resolves ONCE for the whole
+      // query batch (lsmLiveSegments — the same frames every probe
+      // serves; a per-probe resolution would re-read tombstones and
+      // re-window the delta 7×), then one bounded probe per query,
+      // self dropped, re-ranked by the engine total order
       val main = ivfPqIndexDir(s, dir)
-      val delta = servedDeltaDir(s, dir)
+      val segs = graft.search.AnnIndex.lsmLiveSegments(
+        s, main, servedDeltaDir(s, dir))
       val ret = q.collect().map { r =>
-        graft.search.AnnIndex.probeIvfPqLsm(s, main, delta,
+        graft.search.AnnIndex.probeIvfPqSegments(s, main, segs,
             r.getSeq[Float](1).toArray, IrK + 1, IvfNProbe, ServedShortlist)
           .select(lit(r.getLong(0)).as("query_id"),
             col("vec_id"), col("score"))

@@ -247,7 +247,7 @@ object AnnIndex {
     * which is the property that bounds a 100 TB probe's I/O. */
   def probeIvf(spark: SparkSession, dir: String, query: Array[Float],
                k: Int, nProbe: Int = 4): DataFrame = {
-    val probed = probedCells(dir, query, nProbe)
+    val probed = probedCells(spark, dir, query, nProbe)
     spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probed: _*))
       .withColumn("score", round(neo4jScore(col("embedding"), typedLit(query.toSeq)), 6))
@@ -305,12 +305,43 @@ object AnnIndex {
     * top-k member survives both the cell pruning AND the ADC
     * shortlist; the declared oracle (exact top-k) fails closed on
     * either miss, and `--ivfpq-tune` re-measures both minima. */
+  /** Session memo of loaded coarse quantizers keyed by artifact dir.
+    * Artifacts are write-once per session (the session builders) or
+    * land in fresh directories (majorCompact, specs), so a loaded
+    * model is immutable for its key's lifetime — memoizing drops the
+    * driver-side model read (a small Spark job) from EVERY probe call
+    * and every streaming encode micro-batch. Evicted with the
+    * application ([[graft.SessionMemo]]). */
+  private val sessionQuantizers = new graft.SessionMemo[String, KMeansModel]
+
+  private[graft] def loadQuantizer(spark: SparkSession, dir: String): KMeansModel =
+    sessionQuantizers.getOrCompute(spark, s"$dir/model")(
+      KMeansModel.load(s"$dir/model"))
+
+  /** Session memo of COLLECTED codebook tables keyed by artifact dir
+    * (sub → rows sorted by cell) — same immutability argument as
+    * [[sessionQuantizers]]; drops a parquet-read job per probe. */
+  private val sessionCodebooks =
+    new graft.SessionMemo[String, Map[Int, Seq[Seq[Double]]]]
+
+  private def loadCodebooks(spark: SparkSession,
+                            dir: String): Map[Int, Seq[Seq[Double]]] =
+    sessionCodebooks.getOrCompute(spark, s"$dir/codebooks") {
+      spark.read.parquet(s"$dir/codebooks")
+        .select(col("sub"), col("cell"), col("ce")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (sub, rows) =>
+          sub -> rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+        }
+    }
+
   /** The `nProbe` artifact cells nearest the (normalized) query under
     * the reloaded quantizer — [[probeIvf]]'s driver-side ranking,
     * shared with [[probeIvfPq]] and the `--ivfpq-tune` probe. */
-  private[graft] def probedCells(dir: String, query: Array[Float],
+  private[graft] def probedCells(spark: SparkSession, dir: String,
+                                 query: Array[Float],
                                  nProbe: Int): Seq[Int] = {
-    val model = KMeansModel.load(s"$dir/model")
+    val model = loadQuantizer(spark, dir)
     val qn = {
       val norm = math.sqrt(query.map(x => x.toDouble * x).sum)
       if (norm == 0) query.map(_.toDouble) else query.map(_ / norm)
@@ -327,13 +358,11 @@ object AnnIndex {
     * `c0..c{m-1}`, never the raw vectors. */
   private[graft] def adcDistanceCol(spark: SparkSession, dir: String,
                                     query: Array[Float]): org.apache.spark.sql.Column = {
-    val cb = spark.read.parquet(s"$dir/codebooks")
-      .select(col("sub"), col("cell"), col("ce")).collect()
-      .groupBy(_.getInt(0))
+    val cb = loadCodebooks(spark, dir)
     val subs = cb.keys.toSeq.sorted
     val subDim = query.length / subs.size
     subs.map { sub =>
-      val cents = cb(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2))
+      val cents = cb(sub)
       val qSub = query.map(_.toDouble).slice(sub * subDim, (sub + 1) * subDim)
       val lut = cents.map(c => qSub.zip(c)
         .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }).toSeq
@@ -365,7 +394,7 @@ object AnnIndex {
                  predicate: Column = lit(true),
                  payload: Seq[String] = Nil,
                  exclude: Option[DataFrame] = None): DataFrame = {
-    val probed = probedCells(dir, query, nProbe)
+    val probed = probedCells(spark, dir, query, nProbe)
     val corpus = spark.read.parquet(s"$dir/corpus")
     def live(df: DataFrame): DataFrame = exclude match {
       case None => df
@@ -451,19 +480,17 @@ object AnnIndex {
     * joins, and the raw vectors never enter the evaluating scan. */
   private[graft] def adcResidualDistanceCol(spark: SparkSession, dir: String,
                                             query: Array[Float]): Column = {
-    val centers = KMeansModel.load(s"$dir/model")
+    val centers = loadQuantizer(spark, dir)
       .clusterCenters.map(_.toArray)
     val qn = {
       val n = math.sqrt(query.map(x => x.toDouble * x).sum)
       if (n == 0) query.map(_.toDouble) else query.map(_ / n)
     }
-    val cb = spark.read.parquet(s"$dir/codebooks")
-      .select(col("sub"), col("cell"), col("ce")).collect()
-      .groupBy(_.getInt(0))
+    val cb = loadCodebooks(spark, dir)
     val subs = cb.keys.toSeq.sorted
     val subDim = qn.length / subs.size
     subs.map { sub =>
-      val cents = cb(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2))
+      val cents = cb(sub)
       val pqK = cents.size
       val lut: Seq[Double] = centers.indices.flatMap { cell =>
         val qr = qn.zip(centers(cell)).map { case (a, b) => a - b }
@@ -481,7 +508,7 @@ object AnnIndex {
     * estimator. */
   def probeIvfPqResidual(spark: SparkSession, dir: String, query: Array[Float],
                          k: Int, nProbe: Int, shortlist: Int): DataFrame = {
-    val probed = probedCells(dir, query, nProbe)
+    val probed = probedCells(spark, dir, query, nProbe)
     val corpus = spark.read.parquet(s"$dir/corpus")
     val short = corpus
       .filter(col("cell").isin(probed: _*))
@@ -508,20 +535,17 @@ object AnnIndex {
     * and it probes like the main corpus. Cost is O(delta): one pass
     * over the new rows against broadcast-literal centers/codebooks. */
   def encodeSegment(spark: SparkSession, indexDir: String, rows: DataFrame): DataFrame = {
-    val model = KMeansModel.load(s"$indexDir/model")
-    val cb = spark.read.parquet(s"$indexDir/codebooks")
-      .select(col("sub"), col("cell"), col("ce")).collect()
-      .groupBy(_.getInt(0))
+    val model = loadQuantizer(spark, indexDir)
+    val cb = loadCodebooks(spark, indexDir)
     val subs = cb.keys.toSeq.sorted
-    val subDim = cb(subs.head).head.getSeq[Double](2).size
+    val subDim = cb(subs.head).head.size
     // the loaded quantizer itself assigns cells (predictionCol "cell"
     // persisted at fit time) — bit-identical to the main build's
     // assignment, so one cell ranking serves every segment
     val assigned = model.transform(prepare(rows)).drop("features")
     subs.foldLeft(assigned) { case (df, sub) =>
-      val cents = cb(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
       df.withColumn(s"c$sub", graft.operators.SemDedup.assignCell(
-        slice(col("embedding"), sub * subDim + 1, subDim), cents))
+        slice(col("embedding"), sub * subDim + 1, subDim), cb(sub)))
     }
   }
 
@@ -538,7 +562,7 @@ object AnnIndex {
                          segments: Seq[DataFrame], query: Array[Float],
                          k: Int, nProbe: Int, shortlist: Int,
                          payload: Seq[String] = Nil): DataFrame = {
-    val probed = probedCells(indexDir, query, nProbe)
+    val probed = probedCells(spark, indexDir, query, nProbe)
     val pruned = segments.map(_.filter(col("cell").isin(probed: _*)))
     val adc = adcDistanceCol(spark, indexDir, query)
     val short = pruned.map(_.select(col("vec_id"), adc.as("adc_d")))
@@ -653,7 +677,25 @@ object AnnIndex {
     * back-fills exactly. */
   def probeIvfPqLsm(spark: SparkSession, indexDir: String, deltaDir: String,
                     query: Array[Float], k: Int, nProbe: Int,
-                    shortlist: Int): DataFrame = {
+                    shortlist: Int): DataFrame =
+    // column pruning happens inside probeIvfPqSegments' selects, so
+    // differing payload columns across segments are harmless
+    probeIvfPqSegments(spark, indexDir,
+      lsmLiveSegments(spark, indexDir, deltaDir), query, k, nProbe, shortlist)
+
+  /** THE definition of what an LSM-maintained index currently SERVES —
+    * the live segment frames: the main artifact minus tombstoned ids,
+    * plus the delta's manifest-resolved rows after latest-batch-wins
+    * and tombstone shadowing (put wins a same-batch tie). One
+    * resolution shared by [[probeIvfPqLsm]] (per probe), a query batch
+    * that resolves once and probes many times (q176's standing eval),
+    * and [[majorCompact]] — the fold rewrites exactly these frames,
+    * which is WHY post-fold probes equal pre-fold probes by
+    * construction. Delta frames keep their
+    * [[graft.sources.SegmentStore.BatchCol]] stamp (consumers that
+    * persist them drop it). */
+  def lsmLiveSegments(spark: SparkSession, indexDir: String,
+                      deltaDir: String): Seq[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val batchCol = graft.sources.SegmentStore.BatchCol
@@ -679,10 +721,7 @@ object AnnIndex {
           .drop("del_batch")
       })
     }
-    // column pruning happens inside probeIvfPqSegments' selects, so
-    // differing payload columns across segments are harmless
-    probeIvfPqSegments(spark, indexDir, mainLive +: deltaLive,
-      query, k, nProbe, shortlist)
+    mainLive +: deltaLive
   }
 
   /** MAJOR compaction: fold the LSM delta back into a fresh MAIN
@@ -715,41 +754,18 @@ object AnnIndex {
                    outDir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val batchCol = graft.sources.SegmentStore.BatchCol
-    val dels = tombstones(spark, deltaDir)
-    val main = spark.read.parquet(s"$indexDir/corpus")
-    val mainLive = dels match {
-      case None => main
-      case Some(d) =>
-        main.join(broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti")
-    }
-    val deltaDirs = deltaSegments(fs, deltaDir)
-    val deltaLive: Option[DataFrame] = if (deltaDirs.isEmpty) None else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col(batchCol).desc)
-      val lww = deltaDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-        .withColumn("_lww_rn", row_number().over(w))
-        .filter(col("_lww_rn") === 1).drop("_lww_rn")
-      Some((dels match {
-        case None => lww
-        case Some(d) => lww
-          .join(broadcast(d), Seq("vec_id"), "left")
-          .filter(col("del_batch").isNull || col(batchCol) >= col("del_batch"))
-          .drop("del_batch")
-      }).drop(batchCol))
-    }
     // quantizer + codebooks carry over unchanged (no refit — step 2)
-    KMeansModel.load(s"$indexDir/model").write.overwrite().save(s"$outDir/model")
+    loadQuantizer(spark, indexDir).write.overwrite().save(s"$outDir/model")
     spark.read.parquet(s"$indexDir/codebooks")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
-    val folded = deltaLive match {
-      case None => mainLive
-      // schemas differ by payload columns (main may carry label, the
-      // delta text) — the union keeps both, null where absent; probes
-      // prune to what they select
-      case Some(d) => mainLive.unionByName(d, allowMissingColumns = true)
-    }
-    folded
+    // the fold rewrites EXACTLY what probes serve ([[lsmLiveSegments]]
+    // — one definition of liveness); schemas differ by payload columns
+    // (main may carry label, the delta text) — the union keeps both,
+    // null where absent, and the per-row batch stamp is dropped (a
+    // folded corpus is a fresh epoch)
+    lsmLiveSegments(spark, indexDir, deltaDir)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .drop(graft.sources.SegmentStore.BatchCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/corpus")
     // step 4: the delta retires only after the artifact is complete
@@ -777,7 +793,7 @@ object AnnIndex {
   def probeIvfPqMulti(spark: SparkSession, dir: String, queries: DataFrame,
                       k: Int, nProbe: Int, shortlist: Int): DataFrame = {
     import spark.implicits._
-    val model = KMeansModel.load(s"$dir/model")
+    val model = loadQuantizer(spark, dir)
     val centers = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
     val w = org.apache.spark.sql.expressions.Window
@@ -790,12 +806,9 @@ object AnnIndex {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nProbe)
       .select(col("cell"), col("query_id"), col("qe"))
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
-      .select(col("sub"), col("cell"), col("ce")).collect()
-      .groupBy(_.getInt(0))
+    val cbRows = loadCodebooks(spark, dir)
     val subs = cbRows.keys.toSeq.sorted
-    val codebooks = subs.map(sub =>
-      cbRows(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+    val codebooks = subs.map(cbRows)
     val subDim = codebooks.head.head.size
     val adc = subs.map { sub =>
       graft.expressions.VectorExpressions.sqDist(
@@ -842,7 +855,7 @@ object AnnIndex {
   def probeIvfMulti(spark: SparkSession, dir: String, queries: DataFrame,
                     k: Int, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
-    val model = KMeansModel.load(s"$dir/model")
+    val model = loadQuantizer(spark, dir)
     val centers = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
     val w = org.apache.spark.sql.expressions.Window
