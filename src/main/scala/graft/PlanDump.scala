@@ -383,6 +383,41 @@ object PlanDump {
         "q155's exact banded candidate→verify shape — one exploded " +
         "(band_idx, band_val) equi-join, first-agreeing-band claim, " +
         "exact Hamming verify."),
+    "q172_lsm_delete" ->
+      ("Tombstone-aware LSM probe: main ∪ delta under latest-op-wins — "
+        + "tombstones broadcast ANTI-join the main scan and shadow the "
+        + "delta's LWW-resolved rows BEFORE any ranking, so the top-k "
+        + "back-fills with live rows exactly (no oversample-then-drop); "
+        + "both segment scans stay cell-pruned with codes-only ADC."),
+    "q173_served_delete" ->
+      ("The service path over the delete lifecycle: q165's plan (eager "
+        + "probe + PushedFilter-In payload point lookups + broadcast "
+        + "score join) with the delta's exact scan filtered by the "
+        + "per-doc latest-op rule — a corrected re-ingest serves its "
+        + "newest row, dead versions never enter the merge."),
+    "q174_refit_gauge" ->
+      ("The refit trigger: IvfPqM driver-literal codebook fits, then "
+        + "ONE corpus scan computes every row's assigned-code "
+        + "distortion row-local (codegen argmin over ≤16 inlined "
+        + "centroids per subspace) and a 2-group aggregate folds it — "
+        + "no joins, no second pass."),
+    "q175_major_fold" ->
+      ("Post-fold probe: q148's exact plan shape against the artifact "
+        + "majorCompact rewrote from the LSM's live frames — same cell "
+        + "PartitionFilters, same codes-only ADC ReadSchema; the fold "
+        + "changed the files, not the plan."),
+    "q176_evolving_eval" ->
+      ("Evolving-index standing eval: LSM liveness resolves ONCE for "
+        + "the query batch (lsmLiveSegments), each query probes the "
+        + "shared frames cell-pruned, ground truth is one broadcast "
+        + "exact scan of the live set, metric math over ≤ 7·(k+1) "
+        + "rows."),
+    "q177_served_filtered" ->
+      ("Filtered search at the service surface: q152's pre-filter "
+        + "strategy through q165's served plan — the label predicate "
+        + "reaches both artifact scans as a PushedFilter UNDER the "
+        + "cell PartitionFilter, the shortlist ranks qualifying rows "
+        + "only, payload fetch stays k point lookups."),
     "q163_paraphrase_mining" ->
       ("Paraphrase mining: CORPUS-SCALED sign-LSH bucket equi-join for "
         + "candidates (planesFor(n) planes, buckets ∝ n, candidate "
