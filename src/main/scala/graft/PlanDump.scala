@@ -399,8 +399,8 @@ object PlanDump {
       ("The refit trigger: IvfPqM driver-literal codebook fits, then "
         + "ONE corpus scan computes every row's assigned-code "
         + "distortion row-local (codegen argmin over ≤16 inlined "
-        + "centroids per subspace) and a 2-group aggregate folds it — "
-        + "no joins, no second pass."),
+        + "centroids per subspace) and a single conditional aggregate "
+        + "folds both sides — no grouping, no joins, no second pass."),
     "q175_major_fold" ->
       ("Post-fold probe: q148's exact plan shape against the artifact "
         + "majorCompact rewrote from the LSM's live frames — same cell "

@@ -1173,9 +1173,12 @@ object AnnQueries {
           sum(expr(irDiscSql("pos"))).as("dcg"))
       val nret = ret.groupBy(col("query_id")).agg(count(lit(1)).as("n_ret"))
       val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      // the metric frames are ≤ 7 rows by construction — broadcast
+      // explicitly rather than trusting AQE's estimates (the hits side
+      // sits deep enough that its runtime stat can miss the window)
       nrel
-        .join(nret, Seq("query_id"), "left")
-        .join(hits, Seq("query_id"), "left")
+        .join(broadcast(nret), Seq("query_id"), "left")
+        .join(broadcast(hits), Seq("query_id"), "left")
         .select(col("query_id"), col("n_rel"),
           coalesce(col("n_ret"), lit(0L)).as("n_ret"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -1625,14 +1628,16 @@ object AnnQueries {
       }
       val scored = e.select(isMain.as("is_main"),
         round(dcols.reduce(_ + _), 6).as("d"))
-      val gauge = scored.groupBy(col("is_main"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("d").cast("decimal(27,10)")).cast("double") /
-            count(lit(1)), 6).as("mean_d"))
-      gauge.filter(col("is_main"))
-        .select(col("n").as("n_main"), col("mean_d").as("main_mean_distortion"))
-        .crossJoin(gauge.filter(!col("is_main"))
-          .select(col("n").as("n_delta"), col("mean_d").as("delta_mean_distortion")))
+      // one conditional aggregate folds both sides in a single pass —
+      // no grouping, no join, one row out (the oracle's exact shape)
+      def sideMean(side: Column) = round(
+        sum(when(side, col("d").cast("decimal(27,10)"))).cast("double") /
+          sum(when(side, 1L)), 6)
+      scored.agg(
+          sum(when(col("is_main"), 1L)).cast("long").as("n_main"),
+          sum(when(!col("is_main"), 1L)).cast("long").as("n_delta"),
+          sideMean(col("is_main")).as("main_mean_distortion"),
+          sideMean(!col("is_main")).as("delta_mean_distortion"))
         .withColumn("drift_ratio",
           round(col("delta_mean_distortion") / col("main_mean_distortion"), 6))
         .withColumn("refit",

@@ -891,6 +891,120 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"k-row score table must broadcast, nothing may shuffle:\n$p")
   }
 
+  test("q172 tombstone-aware LSM probe: anti-joined dead ids, pruned segments, no SMJ") {
+    val p = plan("q172_lsm_delete")
+    // the tombstone shadow is a broadcast ANTI-join applied before any
+    // ranking — a post-limit filter would under-fill the top-k
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"tombstones must anti-join broadcast-side:\n$p")
+    // the MAIN artifact scans are cell-partition-pruned by the shared
+    // cell ranking; the DELTA scans deliberately are NOT — last-writer
+    // -wins must see every cell (a re-ingested doc's newest version
+    // can land in a different cell than its stale row, and pruning
+    // before the window would serve the stale one), and the delta is
+    // small by the q150 contract
+    val mainScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpq_index")).toSeq
+    assert(mainScans.nonEmpty && mainScans.forall(l =>
+      l.contains("PartitionFilters: [") && l.contains("cell#")),
+      s"main artifact scans must prune on cell:\n${mainScans.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"probe joins must broadcast:\n$p")
+  }
+
+  test("q173 served delete lifecycle: payload fetch stays pushed-down point lookups") {
+    val p = plan("q173_served_delete")
+    val docScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("documents")).getOrElse(
+      fail(s"no documents scan in served plan:\n$p"))
+    assert(docScan.contains("PushedFilters: [In(doc_id"),
+      s"hit ids must push into the documents scan: $docScan")
+    // the only exchanges allowed: the final ≤k-row range sort plus the
+    // SMALL delta side's two (the LWW window's doc_id hash and the
+    // tombstone max-batch aggregate — both over delta-bounded rows,
+    // the q150 contract); the corpus side must never shuffle and no
+    // join may sort-merge
+    assert(!p.contains("SortMergeJoin"),
+      s"the served merge's joins must broadcast:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"only the delta LWW window + tombstone agg may hash-exchange, found $hashEx:\n$p")
+  }
+
+  test("q174 refit gauge: one corpus scan, one conditional aggregate, no join") {
+    val p = plan("q174_refit_gauge")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("embeddings")).toSeq
+    assert(scans.size == 1,
+      s"the gauge must fold in ONE corpus pass, found ${scans.size}:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the gauge is scan + aggregate only:\n$p")
+  }
+
+  test("q175 post-fold probe keeps q148's shape against the folded artifact") {
+    val p = plan("q175_major_fold")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_folded_index")).toSeq
+    assert(scans.size == 2, s"expected ADC + rescore folded scans:\n$p")
+    scans.foreach(l => assert(
+      l.contains("PartitionFilters: [") && l.contains("cell#"),
+      s"folded scan must partition-prune on cell: $l"))
+    assert(scans.count { l =>
+      !l.substring(l.indexOf("ReadSchema:")).contains("embedding")
+    } == 1, s"exactly one codes-only ADC scan expected:\n$p")
+    assert(p.contains("TakeOrderedAndProject") &&
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the fold must not change the probe's plan family:\n$p")
+  }
+
+  test("q176 evolving eval: probes stay pruned and broadcast; ground truth heaps map-side") {
+    // the ≤ 7-row metric frames carry explicit broadcast hints, so the
+    // static plan already shows the right joins
+    val p = plan("q176_evolving_eval")
+    // each per-query probe branch scans the shared live frames with
+    // cell pruning; the ground truth tops out in map-side heaps
+    assert(p.contains("partial_topkagg"),
+      s"exact ground truth must combine map-side:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"tombstones must anti-join inside the probe branches:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"eval joins must broadcast (AQE final plan):\n$p")
+  }
+
+  test("q177 served filter: label pushed under the cell pruning on both artifact scans") {
+    val p = plan("q177_served_filtered")
+    // the filter rode the probe (which executed eagerly); the RETURNED
+    // plan is the payload fetch — point lookups, broadcast, no shuffle
+    val docScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("documents")).getOrElse(
+      fail(s"no documents scan in served plan:\n$p"))
+    assert(docScan.contains("PushedFilters: [In(doc_id"),
+      s"hit ids must push into the documents scan: $docScan")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"nothing may shuffle in the served fetch:\n$p")
+    // and the probe half's pre-filter property on the artifact itself:
+    // build the same filtered probe and pin the label PushedFilter
+    // under the cell PartitionFilter on both scans (q152's two bounds,
+    // now reachable from the service surface)
+    val probe = graft.search.AnnIndex.probeIvfPq(spark,
+      graft.queries.AnnQueries.ivfPqIndexDir(spark, sf001),
+      new graft.search.HashingEmbedder(64)
+        .embed(graft.queries.AnnQueries.ServedPrompt),
+      k = 10, nProbe = graft.queries.AnnQueries.IvfNProbe,
+      shortlist = graft.queries.AnnQueries.ServedShortlist,
+      predicate = org.apache.spark.sql.functions.col("label") ===
+        graft.queries.AnnQueries.FilterLabel)
+      .queryExecution.executedPlan.toString
+    val scans = probe.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivfpq_index")).toSeq
+    assert(scans.size == 2 && scans.forall(l =>
+      l.contains("PartitionFilters: [") && l.contains("cell#") &&
+        l.contains(s"EqualTo(label,${graft.queries.AnnQueries.FilterLabel})")),
+      s"label must push under the cell pruning on both scans:\n${scans.mkString("\n")}")
+  }
+
   test("q151 batched IVF-PQ: DPP on both artifact reads, codes-only ADC, limited shortlist") {
     val p = plan("q151_ivfpq_multiprobe")
     // dedup by scan body: the DPP subquery echoes its build subtree in
