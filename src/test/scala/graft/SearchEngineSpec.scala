@@ -348,6 +348,49 @@ class SearchEngineSpec extends SparkSpec {
     assert(!new java.io.File(deltaDir).exists(), "the delta must be emptied")
   }
 
+  test("the lifecycle rules COMPOSE: filter + tombstones + corrections in one served call") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_compose_spec").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = eng.streamingDocApply(
+      mem.toDF().toDF("doc_id", "text", "op"), sf0001, deltaDir,
+      compactEvery = 2)()
+    try {
+      mem.addData(Seq((900061L, "compose probe text one", "put"),
+        (900062L, "compose probe text two", "put")))
+      q.processAllAvailable()
+      mem.addData(Seq((900062L, "", "del"), (0L, "", "del")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val filt = Seq("label" -> (graft.queries.AnnQueries.FilterLabel: Any))
+    // under a filter the delta docs (no label column rides this doc
+    // ingest) can never match, deleted corpus docs stay unserved, and
+    // the indexed route still equals the exact route — all three rule
+    // families active in ONE call
+    val served = eng.searchIndexed(sf0001, "compose probe text one", k = 5,
+        deltaDir = Some(deltaDir), filter = filt)
+      .as[(Long, String, Double)].collect()
+    assert(!served.exists(r => r._1 >= 900061L),
+      s"unlabeled delta docs must not match a label filter: ${served.toSeq}")
+    assert(!served.exists(_._1 === 0L),
+      s"the deleted corpus doc must stay unserved under a filter: ${served.toSeq}")
+    val exact = eng.search(sf0001, "compose probe text one", k = 5,
+      Some(deltaDir), filt).collect().map(h => (h.doc_id, h.text, h.score))
+    assert(served.toSeq === exact.toSeq,
+      "indexed and exact routes must agree under filter + lifecycle")
+    // and WITHOUT the filter the same delta serves its live doc while
+    // the tombstoned one stays gone — the filter changed visibility,
+    // never state
+    val unfiltered = eng.searchIndexed(sf0001, "compose probe text one", k = 5,
+        deltaDir = Some(deltaDir))
+      .as[(Long, String, Double)].collect()
+    assert(unfiltered.head._1 === 900061L && unfiltered.head._3 === 1.0)
+    assert(!unfiltered.exists(_._1 === 900062L),
+      s"the deleted ingest must stay unserved: ${unfiltered.toSeq}")
+  }
+
   test("served k is guarded: a hostile k fails loudly, the cap serves fine") {
     val err = intercept[IllegalArgumentException] {
       eng.searchIndexed(sf0001, "any prompt", k = SearchEngine.MaxServedK + 1)
