@@ -1606,22 +1606,25 @@ object AnnQueries {
       // codebooks are fitted on the main split exactly as the q150
       // artifact's are, and the report is one row — populations, both
       // means, their ratio, and the refit flag (ratio > RefitDriftMax).
-      // Shape: IvfPqM k×dim-bounded fits (driver-literal codebooks),
-      // then ONE corpus scan computes every row's distortion row-local
-      // (codegen'd argmin over ≤16 inlined centroids per subspace),
-      // and a 2-group aggregate folds it — no joins, no second pass.
-      // Oracle unrolls the Lloyd's chains on the main split and the
-      // same assignment + decimal-mean arithmetic.
+      // Shape: the codebooks are READ from the session's q150 main
+      // artifact (the gauge judges THE codebooks a deployment serves,
+      // not a re-derivation — and the artifact's fits are the same
+      // calls by construction, so the oracle's unrolled chains still
+      // predict them bit-for-bit), then ONE corpus scan computes every
+      // row's distortion row-local (codegen'd argmin over ≤16 inlined
+      // centroids per subspace) and a single conditional aggregate
+      // folds both sides — no fits at query time, no joins, no second
+      // pass. Oracle unrolls the Lloyd's chains on the main split and
+      // the same assignment + decimal-mean arithmetic.
       import graft.operators.SemDedup
       val e = graft.SparkEntry.tbl(s, dir, "embeddings")
         .filter(hasDim(col("embedding"), 64))
         .select(col("vec_id"), col("embedding"))
       val isMain = splitBucket(col("vec_id")) < DeltaBucketMin
-      val main = e.filter(isMain)
+      val cb = graft.search.AnnIndex.loadCodebooks(s, ivfPqMainIndexDir(s, dir))
       val dcols = (0 until IvfPqM).map { sub =>
         val slc = slice(col("embedding"), sub * IvfPqSubDim + 1, IvfPqSubDim)
-        val cents = SemDedup.fit(
-          main.select(col("vec_id"), slc.as("embedding")), IvfPqK, IvfPqIters)
+        val cents = cb(sub)
         round(graft.expressions.VectorExpressions.sqDist(
           slc, element_at(typedLit(cents.map(_.toSeq)),
             SemDedup.assignCell(slc, cents) + 1)), 6)

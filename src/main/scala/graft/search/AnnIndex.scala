@@ -324,8 +324,8 @@ object AnnIndex {
   private val sessionCodebooks =
     new graft.SessionMemo[String, Map[Int, Seq[Seq[Double]]]]
 
-  private def loadCodebooks(spark: SparkSession,
-                            dir: String): Map[Int, Seq[Seq[Double]]] =
+  private[graft] def loadCodebooks(spark: SparkSession,
+                                   dir: String): Map[Int, Seq[Seq[Double]]] =
     sessionCodebooks.getOrCompute(spark, s"$dir/codebooks") {
       spark.read.parquet(s"$dir/codebooks")
         .select(col("sub"), col("cell"), col("ce")).collect()
