@@ -396,7 +396,8 @@ object PlanDump {
         + "per-doc latest-op rule — a corrected re-ingest serves its "
         + "newest row, dead versions never enter the merge."),
     "q174_refit_gauge" ->
-      ("The refit trigger: IvfPqM driver-literal codebook fits, then "
+      ("The refit trigger: codebooks read from the session artifact and "
+        + "inlined as driver literals (no fits at query time), then "
         + "ONE corpus scan computes every row's assigned-code "
         + "distortion row-local (codegen argmin over ≤16 inlined "
         + "centroids per subspace) and a single conditional aggregate "

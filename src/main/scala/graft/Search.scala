@@ -132,16 +132,23 @@ object Search {
     * they don't count). */
   def serve(engine: SearchEngine, sfDir: String, k: Int,
       in: java.io.BufferedReader, out: java.io.PrintStream,
-      index: Boolean = true, delta: Option[String] = None): Int = {
+      index: Boolean = true, delta: Option[String] = None,
+      baseFilter: Seq[(String, Any)] = Nil): Int = {
     // the one tool closure every protocol dialect routes through:
     // indexed (artifact probe — ∪ the LSM delta when --delta names
     // one — exact fallback inside searchJsonIndexed) unless the
-    // exact scan was forced. MCP callers may pass a metadata filter;
-    // the raw-prompt dialect has no filter syntax and passes none.
+    // exact scan was forced. `baseFilter` is the server-level metadata
+    // filter (`--serve --filter col=value`): it constrains EVERY
+    // request — raw-prompt lines (which have no filter syntax of their
+    // own) and MCP calls alike, conjoined with any per-request MCP
+    // filter. A dropped server filter would silently serve a BROADER
+    // search than the operator configured — the worst default the
+    // filter parser's own contract names.
     val tool: Mcp.Search =
       if (index) (prompt, filter) =>
-        engine.searchJsonIndexed(sfDir, prompt, k, delta, filter)
-      else (prompt, filter) => engine.searchJson(sfDir, prompt, k, delta, filter)
+        engine.searchJsonIndexed(sfDir, prompt, k, delta, baseFilter ++ filter)
+      else (prompt, filter) =>
+        engine.searchJson(sfDir, prompt, k, delta, baseFilter ++ filter)
     var served = 0
     var line = in.readLine()
     while (line != null) {
@@ -174,7 +181,7 @@ object Search {
     if (cfg.serve)
       serve(engine, cfg.sfDir, cfg.k,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
-        System.out, cfg.index, cfg.delta)
+        System.out, cfg.index, cfg.delta, cfg.filter)
     else if (cfg.index)
       println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta,
         cfg.filter))

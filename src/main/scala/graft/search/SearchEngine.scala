@@ -148,15 +148,20 @@ final class SearchEngine(
     * batch) frame — segments resolved ONCE (snapshot stability), id
     * twins resolved latest-batch-wins, rows at or below a newer
     * tombstone dropped (put wins a same-batch tie). None when no
-    * delta is named, the delta is empty, or a `filter` names a column
-    * the segment rows don't carry (the schema rule corpusWithDelta
-    * documents). */
+    * delta is named, the delta is empty, or NO segment carries a
+    * filtered column (then no delta row can match — the schema rule
+    * corpusWithDelta documents). A MIXED-schema delta (a filtered
+    * column present in some segments only — e.g. labels added to
+    * ingests after the first batches) unions with nulls where absent,
+    * and the equality predicate excludes the null rows per ROW: rows
+    * that do carry and match the column still serve — dropping the
+    * whole delta on one schema-lagging segment would be a recall miss. */
   private def deltaSegsLww(deltaDir: Option[String],
                            dels: Option[DataFrame],
                            filter: Seq[(String, Any)] = Nil): Option[DataFrame] = {
     val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
     if (segs.isEmpty ||
-        !filter.forall { case (c, _) => segs.forall(_.columns.contains(c)) })
+        !filter.forall { case (c, _) => segs.exists(_.columns.contains(c)) })
       None
     else {
       val batchCol = graft.sources.SegmentStore.BatchCol
@@ -167,9 +172,12 @@ final class SearchEngine(
       val carry = filter.map(_._1).distinct
         .filterNot(Set("doc_id", "text", "embedding", batchCol))
       val lww = segs
-        .map(_.select(Seq(col("vec_id").as("doc_id"), col("text"),
-          col("embedding"), col(batchCol)) ++ carry.map(col): _*))
-        .reduce(_.unionByName(_))
+        .map { seg =>
+          val present = carry.filter(seg.columns.contains)
+          seg.select(Seq(col("vec_id").as("doc_id"), col("text"),
+            col("embedding"), col(batchCol)) ++ present.map(col): _*)
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
         .withColumn("_lww_rn", row_number().over(w))
         .filter(col("_lww_rn") === 1)
         .drop("_lww_rn")
@@ -442,7 +450,12 @@ final class SearchEngine(
           val s = batch.sparkSession
           val b = batch.toDF().cache()
           try {
-            val badOps = b.filter(!col("op").isin("put", "del")).limit(1).collect()
+            // a NULL op must trip the guard too: `!isin` evaluates to
+            // null on null input (dropped by filter) and the row would
+            // also fail both the put and del filters below — silent row
+            // loss, the exact failure the loud-contract forbids
+            val badOps = b.filter(col("op").isNull || !col("op").isin("put", "del"))
+              .limit(1).collect()
             require(badOps.isEmpty,
               s"streamingDocApply: unknown op '${badOps.headOption.map(_.getAs[String]("op")).orNull}' " +
                 "(supported: put, del)")
@@ -478,7 +491,14 @@ final class SearchEngine(
     * propagate). Empty-result intent as [[searchJson]]. */
   def searchJsonIndexed(sfDir: String, prompt: String, k: Int = 10,
                         deltaDir: Option[String] = None,
-                        filter: Seq[(String, Any)] = Nil): String =
+                        filter: Seq[(String, Any)] = Nil): String = {
+    // validate k BEFORE the degradation boundary: searchIndexed's own
+    // require would land in the NonFatal catch below and "degrade" a
+    // hostile k to the exact scan — which runs the same unbounded
+    // limit(k).collect() the guard exists to prevent. An invalid
+    // argument is the caller's error on BOTH routes, never a fallback.
+    require(k >= 1 && k <= SearchEngine.MaxServedK,
+      s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
     renderHits(
       try searchIndexed(sfDir, prompt, k,
           deltaDir = deltaDir, filter = filter).as[SearchHit].collect()
@@ -491,6 +511,7 @@ final class SearchEngine(
           // docs here would make the degraded answer WRONG, not slow
           search(sfDir, prompt, k, deltaDir, filter).collect()
       })
+  }
 
   /** How many tool calls this engine served via the exact-scan
     * fallback because the index route failed — the operator's signal

@@ -301,6 +301,62 @@ class SearchEngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDocApply rejects a NULL op as loudly as an unknown one") {
+    // `!isin` on a null op evaluates to null (dropped by filter) and
+    // the row also fails both the put and del arms — without the
+    // explicit isNull guard the operation would be LOST silently
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_docapply_nullop").toString
+    val mem = MemoryStream[(Long, String, Option[String])]
+    val q = eng.streamingDocApply(
+      mem.toDF().toDF("doc_id", "text", "op"), sf0001, deltaDir,
+      compactEvery = 0)()
+    try {
+      mem.addData(Seq((900042L, "some text", None)))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("unknown op") ||
+        Option(err.getCause).exists(_.getMessage.contains("unknown op")))
+    } finally q.stop()
+  }
+
+  test("a mixed-schema delta under a filter serves rows that carry AND match the column") {
+    import graft.search.AnnIndex
+    val mainDir = graft.queries.AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val deltaDir =
+      java.nio.file.Files.createTempDirectory("graft_mixedschema_spec").toString + "/d"
+    val label = graft.queries.AnnQueries.FilterLabel
+    // batch 0 predates labeling (no label column); batch 1 carries it —
+    // the mixed-schema shape a real ingest hits when labels are added
+    // after the first batches
+    AnnIndex.appendDeltaBatch(spark, mainDir, deltaDir,
+      Seq((900071L, new HashingEmbedder(64).embed("mixed schema early text").toSeq,
+        "mixed schema early text"))
+        .toDF("vec_id", "embedding", "text"), 0L, compactEvery = 0)
+    AnnIndex.appendDeltaBatch(spark, mainDir, deltaDir,
+      Seq((900072L, new HashingEmbedder(64).embed("mixed schema labeled text").toSeq,
+        "mixed schema labeled text", label))
+        .toDF("vec_id", "embedding", "text", "label"), 1L, compactEvery = 0)
+    val filt = Seq("label" -> (label: Any))
+    // the labeled row must serve under the filter even though another
+    // segment lacks the column; the unlabeled row must not
+    val served = eng.searchIndexed(sf0001, "mixed schema labeled text", k = 5,
+        deltaDir = Some(deltaDir), filter = filt)
+      .as[(Long, String, Double)].collect()
+    assert(served.head._1 === 900072L && served.head._3 === 1.0,
+      s"a labeled row in a mixed-schema delta must serve under its filter: ${served.toSeq}")
+    assert(!served.exists(_._1 === 900071L),
+      s"rows lacking the filtered column must be excluded per ROW: ${served.toSeq}")
+    // the exact route applies the same per-row rule
+    val exact = eng.search(sf0001, "mixed schema labeled text", k = 5,
+      Some(deltaDir), filt).collect().map(h => (h.doc_id, h.text, h.score))
+    assert(served.toSeq === exact.toSeq,
+      "indexed and exact routes must agree on the mixed-schema rule")
+  }
+
   test("majorCompact: post-fold probe == pre-fold, tombstones physically gone, delta retired") {
     import graft.search.AnnIndex
     val mainDir = graft.queries.AnnQueries.ivfPqIndexDir(spark, sf0001)

@@ -170,6 +170,48 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert((props \ "filter" \ "type") === JString("object"))
   }
 
+  test("--serve --filter constrains raw prompts AND MCP calls (never silently broadened)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val eng = new graft.search.SearchEngine(spark)
+    val prompt = graft.queries.AnnQueries.ServedPrompt
+    val label = graft.queries.AnnQueries.FilterLabel
+    val filt = Seq("label" -> (label: Any))
+    val expected = eng.searchJson(sf001, prompt, 10, filter = filt)
+    // must differ from the unfiltered answer, or the assertion is vacuous
+    assert(expected !== eng.searchJson(sf001, prompt, 10))
+    // raw-prompt dialect: the server-level filter applies
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      prompt + "\n" +
+        s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"$prompt"}}}""" + "\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf001, k = 10,
+      in, new java.io.PrintStream(buf, true, "UTF-8"), index = true,
+      baseFilter = filt)
+    assert(served === 2)
+    val lines = buf.toString("UTF-8").trim.split("\n")
+    assert(lines(0) === expected,
+      "raw-prompt requests must honor the server-level --filter")
+    // MCP dialect with NO per-request filter: still constrained
+    val call = parse(lines(1))
+    val JString(text) = (call \ "result" \ "content")(0) \ "text": @unchecked
+    assert(text === expected,
+      "MCP requests without their own filter must honor the server-level --filter")
+  }
+
+  test("an out-of-range k is an argument error on BOTH routes, never a degraded scan") {
+    val eng = new graft.search.SearchEngine(spark)
+    val before = eng.indexFallbackCount.get
+    intercept[IllegalArgumentException] {
+      eng.searchJsonIndexed(sf001, "anything", k = graft.search.SearchEngine.MaxServedK + 1)
+    }
+    intercept[IllegalArgumentException] {
+      eng.searchJsonIndexed(sf001, "anything", k = 0)
+    }
+    assert(eng.indexFallbackCount.get === before,
+      "a hostile k must not be absorbed as an index-route fallback")
+  }
+
   test("index-route failure falls back to the exact path, never errors the tool call") {
     // a 32-d embedder cannot probe the 64-d artifact (the quantizer
     // rejects the dim) — searchJsonIndexed must degrade to the exact
