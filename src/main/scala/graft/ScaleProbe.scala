@@ -138,6 +138,8 @@ object ScaleProbe {
       }
       else if (flags.contains("lsm-soak"))
         lsmSoakProbe(spark, srcDir, flags)
+      else if (flags.contains("fold-soak"))
+        foldSoakProbe(spark, srcDir, flags)
       else if (flags.contains("para-probe") && flags.contains("distinct"))
         paraProbeDistinct(spark, copies)
       else if (flags.contains("para-probe")) {
@@ -888,6 +890,132 @@ object ScaleProbe {
     val ok = probeErrors.isEmpty && lastOk && delOk && flat &&
       maxLive.get <= compactEvery + 2 && maxGens.get <= 2
     println(s"""{"probe":"lsm-soak","batches":$nBatches,"batch_docs":$batchDocs,"compact_every":$compactEvery,"concurrent_probes":${probes.get},"probe_errors":${probeErrors.size},"probe_error_sample":"$errs","max_live_dirs":${maxLive.get},"max_generations":${maxGens.get},"first_third_mean_sec":${f"$firstMean%.3f"},"last_third_mean_sec":${f"$lastMean%.3f"},"latency_flat":$flat,"last_batch_served":$lastOk,"deleted_unserved":$delOk,"ok":$ok}""")
+    ok
+  }
+
+  /** MAJOR-FOLD soak (--fold-soak [--batches N --batch-docs M
+    * --fold-every F]): the serving-root discipline under real
+    * concurrency — a single-writer ingest appends put/del batches to
+    * the CURRENT epoch's delta and runs [[graft.search.AnnIndex
+    * .majorFoldPublish]] every F batches (≥ 3 folds at the defaults),
+    * while a CONCURRENT prober hammers
+    * [[graft.search.AnnIndex.probeIvfPqRoot]] nonstop — every probe
+    * resolves the pointer fresh, so probes land on BOTH sides of each
+    * publish and inside each fold's write window. What it certifies,
+    * per the round-14 verdict's ask (the resurrection-window fix):
+    *
+    *  - ZERO probe errors across every raced fold (grace GC keeps a
+    *    pre-publish resolution's epoch + delta on disk for a full
+    *    further cycle — no stale-directory reads);
+    *  - ZERO main-only answers: a corpus doc deleted in the FIRST
+    *    batch (and never re-put) must NEVER appear in any raced probe
+    *    — the probe vector is that doc's own embedding, so serving it
+    *    would be a 1.0 top-1 hit: any fold that retired tombstones
+    *    before its publish landed turns this nonzero immediately;
+    *  - fresh ingests never vanish: a sentinel doc put in batch 0
+    *    with that same embedding must appear in EVERY probe (it
+    *    out-scores everything, riding delta → folded main → delta
+    *    history across all folds);
+    *  - the root's directory count stays O(1): ≤ 2 epochs + 2 deltas
+    *    + pointers at any observation (publish-then-retire keeps
+    *    exactly one grace generation). */
+  private def foldSoakProbe(spark: SparkSession, srcDir: String,
+                            flags: Map[String, String]): Boolean = {
+    import spark.implicits._
+    import graft.search.AnnIndex
+    import graft.search.AnnIndex.ServingRoot
+    val nBatches = flags.get("batches").map(_.toInt).getOrElse(28)
+    val batchDocs = flags.get("batch-docs").map(_.toInt).getOrElse(200)
+    val foldEvery = flags.get("fold-every").map(_.toInt).getOrElse(7)
+    val nProbe = graft.queries.AnnQueries.IvfNProbe
+    val shortlist = graft.queries.AnnQueries.ServedShortlist
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fold_soak").toString + "/root"
+    ServingRoot.init(spark,
+      graft.queries.AnnQueries.ivfPqIndexDir(spark, srcDir), root)
+    // the raced pair: corpus doc DeletedId's own embedding probes; the
+    // doc is deleted in batch 0 and a sentinel with the SAME embedding
+    // is put in batch 0 — every probe must serve the sentinel at 1.0
+    // and must never serve the deleted doc
+    val deletedId = 9L
+    val sentinelId = 2200000000L
+    val qv = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .filter(col("vec_id") === deletedId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probes = new java.util.concurrent.atomic.AtomicLong
+    val resurrections = new java.util.concurrent.atomic.AtomicLong
+    val sentinelMisses = new java.util.concurrent.atomic.AtomicLong
+    val maxRootDirs = new java.util.concurrent.atomic.AtomicLong
+    val probeErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val hits = AnnIndex.probeIvfPqRoot(spark, root, qv, 10, nProbe, shortlist)
+            .collect().map(_.getLong(0)).toSet
+          probes.incrementAndGet()
+          if (hits.contains(deletedId)) resurrections.incrementAndGet()
+          if (!hits.contains(sentinelId)) sentinelMisses.incrementAndGet()
+          val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+            .count(_.getPath.getName.startsWith("epoch_"))
+          maxRootDirs.getAndUpdate(m => math.max(m, dirs.toLong))
+        } catch {
+          case e: Throwable if !stop.get() =>
+            probeErrors.add(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+    }, "graft-fold-prober")
+    def docVec(i: Long): Seq[Float] =
+      new graft.search.HashingEmbedder(64).embed(s"fold soak doc $i").toSeq
+    var folds = 0L
+    val t0 = System.nanoTime()
+    try {
+      (0 until nBatches).foreach { b =>
+        val (idx, delta) = ServingRoot.resolve(spark, root)
+        val base = 2200000001L + b.toLong * batchDocs
+        val puts0 = (0 until batchDocs).map(i =>
+          (base + i, docVec(base + i), s"fold soak doc ${base + i}"))
+        val puts = if (b == 0)
+          (sentinelId, qv.toSeq, "fold soak sentinel") +: puts0 else puts0
+        // per-epoch batch ids restart at 0 — each delta is its own store
+        val localId = (b % foldEvery).toLong
+        AnnIndex.appendDeltaBatch(spark, idx, delta,
+          puts.toDF("vec_id", "embedding", "text"), localId, compactEvery = 3)
+        // batch 0 deletes the corpus doc; every 3rd batch deletes a
+        // slice of batch b-2's docs (post-fold those live in the NEW
+        // main — the tombstone-shadows-main path soaks too)
+        val dels: Seq[Long] =
+          (if (b == 0) Seq(deletedId) else Nil) ++
+            (if (b % 3 == 2 && b >= 2)
+              (0 until 5).map(i => 2200000001L + (b - 2).toLong * batchDocs + i)
+            else Nil)
+        if (dels.nonEmpty)
+          AnnIndex.appendTombstones(spark, delta, dels.toDF("vec_id"),
+            localId, compactEvery = 3)
+        if (b == 0) prober.start() // sentinel + delete are in: race from here
+        if ((b + 1) % foldEvery == 0) {
+          AnnIndex.majorFoldPublish(spark, root)
+          folds += 1
+        }
+      }
+    } finally {
+      stop.set(true)
+      prober.join(30000)
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // final state re-check from a fresh resolution
+    val finalHits = AnnIndex.probeIvfPqRoot(spark, root, qv, 10, nProbe, shortlist)
+      .collect().map(_.getLong(0)).toSet
+    val finalOk = finalHits.contains(sentinelId) && !finalHits.contains(deletedId)
+    val errs = probeErrors.toArray.take(3).mkString("; ")
+    // ≤ 5 epoch-prefixed dirs at any observation: serving pair + grace
+    // pair + at most one in-flight fold output — O(1), not O(folds)
+    val ok = probeErrors.isEmpty && resurrections.get == 0 &&
+      sentinelMisses.get == 0 && folds >= 3 && finalOk &&
+      maxRootDirs.get <= 5
+    println(s"""{"probe":"fold-soak","batches":$nBatches,"batch_docs":$batchDocs,"fold_every":$foldEvery,"folds":$folds,"concurrent_probes":${probes.get},"probe_errors":${probeErrors.size},"probe_error_sample":"$errs","resurrections":${resurrections.get},"sentinel_misses":${sentinelMisses.get},"max_root_epoch_dirs":${maxRootDirs.get},"final_state_ok":$finalOk,"wall_sec":${f"$wallSec%.1f"},"ok":$ok}""")
     ok
   }
 

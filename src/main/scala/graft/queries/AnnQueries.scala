@@ -488,8 +488,8 @@ object AnnQueries {
   /** The [[ServedDeleteDocs]] op script against an LSM delta at
     * `deltaDir` — shared by [[servedDeltaDir]] (q172/q173 probe it
     * live) and [[foldedIndexDir]] (q175 folds it into a fresh
-    * artifact; majorCompact RETIRES its delta, so the two queries
-    * script separate directories and stay order-independent). */
+    * artifact; separate directories keep the two queries
+    * order-independent and their snapshots disjoint). */
   private def scriptDeleteLifecycle(s: SparkSession, mainDir: String,
                                     deltaDir: String): Unit = {
     import s.implicits._
@@ -513,8 +513,9 @@ object AnnQueries {
   /** Session-once MAJOR-COMPACTED artifact for q175: the delete
     * lifecycle scripted into its own delta, then
     * [[graft.search.AnnIndex.majorCompact]] folds main ∪ live delta
-    * into a fresh artifact (tombstoned keys physically dropped, delta
-    * retired). q175 probes THIS artifact with no delta at all — its
+    * into a fresh artifact (tombstoned keys physically dropped; the
+    * fold is write-only — retirement is the serving root's grace GC).
+    * q175 probes THIS artifact with no delta at all — its
     * oracle is the same live-set exact top-10 as q172's, so
     * hash-green IS the post-fold == pre-fold proof. */
   private[graft] def foldedIndexDir(s: SparkSession, dir: String): String =

@@ -644,15 +644,24 @@ object AnnIndex {
 
   /** The delta's live tombstones as (vec_id, del_batch = newest delete
     * batch per id); None when the store doesn't exist (no delete has
-    * ever been applied — the common case costs one existence check). */
+    * ever been applied — the common case costs one existence check) OR
+    * exists but holds no COMMITTED segment yet: a reader racing the
+    * store's very first append sees the directory before the segment
+    * rename lands, and must treat the store as empty rather than read
+    * an empty segment set (caught by the fold soak — the uncommitted
+    * window is real under concurrency). */
   def tombstones(spark: SparkSession, deltaDir: String): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = s"$deltaDir/tombstones"
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
-    else Some(graft.sources.SegmentStore.read(spark, dir)
-      .groupBy(col("vec_id"))
-      .agg(max(col(graft.sources.SegmentStore.BatchCol)).as("del_batch")))
+    else {
+      val segs = graft.sources.SegmentStore.segments(fs, dir)
+      if (segs.isEmpty) None
+      else Some(segs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .groupBy(col("vec_id"))
+        .agg(max(col(graft.sources.SegmentStore.BatchCol)).as("del_batch")))
+    }
   }
 
   /** The delta's CURRENT segment set — [[graft.sources.SegmentStore.segments]]. */
@@ -737,23 +746,26 @@ object AnnIndex {
     *     quantizer/codebooks into `outDir` (q153's graduation
     *     generalized to every segment: no refit, the geometry — and
     *     the tuned probe minima — carry over; when the q174 drift
-    *     gauge says the frozen geometry has decayed, rebuild the
-    *     artifact from scratch instead — that is the refit, and it is
-    *     a full build by definition);
+    *     gauge says the frozen geometry has decayed,
+    *     [[refit]] rebuilds quantizer + codebooks on the folded live
+    *     corpus instead — a full build by definition);
     *  3. drops tombstoned keys PHYSICALLY — deletes stop costing
-    *     probe-side anti-joins and their markers' disk;
-    *  4. only after the new artifact is fully written, empties the
-    *     delta (segments, manifests, tombstones). A crash before the
-    *     cleanup leaves the old artifact + delta fully serving and the
-    *     fold simply reruns (mode overwrite — idempotent).
+    *     probe-side anti-joins and their markers' disk.
     *
-    * Returns `outDir`. The caller swaps serving to the new artifact
-    * dir (the directory-level publish — same single-swap discipline
-    * as the manifest rename, at the artifact granularity). */
+    * PUBLISH-THEN-RETIRE: this fold WRITES only — it never touches
+    * the input artifact or the delta, so a prober mid-scan on
+    * (indexDir, deltaDir) keeps every directory it resolved,
+    * tombstones included. Retiring the delta before serving swaps
+    * would open a resurrection window (a prober that finds no delta
+    * finds no tombstones either and silently serves main-only —
+    * deleted documents come back). The serving swap is the
+    * caller's atomic pointer publish and the delta retires only
+    * after a grace period — [[majorFoldPublish]] runs the full
+    * discipline over a [[servingRoot]]; a crash anywhere leaves the
+    * old artifact + delta fully serving and the fold simply reruns
+    * (mode overwrite — idempotent). */
   def majorCompact(spark: SparkSession, indexDir: String, deltaDir: String,
                    outDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     // quantizer + codebooks carry over unchanged (no refit — step 2)
     loadQuantizer(spark, indexDir).write.overwrite().save(s"$outDir/model")
     spark.read.parquet(s"$indexDir/codebooks")
@@ -768,8 +780,149 @@ object AnnIndex {
       .drop(graft.sources.SegmentStore.BatchCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/corpus")
-    // step 4: the delta retires only after the artifact is complete
-    fs.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
+  }
+
+  // ---------------------------------------------------------------
+  // Versioned serving root (publish-then-retire major folds)
+  // ---------------------------------------------------------------
+
+  /** Layout of a SERVING ROOT — the artifact-level twin of
+    * [[graft.sources.SegmentStore]]'s manifest discipline, at the
+    * granularity of whole index generations:
+    *
+    *  - `epoch_<e>/`       — one immutable artifact generation
+    *    (model + cell-partitioned corpus + codebooks — exactly what
+    *    [[saveIvfPq]]/[[majorCompact]] write); never mutated once its
+    *    pointer publishes.
+    *  - `epoch_<e>_delta/` — the LSM delta (segments + tombstones)
+    *    accumulating AGAINST epoch e; ingest writers append here
+    *    ([[appendDeltaBatch]]/[[appendTombstones]]) while e serves.
+    *  - `current_e<e>`     — pointer files, the atomic publish:
+    *    written temp + checked rename (single-file rename to a fresh
+    *    name — atomic on HDFS and posix alike); readers take the
+    *    highest-numbered pointer, so resolving the serving pair is
+    *    ONE atomic read and a fold's swap is ONE rename.
+    *
+    * GC is grace-period, mirroring the store's rule: a fold to epoch
+    * e+1 retires only epoch e−1 and ITS delta — what the PREVIOUS
+    * pointer stopped referencing — so a prober that resolved against
+    * pointer e still finds every directory it planned to scan,
+    * TOMBSTONES INCLUDED (the resurrection-window fix: the old delta
+    * outlives the swap by one full fold cycle).
+    *
+    * Writer discipline: folds and ingest appends are single-writer
+    * sequenced (the same contract every LSM flush has — the ingest
+    * pauses or re-resolves across a fold; ops accepted into the old
+    * delta AFTER the fold's liveness resolution would be lost at
+    * retire time otherwise). The pointer protects READERS, which race
+    * freely — certified by the fold soak (ScaleProbe --fold-soak). */
+  object ServingRoot {
+    def indexDir(rootDir: String, e: Long): String = s"$rootDir/epoch_$e"
+    def deltaDir(rootDir: String, e: Long): String = s"$rootDir/epoch_${e}_delta"
+    private def pointer(rootDir: String, e: Long) =
+      new org.apache.hadoop.fs.Path(s"$rootDir/current_e$e")
+
+    /** The highest-numbered published pointer, or None on a fresh root. */
+    def currentEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                     rootDir: String): Option[Long] = {
+      val dir = new org.apache.hadoop.fs.Path(rootDir)
+      if (!fs.exists(dir)) return None
+      val es = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("current_e") && !n.endsWith(".tmp"))
+        .map(_.drop("current_e".length).toLong)
+      if (es.isEmpty) None else Some(es.max)
+    }
+
+    /** The serving (indexDir, deltaDir) pair — ONE atomic pointer
+      * read; every directory the pair names stays on disk for at
+      * least one further fold cycle (grace GC), so the caller's whole
+      * query runs against a stable snapshot. */
+    def resolve(spark: SparkSession, rootDir: String): (String, String) = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val e = currentEpoch(fs, rootDir).getOrElse(throw new IllegalStateException(
+        s"serving root $rootDir has no published epoch"))
+      (indexDir(rootDir, e), deltaDir(rootDir, e))
+    }
+
+    /** Publish epoch `e` — temp-file + CHECKED rename (the store's
+      * manifest discipline verbatim: a false fails the fold loudly so
+      * the caller retries, never leaving a completed artifact
+      * invisible while the old epoch's retirement clock runs). */
+    private[search] def publish(fs: org.apache.hadoop.fs.FileSystem,
+                                rootDir: String, e: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$rootDir/current_e$e.tmp")
+      val dst = pointer(rootDir, e)
+      val out = fs.create(tmp, true)
+      try out.write(s"epoch=$e\n".getBytes("UTF-8")) finally out.close()
+      // dst exists only when THIS fold is a crash-replay of itself —
+      // same epoch, same fold inputs, same artifact — replace is safe
+      if (fs.exists(dst) && !fs.delete(dst, false))
+        throw new IllegalStateException(s"epoch publish: could not replace $dst")
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(
+          s"epoch publish failed: rename($tmp, $dst) returned false")
+    }
+
+    /** Seed a fresh root from an existing artifact: fold it (with its
+      * empty delta) into `epoch_0` and publish the first pointer. */
+    def init(spark: SparkSession, fromIndexDir: String, rootDir: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      require(currentEpoch(fs, rootDir).isEmpty,
+        s"serving root $rootDir already has a published epoch")
+      majorCompact(spark, fromIndexDir, deltaDir(rootDir, -1L),
+        indexDir(rootDir, 0L))
+      publish(fs, rootDir, 0L)
+    }
+  }
+
+  /** MAJOR fold under the publish-then-retire discipline — the
+    * serving-root face of [[majorCompact]]:
+    *
+    *  1. fold the current epoch's main ∪ live delta into
+    *     `epoch_<e+1>` (write-only — nothing serving is touched);
+    *  2. PUBLISH `current_e<e+1>` by checked rename — the one atomic
+    *     swap; probers resolving from now on read the folded artifact
+    *     with an empty delta;
+    *  3. grace-GC: retire epoch e−1 and its delta — the dirs only a
+    *     pointer TWO generations back referenced. Epoch e and its
+    *     delta (tombstones included) stay on disk, so a prober that
+    *     resolved before the publish finishes against its full
+    *     snapshot — no window where a raced probe finds tombstones
+    *     gone and resurrects a deleted document.
+    *
+    * Crash anywhere: before the publish, epoch e serves untouched and
+    * the fold reruns idempotently; after it, only grace disk is left
+    * over (reclaimed next fold). Returns the new epoch. */
+  def majorFoldPublish(spark: SparkSession, rootDir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val e = ServingRoot.currentEpoch(fs, rootDir).getOrElse(
+      throw new IllegalStateException(s"serving root $rootDir has no published epoch"))
+    majorCompact(spark, ServingRoot.indexDir(rootDir, e),
+      ServingRoot.deltaDir(rootDir, e), ServingRoot.indexDir(rootDir, e + 1))
+    ServingRoot.publish(fs, rootDir, e + 1)
+    if (e > 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        ServingRoot.indexDir(rootDir, e - 1)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        ServingRoot.deltaDir(rootDir, e - 1)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/current_e${e - 1}"), false)
+    }
+    e + 1
+  }
+
+  /** Probe a SERVING ROOT: resolve the pointer (one atomic read),
+    * then [[probeIvfPqLsm]] against the resolved pair — the read path
+    * that makes a concurrent major fold invisible: pre-swap resolvers
+    * keep the old epoch + delta (grace GC), post-swap resolvers get
+    * the folded artifact, and nobody ever sees main-without-
+    * tombstones. */
+  def probeIvfPqRoot(spark: SparkSession, rootDir: String, query: Array[Float],
+                     k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val (idx, delta) = ServingRoot.resolve(spark, rootDir)
+    probeIvfPqLsm(spark, idx, delta, query, k, nProbe, shortlist)
   }
 
   /** Probe a persisted IVF-PQ artifact with a BATCH of queries — the

@@ -357,7 +357,7 @@ class SearchEngineSpec extends SparkSpec {
       "indexed and exact routes must agree on the mixed-schema rule")
   }
 
-  test("majorCompact: post-fold probe == pre-fold, tombstones physically gone, delta retired") {
+  test("majorCompact: post-fold probe == pre-fold, tombstones physically gone, fold write-only") {
     import graft.search.AnnIndex
     val mainDir = graft.queries.AnnQueries.ivfPqIndexDir(spark, sf0001)
     val deltaDir =
@@ -400,8 +400,86 @@ class SearchEngineSpec extends SparkSpec {
       .select($"text").as[String].collect().toSeq
     assert(alpha === Seq("fold alpha corrected"),
       s"the newest version must fold in exactly once: $alpha")
-    // the delta is retired wholesale
-    assert(!new java.io.File(deltaDir).exists(), "the delta must be emptied")
+    // PUBLISH-THEN-RETIRE: the fold is write-only — the delta (and its
+    // tombstone store) survives it untouched, so a prober that
+    // resolved (old artifact, delta) mid-fold still finds everything
+    // it planned to scan; retirement is the serving root's grace GC,
+    // one fold cycle later
+    assert(new java.io.File(deltaDir).exists(),
+      "the fold must not retire the delta (grace-period discipline)")
+    val preAgain = AnnIndex.probeIvfPqLsm(spark, mainDir, deltaDir, qv,
+      k = 10, nProbe = graft.queries.AnnQueries.IvfNProbe,
+      shortlist = graft.queries.AnnQueries.ServedShortlist)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(preAgain === pre,
+      "the old (artifact, delta) snapshot must keep serving bit-identically after the fold")
+  }
+
+  test("serving root: fold publishes by pointer, old epoch + tombstones survive one grace cycle") {
+    import graft.search.AnnIndex
+    import graft.search.AnnIndex.ServingRoot
+    val mainDir = graft.queries.AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_servingroot_spec").toString + "/r"
+    AnnIndex.ServingRoot.init(spark, mainDir, root)
+    val (idx0, delta0) = ServingRoot.resolve(spark, root)
+    assert(idx0.endsWith("epoch_0") && delta0.endsWith("epoch_0_delta"))
+    def put(rows: Seq[(Long, String)], id: Long, delta: String): Unit =
+      AnnIndex.appendDeltaBatch(spark, idx0, delta,
+        rows.map { case (i, t) =>
+          (i, new HashingEmbedder(64).embed(t).toSeq, t)
+        }.toDF("vec_id", "embedding", "text"), id, compactEvery = 0)
+    def del(ids: Seq[Long], id: Long, delta: String): Unit =
+      AnnIndex.appendTombstones(spark, delta, ids.toDF("vec_id"), id,
+        compactEvery = 0)
+    // epoch-0 lifecycle: ingest a sentinel doc, delete corpus doc 9
+    put(Seq(900081L -> "root sentinel text"), 0L, delta0)
+    del(Seq(9L), 1L, delta0)
+    val qv = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" === 9L).select($"embedding").head().getSeq[Float](0).toArray
+    def probe(idx: String, delta: String) =
+      AnnIndex.probeIvfPqLsm(spark, idx, delta, qv,
+        k = 10, nProbe = graft.queries.AnnQueries.IvfNProbe,
+        shortlist = graft.queries.AnnQueries.ServedShortlist)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pre = probe(idx0, delta0)
+    assert(!pre.exists(_._1 === 9L) && pre.nonEmpty)
+    // FOLD 1 → epoch 1. The swap is the pointer; the old pair must
+    // keep serving (this is the resurrection-window assertion: a
+    // prober that resolved pre-publish still sees the tombstones)
+    assert(AnnIndex.majorFoldPublish(spark, root) === 1L)
+    val (idx1, delta1) = ServingRoot.resolve(spark, root)
+    assert(idx1.endsWith("epoch_1"))
+    assert(probe(idx1, delta1) === pre,
+      "the folded epoch must serve the pre-fold answers")
+    assert(probe(idx0, delta0) === pre,
+      "a pre-publish resolution must keep serving bit-identically (grace)")
+    assert(new java.io.File(delta0).exists,
+      "epoch 0's delta (tombstones included) must survive fold 1")
+    // the folded corpus physically dropped the tombstoned key and
+    // carries the sentinel
+    val folded = spark.read.parquet(s"$idx1/corpus")
+    assert(folded.filter($"vec_id" === 9L).count() === 0L)
+    assert(folded.filter($"vec_id" === 900081L).count() === 1L)
+    // FOLD 2 → epoch 2: NOW epoch 0 and its delta retire (grace GC),
+    // epoch 1 and its delta survive
+    del(Seq(11L), 0L, delta1)
+    assert(AnnIndex.majorFoldPublish(spark, root) === 2L)
+    assert(!new java.io.File(idx0).exists && !new java.io.File(delta0).exists,
+      "fold 2 must retire epoch 0 and its delta")
+    assert(new java.io.File(idx1).exists,
+      "epoch 1 must survive fold 2 (grace)")
+    val (idx2, delta2) = ServingRoot.resolve(spark, root)
+    val post2 = probe(idx2, delta2)
+    assert(!post2.exists(r => r._1 === 9L || r._1 === 11L),
+      s"both deletes must hold after two folds: $post2")
+    assert(post2.exists(_._1 === 900081L) === pre.exists(_._1 === 900081L))
+    // the root probe face resolves the pointer itself
+    val viaRoot = AnnIndex.probeIvfPqRoot(spark, root, qv,
+      k = 10, nProbe = graft.queries.AnnQueries.IvfNProbe,
+      shortlist = graft.queries.AnnQueries.ServedShortlist)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaRoot === post2)
   }
 
   test("the lifecycle rules COMPOSE: filter + tombstones + corrections in one served call") {
