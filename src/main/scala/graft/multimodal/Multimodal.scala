@@ -282,14 +282,23 @@ object Multimodal {
     * images within small Hamming distance agree exactly on at least
     * one band (pigeonhole: guaranteed for Hamming ≤ 3, heuristic
     * beyond), so candidate generation is a band equi-join, never an
-    * all-pairs scan. Also emits `gray_total` (the per-image gray mass
-    * the bit threshold divides against) — the content checksum
-    * downstream export manifests carry without a second decode pass
-    * (q160). Decode and hashing run row-local in mapPartitions; only
-    * (doc_id, 5 longs) ever move. Non-image / null blobs pass
-    * through with null bands. */
+    * all-pairs scan. Each band also carries `qt0..qt3` — its quarter's
+    * EXACT gray mass (the sum of the band's own pixels' grays) — the
+    * second component of the COMPOSED candidate key the index joins
+    * on (the video family's proven recipe, [[videoFrameHashBands]]):
+    * 16 threshold-relative bits alone admit ~n²/2¹⁶ random
+    * coincidences and survive slowly-varying brightness drifts; an
+    * exact quarter total does neither, while a one-pixel edit still
+    * leaves 3 of 4 quarters bit-AND-mass identical. Also emits
+    * `gray_total` (the per-image gray mass the bit threshold divides
+    * against = Σ qt_j) — the content checksum downstream export
+    * manifests carry without a second decode pass (q160). Decode and
+    * hashing run row-local in mapPartitions; only (doc_id, 9 longs)
+    * ever move. Non-image / null blobs pass through with null
+    * bands. */
   def imageAHashBands(blobs: DataFrame): DataFrame = {
-    val bandFields = (0 until 4).map(j => s"band$j") :+ "gray_total"
+    val bandFields = (0 until 4).map(j => s"band$j") ++
+      (0 until 4).map(j => s"qt$j") :+ "gray_total"
     val outSchema = StructType(blobs.schema.fields ++
       bandFields.map(StructField(_, LongType, nullable = true)))
     val enc = RowEncoder.encoderFor(outSchema)
@@ -300,9 +309,10 @@ object Multimodal {
       rows.map { r =>
         val blob = r.getAs[Array[Byte]](blobIdx)
         val mediaType = r.getStruct(metaIdx).getString(0)
+        val nulls: Seq[Any] = Seq.fill(9)(null)
         val bands: Seq[Any] =
           if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
-            Seq(null, null, null, null, null)
+            nulls
           else tryDecode {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
             require(img != null, "undecodable image blob")
@@ -323,14 +333,16 @@ object Multimodal {
             }
             val bandBits = n / 4
             val out = new Array[Long](4)
+            val qt = new Array[Long](4)
             var fp = 0
             while (fp < n) {
               if (gray(fp) * n > total)
                 out(fp / bandBits) |= 1L << (fp % bandBits)
+              qt(fp / bandBits) += gray(fp)
               fp += 1
             }
-            out.toSeq :+ total
-          }.getOrElse(Seq(null, null, null, null, null)) // quarantined
+            (out.toSeq ++ qt.toSeq) :+ total
+          }.getOrElse(nulls) // quarantined
         Row.fromSeq(r.toSeq ++ bands)
       }
     }(enc)
@@ -683,11 +695,19 @@ object Multimodal {
     * all-pairs scan. A single perturbed sample touches exactly two
     * deltas, so each planted variant flips ≤ 2 bits vs its group base
     * and same-group pairs sit at Hamming ≤ 4 while independent clips
-    * sit near 32. Decode + fingerprint run row-local in mapPartitions;
-    * only (doc_id, 4 longs) ever move. Non-WAV / null blobs pass
-    * through with null bands. */
+    * sit near 32. Each band also carries `qt0..qt3` — its window's
+    * EXACT raw-sample sum — the second component of the COMPOSED
+    * candidate key ([[imageAHashBands]]'s recipe, audio face): 16
+    * delta-sign bits alone admit ~n²/2¹⁶ random coincidences; an
+    * exact window mass does not, while a one-sample perturbation
+    * still leaves ≥ 2 of 4 windows bit-AND-mass identical (the
+    * perturbed sample sits in one window's mass and its two touched
+    * deltas span at most two windows). Decode + fingerprint run
+    * row-local in mapPartitions; only (doc_id, 8 longs) ever move.
+    * Non-WAV / null blobs pass through with null bands. */
   def audioFingerprintBands(blobs: DataFrame): DataFrame = {
-    val bandFields = (0 until 4).map(j => s"band$j")
+    val bandFields = (0 until 4).map(j => s"band$j") ++
+      (0 until 4).map(j => s"qt$j")
     val outSchema = StructType(blobs.schema.fields ++
       bandFields.map(StructField(_, LongType, nullable = true)))
     val enc = RowEncoder.encoderFor(outSchema)
@@ -697,10 +717,11 @@ object Multimodal {
       rows.map { r =>
         val blob = r.getAs[Array[Byte]](blobIdx)
         val mediaType = r.getStruct(metaIdx).getString(0)
+        val nulls: Seq[Any] = Seq.fill(8)(null)
         val bands: Seq[Any] =
           if (blob == null || mediaType == null ||
               (mediaType != "audio/wav" && mediaType != "audio/x-wav"))
-            Seq(null, null, null, null)
+            nulls
           else tryDecode {
             val ais = wavReader.getAudioInputStream(
               new java.io.ByteArrayInputStream(blob))
@@ -728,14 +749,16 @@ object Multimodal {
               s"unsupported clip geometry: $n samples (need >0, %4==0, <=256)")
             val bandBits = n / 4
             val out = new Array[Long](4)
+            val qt = new Array[Long](4)
             var k = 0
             while (k < n) {
               if (samples((k + 1) % n) > samples(k))
                 out(k / bandBits) |= 1L << (k % bandBits)
+              qt(k / bandBits) += samples(k)
               k += 1
             }
-            out.toSeq
-          }.getOrElse(Seq(null, null, null, null)) // quarantined
+            out.toSeq ++ qt.toSeq
+          }.getOrElse(nulls) // quarantined
         Row.fromSeq(r.toSeq ++ bands)
       }
     }(enc)

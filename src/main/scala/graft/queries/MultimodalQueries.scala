@@ -114,6 +114,19 @@ object MultimodalQueries {
     (col("j") > 1 && col("a1") === col("b1")) ||
     (col("j") > 2 && col("a2") === col("b2")))
 
+  /** [[noEarlierAgree]] for the COMPOSED image/audio candidate key
+    * (band bits AND exact quarter mass, carried as a0..a3/am0..am3 vs
+    * b0..b3/bm0..bm3): a pair is claimed only at its lowest band where
+    * BOTH components agree — the two-part twin of the video family's
+    * single composed long (there `band + qt·2¹⁶` stays injective
+    * because the canonical grid bounds both parts; the raw image gray
+    * and signed audio sample masses carry no such bound, so the key
+    * is two columns and the join is on (j, v, m)). */
+  private[graft] def noEarlierAgreeM: org.apache.spark.sql.Column = !(
+    (col("j") > 0 && col("a0") === col("b0") && col("am0") === col("bm0")) ||
+    (col("j") > 1 && col("a1") === col("b1") && col("am1") === col("bm1")) ||
+    (col("j") > 2 && col("a2") === col("b2") && col("am2") === col("bm2")))
+
   /** Exact 64-bit Hamming over the carried 4×16-bit band vectors —
     * [[noEarlierAgree]]'s verify twin, same single-definition rule. */
   private[graft] def bandHamming: org.apache.spark.sql.Column = (0 until 4)
@@ -134,20 +147,26 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
 
   /** The shared banded near-dup candidate→verify shape of q155/q156:
-    * ONE equi-join on the exploded (band_idx, band_val) key — not a
-    * join per band, which would evaluate the decode lineage 2×bands
-    * times. The full band vector rides along each exploded row, so the
-    * canonical rule (claim a pair only in its FIRST agreeing band —
-    * q72's no-distinct trick) is a post-join filter over carried
-    * columns, and the exact 64-bit Hamming verify closes the
-    * candidates. Input: (doc_id, band0..band3); every shuffle moves
-    * only those 5 columns — blobs never leave their partitions. */
+    * ONE equi-join on the exploded COMPOSED (band_idx, band_val,
+    * quarter_mass) key — not a join per band, which would evaluate the
+    * decode lineage 2×bands times, and never bits alone, which at
+    * 100× scale admits ~n²/2¹⁶ random candidate coincidences (the
+    * video family's measured fix, applied to both single-table
+    * modalities). The full band+mass vectors ride along each exploded
+    * row, so the canonical rule (claim a pair only in its FIRST
+    * band where bits AND mass agree — q72's no-distinct trick) is a
+    * post-join filter over carried columns, and the exact 64-bit
+    * Hamming verify closes the candidates. Input:
+    * (doc_id, band0..band3, qt0..qt3); every shuffle moves only those
+    * 9 columns — blobs never leave their partitions. */
   private def bandNearDupPairs(h: DataFrame, maxHamming: Long): DataFrame = {
     val ex = explodeBandKeys(h)
-    val a = ex.toDF("doc_a", "j", "v", "a0", "a1", "a2", "a3")
-    val b = ex.toDF("doc_b", "j", "v", "b0", "b1", "b2", "b3")
-    a.join(b, Seq("j", "v"))
-      .filter(col("doc_a") < col("doc_b") && noEarlierAgree)
+    val a = ex.toDF("doc_a", "j", "v", "m",
+      "a0", "a1", "a2", "a3", "am0", "am1", "am2", "am3")
+    val b = ex.toDF("doc_b", "j", "v", "m",
+      "b0", "b1", "b2", "b3", "bm0", "bm1", "bm2", "bm3")
+    a.join(b, Seq("j", "v", "m"))
+      .filter(col("doc_a") < col("doc_b") && noEarlierAgreeM)
       .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= lit(maxHamming))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -156,12 +175,17 @@ object MultimodalQueries {
     // not pay a full sort of the pair set they immediately re-shuffle
   }
 
+  /** The composed-candidate band rule in SQL — any band where bits
+    * AND exact quarter mass both agree; the plain OR form is
+    * equivalent to the engine's first-agreeing-band claim because
+    * both emit each qualifying pair exactly once. */
+  private val composedBandRuleSql: String =
+    (0 until 4).map(j =>
+      s"(a.band$j = b.band$j AND a.qt$j = b.qt$j)").mkString(" OR ")
+
   /** DuckDB twin of [[bandNearDupPairs]]: given CTE text whose last
-    * CTE is `bands(doc_id, band0..band3)`, append the band-rule
-    * candidate join + exact Hamming verify. The SQL band rule is the
-    * plain OR-of-band-equalities — equivalent to the engine's
-    * first-agreeing-band claim because both emit each qualifying pair
-    * exactly once. */
+    * CTE is `bands(doc_id, band0..band3, qt0..qt3)`, append the
+    * composed-key candidate join + exact Hamming verify. */
   private def bandPairsSql(withCtes: String, maxHamming: Long): String =
     s"""$withCtes,
        |cand AS (
@@ -170,8 +194,7 @@ object MultimodalQueries {
        |       + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
        |  FROM bands a JOIN bands b
        |    ON a.doc_id < b.doc_id
-       |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-       |        a.band2 = b.band2 OR a.band3 = b.band3))
+       |   AND ($composedBandRuleSql))
        |SELECT doc_a, doc_b, hamming FROM cand
        |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
 
@@ -193,20 +216,22 @@ object MultimodalQueries {
   private def bandIndexProbe(nh: DataFrame, indexBands: DataFrame,
                              newDocs: DataFrame, maxHamming: Long): DataFrame = {
     val nx = explodeBandKeys(nh)
-      .toDF("nid", "j", "v", "a0", "a1", "a2", "a3")
+      .toDF("nid", "j", "v", "m",
+        "a0", "a1", "a2", "a3", "am0", "am1", "am2", "am3")
+    val partnerCols = Seq(
+      col("band0").as("b0"), col("band1").as("b1"),
+      col("band2").as("b2"), col("band3").as("b3"),
+      col("qt0").as("bm0"), col("qt1").as("bm1"),
+      col("qt2").as("bm2"), col("qt3").as("bm3"))
     val pbOld = indexBands
-      .select(col("doc_id").as("pid"), lit(false).as("pnew"),
-        col("j"), col("v"),
-        col("band0").as("b0"), col("band1").as("b1"),
-        col("band2").as("b2"), col("band3").as("b3"))
+      .select(Seq(col("doc_id").as("pid"), lit(false).as("pnew"),
+        col("j"), col("v"), col("m")) ++ partnerCols: _*)
     val pbNew = explodeBandKeys(nh)
-      .toDF("pid", "j", "v", "b0", "b1", "b2", "b3")
-      .withColumn("pnew", lit(true))
-      .select(col("pid"), col("pnew"), col("j"), col("v"),
-        col("b0"), col("b1"), col("b2"), col("b3"))
-    val dups = nx.join(pbOld.unionByName(pbNew), Seq("j", "v"))
+      .select(Seq(col("doc_id").as("pid"), lit(true).as("pnew"),
+        col("j"), col("v"), col("m")) ++ partnerCols: _*)
+    val dups = nx.join(pbOld.unionByName(pbNew), Seq("j", "v", "m"))
       .filter(col("nid") =!= col("pid") &&
-        (!col("pnew") || col("pid") < col("nid")) && noEarlierAgree)
+        (!col("pnew") || col("pid") < col("nid")) && noEarlierAgreeM)
       .filter(bandHamming <= lit(maxHamming))
       .groupBy(col("nid"))
       .agg(
@@ -227,22 +252,25 @@ object MultimodalQueries {
   private def graduatedBandProbe(s: SparkSession, staticBands: DataFrame,
                                  storeDir: String, b2: DataFrame,
                                  maxHamming: Long): DataFrame = {
+    val keyed = Seq("doc_id", "j", "v", "m",
+      "band0", "band1", "band2", "band3", "qt0", "qt1", "qt2", "qt3")
     val indexSide = staticBands
-      .select(col("doc_id"), col("j"), col("v"),
-        col("band0"), col("band1"), col("band2"), col("band3"))
+      .select(keyed.map(col): _*)
       .withColumn("graduated", lit(false))
       .unionByName(graft.sources.SegmentStore.read(s, storeDir)
-        .select(col("doc_id"), col("j"), col("v"),
-          col("band0"), col("band1"), col("band2"), col("band3"))
+        .select(keyed.map(col): _*)
         .withColumn("graduated", lit(true)))
     val nx = explodeBandKeys(b2)
-      .toDF("nid", "j", "v", "a0", "a1", "a2", "a3")
+      .toDF("nid", "j", "v", "m",
+        "a0", "a1", "a2", "a3", "am0", "am1", "am2", "am3")
     val pb = indexSide.select(col("doc_id").as("pid"), col("graduated"),
-      col("j"), col("v"),
+      col("j"), col("v"), col("m"),
       col("band0").as("b0"), col("band1").as("b1"),
-      col("band2").as("b2"), col("band3").as("b3"))
-    val dups = nx.join(pb, Seq("j", "v"))
-      .filter(noEarlierAgree)
+      col("band2").as("b2"), col("band3").as("b3"),
+      col("qt0").as("bm0"), col("qt1").as("bm1"),
+      col("qt2").as("bm2"), col("qt3").as("bm3"))
+    val dups = nx.join(pb, Seq("j", "v", "m"))
+      .filter(noEarlierAgreeM)
       .filter(bandHamming <= lit(maxHamming))
       .groupBy(col("nid"))
       .agg(
@@ -266,8 +294,7 @@ object MultimodalQueries {
        |  FROM bands a JOIN bands b
        |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
        |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
-       |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-       |        a.band2 = b.band2 OR a.band3 = b.band3)),
+       |   AND ($composedBandRuleSql)),
        |agg AS (
        |  SELECT nid,
        |    CAST(SUM(CASE WHEN NOT graduated AND hamming <= $maxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
@@ -313,16 +340,22 @@ object MultimodalQueries {
       .select(col("doc_id"), col("n_frames"), col("bk.j").as("j"),
         col("bk.v").as("v"), col("k0"), col("k1"), col("k2"), col("k3"))
 
-  /** Exploded (band_idx, band_val) key rows with the full band vector
-    * carried — the layout [[bandNearDupPairs]] joins on and the q158
-    * artifact persists. */
+  /** Exploded COMPOSED (band_idx, band_val, quarter_mass) key rows
+    * with the full band+mass vectors carried — the layout
+    * [[bandNearDupPairs]] joins on and the q158/q167 artifacts and
+    * q169/q170 stores persist. Output:
+    * (doc_id, j, v, m, band0..band3, qt0..qt3). */
   private[graft] def explodeBandKeys(h: DataFrame): DataFrame =
-    h.select(col("doc_id"),
-        col("band0"), col("band1"), col("band2"), col("band3"),
+    h.select(Seq(col("doc_id")) ++
+        (0 until 4).map(j => col(s"band$j")) ++
+        (0 until 4).map(j => col(s"qt$j")) :+
         explode(array((0 until 4).map(j =>
-          struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
-        col("band0"), col("band1"), col("band2"), col("band3"))
+          struct(lit(j).as("j"), col(s"band$j").as("v"),
+            col(s"qt$j").as("m"))): _*)).as("bk"): _*)
+      .select(Seq(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
+        col("bk.m").as("m")) ++
+        (0 until 4).map(j => col(s"band$j")) ++
+        (0 until 4).map(j => col(s"qt$j")): _*)
 
   /** q158's corpus split: doc_id % 5 >= 3 is the NEW ingest batch,
     * the rest the already-indexed corpus. Chosen (rather than q73's
@@ -347,16 +380,16 @@ object MultimodalQueries {
       Multimodal
         .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
-          col("band3"), col("gray_total"))
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"),
+          col("gray_total"))
     }
 
   /** q155's verified near-dup image pairs over the cached bands — the
-    * banded join recomputes per consumer (cheap: 5-long rows), the
+    * banded join recomputes per consumer (cheap: 9-long rows), the
     * decode does not. */
   private[queries] def imagePhashPairs(s: SparkSession, dir: String): DataFrame =
     bandNearDupPairs(
-      variantImageBands(s, dir)
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3")),
+      variantImageBands(s, dir).drop("gray_total"),
       PhashMaxHamming)
 
   /** The corpus's audio fingerprints, session-cached — same offline-
@@ -375,7 +408,8 @@ object MultimodalQueries {
         .select(col("doc_id"))
       Multimodal
         .audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
     }
 
   /** The corpus's per-frame video hash bands, session-cached (same
@@ -413,7 +447,8 @@ object MultimodalQueries {
         .select(col("doc_id"))
       val h = Multimodal
         .imageAHashBands(Multimodal.ingestSynthVariantImages(old))
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
       explodeBandKeys(h)
         .write.mode("overwrite").partitionBy("j").parquet(s"$out/bands")
       out
@@ -478,8 +513,8 @@ object MultimodalQueries {
   private def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
     newBatchBandsView(s, dir, "graft_cache_phash_newbatch_", docs =>
       Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
-        .select(col("doc_id"), col("band0"), col("band1"),
-          col("band2"), col("band3")))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3")))
 
   private val sessionAfpLsm = new graft.SessionMemo[String, String]
 
@@ -491,8 +526,8 @@ object MultimodalQueries {
   private def afpNewBatchBands(s: SparkSession, dir: String): DataFrame =
     newBatchBandsView(s, dir, "graft_cache_afp_newbatch_", docs =>
       Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
-        .select(col("doc_id"), col("band0"), col("band1"),
-          col("band2"), col("band3")))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3")))
 
   private val sessionAfpIndex = new graft.SessionMemo[String, String]
 
@@ -512,7 +547,8 @@ object MultimodalQueries {
         .select(col("doc_id"))
       val h = Multimodal
         .audioFingerprintBands(Multimodal.ingestSynthVariantAudio(old))
-        .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
       explodeBandKeys(h)
         .write.mode("overwrite").partitionBy("j").parquet(s"$out/bands")
       out
@@ -1131,7 +1167,7 @@ object MultimodalQueries {
        |tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total
        |        FROM px GROUP BY 1),
        |bits AS (
-       |  SELECT px.doc_id, px.fp,
+       |  SELECT px.doc_id, px.fp, px.gray,
        |    CASE WHEN px.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
        |  FROM px JOIN tot t ON px.doc_id = t.doc_id),
        |bands AS (
@@ -1139,7 +1175,11 @@ object MultimodalQueries {
        |    CAST(SUM(CASE WHEN fp < 16 THEN bit * (1::BIGINT << fp) ELSE 0 END) AS BIGINT) AS band0,
        |    CAST(SUM(CASE WHEN fp >= 16 AND fp < 32 THEN bit * (1::BIGINT << (fp - 16)) ELSE 0 END) AS BIGINT) AS band1,
        |    CAST(SUM(CASE WHEN fp >= 32 AND fp < 48 THEN bit * (1::BIGINT << (fp - 32)) ELSE 0 END) AS BIGINT) AS band2,
-       |    CAST(SUM(CASE WHEN fp >= 48 THEN bit * (1::BIGINT << (fp - 48)) ELSE 0 END) AS BIGINT) AS band3
+       |    CAST(SUM(CASE WHEN fp >= 48 THEN bit * (1::BIGINT << (fp - 48)) ELSE 0 END) AS BIGINT) AS band3,
+       |    CAST(SUM(CASE WHEN fp < 16 THEN gray ELSE 0 END) AS BIGINT) AS qt0,
+       |    CAST(SUM(CASE WHEN fp >= 16 AND fp < 32 THEN gray ELSE 0 END) AS BIGINT) AS qt1,
+       |    CAST(SUM(CASE WHEN fp >= 32 AND fp < 48 THEN gray ELSE 0 END) AS BIGINT) AS qt2,
+       |    CAST(SUM(CASE WHEN fp >= 48 THEN gray ELSE 0 END) AS BIGINT) AS qt3
        |  FROM bits GROUP BY doc_id)""".stripMargin
   }
 
@@ -1169,7 +1209,7 @@ object MultimodalQueries {
        |    END AS v
        |  FROM xk),
        |bits AS (
-       |  SELECT a.doc_id, a.k AS fp,
+       |  SELECT a.doc_id, a.k AS fp, a.v AS samp,
        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
        |  FROM sm a JOIN sm b
        |    ON a.doc_id = b.doc_id AND b.k = (a.k + 1) % $n),
@@ -1178,7 +1218,11 @@ object MultimodalQueries {
        |    CAST(SUM(CASE WHEN fp < 16 THEN bit * (1::BIGINT << fp) ELSE 0 END) AS BIGINT) AS band0,
        |    CAST(SUM(CASE WHEN fp >= 16 AND fp < 32 THEN bit * (1::BIGINT << (fp - 16)) ELSE 0 END) AS BIGINT) AS band1,
        |    CAST(SUM(CASE WHEN fp >= 32 AND fp < 48 THEN bit * (1::BIGINT << (fp - 32)) ELSE 0 END) AS BIGINT) AS band2,
-       |    CAST(SUM(CASE WHEN fp >= 48 THEN bit * (1::BIGINT << (fp - 48)) ELSE 0 END) AS BIGINT) AS band3
+       |    CAST(SUM(CASE WHEN fp >= 48 THEN bit * (1::BIGINT << (fp - 48)) ELSE 0 END) AS BIGINT) AS band3,
+       |    CAST(SUM(CASE WHEN fp < 16 THEN samp ELSE 0 END) AS BIGINT) AS qt0,
+       |    CAST(SUM(CASE WHEN fp >= 16 AND fp < 32 THEN samp ELSE 0 END) AS BIGINT) AS qt1,
+       |    CAST(SUM(CASE WHEN fp >= 32 AND fp < 48 THEN samp ELSE 0 END) AS BIGINT) AS qt2,
+       |    CAST(SUM(CASE WHEN fp >= 48 THEN samp ELSE 0 END) AS BIGINT) AS qt3
        |  FROM bits GROUP BY doc_id)""".stripMargin
   }
 
@@ -1253,8 +1297,7 @@ object MultimodalQueries {
        |    ON a.doc_id % 5 >= 3
        |   AND a.doc_id <> b.doc_id
        |   AND (b.doc_id % 5 < 3 OR b.doc_id < a.doc_id)
-       |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-       |        a.band2 = b.band2 OR a.band3 = b.band3)),
+       |   AND ($composedBandRuleSql)),
        |agg AS (
        |  SELECT nid,
        |    CAST(SUM(CASE WHEN NOT pnew AND hamming <= $maxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
@@ -1300,8 +1343,7 @@ object MultimodalQueries {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.doc_id < b.doc_id
-         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |        a.band2 = b.band2 OR a.band3 = b.band3)
+         |   AND ($composedBandRuleSql)
          |   AND $hamming <= $PhashMaxHamming),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -1346,8 +1388,7 @@ object MultimodalQueries {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.doc_id < b.doc_id
-         |   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |        a.band2 = b.band2 OR a.band3 = b.band3)
+         |   AND ($composedBandRuleSql)
          |   AND $hamming <= $PhashMaxHamming),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),

@@ -416,30 +416,31 @@ object EventStreams {
   }
 
   /** The shared stream-static band probe of the image/audio twins:
-    * streaming fingerprints (doc_id, band0..band3) explode to band
-    * keys, equi-join the static artifact's exploded keys, claim each
-    * (new, indexed) pair once via the first-agreeing-band rule, verify
+    * streaming fingerprints (doc_id, band0..band3, qt0..qt3) explode
+    * to COMPOSED (band_idx, band_val, quarter_mass) keys, equi-join
+    * the static artifact's exploded keys, claim each (new, indexed)
+    * pair once via the first band where bits AND mass agree, verify
     * by exact 64-bit Hamming. Append-mode, zero state. */
   private def bandProbeStream(spark: SparkSession, indexDir: String,
                               newBands: DataFrame, maxHamming: Long): DataFrame = {
     val idx = spark.read.parquet(s"$indexDir/bands")
     graft.operators.Dedup.requireIndexCols(idx, indexDir, "bands",
-      Seq("doc_id", "j", "v", "band0", "band1", "band2", "band3"))
-    val pb = idx.select(col("doc_id").as("partner"), col("j"), col("v"),
+      Seq("doc_id", "j", "v", "m", "band0", "band1", "band2", "band3",
+        "qt0", "qt1", "qt2", "qt3"))
+    val pb = idx.select(col("doc_id").as("partner"), col("j"), col("v"), col("m"),
       col("band0").as("b0"), col("band1").as("b1"),
-      col("band2").as("b2"), col("band3").as("b3"))
-    val nh = newBands
-      .select(col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"))
-    val nx = nh.select(col("doc_id"),
-        col("band0").as("a0"), col("band1").as("a1"),
-        col("band2").as("a2"), col("band3").as("a3"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("j"), col(s"band$j").as("v"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.j").as("j"), col("bk.v").as("v"),
-        col("a0"), col("a1"), col("a2"), col("a3"))
-    nx.join(pb, Seq("j", "v"))
+      col("band2").as("b2"), col("band3").as("b3"),
+      col("qt0").as("bm0"), col("qt1").as("bm1"),
+      col("qt2").as("bm2"), col("qt3").as("bm3"))
+    val nx = graft.queries.MultimodalQueries.explodeBandKeys(
+        newBands.select(Seq(col("doc_id")) ++
+          (0 until 4).map(j => col(s"band$j")) ++
+          (0 until 4).map(j => col(s"qt$j")): _*))
+      .toDF("doc_id", "j", "v", "m",
+        "a0", "a1", "a2", "a3", "am0", "am1", "am2", "am3")
+    nx.join(pb, Seq("j", "v", "m"))
       .filter(col("doc_id") =!= col("partner") &&
-        graft.queries.MultimodalQueries.noEarlierAgree)
+        graft.queries.MultimodalQueries.noEarlierAgreeM)
       .withColumn("hamming", graft.queries.MultimodalQueries.bandHamming)
       .filter(col("hamming") <= lit(maxHamming))
       .select(col("doc_id"), col("partner"), col("hamming"))
@@ -466,8 +467,8 @@ object EventStreams {
     bandIngestGraduate(newDocs, storeDir, compactEvery, docs => {
       import graft.multimodal.Multimodal
       Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
-        .select(col("doc_id"), col("band0"), col("band1"),
-          col("band2"), col("band3"))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
     }, checkpointDir)(afterBatch)
 
   /** [[mediaIngestGraduate]]'s AUDIO face: micro-batches of newly
@@ -480,8 +481,8 @@ object EventStreams {
     bandIngestGraduate(newDocs, storeDir, compactEvery, docs => {
       import graft.multimodal.Multimodal
       Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
-        .select(col("doc_id"), col("band0"), col("band1"),
-          col("band2"), col("band3"))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
     }, checkpointDir)(afterBatch)
 
   /** The shared single-table graduation sink: fingerprint the batch

@@ -401,12 +401,12 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     // exactly the rows a one-shot graduation of the same docs writes —
     // content is a function of the docs ingested, not the batch carve
     val streamed = graft.sources.SegmentStore.read(spark, storeDir)
-      .select($"doc_id", $"j", $"v", $"band0", $"band1", $"band2", $"band3")
+      .select($"doc_id", $"j", $"v", $"m", $"band0", $"band1", $"band2", $"band3", $"qt0", $"qt1", $"qt2", $"qt3")
       .collect().map(_.toSeq).toSet
     val oneShot = MultimodalQueries.explodeBandKeys(
         Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(b1))
-          .select($"doc_id", $"band0", $"band1", $"band2", $"band3"))
-      .select($"doc_id", $"j", $"v", $"band0", $"band1", $"band2", $"band3")
+          .select($"doc_id", $"band0", $"band1", $"band2", $"band3", $"qt0", $"qt1", $"qt2", $"qt3"))
+      .select($"doc_id", $"j", $"v", $"m", $"band0", $"band1", $"band2", $"band3", $"qt0", $"qt1", $"qt2", $"qt3")
       .collect().map(_.toSeq).toSet
     assert(streamed === oneShot,
       "streamed graduation diverges from the one-shot store content")
@@ -424,7 +424,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val ids = b1.as[Long].collect().sorted
     def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
       df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
-    val bandCols = Seq("doc_id", "j", "v", "band0", "band1", "band2", "band3")
+    val bandCols = Seq("doc_id", "j", "v", "m", "band0", "band1", "band2",
+      "band3", "qt0", "qt1", "qt2", "qt3")
     // AUDIO: two micro-batches through the shared single-table shape
     val afpDir =
       java.nio.file.Files.createTempDirectory("graft_afp_lsm_stream").toString
@@ -438,7 +439,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally qa.stop()
     val afpOneShot = MultimodalQueries.explodeBandKeys(
       Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(b1))
-        .select($"doc_id", $"band0", $"band1", $"band2", $"band3"))
+        .select($"doc_id", $"band0", $"band1", $"band2", $"band3", $"qt0", $"qt1", $"qt2", $"qt3"))
     assert(rows(graft.sources.SegmentStore.read(spark, afpDir), bandCols) ===
       rows(afpOneShot, bandCols),
       "streamed afp graduation diverges from the one-shot store")
