@@ -419,6 +419,14 @@ object PlanDump {
         + "reaches both artifact scans as a PushedFilter UNDER the "
         + "cell PartitionFilter, the shortlist ranks qualifying rows "
         + "only, payload fetch stays k point lookups."),
+    "q179_lifecycle_eval" ->
+      ("Composed lifecycle eval: q176's metric tail over two arms — "
+        + "post-fold probes against the majorCompact artifact (q148's "
+        + "pinned cell-pruned shape, no delta) and filtered probes "
+        + "with the q177 label predicate pre-applied to every live "
+        + "segment scan; ground truths are session-cached exact "
+        + "tables, so a warm rep pays 12 bounded probes and ≤ "
+        + "12·(IrK+1)-row metric math."),
     "q163_paraphrase_mining" ->
       ("Paraphrase mining: CORPUS-SCALED sign-LSH bucket equi-join for "
         + "candidates (planesFor(n) planes, buckets ∝ n, candidate "
@@ -455,6 +463,13 @@ object PlanDump {
         + "back from parquet (no decode anywhere in the plan), one "
         + "band equi-join, partner provenance certifying the "
         + "graduated rows answered."),
+    "q178_phash_takedown" ->
+      ("Media takedown lifecycle: q169's probe after a delete-marker "
+        + "batch — the fold already dropped the taken-down graduated "
+        + "rows physically (last-writer-wins over (doc_id, j)), so the "
+        + "store scan serves data rows as-is and the surviving markers "
+        + "shadow the static artifact via ONE broadcast anti-join "
+        + "below the candidate equi-join; no decode anywhere."),
     "q164_retrieval_metrics" ->
       ("Retrieval-quality eval (recall@k / MRR / nDCG@k): both arms "
         + "rank via the map-side partial top-k heap under their "

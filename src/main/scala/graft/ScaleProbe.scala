@@ -142,6 +142,14 @@ object ScaleProbe {
         foldSoakProbe(spark, srcDir, flags)
       else if (flags.contains("para-probe") && flags.contains("distinct"))
         paraProbeDistinct(spark, copies)
+      else if (flags.contains("refit-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        refitProbe(spark, outDir, flags)
+      }
+      else if (flags.contains("band-cand-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        bandCandProbe(spark, outDir, copies, flags)
+      }
       else if (flags.contains("para-probe")) {
         ensureClones(spark, srcDir, outDir, copies)
         paraProbe(spark, outDir, copies)
@@ -1054,6 +1062,150 @@ object ScaleProbe {
       .head()
     val cand = pops.getLong(1)
     println(s"""{"probe":"para-probe-distinct","n":$n,"n_planes":$np,"n_buckets":${pops.getLong(0)},"candidates":$cand,"max_pop":${pops.getLong(2)},"cand_per_n":${cand.toDouble / n}}""")
+    true
+  }
+
+  /** Refit-actuation probe (--refit-probe [--shift-docs N]): at clone
+    * scale, seed a serving root from the cloned corpus's IVF-PQ
+    * artifact, ingest (a) an in-distribution batch — the gauge must
+    * NOT trip — then (b) a distribution-shifted batch (every
+    * dimension offset by +3.0, the 'ingest moved' scenario q174's
+    * gauge exists for) — the gauge MUST trip and
+    * [[graft.search.AnnIndex.refitIfDrifted]] rebuilds quantizer +
+    * codebooks on the folded live corpus and publishes the next
+    * epoch. Receipts: both ratios, the refit wall time, the post-refit
+    * ratio of the very rows that tripped it, and an exact-top-10
+    * equality check of the refitted root against brute force. */
+  private def refitProbe(spark: SparkSession, outDir: String,
+                         flags: Map[String, String]): Boolean = {
+    import graft.search.AnnIndex
+    import graft.search.AnnIndex.ServingRoot
+    import graft.queries.AnnQueries
+    val shiftDocs = flags.get("shift-docs").map(_.toInt).getOrElse(5000)
+    val t0 = System.nanoTime()
+    val mainDir = AnnQueries.ivfPqIndexDir(spark, outDir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_refit_probe").toString + "/r"
+    ServingRoot.init(spark, mainDir, root)
+    val (idx0, delta0) = ServingRoot.resolve(spark, root)
+    def actuate() = AnnIndex.refitIfDrifted(spark, root, AnnQueries.IvfCells,
+      AnnQueries.IvfPqSubDim, AnnQueries.IvfPqK, AnnQueries.IvfPqIters,
+      AnnQueries.RefitDriftMax)
+    val corpus = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+    AnnIndex.appendDeltaBatch(spark, idx0, delta0,
+      corpus.limit(shiftDocs)
+        .select((col("vec_id") + 910000000L).as("vec_id"), col("embedding")),
+      0L, compactEvery = 0)
+    val (inRatio, inRefit) = actuate()
+    val shifted = corpus.limit(shiftDocs)
+      .select((col("vec_id") + 920000000L).as("vec_id"),
+        transform(col("embedding"), v => v + lit(3.0f)).as("embedding"))
+    AnnIndex.appendDeltaBatch(spark, idx0, delta0, shifted, 1L, compactEvery = 0)
+    val t1 = System.nanoTime()
+    val (ratio, refitEpoch) = actuate()
+    val refitSec = (System.nanoTime() - t1) / 1e9
+    val (idx1, _) = ServingRoot.resolve(spark, root)
+    val postShift = AnnIndex.meanDistortion(spark, idx1,
+      shifted.select(col("embedding")))
+    val postCorpus = AnnIndex.meanDistortion(spark, idx1,
+      spark.read.parquet(s"$idx1/corpus").select(col("embedding")))
+    val qv = shifted.orderBy(col("vec_id")).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val got = AnnIndex.probeIvfPqRoot(spark, root, qv, 10,
+      AnnQueries.IvfNProbe, AnnQueries.ServedShortlist)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = spark.read.parquet(s"$idx1/corpus")
+      .select(col("vec_id"), round(graft.functions.VectorFunctions
+        .neo4jScore(col("embedding"), typedLit(qv.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = got == want
+    val ok = inRefit.isEmpty && inRatio <= AnnQueries.RefitDriftMax &&
+      ratio > AnnQueries.RefitDriftMax && refitEpoch.contains(1L) && exact
+    println(s"""{"probe":"refit","n_corpus":${corpus.count()},"shift_docs":$shiftDocs,"build_sec":${f"$buildSec%.1f"},"in_dist_ratio":${f"$inRatio%.4f"},"in_dist_refit":${inRefit.nonEmpty},"shifted_ratio":${f"$ratio%.2f"},"refit_epoch":${refitEpoch.getOrElse(-1L)},"refit_sec":${f"$refitSec%.1f"},"post_shift_mean":${f"$postShift%.4f"},"post_corpus_mean":${f"$postCorpus%.4f"},"post_ratio":${f"${postShift / postCorpus}%.4f"},"exact_top10":$exact,"ok":$ok}""")
+    ok
+  }
+
+  /** Image/audio composed-key linearity probe (--band-cand-probe): on
+    * the cloned corpus, fingerprint every doc (REAL decode) and report,
+    * per modality, the banded join's CANDIDATE volume Σ pop·(pop−1)/2
+    * under the plain 16-bit band key (j, v) — the round-14 verdict's
+    * flagged ~n²/2¹⁶ term — and under the shipped COMPOSED key
+    * (j, v, m) with the exact quarter mass. Run at several --copies:
+    * the composed column must grow ~linearly in n while the plain
+    * column grows quadratically. Also reports planted-pair RETENTION:
+    * verified same-group pairs (exact Hamming ≤ cut) found under each
+    * rule — what the mass constraint costs in recall on the synthetic
+    * fixture (the video family's measured trade, re-measured here).
+    * The plain-rule verified join is itself the quadratic object, so
+    * it is skipped above --plain-pairs-max docs (volumes, which are
+    * aggregates over bucket populations, always run). */
+  private def bandCandProbe(spark: SparkSession, outDir: String,
+                            copies: Int, flags: Map[String, String]): Boolean = {
+    import graft.multimodal.Multimodal
+    import graft.queries.MultimodalQueries
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"))
+    val plainPairsMax = flags.get("plain-pairs-max").map(_.toLong)
+      .getOrElse(1300000L)
+    val g = Multimodal.VariantGroupSize
+    def modality(tag: String, bands: DataFrame, maxHamming: Long): String = {
+      val t0 = System.nanoTime()
+      val ex = MultimodalQueries.explodeBandKeys(bands)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val n = bands.count()
+        def vol(keys: Seq[String]): (Long, Long) = {
+          val r = ex.groupBy(keys.map(col): _*).agg(count(lit(1)).as("pop"))
+            .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
+              max(col("pop")).as("max_pop")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (plainVol, plainMax) = vol(Seq("j", "v"))
+        val (compVol, compMax) = vol(Seq("j", "v", "m"))
+        // verified pairs under each rule, split planted (same variant
+        // group) vs cross-group; distinct-dedup replaces the claim
+        // trick — counts are identical, and a probe can afford the
+        // extra shuffle the production claim avoids
+        def pairs(keys: Seq[String]): (Long, Long) = {
+          val carried = Seq("j", "v", "m") ++ (0 until 4).map(i => s"band$i")
+          val a = ex.select(col("doc_id").as("doc_a") +:
+            carried.map(c => col(c).as(s"a_$c")): _*)
+          val b = ex.select(col("doc_id").as("doc_b") +:
+            carried.map(c => col(c).as(s"b_$c")): _*)
+          val ham = (0 until 4)
+            .map(i => bit_count(col(s"a_band$i").bitwiseXOR(col(s"b_band$i"))).cast("long"))
+            .reduce(_ + _)
+          val r = a.join(b, keys.map(k => col(s"a_$k") === col(s"b_$k"))
+              .reduce(_ && _) && col("doc_a") < col("doc_b"))
+            .filter(ham <= lit(maxHamming))
+            .select(col("doc_a"), col("doc_b")).distinct()
+            .agg(
+              sum(when(col("doc_a").divide(g).cast("long") ===
+                col("doc_b").divide(g).cast("long"), 1L).otherwise(0L)).as("planted"),
+              count(lit(1)).as("total")).head()
+          (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+        }
+        val (compPlanted, compTotal) = pairs(Seq("j", "v", "m"))
+        val (plainPlanted, plainTotal) =
+          if (n <= plainPairsMax) pairs(Seq("j", "v")) else (-1L, -1L)
+        val sec = (System.nanoTime() - t0) / 1e9
+        s"""\"$tag\":{\"n\":$n,\"plain_cand\":$plainVol,\"plain_cand_per_n\":${plainVol.toDouble / n},\"plain_max_pop\":$plainMax,\"composed_cand\":$compVol,\"composed_cand_per_n\":${compVol.toDouble / n},\"composed_max_pop\":$compMax,\"plain_pairs_planted\":$plainPlanted,\"plain_pairs_total\":$plainTotal,\"composed_pairs_planted\":$compPlanted,\"composed_pairs_total\":$compTotal,\"sec\":${f"$sec%.1f"}}"""
+      } finally ex.unpersist(blocking = false)
+    }
+    val img = modality("image",
+      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+        .select(Seq(col("doc_id")) ++ (0 until 4).map(j => col(s"band$j")) ++
+          (0 until 4).map(j => col(s"qt$j")): _*),
+      MultimodalQueries.PhashMaxHamming)
+    val aud = modality("audio",
+      Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
+        .select(Seq(col("doc_id")) ++ (0 until 4).map(j => col(s"band$j")) ++
+          (0 until 4).map(j => col(s"qt$j")): _*),
+      MultimodalQueries.AfpMaxHamming)
+    println(s"""{"probe":"band-cand","copies":$copies,$img,$aud}""")
     true
   }
 

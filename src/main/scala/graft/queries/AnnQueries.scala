@@ -745,6 +745,94 @@ object AnnQueries {
   val ParaSimTau = 0.66
   val ParaJacMax = 0.5
 
+  // ---------------------------------------------------------------
+  // Standing-eval machinery shared by q176 (evolving route) and q179
+  // (lifecycle composition) — one definition of the query batch, the
+  // exact ground truth, the rerank rule, and the metric tail.
+  // ---------------------------------------------------------------
+
+  /** The standing eval's query batch: the 5 corpus vectors + the two
+    * planted near-dup ingest probes, as (query_id, qe). */
+  private def evolvingEvalQueryBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.SparkEntry.tbl(s, dir, "embeddings")
+      .filter(hasDim(col("embedding"), 64))
+      .filter(col("vec_id") < IrQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .unionByName(EvolvingEvalQueries
+        .map { case (id, t) => (id, docVec(t)) }.toDF("query_id", "qe"))
+  }
+
+  /** Exact per-query top-IrK over `universe` (vec_id, embedding)
+    * excluding self — the one ground-truth construction every
+    * standing-eval arm scores against (map-side partial top-k heaps,
+    * never a per-query window over the corpus). */
+  private def exactTopIrK(universe: DataFrame, q: DataFrame): DataFrame =
+    universe.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(neo4jScore(col("embedding"), col("qe")), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAggExpr
+        .topK(col("vec_id"), col("score"), IrK).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("p0", "hit")))
+      .select(col("query_id"), col("hit.id").as("vec_id"))
+
+  /** SESSION-CACHED live-set ground truth of the evolving eval —
+    * corpus minus the deleted doc, plus the script's surviving
+    * ingests, exact top-IrK per standing query. Shared verbatim by
+    * q176 and q179's post-fold arm (the fold preserves liveness by
+    * construction, so one truth serves both routes), and cached so a
+    * warm bench rep reads ≤ 7·IrK rows instead of re-scanning the
+    * corpus per rep (the round-14 verdict's q176 cost finding). */
+  private def evolvingEvalRel(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_evolving_rel_" + graft.SparkEntry.pathSlug(dir)) {
+      import s.implicits._
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"))
+      val liveSyn = Seq(ServedDeleteDocs.head, ServedDeleteCorrected)
+        .map { case (id, t) => (id, docVec(t)) }.toDF("vec_id", "embedding")
+      exactTopIrK(e.filter(col("vec_id") =!= DeletedCorpusId)
+        .unionByName(liveSyn), evolvingEvalQueryBatch(s, dir))
+    }
+
+  /** The served-arm rerank rule: self dropped, positions 1..IrK by the
+    * engine-wide (rounded score desc, vec_id asc) total order. */
+  private def rerankEval(raw: DataFrame): DataFrame = raw
+    .filter(col("vec_id") =!= col("query_id"))
+    .withColumn("pos", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)))
+    .filter(col("pos") <= IrK)
+    .select(col("query_id"), col("vec_id"), col("pos"))
+
+  /** The standing-eval metric tail: recall@IrK / MRR / nDCG@IrK per
+    * key set (query_id, optionally an arm column) — the metric frames
+    * are a handful of rows, broadcast explicitly rather than trusting
+    * AQE's estimates on the deep hits side. */
+  private def irReport(rel: DataFrame, ret: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val hits = ret.join(rel, keys :+ "vec_id")
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_hit"), min(col("pos")).as("first_pos"),
+        sum(expr(irDiscSql("pos"))).as("dcg"))
+    val nret = ret.groupBy(kc: _*).agg(count(lit(1)).as("n_ret"))
+    val nrel = rel.groupBy(kc: _*).agg(count(lit(1)).as("n_rel"))
+    nrel.join(broadcast(nret), keys, "left")
+      .join(broadcast(hits), keys, "left")
+      .select(kc ++ Seq(col("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_rel"), 6).as("recall_at_10"),
+        round(when(col("first_pos").isNotNull,
+          lit(1.0) / col("first_pos")).otherwise(lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0))
+          / expr(irIdcgSql("n_rel")).cast("double"), 6).as("ndcg_at_10")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q163_paraphrase_mining" -> ((s, dir) => {
@@ -1111,6 +1199,70 @@ object AnnQueries {
         filter = Seq("label" -> FilterLabel))
     }),
 
+    "q179_lifecycle_eval" -> ((s, dir) => {
+      // the COMPOSED standing eval (round-14 verdict: q175 proves the
+      // fold once, q177 the filter once — interaction bugs between the
+      // lifecycle features should fail a STANDING oracle, not wait for
+      // a new spec): two arms through q176's exact metric machinery.
+      //  - post_fold: the full 7-query evolving eval re-run against
+      //    the major-compacted artifact with NO delta — the fold
+      //    composed with deletes, corrections, and ingests must still
+      //    serve the same live set perfectly;
+      //  - filtered: the 5 corpus queries through the LSM route
+      //    (main ∪ delete-lifecycle delta) with the q177 label filter
+      //    PRE-applied to every segment scan — filter composed with
+      //    tombstones and the delta (the delta's unlabeled ingests
+      //    must be excluded by the predicate, not served around it).
+      // Ground truths are session-cached exact top-IrK tables
+      // ([[evolvingEvalRel]] shared verbatim with q176; the filtered
+      // rel over the live labeled universe) — the oracle predicts
+      // perfection on every row and fails closed on any interaction
+      // regression. Scale shape: 12 bounded artifact probes + metric
+      // math over ≤ 12·(IrK+1) rows.
+      import s.implicits._
+      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
+        .filter(hasDim(col("embedding"), 64))
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q7 = evolvingEvalQueryBatch(s, dir)
+      val folded = foldedIndexDir(s, dir)
+      val foldedSegs = Seq(s.read.parquet(s"$folded/corpus"))
+      val retFold = q7.collect().map { r =>
+        graft.search.AnnIndex.probeIvfPqSegments(s, folded, foldedSegs,
+            r.getSeq[Float](1).toArray, IrK + 1, IvfNProbe, ServedShortlist)
+          .select(lit(r.getLong(0)).as("query_id"), col("vec_id"), col("score"))
+      }.reduce(_.unionByName(_))
+      val main = ivfPqIndexDir(s, dir)
+      val lsmSegs = graft.search.AnnIndex.lsmLiveSegments(
+        s, main, servedDeltaDir(s, dir))
+      // the q177 pre-filter strategy over every live segment: delta
+      // segments that never carried the column contribute nothing (a
+      // null label row can't equal the literal)
+      val filteredSegs = lsmSegs.map { seg =>
+        if (seg.columns.contains("label"))
+          seg.filter(col("label") === FilterLabel)
+        else seg.limit(0)
+      }
+      val q5 = q7.filter(col("query_id") < IrQueries)
+      val retFilt = q5.collect().map { r =>
+        graft.search.AnnIndex.probeIvfPqSegments(s, main, filteredSegs,
+            r.getSeq[Float](1).toArray, IrK + 1, IvfNProbe, ServedShortlist)
+          .select(lit(r.getLong(0)).as("query_id"), col("vec_id"), col("score"))
+      }.reduce(_.unionByName(_))
+      val relFold = evolvingEvalRel(s, dir).withColumn("arm", lit("post_fold"))
+      val relFilt = graft.SparkEntry.cachedView(s,
+        "graft_cache_q179_filt_rel_" + graft.SparkEntry.pathSlug(dir)) {
+        exactTopIrK(
+          e.filter(col("vec_id") =!= DeletedCorpusId &&
+              col("label") === FilterLabel)
+            .select(col("vec_id"), col("embedding")),
+          q5)
+      }.withColumn("arm", lit("filtered"))
+      val ret = rerankEval(retFold).withColumn("arm", lit("post_fold"))
+        .unionByName(rerankEval(retFilt).withColumn("arm", lit("filtered")))
+      irReport(relFold.unionByName(relFilt), ret, Seq("arm", "query_id"))
+        .orderBy(col("arm"), col("query_id"))
+    }),
+
     "q176_evolving_eval" -> ((s, dir) => {
       // the EVOLVING-index arm on the standing eval (q166's metric
       // machinery pointed at the route `--delta` users get): per-query
@@ -1126,28 +1278,11 @@ object AnnQueries {
       // version, can be perfect). The oracle predicts perfection at
       // the shipped constants — any delta-serving miss, resurrected
       // tombstone, or superseded version flips it red. Scale shape:
-      // 7 bounded artifact probes + metric math over ≤ 7·(IrK+1) rows.
-      import s.implicits._
-      val e = graft.SparkEntry.tbl(s, dir, "embeddings")
-        .filter(hasDim(col("embedding"), 64))
-        .select(col("vec_id"), col("embedding"))
-      val liveSyn = Seq(ServedDeleteDocs.head, ServedDeleteCorrected)
-        .map { case (id, t) => (id, docVec(t)) }.toDF("vec_id", "embedding")
-      val live = e.filter(col("vec_id") =!= DeletedCorpusId)
-        .unionByName(liveSyn)
-      val q = e.filter(col("vec_id") < IrQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .unionByName(EvolvingEvalQueries
-          .map { case (id, t) => (id, docVec(t)) }.toDF("query_id", "qe"))
-      // ground truth: exact top-IrK excluding self over the LIVE set
-      val rel = live.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          round(neo4jScore(col("embedding"), col("qe")), 6).as("score"))
-        .groupBy(col("query_id"))
-        .agg(graft.expressions.TopKAggExpr
-          .topK(col("vec_id"), col("score"), IrK).as("hits"))
-        .select(col("query_id"), posexplode(col("hits")).as(Seq("p0", "hit")))
-        .select(col("query_id"), col("hit.id").as("vec_id"))
+      // 7 bounded artifact probes + metric math over ≤ 7·(IrK+1) rows;
+      // the ground truth is the SESSION-CACHED live-set exact table
+      // ([[evolvingEvalRel]] — shared with q179's post-fold arm), so
+      // a warm rep pays the probes, not a corpus re-scan.
+      val q = evolvingEvalQueryBatch(s, dir)
       // the served arm: the LSM liveness resolves ONCE for the whole
       // query batch (lsmLiveSegments — the same frames every probe
       // serves; a per-probe resolution would re-read tombstones and
@@ -1162,33 +1297,7 @@ object AnnQueries {
           .select(lit(r.getLong(0)).as("query_id"),
             col("vec_id"), col("score"))
       }.reduce(_.unionByName(_))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("vec_id").asc)))
-        .filter(col("pos") <= IrK)
-        .select(col("query_id"), col("vec_id"), col("pos"))
-      val hits = ret.join(rel, Seq("query_id", "vec_id"))
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_hit"), min(col("pos")).as("first_pos"),
-          sum(expr(irDiscSql("pos"))).as("dcg"))
-      val nret = ret.groupBy(col("query_id")).agg(count(lit(1)).as("n_ret"))
-      val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
-      // the metric frames are ≤ 7 rows by construction — broadcast
-      // explicitly rather than trusting AQE's estimates (the hits side
-      // sits deep enough that its runtime stat can miss the window)
-      nrel
-        .join(broadcast(nret), Seq("query_id"), "left")
-        .join(broadcast(hits), Seq("query_id"), "left")
-        .select(col("query_id"), col("n_rel"),
-          coalesce(col("n_ret"), lit(0L)).as("n_ret"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double")
-            / col("n_rel"), 6).as("recall_at_10"),
-          round(when(col("first_pos").isNotNull,
-            lit(1.0) / col("first_pos")).otherwise(lit(0.0)), 6).as("mrr"),
-          round(coalesce(col("dcg").cast("double"), lit(0.0))
-            / expr(irIdcgSql("n_rel")).cast("double"), 6).as("ndcg_at_10"))
+      irReport(evolvingEvalRel(s, dir), rerankEval(ret), Seq("query_id"))
         .orderBy(col("query_id"))
     }),
 
@@ -2332,6 +2441,25 @@ object AnnQueries {
          |  CAST(1.0 AS DOUBLE) AS ndcg_at_10
          |FROM (SELECT unnest([${ids.mkString(", ")}]) AS query_id)
          |ORDER BY query_id""".stripMargin
+    },
+
+    // perfection predicted PER ARM: any fold×delete×correction or
+    // filter×tombstone×delta interaction regression lands on a
+    // specific (arm, query_id) row and flips the hash
+    "q179_lifecycle_eval" -> {
+      val foldIds = ((0 until IrQueries).map(_.toLong) ++
+        EvolvingEvalQueries.map(_._1)).sorted
+      val filtIds = (0 until IrQueries).map(_.toLong)
+      s"""SELECT arm, CAST(query_id AS BIGINT) AS query_id,
+         |  $IrK::BIGINT AS n_rel, $IrK::BIGINT AS n_ret, $IrK::BIGINT AS n_hit,
+         |  CAST(1.0 AS DOUBLE) AS recall_at_10,
+         |  CAST(1.0 AS DOUBLE) AS mrr,
+         |  CAST(1.0 AS DOUBLE) AS ndcg_at_10
+         |FROM (
+         |  SELECT 'post_fold' AS arm, unnest([${foldIds.mkString(", ")}]) AS query_id
+         |  UNION ALL
+         |  SELECT 'filtered' AS arm, unnest([${filtIds.mkString(", ")}]) AS query_id)
+         |ORDER BY arm, query_id""".stripMargin
     },
 
     // the Lloyd's chains on the main split (the q150 artifact's own

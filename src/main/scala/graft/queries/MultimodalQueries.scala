@@ -254,10 +254,32 @@ object MultimodalQueries {
                                  maxHamming: Long): DataFrame = {
     val keyed = Seq("doc_id", "j", "v", "m",
       "band0", "band1", "band2", "band3", "qt0", "qt1", "qt2", "qt3")
+    // lifecycle resolution over the store: last-writer-wins per
+    // (doc_id, j) across the resolved segments (live tail vs folded
+    // generation can carry the same key), then serve the data rows and
+    // let surviving DELETE markers shadow the immutable static
+    // artifact — a taken-down corpus image stops answering without a
+    // static rebuild, and a re-ingested one answers again because its
+    // newer data row already beat the marker here. Store rows are 4
+    // small longs per doc, so the window shuffle is noise next to the
+    // candidate join.
+    val raw = graft.sources.SegmentStore.read(s, storeDir)
+    val lifecycled =
+      if (!raw.columns.contains("_del")) raw.withColumn("_del", lit(false))
+      else raw
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("j"))
+      .orderBy(col(graft.sources.SegmentStore.BatchCol).desc)
+    val lww = lifecycled
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val takenDown = lww
+      .filter(col("_del") && col("j") === 0).select(col("doc_id"))
     val indexSide = staticBands
+      .join(broadcast(takenDown), Seq("doc_id"), "left_anti")
       .select(keyed.map(col): _*)
       .withColumn("graduated", lit(false))
-      .unionByName(graft.sources.SegmentStore.read(s, storeDir)
+      .unionByName(lww.filter(!col("_del"))
         .select(keyed.map(col): _*)
         .withColumn("graduated", lit(true)))
     val nx = explodeBandKeys(b2)
@@ -284,7 +306,8 @@ object MultimodalQueries {
     * split by which side serves — the oracle recomputes BOTH sides
     * from the sample formulas, so the static artifact round-trip AND
     * the SegmentStore fold + manifest resolution must be invisible. */
-  private def graduationProbeSql(withCtes: String, maxHamming: Long): String =
+  private def graduationProbeSql(withCtes: String, maxHamming: Long,
+                                 partnerFilter: String = ""): String =
     s"""$withCtes,
        |cand AS (
        |  SELECT a.doc_id AS nid,
@@ -294,6 +317,7 @@ object MultimodalQueries {
        |  FROM bands a JOIN bands b
        |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
        |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
+       |   $partnerFilter
        |   AND ($composedBandRuleSql)),
        |agg AS (
        |  SELECT nid,
@@ -467,6 +491,43 @@ object MultimodalQueries {
     * oracle red. */
   val PhashLsmBatchMod = 2L
 
+  /** q178's takedown carve: SERVING docs (old corpus or the graduated
+    * batch) with `doc_id % TakedownMod == TakedownRem` are deleted
+    * from the image index after graduation. The carve hits both
+    * partner classes (1-in-7 of each side), so the query is sensitive
+    * to a takedown that silently fails on either the store's own rows
+    * or the static artifact's shadowing. */
+  val TakedownMod = 7L
+  val TakedownRem = 3L
+
+  /** Band-store DATA rows: exploded composed keys + the lifecycle
+    * column (`_del = false`). Every single-table band store writes
+    * this layout so takedown markers can ride the SAME store under
+    * the same (doc_id, j) last-writer-wins rule. */
+  private[graft] def bandStoreRows(h: DataFrame): DataFrame =
+    explodeBandKeys(h).withColumn("_del", lit(false))
+
+  /** Takedown MARKERS — the media face of the vector index's id-only
+    * tombstones ([[graft.search.AnnIndex.appendTombstones]]), here as
+    * in-store delete rows (the classic LSM delete marker): per deleted
+    * doc one row PER BAND INDEX (all four — a marker must shadow every
+    * exploded key row of the doc) with null key/payload columns and
+    * `_del = true`. Under the store's (doc_id, j) last-writer-wins
+    * fold a marker newer than a data row physically DROPS that row at
+    * the next routine compaction (no separate major fold needed),
+    * while the marker itself survives to shadow the immutable static
+    * artifact's rows; a later re-ingest outranks the marker and serves
+    * again — and the fold then drops the marker too. Null `v` keeps
+    * markers out of every candidate equi-join by construction. */
+  private[graft] def bandTakedownMarkers(ids: DataFrame): DataFrame = {
+    val nl = lit(null).cast("long")
+    ids.select(col("doc_id"),
+        explode(array((0 until 4).map(j => lit(j)): _*)).as("j"))
+      .select(Seq(col("doc_id"), col("j"), nl.as("v"), nl.as("m")) ++
+        (0 until 4).map(j => nl.as(s"band$j")) ++
+        (0 until 4).map(j => nl.as(s"qt$j")) :+ lit(true).as("_del"): _*)
+  }
+
   /** Session-once GRADUATION of the earlier ingest batch (even new
     * ids) into a [[graft.sources.SegmentStore]] next to a static band
     * artifact — the media face of the IVF-PQ delta's LSM maintenance,
@@ -488,8 +549,39 @@ object MultimodalQueries {
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
       val b1 = newBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
-      graft.sources.SegmentStore.appendBatch(s, out, explodeBandKeys(b1),
+      graft.sources.SegmentStore.appendBatch(s, out, bandStoreRows(b1),
         batchId = 0L, compactEvery = 1,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      out
+    }
+
+  private val sessionPhashTakedown = new graft.SessionMemo[String, String]
+
+  /** q178's store: [[phashLsmDir]]'s graduation (batch 0) FOLLOWED by
+    * a takedown batch (batch 1) of delete markers for the carve's
+    * serving docs — old-corpus AND graduated ids alike — with
+    * compactEvery = 1 so the marker batch's fold runs: the
+    * taken-down graduated rows are PHYSICALLY absent from the
+    * published generation (last-writer-wins dropped them), while the
+    * markers survive to shadow the static artifact at probe time. */
+  private[graft] def phashTakedownLsmDir(s: SparkSession, dir: String): String =
+    sessionPhashTakedown.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_phash_takedown_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val b1 = phashNewBatchBands(s, dir)
+        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      graft.sources.SegmentStore.appendBatch(s, out, bandStoreRows(b1),
+        batchId = 0L, compactEvery = 1,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      val serving = graft.SparkEntry.tbl(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) < PhashProbeNewMin ||
+          pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      graft.sources.SegmentStore.appendBatch(s, out,
+        bandTakedownMarkers(serving.filter(
+          pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem)),
+        batchId = 1L, compactEvery = 1,
         partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
       out
     }
@@ -831,6 +923,28 @@ object MultimodalQueries {
         afpNewBatchBands(s, dir)
           .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
         AfpMaxHamming)
+    }),
+
+    "q178_phash_takedown" -> ((s, dir) => {
+      // q169's probe AFTER a takedown batch — the delete lifecycle for
+      // a media band index (the round-14 verdict's missing piece: the
+      // vector index could unserve, a taken-down image could not).
+      // Delete markers for 1-in-7 of the SERVING docs ride the q178
+      // store as batch 1 ([[bandTakedownMarkers]]): the fold they
+      // trigger physically drops the shadowed graduated rows
+      // (last-writer-wins — no separate major fold), and the
+      // surviving markers shadow the static artifact through a
+      // broadcast anti-join in the probe. Same output contract as
+      // q169; the oracle — which recomputes everything from the pixel
+      // formulas WITH the carve excluded — turns red if a taken-down
+      // partner still answers from either side, or if the takedown
+      // over-deletes a serving one.
+      graduatedBandProbe(s,
+        s.read.parquet(s"${phashIndexDir(s, dir)}/bands"),
+        phashTakedownLsmDir(s, dir),
+        phashNewBatchBands(s, dir)
+          .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
+        PhashMaxHamming)
     }),
 
     "q167_afp_index_probe" -> ((s, dir) => {
@@ -1428,6 +1542,14 @@ object MultimodalQueries {
       // the audio face: identical graduation semantics over the WAV
       // sample formulas
       graduationProbeSql(variantAudioBandsCtes, AfpMaxHamming),
+
+    "q178_phash_takedown" ->
+      // q169's graduation semantics with the takedown carve excluded
+      // from BOTH partner classes: a deleted doc must answer from
+      // neither the store (physical drop at the fold) nor the static
+      // artifact (marker shadowing) — and only the carve may vanish
+      graduationProbeSql(variantImageBandsCtes, PhashMaxHamming,
+        partnerFilter = s"AND b.doc_id % $TakedownMod <> $TakedownRem"),
 
     "q171_vphash_ingest_lsm" ->
       // the video face: q168's candidate rule (frame-0 composed

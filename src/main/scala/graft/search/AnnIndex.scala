@@ -703,17 +703,48 @@ object AnnIndex {
     * construction. Delta frames keep their
     * [[graft.sources.SegmentStore.BatchCol]] stamp (consumers that
     * persist them drop it). */
+  /** Ceiling on the tombstone store's ON-DISK mass up to which the
+    * probe-side exclusion joins broadcast the tombstone set; past it
+    * the hint is withheld and the planner runs a shuffle anti-join
+    * instead — graceful degradation, never a driver OOM from an
+    * unconditional hint. Raw segment bytes upper-bound the resolved
+    * distinct set (~10 B per id in parquet), so 64 MiB covers the
+    * multi-million-tombstone regime the `--tombstone-probe` receipt
+    * measures; a store anywhere NEAR this ceiling is past the point
+    * where a major fold should already have dropped the ids
+    * physically ([[graft.queries.AnnQueries.TombstoneFoldRows]] — the
+    * fold trigger sits two orders of magnitude earlier). */
+  val TombstoneBroadcastMaxBytes: Long = 64L << 20
+
+  /** The exclusion-join hint for this delta's tombstone set:
+    * `broadcast` while the store's raw bytes (filesystem metadata
+    * only — no job) stay under [[TombstoneBroadcastMaxBytes]],
+    * identity past it. Shared by every tombstone-excluding read path
+    * (the LSM probes here, the exact routes in SearchEngine). */
+  private[graft] def tombstoneHint(spark: SparkSession,
+                                   deltaDir: String): DataFrame => DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = graft.sources.SegmentStore
+      .segments(fs, s"$deltaDir/tombstones")
+      .map(p => fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength)
+      .sum
+    if (bytes <= TombstoneBroadcastMaxBytes) broadcast(_) else identity
+  }
+
   def lsmLiveSegments(spark: SparkSession, indexDir: String,
                       deltaDir: String): Seq[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val batchCol = graft.sources.SegmentStore.BatchCol
     val dels = tombstones(spark, deltaDir)
+    val hint = if (dels.isEmpty) identity[DataFrame] _
+      else tombstoneHint(spark, deltaDir)
     val main = spark.read.parquet(s"$indexDir/corpus")
     val mainLive = dels match {
       case None => main
       case Some(d) =>
-        main.join(broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        main.join(hint(d.select(col("vec_id"))), Seq("vec_id"), "left_anti")
     }
     val deltaDirs = deltaSegments(fs, deltaDir)
     val deltaLive = if (deltaDirs.isEmpty) Nil else {
@@ -725,7 +756,7 @@ object AnnIndex {
       Seq(dels match {
         case None => lww
         case Some(d) => lww
-          .join(broadcast(d), Seq("vec_id"), "left")
+          .join(hint(d), Seq("vec_id"), "left")
           .filter(col("del_batch").isNull || col(batchCol) >= col("del_batch"))
           .drop("del_batch")
       })
@@ -903,6 +934,17 @@ object AnnIndex {
     majorCompact(spark, ServingRoot.indexDir(rootDir, e),
       ServingRoot.deltaDir(rootDir, e), ServingRoot.indexDir(rootDir, e + 1))
     ServingRoot.publish(fs, rootDir, e + 1)
+    graceRetire(fs, rootDir, e)
+    e + 1
+  }
+
+  /** The serving root's grace GC, shared by [[majorFoldPublish]] and
+    * [[refitIfDrifted]]: after publishing epoch e+1, retire ONLY epoch
+    * e−1 and its delta — the dirs a pointer two generations back was
+    * the last to reference — so a prober that resolved against e
+    * keeps its full snapshot, tombstones included. */
+  private def graceRetire(fs: org.apache.hadoop.fs.FileSystem,
+                          rootDir: String, e: Long): Unit =
     if (e > 0) {
       fs.delete(new org.apache.hadoop.fs.Path(
         ServingRoot.indexDir(rootDir, e - 1)), true)
@@ -910,7 +952,101 @@ object AnnIndex {
         ServingRoot.deltaDir(rootDir, e - 1)), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/current_e${e - 1}"), false)
     }
-    e + 1
+
+  /** Mean assigned-code PQ quantization distortion of `rows`
+    * (`embedding` column) under `indexDir`'s PERSISTED codebooks —
+    * q174's statistic as a library call: per row, the squared distance
+    * of each subspace slice to its nearest codebook centroid, summed
+    * across subspaces, averaged over rows. One scan, row-local codegen
+    * argmin over the broadcast-literal centroids — no fits, no joins. */
+  def meanDistortion(spark: SparkSession, indexDir: String,
+                     rows: DataFrame): Double = {
+    val cb = loadCodebooks(spark, indexDir)
+    val subs = cb.keys.toSeq.sorted
+    val subDim = cb(subs.head).head.size
+    val dcols = subs.map { sub =>
+      val slc = slice(col("embedding"), sub * subDim + 1, subDim)
+      val cents = cb(sub)
+      graft.expressions.VectorExpressions.sqDist(slc,
+        element_at(typedLit(cents.map(_.toSeq)),
+          graft.operators.SemDedup.assignCell(slc, cents) + 1))
+    }
+    rows.select(dcols.reduce(_ + _).as("_d"))
+      .agg(avg(col("_d"))).head().getDouble(0)
+  }
+
+  /** REFIT — the rebuild [[majorCompact]] deliberately is not: fold
+    * the live corpus (main ∪ delta, latest-op-wins, tombstones
+    * dropped — the SAME liveness definition every probe serves) and
+    * fit a FRESH coarse quantizer + per-subspace codebooks on it,
+    * re-encoding every live row. This is what a tripped q174 drift
+    * gauge actuates: between folds the geometry is frozen by design
+    * (q153's no-refit graduation), so once the ingest's distribution
+    * has drifted past the trigger, carrying the old geometry forward
+    * would freeze the decay in — the refit re-derives it from the
+    * corpus the index actually serves now. Write-only, same
+    * crash-anywhere contract as [[majorCompact]]; publish through
+    * [[refitIfDrifted]] (or a caller's own pointer swap). */
+  def refit(spark: SparkSession, indexDir: String, deltaDir: String,
+            outDir: String, cells: Int, subDim: Int, pqK: Int,
+            pqIters: Int): Unit = {
+    val live = lsmLiveSegments(spark, indexDir, deltaDir)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .drop(graft.sources.SegmentStore.BatchCol)
+    // the frozen geometry's artifacts (cell assignment + codes) must
+    // NOT ride into the refit — buildIvf re-assigns cells and
+    // saveIvfPq re-encodes against the fresh codebooks; payload
+    // columns (label, text, …) carry through untouched
+    val stale = live.columns.filter(c => c == "cell" || c.matches("c\\d+"))
+    val corpus = stale.foldLeft(live)(_ drop _)
+    val idx = buildIvf(corpus, cells = cells, cache = false)
+    val m = corpus.select(col("embedding")).head().getSeq[Float](0).size / subDim
+    val codebooks = (0 until m).map { sub =>
+      graft.operators.SemDedup.fit(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), sub * subDim + 1, subDim).as("embedding")),
+        pqK, pqIters)
+    }
+    saveIvfPq(idx, codebooks, subDim, outDir)
+  }
+
+  /** REFIT ACTUATION over a serving root — the gauge and the rebuild
+    * in one decision: measure the drift ratio (the live DELTA rows'
+    * mean distortion under the serving epoch's codebooks over the
+    * epoch corpus's own mean — q174's statistic against the actually-
+    * served geometry), and when it exceeds `driftMax`
+    * ([[graft.queries.AnnQueries.RefitDriftMax]] at the declared
+    * surface), [[refit]] into the next epoch and publish it under the
+    * SAME publish-then-retire discipline as [[majorFoldPublish]] — a
+    * prober never sees a half-built refit, and pre-swap resolvers
+    * keep their grace snapshot. Returns (ratio, Some(newEpoch)) on
+    * refit, (ratio, None) when the geometry still fits (including the
+    * empty-delta case: nothing has arrived, nothing can have
+    * drifted). */
+  def refitIfDrifted(spark: SparkSession, rootDir: String, cells: Int,
+                     subDim: Int, pqK: Int, pqIters: Int,
+                     driftMax: Double): (Double, Option[Long]) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val e = ServingRoot.currentEpoch(fs, rootDir).getOrElse(
+      throw new IllegalStateException(s"serving root $rootDir has no published epoch"))
+    val idxDir = ServingRoot.indexDir(rootDir, e)
+    val deltaDir = ServingRoot.deltaDir(rootDir, e)
+    val frames = lsmLiveSegments(spark, idxDir, deltaDir)
+    if (frames.tail.isEmpty) return (1.0, None)
+    val deltaRows = frames.tail
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(col("embedding"))
+    val ratio = meanDistortion(spark, idxDir, deltaRows) /
+      meanDistortion(spark, idxDir, frames.head.select(col("embedding")))
+    if (ratio <= driftMax) (ratio, None)
+    else {
+      refit(spark, idxDir, deltaDir, ServingRoot.indexDir(rootDir, e + 1),
+        cells, subDim, pqK, pqIters)
+      ServingRoot.publish(fs, rootDir, e + 1)
+      graceRetire(fs, rootDir, e)
+      (ratio, Some(e + 1))
+    }
   }
 
   /** Probe a SERVING ROOT: resolve the pointer (one atomic read),

@@ -129,12 +129,17 @@ final class SearchEngine(
       if (filter.isEmpty) c else c.filter(filterPredicate(filter))
     }
     val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
+    // size-guarded hint: broadcast small tombstone sets, let the
+    // planner shuffle past the ceiling (AnnIndex.tombstoneHint)
+    val hint: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (dels.isEmpty) identity
+      else graft.search.AnnIndex.tombstoneHint(spark, deltaDir.get)
     val baseLive = dels match {
       case None => base
       case Some(d) => base.join(
-        broadcast(d.select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_anti")
+        hint(d.select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_anti")
     }
-    deltaSegsLww(deltaDir, dels, filter) match {
+    deltaSegsLww(deltaDir, dels, filter, hint) match {
       case None => baseLive
       case Some(delta) =>
         val baseRows = baseLive.select($"doc_id", $"text", $"embedding")
@@ -158,7 +163,8 @@ final class SearchEngine(
     * whole delta on one schema-lagging segment would be a recall miss. */
   private def deltaSegsLww(deltaDir: Option[String],
                            dels: Option[DataFrame],
-                           filter: Seq[(String, Any)] = Nil): Option[DataFrame] = {
+                           filter: Seq[(String, Any)] = Nil,
+                           hint: DataFrame => DataFrame = broadcast(_)): Option[DataFrame] = {
     val segs = deltaDir.map(deltaSegs).getOrElse(Nil)
     if (segs.isEmpty ||
         !filter.forall { case (c, _) => segs.exists(_.columns.contains(c)) })
@@ -184,7 +190,7 @@ final class SearchEngine(
       val live = dels match {
         case None => lww
         case Some(d) => lww
-          .join(broadcast(d.select(col("vec_id").as("doc_id"), col("del_batch"))),
+          .join(hint(d.select(col("vec_id").as("doc_id"), col("del_batch"))),
             Seq("doc_id"), "left")
           .filter(col("del_batch").isNull || col(batchCol) >= col("del_batch"))
           .drop("del_batch")

@@ -502,9 +502,52 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
           graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
-            graft.queries.MultimodalQueries.explodeBandKeys(
+            graft.queries.MultimodalQueries.bandStoreRows(
               fingerprint(batch.toDF())), id,
             compactEvery, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        afterBatch(id)
+      }
+      .start()
+
+  /** OPS stream for a media band index — [[mediaIngestGraduate]]'s
+    * lifecycle face and the media twin of
+    * [[graft.search.SearchEngine.streamingDocApply]]: micro-batches of
+    * (doc_id, op) where op ∈ {put, del}. Puts decode + fingerprint
+    * only themselves and append as data rows; dels append takedown
+    * markers ([[graft.queries.MultimodalQueries.bandTakedownMarkers]])
+    * that physically drop the doc's rows at the next fold and shadow
+    * any static artifact at probe time. Latest-op-wins across batches
+    * rides the store's (doc_id, j) last-writer-wins rule; within ONE
+    * batch a put wins a del tie by contract (the del is dropped before
+    * the append — deterministic, no fold change). An unknown or null
+    * op fails the batch loudly, mirroring streamingDocApply. */
+  def mediaOpsGraduate(ops: DataFrame, storeDir: String,
+                       compactEvery: Int,
+                       checkpointDir: Option[String] = None)
+                      (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointDir.foldLeft(ops.writeStream.outputMode("append"))(
+        (w, dir) => w.option("checkpointLocation", dir))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          import graft.multimodal.Multimodal
+          import graft.queries.MultimodalQueries
+          val df = batch.toDF()
+          val bad = df.filter(col("op").isNull ||
+            !col("op").isin("put", "del")).limit(1).collect()
+          require(bad.isEmpty,
+            s"mediaOpsGraduate batch $id: unknown op '${bad.headOption.map(_.getAs[Any]("op")).orNull}'")
+          val puts = df.filter(col("op") === "put").select(col("doc_id"))
+          val dels = df.filter(col("op") === "del").select(col("doc_id"))
+            .join(puts, Seq("doc_id"), "left_anti") // same-batch put wins
+          val rows = MultimodalQueries.bandStoreRows(
+              Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(puts))
+                .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+                  col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3")))
+            .unionByName(MultimodalQueries.bandTakedownMarkers(dels))
+          graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
+            rows, id, compactEvery,
+            partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        }
         afterBatch(id)
       }
       .start()

@@ -804,4 +804,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("media ops stream: put/del/re-put with latest-op-wins and physical drops") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_media_ops_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.mediaOpsGraduate(
+      mem.toDF().toDF("doc_id", "op"), dir, compactEvery = 1)()
+    def store() = graft.sources.SegmentStore.read(spark, dir)
+    try {
+      mem.addData(Seq((3L, "put"), (4L, "put"), (5L, "put")))
+      q.processAllAvailable()
+      mem.addData(Seq((4L, "del")))
+      q.processAllAvailable()
+      // the del batch's fold physically dropped 4's data rows; the
+      // marker survives to shadow any static artifact
+      assert(store().filter($"doc_id" === 4L && !$"_del").count() === 0L)
+      assert(store().filter($"doc_id" === 4L && $"_del").count() > 0L)
+      // re-put: latest-op-wins serves again, and THIS fold drops the
+      // now-outranked marker — the store converges back to data-only
+      mem.addData(Seq((4L, "put")))
+      q.processAllAvailable()
+      assert(store().filter($"doc_id" === 4L && !$"_del").count() === 4L)
+      assert(store().filter($"doc_id" === 4L && $"_del").count() === 0L)
+      // same-batch del+put of one doc: put wins by contract
+      mem.addData(Seq((5L, "del"), (5L, "put")))
+      q.processAllAvailable()
+      assert(store().filter($"doc_id" === 5L && !$"_del").count() === 4L)
+      assert(store().filter($"doc_id" === 5L && $"_del").count() === 0L)
+    } finally q.stop()
+    // unknown (or null) op fails the batch loudly, never silent row loss
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_media_ops_bad").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.mediaOpsGraduate(
+      mem2.toDF().toDF("doc_id", "op"), dir2, compactEvery = 1)()
+    try {
+      mem2.addData(Seq((9L, "nope")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q2.processAllAvailable())
+      assert(e.toString.contains("unknown op") ||
+        Option(e.getCause).exists(_.toString.contains("unknown op")))
+    } finally q2.stop()
+  }
 }

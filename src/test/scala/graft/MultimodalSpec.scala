@@ -646,4 +646,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.size >= (planted * 9) / 10,
       s"recovered ${out.size} of $planted planted pairs")
   }
+
+  test("q178 takedown unserves exactly the carve, from both partner classes") {
+    import graft.queries.MultimodalQueries
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf0001)
+      .select($"doc_id", $"n_dup_old", $"n_dup_graduated")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = rows("q169_phash_ingest_lsm")
+    val after = rows("q178_phash_takedown")
+    assert(before.keySet === after.keySet)
+    // a takedown only removes partners — counts never grow
+    assert(before.forall { case (id, (o, g)) =>
+      after(id)._1 <= o && after(id)._2 <= g })
+    // …and it actually removed some, from BOTH classes (the carve is
+    // 1-in-7 of each side; a silent no-op on either side fails here)
+    assert(before.exists { case (id, (o, _)) => after(id)._1 < o },
+      "no old-corpus partner was unserved by the takedown")
+    assert(before.exists { case (id, (_, g)) => after(id)._2 < g },
+      "no graduated partner was unserved by the takedown")
+  }
+
+  test("takedown fold physically drops the carve's rows; markers survive") {
+    import graft.queries.MultimodalQueries
+    SparkEntry.queries("q178_phash_takedown")(spark, sf0001).collect()
+    val store = graft.sources.SegmentStore.read(spark,
+      MultimodalQueries.phashTakedownLsmDir(spark, sf0001))
+    val carve = $"doc_id" % MultimodalQueries.TakedownMod ===
+      MultimodalQueries.TakedownRem
+    // the marker batch's fold ran (compactEvery = 1): no data row of a
+    // taken-down doc survives on disk — the drop is physical, not a
+    // probe-side mask
+    assert(store.filter(carve && !$"_del").count() === 0L,
+      "taken-down data rows still present after the fold")
+    // the markers themselves survive the fold — they are what shadows
+    // the immutable static artifact at probe time
+    assert(store.filter(carve && $"_del").count() > 0L,
+      "takedown markers vanished at the fold")
+  }
 }

@@ -482,6 +482,72 @@ class SearchEngineSpec extends SparkSpec {
     assert(viaRoot === post2)
   }
 
+  test("refit actuation: a shifted delta trips the gauge, the refit restores the geometry") {
+    import graft.search.AnnIndex
+    import graft.search.AnnIndex.ServingRoot
+    import graft.queries.AnnQueries
+    val mainDir = AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_refit_spec").toString + "/r"
+    ServingRoot.init(spark, mainDir, root)
+    val (idx0, delta0) = ServingRoot.resolve(spark, root)
+    def actuate() = AnnIndex.refitIfDrifted(spark, root, AnnQueries.IvfCells,
+      AnnQueries.IvfPqSubDim, AnnQueries.IvfPqK, AnnQueries.IvfPqIters,
+      AnnQueries.RefitDriftMax)
+    // empty delta: nothing arrived, nothing drifted, no refit
+    assert(actuate() === ((1.0, None)))
+    // IN-DISTRIBUTION ingest: corpus-like vectors keep the gauge under
+    // the trigger — the actuation is a measured decision, not a reflex
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(size($"embedding") === 64)
+    val inDist = corpus.limit(5)
+      .select(($"vec_id" + 910000000L).as("vec_id"), $"embedding")
+    AnnIndex.appendDeltaBatch(spark, idx0, delta0, inDist, 0L, compactEvery = 0)
+    val (inRatio, inRefit) = actuate()
+    assert(inRefit.isEmpty && inRatio <= AnnQueries.RefitDriftMax,
+      s"an in-distribution delta must not trip the gauge (ratio $inRatio)")
+    // PLANT THE SHIFT: the same vectors offset far outside the fitted
+    // space — the 'ingest distribution moved' scenario the gauge
+    // exists for
+    val shifted = corpus.limit(40)
+      .select(($"vec_id" + 920000000L).as("vec_id"),
+        transform($"embedding", v => v + lit(3.0f)).as("embedding"))
+    AnnIndex.appendDeltaBatch(spark, idx0, delta0, shifted, 1L, compactEvery = 0)
+    val (ratio, refitEpoch) = actuate()
+    assert(ratio > AnnQueries.RefitDriftMax,
+      s"the planted shift must trip the gauge (ratio $ratio)")
+    assert(refitEpoch === Some(1L), "a tripped gauge must actuate the refit")
+    val (idx1, delta1) = ServingRoot.resolve(spark, root)
+    assert(idx1.endsWith("epoch_1") && new java.io.File(s"$idx1/corpus").exists)
+    // post-refit the geometry FITS the evolved corpus again: the very
+    // rows that tripped the gauge collapse from the tripped ratio to
+    // near the corpus's own mean under the refitted codebooks (they
+    // are a small minority of the mixed fit, so parity — not
+    // sub-mean — is the honest bar: a handful of centroids serve
+    // their region)
+    val shiftedRows = shifted.select($"embedding")
+    val postShift = AnnIndex.meanDistortion(spark, idx1, shiftedRows)
+    val postCorpus = AnnIndex.meanDistortion(spark, idx1,
+      spark.read.parquet(s"$idx1/corpus").select($"embedding"))
+    val postRatio = postShift / postCorpus
+    assert(postRatio <= math.max(2.0, ratio / 10),
+      s"post-refit the shifted rows must be back in-geometry " +
+        s"(post ratio $postRatio, tripped ratio $ratio)")
+    // …and the refitted epoch still serves EXACTLY: root probes equal
+    // the brute-force top-10 over the live corpus it folded
+    val qv = shifted.orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val got = AnnIndex.probeIvfPqRoot(spark, root, qv, 10,
+      AnnQueries.IvfNProbe, AnnQueries.ServedShortlist)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = spark.read.parquet(s"$idx1/corpus")
+      .select($"vec_id", round(neo4jScore($"embedding",
+        typedLit(qv.toSeq)), 6).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want, "the refitted artifact must keep serving exact top-10")
+  }
+
   test("the lifecycle rules COMPOSE: filter + tombstones + corrections in one served call") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
