@@ -463,6 +463,11 @@ object PlanDump {
         + "back from parquet (no decode anywhere in the plan), one "
         + "band equi-join, partner provenance certifying the "
         + "graduated rows answered."),
+    "q180_afp_takedown" ->
+      ("q178's audio face — the same lifecycle-aware probe over the "
+        + "delta-sign fingerprint store: physical drop at the fold, "
+        + "marker shadowing of the static artifact by one broadcast "
+        + "anti-join, no decode in the plan."),
     "q178_phash_takedown" ->
       ("Media takedown lifecycle: q169's probe after a delete-marker "
         + "batch — the fold already dropped the taken-down graduated "

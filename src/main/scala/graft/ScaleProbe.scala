@@ -142,6 +142,10 @@ object ScaleProbe {
         foldSoakProbe(spark, srcDir, flags)
       else if (flags.contains("para-probe") && flags.contains("distinct"))
         paraProbeDistinct(spark, copies)
+      else if (flags.contains("tombstone-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        tombstoneProbe(spark, outDir, flags)
+      }
       else if (flags.contains("refit-probe")) {
         ensureClones(spark, srcDir, outDir, copies)
         refitProbe(spark, outDir, flags)
@@ -1065,6 +1069,84 @@ object ScaleProbe {
     true
   }
 
+  /** Tombstone-volume probe (--tombstone-probe [--tombstones
+    * n1,n2,…]): how the SERVING path behaves as deletes accumulate
+    * between major folds — the round-14 verdict's open question about
+    * the probe-side exclusion join's broadcast. For each tombstone
+    * count: a fresh delta gets that many id-only tombstones (ids
+    * DISJOINT from the corpus, so the probe's ANSWER must stay
+    * bit-identical to the tombstone-free baseline while the exclusion
+    * join still processes every id), then the LSM probe runs warm ×3.
+    * Receipts per tier: store bytes, whether the size guard kept the
+    * broadcast hint, the join operator the FINAL adaptive plan chose,
+    * warm latency, and answer equality. The documented fold trigger
+    * ([[graft.queries.AnnQueries.TombstoneFoldRows]]) sits at the top
+    * of the measured-flat broadcast region. */
+  private def tombstoneProbe(spark: SparkSession, outDir: String,
+                             flags: Map[String, String]): Boolean = {
+    import graft.search.AnnIndex
+    import graft.queries.AnnQueries
+    val counts = flags.get("tombstones")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(100000L, 1000000L, 10000000L))
+    val main = AnnQueries.ivfPqIndexDir(spark, outDir)
+    val qv = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .filter(col("vec_id") === 0 && size(col("embedding")) === 64)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def probeOnce(deltaDir: String) =
+      AnnIndex.probeIvfPqLsm(spark, main, deltaDir, qv, 10,
+        AnnQueries.IvfNProbe, AnnQueries.ServedShortlist)
+    val baseDelta = java.nio.file.Files
+      .createTempDirectory("graft_ts_probe_base").toString + "/delta"
+    // an empty delta dir: the baseline the tombstoned answers must equal
+    val baseline = probeOnce(baseDelta)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tiers = counts.map { n =>
+      val deltaDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ts_probe_$n").toString + "/delta"
+      // SCATTERED ids (Knuth multiplicative hash), not a range: real
+      // takedown ids are not consecutive, and a sequential range
+      // delta-encodes to ~4 bits/id in parquet — flattering the store
+      // bytes the broadcast guard reads by an order of magnitude
+      AnnIndex.appendTombstones(spark, deltaDir,
+        spark.range(n).select(
+          (pmod(col("id") * 2654435761L, lit(3000000000L)) + 4000000000L)
+            .as("vec_id")),
+        batchId = 0L, compactEvery = 0)
+      val bytes = graft.sources.SegmentStore
+        .segments(fs, s"$deltaDir/tombstones")
+        .map(p => fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength)
+        .sum
+      val reps = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val got = probeOnce(deltaDir)
+        val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        ((System.nanoTime() - t) / 1e9, rows, got)
+      }
+      val warm = reps.map(_._1).min
+      val equal = reps.forall(_._2 == baseline)
+      // classify the TOMBSTONE EXCLUSION join specifically (the
+      // LeftAnti operator) — the probe plan contains many OTHER
+      // broadcast joins (centers, shortlist, payload) that must not
+      // mask a degraded exclusion
+      val planStr = reps.last._3.queryExecution.executedPlan.toString
+      val joinOp = planStr.linesIterator
+        .find(_.contains("LeftAnti"))
+        .map { l =>
+          if (l.contains("BroadcastHashJoin")) "broadcast"
+          else if (l.contains("SortMergeJoin")) "sort_merge"
+          else if (l.contains("ShuffledHashJoin")) "shuffled_hash"
+          else "other"
+        }.getOrElse("none")
+      val hinted = bytes <= AnnIndex.TombstoneBroadcastMaxBytes
+      s"""{"tombstones":$n,"store_bytes":$bytes,"broadcast_hinted":$hinted,"exclusion_join":"$joinOp","warm_sec":${f"$warm%.3f"},"answer_equals_baseline":$equal}"""
+    }
+    println(s"""{"probe":"tombstone-volume","n_corpus":${spark.read.parquet(s"$outDir/embeddings.parquet").count()},"fold_trigger_rows":${AnnQueries.TombstoneFoldRows},"broadcast_max_bytes":${AnnIndex.TombstoneBroadcastMaxBytes},"tiers":[${tiers.mkString(",")}]}""")
+    true
+  }
+
   /** Refit-actuation probe (--refit-probe [--shift-docs N]): at clone
     * scale, seed a serving root from the cloned corpus's IVF-PQ
     * artifact, ingest (a) an in-distribution batch — the gauge must
@@ -1113,8 +1195,14 @@ object ScaleProbe {
       spark.read.parquet(s"$idx1/corpus").select(col("embedding")))
     val qv = shifted.orderBy(col("vec_id")).select(col("embedding"))
       .head().getSeq[Float](0).toArray
+    // the shifted batch is an ADC-DEGENERATE cluster by construction
+    // (clone vectors differing by 0.001 in one dimension land on one
+    // refit centroid, so ADC cannot order them) — the standard
+    // duplicate-cluster rule applies: the shortlist must cover the
+    // cluster for the exact rescore to see every tied member
+    val shortlist = math.max(AnnQueries.ServedShortlist, shiftDocs + 10)
     val got = AnnIndex.probeIvfPqRoot(spark, root, qv, 10,
-      AnnQueries.IvfNProbe, AnnQueries.ServedShortlist)
+      AnnQueries.IvfNProbe, shortlist)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val want = spark.read.parquet(s"$idx1/corpus")
       .select(col("vec_id"), round(graft.functions.VectorFunctions

@@ -236,6 +236,21 @@ object AnnQueries {
     * baseline) and far below what a genuine shift produces. */
   val RefitDriftMax = 1.25
 
+  /** Tombstone-mass fold trigger — q174's twin for the OTHER reason a
+    * major fold becomes due: accumulated deletes. Every live tombstone
+    * costs each probe's exclusion join and its store's disk until a
+    * fold drops the ids physically; the `--tombstone-probe` receipt
+    * (`bench/tombstone_probe_r15.json`) measures the serving path flat
+    * through 10⁶ live tombstones (broadcast exclusion) and gracefully
+    * degraded — not broken — at 10⁷ (the size guard withholds the
+    * broadcast hint and the planner shuffles), so the trigger sits at
+    * the top of the measured-flat region, two orders of magnitude
+    * under the broadcast ceiling
+    * ([[graft.search.AnnIndex.TombstoneBroadcastMaxBytes]]): fold when
+    * the store's live tombstones exceed this many rows, even if the
+    * q174 drift gauge still reads calm. */
+  val TombstoneFoldRows = 1000000L
+
   /** q150 incremental (main + delta) search: the corpus splits by the
     * engine's affine split hash — ~90% MAIN (indexed: the q148 IVF-PQ
     * artifact built on main only) + ~10% DELTA (recent, unindexed,
@@ -814,7 +829,11 @@ object AnnQueries {
   private def irReport(rel: DataFrame, ret: DataFrame,
                        keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
-    val hits = ret.join(rel, keys :+ "vec_id")
+    // rel is ≤ arms·queries·IrK rows by construction — broadcast it
+    // explicitly: the static estimate of the reranked probe side is
+    // unknown, and without the hint the static plan sorts+merges two
+    // 70-row frames
+    val hits = ret.join(broadcast(rel), keys :+ "vec_id")
       .groupBy(kc: _*)
       .agg(count(lit(1)).as("n_hit"), min(col("pos")).as("first_pos"),
         sum(expr(irDiscSql("pos"))).as("dcg"))
@@ -1224,13 +1243,12 @@ object AnnQueries {
         .filter(hasDim(col("embedding"), 64))
         .select(col("vec_id"), col("embedding"), col("label"))
       val q7 = evolvingEvalQueryBatch(s, dir)
+        .select(col("query_id").as("vec_id"), col("qe").as("embedding"))
       val folded = foldedIndexDir(s, dir)
-      val foldedSegs = Seq(s.read.parquet(s"$folded/corpus"))
-      val retFold = q7.collect().map { r =>
-        graft.search.AnnIndex.probeIvfPqSegments(s, folded, foldedSegs,
-            r.getSeq[Float](1).toArray, IrK + 1, IvfNProbe, ServedShortlist)
-          .select(lit(r.getLong(0)).as("query_id"), col("vec_id"), col("score"))
-      }.reduce(_.unionByName(_))
+      val retFold = graft.search.AnnIndex.probeIvfPqSegmentsMulti(s, folded,
+          Seq(s.read.parquet(s"$folded/corpus")), q7,
+          IrK + 1, IvfNProbe, ServedShortlist)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("score"))
       val main = ivfPqIndexDir(s, dir)
       val lsmSegs = graft.search.AnnIndex.lsmLiveSegments(
         s, main, servedDeltaDir(s, dir))
@@ -1242,12 +1260,10 @@ object AnnQueries {
           seg.filter(col("label") === FilterLabel)
         else seg.limit(0)
       }
-      val q5 = q7.filter(col("query_id") < IrQueries)
-      val retFilt = q5.collect().map { r =>
-        graft.search.AnnIndex.probeIvfPqSegments(s, main, filteredSegs,
-            r.getSeq[Float](1).toArray, IrK + 1, IvfNProbe, ServedShortlist)
-          .select(lit(r.getLong(0)).as("query_id"), col("vec_id"), col("score"))
-      }.reduce(_.unionByName(_))
+      val retFilt = graft.search.AnnIndex.probeIvfPqSegmentsMulti(s, main,
+          filteredSegs, q7.filter(col("vec_id") < IrQueries),
+          IrK + 1, IvfNProbe, ServedShortlist)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("score"))
       val relFold = evolvingEvalRel(s, dir).withColumn("arm", lit("post_fold"))
       val relFilt = graft.SparkEntry.cachedView(s,
         "graft_cache_q179_filt_rel_" + graft.SparkEntry.pathSlug(dir)) {
@@ -1255,7 +1271,8 @@ object AnnQueries {
           e.filter(col("vec_id") =!= DeletedCorpusId &&
               col("label") === FilterLabel)
             .select(col("vec_id"), col("embedding")),
-          q5)
+          evolvingEvalQueryBatch(s, dir)
+            .filter(col("query_id") < IrQueries))
       }.withColumn("arm", lit("filtered"))
       val ret = rerankEval(retFold).withColumn("arm", lit("post_fold"))
         .unionByName(rerankEval(retFilt).withColumn("arm", lit("filtered")))
@@ -1283,20 +1300,19 @@ object AnnQueries {
       // ([[evolvingEvalRel]] — shared with q179's post-fold arm), so
       // a warm rep pays the probes, not a corpus re-scan.
       val q = evolvingEvalQueryBatch(s, dir)
-      // the served arm: the LSM liveness resolves ONCE for the whole
-      // query batch (lsmLiveSegments — the same frames every probe
-      // serves; a per-probe resolution would re-read tombstones and
-      // re-window the delta 7×), then one bounded probe per query,
-      // self dropped, re-ranked by the engine total order
+      // the served arm: ONE batched probe serves the whole query set
+      // against main ∪ delta (probeIvfPqSegmentsMulti) — the LSM
+      // liveness resolution, delta window, and every segment scan run
+      // once per eval, not once per query (the round-14 cost was the
+      // 7 sequential probe subtrees); self dropped, re-ranked by the
+      // engine total order
       val main = ivfPqIndexDir(s, dir)
       val segs = graft.search.AnnIndex.lsmLiveSegments(
         s, main, servedDeltaDir(s, dir))
-      val ret = q.collect().map { r =>
-        graft.search.AnnIndex.probeIvfPqSegments(s, main, segs,
-            r.getSeq[Float](1).toArray, IrK + 1, IvfNProbe, ServedShortlist)
-          .select(lit(r.getLong(0)).as("query_id"),
-            col("vec_id"), col("score"))
-      }.reduce(_.unionByName(_))
+      val ret = graft.search.AnnIndex.probeIvfPqSegmentsMulti(s, main, segs,
+          q.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
+          IrK + 1, IvfNProbe, ServedShortlist)
+        .select(col("query_id"), col("doc_id").as("vec_id"), col("score"))
       irReport(evolvingEvalRel(s, dir), rerankEval(ret), Seq("query_id"))
         .orderBy(col("query_id"))
     }),

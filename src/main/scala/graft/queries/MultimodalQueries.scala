@@ -556,20 +556,25 @@ object MultimodalQueries {
     }
 
   private val sessionPhashTakedown = new graft.SessionMemo[String, String]
+  private val sessionAfpTakedown = new graft.SessionMemo[String, String]
 
-  /** q178's store: [[phashLsmDir]]'s graduation (batch 0) FOLLOWED by
-    * a takedown batch (batch 1) of delete markers for the carve's
+  /** The q178/q180 store recipe, ONE definition for every single-table
+    * modality: [[bandLsmDir]]'s graduation (batch 0) FOLLOWED by a
+    * takedown batch (batch 1) of delete markers for the carve's
     * serving docs — old-corpus AND graduated ids alike — with
-    * compactEvery = 1 so the marker batch's fold runs: the
-    * taken-down graduated rows are PHYSICALLY absent from the
-    * published generation (last-writer-wins dropped them), while the
-    * markers survive to shadow the static artifact at probe time. */
-  private[graft] def phashTakedownLsmDir(s: SparkSession, dir: String): String =
-    sessionPhashTakedown.getOrCompute(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_phash_takedown_" +
+    * compactEvery = 1 so the marker batch's fold runs: the taken-down
+    * graduated rows are PHYSICALLY absent from the published
+    * generation (last-writer-wins dropped them), while the markers
+    * survive to shadow the static artifact at probe time. */
+  private def bandTakedownLsmDir(s: SparkSession,
+                                 memo: graft.SessionMemo[String, String],
+                                 prefix: String, dir: String,
+                                 newBatchBands: (SparkSession, String) => DataFrame): String =
+    memo.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/$prefix" +
         graft.SparkEntry.pathSlug(dir) + "_" +
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
-      val b1 = phashNewBatchBands(s, dir)
+      val b1 = newBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
       graft.sources.SegmentStore.appendBatch(s, out, bandStoreRows(b1),
         batchId = 0L, compactEvery = 1,
@@ -585,6 +590,15 @@ object MultimodalQueries {
         partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
       out
     }
+
+  private[graft] def phashTakedownLsmDir(s: SparkSession, dir: String): String =
+    bandTakedownLsmDir(s, sessionPhashTakedown, "graft_phash_takedown_",
+      dir, phashNewBatchBands)
+
+  /** [[phashTakedownLsmDir]]'s AUDIO face — the q180 store. */
+  private[graft] def afpTakedownLsmDir(s: SparkSession, dir: String): String =
+    bandTakedownLsmDir(s, sessionAfpTakedown, "graft_afp_takedown_",
+      dir, afpNewBatchBands)
 
   /** The NEW ingest batch (doc_id % 5 >= 3), fingerprinted and
     * session-cached — each modality's expensive decode runs once per
@@ -945,6 +959,20 @@ object MultimodalQueries {
         phashNewBatchBands(s, dir)
           .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
         PhashMaxHamming)
+    }),
+
+    "q180_afp_takedown" -> ((s, dir) => {
+      // q178's AUDIO face — the takedown recipe is ONE definition
+      // ([[bandTakedownLsmDir]] + the lifecycle-aware probe), so
+      // closing the second modality is a carve of the same machinery
+      // over the delta-sign fingerprint index; the oracle recomputes
+      // the WAV sample formulas with the carve excluded.
+      graduatedBandProbe(s,
+        s.read.parquet(s"${afpIndexDir(s, dir)}/bands"),
+        afpTakedownLsmDir(s, dir),
+        afpNewBatchBands(s, dir)
+          .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
+        AfpMaxHamming)
     }),
 
     "q167_afp_index_probe" -> ((s, dir) => {
@@ -1549,6 +1577,12 @@ object MultimodalQueries {
       // neither the store (physical drop at the fold) nor the static
       // artifact (marker shadowing) — and only the carve may vanish
       graduationProbeSql(variantImageBandsCtes, PhashMaxHamming,
+        partnerFilter = s"AND b.doc_id % $TakedownMod <> $TakedownRem"),
+
+    "q180_afp_takedown" ->
+      // the audio face: identical takedown semantics over the WAV
+      // sample formulas
+      graduationProbeSql(variantAudioBandsCtes, AfpMaxHamming,
         partnerFilter = s"AND b.doc_id % $TakedownMod <> $TakedownRem"),
 
     "q171_vphash_ingest_lsm" ->

@@ -708,13 +708,16 @@ object AnnIndex {
     * the hint is withheld and the planner runs a shuffle anti-join
     * instead — graceful degradation, never a driver OOM from an
     * unconditional hint. Raw segment bytes upper-bound the resolved
-    * distinct set (~10 B per id in parquet), so 64 MiB covers the
-    * multi-million-tombstone regime the `--tombstone-probe` receipt
-    * measures; a store anywhere NEAR this ceiling is past the point
-    * where a major fold should already have dropped the ids
-    * physically ([[graft.queries.AnnQueries.TombstoneFoldRows]] — the
-    * fold trigger sits two orders of magnitude earlier). */
-  val TombstoneBroadcastMaxBytes: Long = 64L << 20
+    * distinct set (~6–11 B per scattered id in parquet). MEASURED
+    * (`bench/tombstone_probe_r15.json`, 200 k-corpus LSM probe,
+    * scattered ids): broadcast is flat to ~1 M tombstones (2.0 s),
+    * costs 7.5 s at 10 M, while the sort-merge fallback runs 3.6 s at
+    * 20 M — so the ceiling sits at the measured crossover (~2.5 M
+    * ids), not at driver-safety's edge. A store anywhere NEAR it is
+    * past the point where a major fold should already have dropped
+    * the ids physically
+    * ([[graft.queries.AnnQueries.TombstoneFoldRows]]). */
+  val TombstoneBroadcastMaxBytes: Long = 16L << 20
 
   /** The exclusion-join hint for this delta's tombstone set:
     * `broadcast` while the store's raw bytes (filesystem metadata
@@ -1080,7 +1083,33 @@ object AnnIndex {
     * map-side heaps ([[graft.expressions.TopKAggExpr]], q87's tail).
     * Output: (query_id, doc_id, score, rank). */
   def probeIvfPqMulti(spark: SparkSession, dir: String, queries: DataFrame,
-                      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+                      k: Int, nProbe: Int, shortlist: Int): DataFrame =
+    probeIvfPqMultiFrames(spark, dir,
+      () => spark.read.parquet(s"$dir/corpus"), queries, k, nProbe, shortlist)
+
+  /** [[probeIvfPqMulti]] over EXPLICIT segment frames — the batched
+    * face of [[probeIvfPqSegments]], built for the standing evals
+    * (q176/q179): ONE plan serves the whole query batch against
+    * main ∪ delta (or a folded or filtered segment set), so the LSM
+    * liveness resolution, the delta window, and each segment scan run
+    * ONCE per eval instead of once per query — the q176 cost was 7
+    * sequential probe subtrees, not the ground truth. Segments are
+    * projected to the probe's columns (cell, vec_id, embedding,
+    * codes) before the union, so differing payload columns are
+    * harmless. */
+  def probeIvfPqSegmentsMulti(spark: SparkSession, indexDir: String,
+                              segments: Seq[DataFrame], queries: DataFrame,
+                              k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val subs = loadCodebooks(spark, indexDir).keys.toSeq.sorted
+    val cols = Seq("cell", "vec_id", "embedding") ++ subs.map(s => s"c$s")
+    probeIvfPqMultiFrames(spark, indexDir,
+      () => segments.map(_.select(cols.map(col): _*)).reduce(_.unionByName(_)),
+      queries, k, nProbe, shortlist)
+  }
+
+  private def probeIvfPqMultiFrames(spark: SparkSession, dir: String,
+                                    corpus: () => DataFrame, queries: DataFrame,
+                                    k: Int, nProbe: Int, shortlist: Int): DataFrame = {
     import spark.implicits._
     val model = loadQuantizer(spark, dir)
     val centers = model.clusterCenters.zipWithIndex
@@ -1106,14 +1135,14 @@ object AnnIndex {
     }.reduce(_ + _)
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc_d").asc, col("vec_id").asc)
-    val short = spark.read.parquet(s"$dir/corpus")
+    val short = corpus()
       .join(broadcast(qcells), Seq("cell"))
       .select(col("cell"), col("vec_id"), col("query_id"), col("qe"),
         adc.as("adc_d"))
       .withColumn("srk", row_number().over(ws))
       .filter(col("srk") <= shortlist)
       .select(col("cell"), col("vec_id"), col("query_id"), col("qe"))
-    spark.read.parquet(s"$dir/corpus")
+    corpus()
       .select(col("cell"), col("vec_id"), col("embedding"))
       .join(broadcast(short), Seq("cell", "vec_id"))
       .select(col("query_id"), col("vec_id").as("id"),

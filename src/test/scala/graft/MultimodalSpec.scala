@@ -664,6 +664,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "no old-corpus partner was unserved by the takedown")
     assert(before.exists { case (id, (_, g)) => after(id)._2 < g },
       "no graduated partner was unserved by the takedown")
+    // the AUDIO face rides the same recipe — same monotonicity and
+    // same both-classes sensitivity
+    val beforeA = rows("q170_afp_ingest_lsm")
+    val afterA = rows("q180_afp_takedown")
+    assert(beforeA.keySet === afterA.keySet)
+    assert(beforeA.forall { case (id, (o, g)) =>
+      afterA(id)._1 <= o && afterA(id)._2 <= g })
+    assert(beforeA.exists { case (id, (o, _)) => afterA(id)._1 < o },
+      "no old-corpus audio partner was unserved")
+    assert(beforeA.exists { case (id, (_, g)) => afterA(id)._2 < g },
+      "no graduated audio partner was unserved")
   }
 
   test("takedown fold physically drops the carve's rows; markers survive") {

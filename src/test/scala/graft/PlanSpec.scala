@@ -962,10 +962,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the ≤ 7-row metric frames carry explicit broadcast hints, so the
     // static plan already shows the right joins
     val p = plan("q176_evolving_eval")
-    // each per-query probe branch scans the shared live frames with
-    // cell pruning; the ground truth tops out in map-side heaps
+    // ONE batched probe serves the whole query set (the per-query
+    // top-k tops out in map-side heaps); the ground truth reads the
+    // session-cached exact table instead of re-scanning the corpus
     assert(p.contains("partial_topkagg"),
-      s"exact ground truth must combine map-side:\n$p")
+      s"the batched probe's per-query top-k must combine map-side:\n$p")
+    assert(p.contains("graft_cache_evolving_rel"),
+      s"ground truth must read the session-cached table:\n$p")
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       s"tombstones must anti-join inside the probe branches:\n$p")
