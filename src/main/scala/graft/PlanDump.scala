@@ -463,6 +463,12 @@ object PlanDump {
         + "back from parquet (no decode anywhere in the plan), one "
         + "band equi-join, partner provenance certifying the "
         + "graduated rows answered."),
+    "q181_vphash_takedown" ->
+      ("The video takedown — two-table lifecycle: anchor and frame "
+        + "stores each resolve last-writer-wins, surviving markers "
+        + "shadow BOTH static tables through one broadcast anti-join "
+        + "on the taken-down doc set, the aligned-Hamming verify is "
+        + "unchanged; no decode anywhere."),
     "q180_afp_takedown" ->
       ("q178's audio face — the same lifecycle-aware probe over the "
         + "delta-sign fingerprint store: physical drop at the fold, "

@@ -732,6 +732,130 @@ object MultimodalQueries {
       out
     }
 
+  /** q171/q181's shared probe: the later clip batch against static ∪
+    * store on frame-0 anchor keys (equal frame counts +
+    * first-agreeing-band claim) with q157's exact aligned-Hamming
+    * verify — LIFECYCLE-AWARE on both store tables: rows resolve
+    * last-writer-wins per their key, surviving DELETE markers name
+    * the taken-down docs, live data rows serve, and the static
+    * artifact's two tables are shadowed by one broadcast anti-join.
+    * A store without the lifecycle column (or without markers) makes
+    * all of that a no-op — q171 and q181 are the same plan family. */
+  private def vphashGraduationProbe(s: SparkSession, dir: String,
+                                    lsm: String): DataFrame = {
+    val idx = vphashIndexDir(s, dir)
+    val b2 = vphNewBatchBands(s, dir)
+      .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
+    def lifecycled(storeDir: String, key2: String): (DataFrame, DataFrame) = {
+      val raw = graft.sources.SegmentStore.read(s, storeDir)
+      val withDel =
+        if (raw.columns.contains("_del")) raw
+        else raw.withColumn("_del", lit(false))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col(key2))
+        .orderBy(col(graft.sources.SegmentStore.BatchCol).desc)
+      val lww = withDel
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+      (lww.filter(!col("_del")),
+        lww.filter(col("_del") && col(key2) === 0).select(col("doc_id")))
+    }
+    val (f0Live, takenDown) = lifecycled(s"$lsm/f0bands", "j")
+    val (frLive, _) = lifecycled(s"$lsm/frames", "frame_idx")
+    val nx = explodeVideoAnchorKeys(b2.filter(col("frame_idx") === 0))
+      .select(col("doc_id").as("nid"), col("j"), col("v"),
+        col("k0").as("a0"), col("k1").as("a1"),
+        col("k2").as("a2"), col("k3").as("a3"),
+        col("n_frames").as("nfa"))
+    def pbSide(df: DataFrame, grad: Boolean) = df.select(
+      col("doc_id").as("pid"), lit(grad).as("graduated"),
+      col("j"), col("v"),
+      col("k0").as("b0"), col("k1").as("b1"),
+      col("k2").as("b2"), col("k3").as("b3"),
+      col("n_frames").as("nfb"))
+    val pb = pbSide(s.read.parquet(s"$idx/f0bands")
+        .join(broadcast(takenDown), Seq("doc_id"), "left_anti"), grad = false)
+      .unionByName(pbSide(f0Live, grad = true))
+    val cand = nx.join(pb, Seq("j", "v"))
+      .filter(col("nfa") === col("nfb") && noEarlierAgree)
+      .select(col("nid"), col("pid"), col("graduated"))
+    val na = b2.select(col("doc_id").as("nid"), col("frame_idx"),
+      col("band0").as("a0"), col("band1").as("a1"),
+      col("band2").as("a2"), col("band3").as("a3"))
+    def pfSide(df: DataFrame) = df.select(
+      col("doc_id").as("pid"), col("frame_idx"),
+      col("band0").as("b0"), col("band1").as("b1"),
+      col("band2").as("b2"), col("band3").as("b3"))
+    val pf = pfSide(s.read.parquet(s"$idx/frames")
+        .join(broadcast(takenDown), Seq("doc_id"), "left_anti"))
+      .unionByName(pfSide(frLive))
+    val dups = cand.join(na, Seq("nid")).join(pf, Seq("pid", "frame_idx"))
+      .groupBy(col("nid"), col("pid"), col("graduated"))
+      .agg(sum(bandHamming).as("hamming"))
+      .filter(col("hamming") <= lit(VphashMaxHamming))
+      .groupBy(col("nid"))
+      .agg(
+        sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
+        sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
+    acceptFrame(b2.select(col("doc_id")).distinct(), dups,
+      Seq("n_dup_old", "n_dup_graduated"))
+  }
+
+  private val sessionVphashTakedown = new graft.SessionMemo[String, String]
+
+  /** q181's store pair — [[vphashLsmDir]]'s graduation followed by a
+    * takedown batch of delete markers in BOTH tables (anchor markers
+    * per (doc_id, band index) with null keys; frame markers per
+    * (doc_id, frame index 0..[[Multimodal.VideoMaxFrames]]) with null
+    * hashes — markers past a clip's real frame count shadow nothing
+    * and cost nothing), compactEvery = 1 so the marker folds run:
+    * the taken-down clip's rows are PHYSICALLY absent from both
+    * published generations, the anchor markers survive to shadow the
+    * static artifact. */
+  private[graft] def vphashTakedownLsmDir(s: SparkSession, dir: String): String =
+    sessionVphashTakedown.getOrCompute(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_vphash_takedown_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
+      val b1 = vphNewBatchBands(s, dir)
+        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      val f0 = b1.filter(col("frame_idx") === 0)
+      graft.sources.SegmentStore.appendBatch(s, s"$out/f0bands",
+        explodeVideoAnchorKeys(f0.drop("frame_idx"))
+          .withColumn("_del", lit(false)),
+        batchId = 0L, compactEvery = 1,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      graft.sources.SegmentStore.appendBatch(s, s"$out/frames",
+        b1.withColumn("_del", lit(false)),
+        batchId = 0L, compactEvery = 1,
+        partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))
+      val nl = lit(null).cast("long")
+      val dels = graft.SparkEntry.tbl(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter((pmod(col("doc_id"), lit(PhashProbeNewMod)) < PhashProbeNewMin ||
+          pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0) &&
+          pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem)
+      graft.sources.SegmentStore.appendBatch(s, s"$out/f0bands",
+        dels.select(col("doc_id"),
+            explode(array((0 until 4).map(j => lit(j)): _*)).as("j"))
+          .select(col("doc_id"), col("j"), nl.as("v"), nl.as("n_frames"),
+            nl.as("k0"), nl.as("k1"), nl.as("k2"), nl.as("k3"),
+            lit(true).as("_del")),
+        batchId = 1L, compactEvery = 1,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      graft.sources.SegmentStore.appendBatch(s, s"$out/frames",
+        dels.select(col("doc_id"),
+            explode(array((0 until Multimodal.VideoMaxFrames)
+              .map(f => lit(f.toLong)): _*)).as("frame_idx"))
+          .select(Seq(col("doc_id"), col("frame_idx"), nl.as("n_frames")) ++
+            (0 until 4).map(j => nl.as(s"band$j")) ++
+            (0 until 4).map(j => nl.as(s"qt$j")) :+
+            lit(true).as("_del"): _*),
+        batchId = 1L, compactEvery = 1,
+        partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))
+      out
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q24_blob_features" -> ((s, dir) => {
@@ -1068,47 +1192,19 @@ object MultimodalQueries {
       // frames tables — no indexed clip is ever re-decoded, and
       // partner provenance certifies the graduated segments answered.
       // Within-batch pairs are q168's covered job, not counted here.
-      val idx = vphashIndexDir(s, dir)
-      val lsm = vphashLsmDir(s, dir)
-      val b2 = vphNewBatchBands(s, dir)
-        .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
-      val nx = explodeVideoAnchorKeys(b2.filter(col("frame_idx") === 0))
-        .select(col("doc_id").as("nid"), col("j"), col("v"),
-          col("k0").as("a0"), col("k1").as("a1"),
-          col("k2").as("a2"), col("k3").as("a3"),
-          col("n_frames").as("nfa"))
-      def pbSide(df: DataFrame, grad: Boolean) = df.select(
-        col("doc_id").as("pid"), lit(grad).as("graduated"),
-        col("j"), col("v"),
-        col("k0").as("b0"), col("k1").as("b1"),
-        col("k2").as("b2"), col("k3").as("b3"),
-        col("n_frames").as("nfb"))
-      val pb = pbSide(s.read.parquet(s"$idx/f0bands"), grad = false)
-        .unionByName(pbSide(
-          graft.sources.SegmentStore.read(s, s"$lsm/f0bands"), grad = true))
-      val cand = nx.join(pb, Seq("j", "v"))
-        .filter(col("nfa") === col("nfb") && noEarlierAgree)
-        .select(col("nid"), col("pid"), col("graduated"))
-      val na = b2.select(col("doc_id").as("nid"), col("frame_idx"),
-        col("band0").as("a0"), col("band1").as("a1"),
-        col("band2").as("a2"), col("band3").as("a3"))
-      def pfSide(df: DataFrame) = df.select(
-        col("doc_id").as("pid"), col("frame_idx"),
-        col("band0").as("b0"), col("band1").as("b1"),
-        col("band2").as("b2"), col("band3").as("b3"))
-      val pf = pfSide(s.read.parquet(s"$idx/frames"))
-        .unionByName(pfSide(
-          graft.sources.SegmentStore.read(s, s"$lsm/frames")))
-      val dups = cand.join(na, Seq("nid")).join(pf, Seq("pid", "frame_idx"))
-        .groupBy(col("nid"), col("pid"), col("graduated"))
-        .agg(sum(bandHamming).as("hamming"))
-        .filter(col("hamming") <= lit(VphashMaxHamming))
-        .groupBy(col("nid"))
-        .agg(
-          sum(when(!col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_old"),
-          sum(when(col("graduated"), 1L).otherwise(0L)).cast("long").as("n_dup_graduated"))
-      acceptFrame(b2.select(col("doc_id")).distinct(), dups,
-        Seq("n_dup_old", "n_dup_graduated"))
+      vphashGraduationProbe(s, dir, vphashLsmDir(s, dir))
+    }),
+
+    "q181_vphash_takedown" -> ((s, dir) => {
+      // q178/q180's VIDEO face — the takedown lifecycle over the
+      // TWO-table clip index: delete markers ride BOTH stores (anchor
+      // keys per (doc_id, band), frame hashes per (doc_id, frame)),
+      // the fold physically drops the shadowed rows in each, the
+      // surviving anchor markers shadow the static artifact's two
+      // tables through one broadcast anti-join, and the probe is
+      // q171's shape unchanged — the oracle recomputes the GIF frame
+      // formulas with the carve excluded.
+      vphashGraduationProbe(s, dir, vphashTakedownLsmDir(s, dir))
     }),
 
     "q157_video_neardup" -> ((s, dir) => {
@@ -1454,6 +1550,45 @@ object MultimodalQueries {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.nid
        |WHERE d.doc_id % 5 >= 3 ORDER BY d.doc_id""".stripMargin
 
+  /** DuckDB twin of [[vphashGraduationProbe]] — q171's graduation
+    * semantics (frame-0 composed anchor keys + equal frame counts,
+    * aligned-Hamming verify) over the GIF frame formulas, with an
+    * optional partner-side exclusion (q181's takedown carve). */
+  private def vphashGraduationSql(partnerFilter: String = ""): String =
+      s"""$variantVideoBandsCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS nid, b.doc_id AS pid,
+         |    (b.doc_id % 5 >= 3) AS graduated
+         |  FROM f0 a JOIN f0 b
+         |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
+         |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
+         |   $partnerFilter
+         |   AND a.nf = b.nf
+         |   AND (a.k0 = b.k0 OR a.k1 = b.k1 OR
+         |        a.k2 = b.k2 OR a.k3 = b.k3)),
+         |ham AS (
+         |  SELECT c.nid, c.pid, c.graduated,
+         |    CAST(SUM(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
+         |       + bit_count(xor(fa.band2, fb.band2)) + bit_count(xor(fa.band3, fb.band3))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN bandsf fa ON fa.doc_id = c.nid
+         |  JOIN bandsf fb ON fb.doc_id = c.pid AND fb.fr = fa.fr
+         |  GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT nid,
+         |    CAST(SUM(CASE WHEN NOT graduated AND hamming <= $VphashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
+         |    CAST(SUM(CASE WHEN graduated AND hamming <= $VphashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_graduated
+         |  FROM ham GROUP BY nid)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_dup_old, 0) AS n_dup_old,
+         |  COALESCE(a.n_dup_graduated, 0) AS n_dup_graduated,
+         |  CASE WHEN COALESCE(a.n_dup_old, 0) = 0
+         |        AND COALESCE(a.n_dup_graduated, 0) = 0
+         |    THEN 1::BIGINT ELSE 0::BIGINT END AS accepted
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.nid
+         |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
+         |ORDER BY d.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q24_blob_features" ->
@@ -1592,38 +1727,15 @@ object MultimodalQueries {
       // ids) — and q157's aligned-Hamming verify; the oracle
       // recomputes BOTH index tables from the GIF frame formulas, so
       // the two-store fold + manifest resolution must be invisible
-      s"""$variantVideoBandsCtes,
-         |cand AS (
-         |  SELECT a.doc_id AS nid, b.doc_id AS pid,
-         |    (b.doc_id % 5 >= 3) AS graduated
-         |  FROM f0 a JOIN f0 b
-         |    ON a.doc_id % 5 >= 3 AND a.doc_id % $PhashLsmBatchMod = 1
-         |   AND (b.doc_id % 5 < 3 OR b.doc_id % $PhashLsmBatchMod = 0)
-         |   AND a.nf = b.nf
-         |   AND (a.k0 = b.k0 OR a.k1 = b.k1 OR
-         |        a.k2 = b.k2 OR a.k3 = b.k3)),
-         |ham AS (
-         |  SELECT c.nid, c.pid, c.graduated,
-         |    CAST(SUM(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
-         |       + bit_count(xor(fa.band2, fb.band2)) + bit_count(xor(fa.band3, fb.band3))) AS BIGINT) AS hamming
-         |  FROM cand c
-         |  JOIN bandsf fa ON fa.doc_id = c.nid
-         |  JOIN bandsf fb ON fb.doc_id = c.pid AND fb.fr = fa.fr
-         |  GROUP BY 1, 2, 3),
-         |agg AS (
-         |  SELECT nid,
-         |    CAST(SUM(CASE WHEN NOT graduated AND hamming <= $VphashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_old,
-         |    CAST(SUM(CASE WHEN graduated AND hamming <= $VphashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_graduated
-         |  FROM ham GROUP BY nid)
-         |SELECT d.doc_id,
-         |  COALESCE(a.n_dup_old, 0) AS n_dup_old,
-         |  COALESCE(a.n_dup_graduated, 0) AS n_dup_graduated,
-         |  CASE WHEN COALESCE(a.n_dup_old, 0) = 0
-         |        AND COALESCE(a.n_dup_graduated, 0) = 0
-         |    THEN 1::BIGINT ELSE 0::BIGINT END AS accepted
-         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.nid
-         |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
-         |ORDER BY d.doc_id""".stripMargin,
+      vphashGraduationSql(),
+
+    "q181_vphash_takedown" ->
+      // the video takedown: q171's semantics with the carve excluded
+      // from both partner classes — a taken-down clip must answer
+      // from neither store table nor either static table
+      vphashGraduationSql(
+        partnerFilter = s"AND b.doc_id % $TakedownMod <> $TakedownRem"),
+
 
     "q156_audio_fingerprint" ->
       bandPairsSql(variantAudioBandsCtes, AfpMaxHamming),

@@ -675,6 +675,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "no old-corpus audio partner was unserved")
     assert(beforeA.exists { case (id, (_, g)) => afterA(id)._2 < g },
       "no graduated audio partner was unserved")
+    // and the VIDEO face — the two-table store's markers must shadow
+    // both the anchor and frame tables with the same monotonic rule
+    val beforeV = rows("q171_vphash_ingest_lsm")
+    val afterV = rows("q181_vphash_takedown")
+    assert(beforeV.keySet === afterV.keySet)
+    assert(beforeV.forall { case (id, (o, g)) =>
+      afterV(id)._1 <= o && afterV(id)._2 <= g })
+    assert(beforeV.exists { case (id, (o, _)) => afterV(id)._1 < o },
+      "no old-corpus video partner was unserved")
+    assert(beforeV.exists { case (id, (_, g)) => afterV(id)._2 < g },
+      "no graduated video partner was unserved")
   }
 
   test("takedown fold physically drops the carve's rows; markers survive") {
