@@ -982,6 +982,13 @@ object ScaleProbe {
     def docVec(i: Long): Seq[Float] =
       new graft.search.HashingEmbedder(64).embed(s"fold soak doc $i").toSeq
     var folds = 0L
+    var refits = 0L
+    // --refit-every K: every K-th epoch swap is a FORCED REFIT
+    // (driftMax 0 — rebuild quantizer+codebooks on the folded live
+    // corpus) instead of a plain fold: the publish discipline is the
+    // same, so racing probers must see the same zero
+    // errors/resurrections/misses across refit swaps too
+    val refitEvery = flags.get("refit-every").map(_.toInt).getOrElse(0)
     val t0 = System.nanoTime()
     try {
       (0 until nBatches).foreach { b =>
@@ -1008,8 +1015,16 @@ object ScaleProbe {
             localId, compactEvery = 3)
         if (b == 0) prober.start() // sentinel + delete are in: race from here
         if ((b + 1) % foldEvery == 0) {
-          AnnIndex.majorFoldPublish(spark, root)
           folds += 1
+          if (refitEvery > 0 && folds % refitEvery == 0) {
+            val (_, epoch) = AnnIndex.refitIfDrifted(spark, root,
+              graft.queries.AnnQueries.IvfCells,
+              graft.queries.AnnQueries.IvfPqSubDim,
+              graft.queries.AnnQueries.IvfPqK,
+              graft.queries.AnnQueries.IvfPqIters, driftMax = 0.0)
+            require(epoch.nonEmpty, s"forced refit at fold $folds did not publish")
+            refits += 1
+          } else AnnIndex.majorFoldPublish(spark, root)
         }
       }
     } finally {
@@ -1026,8 +1041,8 @@ object ScaleProbe {
     // pair + at most one in-flight fold output — O(1), not O(folds)
     val ok = probeErrors.isEmpty && resurrections.get == 0 &&
       sentinelMisses.get == 0 && folds >= 3 && finalOk &&
-      maxRootDirs.get <= 5
-    println(s"""{"probe":"fold-soak","batches":$nBatches,"batch_docs":$batchDocs,"fold_every":$foldEvery,"folds":$folds,"concurrent_probes":${probes.get},"probe_errors":${probeErrors.size},"probe_error_sample":"$errs","resurrections":${resurrections.get},"sentinel_misses":${sentinelMisses.get},"max_root_epoch_dirs":${maxRootDirs.get},"final_state_ok":$finalOk,"wall_sec":${f"$wallSec%.1f"},"ok":$ok}""")
+      maxRootDirs.get <= 5 && (refitEvery <= 0 || refits >= 1)
+    println(s"""{"probe":"fold-soak","batches":$nBatches,"batch_docs":$batchDocs,"fold_every":$foldEvery,"folds":$folds,"refits":$refits,"concurrent_probes":${probes.get},"probe_errors":${probeErrors.size},"probe_error_sample":"$errs","resurrections":${resurrections.get},"sentinel_misses":${sentinelMisses.get},"max_root_epoch_dirs":${maxRootDirs.get},"final_state_ok":$finalOk,"wall_sec":${f"$wallSec%.1f"},"ok":$ok}""")
     ok
   }
 
