@@ -525,28 +525,109 @@ object EventStreams {
                        compactEvery: Int,
                        checkpointDir: Option[String] = None)
                       (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    bandOpsGraduate(ops, storeDir, compactEvery, "mediaOpsGraduate", docs => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
+    }, checkpointDir)(afterBatch)
+
+  /** [[mediaOpsGraduate]]'s AUDIO face — the q180 store's ops stream. */
+  def afpOpsGraduate(ops: DataFrame, storeDir: String,
+                     compactEvery: Int,
+                     checkpointDir: Option[String] = None)
+                    (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    bandOpsGraduate(ops, storeDir, compactEvery, "afpOpsGraduate", docs => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
+    }, checkpointDir)(afterBatch)
+
+  /** Validate one ops micro-batch and split it latest-op-wins: an
+    * unknown or null op fails the batch loudly; a same-batch del of a
+    * doc also put in the batch is dropped (put wins the tie by
+    * contract — deterministic, no fold change). */
+  private def splitOps(df: DataFrame, who: String,
+                       id: Long): (DataFrame, DataFrame) = {
+    val bad = df.filter(col("op").isNull ||
+      !col("op").isin("put", "del")).limit(1).collect()
+    require(bad.isEmpty,
+      s"$who batch $id: unknown op '${bad.headOption.map(_.getAs[Any]("op")).orNull}'")
+    val puts = df.filter(col("op") === "put").select(col("doc_id"))
+    (puts, df.filter(col("op") === "del").select(col("doc_id"))
+      .join(puts, Seq("doc_id"), "left_anti"))
+  }
+
+  private def bandOpsGraduate(ops: DataFrame, storeDir: String,
+                              compactEvery: Int, who: String,
+                              fingerprint: DataFrame => DataFrame,
+                              checkpointDir: Option[String] = None)
+                             (afterBatch: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointDir.foldLeft(ops.writeStream.outputMode("append"))(
+        (w, dir) => w.option("checkpointLocation", dir))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          import graft.queries.MultimodalQueries
+          val (puts, dels) = splitOps(batch.toDF(), who, id)
+          val rows = MultimodalQueries.bandStoreRows(fingerprint(puts))
+            .unionByName(MultimodalQueries.bandTakedownMarkers(dels))
+          graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
+            rows, id, compactEvery,
+            partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        }
+        afterBatch(id)
+      }
+      .start()
+
+  /** [[mediaOpsGraduate]]'s VIDEO face — the q181 store pair's ops
+    * stream: puts decode once and fill BOTH tables; dels append
+    * markers to both (anchor markers per band index, frame markers up
+    * to the format's max frame count). */
+  def vphashOpsGraduate(ops: DataFrame, storeDir: String,
+                        compactEvery: Int,
+                        checkpointDir: Option[String] = None)
+                       (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     checkpointDir.foldLeft(ops.writeStream.outputMode("append"))(
         (w, dir) => w.option("checkpointLocation", dir))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
           import graft.multimodal.Multimodal
           import graft.queries.MultimodalQueries
-          val df = batch.toDF()
-          val bad = df.filter(col("op").isNull ||
-            !col("op").isin("put", "del")).limit(1).collect()
-          require(bad.isEmpty,
-            s"mediaOpsGraduate batch $id: unknown op '${bad.headOption.map(_.getAs[Any]("op")).orNull}'")
-          val puts = df.filter(col("op") === "put").select(col("doc_id"))
-          val dels = df.filter(col("op") === "del").select(col("doc_id"))
-            .join(puts, Seq("doc_id"), "left_anti") // same-batch put wins
-          val rows = MultimodalQueries.bandStoreRows(
-              Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(puts))
-                .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
-                  col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3")))
-            .unionByName(MultimodalQueries.bandTakedownMarkers(dels))
-          graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
-            rows, id, compactEvery,
-            partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+          val s = batch.sparkSession
+          val (puts, dels) = splitOps(batch.toDF(), "vphashOpsGraduate", id)
+          val nl = lit(null).cast("long")
+          val fh = Multimodal
+            .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(puts))
+            .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+              col("band0"), col("band1"), col("band2"), col("band3"),
+              col("qt0"), col("qt1"), col("qt2"), col("qt3"))
+            .cache()
+          try {
+            graft.sources.SegmentStore.appendBatch(s, s"$storeDir/frames",
+              fh.withColumn("_del", lit(false))
+                .unionByName(dels.select(col("doc_id"),
+                    explode(array((0 until Multimodal.VideoMaxFrames)
+                      .map(f => lit(f.toLong)): _*)).as("frame_idx"))
+                  .select(Seq(col("doc_id"), col("frame_idx"),
+                    nl.as("n_frames")) ++
+                    (0 until 4).map(j => nl.as(s"band$j")) ++
+                    (0 until 4).map(j => nl.as(s"qt$j")) :+
+                    lit(true).as("_del"): _*)),
+              id, compactEvery,
+              partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))
+            graft.sources.SegmentStore.appendBatch(s, s"$storeDir/f0bands",
+              graft.queries.MultimodalQueries.explodeVideoAnchorKeys(
+                  fh.filter(col("frame_idx") === 0))
+                .withColumn("_del", lit(false))
+                .unionByName(dels.select(col("doc_id"),
+                    explode(array((0 until 4).map(j => lit(j)): _*)).as("j"))
+                  .select(col("doc_id"), col("j"), nl.as("v"),
+                    nl.as("n_frames"), nl.as("k0"), nl.as("k1"),
+                    nl.as("k2"), nl.as("k3"), lit(true).as("_del"))),
+              id, compactEvery,
+              partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+          } finally fh.unpersist(blocking = false)
         }
         afterBatch(id)
       }

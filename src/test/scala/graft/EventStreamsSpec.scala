@@ -848,4 +848,65 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         Option(e.getCause).exists(_.toString.contains("unknown op")))
     } finally q2.stop()
   }
+
+  test("audio/video ops streams: del drops physically in every table, re-put serves again") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // AUDIO: the shared single-table recipe
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft_afp_ops_stream").toString
+    val memA = MemoryStream[(Long, String)]
+    val qa = EventStreams.afpOpsGraduate(
+      memA.toDF().toDF("doc_id", "op"), aDir, compactEvery = 1)()
+    try {
+      memA.addData(Seq((3L, "put"), (4L, "put")))
+      qa.processAllAvailable()
+      memA.addData(Seq((4L, "del")))
+      qa.processAllAvailable()
+      val s1 = graft.sources.SegmentStore.read(spark, aDir)
+      assert(s1.filter($"doc_id" === 4L && !$"_del").count() === 0L)
+      assert(s1.filter($"doc_id" === 4L && $"_del").count() > 0L)
+      memA.addData(Seq((4L, "put")))
+      qa.processAllAvailable()
+      val s2 = graft.sources.SegmentStore.read(spark, aDir)
+      assert(s2.filter($"doc_id" === 4L && !$"_del").count() === 4L)
+      assert(s2.filter($"doc_id" === 4L && $"_del").count() === 0L)
+    } finally qa.stop()
+    // VIDEO: the two-table face — the marker batch must shadow BOTH
+    val vDir = java.nio.file.Files
+      .createTempDirectory("graft_vph_ops_stream").toString
+    val memV = MemoryStream[(Long, String)]
+    val qv = EventStreams.vphashOpsGraduate(
+      memV.toDF().toDF("doc_id", "op"), vDir, compactEvery = 1)()
+    def tbl(t: String) = graft.sources.SegmentStore.read(spark, s"$vDir/$t")
+    try {
+      memV.addData(Seq((3L, "put"), (4L, "put")))
+      qv.processAllAvailable()
+      memV.addData(Seq((4L, "del")))
+      qv.processAllAvailable()
+      for (t <- Seq("frames", "f0bands")) {
+        assert(tbl(t).filter($"doc_id" === 4L && !$"_del").count() === 0L,
+          s"$t kept taken-down data rows")
+        assert(tbl(t).filter($"doc_id" === 4L && $"_del").count() > 0L,
+          s"$t lost its markers")
+      }
+      memV.addData(Seq((4L, "put")))
+      qv.processAllAvailable()
+      for (t <- Seq("frames", "f0bands")) {
+        assert(tbl(t).filter($"doc_id" === 4L && !$"_del").count() > 0L,
+          s"$t does not serve the re-put")
+      }
+      // anchor markers are fully outranked (all four band rows re-put)
+      assert(tbl("f0bands").filter($"doc_id" === 4L && $"_del").count() === 0L,
+        "f0bands kept outranked markers past the fold")
+      // frame markers past the clip's REAL frame count have no newer
+      // data row to outrank them — they survive by design and shadow
+      // nothing; markers inside the clip's range must be gone
+      val nf = tbl("frames").filter($"doc_id" === 4L && !$"_del")
+        .select($"n_frames").head().getLong(0)
+      assert(tbl("frames")
+        .filter($"doc_id" === 4L && $"_del" && $"frame_idx" < nf)
+        .count() === 0L,
+        "frames kept a marker that shadows a served frame")
+    } finally qv.stop()
+  }
 }
