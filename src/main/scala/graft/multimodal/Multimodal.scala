@@ -288,8 +288,15 @@ object Multimodal {
     * on (the video family's proven recipe, [[videoFrameHashBands]]):
     * 16 threshold-relative bits alone admit ~n²/2¹⁶ random
     * coincidences and survive slowly-varying brightness drifts; an
-    * exact quarter total does neither, while a one-pixel edit still
-    * leaves 3 of 4 quarters bit-AND-mass identical. Also emits
+    * exact quarter total does neither. Under a one-pixel edit the
+    * untouched quarters keep their MASSES identical but their BITS
+    * only heuristically: the edit shifts the global gray total — the
+    * shared bit threshold — so threshold-straddling pixels anywhere
+    * can flip (unlike the audio fingerprint's delta-sign bits, which
+    * are local). Composed-key recall is therefore bounded by the
+    * measured retention of the band-cand probe
+    * (`bench/band_cand_r15.jsonl`: 99.03% of planted pairs), not by a
+    * pigeonhole guarantee. Also emits
     * `gray_total` (the per-image gray mass the bit threshold divides
     * against = Σ qt_j) — the content checksum downstream export
     * manifests carry without a second decode pass (q160). Decode and

@@ -275,8 +275,12 @@ object MultimodalQueries {
       .filter(col("_rn") === 1)
     val takenDown = lww
       .filter(col("_del") && col("j") === 0).select(col("doc_id"))
+    // size-gated shadow hint (the vector tombstoneHint discipline):
+    // broadcast only while the marker mass is provably under the
+    // measured crossover, shuffle anti-join past it
+    val shadowHint = takedownHint(markerRowCap(raw, "j"))
     val indexSide = staticBands
-      .join(broadcast(takenDown), Seq("doc_id"), "left_anti")
+      .join(shadowHint(takenDown), Seq("doc_id"), "left_anti")
       .select(keyed.map(col): _*)
       .withColumn("graduated", lit(false))
       .unionByName(lww.filter(!col("_del"))
@@ -499,6 +503,38 @@ object MultimodalQueries {
     * or the static artifact's shadowing. */
   val TakedownMod = 7L
   val TakedownRem = 3L
+
+  /** Ceiling on the resolved takedown set's ROW COUNT up to which the
+    * static-shadow anti-joins broadcast it; past it the hint is
+    * withheld and the planner runs a shuffle anti-join — the media
+    * face of [[graft.search.AnnIndex.TombstoneBroadcastMaxBytes]]
+    * (same failure mode: an unconditional broadcast of a monotonically
+    * growing delete set is a driver OOM waiting for a takedown-heavy
+    * corpus). The vector side measured the broadcast/sort-merge
+    * crossover at ~2.5 M scattered long ids
+    * (`bench/tombstone_probe_r15.json`); the media set is the same
+    * shape (one long doc_id per taken-down item), so the ceiling sits
+    * just under that crossover, re-validated by the media takedown
+    * probe receipt (`bench/takedown_probe_r16.json`: answers
+    * bit-identical per tier 100 k→10 M, broadcast flat through 1 M). */
+  val TakedownBroadcastMaxRows: Long = 2000000L
+
+  /** The static-shadow anti-join's build-side hint for a takedown set
+    * whose size is bounded by `markerRowCap`: `broadcast` under
+    * [[TakedownBroadcastMaxRows]], identity past it. The cap is the
+    * store's RAW marker-row count (pre-last-writer-wins, so an upper
+    * bound on the resolved set) — one partition-pruned count of the
+    * `j = 0` segment slice with the `_del` predicate pushed down,
+    * paid once per probe; a store with no lifecycle column caps at 0
+    * without running a job. */
+  private def takedownHint(markerRowCap: Long): DataFrame => DataFrame =
+    if (markerRowCap <= TakedownBroadcastMaxRows) broadcast(_) else identity
+
+  /** RAW marker-row upper bound for [[takedownHint]]: the un-resolved
+    * `_del` rows in the store's anchor slice (`key2 = 0`). */
+  private def markerRowCap(raw: DataFrame, key2: String): Long =
+    if (!raw.columns.contains("_del")) 0L
+    else raw.filter(col("_del") && col(key2) === 0).count()
 
   /** Band-store DATA rows: exploded composed keys + the lifecycle
     * column (`_del = false`). Every single-table band store writes
@@ -746,7 +782,8 @@ object MultimodalQueries {
     val idx = vphashIndexDir(s, dir)
     val b2 = vphNewBatchBands(s, dir)
       .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
-    def lifecycled(storeDir: String, key2: String): (DataFrame, DataFrame) = {
+    def lifecycled(storeDir: String,
+                   key2: String): (DataFrame, DataFrame, DataFrame => DataFrame) = {
       val raw = graft.sources.SegmentStore.read(s, storeDir)
       val withDel =
         if (raw.columns.contains("_del")) raw
@@ -758,10 +795,11 @@ object MultimodalQueries {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
       (lww.filter(!col("_del")),
-        lww.filter(col("_del") && col(key2) === 0).select(col("doc_id")))
+        lww.filter(col("_del") && col(key2) === 0).select(col("doc_id")),
+        takedownHint(markerRowCap(raw, key2)))
     }
-    val (f0Live, takenDown) = lifecycled(s"$lsm/f0bands", "j")
-    val (frLive, _) = lifecycled(s"$lsm/frames", "frame_idx")
+    val (f0Live, takenDown, shadowHint) = lifecycled(s"$lsm/f0bands", "j")
+    val (frLive, _, _) = lifecycled(s"$lsm/frames", "frame_idx")
     val nx = explodeVideoAnchorKeys(b2.filter(col("frame_idx") === 0))
       .select(col("doc_id").as("nid"), col("j"), col("v"),
         col("k0").as("a0"), col("k1").as("a1"),
@@ -774,7 +812,7 @@ object MultimodalQueries {
       col("k2").as("b2"), col("k3").as("b3"),
       col("n_frames").as("nfb"))
     val pb = pbSide(s.read.parquet(s"$idx/f0bands")
-        .join(broadcast(takenDown), Seq("doc_id"), "left_anti"), grad = false)
+        .join(shadowHint(takenDown), Seq("doc_id"), "left_anti"), grad = false)
       .unionByName(pbSide(f0Live, grad = true))
     val cand = nx.join(pb, Seq("j", "v"))
       .filter(col("nfa") === col("nfb") && noEarlierAgree)
@@ -787,7 +825,7 @@ object MultimodalQueries {
       col("band0").as("b0"), col("band1").as("b1"),
       col("band2").as("b2"), col("band3").as("b3"))
     val pf = pfSide(s.read.parquet(s"$idx/frames")
-        .join(broadcast(takenDown), Seq("doc_id"), "left_anti"))
+        .join(shadowHint(takenDown), Seq("doc_id"), "left_anti"))
       .unionByName(pfSide(frLive))
     val dups = cand.join(na, Seq("nid")).join(pf, Seq("pid", "frame_idx"))
       .groupBy(col("nid"), col("pid"), col("graduated"))

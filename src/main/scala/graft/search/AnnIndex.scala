@@ -1040,8 +1040,16 @@ object AnnIndex {
     val deltaRows = frames.tail
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .select(col("embedding"))
-    val ratio = meanDistortion(spark, idxDir, deltaRows) /
-      meanDistortion(spark, idxDir, frames.head.select(col("embedding")))
+    // fail CLOSED on a degenerate epoch corpus: a zero (or negative,
+    // or NaN) denominator would make the ratio NaN/Infinity, and NaN
+    // compares FALSE against driftMax — a genuinely drifted delta
+    // would then silently never refit. Treat the gauge as tripped
+    // instead: the epoch geometry fitting its own corpus with zero
+    // mean distortion means ANY nonzero delta distortion is infinite
+    // relative drift, and the refit itself is always safe.
+    val num = meanDistortion(spark, idxDir, deltaRows)
+    val den = meanDistortion(spark, idxDir, frames.head.select(col("embedding")))
+    val ratio = if (den > 0d) num / den else Double.MaxValue
     if (ratio <= driftMax) (ratio, None)
     else {
       refit(spark, idxDir, deltaDir, ServingRoot.indexDir(rootDir, e + 1),
