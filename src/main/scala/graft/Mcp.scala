@@ -52,6 +52,34 @@ object Mcp {
     * semantics); the raw-prompt dialect always passes Nil. */
   type Search = (String, Seq[(String, Any)]) => String
 
+  /** The BATCH tool, multi-tenant face of [[ToolName]]: many prompts
+    * in one call, answered by ONE batched probe plan
+    * ([[graft.search.SearchEngine.searchIndexedBatch]]) instead of N
+    * sequential tool calls — same per-prompt semantics, spec-pinned. */
+  val BatchToolName = "vector_search_batch"
+  val BatchToolDescription =
+    "Batched semantic top-k vector search: an array of prompts in, a " +
+      "JSON array (one hits array per prompt, in order) out — served " +
+      "by one batched index probe. Optional `filter` as in " +
+      "vector_search, applied to every prompt."
+
+  /** The batch tool closure: (prompts, shared metadata filter) →
+    * result JSON (one hits array per prompt, in order). */
+  type SearchBatch = (Seq[String], Seq[(String, Any)]) => String
+
+  /** Per-prompt fallback batch closure for callers that wire only the
+    * single tool: each prompt through `search`, results joined as one
+    * JSON array — a hits array rides through structurally, the
+    * empty-hit sentence is carried as a JSON string. The serve loop
+    * wires the REAL one-plan closure; this keeps the two-argument
+    * entry points total. */
+  def perPromptBatch(search: Search): SearchBatch = (prompts, filter) =>
+    prompts.map { p =>
+      val r = search(p, filter)
+      if (r.startsWith("[")) r
+      else "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("[", ", ", "]")
+
   /** Handle one inbound stdio line. Returns the response line to write,
     * or None when the protocol mandates silence (a notification, or a
     * batch of only notifications).
@@ -60,10 +88,15 @@ object Mcp {
     *               (the same body the raw serve loop calls with an
     *               empty filter). */
   def handle(line: String, search: Search): Option[String] =
+    handle(line, search, perPromptBatch(search))
+
+  /** [[handle]] with the batch tool wired to a real one-plan closure. */
+  def handle(line: String, search: Search,
+             searchBatch: SearchBatch): Option[String] =
     parseJson(line) match {
       // unparseable: JSON-RPC 2.0 mandates a -32700 response with null id
       case None => Some(render(error(JNull, -32700, "Parse error")))
-      case Some(v) => dispatch(v, search)
+      case Some(v) => dispatch(v, search, searchBatch)
     }
 
   /** Like [[handle]] but distinguishes "not protocol traffic":
@@ -80,8 +113,14 @@ object Mcp {
     * notifications contributing none; an all-notification batch gets no
     * response at all, and an empty batch is an Invalid Request. */
   def tryHandle(line: String, search: Search): Option[Option[String]] =
+    tryHandle(line, search, perPromptBatch(search))
+
+  /** [[tryHandle]] with the batch tool wired to a real one-plan closure. */
+  def tryHandle(line: String, search: Search,
+                searchBatch: SearchBatch): Option[Option[String]] =
     parseJson(line) match {
-      case Some(v @ (_: JObject | _: JArray)) => Some(dispatch(v, search))
+      case Some(v @ (_: JObject | _: JArray)) =>
+        Some(dispatch(v, search, searchBatch))
       case _ => None
     }
 
@@ -91,14 +130,15 @@ object Mcp {
   /** Route one parsed JSON-RPC payload; None = protocol-mandated
     * silence. (A bare scalar only reaches here via the strict [[handle]]
     * path, where it is an Invalid Request answered by handleValue.) */
-  private def dispatch(v: JValue, search: Search): Option[String] =
+  private def dispatch(v: JValue, search: Search,
+                       searchBatch: SearchBatch): Option[String] =
     v match {
       case JArray(Nil) =>
         Some(render(error(JNull, -32600, "Invalid Request: empty batch")))
       case JArray(msgs) =>
-        val responses = msgs.flatMap(m => handleValue(m, search))
+        val responses = msgs.flatMap(m => handleValue(m, search, searchBatch))
         if (responses.isEmpty) None else Some(render(JArray(responses)))
-      case msg => handleValue(msg, search).map(render)
+      case msg => handleValue(msg, search, searchBatch).map(render)
     }
 
   /** Dispatch one request/notification object; None = no response.
@@ -107,7 +147,8 @@ object Mcp {
     * discouraged — id, so such a message is a request and gets a
     * response. A non-object batch element is an Invalid Request
     * answered with a null id. */
-  private def handleValue(msg: JValue, search: Search): Option[JValue] = {
+  private def handleValue(msg: JValue, search: Search,
+                          searchBatch: SearchBatch): Option[JValue] = {
     if (!msg.isInstanceOf[JObject])
       return Some(error(JNull, -32600, "Invalid Request: not an object"))
     val id = msg \ "id"
@@ -120,7 +161,8 @@ object Mcp {
       case "initialize" => Some(result(id, initializeResult(msg \ "params")))
       case "ping" => Some(result(id, JObject()))
       case "tools/list" => Some(result(id, toolsListResult()))
-      case "tools/call" => Some(toolsCall(id, msg \ "params", search))
+      case "tools/call" =>
+        Some(toolsCall(id, msg \ "params", search, searchBatch))
       // a tools-only server still answers these (as FastMCP does
       // for the reference): empty lists, not method-not-found —
       // real clients enumerate all three surfaces on connect
@@ -158,25 +200,41 @@ object Mcp {
       "version" -> JString(ServerVersion)))
   }
 
+  private def filterSchema: JObject = JObject(
+    "type" -> JString("object"),
+    "description" -> JString(
+      "Scalar equality constraints over stored metadata " +
+        "columns; a hit must match all of them"),
+    "additionalProperties" -> JObject(
+      "type" -> JArray(List(JString("string"), JString("number"),
+        JString("boolean")))))
+
   private def toolsListResult(): JObject = JObject(
-    "tools" -> JArray(List(JObject(
-      "name" -> JString(ToolName),
-      "description" -> JString(ToolDescription),
-      "inputSchema" -> JObject(
-        "type" -> JString("object"),
-        "properties" -> JObject(
-          "prompt" -> JObject(
-            "type" -> JString("string"),
-            "description" -> JString("Natural-language search prompt")),
-          "filter" -> JObject(
-            "type" -> JString("object"),
-            "description" -> JString(
-              "Scalar equality constraints over stored metadata " +
-                "columns; a hit must match all of them"),
-            "additionalProperties" -> JObject(
-              "type" -> JArray(List(JString("string"), JString("number"),
-                JString("boolean")))))),
-        "required" -> JArray(List(JString("prompt"))))))))
+    "tools" -> JArray(List(
+      JObject(
+        "name" -> JString(ToolName),
+        "description" -> JString(ToolDescription),
+        "inputSchema" -> JObject(
+          "type" -> JString("object"),
+          "properties" -> JObject(
+            "prompt" -> JObject(
+              "type" -> JString("string"),
+              "description" -> JString("Natural-language search prompt")),
+            "filter" -> filterSchema),
+          "required" -> JArray(List(JString("prompt"))))),
+      JObject(
+        "name" -> JString(BatchToolName),
+        "description" -> JString(BatchToolDescription),
+        "inputSchema" -> JObject(
+          "type" -> JString("object"),
+          "properties" -> JObject(
+            "prompts" -> JObject(
+              "type" -> JString("array"),
+              "description" -> JString(
+                "Natural-language search prompts, answered in order"),
+              "items" -> JObject("type" -> JString("string"))),
+            "filter" -> filterSchema),
+          "required" -> JArray(List(JString("prompts"))))))))
 
   /** Parse the optional `filter` argument: absent → Right(Nil); an
     * object of scalar values → Right(pairs); anything else (non-object
@@ -204,35 +262,60 @@ object Mcp {
         Left(s"filter must be an object, got ${other.getClass.getSimpleName}")
     }
 
-  private def toolsCall(id: JValue, params: JValue,
-      search: Search): JValue = {
+  /** Parse the batch tool's `prompts` argument: a non-empty array of
+    * non-blank strings, or the reason it isn't. */
+  private[graft] def parsePrompts(v: JValue): Either[String, Seq[String]] =
+    v match {
+      case JNothing => Left("Missing required argument: prompts")
+      case JArray(Nil) => Left("prompts must be a non-empty array")
+      case JArray(els) =>
+        els.foldLeft[Either[String, Seq[String]]](Right(Nil)) {
+          case (Left(e), _) => Left(e)
+          case (Right(acc), JString(p)) if p.trim.nonEmpty =>
+            Right(acc :+ p.trim)
+          case (Right(_), JString(_)) => Left("prompts must not contain blanks")
+          case (Right(_), other) => Left(
+            s"prompts elements must be strings, got ${other.getClass.getSimpleName}")
+        }
+      case other =>
+        Left(s"prompts must be an array, got ${other.getClass.getSimpleName}")
+    }
+
+  private def toolsCall(id: JValue, params: JValue, search: Search,
+      searchBatch: SearchBatch): JValue = {
     val name = params \ "name" match {
       case JString(n) => n
       case _ => ""
     }
-    val prompt = params \ "arguments" \ "prompt" match {
-      case JString(p) => p
-      case _ => ""
+    // tool-execution failures are NOT protocol errors: MCP reports
+    // them inside the result with isError=true so the model can see
+    // and react to them — only unknown tools / bad arguments get
+    // JSON-RPC error envelopes
+    def run(body: => String): JValue = {
+      val (text, isError) =
+        try (body, false)
+        catch { case e: Exception => (s"search failed: ${e.getMessage}", true) }
+      result(id, JObject(
+        "content" -> JArray(List(JObject(
+          "type" -> JString("text"),
+          "text" -> JString(text)))),
+        "isError" -> JBool(isError)))
     }
-    if (name != ToolName)
-      error(id, -32602, s"Unknown tool: $name")
-    else if (prompt.trim.isEmpty)
-      error(id, -32602, "Missing required argument: prompt")
-    else parseFilter(params \ "arguments" \ "filter") match {
-      case Left(reason) => error(id, -32602, s"Invalid argument: $reason")
-      case Right(filter) =>
-        // tool-execution failures are NOT protocol errors: MCP reports
-        // them inside the result with isError=true so the model can see
-        // and react to them — only unknown tools / bad arguments get
-        // JSON-RPC error envelopes
-        val (text, isError) =
-          try (search(prompt.trim, filter), false)
-          catch { case e: Exception => (s"search failed: ${e.getMessage}", true) }
-        result(id, JObject(
-          "content" -> JArray(List(JObject(
-            "type" -> JString("text"),
-            "text" -> JString(text)))),
-          "isError" -> JBool(isError)))
+    val filterArg = parseFilter(params \ "arguments" \ "filter")
+    (name, filterArg) match {
+      case (n, _) if n != ToolName && n != BatchToolName =>
+        error(id, -32602, s"Unknown tool: $n")
+      case (_, Left(reason)) => error(id, -32602, s"Invalid argument: $reason")
+      case (ToolName, Right(filter)) =>
+        params \ "arguments" \ "prompt" match {
+          case JString(p) if p.trim.nonEmpty => run(search(p.trim, filter))
+          case _ => error(id, -32602, "Missing required argument: prompt")
+        }
+      case (_, Right(filter)) =>
+        parsePrompts(params \ "arguments" \ "prompts") match {
+          case Left(reason) => error(id, -32602, s"Invalid argument: $reason")
+          case Right(prompts) => run(searchBatch(prompts, filter))
+        }
     }
   }
 

@@ -30,7 +30,8 @@ object Search {
   final case class Config(
       sfDir: String, prompt: String, k: Int, cpus: String, serve: Boolean,
       index: Boolean = true, delta: Option[String] = None,
-      filter: Seq[(String, Any)] = Nil)
+      filter: Seq[(String, Any)] = Nil, root: Option[String] = None,
+      maintainEvery: Int = 0, promptsFile: Option[String] = None)
 
   /** Flags that take no value: a bare `--serve` means serve=true and
     * the next token stays a positional (prompt word) — EXCEPT a literal
@@ -104,6 +105,23 @@ object Search {
     // EVERY route: the index probe, the exact scan, and the fallback,
     // so a streamed-in document is never silently dropped
     val delta = flags.get("delta").orElse(env.get("SPARK_GRAFT_DELTA"))
+    // --root <dir> / SPARK_GRAFT_ROOT: serve from a SERVING ROOT
+    // (graft.search.AnnIndex.ServingRoot) — the pointer is resolved
+    // PER REQUEST, so a concurrent major fold or refit swaps the
+    // serving (artifact, delta) pair between two requests with no
+    // restart. Overrides --delta (the root's own epoch delta is the
+    // delta) and forces the index route.
+    val root = flags.get("root").orElse(env.get("SPARK_GRAFT_ROOT"))
+    // --maintain-every N (root mode only): every N answered requests
+    // the serve loop runs the TombstoneFoldRows check and, when due,
+    // folds-and-publishes the next epoch (AnnIndex.foldIfTombstonesDue).
+    // Requires this server to be the root's single fold sequencer.
+    val maintainEvery = flags.get("maintain-every")
+      .orElse(env.get("SPARK_GRAFT_MAINTAIN_EVERY")).map(_.toInt).getOrElse(0)
+    // --prompts-file <path>: one-shot BATCH mode — the file's
+    // non-blank lines are the prompts, answered by ONE batched probe
+    // plan (searchJsonBatch), one JSON array out
+    val promptsFile = flags.get("prompts-file")
     // --filter col=value: the one-shot CLI face of the tool's metadata
     // filter (numeric values compare numerically, anything else as a
     // string — the same scalar-equality semantics the MCP argument has)
@@ -117,9 +135,10 @@ object Search {
           s"--filter expects col=value, got '$f'")
       }
     }
-    require(prompt.nonEmpty || serve,
-      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false] [--delta dir] [--filter col=value]")
-    Config(sfDir, prompt, k, cpus, serve, index, delta, filter)
+    require(prompt.nonEmpty || serve || promptsFile.nonEmpty,
+      "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false] [--delta dir] [--root dir] [--maintain-every N] [--filter col=value] [--prompts-file path]")
+    Config(sfDir, prompt, k, cpus, serve, index, delta, filter, root,
+      maintainEvery, promptsFile)
   }
 
   /** The stdio request loop: blank lines skipped, EOF ends the
@@ -133,22 +152,38 @@ object Search {
   def serve(engine: SearchEngine, sfDir: String, k: Int,
       in: java.io.BufferedReader, out: java.io.PrintStream,
       index: Boolean = true, delta: Option[String] = None,
-      baseFilter: Seq[(String, Any)] = Nil): Int = {
-    // the one tool closure every protocol dialect routes through:
+      baseFilter: Seq[(String, Any)] = Nil,
+      root: Option[String] = None, maintainEvery: Int = 0): Int = {
+    // the one tool closure every protocol dialect routes through.
+    // Route precedence: a serving ROOT (pointer resolved per request —
+    // a concurrent majorFoldPublish/refit swaps what this serves
+    // between two requests, no restart, no resurrection window), else
     // indexed (artifact probe — ∪ the LSM delta when --delta names
-    // one — exact fallback inside searchJsonIndexed) unless the
-    // exact scan was forced. `baseFilter` is the server-level metadata
-    // filter (`--serve --filter col=value`): it constrains EVERY
-    // request — raw-prompt lines (which have no filter syntax of their
-    // own) and MCP calls alike, conjoined with any per-request MCP
-    // filter. A dropped server filter would silently serve a BROADER
-    // search than the operator configured — the worst default the
-    // filter parser's own contract names.
-    val tool: Mcp.Search =
-      if (index) (prompt, filter) =>
+    // one — exact fallback inside searchJsonIndexed), else the forced
+    // exact scan. `baseFilter` is the server-level metadata filter
+    // (`--serve --filter col=value`): it constrains EVERY request —
+    // raw-prompt lines (which have no filter syntax of their own) and
+    // MCP calls alike, conjoined with any per-request MCP filter. A
+    // dropped server filter would silently serve a BROADER search
+    // than the operator configured — the worst default the filter
+    // parser's own contract names.
+    val tool: Mcp.Search = root match {
+      case Some(r) => (prompt, filter) =>
+        engine.searchJsonRoot(sfDir, r, prompt, k, baseFilter ++ filter)
+      case None if index => (prompt, filter) =>
         engine.searchJsonIndexed(sfDir, prompt, k, delta, baseFilter ++ filter)
-      else (prompt, filter) =>
+      case None => (prompt, filter) =>
         engine.searchJson(sfDir, prompt, k, delta, baseFilter ++ filter)
+    }
+    // the batch tool always serves from the index (it EXISTS for the
+    // one-plan batched probe; a caller wanting exact scans issues
+    // single-tool calls)
+    val toolBatch: Mcp.SearchBatch = root match {
+      case Some(r) => (prompts, filter) =>
+        engine.searchJsonBatchRoot(sfDir, r, prompts, k, baseFilter ++ filter)
+      case None => (prompts, filter) =>
+        engine.searchJsonBatch(sfDir, prompts, k, delta, baseFilter ++ filter)
+    }
     var served = 0
     var line = in.readLine()
     while (line != null) {
@@ -158,8 +193,24 @@ object Search {
         // else — including {/[-prefixed text that does NOT parse as
         // JSON — is a raw prompt
         val response =
-          Mcp.tryHandle(req, tool).getOrElse(Some(tool(req, Nil)))
+          Mcp.tryHandle(req, tool, toolBatch).getOrElse(Some(tool(req, Nil)))
         response.foreach { r => out.println(r); served += 1 }
+        // in-loop maintenance (root mode, opt-in): the serve loop IS
+        // this root's single writer-sequencer, so the fold's contract
+        // holds by construction — requests before the check finished
+        // against their snapshot, requests after it resolve the new
+        // pointer. A maintenance failure degrades (logged), never
+        // kills serving.
+        if (maintainEvery > 0 && served % maintainEvery == 0)
+          root.foreach { r =>
+            try graft.search.AnnIndex.foldIfTombstonesDue(engine.spark, r,
+              graft.queries.AnnQueries.TombstoneFoldRows)
+              .foreach(e => System.err.println(s"graft: maintenance folded $r to epoch $e"))
+            catch {
+              case scala.util.control.NonFatal(e) => System.err.println(
+                s"graft: maintenance fold failed (${e.getClass.getSimpleName}: ${e.getMessage})")
+            }
+          }
       }
       line = in.readLine()
     }
@@ -181,12 +232,34 @@ object Search {
     if (cfg.serve)
       serve(engine, cfg.sfDir, cfg.k,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
-        System.out, cfg.index, cfg.delta, cfg.filter)
-    else if (cfg.index)
-      println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta,
-        cfg.filter))
-    else println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta,
-      cfg.filter))
+        System.out, cfg.index, cfg.delta, cfg.filter, cfg.root,
+        cfg.maintainEvery)
+    else cfg.promptsFile match {
+      case Some(pf) =>
+        // one-shot batch: the file's non-blank lines are the prompts,
+        // ONE batched probe plan answers them all
+        val src = scala.io.Source.fromFile(pf, "UTF-8")
+        val prompts = try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+          finally src.close()
+        println(cfg.root match {
+          case Some(r) =>
+            engine.searchJsonBatchRoot(cfg.sfDir, r, prompts, cfg.k, cfg.filter)
+          case None =>
+            engine.searchJsonBatch(cfg.sfDir, prompts, cfg.k, cfg.delta,
+              cfg.filter)
+        })
+      case None => cfg.root match {
+        case Some(r) =>
+          println(engine.searchJsonRoot(cfg.sfDir, r, cfg.prompt, cfg.k,
+            cfg.filter))
+        case None if cfg.index =>
+          println(engine.searchJsonIndexed(cfg.sfDir, cfg.prompt, cfg.k,
+            cfg.delta, cfg.filter))
+        case None =>
+          println(engine.searchJson(cfg.sfDir, cfg.prompt, cfg.k, cfg.delta,
+            cfg.filter))
+      }
+    }
     spark.stop()
   }
 }

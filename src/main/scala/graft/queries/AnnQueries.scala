@@ -248,7 +248,11 @@ object AnnQueries {
     * under the broadcast ceiling
     * ([[graft.search.AnnIndex.TombstoneBroadcastMaxBytes]]): fold when
     * the store's live tombstones exceed this many rows, even if the
-    * q174 drift gauge still reads calm. */
+    * q174 drift gauge still reads calm. ACTUATED (not just guidance)
+    * by [[graft.search.AnnIndex.foldIfTombstonesDue]], which the
+    * serve loop's `--maintain-every` wires to the serving root —
+    * tombstones can no longer accumulate past the trigger with
+    * nothing folding them. */
   val TombstoneFoldRows = 1000000L
 
   /** q150 incremental (main + delta) search: the corpus splits by the

@@ -941,6 +941,40 @@ object AnnIndex {
     e + 1
   }
 
+  /** RAW tombstone-row mass of `deltaDir`'s tombstone store — the
+    * resolved segments' row count BEFORE the per-id max-fold, so an
+    * UPPER BOUND on the live distinct set (at-least-once replays and
+    * repeated deletes of one id only inflate it). One columnless
+    * count over the small id-only store; 0 for a store that doesn't
+    * exist yet. */
+  def tombstoneRowCap(spark: SparkSession, deltaDir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val segs = graft.sources.SegmentStore.segments(fs, s"$deltaDir/tombstones")
+    if (segs.isEmpty) 0L
+    else segs.map(spark.read.parquet(_)).reduce(_.unionByName(_)).count()
+  }
+
+  /** The [[graft.queries.AnnQueries.TombstoneFoldRows]] trigger,
+    * ACTUATED: fold-and-publish the serving root's current epoch when
+    * its delta's tombstone mass exceeds `maxRows` — the maintenance
+    * rule the trigger documents (every live tombstone costs each
+    * probe's exclusion join and its store's disk until a fold drops
+    * the ids physically; past the measured-flat broadcast region the
+    * probes degrade to shuffle anti-joins). The row check is
+    * [[tombstoneRowCap]] — an upper bound, so replay inflation can
+    * only fold EARLY, never late. Same single-writer contract as
+    * [[majorFoldPublish]]: the caller (e.g. the serve loop's
+    * `--maintain-every`) must be the fold sequencer for this root.
+    * @return Some(newEpoch) when the fold ran, None when under the
+    *         trigger. */
+  def foldIfTombstonesDue(spark: SparkSession, rootDir: String,
+                          maxRows: Long): Option[Long] = {
+    val (_, deltaDir) = ServingRoot.resolve(spark, rootDir)
+    if (tombstoneRowCap(spark, deltaDir) <= maxRows) None
+    else Some(majorFoldPublish(spark, rootDir))
+  }
+
   /** The serving root's grace GC, shared by [[majorFoldPublish]] and
     * [[refitIfDrifted]]: after publishing epoch e+1, retire ONLY epoch
     * e−1 and its delta — the dirs a pointer two generations back was

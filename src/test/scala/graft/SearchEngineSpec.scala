@@ -858,4 +858,84 @@ class SearchEngineSpec extends SparkSpec {
     val want = vals.distinct.sorted.take(4).toList
     assert(run(1) === want && run(13) === want)
   }
+  test("searchIndexedBatch == per-prompt searchIndexed across the full lifecycle (delta, del+put, filter)") {
+    import spark.implicits._
+    import graft.search.{AnnIndex, HashingEmbedder}
+    import graft.queries.AnnQueries
+    val eng = new graft.search.SearchEngine(spark)
+    val mainDir = AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val deltaDir = java.nio.file.Files
+      .createTempDirectory("graft_batch_spec").toString
+    // lifecycle: ingest two docs, delete a corpus doc, correct one of
+    // the ingests (del+put) — the batch path must apply every rule
+    def emb(t: String) = new HashingEmbedder(64).embed(t).toSeq
+    AnnIndex.appendDeltaBatch(spark, mainDir, deltaDir,
+      Seq((940000001L, emb("batch spec alpha"), "batch spec alpha"),
+        (940000002L, emb("batch spec beta"), "batch spec beta"))
+        .toDF("vec_id", "embedding", "text"), 0L, compactEvery = 0)
+    AnnIndex.appendTombstones(spark, deltaDir,
+      Seq(3L, 940000002L).toDF("vec_id"), 1L, compactEvery = 0)
+    AnnIndex.appendDeltaBatch(spark, mainDir, deltaDir,
+      Seq((940000002L, emb("batch spec beta corrected"), "batch spec beta corrected"))
+        .toDF("vec_id", "embedding", "text"), 2L, compactEvery = 0)
+    val prompts = Seq(
+      AnnQueries.ServedPrompt,
+      "batch spec alpha",
+      "batch spec beta corrected",
+      "fast hash join on a big table")
+    for (filter <- Seq(Nil, Seq("label" -> (AnnQueries.FilterLabel: Any)))) {
+      val batch = eng.searchIndexedBatch(sf0001, prompts, k = 8,
+        deltaDir = Some(deltaDir), filter = filter)
+      val singles = prompts.map(p => eng.searchIndexed(sf0001, p, k = 8,
+        deltaDir = Some(deltaDir), filter = filter)
+        .as[graft.search.SearchHit].collect().toSeq)
+      assert(batch === singles,
+        s"batch and per-prompt answers must be identical (filter=$filter)")
+    }
+    // the unfiltered batch serves the lifecycle: alpha + corrected
+    // beta in, deleted corpus doc out
+    val unfiltered = eng.searchIndexedBatch(sf0001, prompts, k = 8,
+      deltaDir = Some(deltaDir))
+    assert(unfiltered(1).exists(_.doc_id === 940000001L))
+    assert(unfiltered(2).exists(h => h.doc_id === 940000002L &&
+      h.text === "batch spec beta corrected"))
+    assert(!unfiltered.flatten.exists(_.doc_id === 3L))
+    // argument guards stay loud on the batch face
+    intercept[IllegalArgumentException] {
+      eng.searchIndexedBatch(sf0001, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      eng.searchIndexedBatch(sf0001, Seq("x"), k = 0)
+    }
+  }
+
+  test("foldIfTombstonesDue actuates the TombstoneFoldRows trigger against a serving root") {
+    import spark.implicits._
+    import graft.search.AnnIndex
+    import graft.search.AnnIndex.ServingRoot
+    import graft.queries.AnnQueries
+    val mainDir = AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_folddue_spec").toString + "/r"
+    ServingRoot.init(spark, mainDir, root)
+    val (_, delta0) = ServingRoot.resolve(spark, root)
+    // no tombstones: never due
+    assert(AnnIndex.foldIfTombstonesDue(spark, root, 0L).isEmpty)
+    AnnIndex.appendTombstones(spark, delta0,
+      Seq(5L, 6L, 7L).toDF("vec_id"), 0L, compactEvery = 0)
+    assert(AnnIndex.tombstoneRowCap(spark, delta0) === 3L)
+    // under the trigger: counted, not folded
+    assert(AnnIndex.foldIfTombstonesDue(spark, root, 10L).isEmpty)
+    assert(ServingRoot.resolve(spark, root)._1.endsWith("epoch_0"))
+    // over the trigger: the fold actuates and publishes epoch 1, the
+    // tombstoned keys drop physically, the new delta starts empty
+    assert(AnnIndex.foldIfTombstonesDue(spark, root, 2L) === Some(1L))
+    val (idx1, delta1) = ServingRoot.resolve(spark, root)
+    assert(idx1.endsWith("epoch_1"))
+    assert(spark.read.parquet(s"$idx1/corpus")
+      .filter($"vec_id".isin(5L, 6L, 7L)).count() === 0L)
+    assert(AnnIndex.tombstoneRowCap(spark, delta1) === 0L)
+    // post-fold the root is no longer due at the same trigger
+    assert(AnnIndex.foldIfTombstonesDue(spark, root, 2L).isEmpty)
+  }
 }

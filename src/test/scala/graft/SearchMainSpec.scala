@@ -87,9 +87,11 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(init \ "result" \ "protocolVersion" === JString(Mcp.ProtocolVersion))
     assert(init \ "result" \ "serverInfo" \ "name" === JString(Mcp.ServerName))
     val JArray(tools) = (list \ "result" \ "tools"): @unchecked
-    assert(tools.size === 1)
+    assert(tools.size === 2)
     assert(tools.head \ "name" === JString(Mcp.ToolName))
     assert(tools.head \ "inputSchema" \ "required" === JArray(List(JString("prompt"))))
+    assert(tools(1) \ "name" === JString(Mcp.BatchToolName))
+    assert(tools(1) \ "inputSchema" \ "required" === JArray(List(JString("prompts"))))
     // the tool result wraps the engine's q33-shaped JSON in one MCP
     // text content block (the reference's tool returns the same JSON
     // string, server.py:102)
@@ -355,5 +357,162 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     val json = eng.searchJson(sf001, "fast hash join on a big table", k = 3)
     assert(json.startsWith("[") && json.endsWith("]"))
     assert(json.contains("\"doc_id\"") && json.contains("\"score\""))
+  }
+  test("--root: a LIVE server survives folds and a refit — pointer-resolved serving, no restart, no resurrection") {
+    import spark.implicits._
+    import graft.search.{AnnIndex, HashingEmbedder}
+    import graft.search.AnnIndex.ServingRoot
+    import graft.queries.AnnQueries
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val eng = new graft.search.SearchEngine(spark)
+    val mainDir = AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rootserve_spec").toString + "/r"
+    ServingRoot.init(spark, mainDir, root)
+    // the server: one long-lived serve loop on a pipe — requests and
+    // epoch swaps interleave against the SAME process, the scenario
+    // the pointer machinery exists for
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val toServer = new java.io.PipedOutputStream()
+    val fromTest = new java.io.PrintStream(toServer, true, "UTF-8")
+    val serverIn = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.PipedInputStream(toServer, 1 << 16), "UTF-8"))
+    @volatile var servedTotal = -1
+    val server = new Thread(() => {
+      servedTotal = Search.serve(eng, sf0001, k = 10, serverIn,
+        new java.io.PrintStream(outBuf, true, "UTF-8"),
+        root = Some(root), maintainEvery = 1)
+    }, "graft-root-serve")
+    server.start()
+    def lines(): Seq[String] =
+      outBuf.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    def request(line: String): String = {
+      val before = lines().size
+      fromTest.println(line)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (lines().size <= before) {
+        assert(System.nanoTime() < deadline, s"serve timed out on: $line")
+        Thread.sleep(25)
+      }
+      lines().last
+    }
+    def hitIds(json: String): Seq[Long] = {
+      val JArray(hits) = parse(json): @unchecked
+      hits.map(h => (h \ "doc_id").asInstanceOf[JInt].num.longValue)
+    }
+    val prompt = AnnQueries.ServedPrompt
+    // epoch 0: baseline answer
+    val r0 = request(prompt)
+    val top = hitIds(r0)
+    assert(top.nonEmpty)
+    val victim = top.head
+    // DELETE the top hit via the epoch delta the server is serving
+    val (_, delta0) = ServingRoot.resolve(spark, root)
+    AnnIndex.appendTombstones(spark, delta0,
+      Seq(victim).toDF("vec_id"), 0L, compactEvery = 0)
+    val r1 = request(prompt)
+    assert(!hitIds(r1).contains(victim),
+      "a tombstoned doc must stop serving immediately (no restart)")
+    // INGEST a sentinel with on-point text for the prompt
+    val sentinelId = 930000001L
+    val sentinelText = prompt + " sentinel served from the delta"
+    AnnIndex.appendDeltaBatch(spark, ServingRoot.resolve(spark, root)._1, delta0,
+      Seq((sentinelId, new HashingEmbedder(64).embed(sentinelText).toSeq,
+        sentinelText)).toDF("vec_id", "embedding", "text"),
+      1L, compactEvery = 0)
+    val r2 = request(prompt)
+    assert(hitIds(r2).contains(sentinelId) && !hitIds(r2).contains(victim))
+    // FOLD 1 and FOLD 2 — concurrent with the live server; the next
+    // request must serve the folded epoch: same answer, no
+    // resurrection of the victim, sentinel payload now riding the
+    // ARTIFACT (its text column), not the delta
+    assert(AnnIndex.majorFoldPublish(spark, root) === 1L)
+    val r3 = request(prompt)
+    assert(r3 === r2, s"fold 1 must be invisible to the served answer: $r3 vs $r2")
+    assert(AnnIndex.majorFoldPublish(spark, root) === 2L)
+    val r4 = request(prompt)
+    assert(r4 === r2, "fold 2 must be invisible to the served answer")
+    // REFIT (swap 3): force-actuated on a fresh post-fold ingest; the
+    // server's next request serves the refitted epoch
+    val (idx2, delta2) = ServingRoot.resolve(spark, root)
+    val sentinel2 = 930000002L
+    val text2 = prompt + " second sentinel rides the refit"
+    AnnIndex.appendDeltaBatch(spark, idx2, delta2,
+      Seq((sentinel2, new HashingEmbedder(64).embed(text2).toSeq,
+        text2)).toDF("vec_id", "embedding", "text"),
+      0L, compactEvery = 0)
+    val (_, refitEpoch) = AnnIndex.refitIfDrifted(spark, root,
+      AnnQueries.IvfCells, AnnQueries.IvfPqSubDim, AnnQueries.IvfPqK,
+      AnnQueries.IvfPqIters, driftMax = 0.0)
+    assert(refitEpoch === Some(3L), "the forced refit must publish epoch 3")
+    val r5 = request(prompt)
+    val ids5 = hitIds(r5)
+    assert(ids5.contains(sentinelId) && ids5.contains(sentinel2) &&
+      !ids5.contains(victim),
+      s"the refitted epoch must serve both sentinels and keep the delete: $r5")
+    // both sentinels' payloads round-trip (artifact text for the
+    // folded one, delta text for the fresh one)
+    assert(r5.contains("sentinel served from the delta") &&
+      r5.contains("second sentinel rides the refit"))
+    // MCP dialect against the same live server, post-swap
+    val mcp = parse(request(
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"$prompt"}}}"""))
+    val JString(text) = (mcp \ "result" \ "content")(0) \ "text": @unchecked
+    assert(text === r5, "the MCP face must serve the same epoch answer")
+    fromTest.close()
+    server.join(60000)
+    assert(servedTotal === 7, s"server must have answered every request: $servedTotal")
+  }
+
+  test("the batch tool answers == per-prompt answers through the MCP surface") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val eng = new graft.search.SearchEngine(spark)
+    val prompts = Seq(
+      graft.queries.AnnQueries.ServedPrompt,
+      "fast hash join on a big table",
+      "sorted merge of event batches")
+    def mcpText(resp: String): String = {
+      val JString(t) = (parse(resp) \ "result" \ "content")(0) \ "text": @unchecked
+      t
+    }
+    val singleCalls = prompts.zipWithIndex.map { case (p, i) =>
+      s"""{"jsonrpc":"2.0","id":$i,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"$p"}}}"""
+    }
+    val batchCall =
+      s"""{"jsonrpc":"2.0","id":9,"method":"tools/call","params":{"name":"${Mcp.BatchToolName}","arguments":{"prompts":[${prompts.map("\"" + _ + "\"").mkString(",")}]}}}"""
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      (singleCalls :+ batchCall).mkString("\n") + "\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf0001, k = 5,
+      in, new java.io.PrintStream(buf, true, "UTF-8"), index = true)
+    assert(served === 4)
+    val out = buf.toString("UTF-8").trim.split("\n").toSeq
+    val singles = out.take(3).map(mcpText)
+    val JArray(batch) = parse(mcpText(out(3))): @unchecked
+    assert(batch.size === 3)
+    batch.zip(singles).zipWithIndex.foreach { case ((b, s1), i) =>
+      assert(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(b)) ===
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(parse(s1))),
+        s"batch element $i must equal the single-tool answer")
+    }
+    // the batch tool rides tools/list with its prompts-array schema
+    val tl = parse(Mcp.handle(
+      """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""",
+      (_, _) => "x").get)
+    val tools = (tl \ "result" \ "tools").asInstanceOf[JArray].arr
+    assert(tools.map(t => t \ "name").contains(JString(Mcp.BatchToolName)))
+    // bad batch arguments are protocol errors, not broadened searches
+    val bad = parse(Mcp.handle(
+      s"""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"${Mcp.BatchToolName}","arguments":{"prompts":[]}}}""",
+      (_, _) => "x").get)
+    assert((bad \ "error" \ "code") === JInt(-32602))
+    val bad2 = parse(Mcp.handle(
+      s"""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"${Mcp.BatchToolName}","arguments":{"prompts":[1,2]}}}""",
+      (_, _) => "x").get)
+    assert((bad2 \ "error" \ "code") === JInt(-32602))
   }
 }
