@@ -705,4 +705,58 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(store.filter(carve && $"_del").count() > 0L,
       "takedown markers vanished at the fold")
   }
+  test("static rebuild: taken-down rows physically absent, zero markers, probe == lifecycle probe") {
+    import graft.queries.MultimodalQueries
+    // q182 == q178 with the two partner classes merged: the rebuild
+    // must change NOTHING about what serves, only where it lives
+    val lifecycle = SparkEntry.queries("q178_phash_takedown")(spark, sf0001)
+      .select($"doc_id", ($"n_dup_old" + $"n_dup_graduated").as("n_dup"),
+        $"accepted")
+      .as[(Long, Long, Long)].collect().toSeq
+    val rebuilt = SparkEntry.queries("q182_phash_rebuild")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rebuilt === lifecycle,
+      "the rebuilt static must serve exactly the lifecycle answer")
+    // the fresh generation: carve physically absent, survivors static,
+    // and NOT ONE marker or lifecycle column left to shadow anything
+    val bands = spark.read.parquet(
+      s"${MultimodalQueries.phashRebuildDir(spark, sf0001)}/bands")
+    val carve = $"doc_id" % MultimodalQueries.TakedownMod ===
+      MultimodalQueries.TakedownRem
+    assert(bands.filter(carve).count() === 0L,
+      "taken-down docs must be physically absent from the rebuilt static")
+    assert(!bands.columns.contains("_del") &&
+      !bands.columns.contains(graft.sources.SegmentStore.BatchCol),
+      "the rebuilt static is a plain artifact — no lifecycle columns")
+    // graduated (batch-1, non-carve) docs are static now
+    val grad = bands.filter($"doc_id" % MultimodalQueries.PhashProbeNewMod >=
+        MultimodalQueries.PhashProbeNewMin &&
+        $"doc_id" % MultimodalQueries.PhashLsmBatchMod === 0 && !carve)
+      .select($"doc_id").distinct().count()
+    assert(grad > 0, "graduated docs must ride the rebuilt static")
+    // old non-carve docs survive untouched
+    val old = bands.filter($"doc_id" % MultimodalQueries.PhashProbeNewMod <
+        MultimodalQueries.PhashProbeNewMin && !carve)
+      .select($"doc_id").distinct().count()
+    assert(old > 0)
+    // the audio and video faces ride the same fold rule
+    val lifecycleA = SparkEntry.queries("q180_afp_takedown")(spark, sf0001)
+      .select($"doc_id", ($"n_dup_old" + $"n_dup_graduated").as("n_dup"),
+        $"accepted")
+      .as[(Long, Long, Long)].collect().toSeq
+    val rebuiltA = SparkEntry.queries("q183_afp_rebuild")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rebuiltA === lifecycleA)
+    val lifecycleV = SparkEntry.queries("q181_vphash_takedown")(spark, sf0001)
+      .select($"doc_id", ($"n_dup_old" + $"n_dup_graduated").as("n_dup"),
+        $"accepted")
+      .as[(Long, Long, Long)].collect().toSeq
+    val rebuiltV = SparkEntry.queries("q184_vphash_rebuild")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rebuiltV === lifecycleV)
+    // ...and BOTH video tables dropped the carve physically
+    val vdir = MultimodalQueries.vphashRebuildDir(spark, sf0001)
+    assert(spark.read.parquet(s"$vdir/f0bands").filter(carve).count() === 0L)
+    assert(spark.read.parquet(s"$vdir/frames").filter(carve).count() === 0L)
+  }
 }
