@@ -154,6 +154,16 @@ object ScaleProbe {
         ensureClones(spark, srcDir, outDir, copies)
         bandCandProbe(spark, outDir, copies, flags)
       }
+      else if (flags.contains("takedown-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        takedownProbe(spark, outDir, flags)
+      }
+      else if (flags.contains("media-soak"))
+        mediaSoakProbe(spark, srcDir, flags)
+      else if (flags.contains("lost-pairs-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        lostPairsProbe(spark, outDir, copies)
+      }
       else if (flags.contains("para-probe")) {
         ensureClones(spark, srcDir, outDir, copies)
         paraProbe(spark, outDir, copies)
@@ -1310,6 +1320,331 @@ object ScaleProbe {
       MultimodalQueries.AfpMaxHamming)
     println(s"""{"probe":"band-cand","copies":$copies,$img,$aud}""")
     true
+  }
+
+
+  /** Media takedown-volume probe (--takedown-probe [--markers a,b,...]):
+    * the media face of [[tombstoneProbe]] — measures the size-gated
+    * static-shadow hint ([[graft.queries.MultimodalQueries.TakedownBroadcastMaxRows]])
+    * against a REAL q178-shaped lifecycle probe at clone scale. The
+    * store carries the graduated batch's data rows, the carve's
+    * markers, and N SYNTHETIC scattered-id markers (docs that exist
+    * nowhere, so they shadow nothing real and every tier's answer
+    * must be BIT-IDENTICAL to the baseline while the anti-join's
+    * build side grows 100×). Receipts per tier: raw marker rows,
+    * whether the hint fired, which physical join served the static
+    * shadow, warm latency, answer equality. */
+  private def takedownProbe(spark: SparkSession, outDir: String,
+                            flags: Map[String, String]): Boolean = {
+    import graft.multimodal.Multimodal
+    import graft.queries.MultimodalQueries
+    val counts = flags.get("markers")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(100000L, 1000000L, 2500000L, 10000000L))
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"))
+    val bands = Multimodal
+      .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      .select(Seq(col("doc_id")) ++ (0 until 4).map(j => col(s"band$j")) ++
+        (0 until 4).map(j => col(s"qt$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val nDocs = bands.count()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_td_probe").toString
+      // static artifact: the old corpus's exploded band keys (q158's
+      // layout), decoded once
+      MultimodalQueries.explodeBandKeys(
+          bands.filter(pmod(col("doc_id"), lit(MultimodalQueries.PhashProbeNewMod))
+            < MultimodalQueries.PhashProbeNewMin))
+        .write.mode("overwrite").partitionBy("j").parquet(s"$base/static")
+      val staticBands = spark.read.parquet(s"$base/static")
+      val b1 = bands.filter(
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashProbeNewMod))
+          >= MultimodalQueries.PhashProbeNewMin &&
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashLsmBatchMod)) === 0)
+      val b2 = bands.filter(
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashProbeNewMod))
+          >= MultimodalQueries.PhashProbeNewMin &&
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashLsmBatchMod)) === 1)
+      val carve = docs.filter(
+        pmod(col("doc_id"), lit(MultimodalQueries.TakedownMod))
+          === MultimodalQueries.TakedownRem)
+      def mkStore(n: Long): String = {
+        val dir = s"$base/store_$n"
+        graft.sources.SegmentStore.appendBatch(spark, dir,
+          MultimodalQueries.bandStoreRows(b1), 0L, compactEvery = 0,
+          partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        graft.sources.SegmentStore.appendBatch(spark, dir,
+          MultimodalQueries.bandTakedownMarkers(carve), 1L, compactEvery = 0,
+          partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        if (n > 0)
+          // SCATTERED synthetic ids outside every real id range (the
+          // tombstone probe's argument: consecutive ids flatter both
+          // the store bytes and the join)
+          graft.sources.SegmentStore.appendBatch(spark, dir,
+            MultimodalQueries.bandTakedownMarkers(
+              spark.range(n).select(
+                (pmod(col("id") * 2654435761L, lit(3000000000L)) + 4000000000L)
+                  .as("doc_id"))),
+            2L, compactEvery = 0,
+            partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        dir
+      }
+      def runOnce(storeDir: String) =
+        MultimodalQueries.graduatedBandProbe(spark, staticBands, storeDir,
+          b2, MultimodalQueries.PhashMaxHamming)
+      val baseline = runOnce(mkStore(0L))
+        .collect().map(_.toString).toSeq
+      val tiers = counts.map { n =>
+        val dir = mkStore(n)
+        val cap = MultimodalQueries.markerRowCap(
+          graft.sources.SegmentStore.read(spark, dir), "j")
+        val hinted = cap <= MultimodalQueries.TakedownBroadcastMaxRows
+        val reps = (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          val df = runOnce(dir)
+          val rows = df.collect().map(_.toString).toSeq
+          ((System.nanoTime() - t) / 1e9, rows, df)
+        }
+        val warm = reps.map(_._1).min
+        val equal = reps.forall(_._2 == baseline)
+        // classify the STATIC-SHADOW anti-join specifically
+        val planStr = reps.last._3.queryExecution.executedPlan.toString
+        val joinOp = planStr.linesIterator
+          .find(_.contains("LeftAnti"))
+          .map { l =>
+            if (l.contains("BroadcastHashJoin")) "broadcast"
+            else if (l.contains("SortMergeJoin")) "sort_merge"
+            else if (l.contains("ShuffledHashJoin")) "shuffled_hash"
+            else "other"
+          }.getOrElse("none")
+        s"""{"synthetic_markers":$n,"marker_row_cap":$cap,"broadcast_hinted":$hinted,"shadow_join":"$joinOp","warm_sec":${f"$warm%.3f"},"answer_equals_baseline":$equal}"""
+      }
+      println(s"""{"probe":"takedown-volume","n_docs":$nDocs,"broadcast_max_rows":${MultimodalQueries.TakedownBroadcastMaxRows},"tiers":[${tiers.mkString(",")}]}""")
+      true
+    } finally bands.unpersist(blocking = false)
+  }
+
+  /** Media-store concurrency soak (--media-soak [--batches N
+    * --batch-docs M --compact-every C --takedown-every T]): the
+    * fold-soak discipline pointed at a BAND store — a single writer
+    * streams data batches (synthetic band rows; the soak certifies
+    * store discipline, not hashing) and periodic takedown batches
+    * through [[graft.sources.SegmentStore.appendBatch]] with real
+    * compactions, while a concurrent prober continuously resolves
+    * the store and re-derives the LIFECYCLE liveness (the
+    * (doc_id, j) last-writer-wins rule every media probe runs):
+    * a taken-down doc must NEVER serve once its marker batch commits
+    * (resurrection = 0), a never-deleted sentinel must ALWAYS serve
+    * (miss = 0), zero probe errors racing folds, O(1) store dirs.
+    * Mid-soak a STATIC REBUILD ([[graft.queries.MultimodalQueries.bandStaticRebuild]])
+    * races the probes too — it only reads immutable segments and
+    * writes elsewhere, and its output is checked for the same
+    * liveness. */
+  private def mediaSoakProbe(spark: SparkSession, srcDir: String,
+                             flags: Map[String, String]): Boolean = {
+    import graft.queries.MultimodalQueries
+    val nBatches = flags.get("batches").map(_.toInt).getOrElse(60)
+    val batchDocs = flags.get("batch-docs").map(_.toInt).getOrElse(500)
+    val compactEvery = flags.get("compact-every").map(_.toInt).getOrElse(2)
+    val takedownEvery = flags.get("takedown-every").map(_.toInt).getOrElse(3)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_media_soak").toString
+    val storeDir = s"$base/store"
+    val t0 = System.nanoTime()
+    // synthetic band rows: deterministic 16-bit bands + masses from
+    // the doc id — the store neither knows nor cares they are not
+    // decoded pixels
+    def synthBands(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(Seq(col("doc_id")) ++
+        (0 until 4).map(j => pmod(col("doc_id") * (j * 2 + 3), lit(65536L)).as(s"band$j")) ++
+        (0 until 4).map(j => (pmod(col("doc_id") * (j * 7 + 11), lit(100000L)) + 1L).as(s"qt$j")): _*)
+    val sentinelId = 1L // ingested in batch 0, never deleted
+    // what the writer has committed so far (read by the prober)
+    val committedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val takenDownIds =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probes = new java.util.concurrent.atomic.AtomicLong
+    val resurrections = new java.util.concurrent.atomic.AtomicLong
+    val sentinelMisses = new java.util.concurrent.atomic.AtomicLong
+    val maxSegments = new java.util.concurrent.atomic.AtomicLong
+    val probeErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          if (committedBatch.get() >= 0L) {
+            // the snapshot of deletes KNOWN COMMITTED before resolving
+            // the store: anything in this set must not serve
+            val mustBeGone = new java.util.HashSet(takenDownIds)
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              spark.sparkContext.hadoopConfiguration)
+            maxSegments.getAndUpdate(m => math.max(m,
+              graft.sources.SegmentStore.segments(fs, storeDir).size.toLong))
+            val raw = graft.sources.SegmentStore.read(spark, storeDir)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"), col("j"))
+              .orderBy(col(graft.sources.SegmentStore.BatchCol).desc)
+            val live = raw
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1)
+              .filter(!col("_del") && col("j") === 0)
+              .select(col("doc_id"))
+            val gone = new java.util.ArrayList(mustBeGone)
+            val ids = (sentinelId +: gone.toArray.map(_.asInstanceOf[Long]).toSeq)
+            val served = live.filter(col("doc_id").isin(ids: _*))
+              .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+            if (!served.contains(sentinelId)) sentinelMisses.incrementAndGet()
+            gone.forEach { id =>
+              if (served.contains(id)) resurrections.incrementAndGet()
+            }
+            probes.incrementAndGet()
+          }
+        } catch {
+          case e: Throwable =>
+            probeErrors.add(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }, "graft-media-soak-prober")
+    prober.start()
+    var rebuildOk = true
+    var takedownBatches = 0
+    try {
+      for (b <- 0 until nBatches) {
+        val lo = b.toLong * batchDocs + 1L
+        val ids = spark.range(lo, lo + batchDocs).select(col("id").as("doc_id"))
+        graft.sources.SegmentStore.appendBatch(spark, storeDir,
+          MultimodalQueries.bandStoreRows(synthBands(ids)),
+          b.toLong * 2, compactEvery, "j", Seq("doc_id", "j"))
+        committedBatch.set(b.toLong * 2)
+        if (b > 0 && b % takedownEvery == 0) {
+          // take down a slice of a PRIOR batch (never the sentinel)
+          val priorLo = (b - 1).toLong * batchDocs + 1L
+          val victims = (priorLo until priorLo + 20L)
+          graft.sources.SegmentStore.appendBatch(spark, storeDir,
+            MultimodalQueries.bandTakedownMarkers(
+              spark.range(victims.head, victims.last + 1L)
+                .select(col("id").as("doc_id"))),
+            b.toLong * 2 + 1, compactEvery, "j", Seq("doc_id", "j"))
+          committedBatch.set(b.toLong * 2 + 1)
+          victims.foreach(v => takenDownIds.add(v))
+          takedownBatches += 1
+        }
+        if (b == nBatches / 2) {
+          // mid-soak static rebuild racing the probes: fold a tiny
+          // static artifact (doc 0 — never ingested, never deleted)
+          // with the store into a fresh generation, then check the
+          // SAME liveness invariants on the artifact
+          val seedStatic = s"$base/static_seed"
+          MultimodalQueries.bandStoreRows(synthBands(
+              spark.range(0L, 1L).select(col("id").as("doc_id"))))
+            .drop("_del")
+            .write.mode("overwrite").partitionBy("j").parquet(seedStatic)
+          MultimodalQueries.bandStaticRebuild(spark, seedStatic, storeDir,
+            s"$base/rebuilt", "j")
+          val rb = spark.read.parquet(s"$base/rebuilt")
+          val down = new java.util.ArrayList(takenDownIds)
+            .toArray.map(_.asInstanceOf[Long]).toSeq
+          rebuildOk = rb.filter(col("doc_id") === sentinelId).count() > 0 &&
+            rb.filter(col("doc_id") === 0L).count() > 0 &&
+            (down.isEmpty ||
+              rb.filter(col("doc_id").isin(down: _*)).count() == 0L)
+        }
+      }
+    } finally {
+      stop.set(true)
+      prober.join(120000)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val finalSegs = graft.sources.SegmentStore.segments(fs, storeDir).size
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val errs = probeErrors.toArray.take(3).mkString("; ").replace("\"", "'")
+    val ok = probeErrors.isEmpty && resurrections.get() == 0L &&
+      sentinelMisses.get() == 0L && probes.get() > 0L && rebuildOk &&
+      finalSegs <= compactEvery + 1
+    println(s"""{"probe":"media-soak","batches":$nBatches,"batch_docs":$batchDocs,"compact_every":$compactEvery,"takedown_batches":$takedownBatches,"taken_down_ids":${takenDownIds.size},"concurrent_probes":${probes.get},"probe_errors":${probeErrors.size},"probe_error_sample":"$errs","resurrections":${resurrections.get},"sentinel_misses":${sentinelMisses.get},"max_segments_seen":${maxSegments.get},"final_segments":$finalSegs,"rebuild_race_ok":$rebuildOk,"wall_sec":${f"$wallSec%.1f"},"ok":$ok}""")
+    ok
+  }
+
+  /** Image composed-key LOST-PAIR characterization (--lost-pairs-probe):
+    * the round-15 receipt measured 0.97% of planted image pairs lost
+    * by the composed (bits, mass) key. Before building any recovery
+    * arm, MEASURE what was lost: for every planted true near-dup pair
+    * (Hamming ≤ cut) with NO band agreeing on bits AND mass, classify
+    * the nearest miss — is there a band with EQUAL MASS but flipped
+    * bits (threshold-coupled flips; a mass-neighbor probe cannot
+    * recover these), or EQUAL BITS with a small mass delta (an m±d
+    * neighbor bucket would recover it)? The histogram decides whether
+    * a second-chance probe is worth its 3× key volume. */
+  private def lostPairsProbe(spark: SparkSession, outDir: String,
+                             copies: Int): Boolean = {
+    import graft.multimodal.Multimodal
+    import graft.queries.MultimodalQueries
+    val g = Multimodal.VariantGroupSize
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"))
+    val bands = Multimodal
+      .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      .select(Seq(col("doc_id")) ++ (0 until 4).map(j => col(s"band$j")) ++
+        (0 until 4).map(j => col(s"qt$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = bands.count()
+      // planted pairs: consecutive ids in one variant group — join the
+      // group's members pairwise (tiny: g per group), verify Hamming
+      val a = bands.select(Seq(col("doc_id").as("doc_a")) ++
+        (0 until 4).map(j => col(s"band$j").as(s"a$j")) ++
+        (0 until 4).map(j => col(s"qt$j").as(s"am$j")): _*)
+        .withColumn("grp", (col("doc_a") / g).cast("long"))
+      val b = bands.select(Seq(col("doc_id").as("doc_b")) ++
+        (0 until 4).map(j => col(s"band$j").as(s"b$j")) ++
+        (0 until 4).map(j => col(s"qt$j").as(s"bm$j")): _*)
+        .withColumn("grp", (col("doc_b") / g).cast("long"))
+      val ham = (0 until 4)
+        .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))).cast("long"))
+        .reduce(_ + _)
+      val anyComposed = (0 until 4)
+        .map(j => col(s"a$j") === col(s"b$j") && col(s"am$j") === col(s"bm$j"))
+        .reduce(_ || _)
+      // per-band miss classes over the LOST pairs
+      val bitsEqCols = (0 until 4).map(j => col(s"a$j") === col(s"b$j"))
+      val massDelta = (0 until 4).map(j => abs(col(s"am$j") - col(s"bm$j")))
+      val minMassDeltaBitsEq = (0 until 4)
+        .map(j => when(bitsEqCols(j), massDelta(j)).otherwise(lit(Long.MaxValue)))
+        .reduce((x, y) => least(x, y))
+      val massEqBitsFlip = (0 until 4)
+        .map(j => !bitsEqCols(j) && col(s"am$j") === col(s"bm$j"))
+        .reduce(_ || _)
+      val pairs = a.join(b, Seq("grp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(ham <= lit(MultimodalQueries.PhashMaxHamming))
+      val planted = pairs.count()
+      val lost = pairs.filter(!anyComposed)
+        .select(minMassDeltaBitsEq.as("min_dm_bits_eq"),
+          massEqBitsFlip.as("mass_eq_bits_flip"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nLost = lost.count()
+        def recoverable(d: Long) =
+          lost.filter(col("min_dm_bits_eq") <= d).count()
+        val r1 = recoverable(1L); val r2 = recoverable(2L)
+        val r4 = recoverable(4L); val r16 = recoverable(16L)
+        val flips = lost.filter(col("mass_eq_bits_flip")).count()
+        val noBitsEq = lost.filter(col("min_dm_bits_eq") === Long.MaxValue).count()
+        // the ALTERNATIVE recovery key: mass-only (j, m) candidacy
+        // (every lost pair above has a mass-equal band) — measure its
+        // candidate volume before anyone builds it
+        val massVol = MultimodalQueries.explodeBandKeys(bands)
+          .groupBy(col("j"), col("m")).agg(count(lit(1)).as("pop"))
+          .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
+            max(col("pop")).as("max_pop")).head()
+        val (massCand, massMaxPop) = (massVol.getLong(0), massVol.getLong(1))
+        println(s"""{"probe":"lost-pairs","copies":$copies,"n":$n,"planted_pairs":$planted,"lost_pairs":$nLost,"lost_frac":${if (planted == 0) 0.0 else nLost.toDouble / planted},"recoverable_m_pm1":$r1,"recoverable_m_pm2":$r2,"recoverable_m_pm4":$r4,"recoverable_m_pm16":$r16,"mass_eq_bits_flip":$flips,"no_band_bits_equal":$noBitsEq,"mass_only_cand":$massCand,"mass_only_cand_per_n":${massCand.toDouble / n},"mass_only_max_pop":$massMaxPop}""")
+        true
+      } finally lost.unpersist(blocking = false)
+    } finally bands.unpersist(blocking = false)
   }
 
   private def decadeUpProbe(spark: SparkSession, outDir: String, copies: Int,

@@ -42,7 +42,8 @@ object Search {
   private val BooleanFlags = Set("serve", "ivf-tune", "ivfpq-tune", "tune-split",
     "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune",
     "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe",
-    "lsm-soak", "fold-soak", "band-cand-probe", "refit-probe", "tombstone-probe")
+    "lsm-soak", "fold-soak", "band-cand-probe", "refit-probe", "tombstone-probe",
+    "takedown-probe", "media-soak", "lost-pairs-probe")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all

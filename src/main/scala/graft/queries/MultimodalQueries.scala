@@ -249,7 +249,7 @@ object MultimodalQueries {
     * store zeroes n_dup_graduated and the oracle turns red.
     * Within-batch pairs are by declared rule not counted: that is the
     * plain index probe's already-covered job (q158/q167). */
-  private def graduatedBandProbe(s: SparkSession, staticBands: DataFrame,
+  private[graft] def graduatedBandProbe(s: SparkSession, staticBands: DataFrame,
                                  storeDir: String, b2: DataFrame,
                                  maxHamming: Long): DataFrame = {
     val keyed = Seq("doc_id", "j", "v", "m",
@@ -592,7 +592,7 @@ object MultimodalQueries {
 
   /** RAW marker-row upper bound for [[takedownHint]]: the un-resolved
     * `_del` rows in the store's anchor slice (`key2 = 0`). */
-  private def markerRowCap(raw: DataFrame, key2: String): Long =
+  private[graft] def markerRowCap(raw: DataFrame, key2: String): Long =
     if (!raw.columns.contains("_del")) 0L
     else raw.filter(col("_del") && col(key2) === 0).count()
 

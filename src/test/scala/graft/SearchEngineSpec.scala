@@ -938,4 +938,47 @@ class SearchEngineSpec extends SparkSpec {
     // post-fold the root is no longer due at the same trigger
     assert(AnnIndex.foldIfTombstonesDue(spark, root, 2L).isEmpty)
   }
+  test("the refit gauge reads persisted epoch stats: actuation checks are O(delta)") {
+    import spark.implicits._
+    import graft.search.AnnIndex
+    import graft.search.AnnIndex.ServingRoot
+    import graft.queries.AnnQueries
+    val mainDir = AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stats_spec").toString + "/r"
+    ServingRoot.init(spark, mainDir, root)
+    val (idx0, delta0) = ServingRoot.resolve(spark, root)
+    // the fold stamped the epoch's own mean distortion as metadata,
+    // and it equals the statistic recomputed from the corpus
+    val stat = AnnIndex.readEpochStats(spark, idx0)
+    assert(stat.isDefined, "majorCompact must persist epoch stats")
+    val recomputed = AnnIndex.meanDistortion(spark, idx0,
+      spark.read.parquet(s"$idx0/corpus").select($"embedding"))
+    assert(math.abs(stat.get - recomputed) <= 1e-9 * math.max(1.0, recomputed))
+    // an in-distribution delta stays under the trigger through the
+    // persisted denominator
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(size($"embedding") === 64)
+    AnnIndex.appendDeltaBatch(spark, idx0, delta0,
+      corpus.limit(5).select(($"vec_id" + 950000000L).as("vec_id"), $"embedding"),
+      0L, compactEvery = 0)
+    def actuate() = AnnIndex.refitIfDrifted(spark, root, AnnQueries.IvfCells,
+      AnnQueries.IvfPqSubDim, AnnQueries.IvfPqK, AnnQueries.IvfPqIters,
+      AnnQueries.RefitDriftMax)
+    val (inRatio, inRefit) = actuate()
+    assert(inRefit.isEmpty && inRatio <= AnnQueries.RefitDriftMax)
+    // the stat file is LOAD-BEARING: plant a tiny denominator and the
+    // same in-distribution delta must now trip — proof the gauge read
+    // the metadata instead of re-scanning main
+    Seq(stat.get * 1e-9).toDF("mean_distortion")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx0/stats")
+    val (plantedRatio, plantedRefit) = actuate()
+    assert(plantedRatio > AnnQueries.RefitDriftMax,
+      s"a planted tiny denominator must trip the gauge (ratio $plantedRatio)")
+    assert(plantedRefit === Some(1L))
+    // ...and the refit stamped the NEW epoch's stats in turn
+    val (idx1, _) = ServingRoot.resolve(spark, root)
+    assert(AnnIndex.readEpochStats(spark, idx1).isDefined,
+      "refit must persist the fresh epoch's stats")
+  }
 }
