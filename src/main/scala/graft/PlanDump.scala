@@ -479,8 +479,20 @@ object PlanDump {
         + "batch — the fold already dropped the taken-down graduated "
         + "rows physically (last-writer-wins over (doc_id, j)), so the "
         + "store scan serves data rows as-is and the surviving markers "
-        + "shadow the static artifact via ONE broadcast anti-join "
-        + "below the candidate equi-join; no decode anywhere."),
+        + "shadow the static artifact via ONE size-gated anti-join "
+        + "(broadcast under the measured marker-row ceiling, shuffle "
+        + "past it) below the candidate equi-join; no decode anywhere."),
+    "q182_phash_rebuild" ->
+      ("Media STATIC REBUILD (the media majorCompact): the probe runs "
+        + "against the freshly folded generation ALONE — one parquet "
+        + "scan on the candidate side, NO store read, NO marker shadow "
+        + "anti-join, no decode; the lifecycle cost paid once at fold "
+        + "time instead of on every probe forever."),
+    "q184_vphash_rebuild" ->
+      ("The video rebuild probe: both clip-index tables read from the "
+        + "fresh generation — anchor equi-join then aligned-Hamming "
+        + "verify, with the takedown resolved PHYSICALLY at fold time "
+        + "(no shadow join anywhere in the plan)."),
     "q164_retrieval_metrics" ->
       ("Retrieval-quality eval (recall@k / MRR / nDCG@k): both arms "
         + "rank via the map-side partial top-k heap under their "

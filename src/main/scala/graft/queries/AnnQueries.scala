@@ -527,6 +527,36 @@ object AnnQueries {
     put(Seq(ServedDeleteCorrected), 3L)
   }
 
+  private val sessionServedRoot = new graft.SessionMemo[String, String]
+
+  /** Session-once SERVING ROOT for q185: the same delete-lifecycle
+    * script as q172/q173, run against a root's epoch-0 pair, then ONE
+    * [[graft.search.AnnIndex.majorFoldPublish]] — so the pointer has
+    * actually swapped once (epoch 1), the live synthetic docs' text
+    * rides the EPOCH CORPUS itself (payload custody moved from the
+    * delta segments to the artifact at the fold), and the tombstoned
+    * keys are physically gone. q185 resolves the pointer and serves —
+    * the root face of the q173 route, same live set by construction. */
+  private[graft] def servedRootDir(s: SparkSession, dir: String): String =
+    sessionServedRoot.getOrCompute(s, dir) {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_served_root_" +
+        graft.SparkEntry.pathSlug(dir) + "_" +
+        graft.SparkEntry.pathSlug(s.sparkContext.applicationId) + "/r"
+      graft.search.AnnIndex.ServingRoot.init(s, ivfPqIndexDir(s, dir), root)
+      val (idx0, delta0) = graft.search.AnnIndex.ServingRoot.resolve(s, root)
+      scriptDeleteLifecycle(s, idx0, delta0)
+      graft.search.AnnIndex.majorFoldPublish(s, root)
+      root
+    }
+
+  /** q186's standing prompt batch — the ServedPrompt plus two prompts
+    * whose token overlap targets different corpus regions; the batch
+    * route must answer each exactly. */
+  val BatchServedPrompts: Seq[String] = Seq(
+    ServedPrompt,
+    "fast hash join on a big table",
+    "sorted merge of event batches")
+
   private val sessionFoldedIndex = new graft.SessionMemo[String, String]
 
   /** Session-once MAJOR-COMPACTED artifact for q175: the delete
@@ -1724,6 +1754,45 @@ object AnnQueries {
         10, deltaDir = Some(servedDeltaDir(s, dir)))
     }),
 
+    "q185_root_served" -> ((s, dir) => {
+      // the SERVING-ROOT face of q173 (round-16: the pointer wired to
+      // the tool surface): the same delete-lifecycle script runs
+      // against a root's epoch 0, a majorFoldPublish SWAPS the
+      // pointer, and the serve resolves it per request — exactly what
+      // `graft.Search --root` does minus the JSON rendering. The
+      // oracle is q173's live-set exact top-10 VERBATIM: hash-green
+      // certifies (a) the fold is invisible to the served answer,
+      // (b) the payload custody moved to the epoch corpus (the
+      // corrected gamma's text now serves from the artifact's own
+      // text column — the documents table never had it), and (c) the
+      // tombstones hold with no delta left to carry them (physically
+      // dropped at the fold).
+      val root = servedRootDir(s, dir)
+      val (idx, delta) = graft.search.AnnIndex.ServingRoot.resolve(s, root)
+      new graft.search.SearchEngine(s).searchIndexed(dir, ServedDeletePrompt,
+        10, deltaDir = Some(delta), mainDir = Some(idx))
+    }),
+
+    "q186_batch_served" -> ((s, dir) => {
+      // BATCHED serving declared as a query (round-16: the
+      // vector_search_batch tool minus the JSON rendering): one
+      // searchIndexedBatch call answers three standing prompts with
+      // ONE probe plan — cell ranking, ADC shortlist and exact
+      // rescore shared across the batch — and the oracle recomputes
+      // each prompt's exact top-10 with payloads from the literal
+      // prompt vectors, so hash-green certifies per-prompt recall,
+      // scoring, ordering, and the batched payload fetch.
+      import s.implicits._
+      val eng = new graft.search.SearchEngine(s)
+      eng.searchIndexedBatch(dir, BatchServedPrompts, 10)
+        .zipWithIndex.flatMap { case (hs, i) =>
+          hs.zipWithIndex.map { case (h, r) =>
+            (i.toLong, h.doc_id, h.text, h.score, (r + 1).toLong)
+          }
+        }.toDF("prompt_idx", "doc_id", "text", "score", "rank")
+        .orderBy(col("prompt_idx"), col("rank"))
+    }),
+
     "q174_refit_gauge" -> ((s, dir) => {
       // the REFIT TRIGGER: between major folds the artifact's
       // quantizer/codebooks never refit (q153's no-refit graduation),
@@ -2260,6 +2329,27 @@ object AnnQueries {
        |      / (sqrt(list_sum(list_transform($aE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |       * sqrt(list_sum(list_transform($bE, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** q165's served-search oracle over the LIVE delete-lifecycle set,
+    * payloads included — shared VERBATIM by q173 (session-route
+    * serve, delta live) and q185 (serving-root route, post-fold):
+    * identical expected output from two different physical custodies
+    * of the same documents. */
+  private lazy val servedDeleteExactTop10Sql: String = {
+    val lits = docVec(ServedDeletePrompt).map(_.toDouble).mkString("[", ", ", "]")
+    s"""WITH live AS (
+       |  SELECT e.vec_id AS doc_id, e.embedding, d.text
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |  WHERE len(e.embedding) = 64 AND e.vec_id <> $DeletedCorpusId
+       |  UNION ALL
+       |  SELECT vec_id AS doc_id, embedding, text
+       |  FROM (VALUES
+       |         $servedDeleteLiveValuesSql) AS t(vec_id, embedding, text))
+       |SELECT doc_id, text,
+       |  round(${cosSql("embedding", lits)}, 6) AS score
+       |FROM live
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   private[queries] def cosSql(aE: String, bE: String): String =
     s"""(1.0 +
        |      ${rawCosSql(aE, bE)}) / 2.0""".stripMargin
@@ -2532,20 +2622,35 @@ object AnnQueries {
     // included: the corrected gamma text must sit at rank 1 score 1.0,
     // beta/the draft must be absent, corpus back-fills minus the
     // deleted doc
-    "q173_served_delete" -> {
-      val lits = docVec(ServedDeletePrompt).map(_.toDouble).mkString("[", ", ", "]")
-      s"""WITH live AS (
+    "q173_served_delete" -> servedDeleteExactTop10Sql,
+
+    // q185 serves the SAME live set through the serving-root route
+    // (post-fold, pointer-resolved): identical expected output from a
+    // different physical layout IS the fold-invisibility claim at the
+    // service surface
+    "q185_root_served" -> servedDeleteExactTop10Sql,
+
+    "q186_batch_served" -> {
+      val arms = BatchServedPrompts.zipWithIndex.map { case (p, i) =>
+        val lits = docVec(p).map(_.toDouble).mkString("[", ", ", "]")
+        s"""s$i AS (
+           |  SELECT $i::BIGINT AS prompt_idx, doc_id, text,
+           |    round(${cosSql("embedding", lits)}, 6) AS score
+           |  FROM c ORDER BY score DESC, doc_id ASC LIMIT 10)"""
+          .stripMargin
+      }.mkString(",\n")
+      val union = BatchServedPrompts.indices
+        .map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH c AS (
          |  SELECT e.vec_id AS doc_id, e.embedding, d.text
          |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-         |  WHERE len(e.embedding) = 64 AND e.vec_id <> $DeletedCorpusId
-         |  UNION ALL
-         |  SELECT vec_id AS doc_id, embedding, text
-         |  FROM (VALUES
-         |         $servedDeleteLiveValuesSql) AS t(vec_id, embedding, text))
-         |SELECT doc_id, text,
-         |  round(${cosSql("embedding", lits)}, 6) AS score
-         |FROM live
-         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+         |  WHERE len(e.embedding) = 64),
+         |$arms,
+         |u AS ($union)
+         |SELECT prompt_idx, doc_id, text, score,
+         |  row_number() OVER (PARTITION BY prompt_idx
+         |    ORDER BY score DESC, doc_id ASC) AS rank
+         |FROM u ORDER BY prompt_idx, rank""".stripMargin
     },
 
     "q148_ivfpq_search" ->
