@@ -278,7 +278,7 @@ object MultimodalQueries {
     // size-gated shadow hint (the vector tombstoneHint discipline):
     // broadcast only while the marker mass is provably under the
     // measured crossover, shuffle anti-join past it
-    val shadowHint = takedownHint(markerRowCap(raw, "j"))
+    val shadowHint = takedownHint(markerRowCapCached(s, storeDir, "j"))
     val indexSide = staticBands
       .join(shadowHint(takenDown), Seq("doc_id"), "left_anti")
       .select(keyed.map(col): _*)
@@ -596,6 +596,26 @@ object MultimodalQueries {
     if (!raw.columns.contains("_del")) 0L
     else raw.filter(col("_del") && col(key2) === 0).count()
 
+  private val sessionMarkerCaps = new graft.SessionMemo[String, Long]
+
+  /** [[markerRowCap]] memoized per RESOLVED SEGMENT SET: segment dirs
+    * are immutable and the manifest names the set, so the count is a
+    * pure function of the listing — a store that hasn't changed since
+    * the last probe pays NO count job (the per-probe overhead the
+    * round-16 bench measured at ~0.3 s), and any append or fold
+    * changes the listing and misses the cache. The listing itself is
+    * filesystem metadata (no job). */
+  private def markerRowCapCached(s: SparkSession, storeDir: String,
+                                 key2: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val segs = graft.sources.SegmentStore.segments(fs, storeDir)
+    sessionMarkerCaps.getOrCompute(s, segs.mkString(s"$key2|", ";", "")) {
+      markerRowCap(
+        segs.map(s.read.parquet(_)).reduce(_.unionByName(_)), key2)
+    }
+  }
+
   /** MAJOR REBUILD of a band index's STATIC table — the media twin of
     * [[graft.search.AnnIndex.majorCompact]] (round-15 verdict "What's
     * missing #2": markers shadowing the immutable static artifact
@@ -632,7 +652,7 @@ object MultimodalQueries {
       .select(col("doc_id"))
     val cols = static.columns.toSeq
     static
-      .join(takedownHint(markerRowCap(raw, key2))(takenDown),
+      .join(takedownHint(markerRowCapCached(s, storeDir, key2))(takenDown),
         Seq("doc_id"), "left_anti")
       .unionByName(lww.filter(!col("_del")).select(cols.map(col): _*))
       .repartition(col(key2))
@@ -899,7 +919,7 @@ object MultimodalQueries {
         .filter(col("_rn") === 1)
       (lww.filter(!col("_del")),
         lww.filter(col("_del") && col(key2) === 0).select(col("doc_id")),
-        takedownHint(markerRowCap(raw, key2)))
+        takedownHint(markerRowCapCached(s, storeDir, key2)))
     }
     val (f0Live, takenDown, shadowHint) = lifecycled(s"$lsm/f0bands", "j")
     val (frLive, _, _) = lifecycled(s"$lsm/frames", "frame_idx")
