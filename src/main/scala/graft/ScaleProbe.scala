@@ -160,6 +160,8 @@ object ScaleProbe {
       }
       else if (flags.contains("media-soak"))
         mediaSoakProbe(spark, srcDir, flags)
+      else if (flags.contains("maintain-probe"))
+        maintainProbe(spark, srcDir, flags)
       else if (flags.contains("lost-pairs-probe")) {
         ensureClones(spark, srcDir, outDir, copies)
         lostPairsProbe(spark, outDir, copies)
@@ -1322,6 +1324,94 @@ object ScaleProbe {
     true
   }
 
+
+
+  /** Serve-loop maintenance probe (--maintain-probe [--tombstones N]):
+    * the TombstoneFoldRows actuator END TO END — a LIVE `Search.serve`
+    * loop (`--root --maintain-every 1` semantics) whose delta carries
+    * N > trigger tombstones (scattered synthetic ids that shadow
+    * nothing real, plus ONE real delete whose absence proves
+    * correctness): the first answered request trips the in-loop
+    * `foldIfTombstonesDue`, the fold publishes the next epoch, and
+    * the NEXT request serves it — bit-identical answer, real delete
+    * still held, tombstone store empty, no restart. */
+  private def maintainProbe(spark: SparkSession, srcDir: String,
+                            flags: Map[String, String]): Boolean = {
+    import graft.search.AnnIndex
+    import graft.search.AnnIndex.ServingRoot
+    import graft.queries.AnnQueries
+    val n = flags.get("tombstones").map(_.toLong)
+      .getOrElse(AnnQueries.TombstoneFoldRows + 200000L)
+    val mainDir = AnnQueries.ivfPqIndexDir(spark, srcDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maintain_probe").toString + "/r"
+    ServingRoot.init(spark, mainDir, root)
+    val (_, delta0) = ServingRoot.resolve(spark, root)
+    // the real delete: the served prompt's exact top-1 must unserve
+    val eng = new graft.search.SearchEngine(spark)
+    val prompt = AnnQueries.ServedPrompt
+    val victim = {
+      import org.json4s._
+      val JArray(hits) = org.json4s.jackson.JsonMethods
+        .parse(eng.searchJsonRoot(srcDir, root, prompt, 10)): @unchecked
+      (hits.head \ "doc_id").asInstanceOf[JInt].num.longValue
+    }
+    AnnIndex.appendTombstones(spark, delta0,
+      spark.range(n).select(
+        (pmod(col("id") * 2654435761L, lit(3000000000L)) + 4000000000L)
+          .as("vec_id")),
+      batchId = 0L, compactEvery = 0)
+    AnnIndex.appendTombstones(spark, delta0,
+      spark.range(victim, victim + 1).select(col("id").as("vec_id")),
+      batchId = 1L, compactEvery = 0)
+    val capBefore = AnnIndex.tombstoneRowCap(spark, delta0)
+    // the live server: requests through a pipe, maintenance every req
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val toServer = new java.io.PipedOutputStream()
+    val fromProbe = new java.io.PrintStream(toServer, true, "UTF-8")
+    val serverIn = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.PipedInputStream(toServer, 1 << 16), "UTF-8"))
+    val server = new Thread(() => {
+      Search.serve(eng, srcDir, 10, serverIn,
+        new java.io.PrintStream(outBuf, true, "UTF-8"),
+        root = Some(root), maintainEvery = 1)
+    }, "graft-maintain-serve")
+    server.start()
+    def lines() = outBuf.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    def request(line: String): String = {
+      val before = lines().size
+      fromProbe.println(line)
+      val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+      while (lines().size <= before) {
+        if (System.nanoTime() >= deadline)
+          throw new IllegalStateException(s"serve timed out on: $line")
+        Thread.sleep(50)
+      }
+      lines().last
+    }
+    val t1 = System.nanoTime()
+    val r1 = request(prompt) // pre-fold answer; maintenance folds after it
+    val r1Sec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    // the serve loop is single-threaded: it reads this request only
+    // after the maintenance fold completes, so r2Sec includes the
+    // fold wait and r2 is served from the published epoch
+    val r2 = request(prompt)
+    val r2Sec = (System.nanoTime() - t2) / 1e9
+    fromProbe.close()
+    server.join(120000)
+    val epochAfter = ServingRoot.currentEpoch(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
+      root).getOrElse(-1L)
+    val (_, delta1) = ServingRoot.resolve(spark, root)
+    val capAfter = AnnIndex.tombstoneRowCap(spark, delta1)
+    val victimGone = !r1.contains(s"\"doc_id\":$victim") &&
+      !r2.contains(s"\"doc_id\":$victim")
+    val ok = epochAfter == 1L && r1 == r2 && victimGone &&
+      capBefore > AnnQueries.TombstoneFoldRows && capAfter == 0L
+    println(s"""{"probe":"serve-maintain","tombstones_planted":$n,"cap_before":$capBefore,"fold_trigger":${AnnQueries.TombstoneFoldRows},"epoch_after_maintenance":$epochAfter,"cap_after":$capAfter,"answers_bit_identical":${r1 == r2},"victim_unserved":$victimGone,"pre_fold_req_sec":${f"$r1Sec%.2f"},"post_fold_req_sec":${f"$r2Sec%.2f"},"ok":$ok}""")
+    ok
+  }
 
   /** Media takedown-volume probe (--takedown-probe [--markers a,b,...]):
     * the media face of [[tombstoneProbe]] — measures the size-gated
