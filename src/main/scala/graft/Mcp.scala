@@ -76,9 +76,22 @@ object Mcp {
   def perPromptBatch(search: Search): SearchBatch = (prompts, filter) =>
     prompts.map { p =>
       val r = search(p, filter)
-      if (r.startsWith("[")) r
-      else "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      if (r.startsWith("[")) r else quote(r)
     }.mkString("[", ", ", "]")
+
+  /** Full JSON string quoting (control characters included) — a
+    * partial escaper here would emit unparseable protocol lines the
+    * moment a message carries a newline. */
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Handle one inbound stdio line. Returns the response line to write,
     * or None when the protocol mandates silence (a notification, or a
@@ -263,11 +276,20 @@ object Mcp {
     }
 
   /** Parse the batch tool's `prompts` argument: a non-empty array of
-    * non-blank strings, or the reason it isn't. */
+    * non-blank strings within the engine's batch cap, or the reason
+    * it isn't. The cap is enforced HERE so an oversized batch is a
+    * -32602 Invalid-argument envelope (a protocol-level bad argument,
+    * like every other malformed argument) — and so the per-prompt
+    * fallback closure can never be driven to unbounded work by a
+    * giant array. */
   private[graft] def parsePrompts(v: JValue): Either[String, Seq[String]] =
     v match {
       case JNothing => Left("Missing required argument: prompts")
       case JArray(Nil) => Left("prompts must be a non-empty array")
+      case JArray(els)
+          if els.size > graft.search.SearchEngine.MaxBatchPrompts =>
+        Left(s"prompts must carry at most " +
+          s"${graft.search.SearchEngine.MaxBatchPrompts} entries, got ${els.size}")
       case JArray(els) =>
         els.foldLeft[Either[String, Seq[String]]](Right(Nil)) {
           case (Left(e), _) => Left(e)

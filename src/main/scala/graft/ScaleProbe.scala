@@ -1377,7 +1377,14 @@ object ScaleProbe {
         root = Some(root), maintainEvery = 1)
     }, "graft-maintain-serve")
     server.start()
-    def lines() = outBuf.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    // count only COMPLETE (newline-terminated) lines: the PrintStream
+    // flushes large responses in chunks, and a partial chunk must not
+    // be read as an answer
+    def lines() = {
+      val all = outBuf.toString("UTF-8")
+      all.substring(0, all.lastIndexOf('\n') + 1)
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
     def request(line: String): String = {
       val before = lines().size
       fromProbe.println(line)

@@ -99,8 +99,11 @@ object Search {
     // corpus passes, strictly more than the single scan it would
     // replace in a process that answers once and exits. `--index` /
     // `--index false` / SPARK_GRAFT_INDEX override either default.
+    // --prompts-file is parsed below but participates in this
+    // default: a batch one-shot serves from the index (the batch
+    // exists for the one-plan probe)
     val index = flags.get("index").orElse(env.get("SPARK_GRAFT_INDEX"))
-      .map(_ != "false").getOrElse(serve)
+      .map(_ != "false").getOrElse(serve || flags.contains("prompts-file"))
     // --delta <dir> / SPARK_GRAFT_DELTA: serve from the EVOLVING corpus
     // (∪ the LSM delta a streamingDocIngest maintains) — honored on
     // EVERY route: the index probe, the exact scan, and the fallback,
@@ -195,23 +198,28 @@ object Search {
         // JSON — is a raw prompt
         val response =
           Mcp.tryHandle(req, tool, toolBatch).getOrElse(Some(tool(req, Nil)))
-        response.foreach { r => out.println(r); served += 1 }
-        // in-loop maintenance (root mode, opt-in): the serve loop IS
-        // this root's single writer-sequencer, so the fold's contract
-        // holds by construction — requests before the check finished
-        // against their snapshot, requests after it resolve the new
-        // pointer. A maintenance failure degrades (logged), never
-        // kills serving.
-        if (maintainEvery > 0 && served % maintainEvery == 0)
-          root.foreach { r =>
-            try graft.search.AnnIndex.foldIfTombstonesDue(engine.spark, r,
-              graft.queries.AnnQueries.TombstoneFoldRows)
-              .foreach(e => System.err.println(s"graft: maintenance folded $r to epoch $e"))
-            catch {
-              case scala.util.control.NonFatal(e) => System.err.println(
-                s"graft: maintenance fold failed (${e.getClass.getSimpleName}: ${e.getMessage})")
+        // in-loop maintenance (root mode, opt-in), every N ANSWERED
+        // requests — notifications and silent protocol traffic don't
+        // count (they don't increment served, and re-checking at
+        // served=0 on every notification would run count jobs with
+        // zero requests answered). The serve loop IS this root's
+        // single writer-sequencer, so the fold's contract holds by
+        // construction — requests before the check finished against
+        // their snapshot, requests after it resolve the new pointer.
+        // A maintenance failure degrades (logged), never kills serving.
+        response.foreach { r =>
+          out.println(r); served += 1
+          if (maintainEvery > 0 && served % maintainEvery == 0)
+            root.foreach { rt =>
+              try graft.search.AnnIndex.foldIfTombstonesDue(engine.spark, rt,
+                graft.queries.AnnQueries.TombstoneFoldRows)
+                .foreach(e => System.err.println(s"graft: maintenance folded $rt to epoch $e"))
+              catch {
+                case scala.util.control.NonFatal(e) => System.err.println(
+                  s"graft: maintenance fold failed (${e.getClass.getSimpleName}: ${e.getMessage})")
+              }
             }
-          }
+        }
       }
       line = in.readLine()
     }
@@ -238,10 +246,17 @@ object Search {
     else cfg.promptsFile match {
       case Some(pf) =>
         // one-shot batch: the file's non-blank lines are the prompts,
-        // ONE batched probe plan answers them all
+        // ONE batched probe plan answers them all. The batch route is
+        // index-only BY DESIGN (it exists for the one-plan probe) —
+        // an explicit --index false is a contradiction answered
+        // loudly, not ignored.
+        require(cfg.index,
+          "--prompts-file serves from the index (one batched plan); --index false is not supported with a batch")
         val src = scala.io.Source.fromFile(pf, "UTF-8")
         val prompts = try src.getLines().map(_.trim).filter(_.nonEmpty).toList
           finally src.close()
+        require(prompts.nonEmpty,
+          s"--prompts-file $pf contains no non-blank prompts")
         println(cfg.root match {
           case Some(r) =>
             engine.searchJsonBatchRoot(cfg.sfDir, r, prompts, cfg.k, cfg.filter)

@@ -610,7 +610,8 @@ object MultimodalQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     val segs = graft.sources.SegmentStore.segments(fs, storeDir)
-    sessionMarkerCaps.getOrCompute(s, segs.mkString(s"$key2|", ";", "")) {
+    if (segs.isEmpty) 0L
+    else sessionMarkerCaps.getOrCompute(s, segs.mkString(s"$key2|", ";", "")) {
       markerRowCap(
         segs.map(s.read.parquet(_)).reduce(_.unionByName(_)), key2)
     }

@@ -766,17 +766,25 @@ final class SearchEngine(
         out.get
     }
     // merge per query (the per-prompt route's ≤ 2k driver merge,
-    // batched) and fetch payloads once for the union of hit ids
+    // batched) and fetch payloads once for the union of hit ids —
+    // grouped maps + id sets keep the whole driver tail O(prompts·k),
+    // the bound the caps exist to guarantee
+    val mainByQ = mainHits.groupBy(_._1)
+    val deltaByQ = deltaHits.groupBy(_._1)
     val merged = (0 until prompts.size).map { q =>
-      (mainHits.filter(_._1 == q).map(t => (t._2, t._3)) ++
-        deltaHits.filter(_._1 == q).map(t => (t._2, t._3)))
+      (mainByQ.getOrElse(q.toLong, Array.empty[(Long, Long, Double)])
+          .map(t => (t._2, t._3)) ++
+        deltaByQ.getOrElse(q.toLong, Seq.empty[(Long, Long, Double)])
+          .map(t => (t._2, t._3)))
+        .toSeq
         .sortBy { case (id, score) => (-score, id) }
         .take(k)
     }
-    val mainIds = merged.flatten.map(_._1).distinct
-      .filter(id => mainHits.exists(_._2 == id))
-    val deltaIds = merged.flatten.map(_._1).distinct
-      .filter(id => deltaHits.exists(_._2 == id))
+    val mainIdSet = mainHits.map(_._2).toSet
+    val deltaIdSet = deltaHits.map(_._2).toSet
+    val mergedIds = merged.flatten.map(_._1).distinct
+    val mainIds = mergedIds.filter(mainIdSet)
+    val deltaIds = mergedIds.filter(deltaIdSet)
     val textOf: Map[Long, String] = {
       val fromMain = mainPayload(sfDir, mainDir, mainIds)
         .collect().map(r => r.getLong(0) -> r.getString(1))
@@ -798,23 +806,57 @@ final class SearchEngine(
     * array with one element PER PROMPT, each the prompt's hits array
     * (`[]` when empty — the batch face represents emptiness
     * structurally; the reference's "No results found." sentence stays
-    * a single-tool behavior). */
+    * a single-tool behavior). Degradation contract as
+    * [[searchJsonIndexed]]: a NonFatal index-route failure serves the
+    * EXACT scan per prompt — slower (the batch loses its one-plan
+    * economy), never wronger, counted and logged. Argument errors
+    * (k/prompt caps) stay loud on both routes. */
   def searchJsonBatch(sfDir: String, prompts: Seq[String], k: Int = 10,
       deltaDir: Option[String] = None,
       filter: Seq[(String, Any)] = Nil,
-      mainDir: Option[String] = None): String =
-    renderBatch(searchIndexedBatch(sfDir, prompts, k,
-      deltaDir = deltaDir, filter = filter, mainDir = mainDir))
+      mainDir: Option[String] = None): String = {
+    require(k >= 1 && k <= SearchEngine.MaxServedK,
+      s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
+    require(prompts.nonEmpty && prompts.size <= SearchEngine.MaxBatchPrompts,
+      s"batch must carry 1..${SearchEngine.MaxBatchPrompts} prompts, got ${prompts.size}")
+    renderBatch(
+      try searchIndexedBatch(sfDir, prompts, k,
+        deltaDir = deltaDir, filter = filter, mainDir = mainDir)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          indexFallbackCount.incrementAndGet()
+          System.err.println("graft: batch index route failed (" +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}); serving exact scans")
+          prompts.map(p =>
+            search(sfDir, p, k, deltaDir, filter).collect().toSeq)
+      })
+  }
 
   /** [[searchJsonBatch]] under a serving root — pointer resolved once
     * per BATCH (the batch is one logical request; every prompt in it
-    * reads the same epoch snapshot). */
+    * reads the same epoch snapshot). Degradation re-resolves and
+    * exact-scans the epoch's live frames per prompt. */
   def searchJsonBatchRoot(sfDir: String, rootDir: String,
       prompts: Seq[String], k: Int = 10,
       filter: Seq[(String, Any)] = Nil): String = {
-    val (idx, delta) = graft.search.AnnIndex.ServingRoot.resolve(spark, rootDir)
-    searchJsonBatch(sfDir, prompts, k,
-      deltaDir = Some(delta), filter = filter, mainDir = Some(idx))
+    require(k >= 1 && k <= SearchEngine.MaxServedK,
+      s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
+    require(prompts.nonEmpty && prompts.size <= SearchEngine.MaxBatchPrompts,
+      s"batch must carry 1..${SearchEngine.MaxBatchPrompts} prompts, got ${prompts.size}")
+    renderBatch(
+      try {
+        val (idx, delta) =
+          graft.search.AnnIndex.ServingRoot.resolve(spark, rootDir)
+        searchIndexedBatch(sfDir, prompts, k,
+          deltaDir = Some(delta), filter = filter, mainDir = Some(idx))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          indexFallbackCount.incrementAndGet()
+          System.err.println("graft: batch root route failed (" +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}); serving exact scans")
+          prompts.map(p =>
+            exactRootHits(sfDir, rootDir, embedder.embed(p), k, filter).toSeq)
+      })
   }
 
   private def renderBatch(all: Seq[Seq[SearchHit]]): String =

@@ -385,8 +385,14 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
         root = Some(root), maintainEvery = 1)
     }, "graft-root-serve")
     server.start()
-    def lines(): Seq[String] =
-      outBuf.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    // count only COMPLETE (newline-terminated) lines: the PrintStream
+    // flushes large responses in chunks, and a partial chunk must not
+    // be read as an answer
+    def lines(): Seq[String] = {
+      val all = outBuf.toString("UTF-8")
+      all.substring(0, all.lastIndexOf('\n') + 1)
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
     def request(line: String): String = {
       val before = lines().size
       fromTest.println(line)
@@ -514,5 +520,14 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
       s"""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"${Mcp.BatchToolName}","arguments":{"prompts":[1,2]}}}""",
       (_, _) => "x").get)
     assert((bad2 \ "error" \ "code") === JInt(-32602))
+    // an OVERSIZED batch is a protocol-level bad argument too — the
+    // cap is enforced at the parse layer, so even the per-prompt
+    // fallback closure can never be driven to unbounded work
+    val over = (1 to graft.search.SearchEngine.MaxBatchPrompts + 1)
+      .map(i => s""""p$i"""").mkString(",")
+    val bad3 = parse(Mcp.handle(
+      s"""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"${Mcp.BatchToolName}","arguments":{"prompts":[$over]}}}""",
+      (_, _) => "x").get)
+    assert((bad3 \ "error" \ "code") === JInt(-32602))
   }
 }
