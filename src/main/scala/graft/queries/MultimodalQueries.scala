@@ -776,7 +776,7 @@ object MultimodalQueries {
   private[graft] def phashLsmDir(s: SparkSession, dir: String): String =
     bandLsmDir(s, sessionPhashLsm, "graft_phash_lsm_", dir, phashNewBatchBands)
 
-  private def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
+  private[graft] def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
     newBatchBandsView(s, dir, "graft_cache_phash_newbatch_", docs =>
       Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
@@ -1017,6 +1017,113 @@ object MultimodalQueries {
         partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))
       out
     }
+
+  /** When a band index's STATIC REBUILD becomes due on marker mass
+    * alone: live delete markers cost every probe's shadow anti-join
+    * and the store's disk until a rebuild drops the shadowed rows
+    * physically ([[bandStaticRebuild]]) — the media twin of
+    * [[graft.queries.AnnQueries.TombstoneFoldRows]], sitting at the
+    * same point of the measured-flat broadcast region (the media
+    * shadow join is flat through ~1 M marker rows and gracefully
+    * degraded — not broken — at 10 M, `bench/takedown_probe_r16.json`),
+    * two× under [[TakedownBroadcastMaxRows]]. ACTUATED by
+    * [[bandRebuildIfMarkersDue]]. */
+  val MediaRebuildMarkerRows = 1000000L
+
+  /** A band index under the SERVING-ROOT pointer discipline — the
+    * vector index's [[graft.search.AnnIndex.ServingRoot]] layout
+    * REUSED verbatim for media statics (the pointer machinery is not
+    * vector-specific; only the fold is):
+    *
+    *  - `epoch_<e>/bands`  — one immutable static band generation;
+    *  - `epoch_<e>_delta/` — the [[graft.sources.SegmentStore]]
+    *    accumulating graduations and takedown markers AGAINST it;
+    *  - `current_e<e>`     — the atomic checked-rename pointer.
+    *
+    * [[mediaRootInit]] seeds generation 0 from an existing static
+    * artifact; [[bandRebuildPublish]] is the media
+    * `majorFoldPublish`: [[bandStaticRebuild]] into epoch e+1 →
+    * pointer publish → grace-GC epoch e−1 — a prober that resolved
+    * pre-publish keeps its full snapshot (store and markers
+    * included), post-publish probers read the clean generation with
+    * an EMPTY store. */
+  private[graft] def mediaRootInit(s: SparkSession, staticBandsDir: String,
+                                   rootDir: String): Unit = {
+    import graft.search.AnnIndex.ServingRoot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    require(ServingRoot.currentEpoch(fs, rootDir).isEmpty,
+      s"media root $rootDir already has a published epoch")
+    s.read.parquet(staticBandsDir)
+      .repartition(col("j"))
+      .write.mode("overwrite").partitionBy("j")
+      .parquet(s"${ServingRoot.indexDir(rootDir, 0L)}/bands")
+    ServingRoot.publish(fs, rootDir, 0L)
+  }
+
+  /** The media `majorFoldPublish`: rebuild the current generation's
+    * static ∖ taken-down ∪ store live rows into epoch e+1, publish
+    * the pointer, grace-GC epoch e−1. Returns the new epoch. Same
+    * single-writer contract as the vector fold: the caller sequences
+    * rebuilds against the store's writers. */
+  private[graft] def bandRebuildPublish(s: SparkSession,
+                                        rootDir: String): Long = {
+    import graft.search.AnnIndex.ServingRoot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val e = ServingRoot.currentEpoch(fs, rootDir).getOrElse(
+      throw new IllegalStateException(s"media root $rootDir has no published epoch"))
+    bandStaticRebuild(s, s"${ServingRoot.indexDir(rootDir, e)}/bands",
+      ServingRoot.deltaDir(rootDir, e),
+      s"${ServingRoot.indexDir(rootDir, e + 1)}/bands", "j")
+    ServingRoot.publish(fs, rootDir, e + 1)
+    if (e > 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        ServingRoot.indexDir(rootDir, e - 1)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        ServingRoot.deltaDir(rootDir, e - 1)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/current_e${e - 1}"), false)
+    }
+    e + 1
+  }
+
+  /** The [[MediaRebuildMarkerRows]] trigger, ACTUATED — the media
+    * twin of [[graft.search.AnnIndex.foldIfTombstonesDue]]: rebuild
+    * and publish when the current generation's store carries more raw
+    * marker rows than `maxRows` (the raw count upper-bounds the
+    * resolved set, so replay inflation rebuilds early, never late).
+    * @return Some(newEpoch) when the rebuild ran. */
+  private[graft] def bandRebuildIfMarkersDue(s: SparkSession, rootDir: String,
+      maxRows: Long = MediaRebuildMarkerRows): Option[Long] = {
+    import graft.search.AnnIndex.ServingRoot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val (_, storeDir) = ServingRoot.resolve(s, rootDir)
+    val segs = graft.sources.SegmentStore.segments(fs, storeDir)
+    val cap = if (segs.isEmpty) 0L
+      else markerRowCap(
+        segs.map(s.read.parquet(_)).reduce(_.unionByName(_)), "j")
+    if (cap <= maxRows) None else Some(bandRebuildPublish(s, rootDir))
+  }
+
+  /** Probe a band index THROUGH its root: resolve the pointer (one
+    * atomic read), then the lifecycle probe against the resolved
+    * (static, store) pair — or the store-less [[rebuiltBandProbe]]
+    * when the generation is fresh (an empty store has nothing to
+    * resolve and nothing to shadow). A rebuild racing this probe is
+    * invisible: pre-publish resolvers keep their full snapshot
+    * (grace GC), post-publish resolvers read the clean generation. */
+  private[graft] def graduatedBandProbeRoot(s: SparkSession, rootDir: String,
+      b2: DataFrame, maxHamming: Long): DataFrame = {
+    import graft.search.AnnIndex.ServingRoot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val (idxDir, storeDir) = ServingRoot.resolve(s, rootDir)
+    val staticBands = s.read.parquet(s"$idxDir/bands")
+    if (graft.sources.SegmentStore.segments(fs, storeDir).isEmpty)
+      rebuiltBandProbe(s, staticBands, b2, maxHamming)
+    else graduatedBandProbe(s, staticBands, storeDir, b2, maxHamming)
+  }
 
   private val sessionPhashRebuild = new graft.SessionMemo[String, String]
   private val sessionAfpRebuild = new graft.SessionMemo[String, String]

@@ -909,8 +909,8 @@ object AnnIndex {
       * manifest discipline verbatim: a false fails the fold loudly so
       * the caller retries, never leaving a completed artifact
       * invisible while the old epoch's retirement clock runs). */
-    private[search] def publish(fs: org.apache.hadoop.fs.FileSystem,
-                                rootDir: String, e: Long): Unit = {
+    private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
+                               rootDir: String, e: Long): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(s"$rootDir/current_e$e.tmp")
       val dst = pointer(rootDir, e)
       val out = fs.create(tmp, true)

@@ -759,4 +759,66 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$vdir/f0bands").filter(carve).count() === 0L)
     assert(spark.read.parquet(s"$vdir/frames").filter(carve).count() === 0L)
   }
+  test("media serving root: pointer-resolved probes, marker trigger actuates the rebuild") {
+    import org.apache.spark.sql.functions.pmod
+    import graft.queries.MultimodalQueries
+    import graft.search.AnnIndex.ServingRoot
+    // baselines: the lifecycle answer (q178) and the rebuilt answer
+    // (q182) — the root faces must reproduce both, state by state
+    val q178 = SparkEntry.queries("q178_phash_takedown")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val q182 = SparkEntry.queries("q182_phash_rebuild")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    // a media root seeded from the image static band artifact
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_media_root_spec").toString + "/r"
+    MultimodalQueries.mediaRootInit(spark,
+      s"${MultimodalQueries.phashIndexDir(spark, sf0001)}/bands", root)
+    val (_, store0) = ServingRoot.resolve(spark, root)
+    // replay the q178 store recipe against the root's epoch-0 store
+    val b1 = MultimodalQueries.phashNewBatchBands(spark, sf0001)
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashLsmBatchMod)) === 0)
+    graft.sources.SegmentStore.appendBatch(spark, store0,
+      MultimodalQueries.bandStoreRows(b1), 0L, compactEvery = 1,
+      partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+    val serving = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id")
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashProbeNewMod)) <
+        MultimodalQueries.PhashProbeNewMin ||
+        pmod($"doc_id", lit(MultimodalQueries.PhashLsmBatchMod)) === 0)
+    graft.sources.SegmentStore.appendBatch(spark, store0,
+      MultimodalQueries.bandTakedownMarkers(serving.filter(
+        pmod($"doc_id", lit(MultimodalQueries.TakedownMod)) ===
+          MultimodalQueries.TakedownRem)),
+      1L, compactEvery = 1, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+    val b2 = MultimodalQueries.phashNewBatchBands(spark, sf0001)
+      .filter(pmod($"doc_id", lit(MultimodalQueries.PhashLsmBatchMod)) === 1)
+    def probeRoot() = MultimodalQueries.graduatedBandProbeRoot(spark, root,
+      b2, MultimodalQueries.PhashMaxHamming)
+    // pre-rebuild: the root probe serves the LIFECYCLE answer
+    assert(probeRoot().as[(Long, Long, Long, Long)].collect().toSeq === q178,
+      "the root probe must serve the lifecycle answer pre-rebuild")
+    // under the trigger: counted, not rebuilt
+    assert(MultimodalQueries
+      .bandRebuildIfMarkersDue(spark, root, maxRows = 10000000L).isEmpty)
+    assert(ServingRoot.resolve(spark, root)._1.endsWith("epoch_0"))
+    // over the trigger: the rebuild actuates and publishes epoch 1
+    assert(MultimodalQueries
+      .bandRebuildIfMarkersDue(spark, root, maxRows = 0L) === Some(1L))
+    val (idx1, store1) = ServingRoot.resolve(spark, root)
+    assert(idx1.endsWith("epoch_1"))
+    // post-rebuild: store-less probe, the REBUILT answer; carve gone
+    // physically; fresh store empty; not due again at the same trigger
+    assert(probeRoot().as[(Long, Long, Long)].collect().toSeq === q182,
+      "the root probe must serve the rebuilt answer post-publish")
+    assert(spark.read.parquet(s"$idx1/bands")
+      .filter($"doc_id" % MultimodalQueries.TakedownMod ===
+        MultimodalQueries.TakedownRem).count() === 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.SegmentStore.segments(fs, store1).isEmpty)
+    assert(MultimodalQueries
+      .bandRebuildIfMarkersDue(spark, root, maxRows = 0L).isEmpty,
+      "a clean generation has no markers to rebuild away")
+  }
 }
