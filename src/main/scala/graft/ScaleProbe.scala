@@ -158,6 +158,10 @@ object ScaleProbe {
         ensureClones(spark, srcDir, outDir, copies)
         takedownProbe(spark, outDir, flags)
       }
+      else if (flags.contains("rebuild-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        rebuildProbe(spark, outDir, flags)
+      }
       else if (flags.contains("media-soak"))
         mediaSoakProbe(spark, srcDir, flags)
       else if (flags.contains("maintain-probe"))
@@ -1520,6 +1524,92 @@ object ScaleProbe {
       }
       println(s"""{"probe":"takedown-volume","n_docs":$nDocs,"broadcast_max_rows":${MultimodalQueries.TakedownBroadcastMaxRows},"tiers":[${tiers.mkString(",")}]}""")
       true
+    } finally bands.unpersist(blocking = false)
+  }
+
+
+  /** Media rebuild economics at clone scale (--rebuild-probe
+    * [--markers N]): the q182 fold measured as a TRADE — a takedown-
+    * heavy store (graduated batch + carve markers + N synthetic
+    * scattered markers) costs every lifecycle probe its LWW window and
+    * shadow anti-join; the rebuild pays ONE bounded fold (static ∪
+    * store, write a fresh generation) and the post-rebuild probe pays
+    * neither, forever. Receipts: pre-rebuild probe warm, rebuild wall,
+    * post-rebuild probe warm, and the answers' exact equivalence
+    * (lifecycle's two counts summed == rebuilt single count, row for
+    * row). */
+  private def rebuildProbe(spark: SparkSession, outDir: String,
+                           flags: Map[String, String]): Boolean = {
+    import graft.multimodal.Multimodal
+    import graft.queries.MultimodalQueries
+    val n = flags.get("markers").map(_.toLong).getOrElse(1000000L)
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"))
+    val bands = Multimodal
+      .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      .select(Seq(col("doc_id")) ++ (0 until 4).map(j => col(s"band$j")) ++
+        (0 until 4).map(j => col(s"qt$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val nDocs = bands.count()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_rb_probe").toString
+      MultimodalQueries.explodeBandKeys(
+          bands.filter(pmod(col("doc_id"), lit(MultimodalQueries.PhashProbeNewMod))
+            < MultimodalQueries.PhashProbeNewMin))
+        .write.mode("overwrite").partitionBy("j").parquet(s"$base/static")
+      val b1 = bands.filter(
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashProbeNewMod))
+          >= MultimodalQueries.PhashProbeNewMin &&
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashLsmBatchMod)) === 0)
+      val b2 = bands.filter(
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashProbeNewMod))
+          >= MultimodalQueries.PhashProbeNewMin &&
+        pmod(col("doc_id"), lit(MultimodalQueries.PhashLsmBatchMod)) === 1)
+      val store = s"$base/store"
+      graft.sources.SegmentStore.appendBatch(spark, store,
+        MultimodalQueries.bandStoreRows(b1), 0L, compactEvery = 0,
+        partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      graft.sources.SegmentStore.appendBatch(spark, store,
+        MultimodalQueries.bandTakedownMarkers(docs.filter(
+          pmod(col("doc_id"), lit(MultimodalQueries.TakedownMod))
+            === MultimodalQueries.TakedownRem)),
+        1L, compactEvery = 0, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      graft.sources.SegmentStore.appendBatch(spark, store,
+        MultimodalQueries.bandTakedownMarkers(
+          spark.range(n).select(
+            (pmod(col("id") * 2654435761L, lit(3000000000L)) + 4000000000L)
+              .as("doc_id"))),
+        2L, compactEvery = 0, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+      val staticBands = spark.read.parquet(s"$base/static")
+      def collectSorted(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val preReps = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val out = MultimodalQueries.graduatedBandProbe(spark, staticBands,
+          store, b2, MultimodalQueries.PhashMaxHamming)
+          .select(col("doc_id"),
+            (col("n_dup_old") + col("n_dup_graduated")).as("n_dup"),
+            col("accepted"))
+        val rows = collectSorted(out)
+        ((System.nanoTime() - t) / 1e9, rows)
+      }
+      val tR = System.nanoTime()
+      MultimodalQueries.bandStaticRebuild(spark, s"$base/static", store,
+        s"$base/rebuilt", "j")
+      val rebuildSec = (System.nanoTime() - tR) / 1e9
+      val rebuilt = spark.read.parquet(s"$base/rebuilt")
+      val postReps = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val rows = collectSorted(MultimodalQueries.rebuiltBandProbePub(
+          spark, rebuilt, b2, MultimodalQueries.PhashMaxHamming))
+        ((System.nanoTime() - t) / 1e9, rows)
+      }
+      val equal = preReps.map(_._2).toSet.size == 1 &&
+        postReps.map(_._2).toSet.size == 1 &&
+        preReps.head._2 == postReps.head._2
+      println(s"""{"probe":"rebuild-economics","n_docs":$nDocs,"synthetic_markers":$n,"pre_probe_warm_sec":${f"${preReps.map(_._1).min}%.3f"},"rebuild_sec":${f"$rebuildSec%.3f"},"post_probe_warm_sec":${f"${postReps.map(_._1).min}%.3f"},"answers_equal":$equal}""")
+      equal
     } finally bands.unpersist(blocking = false)
   }
 

@@ -43,7 +43,8 @@ object Search {
     "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune",
     "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe",
     "lsm-soak", "fold-soak", "band-cand-probe", "refit-probe", "tombstone-probe",
-    "takedown-probe", "media-soak", "lost-pairs-probe", "maintain-probe")
+    "takedown-probe", "media-soak", "lost-pairs-probe", "maintain-probe",
+    "rebuild-probe")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all

@@ -1180,6 +1180,10 @@ object MultimodalQueries {
     * set (old ∪ graduated, carve excluded) from the media formulas,
     * so a rebuild that resurrects a taken-down doc, drops a graduated
     * row, or leaves a marker shadowing turns it red. */
+  private[graft] def rebuiltBandProbePub(s: SparkSession,
+      rebuiltBands: DataFrame, b2: DataFrame, maxHamming: Long): DataFrame =
+    rebuiltBandProbe(s, rebuiltBands, b2, maxHamming)
+
   private def rebuiltBandProbe(s: SparkSession, rebuiltBands: DataFrame,
                                b2: DataFrame, maxHamming: Long): DataFrame = {
     val nx = explodeBandKeys(b2)
