@@ -901,7 +901,7 @@ object MultimodalQueries {
     * artifact's two tables are shadowed by one broadcast anti-join.
     * A store without the lifecycle column (or without markers) makes
     * all of that a no-op — q171 and q181 are the same plan family. */
-  private def vphashGraduationProbe(s: SparkSession, dir: String,
+  private[graft] def vphashGraduationProbe(s: SparkSession, dir: String,
                                     lsm: String): DataFrame = {
     val idx = vphashIndexDir(s, dir)
     val b2 = vphNewBatchBands(s, dir)
@@ -1125,6 +1125,76 @@ object MultimodalQueries {
     else graduatedBandProbe(s, staticBands, storeDir, b2, maxHamming)
   }
 
+  /** The TWO-TABLE (video) face of the media root: one pointer
+    * governs BOTH clip-index tables — `epoch_<e>/{f0bands,frames}`
+    * static generations, `epoch_<e>_delta/{f0bands,frames}` stores —
+    * so anchor and frame tables can never serve from different
+    * generations (the split-epoch hazard a per-table pointer would
+    * invite). Rebuild folds both tables under the shared rule and
+    * publishes ONE pointer; the actuator reads the anchor store's
+    * marker mass (markers ride both tables for the same docs — the
+    * anchor slice is the cheaper count). */
+  private[graft] def vphashRootInit(s: SparkSession, idxDir: String,
+                                    rootDir: String): Unit = {
+    import graft.search.AnnIndex.ServingRoot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    require(ServingRoot.currentEpoch(fs, rootDir).isEmpty,
+      s"media root $rootDir already has a published epoch")
+    val e0 = ServingRoot.indexDir(rootDir, 0L)
+    s.read.parquet(s"$idxDir/f0bands").repartition(col("j"))
+      .write.mode("overwrite").partitionBy("j").parquet(s"$e0/f0bands")
+    s.read.parquet(s"$idxDir/frames").repartition(col("frame_idx"))
+      .write.mode("overwrite").partitionBy("frame_idx")
+      .parquet(s"$e0/frames")
+    ServingRoot.publish(fs, rootDir, 0L)
+  }
+
+  /** [[bandRebuildPublish]]'s video face: BOTH tables fold into epoch
+    * e+1 before the one pointer publish — an anchor hit can never
+    * verify against a different generation's frames. */
+  private[graft] def vphashRebuildPublish(s: SparkSession,
+                                          rootDir: String): Long = {
+    import graft.search.AnnIndex.ServingRoot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val e = ServingRoot.currentEpoch(fs, rootDir).getOrElse(
+      throw new IllegalStateException(s"media root $rootDir has no published epoch"))
+    val cur = ServingRoot.indexDir(rootDir, e)
+    val delta = ServingRoot.deltaDir(rootDir, e)
+    val next = ServingRoot.indexDir(rootDir, e + 1)
+    bandStaticRebuild(s, s"$cur/f0bands", s"$delta/f0bands",
+      s"$next/f0bands", "j")
+    bandStaticRebuild(s, s"$cur/frames", s"$delta/frames",
+      s"$next/frames", "frame_idx")
+    ServingRoot.publish(fs, rootDir, e + 1)
+    if (e > 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        ServingRoot.indexDir(rootDir, e - 1)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        ServingRoot.deltaDir(rootDir, e - 1)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rootDir/current_e${e - 1}"), false)
+    }
+    e + 1
+  }
+
+  /** [[bandRebuildIfMarkersDue]]'s video face — the trigger reads the
+    * ANCHOR store's marker mass (one marker row per (doc, band);
+    * frame markers track the same doc set at higher multiplicity). */
+  private[graft] def vphashRebuildIfMarkersDue(s: SparkSession,
+      rootDir: String,
+      maxRows: Long = MediaRebuildMarkerRows): Option[Long] = {
+    import graft.search.AnnIndex.ServingRoot
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val (_, delta) = ServingRoot.resolve(s, rootDir)
+    val segs = graft.sources.SegmentStore.segments(fs, s"$delta/f0bands")
+    val cap = if (segs.isEmpty) 0L
+      else markerRowCap(
+        segs.map(s.read.parquet(_)).reduce(_.unionByName(_)), "j")
+    if (cap <= maxRows) None else Some(vphashRebuildPublish(s, rootDir))
+  }
+
   private val sessionPhashRebuild = new graft.SessionMemo[String, String]
   private val sessionAfpRebuild = new graft.SessionMemo[String, String]
   private val sessionVphashRebuild = new graft.SessionMemo[String, String]
@@ -1207,7 +1277,7 @@ object MultimodalQueries {
     * candidacy (composed keys + equal frame counts) against the
     * rebuilt `f0bands`, exact aligned Hamming against the rebuilt
     * `frames`, one partner class. */
-  private def rebuiltVphashProbe(s: SparkSession, dir: String,
+  private[graft] def rebuiltVphashProbe(s: SparkSession, dir: String,
                                  rebuilt: String): DataFrame = {
     val b2 = vphNewBatchBands(s, dir)
       .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)

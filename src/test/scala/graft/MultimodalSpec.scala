@@ -821,4 +821,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .bandRebuildIfMarkersDue(spark, root, maxRows = 0L).isEmpty,
       "a clean generation has no markers to rebuild away")
   }
+  test("video media root: one pointer governs both tables, marker trigger actuates the two-table rebuild") {
+    import org.apache.spark.sql.functions.pmod
+    import graft.queries.MultimodalQueries
+    import graft.search.AnnIndex.ServingRoot
+    val q181 = SparkEntry.queries("q181_vphash_takedown")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val q184 = SparkEntry.queries("q184_vphash_rebuild")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vph_root_spec").toString + "/r"
+    MultimodalQueries.vphashRootInit(spark,
+      MultimodalQueries.vphashIndexDir(spark, sf0001), root)
+    // replay the q181 two-store recipe into the root's epoch-0 delta
+    // (the session store q181 built has the same content — copy its
+    // resolved segments as one batch per table)
+    val (_, delta0) = ServingRoot.resolve(spark, root)
+    val lsm = MultimodalQueries.vphashTakedownLsmDir(spark, sf0001)
+    for ((table, key) <- Seq("f0bands" -> "j", "frames" -> "frame_idx")) {
+      val rows = graft.sources.SegmentStore.read(spark, s"$lsm/$table")
+        .drop(graft.sources.SegmentStore.BatchCol)
+      graft.sources.SegmentStore.appendBatch(spark, s"$delta0/$table",
+        rows, 0L, compactEvery = 0, partitionCol = key,
+        dedupKeys = Seq("doc_id", key))
+    }
+    // pre-rebuild: the lifecycle probe over (epoch-0 static == session
+    // static, root delta == session store) serves the q181 answer
+    val pre = MultimodalQueries.vphashGraduationProbe(spark, sf0001, delta0)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pre === q181, "the root's epoch-0 lifecycle must serve q181's answer")
+    // trigger: under -> counted; over -> BOTH tables fold, one pointer
+    assert(MultimodalQueries
+      .vphashRebuildIfMarkersDue(spark, root, maxRows = 10000000L).isEmpty)
+    assert(MultimodalQueries
+      .vphashRebuildIfMarkersDue(spark, root, maxRows = 0L) === Some(1L))
+    val (idx1, delta1) = ServingRoot.resolve(spark, root)
+    assert(idx1.endsWith("epoch_1"))
+    val post = MultimodalQueries.rebuiltVphashProbe(spark, sf0001, idx1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(post === q184, "the rebuilt epoch must serve q184's answer")
+    val carve = $"doc_id" % MultimodalQueries.TakedownMod ===
+      MultimodalQueries.TakedownRem
+    assert(spark.read.parquet(s"$idx1/f0bands").filter(carve).count() === 0L)
+    assert(spark.read.parquet(s"$idx1/frames").filter(carve).count() === 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.SegmentStore.segments(fs, s"$delta1/f0bands").isEmpty)
+    assert(MultimodalQueries
+      .vphashRebuildIfMarkersDue(spark, root, maxRows = 0L).isEmpty)
+  }
 }
