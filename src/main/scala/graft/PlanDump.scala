@@ -488,6 +488,31 @@ object PlanDump {
         + "scan on the candidate side, NO store read, NO marker shadow "
         + "anti-join, no decode; the lifecycle cost paid once at fold "
         + "time instead of on every probe forever."),
+    "q183_afp_rebuild" ->
+      ("q182's AUDIO face — the rebuilt delta-sign fingerprint "
+        + "generation probed alone: the only parquet read is the fresh "
+        + "static (taken-down rows physically absent, zero live "
+        + "markers), no store scan, no anti-join, no decode in the "
+        + "plan."),
+    "q185_root_served" ->
+      ("Serving-root search (the --root tool surface): the probe half "
+        + "executed eagerly against the pointer-resolved epoch "
+        + "artifact (q148's pruned shape, folded generation); the "
+        + "RETURNED plan is the payload fetch — hit ids reach the "
+        + "epoch corpus and documents scans as PushedFilter point "
+        + "lookups, the k-row score table broadcasts, nothing "
+        + "sort-merges."),
+    "q186_batch_served" ->
+      ("Batched serving's probe frame (the plan IS the feature): N "
+        + "prompts share ONE probe subtree — a single pair of DPP-"
+        + "pruned artifact scans (codes-only ADC + exact rescore) "
+        + "serves the whole batch, per-query shortlists window-group-"
+        + "limit map-side, top-k combines in partial top-k heaps; a "
+        + "per-prompt fallback would multiply the artifact scans by "
+        + "the batch size. (q186's returned frame is the O(prompts·k) "
+        + "driver merge by design; this dumps the inner probe frame — "
+        + "SearchEngine.batchMainProbeFrame, the exact plan "
+        + "searchIndexedBatch collects.)"),
     "q184_vphash_rebuild" ->
       ("The video rebuild probe: both clip-index tables read from the "
         + "fresh generation — anchor equi-join then aligned-Hamming "
@@ -591,6 +616,14 @@ object PlanDump {
         "one join, the 10-row audit broadcast after the " +
         "TakeOrderedAndProject top-k)."))
 
+  /** Queries whose RETURNED frame is a bounded driver-side merge BY
+    * DESIGN (declared-query determinism): the plan worth pinning is
+    * the inner distributed frame they collect — dump that instead. */
+  private val innerFrame: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q186_batch_served" -> ((s, dir) =>
+      new graft.search.SearchEngine(s).batchMainProbeFrame(
+        dir, graft.queries.AnnQueries.BatchServedPrompts, 10)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "PLANS.md"
@@ -610,7 +643,9 @@ object PlanDump {
       "is also asserted by `PlanSpec`, so a regression fails the build, not " +
       "just this document.\n"
     for ((name, note) <- Headliners) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = innerFrame.get(name)
+        .map(_(spark, sfDir))
+        .getOrElse(SparkEntry.queries(name)(spark, sfDir))
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       // keep the operator tree + the scan details, drop the long tail of
       // per-node field lists after the first blank-line-separated block

@@ -166,9 +166,17 @@ object ScaleProbe {
         mediaSoakProbe(spark, srcDir, flags)
       else if (flags.contains("maintain-probe"))
         maintainProbe(spark, srcDir, flags)
+      else if (flags.contains("batch-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        batchProbe(spark, outDir, flags)
+      }
       else if (flags.contains("lost-pairs-probe")) {
         ensureClones(spark, srcDir, outDir, copies)
         lostPairsProbe(spark, outDir, copies)
+      }
+      else if (flags.contains("dhash-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        dhashProbe(spark, outDir, copies)
       }
       else if (flags.contains("para-probe")) {
         ensureClones(spark, srcDir, outDir, copies)
@@ -995,6 +1003,39 @@ object ScaleProbe {
         }
       }
     }, "graft-fold-prober")
+    // the BATCH face races the same folds (round-16 verdict task 7):
+    // searchJsonBatchRoot resolves the pointer once per batch and must
+    // earn the same zero-resurrection record — its sentinel/victim are
+    // TEXT-addressed docs (the tool embeds prompts), put in batch 0,
+    // the victim deleted in batch 1; fallbacks count as failures (a
+    // degraded answer hides a grace-GC bug the soak exists to catch)
+    val txtSentinelId = 2190000001L
+    val txtSentinelText = "fold soak batch sentinel basalt"
+    val txtVictimId = 2190000002L
+    val txtVictimText = "fold soak batch victim obsidian"
+    val eng = new graft.search.SearchEngine(spark)
+    val batchProbes = new java.util.concurrent.atomic.AtomicLong
+    val batchResurrections = new java.util.concurrent.atomic.AtomicLong
+    val batchSentinelMisses = new java.util.concurrent.atomic.AtomicLong
+    val batchErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val fallbacksBefore = eng.indexFallbackCount.get()
+    val batchProber = new Thread(() => {
+      val prompts = Seq(txtSentinelText, txtVictimText,
+        "fold soak doc 2200000050")
+      while (!stop.get()) {
+        try {
+          val json = eng.searchJsonBatchRoot(srcDir, root, prompts, 10)
+          batchProbes.incrementAndGet()
+          if (!json.contains(s"\"doc_id\":$txtSentinelId"))
+            batchSentinelMisses.incrementAndGet()
+          if (json.contains(s"\"doc_id\":$txtVictimId"))
+            batchResurrections.incrementAndGet()
+        } catch {
+          case e: Throwable if !stop.get() =>
+            batchErrors.add(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+    }, "graft-fold-batch-prober")
     def docVec(i: Long): Seq[Float] =
       new graft.search.HashingEmbedder(64).embed(s"fold soak doc $i").toSeq
     var folds = 0L
@@ -1013,7 +1054,14 @@ object ScaleProbe {
         val puts0 = (0 until batchDocs).map(i =>
           (base + i, docVec(base + i), s"fold soak doc ${base + i}"))
         val puts = if (b == 0)
-          (sentinelId, qv.toSeq, "fold soak sentinel") +: puts0 else puts0
+          Seq((sentinelId, qv.toSeq, "fold soak sentinel"),
+            (txtSentinelId,
+              new graft.search.HashingEmbedder(64).embed(txtSentinelText).toSeq,
+              txtSentinelText),
+            (txtVictimId,
+              new graft.search.HashingEmbedder(64).embed(txtVictimText).toSeq,
+              txtVictimText)) ++ puts0
+          else puts0
         // per-epoch batch ids restart at 0 — each delta is its own store
         val localId = (b % foldEvery).toLong
         AnnIndex.appendDeltaBatch(spark, idx, delta,
@@ -1023,6 +1071,7 @@ object ScaleProbe {
         // main — the tombstone-shadows-main path soaks too)
         val dels: Seq[Long] =
           (if (b == 0) Seq(deletedId) else Nil) ++
+            (if (b == 1) Seq(txtVictimId) else Nil) ++
             (if (b % 3 == 2 && b >= 2)
               (0 until 5).map(i => 2200000001L + (b - 2).toLong * batchDocs + i)
             else Nil)
@@ -1030,6 +1079,7 @@ object ScaleProbe {
           AnnIndex.appendTombstones(spark, delta, dels.toDF("vec_id"),
             localId, compactEvery = 3)
         if (b == 0) prober.start() // sentinel + delete are in: race from here
+        if (b == 1) batchProber.start() // the batch victim's delete is in
         if ((b + 1) % foldEvery == 0) {
           folds += 1
           if (refitEvery > 0 && folds % refitEvery == 0) {
@@ -1046,6 +1096,7 @@ object ScaleProbe {
     } finally {
       stop.set(true)
       prober.join(30000)
+      if (batchProber.isAlive) batchProber.join(60000)
     }
     val wallSec = (System.nanoTime() - t0) / 1e9
     // final state re-check from a fresh resolution
@@ -1053,12 +1104,17 @@ object ScaleProbe {
       .collect().map(_.getLong(0)).toSet
     val finalOk = finalHits.contains(sentinelId) && !finalHits.contains(deletedId)
     val errs = probeErrors.toArray.take(3).mkString("; ")
+    val batchErrs = batchErrors.toArray.take(3).mkString("; ")
+    val batchFallbacks = eng.indexFallbackCount.get() - fallbacksBefore
     // ≤ 5 epoch-prefixed dirs at any observation: serving pair + grace
     // pair + at most one in-flight fold output — O(1), not O(folds)
     val ok = probeErrors.isEmpty && resurrections.get == 0 &&
       sentinelMisses.get == 0 && folds >= 3 && finalOk &&
-      maxRootDirs.get <= 5 && (refitEvery <= 0 || refits >= 1)
-    println(s"""{"probe":"fold-soak","batches":$nBatches,"batch_docs":$batchDocs,"fold_every":$foldEvery,"folds":$folds,"refits":$refits,"concurrent_probes":${probes.get},"probe_errors":${probeErrors.size},"probe_error_sample":"$errs","resurrections":${resurrections.get},"sentinel_misses":${sentinelMisses.get},"max_root_epoch_dirs":${maxRootDirs.get},"final_state_ok":$finalOk,"wall_sec":${f"$wallSec%.1f"},"ok":$ok}""")
+      maxRootDirs.get <= 5 && (refitEvery <= 0 || refits >= 1) &&
+      batchErrors.isEmpty && batchResurrections.get == 0 &&
+      batchSentinelMisses.get == 0 && batchProbes.get > 0 &&
+      batchFallbacks == 0
+    println(s"""{"probe":"fold-soak","batches":$nBatches,"batch_docs":$batchDocs,"fold_every":$foldEvery,"folds":$folds,"refits":$refits,"concurrent_probes":${probes.get},"probe_errors":${probeErrors.size},"probe_error_sample":"$errs","resurrections":${resurrections.get},"sentinel_misses":${sentinelMisses.get},"batch_probes":${batchProbes.get},"batch_errors":${batchErrors.size},"batch_error_sample":"$batchErrs","batch_resurrections":${batchResurrections.get},"batch_sentinel_misses":${batchSentinelMisses.get},"batch_fallbacks":$batchFallbacks,"max_root_epoch_dirs":${maxRootDirs.get},"final_state_ok":$finalOk,"wall_sec":${f"$wallSec%.1f"},"ok":$ok}""")
     ok
   }
 
@@ -1332,13 +1388,19 @@ object ScaleProbe {
 
   /** Serve-loop maintenance probe (--maintain-probe [--tombstones N]):
     * the TombstoneFoldRows actuator END TO END — a LIVE `Search.serve`
-    * loop (`--root --maintain-every 1` semantics) whose delta carries
+    * loop (`--root --maintain-every 3` semantics) whose delta carries
     * N > trigger tombstones (scattered synthetic ids that shadow
     * nothing real, plus ONE real delete whose absence proves
-    * correctness): the first answered request trips the in-loop
-    * `foldIfTombstonesDue`, the fold publishes the next epoch, and
-    * the NEXT request serves it — bit-identical answer, real delete
-    * still held, tombstone store empty, no restart. */
+    * correctness). Round 17: the fold runs on the BACKGROUND
+    * sequencer, so the receipt now measures the claim the round-16
+    * verdict asked for — request latency FLAT THROUGH the fold window
+    * (requests keep answering from the current pointer while the fold
+    * runs; the next request after the publish serves the new epoch,
+    * bit-identical). Also adjudicates the post-fold latency step
+    * (round-16 "What's wrong #2"): post_fold_first is the new epoch's
+    * COLD first touch, post_fold_warm is its steady state — warm ≤
+    * pre-fold warm is the claim (the folded epoch has an empty delta
+    * and physically dropped tombstones). */
   private def maintainProbe(spark: SparkSession, srcDir: String,
                             flags: Map[String, String]): Boolean = {
     import graft.search.AnnIndex
@@ -1351,6 +1413,8 @@ object ScaleProbe {
       .createTempDirectory("graft_maintain_probe").toString + "/r"
     ServingRoot.init(spark, mainDir, root)
     val (_, delta0) = ServingRoot.resolve(spark, root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     // the real delete: the served prompt's exact top-1 must unserve
     val eng = new graft.search.SearchEngine(spark)
     val prompt = AnnQueries.ServedPrompt
@@ -1369,7 +1433,8 @@ object ScaleProbe {
       spark.range(victim, victim + 1).select(col("id").as("vec_id")),
       batchId = 1L, compactEvery = 0)
     val capBefore = AnnIndex.tombstoneRowCap(spark, delta0)
-    // the live server: requests through a pipe, maintenance every req
+    // the live server: maintenance every 3 tool calls, so requests
+    // 1–2 measure the warm pre-fold state and request 3 enqueues
     val outBuf = new java.io.ByteArrayOutputStream()
     val toServer = new java.io.PipedOutputStream()
     val fromProbe = new java.io.PrintStream(toServer, true, "UTF-8")
@@ -1378,7 +1443,7 @@ object ScaleProbe {
     val server = new Thread(() => {
       Search.serve(eng, srcDir, 10, serverIn,
         new java.io.PrintStream(outBuf, true, "UTF-8"),
-        root = Some(root), maintainEvery = 1)
+        root = Some(root), maintainEvery = 3)
     }, "graft-maintain-serve")
     server.start()
     // count only COMPLETE (newline-terminated) lines: the PrintStream
@@ -1389,38 +1454,98 @@ object ScaleProbe {
       all.substring(0, all.lastIndexOf('\n') + 1)
         .split("\n").filter(_.nonEmpty).toSeq
     }
-    def request(line: String): String = {
+    def request(line: String): (String, Double) = {
       val before = lines().size
+      val t0 = System.nanoTime()
       fromProbe.println(line)
       val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
       while (lines().size <= before) {
         if (System.nanoTime() >= deadline)
           throw new IllegalStateException(s"serve timed out on: $line")
-        Thread.sleep(50)
+        Thread.sleep(20)
       }
-      lines().last
+      (lines().last, (System.nanoTime() - t0) / 1e9)
     }
-    val t1 = System.nanoTime()
-    val r1 = request(prompt) // pre-fold answer; maintenance folds after it
-    val r1Sec = (System.nanoTime() - t1) / 1e9
-    val t2 = System.nanoTime()
-    // the serve loop is single-threaded: it reads this request only
-    // after the maintenance fold completes, so r2Sec includes the
-    // fold wait and r2 is served from the published epoch
-    val r2 = request(prompt)
-    val r2Sec = (System.nanoTime() - t2) / 1e9
+    def epoch(): Long = ServingRoot.currentEpoch(fs, root).getOrElse(-1L)
+    val (r1, r1Sec) = request(prompt)          // first through the server
+    val (r2, warmPreSec) = request(prompt)     // warm pre-fold
+    val (r3, r3Sec) = request(prompt)          // answers, then enqueues
+    // THE claim: requests keep answering WHILE the fold runs — issue
+    // requests until the publish lands, recording each latency; every
+    // one sent while the pointer still read epoch 0 served inside the
+    // fold window
+    val during = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var answers = List(r3, r2, r1)
+    var spins = 0
+    while (epoch() == 0L && spins < 50) {
+      spins += 1
+      val (r, sec) = request(prompt)
+      answers ::= r
+      during += sec
+    }
+    val foldObserved = epoch() == 1L
+    val (p1, postFirstSec) = request(prompt)   // new epoch, cold first touch
+    val (p2, postWarmSec) = request(prompt)    // new epoch, warm
+    answers = p2 :: p1 :: answers
     fromProbe.close()
-    server.join(120000)
-    val epochAfter = ServingRoot.currentEpoch(
-      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
-      root).getOrElse(-1L)
+    server.join(600000)
+    val epochAfter = epoch()
     val (_, delta1) = ServingRoot.resolve(spark, root)
     val capAfter = AnnIndex.tombstoneRowCap(spark, delta1)
-    val victimGone = !r1.contains(s"\"doc_id\":$victim") &&
-      !r2.contains(s"\"doc_id\":$victim")
-    val ok = epochAfter == 1L && r1 == r2 && victimGone &&
-      capBefore > AnnQueries.TombstoneFoldRows && capAfter == 0L
-    println(s"""{"probe":"serve-maintain","tombstones_planted":$n,"cap_before":$capBefore,"fold_trigger":${AnnQueries.TombstoneFoldRows},"epoch_after_maintenance":$epochAfter,"cap_after":$capAfter,"answers_bit_identical":${r1 == r2},"victim_unserved":$victimGone,"pre_fold_req_sec":${f"$r1Sec%.2f"},"post_fold_req_sec":${f"$r2Sec%.2f"},"ok":$ok}""")
+    val victimGone = answers.forall(!_.contains(s"\"doc_id\":$victim"))
+    val identical = answers.distinct.size == 1
+    val duringMax = if (during.isEmpty) 0.0 else during.max
+    val ok = epochAfter == 1L && identical && victimGone &&
+      capBefore > AnnQueries.TombstoneFoldRows && capAfter == 0L &&
+      foldObserved && during.nonEmpty
+    println(s"""{"probe":"serve-maintain","tombstones_planted":$n,"cap_before":$capBefore,"fold_trigger":${AnnQueries.TombstoneFoldRows},"epoch_after_maintenance":$epochAfter,"cap_after":$capAfter,"answers_bit_identical":$identical,"victim_unserved":$victimGone,"first_req_sec":${f"$r1Sec%.2f"},"warm_pre_fold_sec":${f"$warmPreSec%.2f"},"trigger_req_sec":${f"$r3Sec%.2f"},"reqs_during_fold":${during.size},"during_fold_sec":[${during.map(d => f"$d%.2f").mkString(",")}],"during_fold_max_sec":${f"$duringMax%.2f"},"post_fold_first_sec":${f"$postFirstSec%.2f"},"post_fold_warm_sec":${f"$postWarmSec%.2f"},"ok":$ok}""")
+    ok
+  }
+
+  /** Batched-serving decade-up (--batch-probe [--prompts N]): the q186
+    * economy claim measured at the scale it was designed for (round-16
+    * verdict "What's missing #3") — a FULL batch
+    * ([[graft.search.SearchEngine.MaxBatchPrompts]] prompts by
+    * default) against the clone corpus, answered two ways: ONE
+    * [[graft.search.SearchEngine.searchIndexedBatch]] plan vs the
+    * same prompts through sequential per-prompt [[graft.search
+    * .SearchEngine.searchIndexed]] calls. Asserts per-prompt
+    * bit-equality (id, text, 6-dp score — batch == per-prompt at
+    * clone scale, not just fixtures) and reports the amortization
+    * ratio; the batched run repeats once so the warm number is the
+    * steady state. */
+  private def batchProbe(spark: SparkSession, outDir: String,
+                         flags: Map[String, String]): Boolean = {
+    val nPrompts = flags.get("prompts").map(_.toInt)
+      .getOrElse(graft.search.SearchEngine.MaxBatchPrompts)
+    val eng = new graft.search.SearchEngine(spark)
+    // deterministic prompt set spanning token space — the probe
+    // measures plan economy, not retrieval quality
+    val words = Seq("hash", "join", "merge", "sort", "shuffle", "scan",
+      "index", "batch", "stream", "fold", "probe", "vector", "cosine",
+      "filter", "union", "window")
+    val prompts = (0 until nPrompts).map(i =>
+      s"batch probe ${words(i % words.size)} ${words((i / words.size) % words.size)} query $i")
+    val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
+    // index built/loaded session-once; a first batched call warms it
+    def runBatched(): (Seq[Seq[graft.search.SearchHit]], Double) = {
+      val t0 = System.nanoTime()
+      val r = eng.searchIndexedBatch(outDir, prompts, 10)
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, batchedColdSec) = runBatched()
+    val (batched, batchedWarmSec) = runBatched()
+    val t1 = System.nanoTime()
+    val sequential = prompts.map(p =>
+      eng.searchIndexed(outDir, p, 10)
+        .as[graft.search.SearchHit](org.apache.spark.sql.Encoders.product)
+        .collect().toSeq)
+    val seqSec = (System.nanoTime() - t1) / 1e9
+    val equal = batched.size == sequential.size &&
+      batched.zip(sequential).forall { case (b, s) => b == s }
+    val amort = if (batchedWarmSec == 0.0) 0.0 else seqSec / batchedWarmSec
+    val ok = equal && batched.forall(_.nonEmpty)
+    println(s"""{"probe":"batch-probe","prompts":$nPrompts,"corpus_docs":$nDocs,"batched_cold_sec":${f"$batchedColdSec%.1f"},"batched_warm_sec":${f"$batchedWarmSec%.1f"},"sequential_sec":${f"$seqSec%.1f"},"amortization":${f"$amort%.1f"},"answers_equal":$equal,"ok":$ok}""")
     ok
   }
 
@@ -1831,6 +1956,89 @@ object ScaleProbe {
         println(s"""{"probe":"lost-pairs","copies":$copies,"n":$n,"planted_pairs":$planted,"lost_pairs":$nLost,"lost_frac":${if (planted == 0) 0.0 else nLost.toDouble / planted},"recoverable_m_pm1":$r1,"recoverable_m_pm2":$r2,"recoverable_m_pm4":$r4,"recoverable_m_pm16":$r16,"mass_eq_bits_flip":$flips,"no_band_bits_equal":$noBitsEq,"mass_only_cand":$massCand,"mass_only_cand_per_n":${massCand.toDouble / n},"mass_only_max_pop":$massMaxPop}""")
         true
       } finally lost.unpersist(blocking = false)
+    } finally bands.unpersist(blocking = false)
+  }
+
+  /** dHash-bit prototype measurement (--dhash-probe): the round-16
+    * verdict's one open avenue on the image composed key's ~2% planted
+    * -pair loss — the loss is GLOBAL-THRESHOLD coupling
+    * (`lost_pairs_r16.json`: all lost pairs flip band bits at EQUAL
+    * mass under the shifted gray mean), so a threshold-FREE bit family
+    * ([[graft.multimodal.Multimodal.imageDHashBands]] — neighbor
+    * comparisons, the image analogue of the audio delta-sign bits that
+    * measured 100% retention) should sidestep it entirely. Measured,
+    * not assumed: over the clone corpus's planted variant families,
+    * for every true near-dup pair (aHash Hamming ≤ cut — the VERIFY
+    * metric is unchanged, only the candidate key is in question),
+    * count pairs lost by the current composed (aHash bits, mass) key
+    * vs the composed (dHash bits, mass) key, and compare both keys'
+    * candidate volumes (the flat-per-n property that makes the bucket
+    * join linear). Adopt/reject lands in SCALING.md. */
+  private def dhashProbe(spark: SparkSession, outDir: String,
+                         copies: Int): Boolean = {
+    import graft.multimodal.Multimodal
+    import graft.queries.MultimodalQueries
+    val g = Multimodal.VariantGroupSize
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"))
+    val aB = Multimodal
+      .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      .select(Seq(col("doc_id")) ++
+        (0 until 4).map(j => col(s"band$j").as(s"ah$j")) ++
+        (0 until 4).map(j => col(s"qt$j").as(s"m$j")): _*)
+    val dB = Multimodal
+      .imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
+      .select(Seq(col("doc_id")) ++
+        (0 until 4).map(j => col(s"band$j").as(s"dh$j")): _*)
+    val bands = aB.join(dB, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = bands.count()
+      def side(p: String, idCol: String) = bands.select(
+        Seq(col("doc_id").as(idCol)) ++
+          (0 until 4).map(j => col(s"ah$j").as(s"${p}a$j")) ++
+          (0 until 4).map(j => col(s"dh$j").as(s"${p}d$j")) ++
+          (0 until 4).map(j => col(s"m$j").as(s"${p}m$j")): _*)
+        .withColumn("grp", (col(idCol) / g).cast("long"))
+      val a = side("x", "doc_a")
+      val b = side("y", "doc_b")
+      val ham = (0 until 4)
+        .map(j => bit_count(col(s"xa$j").bitwiseXOR(col(s"ya$j"))).cast("long"))
+        .reduce(_ + _)
+      val composedA = (0 until 4)
+        .map(j => col(s"xa$j") === col(s"ya$j") && col(s"xm$j") === col(s"ym$j"))
+        .reduce(_ || _)
+      val composedD = (0 until 4)
+        .map(j => col(s"xd$j") === col(s"yd$j") && col(s"xm$j") === col(s"ym$j"))
+        .reduce(_ || _)
+      val pairs = a.join(b, Seq("grp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(ham <= lit(MultimodalQueries.PhashMaxHamming))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val planted = pairs.count()
+        val lostA = pairs.filter(!composedA).count()
+        val lostD = pairs.filter(!composedD).count()
+        val lostBoth = pairs.filter(!composedA && !composedD).count()
+        // candidate volume per key family: Σ pop·(pop−1)/2 over the
+        // composed (j, bits, mass) buckets — the linearity evidence
+        def keyVol(bit: Int => org.apache.spark.sql.Column): (Long, Long) = {
+          val keys = (0 until 4).map(j => bands.select(
+              lit(j).as("j"), bit(j).as("v"), col(s"m$j").as("m")))
+            .reduce(_.unionByName(_))
+          val r = keys.groupBy(col("j"), col("v"), col("m"))
+            .agg(count(lit(1)).as("pop"))
+            .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
+              max(col("pop")).as("max_pop")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (aCand, aMax) = keyVol(j => col(s"ah$j"))
+        val (dCand, dMax) = keyVol(j => col(s"dh$j"))
+        val retA = if (planted == 0) 1.0 else 1.0 - lostA.toDouble / planted
+        val retD = if (planted == 0) 1.0 else 1.0 - lostD.toDouble / planted
+        println(s"""{"probe":"dhash","copies":$copies,"n":$n,"planted_pairs":$planted,"lost_ahash_key":$lostA,"lost_dhash_key":$lostD,"lost_both":$lostBoth,"retention_ahash":${f"$retA%.4f"},"retention_dhash":${f"$retD%.4f"},"ahash_cand":$aCand,"ahash_cand_per_n":${f"${aCand.toDouble / n}%.2f"},"ahash_max_pop":$aMax,"dhash_cand":$dCand,"dhash_cand_per_n":${f"${dCand.toDouble / n}%.2f"},"dhash_max_pop":$dMax}""")
+        true
+      } finally pairs.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
   }
 

@@ -44,7 +44,7 @@ object Search {
     "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe",
     "lsm-soak", "fold-soak", "band-cand-probe", "refit-probe", "tombstone-probe",
     "takedown-probe", "media-soak", "lost-pairs-probe", "maintain-probe",
-    "rebuild-probe")
+    "rebuild-probe", "batch-probe", "dhash-probe")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all
@@ -117,10 +117,12 @@ object Search {
     // restart. Overrides --delta (the root's own epoch delta is the
     // delta) and forces the index route.
     val root = flags.get("root").orElse(env.get("SPARK_GRAFT_ROOT"))
-    // --maintain-every N (root mode only): every N answered requests
-    // the serve loop runs the TombstoneFoldRows check and, when due,
-    // folds-and-publishes the next epoch (AnnIndex.foldIfTombstonesDue).
-    // Requires this server to be the root's single fold sequencer.
+    // --maintain-every N (root mode only): every N TOOL INVOCATIONS
+    // the serve loop ENQUEUES the TombstoneFoldRows check to its one
+    // background sequencer thread, which folds-and-publishes the next
+    // epoch when due (AnnIndex.foldIfTombstonesDue) while requests
+    // keep serving from the current pointer. Requires this server to
+    // be the root's single fold sequencer.
     val maintainEvery = flags.get("maintain-every")
       .orElse(env.get("SPARK_GRAFT_MAINTAIN_EVERY")).map(_.toInt).getOrElse(0)
     // --prompts-file <path>: one-shot BATCH mode — the file's
@@ -153,12 +155,36 @@ object Search {
     * reader/writer so the loop itself is spec-testable without a
     * subprocess. Returns the number of lines answered (JSON-RPC
     * notifications are consumed but, per the protocol, not answered —
-    * they don't count). */
+    * they don't count).
+    *
+    * MAINTENANCE (root mode, opt-in via `maintainEvery`) runs on ONE
+    * BACKGROUND SEQUENCER THREAD, never the request thread: the serve
+    * loop only ENQUEUES the check when the cadence fires — requests
+    * keep serving from the current pointer while the fold runs, and
+    * the publish swaps atomically exactly as a fold driven by an
+    * external sequencer would (the pointer already protects readers;
+    * at scale a major fold is the engine's most expensive operation
+    * and queueing every request behind it would stall the one surface
+    * whose point is no-restart serving). The single-writer contract is
+    * unchanged — the one sequencer thread owns all folds for this
+    * root, and at most one check is in flight (a cadence crossing
+    * while one runs is SKIPPED, not queued; the next crossing
+    * re-checks — the trigger is a mass threshold, so a skipped check
+    * only delays the fold by one cadence). The cadence counts TOOL
+    * INVOCATIONS (raw prompts and tools/call, single or batch), not
+    * protocol traffic — an MCP client's initialize/tools/list/ping
+    * chatter answers requests without touching the corpus and must
+    * not drive maintenance checks. EOF drains the sequencer (a
+    * mid-flight fold completes; its publish is crash-idempotent
+    * anyway). `maintainAction` overrides the default
+    * fold-if-tombstones-due body (spec seam — a delay-injected action
+    * proves responses flow DURING a fold). */
   def serve(engine: SearchEngine, sfDir: String, k: Int,
       in: java.io.BufferedReader, out: java.io.PrintStream,
       index: Boolean = true, delta: Option[String] = None,
       baseFilter: Seq[(String, Any)] = Nil,
-      root: Option[String] = None, maintainEvery: Int = 0): Int = {
+      root: Option[String] = None, maintainEvery: Int = 0,
+      maintainAction: Option[() => Unit] = None): Int = {
     // the one tool closure every protocol dialect routes through.
     // Route precedence: a serving ROOT (pointer resolved per request —
     // a concurrent majorFoldPublish/refit swaps what this serves
@@ -172,22 +198,65 @@ object Search {
     // dropped server filter would silently serve a BROADER search
     // than the operator configured — the worst default the filter
     // parser's own contract names.
-    val tool: Mcp.Search = root match {
+    val toolCalls = new java.util.concurrent.atomic.AtomicLong
+    def counted(f: Mcp.Search): Mcp.Search = (p, fl) => {
+      toolCalls.incrementAndGet(); f(p, fl)
+    }
+    def countedBatch(f: Mcp.SearchBatch): Mcp.SearchBatch = (ps, fl) => {
+      toolCalls.incrementAndGet(); f(ps, fl)
+    }
+    val tool: Mcp.Search = counted(root match {
       case Some(r) => (prompt, filter) =>
         engine.searchJsonRoot(sfDir, r, prompt, k, baseFilter ++ filter)
       case None if index => (prompt, filter) =>
         engine.searchJsonIndexed(sfDir, prompt, k, delta, baseFilter ++ filter)
       case None => (prompt, filter) =>
         engine.searchJson(sfDir, prompt, k, delta, baseFilter ++ filter)
-    }
-    // the batch tool always serves from the index (it EXISTS for the
-    // one-plan batched probe; a caller wanting exact scans issues
-    // single-tool calls)
-    val toolBatch: Mcp.SearchBatch = root match {
+    })
+    // the batch tool serves from the index (it EXISTS for the one-plan
+    // batched probe; a caller wanting exact scans issues single-tool
+    // calls) — so an operator who forced `--index false` because the
+    // index is known-bad gets a LOUD isError result from the batch
+    // tool (the one-shot CLI's contradiction policy), never a silent
+    // index read behind the override
+    val toolBatch: Mcp.SearchBatch = countedBatch(root match {
       case Some(r) => (prompts, filter) =>
         engine.searchJsonBatchRoot(sfDir, r, prompts, k, baseFilter ++ filter)
-      case None => (prompts, filter) =>
+      case None if index => (prompts, filter) =>
         engine.searchJsonBatch(sfDir, prompts, k, delta, baseFilter ++ filter)
+      case None => (_, _) => throw new IllegalStateException(
+        s"${Mcp.BatchToolName} serves from the index; this server was " +
+          "started with --index false — issue single vector_search calls " +
+          "for exact scans")
+    })
+    // background maintenance sequencer (see scaladoc): one daemon
+    // thread, at most one check in flight, failures logged never fatal
+    val action: Option[() => Unit] =
+      if (maintainEvery <= 0) None
+      else maintainAction.orElse(root.map { rt => () =>
+        graft.search.AnnIndex.foldIfTombstonesDue(engine.spark, rt,
+          graft.queries.AnnQueries.TombstoneFoldRows)
+          .foreach(e => System.err.println(
+            s"graft: maintenance folded $rt to epoch $e"))
+      })
+    val sequencer = action.map(_ => java.util.concurrent.Executors
+      .newSingleThreadExecutor { r =>
+        val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+      })
+    val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var crossings = 0L
+    def maybeEnqueueMaintenance(): Unit = action.foreach { act =>
+      val c = toolCalls.get() / maintainEvery
+      if (c > crossings && inFlight.compareAndSet(false, true)) {
+        crossings = c
+        sequencer.get.execute { () =>
+          try act()
+          catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"graft: maintenance fold failed (${e.getClass.getSimpleName}: ${e.getMessage})")
+          } finally inFlight.set(false)
+        }
+      }
     }
     var served = 0
     var line = in.readLine()
@@ -199,30 +268,15 @@ object Search {
         // JSON — is a raw prompt
         val response =
           Mcp.tryHandle(req, tool, toolBatch).getOrElse(Some(tool(req, Nil)))
-        // in-loop maintenance (root mode, opt-in), every N ANSWERED
-        // requests — notifications and silent protocol traffic don't
-        // count (they don't increment served, and re-checking at
-        // served=0 on every notification would run count jobs with
-        // zero requests answered). The serve loop IS this root's
-        // single writer-sequencer, so the fold's contract holds by
-        // construction — requests before the check finished against
-        // their snapshot, requests after it resolve the new pointer.
-        // A maintenance failure degrades (logged), never kills serving.
-        response.foreach { r =>
-          out.println(r); served += 1
-          if (maintainEvery > 0 && served % maintainEvery == 0)
-            root.foreach { rt =>
-              try graft.search.AnnIndex.foldIfTombstonesDue(engine.spark, rt,
-                graft.queries.AnnQueries.TombstoneFoldRows)
-                .foreach(e => System.err.println(s"graft: maintenance folded $rt to epoch $e"))
-              catch {
-                case scala.util.control.NonFatal(e) => System.err.println(
-                  s"graft: maintenance fold failed (${e.getClass.getSimpleName}: ${e.getMessage})")
-              }
-            }
-        }
+        response.foreach { r => out.println(r); served += 1 }
+        maybeEnqueueMaintenance()
       }
       line = in.readLine()
+    }
+    // drain: a mid-flight fold completes before the service returns
+    sequencer.foreach { ex =>
+      ex.shutdown()
+      ex.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
     }
     served
   }

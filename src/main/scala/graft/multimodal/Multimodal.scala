@@ -355,6 +355,73 @@ object Multimodal {
     }(enc)
   }
 
+  /** DIFFERENCE-hash bands — [[imageAHashBands]] with a THRESHOLD-FREE
+    * bit family (measured prototype, round-17): bit `fp` is
+    * `gray(fp) > gray(fp+1 mod n)` — each bit compares two NEIGHBOR
+    * pixels, no global mean anywhere, the image analogue of the audio
+    * delta-sign bits that measured 100% planted-pair retention. The
+    * round-16 lost-pairs receipt proved the aHash family's ~2% loss is
+    * global-threshold coupling (a one-pixel edit shifts the mean and
+    * flips far-away bits at EQUAL mass); neighbor-local bits cannot
+    * couple that way — a local edit only touches the bits whose pixel
+    * pair it overlaps. Same output shape as [[imageAHashBands]]
+    * (band0–3, qt0–3, gray_total; quadrant masses and total unchanged
+    * — the composed key's mass half is shared), same row-local decode
+    * and quarantine contract. Adopt/reject is decided by
+    * `ScaleProbe --dhash-probe` retention + candidate-volume
+    * measurements (SCALING.md), not assumed. */
+  def imageDHashBands(blobs: DataFrame): DataFrame = {
+    val bandFields = (0 until 4).map(j => s"band$j") ++
+      (0 until 4).map(j => s"qt$j") :+ "gray_total"
+    val outSchema = StructType(blobs.schema.fields ++
+      bandFields.map(StructField(_, LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val blobIdx = blobs.schema.fieldIndex("blob")
+    val metaIdx = blobs.schema.fieldIndex("meta")
+    blobs.mapPartitions { rows =>
+      imageIoHeapStreams
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        val mediaType = r.getStruct(metaIdx).getString(0)
+        val nulls: Seq[Any] = Seq.fill(9)(null)
+        val bands: Seq[Any] =
+          if (blob == null || mediaType == null || !mediaType.startsWith("image/"))
+            nulls
+          else tryDecode {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+            require(img != null, "undecodable image blob")
+            val n = img.getWidth * img.getHeight
+            val gray = new Array[Long](n)
+            var total = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                gray(y * img.getWidth + x) = g
+                total += g
+                x += 1
+              }
+              y += 1
+            }
+            val bandBits = n / 4
+            val out = new Array[Long](4)
+            val qt = new Array[Long](4)
+            var fp = 0
+            while (fp < n) {
+              if (gray(fp) > gray((fp + 1) % n))
+                out(fp / bandBits) |= 1L << (fp % bandBits)
+              qt(fp / bandBits) += gray(fp)
+              fp += 1
+            }
+            (out.toSeq ++ qt.toSeq) :+ total
+          }.getOrElse(nulls) // quarantined
+        Row.fromSeq(r.toSeq ++ bands)
+      }
+    }(enc)
+  }
+
   /** Pooled-image feature extraction (q136): REAL decode, then
     * `pool`×`pool` average pooling per channel — the cheapest
     * vision-pipeline preprocessing step (thumbnailing / patch

@@ -557,6 +557,13 @@ object AnnQueries {
     "fast hash join on a big table",
     "sorted merge of event batches")
 
+  /** q187's prompt batch: the delete-lifecycle prompt (whose top hit
+    * is the CORRECTED document — payload custody on the epoch
+    * artifact) plus the two standing region prompts, all answered by
+    * one batched probe THROUGH the serving root. */
+  val RootBatchPrompts: Seq[String] =
+    ServedDeletePrompt +: BatchServedPrompts.tail
+
   private val sessionFoldedIndex = new graft.SessionMemo[String, String]
 
   /** Session-once MAJOR-COMPACTED artifact for q175: the delete
@@ -1773,6 +1780,32 @@ object AnnQueries {
         10, deltaDir = Some(delta), mainDir = Some(idx))
     }),
 
+    "q187_root_batch_served" -> ((s, dir) => {
+      // BATCHED serving THROUGH THE POINTER (round-17: the fold-soak's
+      // batch face declared as a query): one searchIndexedBatch call
+      // against the q185 serving root — pointer resolved once for the
+      // whole batch (one logical request), the delete lifecycle and a
+      // major fold behind it — answers the lifecycle prompt plus the
+      // two standing region prompts. The oracle recomputes each
+      // prompt's exact top-10 over the LIVE set (corpus ∖ deleted ∪
+      // the lifecycle's surviving docs) with payloads, so hash-green
+      // certifies the batch face serves the same fold-invisible,
+      // custody-moved, tombstone-holding answer the single face
+      // (q185) does — per prompt, at rank.
+      import s.implicits._
+      val root = servedRootDir(s, dir)
+      val (idx, delta) = graft.search.AnnIndex.ServingRoot.resolve(s, root)
+      val eng = new graft.search.SearchEngine(s)
+      eng.searchIndexedBatch(dir, RootBatchPrompts, 10,
+          deltaDir = Some(delta), mainDir = Some(idx))
+        .zipWithIndex.flatMap { case (hs, i) =>
+          hs.zipWithIndex.map { case (h, r) =>
+            (i.toLong, h.doc_id, h.text, h.score, (r + 1).toLong)
+          }
+        }.toDF("prompt_idx", "doc_id", "text", "score", "rank")
+        .orderBy(col("prompt_idx"), col("rank"))
+    }),
+
     "q186_batch_served" -> ((s, dir) => {
       // BATCHED serving declared as a query (round-16: the
       // vector_search_batch tool minus the JSON rendering): one
@@ -2629,6 +2662,37 @@ object AnnQueries {
     // different physical layout IS the fold-invisibility claim at the
     // service surface
     "q185_root_served" -> servedDeleteExactTop10Sql,
+
+    // q187: per-prompt exact top-10 over the LIFECYCLE live set — the
+    // q185 oracle batched (one arm per prompt, ranks pinned): the
+    // batch face through the pointer must serve exactly what the
+    // single face serves, prompt by prompt
+    "q187_root_batch_served" -> {
+      val arms = RootBatchPrompts.zipWithIndex.map { case (p, i) =>
+        val lits = docVec(p).map(_.toDouble).mkString("[", ", ", "]")
+        s"""s$i AS (
+           |  SELECT $i::BIGINT AS prompt_idx, doc_id, text,
+           |    round(${cosSql("embedding", lits)}, 6) AS score
+           |  FROM live ORDER BY score DESC, doc_id ASC LIMIT 10)"""
+          .stripMargin
+      }.mkString(",\n")
+      val union = RootBatchPrompts.indices
+        .map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH live AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding, d.text
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE len(e.embedding) = 64 AND e.vec_id <> $DeletedCorpusId
+         |  UNION ALL
+         |  SELECT vec_id AS doc_id, embedding, text
+         |  FROM (VALUES
+         |         $servedDeleteLiveValuesSql) AS t(vec_id, embedding, text)),
+         |$arms,
+         |u AS ($union)
+         |SELECT prompt_idx, doc_id, text, score,
+         |  row_number() OVER (PARTITION BY prompt_idx
+         |    ORDER BY score DESC, doc_id ASC) AS rank
+         |FROM u ORDER BY prompt_idx, rank""".stripMargin
+    },
 
     "q186_batch_served" -> {
       val arms = BatchServedPrompts.zipWithIndex.map { case (p, i) =>

@@ -1096,14 +1096,12 @@ object MultimodalQueries {
   private[graft] def bandRebuildIfMarkersDue(s: SparkSession, rootDir: String,
       maxRows: Long = MediaRebuildMarkerRows): Option[Long] = {
     import graft.search.AnnIndex.ServingRoot
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
     val (_, storeDir) = ServingRoot.resolve(s, rootDir)
-    val segs = graft.sources.SegmentStore.segments(fs, storeDir)
-    val cap = if (segs.isEmpty) 0L
-      else markerRowCap(
-        segs.map(s.read.parquet(_)).reduce(_.unionByName(_)), "j")
-    if (cap <= maxRows) None else Some(bandRebuildPublish(s, rootDir))
+    // memoized per segment listing — an actuation check against an
+    // unchanged store runs zero jobs (a streaming ingest checks every
+    // batch; only batches that changed the store pay the count)
+    if (markerRowCapCached(s, storeDir, "j") <= maxRows) None
+    else Some(bandRebuildPublish(s, rootDir))
   }
 
   /** Probe a band index THROUGH its root: resolve the pointer (one
@@ -1185,14 +1183,10 @@ object MultimodalQueries {
       rootDir: String,
       maxRows: Long = MediaRebuildMarkerRows): Option[Long] = {
     import graft.search.AnnIndex.ServingRoot
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
     val (_, delta) = ServingRoot.resolve(s, rootDir)
-    val segs = graft.sources.SegmentStore.segments(fs, s"$delta/f0bands")
-    val cap = if (segs.isEmpty) 0L
-      else markerRowCap(
-        segs.map(s.read.parquet(_)).reduce(_.unionByName(_)), "j")
-    if (cap <= maxRows) None else Some(vphashRebuildPublish(s, rootDir))
+    // memoized per segment listing, as bandRebuildIfMarkersDue
+    if (markerRowCapCached(s, s"$delta/f0bands", "j") <= maxRows) None
+    else Some(vphashRebuildPublish(s, rootDir))
   }
 
   private val sessionPhashRebuild = new graft.SessionMemo[String, String]

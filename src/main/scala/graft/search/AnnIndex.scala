@@ -967,18 +967,27 @@ object AnnIndex {
     e + 1
   }
 
+  private val sessionTombstoneCaps = new graft.SessionMemo[String, Long]
+
   /** RAW tombstone-row mass of `deltaDir`'s tombstone store — the
     * resolved segments' row count BEFORE the per-id max-fold, so an
     * UPPER BOUND on the live distinct set (at-least-once replays and
     * repeated deletes of one id only inflate it). One columnless
     * count over the small id-only store; 0 for a store that doesn't
-    * exist yet. */
+    * exist yet. MEMOIZED per resolved segment listing (the media
+    * side's `markerRowCapCached` rule): segment dirs are immutable
+    * and the listing names the set, so the count is a pure function
+    * of the listing — a maintenance check against an unchanged store
+    * runs ZERO jobs (the listing read is filesystem metadata), and
+    * any append or fold changes the listing and misses the cache. */
   def tombstoneRowCap(spark: SparkSession, deltaDir: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val segs = graft.sources.SegmentStore.segments(fs, s"$deltaDir/tombstones")
     if (segs.isEmpty) 0L
-    else segs.map(spark.read.parquet(_)).reduce(_.unionByName(_)).count()
+    else sessionTombstoneCaps.getOrCompute(spark, segs.mkString(";")) {
+      segs.map(spark.read.parquet(_)).reduce(_.unionByName(_)).count()
+    }
   }
 
   /** The [[graft.queries.AnnQueries.TombstoneFoldRows]] trigger,

@@ -110,9 +110,12 @@ final class SearchEngine(
     * serving root (`mainDir` set) the epoch ARTIFACT's own rows — a
     * document folded in from a past ingest is corpus-canonical once
     * an epoch publishes it, so correcting it still takes del + put.
-    * The filter applies over the columns the artifact rows CARRY
-    * (per-row — the corpusWithDelta rule; folded-in rows may lack a
-    * metadata column the provisioned corpus has). */
+    * The artifact is ONE frame under the per-frame filter rule
+    * ([[exactRootHits]]' `filter(lit(false))`, corpusWithDelta's
+    * per-side rule): a frame lacking ANY filtered column contributes
+    * nothing — so an artifact without the filtered columns blocks no
+    * delta row (the session rule exactly: canonical ids OUTSIDE the
+    * filter don't block a matching delta row). */
   private def canonicalIds(sfDir: String, mainDir: Option[String],
                            filter: Seq[(String, Any)]): DataFrame =
     mainDir match {
@@ -123,8 +126,11 @@ final class SearchEngine(
       case Some(m) =>
         val art = spark.read.parquet(s"$m/corpus")
         val present = filter.filter { case (c, _) => art.columns.contains(c) }
-        (if (present.isEmpty) art else art.filter(filterPredicate(present)))
-          .select(col("vec_id").as("doc_id"))
+        val kept =
+          if (filter.isEmpty) art
+          else if (present.size < filter.size) art.filter(lit(false))
+          else art.filter(filterPredicate(present))
+        kept.select(col("vec_id").as("doc_id"))
     }
 
   /** Payload rows for the MAIN-side hit ids (≤ k — every lookup
@@ -432,6 +438,11 @@ final class SearchEngine(
           d.filter(col("doc_id").isin(deltaIds: _*))
             .select($"doc_id", $"text"))
     }
+    // the inner join drops a merged hit whose payload exists NOWHERE
+    // (artifact without a text column AND absent from the documents
+    // table) — such a result serves under-k rather than fabricating a
+    // payload; the batch route's final merge applies the same rule, so
+    // batch == per-prompt holds on this edge too
     payload
       .join(broadcast(scores), Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id"))
@@ -625,7 +636,19 @@ final class SearchEngine(
   private def exactRootHits(sfDir: String, rootDir: String, qv: Array[Float],
                             k: Int, filter: Seq[(String, Any)]): Array[SearchHit] = {
     val (idx, delta) = graft.search.AnnIndex.ServingRoot.resolve(spark, rootDir)
-    val frames = graft.search.AnnIndex.lsmLiveSegments(spark, idx, delta)
+    exactLiveHits(sfDir, idx, Some(delta), qv, k, filter)
+  }
+
+  /** [[exactRootHits]]' body over an explicit (artifact, delta) pair —
+    * the exact fallback for ANY epoch-artifact route (the batch entry
+    * point's `mainDir` included: its degraded answer must still cover
+    * the artifact's folded-in docs, not silently revert to the SESSION
+    * corpus). A `deltaDir` of None scans the artifact's frames alone. */
+  private def exactLiveHits(sfDir: String, idx: String,
+                            deltaDir: Option[String], qv: Array[Float],
+                            k: Int, filter: Seq[(String, Any)]): Array[SearchHit] = {
+    val frames = graft.search.AnnIndex.lsmLiveSegments(spark, idx,
+      deltaDir.getOrElse(s"$idx/__no_delta__"))
     val rows = frames.zipWithIndex.map { case (f, i) =>
       val textCol = if (f.columns.contains("text")) col("text")
         else lit(null).cast("string")
@@ -688,31 +711,13 @@ final class SearchEngine(
       s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
     require(prompts.nonEmpty && prompts.size <= SearchEngine.MaxBatchPrompts,
       s"batch must carry 1..${SearchEngine.MaxBatchPrompts} prompts, got ${prompts.size}")
-    val main = mainDir.getOrElse(indexDir(sfDir))
     val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
-    val hint: DataFrame => DataFrame = deltaDir match {
-      case Some(d) if dels.isDefined =>
-        graft.search.AnnIndex.tombstoneHint(spark, d)
-      case _ => identity
-    }
     val queries = prompts.zipWithIndex
       .map { case (p, i) => (i.toLong, embedder.embed(p).toSeq) }
       .toDF("vec_id", "embedding")
-    // MAIN: filter (q152's pre-filter pushdown) and tombstone shadow
-    // applied to the frame BEFORE ranking, so every query's top-k
-    // back-fills with live qualifying rows exactly
-    val art = spark.read.parquet(s"$main/corpus")
-    val artFiltered =
-      if (filter.isEmpty) art else art.filter(filterPredicate(filter))
-    val mainFrame = dels match {
-      case None => artFiltered
-      case Some(d) => artFiltered
-        .join(hint(d.select(col("vec_id"))), Seq("vec_id"), "left_anti")
-    }
-    val mainHits = graft.search.AnnIndex
-      .probeIvfPqSegmentsMulti(spark, main, Seq(mainFrame), queries,
-        k, nProbe, shortlist)
-      .select($"query_id", $"doc_id", $"score")
+    val mainHits =
+      batchMainProbeFrame(sfDir, prompts, k, nProbe, shortlist, deltaDir,
+        filter, mainDir)
       .collect() // ≤ prompts·k rows
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // DELTA: one exact pass scores every live delta row against every
@@ -797,9 +802,52 @@ final class SearchEngine(
       }
       (fromMain ++ fromDelta).toMap
     }
+    // a merged hit with no payload anywhere is dropped below k — the
+    // per-prompt route's inner-join rule exactly (see searchIndexed's
+    // final join), keeping batch == per-prompt on this edge
     merged.map(_.flatMap { case (id, score) =>
       textOf.get(id).map(SearchHit(id, _, score))
     }.toSeq)
+  }
+
+  /** The batched route's MAIN-side probe frame — built, NOT collected:
+    * ONE [[graft.search.AnnIndex.probeIvfPqSegmentsMulti]] plan serves
+    * the whole prompt batch (the metadata filter and the tombstone
+    * shadow applied to the artifact frame BEFORE ranking, so every
+    * query's top-k back-fills with live qualifying rows exactly).
+    * Public as [[searchIndexedBatch]]'s plan-pin seam: the batch
+    * feature IS this plan shape — N prompts, one probe subtree — and
+    * PlanSpec asserts it on exactly this frame (a silent fallback to
+    * per-prompt plans would triple the artifact scans, the q176
+    * lesson). Returns (query_id, doc_id, score). */
+  def batchMainProbeFrame(sfDir: String, prompts: Seq[String], k: Int = 10,
+      nProbe: Int = graft.queries.AnnQueries.IvfNProbe,
+      shortlist: Int = graft.queries.AnnQueries.ServedShortlist,
+      deltaDir: Option[String] = None,
+      filter: Seq[(String, Any)] = Nil,
+      mainDir: Option[String] = None): DataFrame = {
+    val main = mainDir.getOrElse(indexDir(sfDir))
+    val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
+    val hint: DataFrame => DataFrame = deltaDir match {
+      case Some(d) if dels.isDefined =>
+        graft.search.AnnIndex.tombstoneHint(spark, d)
+      case _ => identity
+    }
+    val queries = prompts.zipWithIndex
+      .map { case (p, i) => (i.toLong, embedder.embed(p).toSeq) }
+      .toDF("vec_id", "embedding")
+    val art = spark.read.parquet(s"$main/corpus")
+    val artFiltered =
+      if (filter.isEmpty) art else art.filter(filterPredicate(filter))
+    val mainFrame = dels match {
+      case None => artFiltered
+      case Some(d) => artFiltered
+        .join(hint(d.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    }
+    graft.search.AnnIndex
+      .probeIvfPqSegmentsMulti(spark, main, Seq(mainFrame), queries,
+        k, nProbe, shortlist)
+      .select($"query_id", $"doc_id", $"score")
   }
 
   /** [[searchIndexedBatch]] rendered for the tool surface: a JSON
@@ -809,8 +857,12 @@ final class SearchEngine(
     * a single-tool behavior). Degradation contract as
     * [[searchJsonIndexed]]: a NonFatal index-route failure serves the
     * EXACT scan per prompt — slower (the batch loses its one-plan
-    * economy), never wronger, counted and logged. Argument errors
-    * (k/prompt caps) stay loud on both routes. */
+    * economy), never wronger, counted and logged. "Never wronger"
+    * binds the fallback to the route's OWN corpus: with `mainDir` set
+    * the exact scans cover the epoch artifact's live frames
+    * ([[exactLiveHits]] — a session-corpus scan would drop every
+    * folded-in doc), without it the session corpus ∪ delta. Argument
+    * errors (k/prompt caps) stay loud on both routes. */
   def searchJsonBatch(sfDir: String, prompts: Seq[String], k: Int = 10,
       deltaDir: Option[String] = None,
       filter: Seq[(String, Any)] = Nil,
@@ -827,8 +879,13 @@ final class SearchEngine(
           indexFallbackCount.incrementAndGet()
           System.err.println("graft: batch index route failed (" +
             s"${e.getClass.getSimpleName}: ${e.getMessage}); serving exact scans")
-          prompts.map(p =>
-            search(sfDir, p, k, deltaDir, filter).collect().toSeq)
+          mainDir match {
+            case Some(m) => prompts.map(p =>
+              exactLiveHits(sfDir, m, deltaDir, embedder.embed(p), k,
+                filter).toSeq)
+            case None => prompts.map(p =>
+              search(sfDir, p, k, deltaDir, filter).collect().toSeq)
+          }
       })
   }
 

@@ -133,4 +133,37 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
       assert(canonical.sorted === mllib, s"pair sets differ at minCos=$minCos")
     }
   }
+
+  test("tombstoneRowCap memoizes per segment listing: an unchanged store runs zero jobs") {
+    val delta = java.nio.file.Files
+      .createTempDirectory("graft_tomb_memo").toString
+    AnnIndex.appendTombstones(spark, delta,
+      Seq(1L, 2L, 3L).toDF("vec_id"), 0L, compactEvery = 0)
+    assert(AnnIndex.tombstoneRowCap(spark, delta) === 3L)
+    // a maintenance check against the UNCHANGED store must run zero
+    // Spark jobs — the count is a pure function of the immutable
+    // segment listing (the media markerRowCapCached rule, ported)
+    org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(AnnIndex.tombstoneRowCap(spark, delta) === 3L)
+      assert(AnnIndex.tombstoneRowCap(spark, delta) === 3L)
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs.get === 0,
+        s"memoized checks must run zero jobs, ran ${jobs.get}")
+      // an append CHANGES the listing — the cache misses and recounts
+      AnnIndex.appendTombstones(spark, delta,
+        Seq(4L, 4L, 5L).toDF("vec_id"), 1L, compactEvery = 0)
+      assert(AnnIndex.tombstoneRowCap(spark, delta) === 6L,
+        "the raw cap counts replay rows too (upper bound — folds early, never late)")
+      org.apache.spark.GraftListenerBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs.get > 0, "a changed listing must recount")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

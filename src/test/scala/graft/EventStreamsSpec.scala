@@ -909,4 +909,105 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         "frames kept a marker that shadows a served frame")
     } finally qv.stop()
   }
+
+  test("mediaOpsMaintain: takedowns past the trigger actuate the rebuild mid-stream, probes stay green across the swap") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    import graft.multimodal.Multimodal
+    import graft.search.AnnIndex.ServingRoot
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_media_maint_stream").toString + "/r"
+    MultimodalQueries.mediaRootInit(spark,
+      s"${MultimodalQueries.phashIndexDir(spark, sf0001)}/bands", root)
+    def bands(ids: Seq[Long]) =
+      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(
+          ids.toDF("doc_id")))
+        .select($"doc_id", $"band0", $"band1", $"band2", $"band3",
+          $"qt0", $"qt1", $"qt2", $"qt3")
+    // 900000–900002 are one planted variant family (VariantGroupSize=3,
+    // far outside the fixture id range); 900010 is family-less here
+    val probeB2 = bands(Seq(900002L))
+    def probe() = MultimodalQueries.graduatedBandProbeRoot(spark, root,
+      probeB2, MultimodalQueries.PhashMaxHamming)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.mediaOpsMaintain(
+      mem.toDF().toDF("doc_id", "op"), root, compactEvery = 1,
+      maxMarkerRows = 0L)()
+    try {
+      // batch 0: puts only — zero markers, the trigger must NOT fire
+      mem.addData(Seq((900000L, "put"), (900001L, "put"), (900010L, "put")))
+      q.processAllAvailable()
+      assert(ServingRoot.resolve(spark, root)._1.endsWith("epoch_0"))
+      val p1 = probe().as[(Long, Long, Long, Long)].collect().toSeq
+      assert(p1 === Seq((900002L, 0L, 2L, 0L)),
+        s"pre-rebuild: both family members must serve from the store, got $p1")
+      // batch 1: a takedown past the trigger — the rebuild actuates
+      // INSIDE the stream (the round-16 gap: nothing called the
+      // actuator): the generation publishes, the store comes back empty
+      mem.addData(Seq((900001L, "del")))
+      q.processAllAvailable()
+      val (idx1, store1) = ServingRoot.resolve(spark, root)
+      assert(idx1.endsWith("epoch_1"),
+        "the marker-mass trigger must publish the next generation")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(graft.sources.SegmentStore.segments(fs, store1).isEmpty,
+        "the fresh generation starts with an empty store (marker cap 0)")
+      val static1 = spark.read.parquet(s"$idx1/bands")
+      assert(static1.filter($"doc_id" === 900001L).count() === 0L,
+        "the taken-down doc must be physically absent from the rebuilt static")
+      assert(static1.filter($"doc_id" === 900000L).count() > 0L &&
+        static1.filter($"doc_id" === 900010L).count() > 0L,
+        "surviving graduated docs must be static now")
+      // the probe stays green across the swap: the survivor answers
+      // (from the static — store-less probe), the victim does not
+      val p2 = probe().as[(Long, Long, Long)].collect().toSeq
+      assert(p2 === Seq((900002L, 1L, 0L)),
+        s"post-rebuild: exactly the surviving family member answers, got $p2")
+      // batch 2: a re-put lands in the NEW generation's store (the
+      // pointer is resolved per batch) and serves again; no markers,
+      // no rebuild
+      mem.addData(Seq((900001L, "put")))
+      q.processAllAvailable()
+      assert(ServingRoot.resolve(spark, root)._1.endsWith("epoch_1"))
+      val p3 = probe().as[(Long, Long, Long, Long)].collect().toSeq
+      assert(p3 === Seq((900002L, 1L, 1L, 0L)),
+        s"the re-put must serve from the fresh store, got $p3")
+    } finally q.stop()
+  }
+
+  test("vphashOpsMaintain: the two-table rebuild actuates mid-stream under one pointer") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    import graft.search.AnnIndex.ServingRoot
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vph_maint_stream").toString + "/r"
+    MultimodalQueries.vphashRootInit(spark,
+      MultimodalQueries.vphashIndexDir(spark, sf0001), root)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.vphashOpsMaintain(
+      mem.toDF().toDF("doc_id", "op"), root, compactEvery = 1,
+      maxMarkerRows = 0L)()
+    try {
+      mem.addData(Seq((900000L, "put"), (900001L, "put")))
+      q.processAllAvailable()
+      assert(ServingRoot.resolve(spark, root)._1.endsWith("epoch_0"))
+      mem.addData(Seq((900001L, "del")))
+      q.processAllAvailable()
+      val (idx1, delta1) = ServingRoot.resolve(spark, root)
+      assert(idx1.endsWith("epoch_1"),
+        "the anchor-mass trigger must publish the next generation")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      for (t <- Seq("f0bands", "frames")) {
+        assert(graft.sources.SegmentStore.segments(fs, s"$delta1/$t").isEmpty,
+          s"$t: the fresh generation's store must be empty")
+        val st = spark.read.parquet(s"$idx1/$t")
+        assert(st.filter($"doc_id" === 900001L).count() === 0L,
+          s"$t kept the taken-down doc")
+        assert(st.filter($"doc_id" === 900000L).count() > 0L,
+          s"$t lost the surviving graduated doc")
+      }
+    } finally q.stop()
+  }
 }

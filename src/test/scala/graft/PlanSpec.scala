@@ -1305,4 +1305,67 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"no join anywhere — key computation is row-local:\n$p")
   }
+
+  test("q183 audio rebuild probe: the fresh generation alone — no store read, no marker shadow") {
+    val p = plan("q183_afp_rebuild")
+    // the partner side reads the rebuilt static generation ONLY; the
+    // candidate side reads the fixture documents (the cached decode
+    // view's build plan echoes its scan). A segment-store read or a
+    // marker anti-join would mean the rebuild didn't retire the
+    // lifecycle cost (q182's pinned property, completed for the trio)
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("graft_afp_rebuild")),
+      s"the rebuilt generation must be scanned:\n${scans.mkString("\n")}")
+    assert(scans.forall(l =>
+      l.contains("graft_afp_rebuild") || l.contains("documents.parquet")),
+      s"no store segment may be read post-rebuild:\n${scans.mkString("\n")}")
+    assert(!p.contains("LeftAnti"),
+      s"no marker shadow anti-join may survive the rebuild:\n$p")
+  }
+
+  test("q185 root-served search keeps the q173 probe shape behind the pointer") {
+    // the probe half executed eagerly against the pointer-resolved
+    // epoch artifact; the RETURNED plan is the payload fetch and must
+    // keep q173's properties — point-lookup pushdown, broadcast merge,
+    // no sort-merge join, no corpus-side shuffle
+    val p = plan("q185_root_served")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Scan parquet") && l.contains("PushedFilters: [In(")),
+      s"hit ids must push into the payload scans as point lookups:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the k-row score table must broadcast:\n$p")
+    // post-fold the epoch delta is EMPTY (physically dropped), so not
+    // even the q173 allowance of two small delta exchanges applies
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"nothing may hash-shuffle in the root-served fetch:\n$p")
+  }
+
+  test("q186 batched serving: N prompts share ONE probe subtree") {
+    // the feature IS the plan shape (round-16 verdict missing #2): a
+    // silent fallback to per-prompt plans would multiply the artifact
+    // scans by the batch size and only answer-equality would notice,
+    // at fixture scale. Pin the probe frame searchIndexedBatch
+    // collects: the artifact scan set must be ONE ADC + rescore pair
+    // regardless of prompt count.
+    val eng = new graft.search.SearchEngine(spark)
+    def artScans(n: Int): Seq[String] = {
+      val p = eng.batchMainProbeFrame(sf001,
+          graft.queries.AnnQueries.BatchServedPrompts.take(n), 10)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"batched probe joins must broadcast:\n$p")
+      assert(p.contains("partial_topkagg"),
+        s"per-query top-k must combine map-side:\n$p")
+      // dedup by scan body: the DPP subquery echoes its build subtree
+      p.linesIterator.filter(l =>
+          l.contains("Scan parquet") && l.contains("graft_ivfpq_index"))
+        .map(l => l.substring(l.indexOf("FileScan"))).toSeq.distinct
+    }
+    val one = artScans(1)
+    val three = artScans(3)
+    assert(three.size == 2,
+      s"expected ONE ADC + rescore artifact scan pair for the whole batch:\n${three.mkString("\n")}")
+    assert(one.size == three.size,
+      "the artifact scan count must not scale with the prompt count")
+  }
 }

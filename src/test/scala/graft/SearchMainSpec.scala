@@ -530,4 +530,112 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
       (_, _) => "x").get)
     assert((bad3 \ "error" \ "code") === JInt(-32602))
   }
+
+  test("maintenance runs on the background sequencer: responses flow DURING a fold, one check in flight") {
+    val eng = new graft.search.SearchEngine(spark)
+    val foldStarted = new java.util.concurrent.CountDownLatch(1)
+    val foldRelease = new java.util.concurrent.CountDownLatch(1)
+    val actionRuns = new java.util.concurrent.atomic.AtomicInteger
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val toServer = new java.io.PipedOutputStream()
+    val fromTest = new java.io.PrintStream(toServer, true, "UTF-8")
+    val serverIn = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.PipedInputStream(toServer, 1 << 16), "UTF-8"))
+    @volatile var servedTotal = -1
+    val server = new Thread(() => {
+      servedTotal = Search.serve(eng, sf0001, k = 3, serverIn,
+        new java.io.PrintStream(outBuf, true, "UTF-8"),
+        maintainEvery = 1,
+        // delay-injected maintenance: blocks until the test releases
+        // it — the window in which serving must continue
+        maintainAction = Some(() => {
+          actionRuns.incrementAndGet()
+          foldStarted.countDown()
+          foldRelease.await()
+        }))
+    }, "graft-bg-maint-serve")
+    server.start()
+    def lines(): Seq[String] = {
+      val all = outBuf.toString("UTF-8")
+      all.substring(0, all.lastIndexOf('\n') + 1)
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
+    def request(line: String): String = {
+      val before = lines().size
+      fromTest.println(line)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (lines().size <= before) {
+        assert(System.nanoTime() < deadline, s"serve timed out on: $line")
+        Thread.sleep(25)
+      }
+      lines().last
+    }
+    // request 1 answers, then its cadence crossing enqueues the fold
+    val r1 = request("fast hash join on a big table")
+    assert(r1.contains("\"doc_id\""))
+    assert(foldStarted.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "the maintenance action must start on the background thread")
+    // THE claim: a request issued while the fold is mid-flight is
+    // answered — the fold never stalls the request thread
+    val r2 = request("sorted merge of event batches")
+    assert(r2.contains("\"doc_id\""),
+      "a request during a mid-flight fold must be answered")
+    assert(actionRuns.get === 1,
+      "a cadence crossing during a mid-flight check is skipped, not queued")
+    foldRelease.countDown()
+    fromTest.close()
+    server.join(60000)
+    assert(servedTotal === 2)
+    assert(actionRuns.get === 1)
+  }
+
+  test("protocol chatter does not drive maintenance; tool calls do — and EOF drains the sequencer") {
+    val eng = new graft.search.SearchEngine(spark)
+    val actionRuns = new java.util.concurrent.atomic.AtomicInteger
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""" + "\n" +
+      """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""" + "\n" +
+      """{"jsonrpc":"2.0","id":3,"method":"ping"}""" + "\n" +
+      "fast hash join\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf0001, k = 2,
+      in, new java.io.PrintStream(buf, true, "UTF-8"),
+      maintainEvery = 1,
+      maintainAction = Some(() => { actionRuns.incrementAndGet(); () }))
+    // all four lines answered, but only the PROMPT was a tool
+    // invocation — three protocol responses drove zero checks; serve
+    // returning proves the drain (the action completed before exit)
+    assert(served === 4)
+    assert(actionRuns.get === 1,
+      s"exactly the one tool call must drive maintenance, got ${actionRuns.get}")
+  }
+
+  test("--index false: the batch tool is a loud isError, the single tool honors the exact route") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val eng = new graft.search.SearchEngine(spark)
+    val batchCall =
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"${Mcp.BatchToolName}","arguments":{"prompts":["fast hash join"]}}}"""
+    val singleCall =
+      s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"${Mcp.ToolName}","arguments":{"prompt":"fast hash join"}}}"""
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      batchCall + "\n" + singleCall + "\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val served = Search.serve(eng, sf0001, k = 3,
+      in, new java.io.PrintStream(buf, true, "UTF-8"), index = false)
+    assert(served === 2)
+    val out = buf.toString("UTF-8").trim.split("\n").toSeq
+    // the batch tool cannot honor --index false (it EXISTS for the
+    // one-plan probe): a loud tool-execution error, the one-shot
+    // CLI's contradiction policy — never a silent index read
+    val batch = parse(out(0))
+    assert((batch \ "result" \ "isError") === JBool(true))
+    val JString(msg) = (batch \ "result" \ "content")(0) \ "text": @unchecked
+    assert(msg.contains("--index false"), msg)
+    // the single tool serves the exact scan as configured
+    val single = parse(out(1))
+    assert((single \ "result" \ "isError") === JBool(false))
+    val JString(hits) = (single \ "result" \ "content")(0) \ "text": @unchecked
+    assert(hits.contains("\"doc_id\""))
+  }
 }
