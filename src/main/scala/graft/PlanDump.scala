@@ -372,7 +372,8 @@ object PlanDump {
         "corpus ever shuffling on anything but the bounded " +
         "per-iteration aggregates."),
     "q155_image_phash" ->
-      ("Perceptual-hash image dedup: real decode + aHash inside " +
+      ("Perceptual-hash image dedup: real decode + dHash (the round-17 " +
+        "adopted threshold-free bit family) inside " +
         "mapPartitions (blobs never shuffle), ONE equi-join on the " +
         "exploded (band_idx, band_val) key with the canonical " +
         "first-agreeing-band filter — candidate generation is banding, " +

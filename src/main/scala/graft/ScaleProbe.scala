@@ -1570,7 +1570,7 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
       .select(col("doc_id"))
     val bands = Multimodal
-      .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      .imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
       .select(Seq(col("doc_id")) ++ (0 until 4).map(j => col(s"band$j")) ++
         (0 until 4).map(j => col(s"qt$j")): _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -1671,7 +1671,7 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
       .select(col("doc_id"))
     val bands = Multimodal
-      .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      .imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
       .select(Seq(col("doc_id")) ++ (0 until 4).map(j => col(s"band$j")) ++
         (0 until 4).map(j => col(s"qt$j")): _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)

@@ -296,7 +296,11 @@ object Multimodal {
     * are local). Composed-key recall is therefore bounded by the
     * measured retention of the band-cand probe
     * (`bench/band_cand_r15.jsonl`: 99.03% of planted pairs), not by a
-    * pigeonhole guarantee. Also emits
+    * pigeonhole guarantee — which is why round 17 measured and ADOPTED
+    * the threshold-free [[imageDHashBands]] family for every
+    * production image path (`bench/dhash_probe_r17.json`: 100%
+    * retention); this function remains as the measured alternative and
+    * the lost-pairs harness's subject. Also emits
     * `gray_total` (the per-image gray mass the bit threshold divides
     * against = Σ qt_j) — the content checksum downstream export
     * manifests carry without a second decode pass (q160). Decode and
@@ -356,20 +360,23 @@ object Multimodal {
   }
 
   /** DIFFERENCE-hash bands — [[imageAHashBands]] with a THRESHOLD-FREE
-    * bit family (measured prototype, round-17): bit `fp` is
+    * bit family, ADOPTED round-17 as THE image fingerprint (every
+    * production image-dedup path — corpus bands, persisted index,
+    * graduation stores, streaming twins — computes these): bit `fp` is
     * `gray(fp) > gray(fp+1 mod n)` — each bit compares two NEIGHBOR
     * pixels, no global mean anywhere, the image analogue of the audio
-    * delta-sign bits that measured 100% planted-pair retention. The
-    * round-16 lost-pairs receipt proved the aHash family's ~2% loss is
-    * global-threshold coupling (a one-pixel edit shifts the mean and
-    * flips far-away bits at EQUAL mass); neighbor-local bits cannot
-    * couple that way — a local edit only touches the bits whose pixel
-    * pair it overlaps. Same output shape as [[imageAHashBands]]
-    * (band0–3, qt0–3, gray_total; quadrant masses and total unchanged
-    * — the composed key's mass half is shared), same row-local decode
-    * and quarantine contract. Adopt/reject is decided by
-    * `ScaleProbe --dhash-probe` retention + candidate-volume
-    * measurements (SCALING.md), not assumed. */
+    * delta-sign bits. The round-16 lost-pairs receipt proved the aHash
+    * family's ~2% loss is global-threshold coupling (a one-pixel edit
+    * shifts the mean and flips far-away bits at EQUAL mass);
+    * neighbor-local bits cannot couple that way — a local edit only
+    * touches the bits whose pixel pair it overlaps. Measured before
+    * adoption (`bench/dhash_probe_r17.json`, 500 k docs): 100.00%
+    * planted-pair retention vs aHash's 98.01%, candidate volume still
+    * flat per-n (2.53 vs 2.11 pairs/doc, max bucket 13). Same output
+    * shape as [[imageAHashBands]] (band0–3, qt0–3, gray_total;
+    * quadrant masses and total unchanged — the composed key's mass
+    * half is shared), same row-local decode and quarantine
+    * contract. */
   def imageDHashBands(blobs: DataFrame): DataFrame = {
     val bandFields = (0 until 4).map(j => s"band$j") ++
       (0 until 4).map(j => s"qt$j") :+ "gray_total"

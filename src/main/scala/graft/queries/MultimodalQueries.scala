@@ -54,13 +54,20 @@ object MultimodalQueries {
   /** q137 decimation factor: 64 samples → 16 pooled (8 kHz → 2 kHz). */
   val DownFactor = 4
 
-  /** q155: keep candidate pairs whose full 64-bit aHash Hamming
-    * distance is at most this. Planted same-group pairs differ in ≤ 2
-    * perturbed pixels plus whatever borderline bits the mean shift
-    * flips — 6 absorbs that comfortably while random cross-group pairs
-    * sit at ~32 (binomial around 64/2) and band-collision candidates
-    * are rejected by the verify. The BAND rule (agree on ≥ 1 of 4
-    * 16-bit bands) GUARANTEES candidacy only for Hamming ≤ 3
+  /** q155: keep candidate pairs whose full 64-bit image-hash Hamming
+    * distance is at most this. The bit family is the round-17 ADOPTED
+    * difference hash ([[graft.multimodal.Multimodal.imageDHashBands]]
+    * — neighbor-comparison bits, threshold-free): a perturbed pixel
+    * touches exactly its two adjacent comparisons, so planted
+    * same-group pairs (≤ 2 perturbed pixels) sit at Hamming ≤ 4
+    * DETERMINISTICALLY — no global-mean coupling, the mechanism that
+    * cost the superseded aHash family ~2% of planted pairs at 500 k
+    * (`bench/lost_pairs_r16.json` measured the loss;
+    * `bench/dhash_probe_r17.json` measured this family at 100%
+    * retention with candidate volume still flat per-n). 6 keeps the
+    * prior declared cut (margin over the deterministic 4) while
+    * random cross-group pairs sit at ~32. The BAND rule (agree on
+    * ≥ 1 of 4 16-bit bands) GUARANTEES candidacy only for Hamming ≤ 3
     * (pigeonhole); beyond that it is the standard banding heuristic —
     * and the oracle applies the identical rule, so hash-green
     * certifies the declared semantics, not an all-pairs ideal. */
@@ -466,7 +473,7 @@ object MultimodalQueries {
         .spreadIfNarrow(s)
         .select(col("doc_id"))
       Multimodal
-        .imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+        .imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"),
           col("gray_total"))
@@ -534,7 +541,7 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) < PhashProbeNewMin)
         .select(col("doc_id"))
       val h = Multimodal
-        .imageAHashBands(Multimodal.ingestSynthVariantImages(old))
+        .imageDHashBands(Multimodal.ingestSynthVariantImages(old))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
       explodeBandKeys(h)
@@ -778,7 +785,7 @@ object MultimodalQueries {
 
   private[graft] def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
     newBatchBandsView(s, dir, "graft_cache_phash_newbatch_", docs =>
-      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3")))
 
@@ -1318,11 +1325,13 @@ object MultimodalQueries {
     "q155_image_phash" -> ((s, dir) => {
       // perceptual-hash near-dup detection over REAL decoded images —
       // the multimodal face of the dedup family (production pipelines
-      // run pHash/PDQ for near-dup image filtering; aHash is the
-      // public ancestor): planted variant PNGs (groups of 3 share a
-      // base image, each member perturbs one pixel) are ingested,
-      // DECODED back (ImageIO, row-local), aHashed into 4×16-bit
-      // bands, and near-dup pairs come from the SimHash-banding shape
+      // run pHash/PDQ for near-dup image filtering; aHash/dHash are
+      // the public ancestors): planted variant PNGs (groups of 3 share
+      // a base image, each member perturbs one pixel) are ingested,
+      // DECODED back (ImageIO, row-local), difference-hashed into
+      // 4×16-bit bands (the round-17 adopted threshold-free family —
+      // see PhashMaxHamming), and near-dup pairs come from the
+      // SimHash-banding shape
       // — a CANONICAL band equi-join per band (a pair is claimed only
       // in its first agreeing band, so no distinct is ever needed),
       // then an exact 64-bit Hamming verify ≤ PhashMaxHamming. Every
@@ -1370,7 +1379,7 @@ object MultimodalQueries {
         .withColumn("blob",
           when(pmod(col("doc_id"), lit(37L)) === 0,
             expr("substring(blob, 1, 10)")).otherwise(col("blob")))
-      Multimodal.imageAHashBands(blobs)
+      Multimodal.imageDHashBands(blobs)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_blobs"),
@@ -1861,12 +1870,16 @@ object MultimodalQueries {
   )
 
   /** DuckDB CTE chain ending in `bands(doc_id, band0..band3)` — the
-    * full variant-image pixel → gray → aHash-bit → 16-bit-band
+    * full variant-image pixel → gray → dHash-bit → 16-bit-band
     * arithmetic the engine's PNG decode round-trip must reproduce
     * bit-for-bit. Shared by the q155 pair oracle and the q158 probe
     * oracle (one derivation, two query semantics on top). The base
     * pixel is the QUADRATIC mix (affine y first — it wraps mod P —
-    * then y² mod P + y; y < P keeps y² under 2^62 in both engines). */
+    * then y² mod P + y; y < P keeps y² under 2^62 in both engines).
+    * The bit rule is the round-17 ADOPTED difference hash — bit fp is
+    * `gray(fp) > gray((fp+1) mod 64)`, the image twin of the audio
+    * CTE's delta-sign rule below (`bench/dhash_probe_r17.json`:
+    * 100% planted retention vs aHash's 98.0% at 500 k). */
   private lazy val variantImageBandsCtes: String = {
     val (ba, bb) = graft.functions.PortableHash.VariantBasePair
     val (pa, pb) = graft.functions.PortableHash.VariantPixelPair
@@ -1890,9 +1903,10 @@ object MultimodalQueries {
        |tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total
        |        FROM px GROUP BY 1),
        |bits AS (
-       |  SELECT px.doc_id, px.fp, px.gray,
-       |    CASE WHEN px.gray * 64 > t.total THEN 1 ELSE 0 END AS bit
-       |  FROM px JOIN tot t ON px.doc_id = t.doc_id),
+       |  SELECT a.doc_id, a.fp, a.gray,
+       |    CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+       |  FROM px a JOIN px b
+       |    ON a.doc_id = b.doc_id AND b.fp = (a.fp + 1) % 64),
        |bands AS (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN fp < 16 THEN bit * (1::BIGINT << fp) ELSE 0 END) AS BIGINT) AS band0,

@@ -396,7 +396,7 @@ object EventStreams {
                         newDocs: DataFrame, maxHamming: Long): DataFrame = {
     import graft.multimodal.Multimodal
     bandProbeStream(spark, indexDir,
-      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(newDocs)),
+      Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(newDocs)),
       maxHamming)
   }
 
@@ -466,7 +466,7 @@ object EventStreams {
                          (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     bandIngestGraduate(newDocs, storeDir, compactEvery, docs => {
       import graft.multimodal.Multimodal
-      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
     }, checkpointDir)(afterBatch)
@@ -527,7 +527,7 @@ object EventStreams {
                       (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     bandOpsGraduate(ops, storeDir, compactEvery, "mediaOpsGraduate", docs => {
       import graft.multimodal.Multimodal
-      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
     }, checkpointDir)(afterBatch)
@@ -623,7 +623,7 @@ object EventStreams {
                       (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     bandOpsMaintain(ops, rootDir, compactEvery, "mediaOpsMaintain", docs => {
       import graft.multimodal.Multimodal
-      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(docs))
+      Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
     }, maxMarkerRows, checkpointDir)(afterBatch)

@@ -404,7 +404,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id", $"j", $"v", $"m", $"band0", $"band1", $"band2", $"band3", $"qt0", $"qt1", $"qt2", $"qt3")
       .collect().map(_.toSeq).toSet
     val oneShot = MultimodalQueries.explodeBandKeys(
-        Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(b1))
+        Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(b1))
           .select($"doc_id", $"band0", $"band1", $"band2", $"band3", $"qt0", $"qt1", $"qt2", $"qt3"))
       .select($"doc_id", $"j", $"v", $"m", $"band0", $"band1", $"band2", $"band3", $"qt0", $"qt1", $"qt2", $"qt3")
       .collect().map(_.toSeq).toSet
@@ -920,7 +920,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     MultimodalQueries.mediaRootInit(spark,
       s"${MultimodalQueries.phashIndexDir(spark, sf0001)}/bands", root)
     def bands(ids: Seq[Long]) =
-      Multimodal.imageAHashBands(Multimodal.ingestSynthVariantImages(
+      Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(
           ids.toDF("doc_id")))
         .select($"doc_id", $"band0", $"band1", $"band2", $"band3",
           $"qt0", $"qt1", $"qt2", $"qt3")

@@ -335,6 +335,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((got._1, got._2, got._3, got._4) === ((bands(0), bands(1), bands(2), bands(3))))
   }
 
+  test("dHash bands from a decoded variant PNG match the pixel formula bit for bit") {
+    // the ADOPTED image bit family (round-17, bench/dhash_probe_r17):
+    // bit fp compares NEIGHBOR grays — threshold-free, so the decode
+    // round-trip must reproduce the neighbor-comparison bits exactly
+    val id = 77L
+    val got = Multimodal.imageDHashBands(
+        Multimodal.ingestSynthVariantImages(Seq(id).toDF("doc_id")))
+      .select($"band0", $"band1", $"band2", $"band3")
+      .as[(Long, Long, Long, Long)].head()
+    val gray = (0 until 64).map(fp =>
+      (0 until 3).map(c => Multimodal.variantChannel(id, fp * 3 + c).toLong).sum)
+    val bands = new Array[Long](4)
+    for (fp <- 0 until 64 if gray(fp) > gray((fp + 1) % 64))
+      bands(fp / 16) |= 1L << (fp % 16)
+    assert((got._1, got._2, got._3, got._4) === ((bands(0), bands(1), bands(2), bands(3))))
+  }
+
+  test("a planted variant pair flips at most 4 dHash bits, deterministically") {
+    // the adoption's structural claim: each member perturbs ONE pixel,
+    // a pixel touches exactly two neighbor comparisons, two members
+    // differ in ≤ 2 pixels → ≤ 4 bit flips, NO global-threshold
+    // coupling (the aHash family's measured 2% loss mechanism)
+    val ids = Seq(9L, 10L, 11L) // one variant group
+    val bands = Multimodal.imageDHashBands(
+        Multimodal.ingestSynthVariantImages(ids.toDF("doc_id")))
+      .select($"doc_id", $"band0", $"band1", $"band2", $"band3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    for (a <- ids; b <- ids if a < b) {
+      val ham = bands(a).zip(bands(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(ham <= 4, s"planted pair ($a,$b) at dHash Hamming $ham > 4")
+    }
+  }
+
   test("variant images perturb exactly one pixel of the group base") {
     val id = 10L // group 3 member
     val pstar = Multimodal.variantPixel(id)
@@ -559,6 +594,9 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val bands = Multimodal.imageAHashBands(junkRow("image/png"))
       .select($"band0", $"gray_total").head()
     assert(bands.isNullAt(0) && bands.isNullAt(1))
+    val dbands = Multimodal.imageDHashBands(junkRow("image/png"))
+      .select($"band0", $"gray_total").head()
+    assert(dbands.isNullAt(0) && dbands.isNullAt(1))
     val au = Multimodal.audioFeatures(junkRow("audio/wav"))
       .select($"n_samples", $"sum_sq").head()
     assert(au.isNullAt(0) && au.isNullAt(1))
