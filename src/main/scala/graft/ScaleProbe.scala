@@ -178,6 +178,10 @@ object ScaleProbe {
         ensureClones(spark, srcDir, outDir, copies)
         dhashProbe(spark, outDir, copies)
       }
+      else if (flags.contains("vdhash-probe")) {
+        ensureClones(spark, srcDir, outDir, copies)
+        vdhashProbe(spark, outDir, flags)
+      }
       else if (flags.contains("para-probe")) {
         ensureClones(spark, srcDir, outDir, copies)
         paraProbe(spark, outDir, copies)
@@ -2040,6 +2044,114 @@ object ScaleProbe {
         true
       } finally pairs.unpersist(blocking = false)
     } finally bands.unpersist(blocking = false)
+  }
+
+  /** Video-anchor dHash measurement (--vdhash-probe [--clips N]) — the
+    * video face of [[dhashProbe]], measured BEFORE any adoption: the
+    * q157 family anchors candidacy on frame-0 composed keys
+    * (`band_j + qt_j·2^16` + equal frame counts) whose bits are
+    * frame-total-relative aHash — its measured loss (19/6 000: 15
+    * anchor misses + 4 over-the-cut) is a different grain than the
+    * image case, so the image adoption does NOT transfer
+    * automatically. Over planted variant clip families: planted pairs
+    * = equal frame counts AND aligned total Hamming ≤ cut (the
+    * PRODUCTION verify, unchanged); count pairs whose frame-0 anchors
+    * all disagree under the aHash keys vs under dHash keys
+    * ([[graft.multimodal.Multimodal.videoFrameDHashBands]] — same
+    * quarter masses, neighbor-comparison bits), and both key families'
+    * candidate volumes. Adopt/reject lands in SCALING.md. */
+  private def vdhashProbe(spark: SparkSession, outDir: String,
+                          flags: Map[String, String]): Boolean = {
+    import graft.multimodal.Multimodal
+    import graft.queries.MultimodalQueries
+    val nClips = flags.get("clips").map(_.toLong).getOrElse(20000L)
+    val g = Multimodal.VariantGroupSize
+    // GROUP-COMPLETE deterministic sample of ~nClips docs across the
+    // whole clone id space (clone copies ride large id offsets, so a
+    // prefix filter would only see the base copy): sample on the
+    // VARIANT GROUP key so planted families stay intact
+    val allDocs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"))
+    val total = allDocs.count()
+    val keepPerM = math.max(1L, 1000000L * nClips / math.max(total, 1L))
+    val docs = allDocs.filter(
+      pmod((col("doc_id") / g).cast("long") * lit(2654435761L),
+        lit(1000000L)) < lit(keepPerM))
+    val blobs = Multimodal.ingestSynthVariantVideo(docs)
+    val aBands = Multimodal.videoFrameHashBands(blobs)
+      .select(Seq(col("doc_id"), col("frame_idx"), col("n_frames")) ++
+        (0 until 4).map(j => col(s"band$j")) ++
+        (0 until 4).map(j => col(s"qt$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val dF0 = Multimodal.videoFrameDHashBands(blobs)
+      .filter(col("frame_idx") === 0)
+      .select(Seq(col("doc_id")) ++
+        (0 until 4).map(j => col(s"band$j").as(s"dband$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = dF0.count()
+      // planted pairs under the PRODUCTION verify: same variant group,
+      // equal frame counts, aligned total Hamming ≤ cut
+      def frameSide(p: String, idCol: String) = aBands.select(
+        Seq((col("doc_id") / g).cast("long").as("grp"),
+          col("doc_id").as(idCol), col("frame_idx"),
+          col("n_frames").as(s"${p}nf")) ++
+          (0 until 4).map(j => col(s"band$j").as(s"${p}b$j")): _*)
+      val fa = frameSide("x", "doc_a")
+      val fb = frameSide("y", "doc_b")
+      val frameHam = (0 until 4)
+        .map(j => bit_count(col(s"xb$j").bitwiseXOR(col(s"yb$j"))).cast("long"))
+        .reduce(_ + _)
+      val pairs = fa.join(fb, Seq("grp", "frame_idx"))
+        .filter(col("doc_a") < col("doc_b") && col("xnf") === col("ynf"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(frameHam).as("tham"))
+        .filter(col("tham") <= lit(MultimodalQueries.VphashMaxHamming))
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val planted = pairs.count()
+        // frame-0 composed anchor keys per doc, both bit families
+        // (the masses are shared — dHash rides aHash's qt columns)
+        val f0 = aBands.filter(col("frame_idx") === 0)
+          .join(dF0, Seq("doc_id"))
+        def keyed(p: String, idCol: String) = f0.select(
+          Seq(col("doc_id").as(idCol), col("n_frames").as(s"${p}nf")) ++
+            (0 until 4).map(j =>
+              (col(s"band$j") + col(s"qt$j") * lit(1L << 16)).as(s"${p}a$j")) ++
+            (0 until 4).map(j =>
+              (col(s"dband$j") + col(s"qt$j") * lit(1L << 16)).as(s"${p}d$j")): _*)
+        val withKeys = pairs
+          .join(keyed("x", "doc_a"), Seq("doc_a"))
+          .join(keyed("y", "doc_b"), Seq("doc_b"))
+        val anyA = (0 until 4).map(j => col(s"xa$j") === col(s"ya$j")).reduce(_ || _)
+        val anyD = (0 until 4).map(j => col(s"xd$j") === col(s"yd$j")).reduce(_ || _)
+        val lostA = withKeys.filter(!anyA).count()
+        val lostD = withKeys.filter(!anyD).count()
+        val lostBoth = withKeys.filter(!anyA && !anyD).count()
+        // anchor-bucket volume per family: (j, composed key, n_frames)
+        def keyVol(pref: String): (Long, Long) = {
+          val cols = if (pref == "a") (0 until 4).map(j =>
+              col(s"band$j") + col(s"qt$j") * lit(1L << 16))
+            else (0 until 4).map(j =>
+              col(s"dband$j") + col(s"qt$j") * lit(1L << 16))
+          val keys = (0 until 4).map(j => f0.select(
+              lit(j).as("j"), cols(j).as("v"), col("n_frames")))
+            .reduce(_.unionByName(_))
+          val r = keys.groupBy(col("j"), col("v"), col("n_frames"))
+            .agg(count(lit(1)).as("pop"))
+            .agg(sum(expr("pop * (pop - 1) DIV 2")).as("cand"),
+              max(col("pop")).as("max_pop")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (aCand, aMax) = keyVol("a")
+        val (dCand, dMax) = keyVol("d")
+        val retA = if (planted == 0) 1.0 else 1.0 - lostA.toDouble / planted
+        val retD = if (planted == 0) 1.0 else 1.0 - lostD.toDouble / planted
+        println(s"""{"probe":"vdhash","clips":$n,"planted_pairs":$planted,"anchor_lost_ahash":$lostA,"anchor_lost_dhash":$lostD,"anchor_lost_both":$lostBoth,"retention_ahash":${f"$retA%.4f"},"retention_dhash":${f"$retD%.4f"},"ahash_cand":$aCand,"ahash_cand_per_n":${f"${aCand.toDouble / n}%.2f"},"ahash_max_pop":$aMax,"dhash_cand":$dCand,"dhash_cand_per_n":${f"${dCand.toDouble / n}%.2f"},"dhash_max_pop":$dMax}""")
+        true
+      } finally pairs.unpersist(blocking = false)
+    } finally { aBands.unpersist(blocking = false); dF0.unpersist(blocking = false) }
   }
 
   private def decadeUpProbe(spark: SparkSession, outDir: String, copies: Int,

@@ -44,7 +44,7 @@ object Search {
     "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe",
     "lsm-soak", "fold-soak", "band-cand-probe", "refit-probe", "tombstone-probe",
     "takedown-probe", "media-soak", "lost-pairs-probe", "maintain-probe",
-    "rebuild-probe", "batch-probe", "dhash-probe")
+    "rebuild-probe", "batch-probe", "dhash-probe", "vdhash-probe")
 
   /** Split `--name value` / `--name=value` flags from positionals —
     * shared by every runnable main (Search/Verify/Bench) so they all

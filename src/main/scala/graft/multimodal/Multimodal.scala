@@ -1065,7 +1065,24 @@ object Multimodal {
     * shuffle — only the small per-frame hash rows move. Non-GIF /
     * null blobs emit no rows (same contract as
     * [[videoFrameFeatures]]). */
-  def videoFrameHashBands(blobs: DataFrame): DataFrame = {
+  def videoFrameHashBands(blobs: DataFrame): DataFrame =
+    videoFrameBandsImpl(blobs, dhash = false)
+
+  /** [[videoFrameHashBands]] with the THRESHOLD-FREE difference-hash
+    * bit rule (measured prototype — the video face of the round-17
+    * image adoption, see [[imageDHashBands]]): bit j of the canonical
+    * grid compares virtual gray j to virtual gray (j+1) mod 64, no
+    * frame total anywhere. NOT yet the production video family —
+    * `ScaleProbe --vdhash-probe` measures planted anchor retention
+    * and candidate volume under both rules first (the q157 family's
+    * measured loss is 19/6 000 anchor misses, a different grain than
+    * the image case); adopt/reject lands in SCALING.md. Quarter
+    * totals and frame counts are identical to the production family
+    * (the composed key's mass half is shared). */
+  def videoFrameDHashBands(blobs: DataFrame): DataFrame =
+    videoFrameBandsImpl(blobs, dhash = true)
+
+  private def videoFrameBandsImpl(blobs: DataFrame, dhash: Boolean): DataFrame = {
     val outSchema = StructType(blobs.schema.fields ++ Seq(
       StructField("frame_idx", LongType, nullable = false),
       StructField("n_frames", LongType, nullable = false)) ++
@@ -1080,7 +1097,7 @@ object Multimodal {
         val mediaType = r.getStruct(metaIdx).getString(0)
         if (blob == null || mediaType != "image/gif") Iterator.empty
         else {
-          val frames = gifFrameBands(blob).getOrElse(Vector.empty) // quarantined
+          val frames = gifFrameBands(blob, dhash).getOrElse(Vector.empty) // quarantined
           frames.zipWithIndex.map { case (out, f) =>
             Row.fromSeq(r.toSeq ++ (Seq(f.toLong, frames.size.toLong) ++ out))
           }
@@ -1114,7 +1131,8 @@ object Multimodal {
     *  3. `qt_q` = exact sum of quarter q's 16 virtual values (≤ 4080,
     *     12 bits) — the candidate key's second blocking signal; see
     *     [[videoFrameHashBands]] for why bands alone under-block. */
-  private def gifFrameBands(blob: Array[Byte]): Option[Vector[Array[Long]]] =
+  private def gifFrameBands(blob: Array[Byte],
+                            dhash: Boolean = false): Option[Vector[Array[Long]]] =
     tryDecode {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(blob))
@@ -1159,7 +1177,8 @@ object Multimodal {
           val out = new Array[Long](8)
           var j = 0
           while (j < 64) {
-            if (v(j) * 64 > total) out(j / 16) |= 1L << (j % 16)
+            val bit = if (dhash) v(j) > v((j + 1) % 64) else v(j) * 64 > total
+            if (bit) out(j / 16) |= 1L << (j % 16)
             out(4 + j / 16) += v(j)
             j += 1
           }
