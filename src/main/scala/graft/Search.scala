@@ -144,6 +144,12 @@ object Search {
     }
     require(prompt.nonEmpty || serve || promptsFile.nonEmpty,
       "usage: graft.Search <sfDir> <prompt words...> [--k N] [--cpus N] [--serve] [--index true|false] [--delta dir] [--root dir] [--maintain-every N] [--filter col=value] [--prompts-file path]")
+    // --maintain-every folds A SERVING ROOT; without --root there is
+    // nothing to fold and silently ignoring the flag would leave an
+    // operator believing maintenance is on — loud contradiction, the
+    // same policy as --prompts-file --index false
+    require(maintainEvery == 0 || root.nonEmpty,
+      "--maintain-every requires --root (the fold maintains a serving root)")
     Config(sfDir, prompt, k, cpus, serve, index, delta, filter, root,
       maintainEvery, promptsFile)
   }

@@ -826,6 +826,13 @@ final class SearchEngine(
       deltaDir: Option[String] = None,
       filter: Seq[(String, Any)] = Nil,
       mainDir: Option[String] = None): DataFrame = {
+    // the same caps the collecting route enforces — this entry point
+    // is public (the plan-pin seam), so a direct caller must not be
+    // able to build an unbounded query broadcast either
+    require(k >= 1 && k <= SearchEngine.MaxServedK,
+      s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
+    require(prompts.nonEmpty && prompts.size <= SearchEngine.MaxBatchPrompts,
+      s"batch must carry 1..${SearchEngine.MaxBatchPrompts} prompts, got ${prompts.size}")
     val main = mainDir.getOrElse(indexDir(sfDir))
     val dels = deltaDir.flatMap(d => graft.search.AnnIndex.tombstones(spark, d))
     val hint: DataFrame => DataFrame = deltaDir match {

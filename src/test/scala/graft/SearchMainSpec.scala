@@ -31,6 +31,19 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("usage"))
   }
 
+  test("--maintain-every without --root is a loud contradiction") {
+    val e = intercept[IllegalArgumentException] {
+      Search.parseConfig(
+        Seq("--sf-dir", "/x", "--serve", "--maintain-every", "3"), Map.empty)
+    }
+    assert(e.getMessage.contains("--root"))
+    // with a root it parses fine
+    val c = Search.parseConfig(
+      Seq("--sf-dir", "/x", "--serve", "--maintain-every", "3",
+        "--root", "/r"), Map.empty)
+    assert(c.maintainEvery === 3 && c.root === Some("/r"))
+  }
+
   test("--serve loops prompts from stdin to one JSON line each until EOF") {
     val eng = new graft.search.SearchEngine(spark)
     val in = new java.io.BufferedReader(new java.io.StringReader(
