@@ -1602,6 +1602,10 @@ object ScaleProbe {
           === MultimodalQueries.TakedownRem)
       def mkStore(n: Long): String = {
         val dir = s"$base/store_$n"
+        graft.sources.SegmentStore.ensureFormat(
+          org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration),
+          dir, MultimodalQueries.ImageBandFamily)
         graft.sources.SegmentStore.appendBatch(spark, dir,
           MultimodalQueries.bandStoreRows(b1), 0L, compactEvery = 0,
           partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
@@ -1623,7 +1627,8 @@ object ScaleProbe {
       }
       def runOnce(storeDir: String) =
         MultimodalQueries.graduatedBandProbe(spark, staticBands, storeDir,
-          b2, MultimodalQueries.PhashMaxHamming)
+          b2, MultimodalQueries.PhashMaxHamming,
+          MultimodalQueries.ImageBandFamily)
       val baseline = runOnce(mkStore(0L))
         .collect().map(_.toString).toSeq
       val tiers = counts.map { n =>
@@ -1696,6 +1701,10 @@ object ScaleProbe {
           >= MultimodalQueries.PhashProbeNewMin &&
         pmod(col("doc_id"), lit(MultimodalQueries.PhashLsmBatchMod)) === 1)
       val store = s"$base/store"
+      graft.sources.SegmentStore.ensureFormat(
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration),
+        store, MultimodalQueries.ImageBandFamily)
       graft.sources.SegmentStore.appendBatch(spark, store,
         MultimodalQueries.bandStoreRows(b1), 0L, compactEvery = 0,
         partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
@@ -1716,7 +1725,8 @@ object ScaleProbe {
       val preReps = (1 to 3).map { _ =>
         val t = System.nanoTime()
         val out = MultimodalQueries.graduatedBandProbe(spark, staticBands,
-          store, b2, MultimodalQueries.PhashMaxHamming)
+          store, b2, MultimodalQueries.PhashMaxHamming,
+          MultimodalQueries.ImageBandFamily)
           .select(col("doc_id"),
             (col("n_dup_old") + col("n_dup_graduated")).as("n_dup"),
             col("accepted"))
@@ -2047,19 +2057,18 @@ object ScaleProbe {
   }
 
   /** Video-anchor dHash measurement (--vdhash-probe [--clips N]) — the
-    * video face of [[dhashProbe]], measured BEFORE any adoption: the
-    * q157 family anchors candidacy on frame-0 composed keys
-    * (`band_j + qt_j·2^16` + equal frame counts) whose bits are
-    * frame-total-relative aHash — its measured loss (19/6 000: 15
-    * anchor misses + 4 over-the-cut) is a different grain than the
-    * image case, so the image adoption does NOT transfer
-    * automatically. Over planted variant clip families: planted pairs
-    * = equal frame counts AND aligned total Hamming ≤ cut (the
-    * PRODUCTION verify, unchanged); count pairs whose frame-0 anchors
-    * all disagree under the aHash keys vs under dHash keys
-    * ([[graft.multimodal.Multimodal.videoFrameDHashBands]] — same
-    * quarter masses, neighbor-comparison bits), and both key families'
-    * candidate volumes. Adopt/reject lands in SCALING.md. */
+    * video face of [[dhashProbe]]. Round 17 ran it BEFORE adoption
+    * (planted pairs under the then-production aHash verify: aHash
+    * anchors lost 15/6 000 vs dHash's ~0 — `bench/vdhash_probe_r17
+    * .json`); round 18 ADOPTED dHash, so the probe now measures under
+    * the PRODUCTION (dHash) verify: planted pairs = equal frame
+    * counts AND aligned total dHash Hamming ≤ cut, then count pairs
+    * whose frame-0 composed anchors (`band_j + qt_j·2^16`, masses
+    * shared between families) all disagree under the production dHash
+    * keys vs under the aHash alternative
+    * ([[graft.multimodal.Multimodal.videoFrameAHashBands]]), plus
+    * both key families' candidate volumes — the post-adoption
+    * retention receipt the round-17 verdict asked for. */
   private def vdhashProbe(spark: SparkSession, outDir: String,
                           flags: Map[String, String]): Boolean = {
     import graft.multimodal.Multimodal
@@ -2078,21 +2087,24 @@ object ScaleProbe {
       pmod((col("doc_id") / g).cast("long") * lit(2654435761L),
         lit(1000000L)) < lit(keepPerM))
     val blobs = Multimodal.ingestSynthVariantVideo(docs)
-    val aBands = Multimodal.videoFrameHashBands(blobs)
+    // the PRODUCTION family (dHash since round 18) carries the verify
+    // side; aHash is the measured alternative whose frame-0 anchors
+    // ride the shared quarter masses
+    val dBands = Multimodal.videoFrameDHashBands(blobs)
       .select(Seq(col("doc_id"), col("frame_idx"), col("n_frames")) ++
         (0 until 4).map(j => col(s"band$j")) ++
         (0 until 4).map(j => col(s"qt$j")): _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val dF0 = Multimodal.videoFrameDHashBands(blobs)
+    val aF0 = Multimodal.videoFrameAHashBands(blobs)
       .filter(col("frame_idx") === 0)
       .select(Seq(col("doc_id")) ++
-        (0 until 4).map(j => col(s"band$j").as(s"dband$j")): _*)
+        (0 until 4).map(j => col(s"band$j").as(s"aband$j")): _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      val n = dF0.count()
+      val n = aF0.count()
       // planted pairs under the PRODUCTION verify: same variant group,
       // equal frame counts, aligned total Hamming ≤ cut
-      def frameSide(p: String, idCol: String) = aBands.select(
+      def frameSide(p: String, idCol: String) = dBands.select(
         Seq((col("doc_id") / g).cast("long").as("grp"),
           col("doc_id").as(idCol), col("frame_idx"),
           col("n_frames").as(s"${p}nf")) ++
@@ -2112,15 +2124,16 @@ object ScaleProbe {
       try {
         val planted = pairs.count()
         // frame-0 composed anchor keys per doc, both bit families
-        // (the masses are shared — dHash rides aHash's qt columns)
-        val f0 = aBands.filter(col("frame_idx") === 0)
-          .join(dF0, Seq("doc_id"))
+        // (the masses are shared — both families ride the same qt
+        // columns, so only the 16 band bits differ between keys)
+        val f0 = dBands.filter(col("frame_idx") === 0)
+          .join(aF0, Seq("doc_id"))
         def keyed(p: String, idCol: String) = f0.select(
           Seq(col("doc_id").as(idCol), col("n_frames").as(s"${p}nf")) ++
             (0 until 4).map(j =>
-              (col(s"band$j") + col(s"qt$j") * lit(1L << 16)).as(s"${p}a$j")) ++
+              (col(s"aband$j") + col(s"qt$j") * lit(1L << 16)).as(s"${p}a$j")) ++
             (0 until 4).map(j =>
-              (col(s"dband$j") + col(s"qt$j") * lit(1L << 16)).as(s"${p}d$j")): _*)
+              (col(s"band$j") + col(s"qt$j") * lit(1L << 16)).as(s"${p}d$j")): _*)
         val withKeys = pairs
           .join(keyed("x", "doc_a"), Seq("doc_a"))
           .join(keyed("y", "doc_b"), Seq("doc_b"))
@@ -2132,9 +2145,9 @@ object ScaleProbe {
         // anchor-bucket volume per family: (j, composed key, n_frames)
         def keyVol(pref: String): (Long, Long) = {
           val cols = if (pref == "a") (0 until 4).map(j =>
-              col(s"band$j") + col(s"qt$j") * lit(1L << 16))
+              col(s"aband$j") + col(s"qt$j") * lit(1L << 16))
             else (0 until 4).map(j =>
-              col(s"dband$j") + col(s"qt$j") * lit(1L << 16))
+              col(s"band$j") + col(s"qt$j") * lit(1L << 16))
           val keys = (0 until 4).map(j => f0.select(
               lit(j).as("j"), cols(j).as("v"), col("n_frames")))
             .reduce(_.unionByName(_))
@@ -2151,7 +2164,7 @@ object ScaleProbe {
         println(s"""{"probe":"vdhash","clips":$n,"planted_pairs":$planted,"anchor_lost_ahash":$lostA,"anchor_lost_dhash":$lostD,"anchor_lost_both":$lostBoth,"retention_ahash":${f"$retA%.4f"},"retention_dhash":${f"$retD%.4f"},"ahash_cand":$aCand,"ahash_cand_per_n":${f"${aCand.toDouble / n}%.2f"},"ahash_max_pop":$aMax,"dhash_cand":$dCand,"dhash_cand_per_n":${f"${dCand.toDouble / n}%.2f"},"dhash_max_pop":$dMax}""")
         true
       } finally pairs.unpersist(blocking = false)
-    } finally { aBands.unpersist(blocking = false); dF0.unpersist(blocking = false) }
+    } finally { dBands.unpersist(blocking = false); aF0.unpersist(blocking = false) }
   }
 
   private def decadeUpProbe(spark: SparkSession, outDir: String, copies: Int,

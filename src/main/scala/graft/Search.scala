@@ -253,15 +253,21 @@ object Search {
     var crossings = 0L
     def maybeEnqueueMaintenance(): Unit = action.foreach { act =>
       val c = toolCalls.get() / maintainEvery
-      if (c > crossings && inFlight.compareAndSet(false, true)) {
+      if (c > crossings) {
+        // consume the crossing BEFORE the in-flight gate: a crossing
+        // that arrives while a check is running is SKIPPED (the next
+        // CROSSING re-checks, not the next request) — the documented
+        // cadence semantics; advancing only on a won CAS made every
+        // post-skip request retry immediately
         crossings = c
-        sequencer.get.execute { () =>
-          try act()
-          catch {
-            case scala.util.control.NonFatal(e) => System.err.println(
-              s"graft: maintenance fold failed (${e.getClass.getSimpleName}: ${e.getMessage})")
-          } finally inFlight.set(false)
-        }
+        if (inFlight.compareAndSet(false, true))
+          sequencer.get.execute { () =>
+            try act()
+            catch {
+              case scala.util.control.NonFatal(e) => System.err.println(
+                s"graft: maintenance fold failed (${e.getClass.getSimpleName}: ${e.getMessage})")
+            } finally inFlight.set(false)
+          }
       }
     }
     var served = 0

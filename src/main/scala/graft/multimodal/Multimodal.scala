@@ -328,6 +328,15 @@ object Multimodal {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
             require(img != null, "undecodable image blob")
             val n = img.getWidth * img.getHeight
+            // band-packing guard: bands are 4 × (n/4)-bit integers in
+            // Longs, so n must split into quarters and a quarter must
+            // fit one 64-bit band — anything else quarantines LOUDLY
+            // here instead of an index error (n % 4 != 0) or the
+            // `1L << (fp % bandBits)` shift wrapping mod 64 and
+            // silently aliasing distinct pixels onto one bit (n > 256)
+            require(n % 4 == 0 && n / 4 <= 64,
+              s"unsupported image geometry: ${img.getWidth}x${img.getHeight}" +
+                s" ($n pixels; need n % 4 == 0 and n <= 256)")
             val gray = new Array[Long](n)
             var total = 0L
             var y = 0
@@ -398,6 +407,15 @@ object Multimodal {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
             require(img != null, "undecodable image blob")
             val n = img.getWidth * img.getHeight
+            // band-packing guard: bands are 4 × (n/4)-bit integers in
+            // Longs, so n must split into quarters and a quarter must
+            // fit one 64-bit band — anything else quarantines LOUDLY
+            // here instead of an index error (n % 4 != 0) or the
+            // `1L << (fp % bandBits)` shift wrapping mod 64 and
+            // silently aliasing distinct pixels onto one bit (n > 256)
+            require(n % 4 == 0 && n / 4 <= 64,
+              s"unsupported image geometry: ${img.getWidth}x${img.getHeight}" +
+                s" ($n pixels; need n % 4 == 0 and n <= 256)")
             val gray = new Array[Long](n)
             var total = 0L
             var y = 0
@@ -1039,15 +1057,14 @@ object Multimodal {
     }(enc)
   }
 
-  /** Per-frame aHash bands + quarter gray totals from ACTUALLY-DECODED
+  /** Per-frame hash bands + quarter gray totals from ACTUALLY-DECODED
     * video frames — the temporal member of the perceptual-hash family:
     * every frame box-resamples to a CANONICAL 8×8 grid (the geometry
-    * guarantee — hash shape never follows the input size), aHashes one
-    * bit per virtual pixel (`v·64 > grid_total`, strict integer
-    * compare) packed as FOUR 16-bit band integers, and carries each
-    * 16-pixel quarter's exact virtual-gray total (`qt0..qt3`). Emitted
-    * as one row per frame (doc_id …, frame_idx, n_frames, band0..band3,
-    * qt0..qt3).
+    * guarantee — hash shape never follows the input size), hashes one
+    * bit per virtual pixel packed as FOUR 16-bit band integers, and
+    * carries each 16-pixel quarter's exact virtual-gray total
+    * (`qt0..qt3`). Emitted as one row per frame (doc_id …, frame_idx,
+    * n_frames, band0..band3, qt0..qt3).
     *
     * The bands alone are the VERIFY payload (aligned per-frame Hamming
     * — the metric with measured planted/unrelated separation); the
@@ -1064,21 +1081,37 @@ object Multimodal {
     * vs ~n²/2^16 before. Decode + hashing run row-local; blobs never
     * shuffle — only the small per-frame hash rows move. Non-GIF /
     * null blobs emit no rows (same contract as
-    * [[videoFrameFeatures]]). */
-  def videoFrameHashBands(blobs: DataFrame): DataFrame =
+    * [[videoFrameFeatures]]).
+    *
+    * THIS aHash variant (`v·64 > grid_total`, strict integer compare)
+    * is the MEASURED ALTERNATIVE since round 18, not the production
+    * family: a one-pixel edit shifts the frame total — the shared bit
+    * threshold — so borderline bits anywhere in the frame can flip,
+    * and `bench/vdhash_probe_r17.json` measured that coupling at
+    * 99.74% planted anchor retention (15/6 000 anchor misses) vs the
+    * neighbor-comparison family's 99.99%. Kept as the comparison
+    * subject of `ScaleProbe --vdhash-probe`. */
+  def videoFrameAHashBands(blobs: DataFrame): DataFrame =
     videoFrameBandsImpl(blobs, dhash = false)
 
-  /** [[videoFrameHashBands]] with the THRESHOLD-FREE difference-hash
-    * bit rule (measured prototype — the video face of the round-17
-    * image adoption, see [[imageDHashBands]]): bit j of the canonical
-    * grid compares virtual gray j to virtual gray (j+1) mod 64, no
-    * frame total anywhere. NOT yet the production video family —
-    * `ScaleProbe --vdhash-probe` measures planted anchor retention
-    * and candidate volume under both rules first (the q157 family's
-    * measured loss is 19/6 000 anchor misses, a different grain than
-    * the image case); adopt/reject lands in SCALING.md. Quarter
-    * totals and frame counts are identical to the production family
-    * (the composed key's mass half is shared). */
+  /** [[videoFrameAHashBands]] with the THRESHOLD-FREE difference-hash
+    * bit rule — ADOPTED round-18 as THE production video fingerprint
+    * (every video-dedup path: the q157 pair family, the q168/q171
+    * two-table index + graduation, the q181 takedown and q184 rebuild
+    * lifecycles, and the streaming twins compute these): bit j of the
+    * canonical grid compares virtual gray j to virtual gray
+    * (j+1) mod 64, no frame total anywhere — the video face of the
+    * round-17 image adoption ([[imageDHashBands]]) and the same
+    * local-bits argument: a one-pixel edit only touches the ≤ 2 bits
+    * whose neighbor pair it overlaps, so a planted pair's total
+    * aligned Hamming is ≤ 4 DETERMINISTICALLY (one edited pixel per
+    * member), where the aHash threshold coupling could flip far-away
+    * bits. Measured before adoption (`bench/vdhash_probe_r17.json`,
+    * 500 k docs / 6 000-clip grain: 99.99% planted anchor retention
+    * vs aHash's 99.74% — a 26× cut in anchor misses — candidate
+    * volume still flat per-n). Quarter totals and frame counts are
+    * identical to the aHash variant (the composed key's mass half is
+    * shared). */
   def videoFrameDHashBands(blobs: DataFrame): DataFrame =
     videoFrameBandsImpl(blobs, dhash = true)
 
@@ -1111,9 +1144,9 @@ object Multimodal {
     * quarter gray totals of the canonical grid (frame order preserved);
     * None = quarantined (undecodable, or a frame below the declared
     * ≥8×8 geometry floor). The shared decode core of
-    * [[videoFrameHashBands]] (per-frame rows, batch) and
-    * [[videoFrameHashArray]] (one row per clip — the stream-static
-    * probe's row-local shape).
+    * [[videoFrameDHashBands]] / [[videoFrameAHashBands]] (per-frame
+    * rows, batch) and [[videoFrameHashArray]] (one row per clip — the
+    * stream-static probe's row-local shape).
     *
     * Construction — the geometry guarantee:
     *  1. Box-resample the W×H frame to a canonical 8×8 virtual grid:
@@ -1125,12 +1158,13 @@ object Multimodal {
     *     the input geometry (the round-13 scheme derived band width
     *     from the source pixel count — a thumbnail corpus collapsed
     *     its bucket space).
-    *  2. aHash bit per virtual pixel: `v·64 > grid_total`; bit j of
-    *     band j/16 at position j%16 (row-major) — unchanged from the
-    *     proven verify metric.
+    *  2. One bit per virtual pixel, bit j of band j/16 at position
+    *     j%16 (row-major): `dhash = true` (the round-18 production
+    *     rule) compares grid neighbors `v(j) > v((j+1) mod 64)`;
+    *     `dhash = false` is the aHash alternative `v·64 > grid_total`.
     *  3. `qt_q` = exact sum of quarter q's 16 virtual values (≤ 4080,
     *     12 bits) — the candidate key's second blocking signal; see
-    *     [[videoFrameHashBands]] for why bands alone under-block. */
+    *     [[videoFrameAHashBands]] for why bands alone under-block. */
   private def gifFrameBands(blob: Array[Byte],
                             dhash: Boolean = false): Option[Vector[Array[Long]]] =
     tryDecode {
@@ -1187,7 +1221,10 @@ object Multimodal {
       } finally { reader.dispose(); iis.close() }
     }
 
-  /** [[videoFrameHashBands]] folded to ONE ROW PER CLIP: (input cols…,
+  /** [[videoFrameDHashBands]] folded to ONE ROW PER CLIP (the SAME
+    * production dHash bit family — the stream twin and its batch
+    * oracle verify aligned Hamming between this array and the
+    * per-frame rows, so the two shapes must ride one family): (input cols…,
     * n_frames, frames ARRAY<STRUCT<band0..band3, qt0..qt3>>) with array
     * position = frame index. This is the shape a STATELESS stream-static probe
     * needs — the whole clip's hash rides one row, so the aligned
@@ -1211,7 +1248,7 @@ object Multimodal {
         val blob = r.getAs[Array[Byte]](blobIdx)
         val mediaType = r.getStruct(metaIdx).getString(0)
         if (blob == null || mediaType != "image/gif") Iterator.empty
-        else gifFrameBands(blob) match {
+        else gifFrameBands(blob, dhash = true) match {
           // quarantined, or a frameless container (downstream consumers
           // anchor on frame 0 — a zero-frame row would put nulls into
           // the band keys instead of being absent like the per-frame

@@ -93,13 +93,18 @@ object MultimodalQueries {
   val AfpMaxHamming = 4L
 
   /** q157: keep candidate clip pairs whose TOTAL aligned per-frame
-    * aHash Hamming distance is at most this. Each member perturbs one
-    * pixel of one frame, which flips that pixel's bit plus whatever
-    * borderline bits the frame-total shift moves (q155's aHash
-    * arithmetic, per frame) — 6 absorbs that for the overwhelming
-    * majority of planted pairs (measured: 5 981/6 000 recovered at
-    * 6 000 clips — 15 anchor misses + 4 over-the-cut) while unrelated
-    * aligned clips sit near 32·n_frames. Candidacy is anchored on
+    * Hamming distance is at most this — since round 18 over the
+    * PRODUCTION dHash bits
+    * ([[graft.multimodal.Multimodal.videoFrameDHashBands]]). Each
+    * member perturbs one pixel of one frame, which flips ONLY the
+    * ≤ 2 neighbor-comparison bits that pixel's pairs overlap, so a
+    * planted pair's total is ≤ 4 DETERMINISTICALLY — 6 covers it with
+    * margin (under the superseded aHash rule the frame-total shift
+    * could flip borderline bits anywhere: 5 981/6 000 recovered at
+    * 6 000 clips — 15 anchor misses + 4 over-the-cut;
+    * `bench/vdhash_probe_r17.json` measured dHash at 99.99% anchor
+    * retention, the round-18 adoption) while unrelated aligned clips
+    * sit near 32·n_frames. Candidacy is anchored on
     * FRAME-0 COMPOSED keys (≥ 1 agreeing `band_j + qt_j·2^16` key of
     * the first frame + equal frame counts — the quarter-total
     * composition keeps candidate volume LINEAR in corpus size where
@@ -258,7 +263,14 @@ object MultimodalQueries {
     * plain index probe's already-covered job (q158/q167). */
   private[graft] def graduatedBandProbe(s: SparkSession, staticBands: DataFrame,
                                  storeDir: String, b2: DataFrame,
-                                 maxHamming: Long): DataFrame = {
+                                 maxHamming: Long,
+                                 familyTag: String): DataFrame = {
+    // bit-family discipline: this probe interprets the store's band
+    // bits under `familyTag` — a cross-family store fails loudly here
+    // instead of silently missing every near-dup in the equi-join
+    graft.sources.SegmentStore.requireFormat(
+      org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration), storeDir, familyTag)
     val keyed = Seq("doc_id", "j", "v", "m",
       "band0", "band1", "band2", "band3", "qt0", "qt1", "qt2", "qt3")
     // lifecycle resolution over the store: last-writer-wins per
@@ -405,7 +417,7 @@ object MultimodalQueries {
        |WHERE d.doc_id % 5 >= 3 AND d.doc_id % $PhashLsmBatchMod = 1
        |ORDER BY d.doc_id""".stripMargin
 
-  /** Frame-0 anchor key for band `j`: the 16-bit aHash band composed
+  /** Frame-0 anchor key for band `j`: the 16-bit dHash band composed
     * with the quarter's EXACT virtual-gray total (`band_j + qt_j·2^16`
     * — both under 2^28, one Long). Candidacy through a composed key
     * needs a quarter whose bit pattern AND gray mass both match, which
@@ -413,7 +425,7 @@ object MultimodalQueries {
     * 2^-16 coincidence; near-affine brightness drifts that preserve
     * threshold-relative bits) while a one-pixel edit still leaves 3 of
     * 4 quarters fully agreeing — see
-    * [[graft.multimodal.Multimodal.videoFrameHashBands]]. */
+    * [[graft.multimodal.Multimodal.videoFrameDHashBands]]. */
   private def videoAnchorKey(j: Int): org.apache.spark.sql.Column =
     col(s"band$j") + col(s"qt$j") * lit(1L << 16)
 
@@ -517,7 +529,7 @@ object MultimodalQueries {
         .spreadIfNarrow(s)
         .select(col("doc_id"))
       Multimodal
-        .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(docs))
+        .videoFrameDHashBands(Multimodal.ingestSynthVariantVideo(docs))
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
           col("band0"), col("band1"), col("band2"), col("band3"),
           col("qt0"), col("qt1"), col("qt2"), col("qt3"))
@@ -603,22 +615,25 @@ object MultimodalQueries {
     if (!raw.columns.contains("_del")) 0L
     else raw.filter(col("_del") && col(key2) === 0).count()
 
-  private val sessionMarkerCaps = new graft.SessionMemo[String, Long]
+  private val sessionMarkerCaps = new graft.ListingMemo[Long]
 
   /** [[markerRowCap]] memoized per RESOLVED SEGMENT SET: segment dirs
     * are immutable and the manifest names the set, so the count is a
     * pure function of the listing — a store that hasn't changed since
     * the last probe pays NO count job (the per-probe overhead the
     * round-16 bench measured at ~0.3 s), and any append or fold
-    * changes the listing and misses the cache. The listing itself is
-    * filesystem metadata (no job). */
+    * changes the listing and REPLACES the store's one entry
+    * ([[graft.ListingMemo]] — O(stores) driver memory on an
+    * indefinitely-running maintenance loop, never O(mutations)). The
+    * listing itself is filesystem metadata (no job). */
   private def markerRowCapCached(s: SparkSession, storeDir: String,
                                  key2: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     val segs = graft.sources.SegmentStore.segments(fs, storeDir)
     if (segs.isEmpty) 0L
-    else sessionMarkerCaps.getOrCompute(s, segs.mkString(s"$key2|", ";", "")) {
+    else sessionMarkerCaps.getOrCompute(s, s"$key2|$storeDir",
+        segs.mkString(";")) {
       markerRowCap(
         segs.map(s.read.parquet(_)).reduce(_.unionByName(_)), key2)
     }
@@ -709,13 +724,17 @@ object MultimodalQueries {
     * for every modality. */
   private def bandLsmDir(s: SparkSession, memo: graft.SessionMemo[String, String],
                          prefix: String, dir: String,
-                         newBatchBands: (SparkSession, String) => DataFrame): String =
+                         newBatchBands: (SparkSession, String) => DataFrame,
+                         familyTag: String): String =
     memo.getOrCompute(s, dir) {
       val out = s"${System.getProperty("java.io.tmpdir")}/$prefix" +
         graft.SparkEntry.pathSlug(dir) + "_" +
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
       val b1 = newBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      graft.sources.SegmentStore.ensureFormat(
+        org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration), out, familyTag)
       graft.sources.SegmentStore.appendBatch(s, out, bandStoreRows(b1),
         batchId = 0L, compactEvery = 1,
         partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
@@ -736,13 +755,17 @@ object MultimodalQueries {
   private def bandTakedownLsmDir(s: SparkSession,
                                  memo: graft.SessionMemo[String, String],
                                  prefix: String, dir: String,
-                                 newBatchBands: (SparkSession, String) => DataFrame): String =
+                                 newBatchBands: (SparkSession, String) => DataFrame,
+                                 familyTag: String): String =
     memo.getOrCompute(s, dir) {
       val out = s"${System.getProperty("java.io.tmpdir")}/$prefix" +
         graft.SparkEntry.pathSlug(dir) + "_" +
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId)
       val b1 = newBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
+      graft.sources.SegmentStore.ensureFormat(
+        org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration), out, familyTag)
       graft.sources.SegmentStore.appendBatch(s, out, bandStoreRows(b1),
         batchId = 0L, compactEvery = 1,
         partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
@@ -760,12 +783,12 @@ object MultimodalQueries {
 
   private[graft] def phashTakedownLsmDir(s: SparkSession, dir: String): String =
     bandTakedownLsmDir(s, sessionPhashTakedown, "graft_phash_takedown_",
-      dir, phashNewBatchBands)
+      dir, phashNewBatchBands, ImageBandFamily)
 
   /** [[phashTakedownLsmDir]]'s AUDIO face — the q180 store. */
   private[graft] def afpTakedownLsmDir(s: SparkSession, dir: String): String =
     bandTakedownLsmDir(s, sessionAfpTakedown, "graft_afp_takedown_",
-      dir, afpNewBatchBands)
+      dir, afpNewBatchBands, AudioBandFamily)
 
   /** The NEW ingest batch (doc_id % 5 >= 3), fingerprinted and
     * session-cached — each modality's expensive decode runs once per
@@ -781,7 +804,8 @@ object MultimodalQueries {
     }
 
   private[graft] def phashLsmDir(s: SparkSession, dir: String): String =
-    bandLsmDir(s, sessionPhashLsm, "graft_phash_lsm_", dir, phashNewBatchBands)
+    bandLsmDir(s, sessionPhashLsm, "graft_phash_lsm_", dir,
+      phashNewBatchBands, ImageBandFamily)
 
   private[graft] def phashNewBatchBands(s: SparkSession, dir: String): DataFrame =
     newBatchBandsView(s, dir, "graft_cache_phash_newbatch_", docs =>
@@ -794,7 +818,8 @@ object MultimodalQueries {
   /** [[phashLsmDir]]'s AUDIO face — [[bandLsmDir]] over the delta-sign
     * fingerprint, next to the static q167 artifact. */
   private[graft] def afpLsmDir(s: SparkSession, dir: String): String =
-    bandLsmDir(s, sessionAfpLsm, "graft_afp_lsm_", dir, afpNewBatchBands)
+    bandLsmDir(s, sessionAfpLsm, "graft_afp_lsm_", dir,
+      afpNewBatchBands, AudioBandFamily)
 
   private def afpNewBatchBands(s: SparkSession, dir: String): DataFrame =
     newBatchBandsView(s, dir, "graft_cache_afp_newbatch_", docs =>
@@ -845,6 +870,10 @@ object MultimodalQueries {
       val b1 = vphNewBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
       val f0 = b1.filter(col("frame_idx") === 0)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      graft.sources.SegmentStore.ensureFormat(fs, s"$out/f0bands", VideoBandFamily)
+      graft.sources.SegmentStore.ensureFormat(fs, s"$out/frames", VideoBandFamily)
       graft.sources.SegmentStore.appendBatch(s, s"$out/f0bands",
         explodeVideoAnchorKeys(f0.drop("frame_idx")),
         batchId = 0L, compactEvery = 1,
@@ -860,7 +889,7 @@ object MultimodalQueries {
     * verify sides both derive from the one cached decode). */
   private def vphNewBatchBands(s: SparkSession, dir: String): DataFrame =
     newBatchBandsView(s, dir, "graft_cache_vph_newbatch_", docs =>
-      Multimodal.videoFrameHashBands(Multimodal.ingestSynthVariantVideo(docs))
+      Multimodal.videoFrameDHashBands(Multimodal.ingestSynthVariantVideo(docs))
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
           col("band0"), col("band1"), col("band2"), col("band3"),
           col("qt0"), col("qt1"), col("qt2"), col("qt3")))
@@ -884,7 +913,7 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(PhashProbeNewMod)) < PhashProbeNewMin)
         .select(col("doc_id"))
       val fh = Multimodal
-        .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(old))
+        .videoFrameDHashBands(Multimodal.ingestSynthVariantVideo(old))
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
           col("band0"), col("band1"), col("band2"), col("band3"),
           col("qt0"), col("qt1"), col("qt2"), col("qt3"))
@@ -913,6 +942,13 @@ object MultimodalQueries {
     val idx = vphashIndexDir(s, dir)
     val b2 = vphNewBatchBands(s, dir)
       .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1)
+    // both tables' band bits are interpreted under the video family
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      graft.sources.SegmentStore.requireFormat(fs, s"$lsm/f0bands", VideoBandFamily)
+      graft.sources.SegmentStore.requireFormat(fs, s"$lsm/frames", VideoBandFamily)
+    }
     def lifecycled(storeDir: String,
                    key2: String): (DataFrame, DataFrame, DataFrame => DataFrame) = {
       val raw = graft.sources.SegmentStore.read(s, storeDir)
@@ -989,6 +1025,10 @@ object MultimodalQueries {
       val b1 = vphNewBatchBands(s, dir)
         .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 0)
       val f0 = b1.filter(col("frame_idx") === 0)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      graft.sources.SegmentStore.ensureFormat(fs, s"$out/f0bands", VideoBandFamily)
+      graft.sources.SegmentStore.ensureFormat(fs, s"$out/frames", VideoBandFamily)
       graft.sources.SegmentStore.appendBatch(s, s"$out/f0bands",
         explodeVideoAnchorKeys(f0.drop("frame_idx"))
           .withColumn("_del", lit(false)),
@@ -1037,6 +1077,23 @@ object MultimodalQueries {
     * [[bandRebuildIfMarkersDue]]. */
   val MediaRebuildMarkerRows = 1000000L
 
+  /** Bit-family format tags ([[graft.sources.SegmentStore.FormatFile]])
+    * stamped into every media segment store and serving root at
+    * creation and verified by every writer and probe: band bits are
+    * schema-invisible (aHash and dHash bands are both four longs), so
+    * without the stamp a checkpoint-resumed ingest that survived a
+    * family migration would silently mix families in one store and
+    * band equi-joins between old and new rows would quietly miss
+    * near-dups. Bump the suffix on any bit-rule change — the mismatch
+    * then fails loudly at resume/probe time instead. */
+  val ImageBandFamily = "image-bands/dhash-v1"
+  /** [[ImageBandFamily]]'s audio face (delta-sign fingerprint bits). */
+  val AudioBandFamily = "audio-bands/afp-v1"
+  /** [[ImageBandFamily]]'s video face — dHash frame bits since the
+    * round-18 adoption (`bench/vdhash_probe_r17.json`); stamped on
+    * BOTH of the two-table store's tables. */
+  val VideoBandFamily = "video-bands/dhash-v1"
+
   /** A band index under the SERVING-ROOT pointer discipline — the
     * vector index's [[graft.search.AnnIndex.ServingRoot]] layout
     * REUSED verbatim for media statics (the pointer machinery is not
@@ -1055,12 +1112,17 @@ object MultimodalQueries {
     * included), post-publish probers read the clean generation with
     * an EMPTY store. */
   private[graft] def mediaRootInit(s: SparkSession, staticBandsDir: String,
-                                   rootDir: String): Unit = {
+                                   rootDir: String,
+                                   familyTag: String): Unit = {
     import graft.search.AnnIndex.ServingRoot
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     require(ServingRoot.currentEpoch(fs, rootDir).isEmpty,
       s"media root $rootDir already has a published epoch")
+    // the root-level family stamp every generation under this pointer
+    // inherits: probers and resumed maintainers verify against it, so
+    // a bit-family migration can never silently mix generations
+    graft.sources.SegmentStore.ensureFormat(fs, rootDir, familyTag)
     s.read.parquet(staticBandsDir)
       .repartition(col("j"))
       .write.mode("overwrite").partitionBy("j")
@@ -1119,15 +1181,18 @@ object MultimodalQueries {
     * invisible: pre-publish resolvers keep their full snapshot
     * (grace GC), post-publish resolvers read the clean generation. */
   private[graft] def graduatedBandProbeRoot(s: SparkSession, rootDir: String,
-      b2: DataFrame, maxHamming: Long): DataFrame = {
+      b2: DataFrame, maxHamming: Long, familyTag: String): DataFrame = {
     import graft.search.AnnIndex.ServingRoot
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
+    // the ROOT's family stamp (written by mediaRootInit) must agree
+    // with what this prober expects before any table is interpreted
+    graft.sources.SegmentStore.requireFormat(fs, rootDir, familyTag)
     val (idxDir, storeDir) = ServingRoot.resolve(s, rootDir)
     val staticBands = s.read.parquet(s"$idxDir/bands")
     if (graft.sources.SegmentStore.segments(fs, storeDir).isEmpty)
       rebuiltBandProbe(s, staticBands, b2, maxHamming)
-    else graduatedBandProbe(s, staticBands, storeDir, b2, maxHamming)
+    else graduatedBandProbe(s, staticBands, storeDir, b2, maxHamming, familyTag)
   }
 
   /** The TWO-TABLE (video) face of the media root: one pointer
@@ -1146,6 +1211,8 @@ object MultimodalQueries {
       s.sparkContext.hadoopConfiguration)
     require(ServingRoot.currentEpoch(fs, rootDir).isEmpty,
       s"media root $rootDir already has a published epoch")
+    // one family stamp governs BOTH tables under the one pointer
+    graft.sources.SegmentStore.ensureFormat(fs, rootDir, VideoBandFamily)
     val e0 = ServingRoot.indexDir(rootDir, 0L)
     s.read.parquet(s"$idxDir/f0bands").repartition(col("j"))
       .write.mode("overwrite").partitionBy("j").parquet(s"$e0/f0bands")
@@ -1500,7 +1567,7 @@ object MultimodalQueries {
         phashLsmDir(s, dir),
         phashNewBatchBands(s, dir)
           .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
-        PhashMaxHamming)
+        PhashMaxHamming, ImageBandFamily)
     }),
 
     "q170_afp_ingest_lsm" -> ((s, dir) => {
@@ -1517,7 +1584,7 @@ object MultimodalQueries {
         afpLsmDir(s, dir),
         afpNewBatchBands(s, dir)
           .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
-        AfpMaxHamming)
+        AfpMaxHamming, AudioBandFamily)
     }),
 
     "q178_phash_takedown" -> ((s, dir) => {
@@ -1539,7 +1606,7 @@ object MultimodalQueries {
         phashTakedownLsmDir(s, dir),
         phashNewBatchBands(s, dir)
           .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
-        PhashMaxHamming)
+        PhashMaxHamming, ImageBandFamily)
     }),
 
     "q180_afp_takedown" -> ((s, dir) => {
@@ -1553,7 +1620,7 @@ object MultimodalQueries {
         afpTakedownLsmDir(s, dir),
         afpNewBatchBands(s, dir)
           .filter(pmod(col("doc_id"), lit(PhashLsmBatchMod)) === 1),
-        AfpMaxHamming)
+        AfpMaxHamming, AudioBandFamily)
     }),
 
     "q167_afp_index_probe" -> ((s, dir) => {
@@ -1707,7 +1774,7 @@ object MultimodalQueries {
       // sampled frames and align clips temporally): planted variant
       // GIF clips (groups of 3 share base frames AND frame count, each
       // member perturbs one (frame, pixel)) are ingested, decoded
-      // frame by frame (row-local), per-frame aHashed into 4×16-bit
+      // frame by frame (row-local), per-frame dHashed into 4×16-bit
       // bands + exact quarter gray totals, and clip pairs come from
       // FRAME-0 anchor keys (candidacy = share ≥ 1 first-frame
       // COMPOSED key — band bits AND quarter total, the second
@@ -1964,10 +2031,11 @@ object MultimodalQueries {
   }
 
   /** DuckDB CTE chain ending in `bandsf(doc_id, fr, band0..band3)`
-    * (every frame's aHash bands — the verify payload) and
+    * (every frame's dHash bands — neighbor-comparison bits, the
+    * round-18 production family — the verify payload) and
     * `f0(doc_id, nf, k0..k3)` (the anchor frame's COMPOSED candidate
     * keys `band_j + qt_j·2^16` + frame count) — the variant-video
-    * frame → gray → aHash-bit/quarter-total → key arithmetic the
+    * frame → gray → dHash-bit/quarter-total → key arithmetic the
     * engine's GIF round-trip must reproduce bit-for-bit (the fixture's
     * 8×8 frames ARE the canonical grid, so the box-resample is
     * identity and the virtual pixel value is the formula gray).
@@ -1994,20 +2062,22 @@ object MultimodalQueries {
        |      ELSE ((y * y) % $p + y) % $p % 256
        |    END AS v
        |  FROM xk),
-       |ft AS (SELECT doc_id, fr, CAST(SUM(v) AS BIGINT) AS total
-       |       FROM pv GROUP BY 1, 2),
+       |vb AS (
+       |  SELECT a.doc_id, a.fr, a.j, a.v,
+       |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+       |  FROM pv a JOIN pv b
+       |    ON a.doc_id = b.doc_id AND a.fr = b.fr AND b.j = (a.j + 1) % $px),
        |bandsf AS (
-       |  SELECT p.doc_id, p.fr,
-       |    CAST(SUM(CASE WHEN p.j < 16 AND p.v * $px > t.total THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS band0,
-       |    CAST(SUM(CASE WHEN p.j >= 16 AND p.j < 32 AND p.v * $px > t.total THEN (1::BIGINT << (p.j - 16)) ELSE 0 END) AS BIGINT) AS band1,
-       |    CAST(SUM(CASE WHEN p.j >= 32 AND p.j < 48 AND p.v * $px > t.total THEN (1::BIGINT << (p.j - 32)) ELSE 0 END) AS BIGINT) AS band2,
-       |    CAST(SUM(CASE WHEN p.j >= 48 AND p.v * $px > t.total THEN (1::BIGINT << (p.j - 48)) ELSE 0 END) AS BIGINT) AS band3,
-       |    CAST(SUM(CASE WHEN p.j < 16 THEN p.v ELSE 0 END) AS BIGINT) AS qt0,
-       |    CAST(SUM(CASE WHEN p.j >= 16 AND p.j < 32 THEN p.v ELSE 0 END) AS BIGINT) AS qt1,
-       |    CAST(SUM(CASE WHEN p.j >= 32 AND p.j < 48 THEN p.v ELSE 0 END) AS BIGINT) AS qt2,
-       |    CAST(SUM(CASE WHEN p.j >= 48 THEN p.v ELSE 0 END) AS BIGINT) AS qt3
-       |  FROM pv p JOIN ft t ON p.doc_id = t.doc_id AND p.fr = t.fr
-       |  GROUP BY 1, 2),
+       |  SELECT doc_id, fr,
+       |    CAST(SUM(CASE WHEN j < 16 THEN bit * (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS band0,
+       |    CAST(SUM(CASE WHEN j >= 16 AND j < 32 THEN bit * (1::BIGINT << (j - 16)) ELSE 0 END) AS BIGINT) AS band1,
+       |    CAST(SUM(CASE WHEN j >= 32 AND j < 48 THEN bit * (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS band2,
+       |    CAST(SUM(CASE WHEN j >= 48 THEN bit * (1::BIGINT << (j - 48)) ELSE 0 END) AS BIGINT) AS band3,
+       |    CAST(SUM(CASE WHEN j < 16 THEN v ELSE 0 END) AS BIGINT) AS qt0,
+       |    CAST(SUM(CASE WHEN j >= 16 AND j < 32 THEN v ELSE 0 END) AS BIGINT) AS qt1,
+       |    CAST(SUM(CASE WHEN j >= 32 AND j < 48 THEN v ELSE 0 END) AS BIGINT) AS qt2,
+       |    CAST(SUM(CASE WHEN j >= 48 THEN v ELSE 0 END) AS BIGINT) AS qt3
+       |  FROM vb GROUP BY 1, 2),
        |f0 AS (
        |  SELECT b.doc_id, d.nf,
        |    b.band0 + b.qt0 * 65536 AS k0, b.band1 + b.qt1 * 65536 AS k1,
@@ -2261,7 +2331,7 @@ object MultimodalQueries {
       bandProbeSql(variantAudioBandsCtes, AfpMaxHamming),
 
     "q157_video_neardup" ->
-      // frame gray → per-frame aHash bits → 16-bit bands + quarter
+      // frame gray → per-frame dHash bits → 16-bit bands + quarter
       // totals → frame-0 composed-key anchor rule (+ equal frame
       // counts) → exact aligned Hamming: the integer arithmetic the
       // engine's multi-frame GIF round-trip must hand back

@@ -967,7 +967,7 @@ object AnnIndex {
     e + 1
   }
 
-  private val sessionTombstoneCaps = new graft.SessionMemo[String, Long]
+  private val sessionTombstoneCaps = new graft.ListingMemo[Long]
 
   /** RAW tombstone-row mass of `deltaDir`'s tombstone store — the
     * resolved segments' row count BEFORE the per-id max-fold, so an
@@ -979,13 +979,17 @@ object AnnIndex {
     * and the listing names the set, so the count is a pure function
     * of the listing — a maintenance check against an unchanged store
     * runs ZERO jobs (the listing read is filesystem metadata), and
-    * any append or fold changes the listing and misses the cache. */
+    * any append or fold changes the listing and REPLACES the entry
+    * (one entry per store dir — [[graft.ListingMemo]] — so an
+    * indefinitely-running maintenance loop's memo stays O(stores),
+    * never O(mutations)). */
   def tombstoneRowCap(spark: SparkSession, deltaDir: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val segs = graft.sources.SegmentStore.segments(fs, s"$deltaDir/tombstones")
+    val store = s"$deltaDir/tombstones"
+    val segs = graft.sources.SegmentStore.segments(fs, store)
     if (segs.isEmpty) 0L
-    else sessionTombstoneCaps.getOrCompute(spark, segs.mkString(";")) {
+    else sessionTombstoneCaps.getOrCompute(spark, store, segs.mkString(";")) {
       segs.map(spark.read.parquet(_)).reduce(_.unionByName(_)).count()
     }
   }

@@ -64,6 +64,84 @@ object SegmentStore {
     * dedup and any reader-side latest-wins over the live tail. */
   val BatchCol = "_seg_batch"
 
+  /** Store-root marker file naming the ROW FORMAT / BIT FAMILY of
+    * every row in the store (e.g. `image-bands/dhash-v1`). Segment
+    * rows carry hash bits whose FAMILY is invisible in the schema —
+    * an aHash band and a dHash band are both four longs — so a
+    * checkpoint-resumed ingest built under one family would silently
+    * append rows of another into the same store and every band
+    * equi-join between old and new rows would quietly miss: the
+    * marker turns that into a LOUD failure at resume/probe time.
+    * Written once at store creation ([[ensureFormat]]), immutable for
+    * the store's life (a family change is a REBUILD into a fresh
+    * store, never an in-place migration), and outside the segment /
+    * manifest namespaces so folds and GC never touch it. */
+  val FormatFile = "_format"
+
+  /** The store's stamped format tag, or None for a store that
+    * predates stamping (or doesn't exist yet). */
+  def readFormat(fs: FileSystem, storeDir: String): Option[String] = {
+    val p = new Path(s"$storeDir/$FormatFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** WRITER-side format discipline, called before every append: stamp
+    * `tag` on a store that has no committed rows yet; verify it on a
+    * stamped store; FAIL LOUDLY on a mismatch (the caller's bit
+    * family is not what the store's rows encode — rebuild into a
+    * fresh store) or on an UNSTAMPED store that already holds
+    * committed segments (its rows' family is unknowable — same
+    * remedy). Stamping is temp-file + rename; a lost race to an
+    * identical tag is benign (re-verified by read-back). */
+  def ensureFormat(fs: FileSystem, storeDir: String, tag: String): Unit =
+    readFormat(fs, storeDir) match {
+      case Some(t) if t == tag => ()
+      case Some(t) => throw new IllegalStateException(
+        s"store $storeDir is stamped format '$t' but this writer encodes " +
+          s"'$tag' — mixed bit families never match in a band join; " +
+          "rebuild the store under one family")
+      case None =>
+        if (liveBatchDirs(fs, storeDir).nonEmpty ||
+            latestManifest(fs, storeDir).isDefined)
+          throw new IllegalStateException(
+            s"store $storeDir holds committed segments but no $FormatFile " +
+              s"marker — its rows' bit family is unknown and this writer " +
+              s"encodes '$tag'; rebuild the store to adopt stamping")
+        val tmp = new Path(s"$storeDir/$FormatFile.tmp")
+        val dst = new Path(s"$storeDir/$FormatFile")
+        val out = fs.create(tmp, true)
+        try out.write(s"$tag\n".getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, dst) && !readFormat(fs, storeDir).contains(tag))
+          throw new IllegalStateException(
+            s"format stamp failed: rename($tmp, $dst) returned false")
+    }
+
+  /** READER-side format discipline: a probe that interprets the
+    * store's rows under `tag` fails loudly when the store is stamped
+    * with a DIFFERENT family, or holds committed rows with no stamp
+    * at all. An absent marker on an empty/nonexistent store passes —
+    * there is nothing to misinterpret, and the first writer stamps
+    * it. */
+  def requireFormat(fs: FileSystem, storeDir: String, tag: String): Unit =
+    readFormat(fs, storeDir) match {
+      case Some(t) if t == tag => ()
+      case Some(t) => throw new IllegalStateException(
+        s"store $storeDir is stamped format '$t' but this reader expects " +
+          s"'$tag' — a cross-family band join would silently miss; " +
+          "rebuild the store under the expected family")
+      case None =>
+        if (liveBatchDirs(fs, storeDir).nonEmpty ||
+            latestManifest(fs, storeDir).isDefined)
+          throw new IllegalStateException(
+            s"store $storeDir holds committed segments but no $FormatFile " +
+              s"marker — its rows' bit family is unknown; expected '$tag'")
+    }
+
   /** Write `batch` as the immutable live segment of `batchId` (no-op
     * if that segment is already committed — see the replay contract
     * above) and, when `compactEvery` divides the batch count, fold

@@ -469,7 +469,8 @@ object EventStreams {
       Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
-    }, checkpointDir)(afterBatch)
+    }, graft.queries.MultimodalQueries.ImageBandFamily,
+      checkpointDir)(afterBatch)
 
   /** [[mediaIngestGraduate]]'s AUDIO face: micro-batches of newly
     * ingested clips decode + delta-sign-fingerprint only themselves
@@ -483,7 +484,8 @@ object EventStreams {
       Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
-    }, checkpointDir)(afterBatch)
+    }, graft.queries.MultimodalQueries.AudioBandFamily,
+      checkpointDir)(afterBatch)
 
   /** The shared single-table graduation sink: fingerprint the batch
     * (row-local decode — O(batch) work), explode band keys, append as
@@ -495,16 +497,25 @@ object EventStreams {
   private def bandIngestGraduate(newDocs: DataFrame, storeDir: String,
                                  compactEvery: Int,
                                  fingerprint: DataFrame => DataFrame,
+                                 familyTag: String,
                                  checkpointDir: Option[String] = None)
                                 (afterBatch: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     checkpointDir.foldLeft(newDocs.writeStream.outputMode("append"))(
         (w, dir) => w.option("checkpointLocation", dir))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty)
-          graft.sources.SegmentStore.appendBatch(batch.sparkSession, storeDir,
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // bit-family discipline: stamp at creation, verify on every
+          // resume — a checkpoint restored across a family migration
+          // fails HERE instead of silently mixing families in one store
+          graft.sources.SegmentStore.ensureFormat(
+            org.apache.hadoop.fs.FileSystem.get(
+              s.sparkContext.hadoopConfiguration), storeDir, familyTag)
+          graft.sources.SegmentStore.appendBatch(s, storeDir,
             graft.queries.MultimodalQueries.bandStoreRows(
               fingerprint(batch.toDF())), id,
             compactEvery, partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
+        }
         afterBatch(id)
       }
       .start()
@@ -530,7 +541,8 @@ object EventStreams {
       Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
-    }, checkpointDir)(afterBatch)
+    }, graft.queries.MultimodalQueries.ImageBandFamily,
+      checkpointDir)(afterBatch)
 
   /** [[mediaOpsGraduate]]'s AUDIO face — the q180 store's ops stream. */
   def afpOpsGraduate(ops: DataFrame, storeDir: String,
@@ -542,7 +554,8 @@ object EventStreams {
       Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
-    }, checkpointDir)(afterBatch)
+    }, graft.queries.MultimodalQueries.AudioBandFamily,
+      checkpointDir)(afterBatch)
 
   /** Validate one ops micro-batch and split it latest-op-wins: an
     * unknown or null op fails the batch loudly; a same-batch del of a
@@ -563,11 +576,16 @@ object EventStreams {
     * body [[bandOpsGraduate]] and [[bandOpsMaintain]] share. */
   private def bandOpsApply(storeDir: String, df: DataFrame, id: Long,
                            compactEvery: Int, who: String,
-                           fingerprint: DataFrame => DataFrame): Unit = {
+                           fingerprint: DataFrame => DataFrame,
+                           familyTag: String): Unit = {
     import graft.queries.MultimodalQueries
     val (puts, dels) = splitOps(df, who, id)
     val rows = MultimodalQueries.bandStoreRows(fingerprint(puts))
       .unionByName(MultimodalQueries.bandTakedownMarkers(dels))
+    graft.sources.SegmentStore.ensureFormat(
+      org.apache.hadoop.fs.FileSystem.get(
+        df.sparkSession.sparkContext.hadoopConfiguration),
+      storeDir, familyTag)
     graft.sources.SegmentStore.appendBatch(df.sparkSession, storeDir,
       rows, id, compactEvery,
       partitionCol = "j", dedupKeys = Seq("doc_id", "j"))
@@ -576,6 +594,7 @@ object EventStreams {
   private def bandOpsGraduate(ops: DataFrame, storeDir: String,
                               compactEvery: Int, who: String,
                               fingerprint: DataFrame => DataFrame,
+                              familyTag: String,
                               checkpointDir: Option[String] = None)
                              (afterBatch: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     checkpointDir.foldLeft(ops.writeStream.outputMode("append"))(
@@ -583,7 +602,7 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty)
           bandOpsApply(storeDir, batch.toDF(), id, compactEvery, who,
-            fingerprint)
+            fingerprint, familyTag)
         afterBatch(id)
       }
       .start()
@@ -626,7 +645,8 @@ object EventStreams {
       Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
-    }, maxMarkerRows, checkpointDir)(afterBatch)
+    }, graft.queries.MultimodalQueries.ImageBandFamily,
+      maxMarkerRows, checkpointDir)(afterBatch)
 
   /** [[mediaOpsMaintain]]'s AUDIO face. */
   def afpOpsMaintain(ops: DataFrame, rootDir: String, compactEvery: Int,
@@ -639,12 +659,37 @@ object EventStreams {
       Multimodal.audioFingerprintBands(Multimodal.ingestSynthVariantAudio(docs))
         .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
           col("band3"), col("qt0"), col("qt1"), col("qt2"), col("qt3"))
-    }, maxMarkerRows, checkpointDir)(afterBatch)
+    }, graft.queries.MultimodalQueries.AudioBandFamily,
+      maxMarkerRows, checkpointDir)(afterBatch)
 
   private def bandOpsMaintain(ops: DataFrame, rootDir: String,
                               compactEvery: Int, who: String,
                               fingerprint: DataFrame => DataFrame,
+                              familyTag: String,
                               maxMarkerRows: Long,
+                              checkpointDir: Option[String])
+                             (afterBatch: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    opsMaintainLoop(ops, rootDir, who, familyTag,
+      applyOps = (storeDir, df, id) =>
+        bandOpsApply(storeDir, df, id, compactEvery, who, fingerprint,
+          familyTag),
+      rebuildCheck = s => graft.queries.MultimodalQueries
+        .bandRebuildIfMarkersDue(s, rootDir, maxMarkerRows),
+      checkpointDir)(afterBatch)
+
+  /** The ONE maintain-loop skeleton every media face shares (the
+    * single-table band stores AND the video two-table pair): resolve
+    * the root's pointer, apply the batch's ops to the CURRENT
+    * generation's store, then run the face's marker-mass rebuild
+    * check — failures degrade (logged), never kill the ingest. What
+    * varies per face is exactly two seams: how a batch's ops land in
+    * the store(s) and which rebuild trigger fires, so a
+    * maintenance-skew bug can no longer hide in a copied foreachBatch
+    * body. */
+  private def opsMaintainLoop(ops: DataFrame, rootDir: String, who: String,
+                              rootFamily: String,
+                              applyOps: (String, DataFrame, Long) => Unit,
+                              rebuildCheck: SparkSession => Option[Long],
                               checkpointDir: Option[String])
                              (afterBatch: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     checkpointDir.foldLeft(ops.writeStream.outputMode("append"))(
@@ -652,13 +697,17 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val s = batch.sparkSession
         if (!batch.isEmpty) {
+          // a maintain stream RESUMED from a checkpoint across a
+          // bit-family migration must fail here, before one row of
+          // the wrong family lands in the root's current store
+          graft.sources.SegmentStore.requireFormat(
+            org.apache.hadoop.fs.FileSystem.get(
+              s.sparkContext.hadoopConfiguration), rootDir, rootFamily)
           val (_, storeDir) =
             graft.search.AnnIndex.ServingRoot.resolve(s, rootDir)
-          bandOpsApply(storeDir, batch.toDF(), id, compactEvery, who,
-            fingerprint)
+          applyOps(storeDir, batch.toDF(), id)
         }
-        try graft.queries.MultimodalQueries
-          .bandRebuildIfMarkersDue(s, rootDir, maxMarkerRows)
+        try rebuildCheck(s)
           .foreach(e => System.err.println(
             s"graft: $who rebuilt $rootDir to generation $e"))
         catch {
@@ -682,26 +731,13 @@ object EventStreams {
                           graft.queries.MultimodalQueries.MediaRebuildMarkerRows,
                         checkpointDir: Option[String] = None)
                        (afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
-    checkpointDir.foldLeft(ops.writeStream.outputMode("append"))(
-        (w, dir) => w.option("checkpointLocation", dir))
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val s = batch.sparkSession
-        if (!batch.isEmpty) {
-          val (_, storeDir) =
-            graft.search.AnnIndex.ServingRoot.resolve(s, rootDir)
-          vphashOpsApply(storeDir, batch.toDF(), id, compactEvery)
-        }
-        try graft.queries.MultimodalQueries
-          .vphashRebuildIfMarkersDue(s, rootDir, maxMarkerRows)
-          .foreach(e => System.err.println(
-            s"graft: vphashOpsMaintain rebuilt $rootDir to generation $e"))
-        catch {
-          case scala.util.control.NonFatal(e) => System.err.println(
-            s"graft: vphashOpsMaintain rebuild failed (${e.getClass.getSimpleName}: ${e.getMessage})")
-        }
-        afterBatch(id)
-      }
-      .start()
+    opsMaintainLoop(ops, rootDir, "vphashOpsMaintain",
+      graft.queries.MultimodalQueries.VideoBandFamily,
+      applyOps = (storeDir, df, id) =>
+        vphashOpsApply(storeDir, df, id, compactEvery),
+      rebuildCheck = s => graft.queries.MultimodalQueries
+        .vphashRebuildIfMarkersDue(s, rootDir, maxMarkerRows),
+      checkpointDir)(afterBatch)
 
   /** [[mediaOpsGraduate]]'s VIDEO face — the q181 store pair's ops
     * stream: puts decode once and fill BOTH tables; dels append
@@ -729,12 +765,20 @@ object EventStreams {
     val (puts, dels) = splitOps(df, "vphashOpsGraduate", id)
     val nl = lit(null).cast("long")
     val fh = Multimodal
-      .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(puts))
+      .videoFrameDHashBands(Multimodal.ingestSynthVariantVideo(puts))
       .select(col("doc_id"), col("frame_idx"), col("n_frames"),
         col("band0"), col("band1"), col("band2"), col("band3"),
         col("qt0"), col("qt1"), col("qt2"), col("qt3"))
       .cache()
     try {
+      // both tables of the pair carry the ONE video family stamp —
+      // verified on every resumed checkpoint batch
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      graft.sources.SegmentStore.ensureFormat(fs, s"$storeDir/frames",
+        graft.queries.MultimodalQueries.VideoBandFamily)
+      graft.sources.SegmentStore.ensureFormat(fs, s"$storeDir/f0bands",
+        graft.queries.MultimodalQueries.VideoBandFamily)
       graft.sources.SegmentStore.appendBatch(s, s"$storeDir/frames",
         fh.withColumn("_del", lit(false))
           .unionByName(dels.select(col("doc_id"),
@@ -777,12 +821,18 @@ object EventStreams {
           import graft.multimodal.Multimodal
           val s = batch.sparkSession
           val fh = Multimodal
-            .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(batch.toDF()))
+            .videoFrameDHashBands(Multimodal.ingestSynthVariantVideo(batch.toDF()))
             .select(col("doc_id"), col("frame_idx"), col("n_frames"),
               col("band0"), col("band1"), col("band2"), col("band3"),
               col("qt0"), col("qt1"), col("qt2"), col("qt3"))
             .cache()
           try {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              s.sparkContext.hadoopConfiguration)
+            graft.sources.SegmentStore.ensureFormat(fs, s"$storeDir/frames",
+              graft.queries.MultimodalQueries.VideoBandFamily)
+            graft.sources.SegmentStore.ensureFormat(fs, s"$storeDir/f0bands",
+              graft.queries.MultimodalQueries.VideoBandFamily)
             graft.sources.SegmentStore.appendBatch(s, s"$storeDir/frames", fh,
               id, compactEvery,
               partitionCol = "frame_idx", dedupKeys = Seq("doc_id", "frame_idx"))

@@ -455,7 +455,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       }
     } finally qv.stop()
     val fh = Multimodal
-      .videoFrameHashBands(Multimodal.ingestSynthVariantVideo(b1))
+      .videoFrameDHashBands(Multimodal.ingestSynthVariantVideo(b1))
       .select($"doc_id", $"frame_idx", $"n_frames",
         $"band0", $"band1", $"band2", $"band3",
         $"qt0", $"qt1", $"qt2", $"qt3")
@@ -918,7 +918,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft_media_maint_stream").toString + "/r"
     MultimodalQueries.mediaRootInit(spark,
-      s"${MultimodalQueries.phashIndexDir(spark, sf0001)}/bands", root)
+      s"${MultimodalQueries.phashIndexDir(spark, sf0001)}/bands", root,
+      MultimodalQueries.ImageBandFamily)
     def bands(ids: Seq[Long]) =
       Multimodal.imageDHashBands(Multimodal.ingestSynthVariantImages(
           ids.toDF("doc_id")))
@@ -928,7 +929,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     // far outside the fixture id range); 900010 is family-less here
     val probeB2 = bands(Seq(900002L))
     def probe() = MultimodalQueries.graduatedBandProbeRoot(spark, root,
-      probeB2, MultimodalQueries.PhashMaxHamming)
+      probeB2, MultimodalQueries.PhashMaxHamming,
+      MultimodalQueries.ImageBandFamily)
     val mem = MemoryStream[(Long, String)]
     val q = EventStreams.mediaOpsMaintain(
       mem.toDF().toDF("doc_id", "op"), root, compactEvery = 1,

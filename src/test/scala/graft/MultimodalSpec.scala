@@ -454,32 +454,60 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   test("per-frame hash bands from a decoded variant GIF match the gray formula bit for bit") {
     val id = 17L
     val df = Seq(id).toDF("doc_id")
-    val got = Multimodal.videoFrameHashBands(Multimodal.ingestSynthVariantVideo(df))
-      .select($"frame_idx", $"n_frames", $"band0", $"band1", $"band2", $"band3",
-        $"qt0", $"qt1", $"qt2", $"qt3")
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
-      .collect().sortBy(_._1)
+    val px = Multimodal.VideoPixels
     val nf = Multimodal.videoVariantFrameCount(id)
-    assert(got.length === nf && got.forall(_._2 === nf.toLong))
+    def collect(fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      fn(Multimodal.ingestSynthVariantVideo(df))
+        .select($"frame_idx", $"n_frames", $"band0", $"band1", $"band2", $"band3",
+          $"qt0", $"qt1", $"qt2", $"qt3")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1)
+    // the PRODUCTION family: dHash neighbor-comparison bits
+    val gotD = collect(Multimodal.videoFrameDHashBands)
+    // the measured alternative: aHash frame-total-threshold bits
+    val gotA = collect(Multimodal.videoFrameAHashBands)
+    assert(gotD.length === nf && gotD.forall(_._2 === nf.toLong))
+    assert(gotA.length === nf && gotA.forall(_._2 === nf.toLong))
     for (f <- 0 until nf) {
-      val px = Multimodal.VideoPixels
       // the fixture frame IS the canonical 8×8 grid, so the
-      // box-resample is identity: virtual pixel = formula gray. Bands
-      // are the plain aHash packing; qt_q is quarter q's exact gray
-      // total — the candidate key's second blocking signal
+      // box-resample is identity: virtual pixel = formula gray. qt_q
+      // is quarter q's exact gray total — the candidate key's second
+      // blocking signal, IDENTICAL between the two bit families
       val gray = Array.tabulate(px)(j => Multimodal.variantGray(id, f, j).toLong)
       val total = gray.sum
-      val bands = new Array[Long](4)
+      val bandsD = new Array[Long](4)
+      val bandsA = new Array[Long](4)
       val qt = new Array[Long](4)
       for (j <- 0 until px) {
-        if (gray(j) * px > total) bands(j / 16) |= 1L << (j % 16)
+        if (gray(j) > gray((j + 1) % px)) bandsD(j / 16) |= 1L << (j % 16)
+        if (gray(j) * px > total) bandsA(j / 16) |= 1L << (j % 16)
         qt(j / 16) += gray(j)
       }
-      assert((got(f)._3, got(f)._4, got(f)._5, got(f)._6) ===
-        ((bands(0), bands(1), bands(2), bands(3))), s"frame $f")
-      assert((got(f)._7, got(f)._8, got(f)._9, got(f)._10) ===
+      assert((gotD(f)._3, gotD(f)._4, gotD(f)._5, gotD(f)._6) ===
+        ((bandsD(0), bandsD(1), bandsD(2), bandsD(3))), s"frame $f dhash")
+      assert((gotA(f)._3, gotA(f)._4, gotA(f)._5, gotA(f)._6) ===
+        ((bandsA(0), bandsA(1), bandsA(2), bandsA(3))), s"frame $f ahash")
+      assert((gotD(f)._7, gotD(f)._8, gotD(f)._9, gotD(f)._10) ===
         ((qt(0), qt(1), qt(2), qt(3))), s"frame $f quarter totals")
+      assert((gotA(f)._7, gotA(f)._8, gotA(f)._9, gotA(f)._10) ===
+        ((qt(0), qt(1), qt(2), qt(3))), s"frame $f quarter totals (ahash)")
     }
+  }
+
+  test("planted sibling clips sit within deterministic dHash Hamming 4 (one edited pixel each flips <= 2 neighbor bits)") {
+    val id = 10L // group 3 member; sibling id+1
+    val px = Multimodal.VideoPixels
+    val nf = Multimodal.videoVariantFrameCount(id)
+    def clipBits(cid: Long): Seq[Long] = (0 until nf).flatMap { f =>
+      val gray = Array.tabulate(px)(j => Multimodal.variantGray(cid, f, j).toLong)
+      (0 until px).map(j => if (gray(j) > gray((j + 1) % px)) 1L else 0L)
+    }
+    val ham = clipBits(id).zip(clipBits(id + 1)).count { case (a, b) => a != b }
+    // each member's ONE edited pixel overlaps exactly two neighbor
+    // comparisons — the locality argument behind the round-18 video
+    // adoption (the aHash threshold could flip far-away bits)
+    assert(ham <= 4, s"sibling dHash Hamming $ham exceeds the deterministic bound")
+    assert(ham <= graft.queries.MultimodalQueries.VphashMaxHamming)
   }
 
   test("variant clips share the group's frame count and perturb one (frame, pixel)") {
@@ -608,7 +636,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(afp.isNullAt(0))
     // frame emitters: a corrupt clip contributes no frames, the scan continues
     assert(Multimodal.videoFrameFeatures(junkRow("image/gif"), 2).count() === 0L)
-    assert(Multimodal.videoFrameHashBands(junkRow("image/gif")).count() === 0L)
+    assert(Multimodal.videoFrameDHashBands(junkRow("image/gif")).count() === 0L)
   }
 
   test("delta-sign fingerprint is exactly invariant to DC offset (its design law)") {
@@ -811,9 +839,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft_media_root_spec").toString + "/r"
     MultimodalQueries.mediaRootInit(spark,
-      s"${MultimodalQueries.phashIndexDir(spark, sf0001)}/bands", root)
+      s"${MultimodalQueries.phashIndexDir(spark, sf0001)}/bands", root,
+      MultimodalQueries.ImageBandFamily)
     val (_, store0) = ServingRoot.resolve(spark, root)
     // replay the q178 store recipe against the root's epoch-0 store
+    // (stamping first, as every production writer does)
+    graft.sources.SegmentStore.ensureFormat(
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration),
+      store0, MultimodalQueries.ImageBandFamily)
     val b1 = MultimodalQueries.phashNewBatchBands(spark, sf0001)
       .filter(pmod($"doc_id", lit(MultimodalQueries.PhashLsmBatchMod)) === 0)
     graft.sources.SegmentStore.appendBatch(spark, store0,
@@ -832,7 +866,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val b2 = MultimodalQueries.phashNewBatchBands(spark, sf0001)
       .filter(pmod($"doc_id", lit(MultimodalQueries.PhashLsmBatchMod)) === 1)
     def probeRoot() = MultimodalQueries.graduatedBandProbeRoot(spark, root,
-      b2, MultimodalQueries.PhashMaxHamming)
+      b2, MultimodalQueries.PhashMaxHamming,
+      MultimodalQueries.ImageBandFamily)
     // pre-rebuild: the root probe serves the LIFECYCLE answer
     assert(probeRoot().as[(Long, Long, Long, Long)].collect().toSeq === q178,
       "the root probe must serve the lifecycle answer pre-rebuild")
@@ -879,6 +914,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     for ((table, key) <- Seq("f0bands" -> "j", "frames" -> "frame_idx")) {
       val rows = graft.sources.SegmentStore.read(spark, s"$lsm/$table")
         .drop(graft.sources.SegmentStore.BatchCol)
+      // stamp first, as every production writer does
+      graft.sources.SegmentStore.ensureFormat(
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration),
+        s"$delta0/$table", MultimodalQueries.VideoBandFamily)
       graft.sources.SegmentStore.appendBatch(spark, s"$delta0/$table",
         rows, 0L, compactEvery = 0, partitionCol = key,
         dedupKeys = Seq("doc_id", key))

@@ -558,9 +558,11 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
     val server = new Thread(() => {
       servedTotal = Search.serve(eng, sf0001, k = 3, serverIn,
         new java.io.PrintStream(outBuf, true, "UTF-8"),
-        maintainEvery = 1,
-        // delay-injected maintenance: blocks until the test releases
-        // it — the window in which serving must continue
+        maintainEvery = 2,
+        // delay-injected maintenance: the FIRST run blocks until the
+        // test releases it — the window in which serving must
+        // continue; later runs return immediately (the latch stays
+        // open)
         maintainAction = Some(() => {
           actionRuns.incrementAndGet()
           foldStarted.countDown()
@@ -583,23 +585,40 @@ class SearchMainSpec extends AnyFunSuite with SparkSpec {
       }
       lines().last
     }
-    // request 1 answers, then its cadence crossing enqueues the fold
+    // requests 1+2 answer; the second's cadence crossing (2 tool
+    // calls / maintainEvery 2) enqueues the fold
     val r1 = request("fast hash join on a big table")
     assert(r1.contains("\"doc_id\""))
+    val r2 = request("sorted merge of event batches")
+    assert(r2.contains("\"doc_id\""))
     assert(foldStarted.await(60, java.util.concurrent.TimeUnit.SECONDS),
       "the maintenance action must start on the background thread")
-    // THE claim: a request issued while the fold is mid-flight is
-    // answered — the fold never stalls the request thread
-    val r2 = request("sorted merge of event batches")
-    assert(r2.contains("\"doc_id\""),
+    // THE claim: requests issued while the fold is mid-flight are
+    // answered — the fold never stalls the request thread — and the
+    // crossing at call 4 is SKIPPED (consumed, not queued)
+    val r3 = request("columnar scan with predicate pushdown")
+    assert(r3.contains("\"doc_id\""),
       "a request during a mid-flight fold must be answered")
+    val r4 = request("broadcast the small dimension side")
+    assert(r4.contains("\"doc_id\""))
     assert(actionRuns.get === 1,
       "a cadence crossing during a mid-flight check is skipped, not queued")
     foldRelease.countDown()
+    // the skipped crossing was CONSUMED: the first request after the
+    // check completes sits inside the same cadence window (5/2 = 2,
+    // already recorded) and must NOT retry the skipped check — only
+    // the NEXT crossing (call 6) re-checks
+    val r5 = request("window frame over recent sessions")
+    assert(r5.contains("\"doc_id\""))
+    assert(actionRuns.get === 1,
+      "a skipped crossing must wait for the next crossing, not the next request")
+    val r6 = request("filter events by recent timestamp")
+    assert(r6.contains("\"doc_id\""))
     fromTest.close()
     server.join(60000)
-    assert(servedTotal === 2)
-    assert(actionRuns.get === 1)
+    assert(servedTotal === 6)
+    assert(actionRuns.get === 2,
+      "the next cadence crossing after a skip must re-check")
   }
 
   test("protocol chatter does not drive maintenance; tool calls do — and EOF drains the sequencer") {

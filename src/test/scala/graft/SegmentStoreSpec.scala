@@ -81,4 +81,49 @@ class SegmentStoreSpec extends AnyFunSuite with SparkSpec {
     // composes across future generations
     assert(folded.map(_._3).toSeq === Seq(1L, 0L, 1L))
   }
+
+  test("format stamping: stamp once, verify forever, fail loudly on a family mismatch") {
+    val store = tmpStore("format")
+    // stamp at creation (no committed rows yet), idempotent re-ensure
+    SegmentStore.ensureFormat(fs, store, "image-bands/dhash-v1")
+    SegmentStore.ensureFormat(fs, store, "image-bands/dhash-v1")
+    assert(SegmentStore.readFormat(fs, store) === Some("image-bands/dhash-v1"))
+    SegmentStore.appendBatch(spark, store, batchDf(1L -> "a"), batchId = 0L,
+      compactEvery = 0, partitionCol = "part", dedupKeys = Seq("doc_id"))
+    // the resumed-across-a-migration scenario: a writer of ANOTHER
+    // family must fail before one row lands
+    val eW = intercept[IllegalStateException] {
+      SegmentStore.ensureFormat(fs, store, "image-bands/ahash-v1")
+    }
+    assert(eW.getMessage.contains("dhash-v1") && eW.getMessage.contains("ahash-v1"))
+    // reader side: matching family passes, mismatch fails loudly
+    SegmentStore.requireFormat(fs, store, "image-bands/dhash-v1")
+    val eR = intercept[IllegalStateException] {
+      SegmentStore.requireFormat(fs, store, "image-bands/ahash-v1")
+    }
+    assert(eR.getMessage.contains("dhash-v1"))
+    // the marker survives a compaction (it lives outside the segment
+    // and manifest namespaces)
+    SegmentStore.appendBatch(spark, store, batchDf(2L -> "b"), batchId = 1L,
+      compactEvery = 2, partitionCol = "part", dedupKeys = Seq("doc_id"))
+    assert(SegmentStore.latestManifest(fs, store).isDefined)
+    assert(SegmentStore.readFormat(fs, store) === Some("image-bands/dhash-v1"))
+  }
+
+  test("format stamping: an UNSTAMPED store with committed rows is rejected by writers and readers alike") {
+    val store = tmpStore("legacy")
+    SegmentStore.appendBatch(spark, store, batchDf(1L -> "a"), batchId = 0L,
+      compactEvery = 0, partitionCol = "part", dedupKeys = Seq("doc_id"))
+    // a legacy (pre-stamping) store's rows are of UNKNOWN family:
+    // neither side may silently adopt it
+    intercept[IllegalStateException] {
+      SegmentStore.ensureFormat(fs, store, "image-bands/dhash-v1")
+    }
+    intercept[IllegalStateException] {
+      SegmentStore.requireFormat(fs, store, "image-bands/dhash-v1")
+    }
+    // an EMPTY store passes the reader check (nothing to misinterpret)
+    val empty = tmpStore("legacy_empty")
+    SegmentStore.requireFormat(fs, empty, "image-bands/dhash-v1")
+  }
 }

@@ -25,6 +25,30 @@ class SessionMemoSpec extends AnyFunSuite with SparkSpec {
     SessionMemo.evictApplication(appId)
   }
 
+  test("ListingMemo holds ONE entry per store and replaces it when the listing changes") {
+    val memo = new ListingMemo[Long]
+    val appId = spark.sparkContext.applicationId
+    var builds = 0
+    def get(listing: String): Long =
+      memo.getOrCompute(spark, "/stores/a", listing) { builds += 1; listing.length.toLong }
+    // unchanged listing: cached, zero rebuilds
+    assert(get("s0;s1") === 5L && get("s0;s1") === 5L && builds === 1)
+    // an append/fold changes the listing: the entry is REPLACED, not
+    // accumulated — an indefinitely-mutating store stays at one entry
+    assert(get("s0;s1;s2") === 8L && builds === 2)
+    assert(get("s0;s1;s2") === 8L && builds === 2)
+    // the superseded listing is GONE (replacement, not a side cache):
+    // coming back to it recomputes rather than resurrecting stale state
+    assert(get("s0;s1") === 5L && builds === 3)
+    assert(memo.entryCount(appId) === 1,
+      "one store dir must hold exactly one entry across mutations")
+    // a second store adds its own single entry
+    memo.getOrCompute(spark, "/stores/b", "x") { 1L }
+    assert(memo.entryCount(appId) === 2)
+    SessionMemo.evictApplication(appId)
+    assert(memo.entryCount(appId) === 0)
+  }
+
   test("the fitted-index and bloom memos are hooked to application end") {
     val appId = spark.sparkContext.applicationId
     // populate both module memos through their public routes
