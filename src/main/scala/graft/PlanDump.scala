@@ -514,6 +514,17 @@ object PlanDump {
         + "driver merge by design; this dumps the inner probe frame — "
         + "SearchEngine.batchMainProbeFrame, the exact plan "
         + "searchIndexedBatch collects.)"),
+    "q187_root_batch_served" ->
+      ("Root-served BATCH probe frame (q186's one-subtree shape "
+        + "THROUGH the serving pointer): the root resolves ONCE for "
+        + "the whole batch — every artifact scan in the plan reads the "
+        + "SAME pointer-resolved epoch generation — and the N prompts "
+        + "still share ONE ADC + exact-rescore artifact scan pair; "
+        + "post-fold the epoch delta carries no tombstones, so no "
+        + "exclusion anti-join survives in the probe. (Like q186, the "
+        + "declared query's returned frame is the O(prompts·k) driver "
+        + "merge; this dumps the inner probe frame against the "
+        + "resolved epoch dirs.)"),
     "q184_vphash_rebuild" ->
       ("The video rebuild probe: both clip-index tables read from the "
         + "fresh generation — anchor equi-join then aligned-Hamming "
@@ -621,9 +632,20 @@ object PlanDump {
     * DESIGN (declared-query determinism): the plan worth pinning is
     * the inner distributed frame they collect — dump that instead. */
   private val innerFrame: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("q186_batch_served" -> ((s, dir) =>
-      new graft.search.SearchEngine(s).batchMainProbeFrame(
-        dir, graft.queries.AnnQueries.BatchServedPrompts, 10)))
+    Map(
+      "q186_batch_served" -> ((s, dir) =>
+        new graft.search.SearchEngine(s).batchMainProbeFrame(
+          dir, graft.queries.AnnQueries.BatchServedPrompts, 10)),
+      "q187_root_batch_served" -> ((s, dir) => {
+        // the q187 query's exact construction: resolve the pointer
+        // ONCE, then the one-plan batch probe against the epoch dirs
+        val root = graft.queries.AnnQueries.servedRootDir(s, dir)
+        val (idx, delta) =
+          graft.search.AnnIndex.ServingRoot.resolve(s, root)
+        new graft.search.SearchEngine(s).batchMainProbeFrame(
+          dir, graft.queries.AnnQueries.RootBatchPrompts, 10,
+          deltaDir = Some(delta), mainDir = Some(idx))
+      }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -1368,4 +1368,55 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(one.size == three.size,
       "the artifact scan count must not scale with the prompt count")
   }
+
+  test("q187 root-served batch: one pointer resolve, one probe subtree against the resolved epoch") {
+    // q186's one-subtree guarantee must survive the POINTER: the q187
+    // construction resolves the serving root ONCE for the whole batch
+    // and probes the resolved epoch dirs — a per-prompt fallback
+    // (scan count scaling with prompts) or a split-epoch read (scans
+    // naming more than one generation dir) fails here, not just in
+    // answer equality at fixture scale.
+    val eng = new graft.search.SearchEngine(spark)
+    val root = graft.queries.AnnQueries.servedRootDir(spark, sf001)
+    val (idx, delta) = graft.search.AnnIndex.ServingRoot.resolve(spark, root)
+    // full scan paths via the physical nodes (the plan STRING truncates
+    // Location paths before the epoch segment); DPP subqueries echo
+    // their build scan, so dedup by (paths, read schema)
+    def epochScans(n: Int): Seq[String] = {
+      val qe = eng.batchMainProbeFrame(sf001,
+          graft.queries.AnnQueries.RootBatchPrompts.take(n), 10,
+          deltaDir = Some(delta), mainDir = Some(idx))
+        .queryExecution
+      val p = qe.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"root-batch probe joins must broadcast:\n$p")
+      // the q187 fixture folds before serving: the epoch delta holds
+      // no tombstones, so no exclusion anti-join may survive
+      assert(!p.contains("LeftAnti"),
+        s"post-fold the probe must carry no tombstone anti-join:\n$p")
+      // scan nodes off the pre-AQE physical plan (AQE wraps the
+      // executed plan until runtime; the scan SET is fixed before it).
+      // Plain collect: DPP subqueries only echo main-tree scans, and
+      // collectWithSubqueries trips on logical subquery plans here
+      qe.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains("graft_served_root")) =>
+          f.relation.location.rootPaths.map(_.toString).sorted.mkString(";") +
+            "|" + f.schema.catalogString
+      }.distinct
+    }
+    val one = epochScans(1)
+    val three = epochScans(3)
+    assert(three.size == 2,
+      s"expected ONE ADC + rescore epoch-artifact scan pair for the whole batch:\n${three.mkString("\n")}")
+    assert(one.size == three.size,
+      "the epoch-artifact scan count must not scale with the prompt count")
+    // all artifact scans read the SAME pointer-resolved generation —
+    // the one-resolve-per-batch property made visible in the plan
+    val gens = three.flatMap(sc =>
+      "epoch_[0-9]+(?![_0-9])".r.findAllIn(sc).toSeq).distinct
+    assert(gens.size === 1,
+      s"every scan must read the one resolved epoch, got: $gens")
+  }
 }
