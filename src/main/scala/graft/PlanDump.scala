@@ -567,7 +567,7 @@ object PlanDump {
         "verify — the indexed corpus is never re-decoded."),
     "q157_video_neardup" ->
       ("Temporal video near-dup: real multi-frame decode + per-frame " +
-        "aHash inside mapPartitions (blobs never shuffle), frame-0 " +
+        "dHash inside mapPartitions (blobs never shuffle), frame-0 " +
         "anchor banding (+ equal frame counts) for candidates, exact " +
         "aligned per-frame Hamming sum as the verify — band equi-join " +
         "then doc-keyed equi-joins only, never pair enumeration."),

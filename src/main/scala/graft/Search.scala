@@ -43,7 +43,7 @@ object Search {
     "ivfpq-multi-tune", "ivfpq-filter-tune", "ivfpq-compact-tune", "ivfpq-res-tune",
     "served-tune", "index", "para-probe", "distinct", "cc-probe", "ingest-probe",
     "lsm-soak", "fold-soak", "band-cand-probe", "refit-probe", "tombstone-probe",
-    "takedown-probe", "media-soak", "lost-pairs-probe", "maintain-probe",
+    "takedown-probe", "media-soak", "media-ops-soak", "lost-pairs-probe", "maintain-probe",
     "rebuild-probe", "batch-probe", "dhash-probe", "vdhash-probe")
 
   /** Split `--name value` / `--name=value` flags from positionals —

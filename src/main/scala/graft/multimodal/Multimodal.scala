@@ -1140,7 +1140,7 @@ object Multimodal {
   }
 
   /** Decode a GIF blob's frames to per-frame hash rows of EIGHT longs —
-    * `(band0..band3, qt0..qt3)`: 4×16-bit aHash bands + the 4 exact
+    * `(band0..band3, qt0..qt3)`: 4×16-bit hash bands + the 4 exact
     * quarter gray totals of the canonical grid (frame order preserved);
     * None = quarantined (undecodable, or a frame below the declared
     * ≥8×8 geometry floor). The shared decode core of

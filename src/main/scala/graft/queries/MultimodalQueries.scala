@@ -473,7 +473,7 @@ object MultimodalQueries {
   val PhashProbeNewMod = 5L
   val PhashProbeNewMin = 3L
 
-  /** The full corpus's variant-image aHash bands (+ per-image gray
+  /** The full corpus's variant-image dHash bands (+ per-image gray
     * mass), session-cached: the EXPENSIVE pass — decode + hash of
     * every image — runs once per session, and three consumers derive
     * from the tiny cached table (q155 pairs, q159 components, q160
@@ -538,7 +538,7 @@ object MultimodalQueries {
   private val sessionPhashIndex = new graft.SessionMemo[String, String]
 
   /** Session-once persisted phash band index of the OLD image corpus
-    * (the q73 daily-dedup shape, multimodal face): decode + aHash the
+    * (the q73 daily-dedup shape, multimodal face): decode + dHash the
     * indexed images ONCE, write the exploded band-key rows PARTITIONED
     * BY band index. Every subsequent ingest batch probes this artifact
     * off parquet — nothing about the existing corpus is re-decoded,

@@ -377,7 +377,7 @@ object EventStreams {
 
   /** Stateless stream-static probe of newly-ingested IMAGES against
     * the persisted q158 phash band index — the multimodal face of
-    * [[incrementalDedupVsIndex]]: each micro-batch decodes + aHashes
+    * [[incrementalDedupVsIndex]]: each micro-batch decodes + dHashes
     * only its own images (row-local mapPartitions — decode composes
     * with a stream unchanged), explodes its band keys, equi-joins the
     * static index, claims each (new, indexed) pair once via the
@@ -450,7 +450,7 @@ object EventStreams {
     * [[graft.sources.SegmentStore]] band index — [[phashProbeVsIndex]]'s
     * WRITE-path twin and the media face of
     * [[graft.search.SearchEngine.streamingIvfPqMaintain]], closing the
-    * q158/q169 lifecycle: each micro-batch decodes + aHashes only
+    * q158/q169 lifecycle: each micro-batch decodes + dHashes only
     * ITSELF (row-local mapPartitions), explodes its band keys, and
     * appends an immutable per-batch segment; every `compactEvery`
     * batches the live tail folds into a manifest-published compacted
