@@ -976,7 +976,8 @@ object ScaleProbe {
     val root = java.nio.file.Files
       .createTempDirectory("graft_fold_soak").toString + "/root"
     ServingRoot.init(spark,
-      graft.queries.AnnQueries.ivfPqIndexDir(spark, srcDir), root)
+      graft.queries.AnnQueries.ivfPqIndexDir(spark, srcDir), root,
+      embedderSig = Some(new graft.search.HashingEmbedder().signature))
     // the raced pair: corpus doc DeletedId's own embedding probes; the
     // doc is deleted in batch 0 and a sentinel with the SAME embedding
     // is put in batch 0 — every probe must serve the sentinel at 1.0
@@ -1262,7 +1263,8 @@ object ScaleProbe {
     val buildSec = (System.nanoTime() - t0) / 1e9
     val root = java.nio.file.Files
       .createTempDirectory("graft_refit_probe").toString + "/r"
-    ServingRoot.init(spark, mainDir, root)
+    ServingRoot.init(spark, mainDir, root,
+      embedderSig = Some(new graft.search.HashingEmbedder().signature))
     val (idx0, delta0) = ServingRoot.resolve(spark, root)
     def actuate() = AnnIndex.refitIfDrifted(spark, root, AnnQueries.IvfCells,
       AnnQueries.IvfPqSubDim, AnnQueries.IvfPqK, AnnQueries.IvfPqIters,
@@ -1417,7 +1419,8 @@ object ScaleProbe {
     val mainDir = AnnQueries.ivfPqIndexDir(spark, srcDir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_maintain_probe").toString + "/r"
-    ServingRoot.init(spark, mainDir, root)
+    ServingRoot.init(spark, mainDir, root,
+      embedderSig = Some(new graft.search.HashingEmbedder().signature))
     val (_, delta0) = ServingRoot.resolve(spark, root)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

@@ -542,7 +542,8 @@ object AnnQueries {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_served_root_" +
         graft.SparkEntry.pathSlug(dir) + "_" +
         graft.SparkEntry.pathSlug(s.sparkContext.applicationId) + "/r"
-      graft.search.AnnIndex.ServingRoot.init(s, ivfPqIndexDir(s, dir), root)
+      graft.search.AnnIndex.ServingRoot.init(s, ivfPqIndexDir(s, dir), root,
+        embedderSig = Some(new graft.search.HashingEmbedder().signature))
       val (idx0, delta0) = graft.search.AnnIndex.ServingRoot.resolve(s, root)
       scriptDeleteLifecycle(s, idx0, delta0)
       graft.search.AnnIndex.majorFoldPublish(s, root)

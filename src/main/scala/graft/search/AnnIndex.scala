@@ -924,15 +924,70 @@ object AnnIndex {
           s"epoch publish failed: rename($tmp, $dst) returned false")
     }
 
+    /** Root-level marker naming the EMBEDDER whose vector space this
+      * root's artifacts and prompts share — the vector twin of the
+      * media stores' `_format` bit-family stamp, guarding the failure
+      * the dim check cannot: two embedders of EQUAL dim but different
+      * token hashing (or a swapped remote model behind the seam)
+      * produce incomparable spaces, and a durable root built under
+      * one, resumed by a server configured with another, silently
+      * degrades EVERY route — index probe, delta union, and the
+      * exact-scan fallback alike (all compare the mis-embedded prompt
+      * against the corpus vectors). Written once at [[init]],
+      * immutable for the root's life (an embedder change is a
+      * re-embed + re-init, never an in-place swap). */
+    val EmbedderFile = "_embedder"
+
+    /** The root's stamped embedder signature, or None for a root that
+      * predates stamping. */
+    def readEmbedder(fs: org.apache.hadoop.fs.FileSystem,
+                     rootDir: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$rootDir/$EmbedderFile")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    }
+
+    /** Serve-time guard: a root stamped for a DIFFERENT embedder than
+      * the serving engine's fails LOUDLY — this must never degrade to
+      * the exact-scan fallback, which shares the space assumption and
+      * would serve confidently wrong scores. An absent stamp (a root
+      * predating stamping) passes. */
+    def requireEmbedder(fs: org.apache.hadoop.fs.FileSystem,
+                        rootDir: String, sig: String): Unit =
+      readEmbedder(fs, rootDir).foreach { t =>
+        if (t != sig) throw new IllegalStateException(
+          s"serving root $rootDir was built for embedder '$t' but this " +
+            s"server embeds prompts with '$sig' — the spaces are " +
+            "incomparable at equal dim; re-embed and re-init the root")
+      }
+
+    private def stampEmbedder(fs: org.apache.hadoop.fs.FileSystem,
+                              rootDir: String, sig: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$rootDir/$EmbedderFile.tmp")
+      val dst = new org.apache.hadoop.fs.Path(s"$rootDir/$EmbedderFile")
+      val out = fs.create(tmp, true)
+      try out.write(s"$sig\n".getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, dst) && !readEmbedder(fs, rootDir).contains(sig))
+        throw new IllegalStateException(
+          s"embedder stamp failed: rename($tmp, $dst) returned false")
+    }
+
     /** Seed a fresh root from an existing artifact: fold it (with its
-      * empty delta) into `epoch_0` and publish the first pointer. */
-    def init(spark: SparkSession, fromIndexDir: String, rootDir: String): Unit = {
+      * empty delta) into `epoch_0`, stamp the embedder signature when
+      * the caller provides one, and publish the first pointer. */
+    def init(spark: SparkSession, fromIndexDir: String, rootDir: String,
+             embedderSig: Option[String] = None): Unit = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       require(currentEpoch(fs, rootDir).isEmpty,
         s"serving root $rootDir already has a published epoch")
       majorCompact(spark, fromIndexDir, deltaDir(rootDir, -1L),
         indexDir(rootDir, 0L))
+      embedderSig.foreach(stampEmbedder(fs, rootDir, _))
       publish(fs, rootDir, 0L)
     }
   }

@@ -23,6 +23,19 @@ import org.apache.spark.sql.Row
 trait Embedder extends Serializable {
   def dim: Int
 
+  /** Stable identity of the vector space this embedder produces —
+    * stamped into serving roots at init
+    * ([[graft.search.AnnIndex.ServingRoot.init]]) and verified on
+    * every root-served request: two embedders with EQUAL dims but
+    * different token hashing (or a remote model behind the seam
+    * swapped for another) produce vectors in incomparable spaces, and
+    * a root built for one, served by another, degrades every route
+    * SILENTLY — the dim guard cannot see it, and even the exact-scan
+    * fallback compares the mis-embedded prompt against the corpus
+    * vectors. Implementations must change this string whenever the
+    * text → vector function changes. */
+  def signature: String = s"${getClass.getSimpleName}/dim=$dim"
+
   /** Embed one text (driver-side, for the single-prompt query path —
     * the reference embeds exactly one prompt per call, server.py:78). */
   def embed(text: String): Array[Float]
@@ -55,6 +68,10 @@ trait Embedder extends Serializable {
   * (FIXTURES.md: embeddings are 64-d).
   */
 final class HashingEmbedder(override val dim: Int = 64) extends Embedder {
+  /** Names the hash family AND its seed — the two knobs that move
+    * every vector without moving `dim`. */
+  override def signature: String = s"HashingEmbedder/dim=$dim/murmur3=42"
+
   override def embed(text: String): Array[Float] = {
     val v = new Array[Float](dim)
     if (text != null) {

@@ -50,7 +50,7 @@ object SearchEngine {
   */
 final class SearchEngine(
     val spark: SparkSession,
-    embedder: Embedder = new HashingEmbedder(64)) {
+    val embedder: Embedder = new HashingEmbedder(64)) {
 
   import spark.implicits._
 
@@ -611,6 +611,13 @@ final class SearchEngine(
                      k: Int = 10, filter: Seq[(String, Any)] = Nil): String = {
     require(k >= 1 && k <= SearchEngine.MaxServedK,
       s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
+    // OUTSIDE the fallback try by design: an embedder-space mismatch
+    // poisons the exact scan too (it compares the mis-embedded prompt
+    // against the corpus vectors), so degrading would serve
+    // confidently wrong scores — this must stay loud
+    graft.search.AnnIndex.ServingRoot.requireEmbedder(
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration), rootDir, embedder.signature)
     renderHits(
       try {
         val (idx, delta) = graft.search.AnnIndex.ServingRoot.resolve(spark, rootDir)
@@ -907,6 +914,10 @@ final class SearchEngine(
       s"served k must be in [1, ${SearchEngine.MaxServedK}], got $k")
     require(prompts.nonEmpty && prompts.size <= SearchEngine.MaxBatchPrompts,
       s"batch must carry 1..${SearchEngine.MaxBatchPrompts} prompts, got ${prompts.size}")
+    // same loud-over-degraded contract as the single root route
+    graft.search.AnnIndex.ServingRoot.requireEmbedder(
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration), rootDir, embedder.signature)
     renderBatch(
       try {
         val (idx, delta) =

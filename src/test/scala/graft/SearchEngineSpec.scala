@@ -415,6 +415,46 @@ class SearchEngineSpec extends SparkSpec {
       "the old (artifact, delta) snapshot must keep serving bit-identically after the fold")
   }
 
+  test("serving root: an embedder-space mismatch is LOUD on both root routes — never the silent fallback") {
+    import graft.search.AnnIndex.ServingRoot
+    val eng = new graft.search.SearchEngine(spark)
+    val mainDir = graft.queries.AnnQueries.ivfPqIndexDir(spark, sf0001)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_embsig_spec").toString + "/r"
+    ServingRoot.init(spark, mainDir, root,
+      embedderSig = Some("HashingEmbedder/dim=64/murmur3=7777"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(ServingRoot.readEmbedder(fs, root) ===
+      Some("HashingEmbedder/dim=64/murmur3=7777"))
+    // the serving engine embeds with murmur3=42: same dim, different
+    // space — the dim guard cannot see it, so the stamp must. Both
+    // root routes throw BEFORE the fallback try (a degraded exact
+    // scan would compare the mis-embedded prompt against the corpus
+    // vectors — confidently wrong scores)
+    val e1 = intercept[IllegalStateException] {
+      eng.searchJsonRoot(sf0001, root, "fast hash join", 3)
+    }
+    assert(e1.getMessage.contains("murmur3=7777") &&
+      e1.getMessage.contains(eng.embedder.signature))
+    intercept[IllegalStateException] {
+      eng.searchJsonBatchRoot(sf0001, root, Seq("fast hash join"), 3)
+    }
+    // a MATCHING stamp serves; an UNSTAMPED (legacy) root passes
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_embsig_spec2").toString + "/r"
+    ServingRoot.init(spark, mainDir, root2,
+      embedderSig = Some(eng.embedder.signature))
+    assert(eng.searchJsonRoot(sf0001, root2, "fast hash join", 3)
+      .contains("\"doc_id\""))
+    val root3 = java.nio.file.Files
+      .createTempDirectory("graft_embsig_spec3").toString + "/r"
+    ServingRoot.init(spark, mainDir, root3)
+    assert(ServingRoot.readEmbedder(fs, root3).isEmpty)
+    assert(eng.searchJsonRoot(sf0001, root3, "fast hash join", 3)
+      .contains("\"doc_id\""))
+  }
+
   test("serving root: fold publishes by pointer, old epoch + tombstones survive one grace cycle") {
     import graft.search.AnnIndex
     import graft.search.AnnIndex.ServingRoot
