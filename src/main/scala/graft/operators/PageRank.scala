@@ -38,11 +38,20 @@ object PageRank {
     * uniform start 1/N. */
   def ranks(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds > 0, "rounds must be positive")
+    // localCheckpoint the loop-invariant tables (the RankedCumsum /
+    // Spectral lineage-truncation rule): deg feeds every round's nDf
+    // normalizer plus the contribution join, and out is re-joined each
+    // round — left lazy, each reference re-embeds (and re-executes)
+    // the edge aggregation per round. Node- and edge-sized
+    // materializations, the same bound the loop's shuffles already
+    // carry; values untouched.
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
     val nDf = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
     val out = edges.join(deg, edges("src") === deg("id"))
       .select(col("src"), col("dst"), col("degree"))
+      .localCheckpoint()
     var r = deg.crossJoin(broadcast(nDf))
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank"))
     var round = 0

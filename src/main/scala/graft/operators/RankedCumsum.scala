@@ -184,9 +184,15 @@ object RankedCumsum {
     * kept LONG here because a decimal-typed output column would hit
     * the driver's decimal-rendering hash trap (see q106's history). */
   def auc(scored: DataFrame): DataFrame = {
+    // localCheckpoint (the module's lineage rule): `labeled` feeds the
+    // rank pass AND the midrank join — left lazy, the caller's scoring
+    // subtree (for q117 a full classifier scoring pass) executes
+    // twice. Narrow (id, score, pos) rows, corpus-bounded like the
+    // sort itself; values untouched.
     val labeled = scored.select(col("doc_id").cast("long"),
       round(col("score").cast("double"), 6).as("score"),
       col("pos").cast("long").as("pos"))
+      .localCheckpoint()
     // ascending-score ordinal ranks: scoreRank orders (score desc,
     // doc_id asc), so rank the NEGATED score (exact — already 6 dp)
     val ranks = scoreRank(labeled.select(col("doc_id"),

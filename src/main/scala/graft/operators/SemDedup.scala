@@ -164,6 +164,33 @@ object SemDedup {
     }
   }
 
+  /** Session-scoped memo of fitted centroid tables — the same
+    * TRAIN-once / SCORE-many lifecycle
+    * [[graft.operators.QualityClassifier.sessionFits]] gives the
+    * classifier and the persisted artifacts (q73 band index, q75 IVF)
+    * give their models: a PQ codebook or k-means quantizer is an
+    * OFFLINE index artifact, fitted once per corpus and probed by
+    * every consumer. q144 and q145 fit the IDENTICAL per-subspace
+    * codebooks over the same slices; without the memo each query pays
+    * all m Lloyd's chains (iters+1 driver-coordinated jobs per chain)
+    * on every evaluation. Keyed by (corpus dir, sliceTag, k, iters)
+    * under the owning context's applicationId ([[graft.SessionMemo]]);
+    * the memoized value is the final k×dim centroid table — plain
+    * rounded doubles, context-free, dropped with the context.
+    * `sliceTag` names the corpus/slice DEFINITION (dir + hyperparams
+    * alone cannot distinguish two different slices of one corpus). */
+  private[graft] val sessionFits =
+    new graft.SessionMemo[(String, String, Int, Int), Seq[Seq[Double]]]
+
+  /** Compute-once-per-(session, dir, sliceTag, k, iters) [[fit]].
+    * `corpus` is by-name: on a memo hit the sliced table is never even
+    * built. Deterministic by [[fit]]'s contract, so memoization cannot
+    * change a result — only who pays for it. */
+  def sessionFit(s: org.apache.spark.sql.SparkSession, dir: String,
+                 sliceTag: String, corpus: => DataFrame,
+                 k: Int, iters: Int): Seq[Seq[Double]] =
+    sessionFits.getOrCompute(s, (dir, sliceTag, k, iters))(fit(corpus, k, iters))
+
   /** Per-document SemDeDup report against fitted centroids: (vec_id,
     * cell, centroid_score, n_nbrs, removed). `removed` = 1 iff some
     * same-cell neighbor at pair score ≥ `minScore` sits FARTHER from

@@ -63,9 +63,23 @@ object Spectral {
     var y = w.groupBy(col(idCol)).agg(dsum(col("tfidf")).as("y"))
     var x: DataFrame = null
     for (i <- 1 to iters) {
-      val xRaw = w.join(y, idCol)
+      // localCheckpoint INTERMEDIATE rounds (the same lineage-
+      // truncation rule as `w` above): xRaw feeds BOTH the normalizer
+      // aggregate and the scaled vector, and the scaled vector feeds
+      // the next round's y — left lazy, each round's matvec subtree is
+      // embedded (and EXECUTED) once under the mx aggregate and once
+      // under the main branch, compounding per round. Materializing
+      // the vocabulary-bounded xRaw keeps earlier matvecs computed
+      // exactly once and the final plan linear in `iters`. The LAST
+      // round stays lazy so the returned plan still carries the
+      // broadcast matvec join shape (PlanSpec pins it — the scale
+      // property must stay visible in the declared plan). Values are
+      // untouched — the checkpoint stores the same rows the lazy plan
+      // would produce.
+      val xRawLazy = w.join(y, idCol)
         .groupBy(col("term"))
         .agg(dsum(col("tfidf") * col("y")).as("xr"))
+      val xRaw = if (i < iters) xRawLazy.localCheckpoint() else xRawLazy
       val mx = xRaw.agg(max(abs(col("xr"))).as("mx"))
       // degenerate-normalizer guard: a weight table whose matvec is
       // all-zero (every tfidf 0) would make mx 0 and silently turn

@@ -472,11 +472,11 @@ object CurationQueries {
       // is the loss; hard domains get UPWEIGHTED round by round
       // (DoReMi's excess-loss direction), the counter-pull to q94's
       // temperature smoothing. Shape: after the shared scoring pass,
-      // ONE directory aggregation to ≤|langs| rows; every round is a
-      // one-row normalizer broadcast back (the q106 crossJoin-of-one-
-      // aggregate-row shape) — zero corpus-sized work per round at any
-      // scale. Each round's weights are output columns, so hash-green
-      // certifies every multiplicative update.
+      // ONE directory aggregation to ≤|langs| rows; every round's
+      // normalizer is a whole-frame window aggregate over that bounded
+      // table — zero corpus-sized work per round at any scale. Each
+      // round's weights are output columns, so hash-green certifies
+      // every multiplicative update.
       val d0 = lmScored(s, dir)
         .groupBy(col("lang"))
         .agg(sum(col("dl").cast("long")).as("n_toks"),
@@ -484,17 +484,31 @@ object CurationQueries {
         .withColumn("nll",
           round(-col("sll") / col("n_toks").cast("double"), 6))
         .drop("sll")
-      val init = d0.crossJoin(broadcast(
-          d0.agg(count(lit(1)).as("k"), min(col("nll")).as("mn"))))
-        .withColumn("w", round(lit(1.0) / col("k").cast("double"), 6))
-        .withColumn("excess", round(col("nll") - col("mn"), 6))
-        .drop("k", "mn")
+      // Each round's normalizer is a WHOLE-FRAME window over the
+      // ≤|langs| domain table, not a crossJoin(broadcast(agg)) (the
+      // pre-r18 shape): the fold's agg-of-prev + crossJoin-prev
+      // embedded the previous round TWICE per round, so the physical
+      // plan (and the executed work — no exchange reuse across the
+      // agg/bare faces) doubled every round. One linear plan, one
+      // domain aggregation, zero broadcast jobs. Safe at any corpus
+      // size because the frame is domain-bounded (the q143 scale
+      // argument is unchanged: corpus-sized work ends at d0's
+      // groupBy); the non-foldable constant partition key is the
+      // established single-partition-window trick (layoutFileStats).
+      // The decimal window sums are the same associative decimal
+      // arithmetic as the old 1-row aggregates — bit-identical.
+      val wAll = Window.partitionBy(pmod(col("n_toks"), lit(1)))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val init = d0
+        .withColumn("w",
+          round(lit(1.0) / count(lit(1)).over(wAll).cast("double"), 6))
+        .withColumn("excess",
+          round(col("nll") - min(col("nll")).over(wAll), 6))
       val fin = (1 to HedgeRounds).foldLeft(init) { (prev, t) =>
-        val f = prev.withColumn("f",
-          round(col("w") * exp(lit(HedgeEta) * col("excess")), 9))
-        val tot = f.agg(
-          sum(col("f").cast("decimal(28,12)")).cast("double").as("tf"))
-        f.crossJoin(broadcast(tot))
+        prev.withColumn("f",
+            round(col("w") * exp(lit(HedgeEta) * col("excess")), 9))
+          .withColumn("tf",
+            sum(col("f").cast("decimal(28,12)")).over(wAll).cast("double"))
           .withColumn(s"w$t", round(col("f") / col("tf"), 6))
           .withColumn("w", col(s"w$t"))
           .drop("f", "tf")
@@ -647,17 +661,28 @@ object CurationQueries {
       // the whole eval broadcast-shaped). Shape: q56's plan plus three
       // label-directory aggregations and two broadcast joins — the
       // eval table costs nothing beyond the predictions.
-      val preds = queries("q56_knn_vote")(s, dir)
-        .select(col("true_label"), col("pred_label"))
-      val labels = preds.select(col("true_label").as("label"))
-        .unionByName(preds.select(col("pred_label").as("label")))
+      // ONE pass over the predictions (r18): the label directory, the
+      // support/tp table and the predicted-count table all derive from
+      // the ≤ #classes²-row confusion directory — the previous form
+      // consumed the full q56 prediction subtree once per derivation
+      // (4 evaluations of the kNN vote per report). Same counts: sums
+      // of confusion-cell counts == counts of prediction rows.
+      // localCheckpoint (the RankedCumsum lineage rule): the directory
+      // feeds four derivations; materialized it is ≤ #classes² rows
+      // and the kNN vote runs exactly once per evaluation
+      val conf = queries("q56_knn_vote")(s, dir)
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val labels = conf.select(col("true_label").as("label"))
+        .unionByName(conf.select(col("pred_label").as("label")))
         .distinct()
-      val t = preds.groupBy(col("true_label").as("label")).agg(
-        count(lit(1)).as("support"),
-        coalesce(sum(when(col("pred_label") === col("true_label"), 1L)
+      val t = conf.groupBy(col("true_label").as("label")).agg(
+        sum(col("cnt")).as("support"),
+        coalesce(sum(when(col("pred_label") === col("true_label"), col("cnt"))
           .otherwise(0L)), lit(0L)).as("tp"))
-      val p = preds.groupBy(col("pred_label").as("label")).agg(
-        count(lit(1)).as("n_pred"))
+      val p = conf.groupBy(col("pred_label").as("label")).agg(
+        sum(col("cnt")).as("n_pred"))
       labels.join(broadcast(t), Seq("label"), "left")
         .join(broadcast(p), Seq("label"), "left")
         .na.fill(0L, Seq("support", "n_pred", "tp"))
@@ -978,26 +1003,39 @@ object CurationQueries {
     "q106_epoch_alloc" -> ((s, dir) => {
       // epoch-capped token-budget allocation (see AllocRounds
       // scaladoc). ONE corpus aggregation collapses everything to the
-      // 5-row domain table; each of the 3 unrolled rounds is a 1-row
-      // aggregate of that table broadcast back (the q94 crossJoin-of-
-      // one-aggregate-row shape) — zero corpus-sized work after the
-      // first groupBy at any scale. All allocation arithmetic is
-      // decimal(28,6) with each increment rounded once, so the final
-      // table is bit-identical regardless of partitioning.
+      // 5-row domain table; each of the 3 unrolled rounds reads its
+      // totals as whole-frame window aggregates over that bounded
+      // table — zero corpus-sized work after the first groupBy at any
+      // scale. All allocation arithmetic is decimal(28,6) with each
+      // increment rounded once, so the final table is bit-identical
+      // regardless of partitioning.
       val toks = TextQueries.enriched(s, dir)
         .groupBy(col("lang")).agg(sum(col("n_tokens")).as("n_tok"))
         .withColumn("sqrt_n",
           round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(28,6)"))
         .withColumn("cap",
           (col("n_tok") * lit(AllocEpochCap)).cast("decimal(28,6)"))
-      val tot = toks.agg(
-        sum(col("n_tok")).as("t_tok"), sum(col("sqrt_n")).as("s_tot"))
+      // Whole-frame windows over the ≤|langs| domain table replace the
+      // pre-r18 crossJoin(broadcast(agg)) rounds: the fold embedded the
+      // previous round's subtree twice per round (once under the 1-row
+      // aggregate, once as the main side), so the plan — and the
+      // executed aggregates — doubled every round. The windows keep the
+      // identical decimal arithmetic (associative sums, same widenings,
+      // same single rounding per increment) in ONE linear plan over the
+      // domain-bounded frame; corpus-sized work still ends at the first
+      // groupBy. Non-foldable constant partition key: the established
+      // single-partition-window trick (layoutFileStats).
+      val wAll = Window.partitionBy(pmod(col("n_tok"), lit(1)))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // round 1: every domain asks for its temperature share of the
+      // full budget, capped at EpochCap epochs of its own corpus
+      val r1 = toks
+        .withColumn("t_tok", sum(col("n_tok")).over(wAll))
+        .withColumn("s_tot", sum(col("sqrt_n")).over(wAll))
         .withColumn("budget",  // exact integer division in both engines
           expr(s"t_tok * $AllocBudgetNum div $AllocBudgetDen")
             .cast("decimal(28,6)"))
-      // round 1: every domain asks for its temperature share of the
-      // full budget, capped at EpochCap epochs of its own corpus
-      val r1 = toks.crossJoin(broadcast(tot))
+        .drop("t_tok")
         .withColumn("alloc", least(
           round((col("sqrt_n").cast("double") / col("s_tot").cast("double")) *
             col("budget").cast("double"), 6).cast("decimal(28,6)"),
@@ -1005,11 +1043,12 @@ object CurationQueries {
       // rounds 2..AllocRounds: stranded budget re-distributes over the
       // still-unsaturated domains by their renormalized shares
       val rN = (2 to AllocRounds).foldLeft(r1) { (prev, _) =>
-        val agg = prev.agg(
-          (max(col("budget")) - sum(col("alloc"))).as("rem"),
-          sum(when(col("alloc") < col("cap"), col("sqrt_n"))
-            .otherwise(lit(0))).cast("decimal(28,6)").as("s_act"))
-        prev.drop("rem", "s_act").crossJoin(broadcast(agg))
+        prev
+          .withColumn("rem", max(col("budget")).over(wAll) -
+            sum(col("alloc")).over(wAll))
+          .withColumn("s_act",
+            sum(when(col("alloc") < col("cap"), col("sqrt_n"))
+              .otherwise(lit(0))).over(wAll).cast("decimal(28,6)"))
           .withColumn("alloc",
             when(col("alloc") < col("cap") && col("s_act") > 0,
               least(col("alloc") +
@@ -1021,9 +1060,11 @@ object CurationQueries {
               // and the final output column — is DECIMAL(28,6) in both
               // engines (decimal + decimal widens per round otherwise)
               .cast("decimal(28,6)"))
+          .drop("rem", "s_act")
       }
-      val left = rN.agg((max(col("budget")) - sum(col("alloc")))
-        .cast("decimal(28,6)").as("leftover"))
+      val fin = rN.withColumn("leftover",
+        (max(col("budget")).over(wAll) - sum(col("alloc")).over(wAll))
+          .cast("decimal(28,6)"))
       // Output alloc/leftover as DOUBLE, not DECIMAL(28,6): these were
       // the suite's only decimal-typed output columns, and engine-side
       // decimal rendering differs (e.g. 0E-6 vs 0.000000) even when the
@@ -1031,7 +1072,7 @@ object CurationQueries {
       // partitioning-invariant exactness; only the final projection
       // casts. Both engines cast the same decimal to the same IEEE
       // double, so the hash contract holds.
-      rN.crossJoin(broadcast(left))
+      fin
         .select(col("lang"), col("n_tok"),
           col("cap").cast("long").as("cap_tok"),
           col("alloc").cast("double").as("alloc"),
@@ -1096,6 +1137,10 @@ object CurationQueries {
     * token-bigram instance, b = charHash of the bigram mod
     * [[DsirBuckets]]. Row-local off the shared tokenized cache. */
   private def hashedBigrams(s: SparkSession, dir: String): DataFrame =
+    // NOT session-cached (measured, r18): the columnar cache scan of
+    // the instance table lost to the codegen'd explode fused onto the
+    // tokenized cache (q82/q108 1.12-1.15× slower cached); only the
+    // post-distinct feature table (classifierFeatures) caches well
     KeywordQueries.tokenizedDocs(s, dir)
       .withColumn("bucket", splitBucket(col("doc_id")))
       .select(col("doc_id"), col("lang"), col("bucket"),
@@ -1180,14 +1225,19 @@ object CurationQueries {
     * bucket) — binary bag-of-buckets — plus one always-on
     * [[graft.operators.QualityClassifier.BiasFeature]] row per doc.
     * Columns (doc_id, lang, bucket, b); bucket is the split hash. */
-  private def classifierFeatures(s: SparkSession, dir: String): DataFrame = {
-    val base = hashedBigrams(s, dir)
-      .select(col("doc_id"), col("lang"), col("bucket"), col("b"))
-      .distinct()
-    base.select(col("doc_id"), col("lang"), col("bucket")).distinct()
-      .withColumn("b", lit(graft.operators.QualityClassifier.BiasFeature))
-      .unionByName(base)
-  }
+  private def classifierFeatures(s: SparkSession, dir: String): DataFrame =
+    // session-cached (r18): q86 and q117 each reference the feature
+    // table twice per evaluation (train filter + scoring pass), so
+    // uncached the two distincts re-ran up to four times per query
+    graft.SparkEntry.cachedView(s,
+      "graft_cache_qcfeatures_" + graft.SparkEntry.pathSlug(dir)) {
+      val base = hashedBigrams(s, dir)
+        .select(col("doc_id"), col("lang"), col("bucket"), col("b"))
+        .distinct()
+      base.select(col("doc_id"), col("lang"), col("bucket")).distinct()
+        .withColumn("b", lit(graft.operators.QualityClassifier.BiasFeature))
+        .unionByName(base)
+    }
 
   /** Per-document DSIR log importance weights of `pool` docs against
     * the `target` feature distribution. Both inputs carry one row per
@@ -1270,16 +1320,17 @@ object CurationQueries {
         col("n_tokens"), col("n_distinct"),
         col("n_stop").cast("double") / col("n_tokens"),
         col("char_sum").cast("double") / col("n_tokens")).as("score"))
-    val tf = KeywordQueries.tokenizedDocs(s, dir)
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-    val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val nTok = gc.agg(sum(col("c")).as("nt"))
-    val ll = tf.join(broadcast(gc), Seq("tok"))
-      .crossJoin(broadcast(nTok))
-      .withColumn("l", log(col("c").cast("double")) - log(col("nt").cast("double")))
-      .groupBy(col("doc_id"), col("dl"))
-      .agg(sum(col("l").cast("decimal(28,12)")).cast("double").as("sl"))
-      .select(col("doc_id"), round(col("sl") / col("dl"), 6).as("score"))
+    // the unigram log-likelihood signal IS lmScored's avg_ll: same
+    // tokenized corpus, same unigram counts gc and total nt, the same
+    // decimal(28,12)-routed per-doc sum of log(c) − log(nt) (grouping
+    // additionally by the doc-functionally-dependent lang cannot move
+    // an associative sum), the same round(·/dl, 6) — so read the
+    // SESSION-CACHED scoring pass (lmScored — q55/q112/q143's table)
+    // instead of re-running the corpus explode + join + rollup per
+    // consumer per evaluation. Bit-identical by construction; the
+    // q98/q123 oracles' own `ll` CTE is unchanged and still matches.
+    val ll = lmScored(s, dir)
+      .select(col("doc_id"), col("avg_ll").as("score"))
     val dv = DedupQueries.hashedShingles(s, dir)
       .join(enr.select(col("doc_id"), col("n_tokens")), "doc_id")
       .select(col("doc_id"),

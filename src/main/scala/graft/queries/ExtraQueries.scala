@@ -136,23 +136,28 @@ object ExtraQueries {
   private[graft] def binnedKs(obs: DataFrame): DataFrame = {
     val binCounts = obs.groupBy(col("bin")).agg(
       sum(col("a")).as("na_bin"), sum(col("b")).as("nb_bin"))
-    val tot = binCounts.agg(
-      sum(col("na_bin")).as("n_a"), sum(col("nb_bin")).as("n_b"))
     val grp = pmod(col("bin"), lit(1))
     val wC = Window.partitionBy(grp).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals and the D argmax read as whole-frame windows over the
+    // ≤(KsBins+1)-row bin directory (r18): the crossJoin-of-aggregate
+    // form consumed binCounts/cum in two sibling subtrees each,
+    // re-executing the corpus-sized obs groupBy up to 4× per
+    // evaluation. Same integer sums, same max — one linear plan.
+    val wAll = Window.partitionBy(grp)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = binCounts
       .withColumn("ca", sum(col("na_bin")).over(wC))
       .withColumn("cb", sum(col("nb_bin")).over(wC))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_a", sum(col("na_bin")).over(wAll))
+      .withColumn("n_b", sum(col("nb_bin")).over(wAll))
       .withColumn("diff",
         abs(col("ca").cast("double") / col("n_a").cast("double") -
           col("cb").cast("double") / col("n_b").cast("double")))
-    val d = cum.agg(max(col("diff")).as("d_raw"))
     val critRaw = lit(KsCoeff05) * sqrt(
       (col("n_a") + col("n_b")).cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double")))
-    cum.crossJoin(broadcast(d))
+    cum.withColumn("d_raw", max(col("diff")).over(wAll))
       .filter(col("diff") === col("d_raw"))
       .groupBy(col("n_a"), col("n_b"), col("d_raw"))
       .agg(min(col("bin")).as("at_bin"))
@@ -318,28 +323,45 @@ object ExtraQueries {
       .orderBy(col("lang"))
   }
 
-  /** Equal-row file carve of a layout directory ordered by `key`
-    * (columns xb, yb, n, cnt required): per-file row counts plus
-    * min/max bucket extents — the per-file statistics a parquet footer
-    * would carry after a rewrite sorted by that key. Shared by q111
-    * (Morton vs lexicographic) and q125 (plus Hilbert); windows run on
-    * the bounded directory under the non-foldable constant key. */
-  private def layoutFileStats(zdir: DataFrame, key: String,
-                              layout: String): DataFrame =
+  /** Equal-row file carve of a layout directory under EVERY requested
+    * sort key in one pass (columns xb, yb, n, cnt + each key column
+    * required): per-file row counts plus min/max bucket extents — the
+    * per-file statistics a parquet footer would carry after a rewrite
+    * sorted by that key. Shared by q111 (Morton vs lexicographic) and
+    * q125 (plus Hilbert). `layouts` maps key column → layout name;
+    * each directory row is melted into one row per layout (explode of
+    * a bounded literal array — the directory stays ≤ layouts·2^(2·
+    * ZBits) rows at any corpus size) and the cumulative carve windows
+    * partition by layout. One pass, ONE directory subtree: the pre-r18
+    * per-layout unionByName re-executed the corpus→directory
+    * aggregation once per branch (2× for q111, 3× for q125) for
+    * byte-identical directories. Per-layout carve arithmetic, file
+    * ids, and extents are unchanged — the window orders by the same
+    * unique key within each layout partition. */
+  private def layoutFileStats(zdir: DataFrame,
+                              layouts: Seq[(String, String)]): DataFrame =
     zdir
+      .select(col("xb"), col("yb"), col("n"), col("cnt"),
+        explode(array(layouts.map { case (key, name) =>
+          // cast unifies the struct element types across layouts (the
+          // array literal requires one type; every key is integral)
+          struct(lit(name).as("layout"), col(key).cast("long").as("k"))
+        }: _*)).as("lk"))
+      .select(col("lk.layout").as("layout"), col("lk.k").as("k"),
+        col("xb"), col("yb"), col("n"), col("cnt"))
       .withColumn("hi", sum(col("cnt")).over(
-        Window.partitionBy(pmod(col(key), lit(1))).orderBy(col(key))))
+        Window.partitionBy(col("layout")).orderBy(col("k"))))
       .withColumn("lo", col("hi") - col("cnt"))
       .withColumn("file_id", explode(sequence(
         expr(s"lo * $ZFiles div n"), expr(s"(hi - 1) * $ZFiles div n"))))
       .withColumn("rows_in",
         least(col("hi"), expr(s"((file_id + 1) * n + ${ZFiles - 1}) div $ZFiles")) -
           greatest(col("lo"), expr(s"(file_id * n + ${ZFiles - 1}) div $ZFiles")))
-      .groupBy(col("file_id"))
+      .groupBy(col("layout"), col("file_id"))
       .agg(sum(col("rows_in")).as("n_rows"),
         min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"),
         min(col("yb")).as("yb_min"), max(col("yb")).as("yb_max"))
-      .select(lit(layout).as("layout"), col("file_id"), col("n_rows"),
+      .select(col("layout"), col("file_id"), col("n_rows"),
         col("xb_min"), col("xb_max"), col("yb_min"), col("yb_max"))
 
   /** The q111/q125 rectangle-probe skip test over per-file extents. */
@@ -479,9 +501,9 @@ object ExtraQueries {
       // at offset lo lands min(hi,fhi)−max(lo,flo) rows in it. No
       // per-row rank, no join back to rows — on a cluster the rewrite
       // itself would be repartitionByRange(z) + per-task writes, and
-      // this directory IS its file manifest. The bounded cumsum
-      // window uses the non-foldable constant partition key
-      // (SearchEngine.hybridSearch documents the trick).
+      // this directory IS its file manifest. Both layouts melt from
+      // ONE directory subtree (layoutFileStats' layout explode) with
+      // the bounded cumsum windows partitioned by layout.
       val li = graft.SparkEntry.tbl(s, dir, "lineitem")
         .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
       val ext = li.agg(
@@ -498,8 +520,7 @@ object ExtraQueries {
         .withColumn("lin", col("xb") * ZBuckets + col("yb"))
         .groupBy(col("z"), col("lin"), col("xb"), col("yb"), col("n"))
         .agg(count(lit(1)).as("cnt"))
-      layoutFileStats(zdir, "z", "zorder")
-        .unionByName(layoutFileStats(zdir, "lin", "linear"))
+      layoutFileStats(zdir, Seq("z" -> "zorder", "lin" -> "linear"))
         .withColumn("scan", scanFlag)
         .orderBy(col("layout"), col("file_id"))
     }),
@@ -534,9 +555,8 @@ object ExtraQueries {
         .withColumn("z",
           expr(graft.operators.ZOrder.zSql("xb", "yb", ZBits, "div")))
         .withColumn("lin", col("xb") * ZBuckets + col("yb"))
-      layoutFileStats(zdir, "hd", "hilbert")
-        .unionByName(layoutFileStats(zdir, "z", "zorder"))
-        .unionByName(layoutFileStats(zdir, "lin", "linear"))
+      layoutFileStats(zdir,
+          Seq("hd" -> "hilbert", "z" -> "zorder", "lin" -> "linear"))
         .withColumn("scan", scanFlag)
         .orderBy(col("layout"), col("file_id"))
     }),
@@ -950,8 +970,9 @@ object ExtraQueries {
       // register layout is engine-private — so the sketch itself
       // hash-oracles exactly; the exact count rides along for the
       // audit column. Shape: the same 11 pruned single-column scans;
-      // the k-min SKETCH is a typed partial aggregate
-      // ([[graft.operators.TopKAggregator.kMinDistinct]]) whose
+      // the k-min SKETCH is a binary-buffer partial aggregate
+      // ([[graft.expressions.KMinAggExpr]], semantics proven equal to
+      // [[graft.operators.TopKAggregator.kMinDistinct]]) whose
       // per-partition state is ≤ k distinct minima — the shuffle
       // carries k values per (partition, column), never a distinct
       // directory (the directory+window formulation measured at
@@ -985,13 +1006,13 @@ object ExtraQueries {
       // reduces to ≤ k distinct minima BEFORE the shuffle — no distinct
       // directory is ever built for it (the 500 k probe measured the
       // directory+window formulation at exact-profiler cost, because
-      // distinct() on a key column IS the table)
-      import s.implicits._
-      val sketch = hashed.as[(String, Long)]
-        .groupByKey(_._1)
-        .agg(graft.operators.TopKAggregator
-          .kMinDistinct[(String, Long)](KmvK)(_._2).toColumn)
-        .toDF("col_name", "hs")
+      // distinct() on a key column IS the table). Binary-buffer
+      // expression form (KMinAggExpr; r18): same sketch, no
+      // AppendColumns tuple round-trip per row
+      val sketch = hashed
+        .groupBy(col("col_name"))
+        .agg(graft.expressions.KMinAggExpr
+          .kMinDistinct(col("h"), KmvK).as("hs"))
         .select(col("col_name"), size(col("hs")).cast("long").as("n_h"),
           element_at(col("hs"), size(col("hs"))).as("kth"))
         .withColumn("kmv_est",
@@ -1031,16 +1052,15 @@ object ExtraQueries {
       val t = graft.SparkEntry.tbl(s, dir, "lineitem")
       val stacked = profileStack(t).filter(col("v").isNotNull)
       val (ka, kb) = KmvPair
-      import s.implicits._
       stacked
         .select(col("col_name"),
           ((lit(ka) * graft.functions.PortableHash.charHash(col("v")) + lit(kb))
             % lit(P)).as("h"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .agg(graft.operators.TopKAggregator
-          .kMinDistinct[(String, Long)](KmvK)(_._2).toColumn)
-        .toDF("col_name", "hs")
+        // binary-buffer expression form (KMinAggExpr; r18): same
+        // sketch, no AppendColumns tuple round-trip per row
+        .groupBy(col("col_name"))
+        .agg(graft.expressions.KMinAggExpr
+          .kMinDistinct(col("h"), KmvK).as("hs"))
         .select(col("col_name"), size(col("hs")).cast("long").as("n_h"),
           element_at(col("hs"), size(col("hs"))).as("kth"))
         .withColumn("kmv_est",
@@ -1313,23 +1333,32 @@ object ExtraQueries {
           coalesce(col("n_new"), lit(0L)).as("n_new"))
         .withColumn("cum_inst", sum(col("n_inst")).over(wC))
         .withColumn("cum_types", sum(col("n_new")).over(wC))
-      def dsum(c: Column): Column =
-        sum(c.cast("decimal(28,12)")).cast("double")
-      val pts = cum.select(col("bucket"), col("cum_inst"), col("cum_types"),
-        log(col("cum_inst").cast("double")).as("x"),
-        log(col("cum_types").cast("double")).as("y"))
-      val fit = pts.agg(
-        count(lit(1)).cast("double").as("n"),
-        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-        dsum(col("x") * col("y")).as("sxy"),
-        dsum(col("x") * col("x")).as("sxx"))
+      // the OLS fit reads its sums as whole-frame windows over the
+      // 10-row checkpoint spine (r18): the crossJoin(broadcast(fit))
+      // form consumed `cum` twice — once under the fit aggregate, once
+      // as the report side — re-executing the corpus-sized gram
+      // first-occurrence subtree per consumer. Same decimal-routed
+      // sums, one linear plan.
+      def dsumW(c: Column): Column =
+        sum(c.cast("decimal(28,12)"))
+          .over(Window.partitionBy(grp)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("double")
+      val wAll = Window.partitionBy(grp)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pts = cum
+        .withColumn("x", log(col("cum_inst").cast("double")))
+        .withColumn("y", log(col("cum_types").cast("double")))
+        .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+        .withColumn("sx", dsumW(col("x"))).withColumn("sy", dsumW(col("y")))
+        .withColumn("sxy", dsumW(col("x") * col("y")))
+        .withColumn("sxx", dsumW(col("x") * col("x")))
       val sxyn = col("n") * col("sxy") - col("sx") * col("sy")
       val sxxn = col("n") * col("sxx") - col("sx") * col("sx")
-      val fitRow = fit.select(
-        round(sxyn / sxxn, 6).as("beta"),
-        round((col("sy") - (sxyn / sxxn) * col("sx")) / col("n"), 6)
-          .as("ln_k"))
-      cum.crossJoin(broadcast(fitRow))
+      pts
+        .withColumn("beta", round(sxyn / sxxn, 6))
+        .withColumn("ln_k",
+          round((col("sy") - (sxyn / sxxn) * col("sx")) / col("n"), 6))
         .select(col("bucket"), col("cum_inst"), col("cum_types"),
           col("beta"), col("ln_k"))
         .orderBy(col("bucket"))

@@ -207,6 +207,31 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(typed === List(1L, 3L, 4L))
   }
 
+  test("KMinAgg matches the typed kMinDistinct aggregator; partition-invariant") {
+    import graft.operators.TopKAggregator
+    // deterministic pseudo-random longs with heavy duplication, split
+    // across grouping keys — the q142/q147 shape
+    val rows = (0 until 5000).map { i =>
+      (s"c${i % 3}", (i * 2654435761L) % 97L + (i % 7))
+    }
+    val typed = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.foldLeft(List.empty[Long]) { (buf, r) =>
+        TopKAggregator.kMinDistinct[Long](16)(identity).reduce(buf, r._2)
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val native = rows.toDF("k", "h").repartition(parts)
+        .groupBy($"k")
+        .agg(graft.expressions.KMinAggExpr.kMinDistinct($"h", 16).as("hs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(native === typed, s"parts=$parts")
+    }
+    // ascending, distinct, bounded
+    typed.values.foreach { l =>
+      assert(l === l.distinct.sorted && l.size <= 16)
+    }
+  }
+
   test("BloomMightContainExpr: no false negatives, codegen == driver-side probe") {
     val members = (0L until 1000L).map(i => i * 2654435761L % 1000000007L)
     val bf = org.apache.spark.util.sketch.BloomFilter.create(members.size.toLong, 0.01)

@@ -464,17 +464,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"post-head arithmetic is bounded and broadcast-joined:\n$p")
   }
 
-  test("q106 allocation: one corpus aggregation, every round broadcast back") {
+  test("q106 allocation: one corpus aggregation, rounds as bounded windows") {
     // the corpus is read/aggregated once (per cache arm); the three
-    // re-distribution rounds are 1-row aggregates of the 5-row domain
-    // table — any SortMergeJoin or cartesian of a non-single-row side
-    // means a round shuffled the domain table instead of broadcasting
+    // re-distribution rounds are whole-frame window aggregates over
+    // the 5-row domain table in ONE linear plan — no join of any kind
+    // after the domain groupBy (the pre-r18 crossJoin-of-1-row-agg
+    // fold doubled the executed plan every round), and exactly one
+    // aggregation of the enrichment table feeds the whole query
     val p = plan("q106_epoch_alloc")
     assert(p.linesIterator.exists(l =>
         l.contains("HashAggregate") && l.contains("partial")),
       s"domain token counts must combine map-side:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"round re-distribution must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"rounds must be windows over the domain table, not joins:\n$p")
+    assert(p.contains("Window"),
+      s"round totals must be window aggregates:\n$p")
   }
 
   test("q109 anova: corpus collapses to the source directory map-side") {
@@ -508,8 +513,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // bucketize + interleave are row-local arithmetic against one
     // broadcast extent row; the ONLY corpus-sized exchange is the
     // partial-combined groupBy into the ≤2^16-row z-directory; the
-    // cumsum windows then run on the directory under the non-foldable
-    // constant partition key — never on rows
+    // cumsum windows then run on the layout-melted directory
+    // (partitioned by layout) — never on rows. Exactly TWO corpus
+    // scans: the extent row + the directory build — both layouts melt
+    // from ONE directory subtree (the per-layout union re-ran it)
     val p = plan("q111_zorder_layout")
     assert(p.linesIterator.exists(l =>
         l.contains("HashAggregate") && l.contains("partial")),
@@ -518,6 +525,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"extent row must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"nothing may shuffle-join rows:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"both layouts must carve ONE shared directory (2 scans only):\n$p")
   }
 
   test("q114 cdc apply: keyed snapshots, user-partitioned windows, no global sort") {
@@ -638,7 +647,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the 8 hilbert projection steps must run on the post-groupBy
     // directory, never on corpus rows: one partial HashAggregate
     // below, no join of corpus rows, no cartesian beyond the one-row
-    // extent broadcast
+    // extent broadcast. Exactly TWO corpus scans: extent + directory —
+    // all three layouts melt from ONE directory subtree
     val p = plan("q125_hilbert_layout")
     assert(p.linesIterator.exists(l =>
         l.contains("HashAggregate") && l.contains("partial")),
@@ -647,6 +657,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"extent row must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"nothing may shuffle-join rows:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"all three layouts must carve ONE shared directory (2 scans only):\n$p")
   }
 
   test("q126 kmv set ops: per-group top-K prunes before the sort, no cartesian") {
@@ -819,8 +831,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // (exact-profiler cost on key columns) crept back
     assert(p.linesIterator.exists(l =>
         l.contains("ObjectHashAggregate") &&
-          l.contains("partial_(graft.operators.TopKAggregator")),
+          l.contains("partial_graft_kmin_distinct")),
       s"expected partial kMinDistinct aggregate in:\n$p")
+    assert(!p.contains("AppendColumns"),
+      s"sketch input must stay in the row format (no typed round-trip):\n$p")
     assert(!p.contains("WindowGroupLimit") && !p.contains("Window("),
       s"no window formulation for the sketch:\n$p")
     val schemas = p.linesIterator.filter(_.contains("ReadSchema: struct<")).toSeq
@@ -1264,8 +1278,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // window, and (unlike q142's audited form) no join at all
     assert(p.linesIterator.exists(l =>
         l.contains("ObjectHashAggregate") &&
-          l.contains("partial_(graft.operators.TopKAggregator")),
+          l.contains("partial_graft_kmin_distinct")),
       s"expected partial kMinDistinct aggregate in:\n$p")
+    assert(!p.contains("AppendColumns"),
+      s"sketch input must stay in the row format (no typed round-trip):\n$p")
     assert(!p.contains("WindowGroupLimit") && !p.contains("Window("),
       s"no window formulation for the sketch:\n$p")
     assert(!p.contains("Join"), s"sketch-only form joins nothing:\n$p")
