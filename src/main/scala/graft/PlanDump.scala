@@ -362,8 +362,10 @@ object PlanDump {
       ("Exact table profiler: one single-column parquet scan per " +
         "column (ReadSchema carries exactly one field per branch — " +
         "column pruning is the whole plan), stacked values counted " +
-        "via map-side two-level groupBy, 11-row profiles broadcast-" +
-        "joined."),
+        "via map-side two-level groupBy; since r18 BOTH profiles " +
+        "(row/null counts and the distinct directory) derive from " +
+        "one (col_name, v) directory that keeps nulls as a group — " +
+        "no second pass over the stacked union, no join at all."),
     "q144_pq_codebook" ->
       ("Product quantization: four independent 16-dim Lloyd's fits " +
         "(each iteration one map-side k×dim-bounded exchange), code " +

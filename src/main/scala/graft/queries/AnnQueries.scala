@@ -2359,17 +2359,23 @@ object AnnQueries {
     import org.apache.spark.sql.expressions.Window
     val wx = Window.partitionBy(col("vec_id"))
     val wy = Window.partitionBy(col("nn_id"))
+    // window columns GROUPED BY PARTITION KEY (r18): the natural
+    // rkx/rky/sx/sy/rk order alternates vec_id/nn_id partitioning five
+    // times, so the scored cross reshuffled on every step. All nn_id
+    // windows first, then all vec_id windows, costs exactly two keyed
+    // exchanges of the cross; each column's definition (and so every
+    // value) is unchanged.
     pool.join(broadcast(test))
       .withColumn("score", round(cosineSimilarity(col("pe"), col("qe")), 6))
       .select(col("vec_id"), col("nn_id"), col("score"))
-      .withColumn("rkx", row_number().over(
-        wx.orderBy(col("score").desc, col("nn_id").asc)))
       .withColumn("rky", row_number().over(
         wy.orderBy(col("score").desc, col("vec_id").asc)))
-      .withColumn("sx",
-        sum(when(col("rkx") <= k, col("score").cast("decimal(18,6)"))).over(wx))
       .withColumn("sy",
         sum(when(col("rky") <= k, col("score").cast("decimal(18,6)"))).over(wy))
+      .withColumn("rkx", row_number().over(
+        wx.orderBy(col("score").desc, col("nn_id").asc)))
+      .withColumn("sx",
+        sum(when(col("rkx") <= k, col("score").cast("decimal(18,6)"))).over(wx))
       .withColumn("margin",
         round(col("score") * lit(2 * k) / (col("sx") + col("sy")).cast("double"), 6))
       .withColumn("rk", row_number().over(

@@ -408,8 +408,13 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"),
           col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val train = toks.filter(col("bucket") < 80)
+      // localCheckpoint (r18, the RankedCumsum lineage rule): c1 feeds
+      // the (N+V) scalar AND both unigram backoff joins — left lazy,
+      // the train-split explode + count ran three times per
+      // evaluation. Vocabulary-bounded rows; values untouched.
       val c1 = train.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint()
       val stats = c1.agg((sum(col("c1")) + count(lit(1))).as("nv"))
       val c2 = pairs(train).groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2"))
@@ -861,9 +866,15 @@ object CurationQueries {
       val r1 = scoreRank(q).withColumnRenamed("rank", "r_quality")
       val r2 = scoreRank(ll).withColumnRenamed("rank", "r_loglik")
       val r3 = scoreRank(dv).withColumnRenamed("rank", "r_diversity")
+      // localCheckpoint (r18, RankedCumsum's own lineage rule — auc's
+      // `labeled` precedent): borda feeds the final-rank sort AND the
+      // output join — left lazy, the three-way rank join executed
+      // twice. Narrow (doc_id + 4 numerics), corpus-bounded like the
+      // rank sorts themselves; values untouched.
       val borda = r1.join(r2, "doc_id").join(r3, "doc_id")
         .withColumn("borda",
           round((col("r_quality") + col("r_loglik") + col("r_diversity")) / 3.0, 6))
+        .localCheckpoint()
       // rank by borda ASC (lower mean rank = better): negate the
       // already-rounded score so scoreRank's desc order applies
       val fin = scoreRank(borda.select(col("doc_id"), (-col("borda")).as("score")))
@@ -972,15 +983,24 @@ object CurationQueries {
       // in-domain membership join is a doc_id equi-join (shuffles at
       // scale, AQE-broadcast here); per-doc sums route through decimal and
       // round once; the selection is ONE global top-k.
+      // localCheckpoints (r18, the RankedCumsum lineage rule): gc/ic
+      // each feed a totals aggregate AND a scoring join — left lazy,
+      // the vocab aggregation behind each re-executed per consumer.
+      // Both vocabulary-bounded; values untouched. tf itself is
+      // token-stream-sized and stays LAZY (checkpointing it measured
+      // slower than the cache re-scan it saves, and a corpus-sized
+      // checkpoint breaks the bounded-table rule).
       val tf = KeywordQueries.tokenizedDocs(s, dir)
         .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("lang"), col("source"), col("dl"),
           explode(col("toks")).as("tok"))
       val gc = tf.groupBy(col("tok")).agg(count(lit(1)).as("cg"))
+        .localCheckpoint()
       val gn = gc.agg(sum(col("cg")).as("n_gen"),
         count(lit(1)).as("v"))
       val ic = tf.filter(col("source") === MlInDomainSource)
         .groupBy(col("tok")).agg(count(lit(1)).as("ci"))
+        .localCheckpoint()
       val in = ic.agg(sum(col("ci")).as("n_in"))
       tf.filter(col("source") =!= MlInDomainSource)
         .join(gc, Seq("tok"))
@@ -1249,8 +1269,15 @@ object CurationQueries {
   private[graft] def dsirWeightReport(target: DataFrame,
                                       pool: DataFrame): DataFrame = {
     val bLit = lit(DsirBuckets.toLong)
+    // localCheckpoints (r18, the RankedCumsum lineage rule): ct/cr each
+    // feed a totals aggregate (nt/nr) AND the ratio join — left lazy,
+    // the hashed-bigram explode behind target/pool re-executed once per
+    // consumer. Both ≤ DsirBuckets rows by construction; values
+    // untouched.
     val ct = target.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
     val cr = pool.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint()
     val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     val nr = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
     val ratio = cr.join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))

@@ -276,6 +276,11 @@ object DedupQueries {
       // never broadcasts; the shared-count threshold prunes the
       // chance-collision background before the nfp joins.
       val w = WinnowW
+      // localCheckpoint (r18): fp feeds the per-doc count AND both
+      // self-join sides — left lazy, the winnowing extraction (shingle
+      // hashes + HOF window-min over full text, the expensive part)
+      // re-ran per consumer. The table is 1/w of the shingle stream by
+      // winnowing's own density bound; values untouched.
       val fp = docs(s, dir)
         .spreadIfNarrow(s)
         .select(col("doc_id"), col("lang"),
@@ -285,6 +290,7 @@ object DedupQueries {
           explode(array_distinct(
             transform(sequence(lit(0), size(col("hs")) - w), j =>
               array_min(slice(col("hs"), j + 1, lit(w)))))).as("fp"))
+        .localCheckpoint()
       val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
       val pairs = fp.alias("a")
         .join(fp.alias("b"),

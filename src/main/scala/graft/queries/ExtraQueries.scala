@@ -949,14 +949,21 @@ object ExtraQueries {
       val stacked = t.schema.fieldNames.sorted.toSeq
         .map(c => t.select(lit(c).as("col_name"), col(c).cast("string").as("v")))
         .reduce(_ unionByName _)
-      val base = stacked.groupBy(col("col_name")).agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("v").isNull.cast("long")).as("n_null"))
-      val dist = stacked.filter(col("v").isNotNull)
-        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
-        .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"),
-          max(col("c")).as("max_value_freq"))
-      base.join(broadcast(dist), Seq("col_name"))
+      // ONE pass (r18): the stacked union used to feed TWO consumers
+      // (row/null counts + the distinct directory), re-reading every
+      // column chunk. Both profiles derive from a single (col_name, v)
+      // directory that keeps nulls as a group: n_rows = Σc,
+      // n_null = c of the null group, n_distinct/max_value_freq over
+      // the non-null groups. The trailing filter reproduces the old
+      // inner join's semantics for an all-null column (dropped). Scans
+      // halve (22 → 11 single-column branches); values unchanged.
+      stacked.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+        .groupBy(col("col_name")).agg(
+          sum(col("c")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          max(when(col("v").isNotNull, col("c"))).as("max_value_freq"))
+        .filter(col("n_distinct") > 0)
         .select(col("col_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("max_value_freq"))
         .orderBy(col("col_name"))
@@ -1002,30 +1009,26 @@ object ExtraQueries {
         .select(col("col_name"),
           ((lit(ka) * graft.functions.PortableHash.charHash(col("v")) + lit(kb))
             % lit(P)).as("h"))
-      // the SKETCH side is the bounded-state aggregate: each partition
-      // reduces to ≤ k distinct minima BEFORE the shuffle — no distinct
-      // directory is ever built for it (the 500 k probe measured the
-      // directory+window formulation at exact-profiler cost, because
-      // distinct() on a key column IS the table). Binary-buffer
-      // expression form (KMinAggExpr; r18): same sketch, no
-      // AppendColumns tuple round-trip per row
-      val sketch = hashed
+      // ONE directory serves BOTH arms (r18): this audited form pays
+      // the full distinct directory for the exact column anyway, and a
+      // KMV sketch is invariant under dedup (the k smallest DISTINCT
+      // hashes), so the sketch rides the same directory instead of
+      // re-scanning + re-hashing all 11 columns — scans halve and the
+      // broadcast join disappears; every output value is unchanged.
+      // The sketch-ONLY production shape (bounded partial state, no
+      // directory anywhere — the q142 500 k-probe lesson) is q147's,
+      // which keeps the raw-scan KMinAggExpr form.
+      hashed.distinct()
         .groupBy(col("col_name"))
-        .agg(graft.expressions.KMinAggExpr
-          .kMinDistinct(col("h"), KmvK).as("hs"))
+        .agg(count(lit(1)).as("n_hash_distinct"),
+          graft.expressions.KMinAggExpr
+            .kMinDistinct(col("h"), KmvK).as("hs"))
         .select(col("col_name"), size(col("hs")).cast("long").as("n_h"),
+          col("n_hash_distinct"),
           element_at(col("hs"), size(col("hs"))).as("kth"))
         .withColumn("kmv_est",
           when(col("n_h") < KmvK, col("n_h").cast("double"))
             .otherwise(round(lit((KmvK - 1).toDouble) * P / col("kth"), 6)))
-      // the exact AUDIT column still pays the full distinct directory —
-      // that is its point; a production sketch-only run drops it and
-      // the whole query's state is k values per column
-      val exact = hashed
-        .groupBy(col("col_name"), col("h")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("col_name"))
-        .agg(count(lit(1)).as("n_hash_distinct"))
-      sketch.join(broadcast(exact), Seq("col_name"))
         .select(col("col_name"), col("n_h"), col("n_hash_distinct"),
           col("kmv_est"),
           round(col("kmv_est") / col("n_hash_distinct").cast("double"), 6)
